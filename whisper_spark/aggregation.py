@@ -1,0 +1,116 @@
+r"""The 8 consolidation functions, expressed as Spark aggregate columns.
+
+Reference semantics: whisper.py:120-131 (enum) and whisper.py:553-575
+(dispatch).  In the reference these fold a Python list; here each method is
+a JVM-side aggregate expression applied inside ``groupBy(metric, bucket)``,
+so Catalyst gives us map-side partial aggregation for free — the property
+that makes the rollup cascade scale to 100 TB (no per-metric loops).
+
+Tie-breaking notes (the reference uses Python ``max(..., key=abs)`` which
+keeps the *first* of equal-abs values — an iteration-order artifact, not a
+contract):
+
+* ``absmax``: on \|v\| ties we keep the larger signed value (+3 beats -3).
+* ``absmin``: on \|v\| ties we keep the smaller signed value (-3 beats +3).
+* ``last``: the value with the greatest (ts, seq) — deterministic given the
+  explicit arrival-order column our ingest carries (SURVEY.md §7 "genuinely
+  hard parts" (3)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .errors import InvalidAggregationMethod
+
+#: enum values for parity with the reference header field
+#: (reference: whisper.py:115,120-129)
+AGGREGATION_TYPE_TO_METHOD = {
+    1: "average",
+    2: "sum",
+    3: "last",
+    4: "max",
+    5: "min",
+    6: "avg_zero",
+    7: "absmax",
+    8: "absmin",
+}
+AGGREGATION_METHOD_TO_TYPE = {v: k for k, v in AGGREGATION_TYPE_TO_METHOD.items()}
+
+AGGREGATION_METHODS = tuple(AGGREGATION_TYPE_TO_METHOD.values())
+
+
+def aggregate_column(
+    method: str,
+    value: Column | str,
+    order: Column | str | None = None,
+    expected_slots: Column | int | None = None,
+) -> Column:
+    """Return the aggregate ``Column`` implementing *method* over ``value``.
+
+    ``order``: arrival-order column for ``last`` (ties broken by largest).
+    ``expected_slots``: denominator for ``avg_zero`` — the number of
+    higher-resolution slots in the interval, *not* the number of known
+    values (reference: whisper.py:564-568 divides by
+    ``len(neighborValues)``, the full slot list with Nones).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    if method == "average":
+        return F.avg(v)
+    if method == "sum":
+        return F.sum(v)
+    if method == "last":
+        if order is None:
+            raise ValueError("'last' requires an arrival-order column")
+        o = F.col(order) if isinstance(order, str) else order
+        # max over (order, value) struct = value carried by the max order;
+        # value itself tie-breaks equal orders deterministically.
+        return F.max(F.when(v.isNotNull(), F.struct(o, v.alias("v"))))["v"]
+    if method == "max":
+        return F.max(v)
+    if method == "min":
+        return F.min(v)
+    if method == "avg_zero":
+        if expected_slots is None:
+            raise ValueError("'avg_zero' requires expected_slots")
+        n = F.lit(expected_slots) if isinstance(expected_slots, int) else expected_slots
+        return F.sum(F.coalesce(v, F.lit(0.0))) / n.cast("double")
+    if method == "absmax":
+        return F.max(F.when(v.isNotNull(), F.struct(F.abs(v).alias("a"), v.alias("v"))))["v"]
+    if method == "absmin":
+        return F.min(F.when(v.isNotNull(), F.struct(F.abs(v).alias("a"), v.alias("v"))))["v"]
+    raise InvalidAggregationMethod(f"Unrecognized aggregation method {method}")
+
+
+def aggregate_sql(
+    method: str,
+    value: str = "value",
+    order: str = "seq",
+    expected_slots: str | int = "1",
+) -> str:
+    """ANSI-SQL rendering of the same aggregate — used to build DuckDB
+    oracle strings so the two engines share one definition."""
+    if method == "average":
+        return f"avg({value})"
+    if method == "sum":
+        return f"sum({value})"
+    if method == "last":
+        return f"max_by({value}, {order})"
+    if method == "max":
+        return f"max({value})"
+    if method == "min":
+        return f"min({value})"
+    if method == "avg_zero":
+        return f"sum(coalesce({value}, 0)) / {expected_slots}"
+    if method == "absmax":
+        return f"max_by({value}, (abs({value}), {value}))"
+    if method == "absmin":
+        return f"min_by({value}, (abs({value}), -{value}))"
+    raise InvalidAggregationMethod(f"Unrecognized aggregation method {method}")
+
+
+def validate_aggregation_method(method: str) -> str:
+    if method not in AGGREGATION_METHOD_TO_TYPE:
+        raise InvalidAggregationMethod(f"Unrecognized aggregation method: {method}")
+    return method

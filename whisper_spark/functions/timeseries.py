@@ -1,0 +1,187 @@
+"""Core time-series transforms — the whisper semantics on DataFrames.
+
+Every transform here is a pure function ``DataFrame -> DataFrame`` built
+from JVM-side expressions (no Python UDFs), so the whole pipeline stays
+inside whole-stage codegen and scales by partitioning:
+
+* ``align_ts``         — floor timestamps to an archive step
+                         (reference: whisper.py:707,798)
+* ``last_write_wins``  — duplicate-interval dedup keeping the last write
+                         (reference: whisper.py:806-808)
+* ``xff_rollup``       — one rollup step with the xFilesFactor gate
+                         (reference: whisper.py:578-664)
+* ``dense_timeline``   — gap-filled, step-aligned fetch output
+                         (reference: whisper.py:1023-1034)
+* ``select_archive``   — resolution chooser (reference: whisper.py:943-957)
+
+Scale notes (100 TB design point): ``xff_rollup`` is a single
+``groupBy(keys, bucket)`` — Catalyst plans it as partial (map-side) +
+final aggregation, one shuffle keyed by (metric, bucket).  When the input
+is already hash-partitioned by metric (our store layout), AQE coalesces
+the shuffle.  ``last_write_wins`` is ``max_by`` — also a plain aggregate,
+NOT a window function, so it needs no total sort.  ``dense_timeline``
+generates the spine with ``sequence``/``explode`` per metric — O(range/step)
+rows distributed across the cluster, never a driver loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..aggregation import aggregate_column
+from ..retention import ArchiveSpec
+
+
+def align_ts(ts: Column | str, step: int | Column) -> Column:
+    """Floor an epoch-seconds column to a step boundary.
+
+    ``ts - (ts % step)`` — reference: whisper.py:707 (update) and :798
+    (bulk update) and :582 (propagate).
+    """
+    t = F.col(ts) if isinstance(ts, str) else ts
+    s = F.lit(step) if isinstance(step, int) else step
+    return (t - (t % s)).cast("long")
+
+
+def last_write_wins(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    order: str = "seq",
+) -> DataFrame:
+    """Collapse duplicate (keys, ts) rows, keeping the latest-arriving value.
+
+    The reference gets this implicitly from physical slot overwrite in
+    arrival order (reference: whisper.py:806-808 dedups same-interval runs
+    keeping the last).  We require an explicit arrival-order column and
+    take ``max_by(value, order)`` — an aggregate, not a window, so it is
+    one shuffle with map-side combine (cheap at 100 TB, no skewed sort).
+    """
+    group = [*keys, ts]
+    return df.groupBy(*group).agg(
+        F.max_by(value, F.col(order)).alias(value),
+        F.max(order).alias(order),
+    )
+
+
+def xff_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    higher_step: int,
+    lower_step: int,
+    method: str = "average",
+    xff: float = 0.5,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """One propagation step: higher-resolution points → lower-resolution
+    aggregates, gated by xFilesFactor.
+
+    Matches reference whisper.py:578-664: within each lower-step interval
+    there are ``lower_step // higher_step`` higher-resolution slots; the
+    aggregate is written iff ``known_slots / total_slots >= xff``
+    (reference: whisper.py:639-640).  ``avg_zero`` divides by the *total*
+    slot count, nulls as zero (reference: whisper.py:564-568).  The
+    ``last`` method takes the value of the latest *slot* in the interval
+    (``knownValues[-1]`` over the time-ordered slot list, reference:
+    whisper.py:560-563) — so its order column here is ``ts`` itself.
+
+    Input must already be step-aligned and deduped at ``higher_step``
+    (one row per (keys, aligned ts)).  Output: one row per (keys,
+    lower-interval) that passes the gate.
+    """
+    if lower_step % higher_step != 0:
+        raise ValueError(
+            f"lower_step {lower_step} not a multiple of higher_step {higher_step}"
+        )
+    slots = lower_step // higher_step
+    bucket = align_ts(F.col(ts), lower_step).alias(ts)
+    agg = aggregate_column(method, value, order=F.col(ts), expected_slots=slots)
+    out = (
+        df.groupBy(*keys, bucket)
+        .agg(
+            agg.alias(value),
+            F.count(value).alias("_known"),
+        )
+    )
+    # xff gate: fraction of known higher-res slots in the interval.
+    # Matches `len(knownValues) / len(neighborValues) >= xff`
+    # (reference: whisper.py:639-640).  A groupBy bucket always has >=1
+    # known value, which also reproduces the reference's
+    # "no knownValues -> no write" short-circuit (whisper.py:636-637).
+    out = out.filter((F.col("_known") / F.lit(float(slots))) >= F.lit(float(xff)))
+    return out.drop("_known")
+
+
+def dense_timeline(
+    df: DataFrame,
+    keys_df: DataFrame,
+    from_interval: int,
+    until_interval: int,
+    step: int,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Produce the dense, step-aligned fetch result with nulls in gaps.
+
+    ``keys_df`` holds one row per series (e.g. distinct metrics); the spine
+    is ``sequence(from_interval, until_interval - step, step)`` exploded per
+    key, left-joined with the points.  Interval convention matches the
+    reference: ``until_interval`` is exclusive; the returned timeline has
+    ``(until_interval - from_interval) / step`` slots with ``None`` for
+    missing/stale data (reference: whisper.py:1016-1034).
+
+    Scale note: the spine is generated distributed (explode), the join is
+    keyed on (keys, ts) and Catalyst will broadcast whichever side is
+    small; for a narrow fetch the points side is already pruned to one
+    resolution partition and a ts range.
+    """
+    n_slots = (until_interval - from_interval) // step
+    if n_slots <= 0:
+        raise ValueError("empty timeline: until_interval <= from_interval")
+    spine = keys_df.withColumn(
+        ts,
+        F.explode(
+            F.sequence(
+                F.lit(from_interval).cast("long"),
+                F.lit(until_interval - step).cast("long"),
+                F.lit(step).cast("long"),
+            )
+        ),
+    )
+    key_cols = [c for c in keys_df.columns]
+    pts = df.select(*key_cols, ts, value)
+    return spine.join(pts, on=[*key_cols, ts], how="left")
+
+
+def select_archive(
+    archives: Sequence[ArchiveSpec],
+    now: int,
+    from_time: int,
+    archive_step: int | None = None,
+) -> ArchiveSpec:
+    """Pick the archive a fetch reads from.
+
+    The highest-precision (smallest step) archive whose retention covers
+    ``now - from_time``; or, when ``archive_step`` is forced, the exact
+    archive with that step (reference: whisper.py:943-957).  This is a
+    pre-query decision — it becomes a ``resolution = X`` partition filter,
+    which is what bounds IO per query regardless of range length
+    (partition pruning replaces the reference's O(1) ring addressing,
+    SURVEY.md §4).
+    """
+    diff = now - from_time
+    ordered = sorted(archives, key=lambda a: a.seconds_per_point)
+    if archive_step is not None:
+        for a in ordered:
+            if a.seconds_per_point == archive_step:
+                return a
+        raise ValueError(f"Invalid granularity: {archive_step}")
+    for a in ordered:
+        if a.retention >= diff:
+            return a
+    return ordered[-1]

@@ -1,0 +1,643 @@
+"""WhisperStore — the engine's storage layer.
+
+Whisper keeps one ring-buffer file per metric (reference: whisper.py:20-26).
+We keep ONE long-format dataset for any number of metrics sharing a policy
+(the analog of a carbon storage-schemas rule):
+
+    <path>/policy.json                  # header analog (agg method, xff, archives)
+    <path>/points/resolution=R/tb=B/    # parquet, partitioned by resolution + time bucket
+
+Schema: ``metric STRING, ts LONG (epoch s, step-aligned), value DOUBLE,
+wseq LONG`` with partition columns ``resolution LONG, tb LONG``.
+
+Design decisions (the 100 TB story):
+
+* **Append-only writes + read-time last-write-wins.**  Whisper overwrites
+  ring slots in place; a distributed store that rewrote partitions per
+  update would be unusable at scale.  Instead every batch appends rows
+  stamped with a monotonically increasing ``wseq`` (batch id); readers
+  collapse duplicates with ``max_by(value, wseq)`` — a plain aggregate
+  with map-side partial combine, not a window sort.  ``compact()``
+  amortizes the dedup (LSM compaction), ``delete_expired()`` replaces the
+  ring-buffer's implicit retention.
+* **Partition pruning replaces O(1) ring addressing** (reference:
+  whisper.py:721-724,992-1001).  ``resolution`` is a partition column, and
+  ``tb = ts // (step * TB_SLOTS)`` buckets time so a fetch reads only the
+  slices covering its range, regardless of total table size.
+* **Rollups are set-based.**  Whisper propagates one interval at a time
+  (reference: whisper.py:578-664); we recompute all touched lower
+  intervals per level with one ``groupBy`` — same result, one shuffle per
+  level, map-side combined.
+
+Semantics parity notes (validated by differential tests against the
+reference library in tests/test_store_parity.py):
+
+* single-point ``update`` rejects future and beyond-retention timestamps
+  (reference: whisper.py:691-696); bulk ``update_many`` silently drops
+  points older than maxRetention and *accepts* future points (reference:
+  whisper.py:767-789 — the age test never rejects age < 0).
+* within one bulk batch, duplicate aligned intervals resolve to the point
+  with the greatest raw timestamp, ties to the EARLIEST submitted
+  (reference: whisper.py:749+806-808 — newest-first stable sort, then
+  reversed, keep last of run).  Across batches, later batches win.
+* the rollup cascade from each written archive stops at the first level
+  where none of its intervals passed the xFilesFactor gate (reference:
+  whisper.py:869-875); a gated-out recompute leaves any previously
+  written lower value in place (no tombstone — exactly whisper's
+  "don't write" behavior).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .aggregation import validate_aggregation_method
+from .errors import (
+    CorruptWhisperFile,
+    InvalidConfiguration,
+    InvalidTimeInterval,
+    InvalidXFilesFactor,
+    TimestampNotCovered,
+)
+from .functions.timeseries import (
+    align_ts,
+    dense_timeline,
+    select_archive,
+    xff_rollup,
+)
+from .retention import ArchiveSpec, parse_retention_defs
+
+#: slots per time-bucket partition; at 1 s resolution one bucket ≈ 68 min
+#: of data, at 1 d resolution ≈ 11 years — keeps partition counts sane at
+#: both extremes while still enabling range pruning.
+TB_SLOTS = 4096
+
+POINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("resolution", T.LongType(), False),
+        T.StructField("tb", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("wseq", T.LongType(), False),
+    ]
+)
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+class WhisperStore:
+    """A policy-scoped, multi-metric time-series store on parquet."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._policy_cache: dict | None = None  # CACHE_HEADERS analog
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        archive_list: Sequence | str,
+        x_files_factor: float = 0.5,
+        aggregation_method: str = "average",
+    ) -> "WhisperStore":
+        """Create a store (reference: whisper.py:479-550 ``create``).
+
+        ``archive_list`` accepts ``[(step, points), ...]`` or the retention
+        DSL (``"10s:14d,1m:30d"``).  Defaults mirror the reference:
+        xff=0.5, aggregation=average (reference: whisper.py:491-495).
+        """
+        archives = parse_retention_defs(archive_list)
+        validate_aggregation_method(aggregation_method)
+        if not 0 <= float(x_files_factor) <= 1:
+            raise InvalidXFilesFactor("x_files_factor must be between 0 and 1")
+        path = os.path.abspath(path)
+        if os.path.exists(os.path.join(path, "policy.json")):
+            # reference: whisper.py:501-502 "File %s already exists!"
+            raise InvalidConfiguration(f"Store {path} already exists!")
+        os.makedirs(path, exist_ok=True)
+        policy = {
+            "aggregationMethod": aggregation_method,
+            "xFilesFactor": float(x_files_factor),
+            "archives": [[int(s), int(p)] for (s, p) in archives],
+            "batch": 0,
+        }
+        with open(os.path.join(path, "policy.json"), "w") as f:
+            json.dump(policy, f)
+        return cls(spark, path)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "WhisperStore":
+        store = cls(spark, path)
+        store._policy()  # validate early
+        return store
+
+    def _policy(self) -> dict:
+        if self._policy_cache is not None:
+            return self._policy_cache
+        p = os.path.join(self.path, "policy.json")
+        try:
+            with open(p) as f:
+                policy = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            raise CorruptWhisperFile(f"Unable to read policy: {e}", self.path)
+        if not policy.get("archives"):
+            raise CorruptWhisperFile("policy has no archives", self.path)
+        self._policy_cache = policy
+        return policy
+
+    def _write_policy(self, policy: dict) -> None:
+        tmp = os.path.join(self.path, f".policy.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(policy, f)
+        os.replace(tmp, os.path.join(self.path, "policy.json"))
+        self._policy_cache = policy
+
+    @property
+    def archives(self) -> list[ArchiveSpec]:
+        return [ArchiveSpec(s, p) for (s, p) in self._policy()["archives"]]
+
+    @property
+    def aggregation_method(self) -> str:
+        return self._policy()["aggregationMethod"]
+
+    @property
+    def x_files_factor(self) -> float:
+        return self._policy()["xFilesFactor"]
+
+    @property
+    def max_retention(self) -> int:
+        return max(a.retention for a in self.archives)
+
+    def _next_batch(self) -> int:
+        policy = dict(self._policy())
+        policy["batch"] = int(policy.get("batch", 0)) + 1
+        self._write_policy(policy)
+        return policy["batch"]
+
+    # ------------------------------------------------------------------ #
+    # header mutation (reference: whisper.py:331-418)
+    # ------------------------------------------------------------------ #
+
+    def set_aggregation_method(
+        self, method: str, x_files_factor: float | None = None
+    ) -> str:
+        """Returns the previous method (reference: whisper.py:345-388)."""
+        validate_aggregation_method(method)
+        policy = dict(self._policy())
+        old = policy["aggregationMethod"]
+        policy["aggregationMethod"] = method
+        if x_files_factor is not None:
+            if not 0 <= float(x_files_factor) <= 1:
+                raise InvalidXFilesFactor("x_files_factor must be between 0 and 1")
+            policy["xFilesFactor"] = float(x_files_factor)
+        self._write_policy(policy)
+        return old
+
+    def set_x_files_factor(self, x_files_factor: float) -> float:
+        """Returns the previous xff (reference: whisper.py:331-342,391-418)."""
+        try:
+            xff = float(x_files_factor)
+        except (TypeError, ValueError):
+            raise InvalidXFilesFactor("Invalid xFilesFactor") from None
+        if not 0 <= xff <= 1:
+            raise InvalidXFilesFactor("x_files_factor must be between 0 and 1")
+        policy = dict(self._policy())
+        old = policy["xFilesFactor"]
+        policy["xFilesFactor"] = xff
+        self._write_policy(policy)
+        return old
+
+    def info(self) -> dict:
+        """Header dump (reference: whisper.py:878-889 ``info``)."""
+        policy = self._policy()
+        return {
+            "aggregationMethod": policy["aggregationMethod"],
+            "maxRetention": self.max_retention,
+            "xFilesFactor": policy["xFilesFactor"],
+            "archives": [a.to_dict() for a in self.archives],
+        }
+
+    # ------------------------------------------------------------------ #
+    # physical IO
+    # ------------------------------------------------------------------ #
+
+    @property
+    def _points_path(self) -> str:
+        return os.path.join(self.path, "points")
+
+    def _has_data(self) -> bool:
+        p = self._points_path
+        return os.path.isdir(p) and any(
+            e.startswith("resolution=") for e in os.listdir(p)
+        )
+
+    def _read_points(self) -> DataFrame:
+        if not self._has_data():
+            return self.spark.createDataFrame([], POINTS_SCHEMA)
+        df = self.spark.read.schema(POINTS_SCHEMA).parquet(self._points_path)
+        return df.select(*[f.name for f in POINTS_SCHEMA.fields])
+
+    def _read_resolution(
+        self, step: int, ts_from: int | None = None, ts_until: int | None = None
+    ) -> DataFrame:
+        """Read one archive's slice with partition pruning on
+        (resolution, tb) and a ts range filter (the parquet scan then
+        prunes row groups by min/max stats)."""
+        df = self._read_points().filter(F.col("resolution") == step)
+        if ts_from is not None:
+            df = df.filter(
+                (F.col("tb") >= ts_from // (step * TB_SLOTS)) & (F.col("ts") >= ts_from)
+            )
+        if ts_until is not None:
+            df = df.filter(
+                (F.col("tb") <= ts_until // (step * TB_SLOTS)) & (F.col("ts") <= ts_until)
+            )
+        return df
+
+    def _lww(self, df: DataFrame) -> DataFrame:
+        """Collapse multi-batch duplicates: latest batch wins."""
+        return df.groupBy("metric", "resolution", "ts").agg(
+            F.max_by("value", "wseq").alias("value"),
+            F.max("wseq").alias("wseq"),
+        )
+
+    def _append(self, df: DataFrame) -> None:
+        """Append rows (metric, resolution, ts, value, wseq); derives tb."""
+        out = df.withColumn(
+            "tb", (F.col("ts") / (F.col("resolution") * F.lit(TB_SLOTS))).cast("long")
+        ).select(*[f.name for f in POINTS_SCHEMA.fields])
+        (
+            out.coalesce(4)
+            .write.partitionBy("resolution", "tb")
+            .mode("append")
+            .parquet(self._points_path)
+        )
+
+    # ------------------------------------------------------------------ #
+    # write path (reference: whisper.py:667-875)
+    # ------------------------------------------------------------------ #
+
+    def update(
+        self, metric: str, value: float, timestamp: int | None = None, now: int | None = None
+    ) -> None:
+        """Single-point upsert (reference: whisper.py:667-737 ``update``).
+
+        Rejects timestamps in the future or older than maxRetention
+        (reference: whisper.py:691-696).
+        """
+        now = int(now) if now is not None else self._wallclock()
+        timestamp = int(timestamp) if timestamp is not None else now
+        diff = now - timestamp
+        if not (0 <= diff < self.max_retention):
+            raise TimestampNotCovered(
+                "Timestamp not covered by any archives in this database."
+            )
+        df = self.spark.createDataFrame(
+            [(str(metric), int(timestamp), float(value), 0)], INPUT_SCHEMA
+        )
+        self._update_batch(df, now, single_point=True)
+
+    def update_many(
+        self,
+        points: DataFrame | Iterable,
+        now: int | None = None,
+        metric: str | None = None,
+    ) -> None:
+        """Bulk upsert (reference: whisper.py:740-875 ``update_many``).
+
+        ``points`` is a DataFrame with columns (metric, ts, value[, seq])
+        or an iterable of (ts, value) tuples (then ``metric`` is required,
+        matching the reference's per-file call shape).
+        Points older than maxRetention are silently dropped (reference:
+        whisper.py:781-789); future points are accepted (the reference's
+        age test never rejects age < 0).
+        """
+        now = int(now) if now is not None else self._wallclock()
+        if not isinstance(points, DataFrame):
+            rows = [
+                (str(metric), int(t), float(v), i)
+                for i, (t, v) in enumerate(points)
+            ]
+            if not rows:
+                return
+            points = self.spark.createDataFrame(rows, INPUT_SCHEMA)
+        if "seq" not in points.columns:
+            points = points.withColumn("seq", F.lit(0).cast("long"))
+        points = points.select(
+            F.col("metric").cast("string"),
+            F.col("ts").cast("long"),
+            F.col("value").cast("double"),
+            F.col("seq").cast("long"),
+        )
+        self._update_batch(points, now, single_point=False)
+
+    def _wallclock(self) -> int:
+        import time
+
+        return int(time.time())
+
+    def _assign_archive(self, points: DataFrame, now: int) -> DataFrame:
+        """Age-bucket each point to the highest-precision archive covering
+        it; drop points beyond maxRetention (reference: whisper.py:767-789)."""
+        age = F.lit(now) - F.col("ts")
+        expr = F.lit(None).cast("int")
+        for i in reversed(range(len(self.archives))):
+            expr = F.when(age <= self.archives[i].retention, F.lit(i)).otherwise(expr)
+        return points.withColumn("aidx", expr).filter(F.col("aidx").isNotNull())
+
+    def _update_batch(self, points: DataFrame, now: int, single_point: bool) -> None:
+        archives = self.archives
+        batch = self._next_batch()
+
+        assigned = self._assign_archive(points, now)
+
+        # align to the receiving archive's step; within-batch dedup keeps
+        # the greatest raw ts, ties to the earliest seq (reference:
+        # whisper.py:749,806-808 — see module docstring)
+        step_expr = F.lit(None).cast("long")
+        for i, a in enumerate(archives):
+            step_expr = F.when(F.col("aidx") == i, F.lit(a.seconds_per_point)).otherwise(
+                step_expr
+            )
+        aligned = assigned.withColumn("resolution", step_expr).withColumn(
+            "ats", align_ts(F.col("ts"), F.col("resolution"))
+        )
+        deduped = (
+            aligned.groupBy("metric", "aidx", "resolution", "ats")
+            .agg(
+                F.max_by(
+                    "value", F.struct(F.col("ts"), (-F.col("seq")).alias("ns"))
+                ).alias("value")
+            )
+            .withColumnRenamed("ats", "ts")
+            .withColumn("wseq", F.lit(batch).cast("long"))
+        )
+
+        # Spark reuse: this DF feeds the append AND the cascade candidates.
+        deduped = deduped.persist()
+        try:
+            self._append(deduped.drop("aidx"))
+            touched = deduped.select("aidx", "metric", "ts", "resolution")
+            self._cascade(touched, now=now, batch=batch, single_point=single_point)
+        finally:
+            deduped.unpersist()
+
+    def _cascade(
+        self, touched: DataFrame, now: int, batch: int, single_point: bool
+    ) -> None:
+        """Rollup cascade with per-source early stop (reference:
+        whisper.py:729-733 single-point, :858-875 bulk).
+
+        ``touched``: (aidx, metric, ts) of points just written directly.
+        For each lower level j, candidate intervals come from every still-
+        alive cascade whose source archive is higher-precision than j; the
+        recompute reads the *current* level j-1 data (including rows this
+        cascade appended) exactly like ``__propagate`` reads the higher
+        archive's ring (reference: whisper.py:578-637).
+        """
+        archives = self.archives
+        policy = self._policy()
+        method = policy["aggregationMethod"]
+        xff = float(policy["xFilesFactor"])
+
+        src_rows = [r["aidx"] for r in touched.select("aidx").distinct().collect()]
+        alive: dict[int, bool] = {int(i): True for i in src_rows}
+        if not alive:
+            return
+        touched = touched.persist()
+
+        try:
+            for j in range(1, len(archives)):
+                # cascades feeding level j = still-alive cascades whose
+                # source archive is higher-precision than j (this includes
+                # a batch's direct writes into archive j-1, which start
+                # their own cascade — reference: whisper.py:858-875)
+                sources = [i for i, ok in alive.items() if ok and i < j]
+                if not sources:
+                    continue
+                lower = archives[j]
+                higher = archives[j - 1]
+                cand = (
+                    touched.filter(F.col("aidx").isin(sources))
+                    .select(
+                        "aidx",
+                        "metric",
+                        align_ts(F.col("ts"), lower.seconds_per_point).alias("lts"),
+                    )
+                    .distinct()
+                )
+                intervals = cand.select("metric", "lts").distinct()
+
+                src_data = self._lww(
+                    self._read_resolution(higher.seconds_per_point)
+                ).withColumn(
+                    "lts", align_ts(F.col("ts"), lower.seconds_per_point)
+                )
+                src_in = src_data.join(
+                    F.broadcast(intervals), on=["metric", "lts"], how="left_semi"
+                )
+                rolled = xff_rollup(
+                    src_in.select("metric", "ts", "value"),
+                    keys=["metric"],
+                    higher_step=higher.seconds_per_point,
+                    lower_step=lower.seconds_per_point,
+                    method=method,
+                    xff=xff,
+                )
+                written = rolled.select(
+                    "metric",
+                    F.col("ts"),
+                    "value",
+                    F.lit(lower.seconds_per_point).cast("long").alias("resolution"),
+                    F.lit(batch).cast("long").alias("wseq"),
+                ).persist()
+                try:
+                    self._append(
+                        written.select("metric", "resolution", "ts", "value", "wseq")
+                    )
+                    # which sources had at least one interval written?
+                    ok_src = {
+                        int(r["aidx"])
+                        for r in cand.join(
+                            written.select(
+                                "metric", F.col("ts").alias("lts")
+                            ).distinct(),
+                            on=["metric", "lts"],
+                            how="left_semi",
+                        )
+                        .select("aidx")
+                        .distinct()
+                        .collect()
+                    }
+                finally:
+                    written.unpersist()
+                for i in sources:
+                    if i not in ok_src:
+                        alive[i] = False
+        finally:
+            touched.unpersist()
+
+    # ------------------------------------------------------------------ #
+    # read path (reference: whisper.py:892-1034)
+    # ------------------------------------------------------------------ #
+
+    def fetch(
+        self,
+        metrics: str | Sequence[str] | None = None,
+        from_time: int | None = None,
+        until_time: int | None = None,
+        now: int | None = None,
+        archive_step: int | None = None,
+        drop: str | None = None,
+    ):
+        """Range read returning ``((fromInterval, untilInterval, step), DataFrame)``.
+
+        Clamping, archive selection and quantization follow the reference
+        exactly (whisper.py:909-976):
+
+        * ``from > until`` → ``InvalidTimeInterval``
+        * range fully in the future or fully beyond retention → ``None``
+        * clamp to ``[now - maxRetention, now]``
+        * archive = highest precision with ``retention >= now - from``
+          (or the forced ``archive_step``)
+        * intervals quantized UP by one step; zero-length range returns
+          one slot.
+
+        The DataFrame is the dense, step-aligned timeline — one row per
+        (metric, slot) with NULL in gaps (reference: whisper.py:1016-1034).
+        ``drop`` post-filters like whisper-fetch's ``--drop``
+        (reference: bin/whisper-fetch.py:13-17): 'nulls' | 'zeroes' | 'empty'.
+        """
+        now = int(now) if now is not None else self._wallclock()
+        until_time = int(until_time) if until_time is not None else now
+        if from_time is None:
+            raise InvalidTimeInterval("from_time is required")
+        from_time = int(from_time)
+        if from_time > until_time:
+            raise InvalidTimeInterval(
+                f"Invalid time interval: from time '{from_time}' is after "
+                f"until time '{until_time}'"
+            )
+        oldest = now - self.max_retention
+        if from_time > now:
+            return None
+        if until_time < oldest:
+            return None
+        from_time = max(from_time, oldest)
+        until_time = min(until_time, now)
+
+        archive = select_archive(self.archives, now, from_time, archive_step)
+        step = archive.seconds_per_point
+
+        from_interval = (from_time - (from_time % step)) + step
+        until_interval = (until_time - (until_time % step)) + step
+        if from_interval == until_interval:
+            until_interval += step
+
+        if metrics is None:
+            keys_df = self._read_points().select("metric").distinct()
+        else:
+            if isinstance(metrics, str):
+                metrics = [metrics]
+            keys_df = self.spark.createDataFrame(
+                [(m,) for m in metrics], T.StructType([T.StructField("metric", T.StringType())])
+            )
+
+        pts = self._lww(
+            self._read_resolution(step, from_interval, until_interval - 1)
+        )
+        timeline = dense_timeline(
+            pts.select("metric", "ts", "value"),
+            keys_df,
+            from_interval,
+            until_interval,
+            step,
+        )
+        if drop == "nulls":
+            timeline = timeline.filter(F.col("value").isNotNull())
+        elif drop == "zeroes":
+            timeline = timeline.filter(F.col("value") != 0)
+        elif drop == "empty":
+            timeline = timeline.filter(F.col("value").isNotNull() & (F.col("value") != 0))
+        return ((from_interval, until_interval, step), timeline)
+
+    def fetch_series(self, metric: str, **kwargs):
+        """Convenience: fetch one metric and collect to the reference's
+        ``(timeInfo, [value, ...])`` shape — for tests and small reads ONLY
+        (collects to the driver)."""
+        res = self.fetch(metrics=metric, **kwargs)
+        if res is None:
+            return None
+        (time_info, df) = res
+        rows = df.orderBy("ts").select("ts", "value").collect()
+        return (time_info, [r["value"] for r in rows])
+
+    def metrics(self) -> DataFrame:
+        """Distinct metric names — the namespace listing (whisper's
+        directory tree of .wsp files)."""
+        return self._read_points().select("metric").distinct()
+
+    def dump(self) -> DataFrame:
+        """Full-scan debug view (reference: bin/whisper-dump.py:40-138).
+        Returns every stored row (pre-LWW), ordered by archive then ts."""
+        return self._read_points().orderBy("resolution", "metric", "ts", "wseq")
+
+    # ------------------------------------------------------------------ #
+    # maintenance (ring-buffer replacement)
+    # ------------------------------------------------------------------ #
+
+    def compact(self, now: int | None = None) -> None:
+        """Collapse multi-batch duplicates and drop expired rows — the
+        LSM-compaction replacement for whisper's in-place ring overwrite.
+        Atomic swap like whisper-resize (reference: bin/whisper-resize.py:208-225).
+        """
+        if not self._has_data():
+            return
+        now = int(now) if now is not None else self._wallclock()
+        df = self._lww(self._read_points())
+        cond = F.lit(False)
+        for a in self.archives:
+            cond = cond | (
+                (F.col("resolution") == a.seconds_per_point)
+                & (F.col("ts") > now - a.retention)
+            )
+        df = df.filter(cond).withColumn(
+            "tb", (F.col("ts") / (F.col("resolution") * F.lit(TB_SLOTS))).cast("long")
+        )
+        tmp = os.path.join(self.path, f".points.{uuid.uuid4().hex}.tmp")
+        (
+            df.select(*[f.name for f in POINTS_SCHEMA.fields])
+            .repartition("resolution", "tb")
+            .write.partitionBy("resolution", "tb")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        old = self._points_path
+        bak = os.path.join(self.path, f".points.{uuid.uuid4().hex}.bak")
+        os.replace(old, bak)
+        os.replace(tmp, old)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    delete_expired = compact
