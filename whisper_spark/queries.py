@@ -1,0 +1,1086 @@
+"""The engine's declared query surface: every entry pairs a Spark
+DataFrame implementation with a semantically identical DuckDB oracle SQL
+string (the driver's correctness gate runs both at sf0.01 and hash-matches
+values).
+
+Cross-engine determinism rules (discovered empirically, see
+tests/test_queries_oracle.py):
+
+* Every multi-row float sum/avg goes through DECIMAL:
+  ``sum(CAST(x AS DECIMAL(p,s)))`` is exact and engine-identical; the final
+  ``::VARCHAR::DOUBLE`` round-trip is correctly rounded in BOTH engines
+  (DuckDB's direct decimal->double cast is NOT correctly rounded).
+* Plain ``max/min/max_by`` over stored doubles involve no float math and
+  are safe raw.
+* Deterministic hashing uses md5: Spark ``conv(substr(md5(x),1,15),16,10)``
+  == DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT`` (60-bit, positive).
+* Element-wise array folds (dot products) are sequential in both engines
+  and bit-identical; ``sqrt`` is IEEE correctly rounded in both.
+* Epoch seconds: Spark ``ts div 1_000_000_000`` on the nanosecond longs ==
+  DuckDB ``epoch_us(ts) // 1000000`` (integer paths only — double division
+  of nanos loses enough precision to flip second boundaries).
+
+Whisper-semantics queries model the reference pipeline on the ``events``
+table: metric = event_type, arrival order = event_id
+(reference: whisper.py — see each query's docstring).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------------- #
+# shared helpers
+# --------------------------------------------------------------------- #
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """The testdata parquet uses TIMESTAMP(NANOS); make sure this session
+    can read it (nanos surface as LongType)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def sec(df: DataFrame, col: str) -> F.Column:
+    """Epoch-seconds column regardless of how the parquet timestamp was
+    read: TIMESTAMP(NANOS) as LongType (nanos), TIMESTAMP_NTZ, or
+    TIMESTAMP.  Session timezone is UTC, matching DuckDB's naive
+    interpretation (``epoch_us(ts) // 1000000``)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{col} div 1000000000")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col(col).cast("timestamp").cast("long")
+    return F.col(col).cast("long")
+
+
+def dsum(col: F.Column, scale: str = "decimal(25,6)") -> F.Column:
+    """Deterministic double sum: exact decimal sum, then the
+    correctly-rounded string->double route (see module docstring)."""
+    return F.sum(col.cast(scale)).cast("string").cast("double")
+
+
+def DSUM(expr: str, scale: str = "DECIMAL(25,6)") -> str:
+    """DuckDB rendering of :func:`dsum`."""
+    return f"(sum(CAST({expr} AS {scale}))::VARCHAR)::DOUBLE"
+
+
+def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> whisper ingest shape (metric, ts[sec], value, seq)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("metric"),
+        sec(ev, "ts").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def events_now(spark: SparkSession, sf_dir: str) -> int:
+    """Pinned `now` = newest event (deterministic per dataset)."""
+    return events_points(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
+
+
+def lww_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-0 slot state at 1 s: last write (by seq) wins
+    (reference: whisper.py:806-808)."""
+    return (
+        events_points(spark, sf_dir)
+        .groupBy("metric", "ts")
+        .agg(F.max_by("value", "seq").alias("value"))
+    )
+
+
+def slot_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive state at 60 s for direct writes: the latest second's value
+    occupies the slot (positional overwrite semantics, whisper.py:798-822)."""
+    lww = lww_seconds(spark, sf_dir)
+    return (
+        lww.groupBy("metric", (F.col("ts") - F.col("ts") % 60).alias("ts"))
+        .agg(F.max_by("value", lww["ts"]).alias("value"))
+    )
+
+
+# SQL CTE prefix shared by the whisper-family oracles (DuckDB dialect).
+EVENTS_CTES = """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS ts, value,
+         event_id AS seq
+  FROM events
+), nw AS (
+  SELECT max(ts) AS now FROM raw
+), lww AS (
+  SELECT metric, ts, arg_max(value, seq) AS value
+  FROM raw GROUP BY metric, ts
+), slot1m AS (
+  SELECT metric, ts // 60 * 60 AS ts, arg_max(value, ts) AS value
+  FROM lww GROUP BY metric, ts // 60 * 60
+), min1 AS (
+  SELECT metric, ts // 60 * 60 AS ts,
+         (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(value) AS avg_v,
+         count(value) AS known
+  FROM lww GROUP BY metric, ts // 60 * 60
+)
+"""
+
+
+def min1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute rollup (average) of the LWW second slots — mirrors the
+    ``min1`` oracle CTE."""
+    lww = lww_seconds(spark, sf_dir)
+    return (
+        lww.groupBy("metric", (F.col("ts") - F.col("ts") % 60).alias("ts"))
+        .agg(
+            (dsum(F.col("value")) / F.count("value")).alias("avg_v"),
+            F.count("value").alias("known"),
+        )
+    )
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def _q(name: str, sql: str | None, doc: str = "", bench: bool = False):
+    def deco(fn):
+        QUERIES[name] = Query(name, fn, sql, doc, bench)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------- #
+# whisper-semantics family (events table)
+# --------------------------------------------------------------------- #
+
+
+@_q(
+    "ws_lww_seconds",
+    EVENTS_CTES
+    + """
+SELECT metric, ts, arg_max(value, seq) AS value, count(*) AS n_dups
+FROM raw GROUP BY metric, ts
+""",
+    doc="duplicate-interval dedup, last write (by seq) wins "
+    "(reference: whisper.py:806-808)",
+    bench=True,
+)
+def q_ws_lww_seconds(spark, sf_dir):
+    return (
+        events_points(spark, sf_dir)
+        .groupBy("metric", "ts")
+        .agg(
+            F.max_by("value", "seq").alias("value"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+@_q(
+    "ws_rollup_1m_avg",
+    EVENTS_CTES + "SELECT metric, ts, avg_v, known FROM min1",
+    doc="one propagation step: 1s -> 1m average (reference: whisper.py:578-664)",
+    bench=True,
+)
+def q_ws_rollup_1m_avg(spark, sf_dir):
+    return min1(spark, sf_dir)
+
+
+@_q(
+    "ws_rollup_5m_methods",
+    EVENTS_CTES
+    + f"""
+SELECT metric, ts // 300 * 300 AS ts,
+       {DSUM("value")} AS sum_v,
+       max(value) AS max_v,
+       min(value) AS min_v,
+       arg_max(value, ts) AS last_v,
+       arg_max(value, abs(value)) AS absmax_v,
+       arg_min(value, abs(value)) AS absmin_v,
+       {DSUM("value")} / 300.0 AS avgzero_v,
+       count(value) AS known
+FROM lww GROUP BY metric, ts // 300 * 300
+""",
+    doc="the 8 consolidation functions over 5m buckets "
+    "(reference: whisper.py:553-575); avg_zero divides by the full slot "
+    "count (300), `last` is the latest slot",
+)
+def q_ws_rollup_5m_methods(spark, sf_dir):
+    lww = lww_seconds(spark, sf_dir)
+    v, ts = F.col("value"), F.col("ts")
+    return lww.groupBy(
+        "metric", (ts - ts % 300).alias("ts")
+    ).agg(
+        dsum(v).alias("sum_v"),
+        F.max(v).alias("max_v"),
+        F.min(v).alias("min_v"),
+        F.max_by(v, lww["ts"]).alias("last_v"),
+        F.max_by(v, F.abs(v)).alias("absmax_v"),
+        F.min_by(v, F.abs(v)).alias("absmin_v"),
+        (dsum(v) / F.lit(300.0)).alias("avgzero_v"),
+        F.count(v).alias("known"),
+    )
+
+
+@_q(
+    "ws_rollup_1h_xff",
+    EVENTS_CTES
+    + """
+SELECT metric, ts // 3600 * 3600 AS ts,
+       (sum(CAST(avg_v AS DECIMAL(25,12)))::VARCHAR)::DOUBLE / count(avg_v) AS avg_v,
+       count(avg_v) AS known
+FROM min1
+GROUP BY metric, ts // 3600 * 3600
+HAVING count(avg_v) / 60.0 >= 0.05
+""",
+    doc="second cascade level with the xFilesFactor gate: hour written iff "
+    ">= 5% of its minute slots are known (reference: whisper.py:639-640)",
+    bench=True,
+)
+def q_ws_rollup_1h_xff(spark, sf_dir):
+    m = min1(spark, sf_dir)
+    out = (
+        m.groupBy("metric", (F.col("ts") - F.col("ts") % 3600).alias("ts"))
+        .agg(
+            (dsum(F.col("avg_v"), "decimal(25,12)") / F.count("avg_v")).alias("avg_v"),
+            F.count("avg_v").alias("known"),
+        )
+        .filter(F.col("known") / F.lit(60.0) >= 0.05)
+    )
+    return out
+
+
+@_q(
+    "ws_fetch_dense_30m",
+    EVENTS_CTES
+    + """
+, bounds AS (
+  SELECT ((now - 1800) // 60) * 60 + 60 AS fi, (now // 60) * 60 + 60 AS ui FROM nw
+), spine AS (
+  SELECT m.metric, g.ts
+  FROM (SELECT DISTINCT metric FROM raw) m, bounds b,
+       LATERAL (SELECT unnest(generate_series(b.fi, b.ui - 60, 60)) AS ts) g
+)
+SELECT s.metric, s.ts, p.value
+FROM spine s LEFT JOIN slot1m p ON s.metric = p.metric AND s.ts = p.ts
+""",
+    doc="dense step-aligned fetch timeline with NULL gaps; interval "
+    "quantized up by one step (reference: whisper.py:970-976,1016-1034)",
+)
+def q_ws_fetch_dense_30m(spark, sf_dir):
+    now = events_now(spark, sf_dir)
+    fi = (now - 1800) // 60 * 60 + 60
+    ui = now // 60 * 60 + 60
+    slots = slot_1m(spark, sf_dir)
+    metrics = events_points(spark, sf_dir).select("metric").distinct()
+    spine = metrics.withColumn(
+        "ts", F.explode(F.sequence(F.lit(fi), F.lit(ui - 60), F.lit(60)))
+    )
+    return spine.join(slots, on=["metric", "ts"], how="left")
+
+
+@_q(
+    "ws_fetch_drop_nulls_6h",
+    EVENTS_CTES
+    + """
+, bounds AS (
+  SELECT ((now - 21600) // 60) * 60 + 60 AS fi, (now // 60) * 60 + 60 AS ui FROM nw
+)
+SELECT metric, ts, value FROM slot1m, bounds
+WHERE ts >= fi AND ts < ui AND value IS NOT NULL
+""",
+    doc="fetch post-filter --drop nulls (reference: bin/whisper-fetch.py:13-17)",
+)
+def q_ws_fetch_drop_nulls_6h(spark, sf_dir):
+    now = events_now(spark, sf_dir)
+    fi = (now - 21600) // 60 * 60 + 60
+    ui = now // 60 * 60 + 60
+    return (
+        slot_1m(spark, sf_dir)
+        .filter((F.col("ts") >= fi) & (F.col("ts") < ui))
+        .filter(F.col("value").isNotNull())
+    )
+
+
+@_q(
+    "ws_archive_selection",
+    """
+SELECT range_s,
+       CASE WHEN range_s <= 172800 THEN 60
+            WHEN range_s <= 604800 THEN 300
+            ELSE 3600 END AS step
+FROM (VALUES (CAST(30 AS BIGINT)), (1800), (43200), (604800), (2592000)) t(range_s)
+""",
+    doc="resolution chooser: highest precision whose retention covers the "
+    "range, for policy 1m:2d,5m:7d,1h:1y (reference: whisper.py:943-957)",
+)
+def q_ws_archive_selection(spark, sf_dir):
+    ranges = spark.createDataFrame(
+        [(30,), (1800,), (43200,), (604800,), (2592000,)],
+        T.StructType([T.StructField("range_s", T.LongType())]),
+    )
+    step = (
+        F.when(F.col("range_s") <= 172800, 60)
+        .when(F.col("range_s") <= 604800, 300)
+        .otherwise(3600)
+    )
+    return ranges.select("range_s", step.cast("int").alias("step"))
+
+
+@_q(
+    "ws_merge_overwrite_1m",
+    EVENTS_CTES
+    + """
+SELECT coalesce(a.ts, b.ts) AS ts,
+       coalesce(a.value, b.value) AS value,
+       CASE WHEN a.value IS NOT NULL THEN 'src' ELSE 'dst' END AS origin
+FROM (SELECT ts, value FROM slot1m WHERE metric = 'click') a
+FULL OUTER JOIN (SELECT ts, value FROM slot1m WHERE metric = 'view') b
+  ON a.ts = b.ts
+""",
+    doc="merge: src slots overwrite dst (reference: whisper.py:1037-1095)",
+)
+def q_ws_merge_overwrite_1m(spark, sf_dir):
+    s = slot_1m(spark, sf_dir)
+    a = s.filter(F.col("metric") == "click").select("ts", F.col("value").alias("va"))
+    b = s.filter(F.col("metric") == "view").select("ts", F.col("value").alias("vb"))
+    j = a.join(b, on="ts", how="full")
+    return j.select(
+        "ts",
+        F.coalesce("va", "vb").alias("value"),
+        F.when(F.col("va").isNotNull(), F.lit("src")).otherwise(F.lit("dst")).alias("origin"),
+    )
+
+
+@_q(
+    "ws_fill_gaps_1m",
+    EVENTS_CTES
+    + """
+SELECT coalesce(a.ts, b.ts) AS ts,
+       coalesce(b.value, a.value) AS value,
+       CASE WHEN b.value IS NOT NULL THEN 'dst' ELSE 'src' END AS origin
+FROM (SELECT ts, value FROM slot1m WHERE metric = 'click') a
+FULL OUTER JOIN (SELECT ts, value FROM slot1m WHERE metric = 'view') b
+  ON a.ts = b.ts
+""",
+    doc="fill: only dst gaps take src data, dst never overwritten "
+    "(reference: bin/whisper-fill.py:95-121 anti-join semantics)",
+)
+def q_ws_fill_gaps_1m(spark, sf_dir):
+    s = slot_1m(spark, sf_dir)
+    a = s.filter(F.col("metric") == "click").select("ts", F.col("value").alias("va"))
+    b = s.filter(F.col("metric") == "view").select("ts", F.col("value").alias("vb"))
+    j = a.join(b, on="ts", how="full")
+    return j.select(
+        "ts",
+        F.coalesce("vb", "va").alias("value"),
+        F.when(F.col("vb").isNotNull(), F.lit("dst")).otherwise(F.lit("src")).alias("origin"),
+    )
+
+
+@_q(
+    "ws_diff_1m",
+    EVENTS_CTES
+    + """
+SELECT coalesce(a.ts, b.ts) AS ts, a.value AS va, b.value AS vb
+FROM (SELECT ts, value FROM slot1m WHERE metric = 'click') a
+FULL OUTER JOIN (SELECT ts, value FROM slot1m WHERE metric = 'view') b
+  ON a.ts = b.ts
+WHERE a.value IS DISTINCT FROM b.value
+""",
+    doc="diff: full-outer align on ts, emit differing slots "
+    "(reference: whisper.py:1098-1149)",
+)
+def q_ws_diff_1m(spark, sf_dir):
+    s = slot_1m(spark, sf_dir)
+    a = s.filter(F.col("metric") == "click").select("ts", F.col("value").alias("va"))
+    b = s.filter(F.col("metric") == "view").select("ts", F.col("value").alias("vb"))
+    j = a.join(b, on="ts", how="full")
+    return j.filter(~F.col("va").eqNullSafe(F.col("vb"))).select("ts", "va", "vb")
+
+
+@_q(
+    "ws_retention_7d",
+    EVENTS_CTES
+    + """
+SELECT metric,
+       count(CASE WHEN now - ts <= 604800 THEN 1 END) AS n_accepted,
+       count(CASE WHEN now - ts >  604800 THEN 1 END) AS n_dropped
+FROM raw, nw GROUP BY metric
+""",
+    doc="bulk-ingest retention gate: points older than maxRetention are "
+    "silently dropped (reference: whisper.py:781-789)",
+)
+def q_ws_retention_7d(spark, sf_dir):
+    now = events_now(spark, sf_dir)
+    age = F.lit(now) - F.col("ts")
+    return (
+        events_points(spark, sf_dir)
+        .groupBy("metric")
+        .agg(
+            F.count(F.when(age <= 604800, 1)).alias("n_accepted"),
+            F.count(F.when(age > 604800, 1)).alias("n_dropped"),
+        )
+    )
+
+
+@_q(
+    "ws_resize_15m",
+    EVENTS_CTES
+    + """
+SELECT metric, ts // 900 * 900 AS ts,
+       (sum(CAST(avg_v AS DECIMAL(25,12)))::VARCHAR)::DOUBLE / count(avg_v) AS avg_v,
+       count(avg_v) AS known
+FROM min1
+GROUP BY metric, ts // 900 * 900
+HAVING count(avg_v) / 15.0 >= 0.1
+""",
+    doc="resize --aggregate re-binning: 1m -> 15m, xff gate 0.1 "
+    "(reference: bin/whisper-resize.py:175-198)",
+)
+def q_ws_resize_15m(spark, sf_dir):
+    m = min1(spark, sf_dir)
+    return (
+        m.groupBy("metric", (F.col("ts") - F.col("ts") % 900).alias("ts"))
+        .agg(
+            (dsum(F.col("avg_v"), "decimal(25,12)") / F.count("avg_v")).alias("avg_v"),
+            F.count("avg_v").alias("known"),
+        )
+        .filter(F.col("known") / F.lit(15.0) >= 0.1)
+    )
+
+
+# --------------------------------------------------------------------- #
+# analytics family (TPC-H-shaped; exercises joins/aggregates at scale)
+# --------------------------------------------------------------------- #
+
+_DEC = "CAST(l_quantity AS DECIMAL(25,6))"
+
+
+@_q(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM("l_quantity")} AS sum_qty,
+       {DSUM("l_extendedprice")} AS sum_base_price,
+       (sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6))))::VARCHAR)::DOUBLE AS sum_disc_price,
+       {DSUM("l_quantity")} / count(*) AS avg_qty,
+       {DSUM("l_extendedprice")} / count(*) AS avg_price,
+       {DSUM("l_discount", "DECIMAL(18,6)")} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE epoch_us(l_shipdate) // 1000000 <= 915148800
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="scan-heavy aggregate (TPC-H Q1 shape): decimal-exact sums",
+    bench=True,
+)
+def q_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = 915148800  # 1999-01-01 (within the generated 1995-2001 span)
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    return (
+        li.filter(sec(li, "l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).cast("string").cast("double").alias("sum_disc_price"),
+            (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (dsum(F.col("l_discount"), "decimal(18,6)") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       (sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6))))::VARCHAR)::DOUBLE AS revenue,
+       epoch_us(o_orderdate) // 1000000 AS odate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND epoch_us(o_orderdate) // 1000000 < 883612800
+  AND epoch_us(l_shipdate) // 1000000 > 883612800
+GROUP BY l_orderkey, epoch_us(o_orderdate) // 1000000, o_orderpriority
+ORDER BY revenue DESC, odate, l_orderkey
+LIMIT 10
+""",
+    doc="join + top-k (TPC-H Q3 shape); broadcast dims, deterministic ties",
+    bench=True,
+)
+def q_q3(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = 883612800  # 1998-01-01
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    j = (
+        li.filter(sec(li, "l_shipdate") > cutoff)
+        .join(
+            od.filter(sec(od, "o_orderdate") < cutoff),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .join(
+            F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+            od.o_custkey == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            sec(od, "o_orderdate").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc_price).cast("string").cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "odate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+SELECT n_name,
+       (sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6))))::VARCHAR)::DOUBLE AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch_us(o_orderdate) // 1000000 >= 820454400
+  AND epoch_us(o_orderdate) // 1000000 < 852076800
+GROUP BY n_name
+""",
+    doc="multi-way star join (TPC-H Q5 shape); dims broadcast",
+    bench=True,
+)
+def q_q5(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    lo, hi = 820454400, 852076800  # [1996-01-01, 1997-01-01)
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    j = (
+        li.join(
+            od.filter((sec(od, "o_orderdate") >= lo) & (sec(od, "o_orderdate") < hi)),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(
+            F.broadcast(re.filter(F.col("r_name") == "ASIA")),
+            na.n_regionkey == re.r_regionkey,
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(disc_price).cast("string").cast("double").alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------- #
+# data-pipeline family (documents / embeddings)
+# --------------------------------------------------------------------- #
+
+
+@_q(
+    "doc_exact_dup_groups",
+    """
+SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS canonical
+FROM documents GROUP BY md5(text)
+""",
+    doc="exact dedup: content-hash groups with a canonical representative",
+    bench=True,
+)
+def q_doc_exact_dup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical"))
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fp, octet_length(encode(text)) AS n_bytes FROM documents",
+    doc="document fingerprinting: normalized content hash + byte length",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.octet_length("text").cast("int").alias("n_bytes"),
+    )
+
+
+@_q(
+    "doc_token_stats",
+    """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+       length(text) AS n_chars_actual
+FROM documents
+""",
+    doc="token counting: whitespace tokens + BPE-ish length/4 estimate",
+)
+def q_doc_token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_est"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+_STOPWORDS = "'the','a','of','and','to','in','is','it','on','for'"
+
+
+@_q(
+    "doc_quality_score",
+    f"""
+SELECT doc_id, n_tokens, stop_ratio, avg_tok_len,
+       0.4 * stop_ratio + 0.3 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END)
+         + 0.3 * (CASE WHEN avg_tok_len BETWEEN 3 AND 8 THEN 1.0 ELSE 0.0 END) AS score
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOPWORDS})))
+           * 1.0 / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stop_ratio,
+         length(replace(text, ' ', '')) * 1.0
+           / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_tok_len
+  FROM documents
+)
+""",
+    doc="quality scoring: stopword ratio + length + avg token length",
+)
+def q_doc_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    stops = [s.strip("'") for s in _STOPWORDS.split(",")]
+    stop_toks = F.filter(
+        F.split(F.col("text"), " "), lambda x: x.isin(*stops)
+    )
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(stop_toks) * F.lit(1.0) / F.size(toks)).alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / F.size(toks)
+        ).alias("avg_tok_len"),
+    )
+    score = (
+        0.4 * F.col("stop_ratio")
+        + 0.3
+        * F.when(F.col("n_tokens") >= 20, F.lit(1.0)).otherwise(
+            F.col("n_tokens") / F.lit(20.0)
+        )
+        + 0.3
+        * F.when(
+            (F.col("avg_tok_len") >= 3) & (F.col("avg_tok_len") <= 8), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+    )
+    return base.select("doc_id", "n_tokens", "stop_ratio", "avg_tok_len", score.alias("score"))
+
+
+_LANG_MARKERS = [("en", " the "), ("de", " der "), ("es", " el "), ("fr", " le "), ("zh", " de ")]
+
+
+def _langid_case_sql() -> str:
+    cnt = {
+        lang: f"(length(padded) - length(replace(padded, '{m}', ''))) // {len(m)}"
+        for lang, m in _LANG_MARKERS
+    }
+    c = {lang: f"c_{lang}" for lang, _ in _LANG_MARKERS}
+    sel = ", ".join(f"{expr} AS c_{lang}" for lang, expr in cnt.items())
+    order = ["en", "de", "es", "fr", "zh"]
+    # priority-ordered argmax: first lang (in fixed order) whose count is max
+    g = "greatest(" + ", ".join(c[o] for o in order) + ")"
+    whens = " ".join(f"WHEN {c[lang]} = {g} THEN '{lang}'" for lang in order)
+    return (
+        f"SELECT doc_id, lang_pred FROM (SELECT doc_id, CASE {whens} END AS lang_pred "
+        f"FROM (SELECT doc_id, {sel} FROM "
+        f"(SELECT doc_id, ' ' || text || ' ' AS padded FROM documents)))"
+    )
+
+
+@_q(
+    "doc_langid",
+    _langid_case_sql(),
+    doc="language-ID n-gram heuristic: marker-token counts, priority-ordered argmax",
+)
+def q_doc_langid(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("padded")
+    )
+    cnts = {
+        lang: (
+            (F.length("padded") - F.length(F.replace(F.col("padded"), F.lit(m))))
+            / F.lit(len(m))
+        ).cast("long")
+        for lang, m in _LANG_MARKERS
+    }
+    base = d.select("doc_id", *[cnt.alias(f"c_{lang}") for lang, cnt in cnts.items()])
+    order = ["en", "de", "es", "fr", "zh"]
+    mx = F.greatest(*[F.col(f"c_{o}") for o in order])
+    expr = None
+    for lang in order:
+        cond = F.col(f"c_{lang}") == mx
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return base.select("doc_id", expr.alias("lang_pred"))
+
+
+# deterministic 60-bit hash (same value in Spark and DuckDB)
+def _h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _h60(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_SHINGLE_SQL = """
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, length(text) - 4),
+           i -> substr(text, i::INT, 5)))) AS g
+  FROM documents WHERE doc_id < 200
+)
+"""
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+            )
+        ).alias("g"),
+    )
+
+
+@_q(
+    "doc_ngram_jaccard_pairs",
+    "WITH "
+    + _SHINGLE_SQL
+    + """
+, sz AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+""",
+    doc="near-dup detection: 5-gram character shingles, pairwise Jaccard "
+    ">= 0.5 via inverted-index self-join (bounded to doc_id < 200)",
+    bench=True,
+)
+def q_doc_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        inter.join(F.broadcast(sz).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(F.broadcast(sz).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return j.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+@_q(
+    "doc_minhash_lsh_pairs",
+    "WITH "
+    + _SHINGLE_SQL
+    + f"""
+, mh AS (
+  SELECT doc_id, k, min({_h60_sql("g || '#' || k")}) AS h
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS k)
+  GROUP BY doc_id, k
+), sig AS (
+  SELECT doc_id,
+         md5(CAST(min(CASE WHEN k=0 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=1 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=2 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=3 THEN h END) AS VARCHAR)) AS band0,
+         md5(CAST(min(CASE WHEN k=4 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=5 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=6 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=7 THEN h END) AS VARCHAR)) AS band1
+  FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, band1 AS sig FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+    doc="MinHash+LSH near-dup candidates: 8 md5-derived minhashes, 2 bands "
+    "of 4, candidate pairs share a band bucket",
+)
+def q_doc_minhash(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    ks = spark.range(8).select(F.col("id").cast("int").alias("k"))
+    mh = (
+        sh.crossJoin(F.broadcast(ks))
+        .select("doc_id", "k", _h60(F.concat_ws("#", "g", "k")).alias("hh"))
+        .groupBy("doc_id", "k")
+        .agg(F.min("hh").alias("h"))
+    )
+
+    def band(lo, hi):
+        parts = []
+        for k in range(lo, hi):
+            parts.append(F.min(F.when(F.col("k") == k, F.col("h"))).cast("string"))
+        return F.md5(F.concat_ws(",", *parts))
+
+    sig = mh.groupBy("doc_id").agg(band(0, 4).alias("band0"), band(4, 8).alias("band1"))
+    bands = sig.select("doc_id", F.lit(0).alias("band_id"), F.col("band0").alias("sig")).unionByName(
+        sig.select("doc_id", F.lit(1).alias("band_id"), F.col("band1").alias("sig"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+@_q(
+    "doc_simhash",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents WHERE doc_id < 200
+  )
+), th AS (
+  SELECT doc_id, {_h60_sql("tok")} AS h FROM toks
+), bits AS (
+  SELECT doc_id, j, CAST(pow(2, j) AS BIGINT) AS mask,
+         sum(CASE WHEN (h & CAST(pow(2, j) AS BIGINT)) <> 0 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN mask ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+""",
+    doc="SimHash fingerprint: 60-bit, md5-derived token hashes, majority "
+    "vote per bit (bounded to doc_id < 200)",
+)
+def q_doc_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))).alias("tok"),
+    ).distinct()
+    th = toks.select("doc_id", _h60(F.col("tok")).alias("h"))
+    js = spark.range(60).select(F.col("id").cast("int").alias("j"))
+    bits = (
+        th.crossJoin(F.broadcast(js))
+        .select(
+            "doc_id",
+            "j",
+            F.pow(F.lit(2), F.col("j")).cast("long").alias("mask"),
+            F.when(
+                (F.col("h").bitwiseAND(F.pow(F.lit(2), F.col("j")).cast("long"))) != 0, 1
+            ).otherwise(-1).alias("c"),
+        )
+        .groupBy("doc_id", "j", "mask")
+        .agg(F.sum("c").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(0)).alias("simhash")
+    )
+
+
+_COS_SQL = """
+dotp AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dot,
+         list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nq,
+         list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nc
+  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+  JOIN embeddings c ON c.vec_id <> q.vec_id
+)
+"""
+
+
+@_q(
+    "emb_cosine_topk",
+    "WITH "
+    + _COS_SQL
+    + """
+SELECT qid, nid, rank, score FROM (
+  SELECT qid, nid, dot / sqrt(nq * nc) AS score,
+         row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nq * nc) DESC, nid) AS rank
+  FROM dotp
+) WHERE rank <= 5
+""",
+    doc="brute-force cosine top-k similarity search (k=5, 8 query vectors); "
+    "the 100 TB path partitions candidates and uses the same kernel per "
+    "bucket (see operators.similarity)",
+    bench=True,
+)
+def q_emb_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ce"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", dot.alias("dot"), sq("qe").alias("nq"), sq("ce").alias("nc"))
+        .withColumn("score", F.col("dot") / F.sqrt(F.col("nq") * F.col("nc")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "rank", "score")
+    )
+
+
+@_q(
+    "emb_ivf_assign",
+    """
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+d AS (
+  SELECT v.vec_id, cent.cid,
+         list_sum(list_transform(list_zip(v.embedding, cent.ce),
+                  p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS dist2
+  FROM embeddings v, cent
+)
+SELECT vec_id, cid AS centroid, dist2 FROM (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d
+) WHERE rn = 1
+""",
+    doc="IVF coarse quantization: assign every vector to its nearest of 16 "
+    "seed centroids — the bucketing stage of scalable ANN",
+)
+def q_emb_ivf_assign(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            "embedding", "ce", lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", dist2.alias("dist2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("centroid"), "dist2")
+    )
+
+
+# --------------------------------------------------------------------- #
+# public accessors (consumed by __spark_entry__.py)
+# --------------------------------------------------------------------- #
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items() if q.bench}
