@@ -368,10 +368,17 @@ class WhisperStore:
         return points.withColumn("aidx", expr).filter(F.col("aidx").isNotNull())
 
     def _update_batch(self, points: DataFrame, now: int, single_point: bool) -> None:
+        assigned = self._assign_archive(points, now)
+        self._write_assigned(assigned, now)
+
+    def _write_assigned(self, assigned: DataFrame, now: int) -> None:
+        """Write one batch of points that already carry their target
+        archive index ``aidx`` (columns: metric, ts, value, seq, aidx),
+        then run the rollup cascade.  Shared by update/update_many (age
+        bucketing) and merge (fixed same-index writes, reference:
+        whisper.py:1085-1095)."""
         archives = self.archives
         batch = self._next_batch()
-
-        assigned = self._assign_archive(points, now)
 
         # align to the receiving archive's step; within-batch dedup keeps
         # the greatest raw ts, ties to the earliest seq (reference:
@@ -400,7 +407,7 @@ class WhisperStore:
         try:
             self._append(deduped.drop("aidx"))
             touched = deduped.select("aidx", "metric", "ts", "resolution")
-            self._cascade(touched, now=now, batch=batch, single_point=single_point)
+            self._cascade(touched, now=now, batch=batch, single_point=False)
         finally:
             deduped.unpersist()
 
@@ -549,31 +556,8 @@ class WhisperStore:
         until_time = min(until_time, now)
 
         archive = select_archive(self.archives, now, from_time, archive_step)
-        step = archive.seconds_per_point
-
-        from_interval = (from_time - (from_time % step)) + step
-        until_interval = (until_time - (until_time % step)) + step
-        if from_interval == until_interval:
-            until_interval += step
-
-        if metrics is None:
-            keys_df = self._read_points().select("metric").distinct()
-        else:
-            if isinstance(metrics, str):
-                metrics = [metrics]
-            keys_df = self.spark.createDataFrame(
-                [(m,) for m in metrics], T.StructType([T.StructField("metric", T.StringType())])
-            )
-
-        pts = self._lww(
-            self._read_resolution(step, from_interval, until_interval - 1)
-        )
-        timeline = dense_timeline(
-            pts.select("metric", "ts", "value"),
-            keys_df,
-            from_interval,
-            until_interval,
-            step,
+        ((from_interval, until_interval, step), timeline) = self._fetch_archive_dense(
+            archive, from_time, until_time, metrics
         )
         if drop == "nulls":
             timeline = timeline.filter(F.col("value").isNotNull())
@@ -581,6 +565,43 @@ class WhisperStore:
             timeline = timeline.filter(F.col("value") != 0)
         elif drop == "empty":
             timeline = timeline.filter(F.col("value").isNotNull() & (F.col("value") != 0))
+        return ((from_interval, until_interval, step), timeline)
+
+    def _metrics_df(self, metrics: str | Sequence[str] | None) -> DataFrame:
+        if metrics is None:
+            return self._read_points().select("metric").distinct()
+        if isinstance(metrics, str):
+            metrics = [metrics]
+        return self.spark.createDataFrame(
+            [(m,) for m in metrics],
+            T.StructType([T.StructField("metric", T.StringType())]),
+        )
+
+    def _fetch_archive_dense(
+        self,
+        archive: ArchiveSpec,
+        from_time: int,
+        until_time: int,
+        metrics: str | Sequence[str] | None = None,
+    ):
+        """Dense read of ONE archive with the reference's quantize-up-by-
+        one-step convention and zero-length handling (reference:
+        whisper.py:962-976).  No clamping — callers clamp (merge/diff
+        deliberately fetch archives over their full retention)."""
+        step = archive.seconds_per_point
+        from_interval = (from_time - (from_time % step)) + step
+        until_interval = (until_time - (until_time % step)) + step
+        if from_interval == until_interval:
+            until_interval += step
+        keys_df = self._metrics_df(metrics)
+        pts = self._lww(self._read_resolution(step, from_interval, until_interval - 1))
+        timeline = dense_timeline(
+            pts.select("metric", "ts", "value"),
+            keys_df,
+            from_interval,
+            until_interval,
+            step,
+        )
         return ((from_interval, until_interval, step), timeline)
 
     def fetch_series(self, metric: str, **kwargs):
@@ -603,6 +624,312 @@ class WhisperStore:
         """Full-scan debug view (reference: bin/whisper-dump.py:40-138).
         Returns every stored row (pre-LWW), ordered by archive then ts."""
         return self._read_points().orderBy("resolution", "metric", "ts", "wseq")
+
+    # ------------------------------------------------------------------ #
+    # store-to-store operators (reference: whisper.py:1037-1149,
+    # bin/whisper-fill.py, bin/whisper-resize.py)
+    # ------------------------------------------------------------------ #
+
+    def merge_into(
+        self,
+        dst: "WhisperStore",
+        time_from: int | None = None,
+        time_to: int | None = None,
+        now: int | None = None,
+    ) -> None:
+        """Copy this store's data into ``dst``, overwriting dst slots where
+        the source has values (reference: whisper.py:1037-1095 ``merge``).
+
+        Archive configurations must match (reference: whisper.py:1054-1057).
+        Per archive the window is clamped to that archive's retention; the
+        source's dense slots (non-null) are written into the SAME archive
+        index of dst and cascade from there.
+        """
+        if [tuple(a) for a in self._policy()["archives"]] != [
+            tuple(a) for a in dst._policy()["archives"]
+        ]:
+            raise NotImplementedError(
+                f"{self.path} and {dst.path} archive configurations are "
+                f"unalike. Resize the input before merging"
+            )
+        now = int(now) if now is not None else self._wallclock()
+        until_time = int(time_to) if time_to is not None else now
+        from_time = int(time_from) if time_from is not None else 0
+        if until_time < from_time:
+            raise ValueError("time_to must be >= time_from")
+
+        order = sorted(range(len(self.archives)), key=lambda i: self.archives[i].retention)
+        for i in order:
+            archive = self.archives[i]
+            a_from = max(from_time, now - archive.retention)
+            if until_time < now - archive.retention:
+                continue
+            (_, dense) = self._fetch_archive_dense(archive, a_from, until_time)
+            pts = (
+                dense.filter(F.col("value").isNotNull())
+                .select(
+                    "metric", "ts", "value",
+                    F.lit(0).cast("long").alias("seq"),
+                    F.lit(i).alias("aidx"),
+                )
+            )
+            dst._write_assigned(pts, now)
+
+    def diff(
+        self,
+        other: "WhisperStore",
+        ignore_empty: bool = False,
+        until_time: int | None = None,
+        now: int | None = None,
+    ) -> list[tuple[int, DataFrame, int]]:
+        """Per-archive comparison (reference: whisper.py:1098-1149 ``diff``).
+
+        Returns ``[(archive_idx, diffs_df(metric, ts, va, vb), total), ...]``
+        where ``total`` counts compared rows (either side non-null, or both
+        when ``ignore_empty``).  Windows never overlap across archives —
+        ``untilTime = min(startTime, untilTime)`` per level (reference:
+        whisper.py:1148).  NaN vs NaN counts as DIFFERENT, matching the
+        reference's Python ``!=`` (test_whisper.py:454-478); note Spark's
+        own ``<=>`` treats NaN as equal, so we special-case it.
+        """
+        if [tuple(a) for a in self._policy()["archives"]] != [
+            tuple(a) for a in other._policy()["archives"]
+        ]:
+            raise NotImplementedError(
+                f"{self.path} and {other.path} archive configurations are "
+                f"unalike. Resize the input before diffing"
+            )
+        now = int(now) if now is not None else self._wallclock()
+        until = int(until_time) if until_time else now
+        out = []
+        order = sorted(
+            range(len(self.archives)), key=lambda i: self.archives[i].retention
+        )
+        for n_archive, i in enumerate(order):
+            archive = self.archives[i]
+            start = now - archive.retention
+            (_, da) = self._fetch_archive_dense(archive, start, until)
+            (_, db) = other._fetch_archive_dense(archive, start, until)
+            j = da.withColumnRenamed("value", "va").join(
+                db.withColumnRenamed("value", "vb"), on=["metric", "ts"], how="full"
+            )
+            if ignore_empty:
+                j = j.filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+            else:
+                j = j.filter(F.col("va").isNotNull() | F.col("vb").isNotNull())
+            total = j.count()
+            differs = (~F.col("va").eqNullSafe(F.col("vb"))) | (
+                F.isnan(F.coalesce(F.col("va"), F.lit(0.0)))
+                & F.isnan(F.coalesce(F.col("vb"), F.lit(0.0)))
+            )
+            out.append((n_archive, j.filter(differs).select("metric", "ts", "va", "vb"), total))
+            until = min(start, until)
+        return out
+
+    def fill_from(
+        self,
+        src: "WhisperStore",
+        start_from: int | None = None,
+        now: int | None = None,
+    ) -> None:
+        """Gap-only merge: fill this store's gaps from ``src`` without
+        overwriting existing data (reference: bin/whisper-fill.py).
+
+        Parity notes: a "gap" is a run of falsy slots (NULL or 0.0 — the
+        reference tests ``if not v``, bin/whisper-fill.py:106-110);
+        single-slot gaps are skipped unless they end the window
+        (bin/whisper-fill.py:112-118); each filled range extends one slot
+        past the gap (the reference's fetch window includes the boundary
+        slot).  Source data is taken highest-precision-first: each slot
+        comes from the finest src archive whose retention covers it
+        (bin/whisper-fill.py:52-92).
+        """
+        now = int(now) if now is not None else self._wallclock()
+        start_from = int(start_from) if start_from is not None else now
+        src_archives = sorted(src.archives, key=lambda a: a.retention)
+
+        for archive in sorted(self.archives, key=lambda a: a.retention):
+            step = archive.seconds_per_point
+            from_time = now - archive.retention
+            if from_time >= start_from:
+                continue
+            ((fi, ui, _), dense) = self._fetch_archive_dense(
+                archive, from_time, start_from
+            )
+            last_slot = ui - step
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("metric").orderBy("ts")
+            gaps = (
+                dense.filter(F.col("value").isNull() | (F.col("value") == 0.0))
+                .withColumn(
+                    "grp",
+                    (F.col("ts") / step).cast("long") - F.row_number().over(w),
+                )
+                .groupBy("metric", "grp")
+                .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
+                .filter((F.col("n") >= 2) | (F.col("hi") == last_slot))
+                .withColumn(
+                    "hi",
+                    F.when(F.col("hi") == last_slot, F.col("hi")).otherwise(
+                        F.col("hi") + step
+                    ),
+                )
+                .select("metric", "lo", "hi")
+            )
+            gaps = gaps.persist()
+            try:
+                if gaps.limit(1).count() == 0:
+                    start_from = from_time
+                    continue
+                # source points: per src archive (finest first), dense slots
+                # within [now - ret_k, previous boundary) intersected with
+                # the gap ranges of this dst archive
+                fills = None
+                hi_bound = start_from
+                for sa in src_archives:
+                    lo_bound = now - sa.retention
+                    if hi_bound <= lo_bound:
+                        continue
+                    (_, sd) = src._fetch_archive_dense(sa, max(lo_bound, from_time), hi_bound)
+                    part = sd.filter(F.col("value").isNotNull()).join(
+                        F.broadcast(gaps),
+                        on=(
+                            (sd["metric"] == gaps["metric"])
+                            & (sd["ts"] >= gaps["lo"])
+                            & (sd["ts"] <= gaps["hi"])
+                        ),
+                        how="left_semi",
+                    )
+                    fills = part if fills is None else fills.unionByName(part)
+                    hi_bound = lo_bound
+                    if hi_bound <= from_time:
+                        break
+                if fills is not None:
+                    self.update_many(
+                        fills.select(
+                            "metric", "ts", "value", F.lit(0).cast("long").alias("seq")
+                        ),
+                        now=now,
+                    )
+            finally:
+                gaps.unpersist()
+            start_from = from_time
+
+    def resize(
+        self,
+        new_archives: Sequence | str,
+        new_path: str | None = None,
+        x_files_factor: float | None = None,
+        aggregation_method: str | None = None,
+        use_aggregate: bool = False,
+        now: int | None = None,
+    ) -> "WhisperStore":
+        """Schema migration (reference: bin/whisper-resize.py).
+
+        Default path: replay each old archive's dense non-null points into
+        the new store, finest archive first (bin/whisper-resize.py:199-206)
+        — later, coarser replays overwrite via last-write-wins exactly like
+        the reference's in-place slot writes.
+
+        ``use_aggregate``: build one merged timeline preferring the finest
+        data (each coarser archive contributes only slots older than the
+        finer ones, bin/whisper-resize.py:147-163), then re-bin per new
+        archive into intervals anchored at ``now - retention + now % step``
+        with the xff gate counting null timeline slots in the denominator
+        (bin/whisper-resize.py:175-198).
+
+        ``new_path=None`` resizes in place with an atomic directory swap
+        (bin/whisper-resize.py:208-225).
+        """
+        now = int(now) if now is not None else self._wallclock()
+        policy = self._policy()
+        xff = float(x_files_factor) if x_files_factor is not None else policy["xFilesFactor"]
+        method = aggregation_method or policy["aggregationMethod"]
+
+        in_place = new_path is None
+        target = (
+            os.path.join(os.path.dirname(self.path), f".{os.path.basename(self.path)}.{uuid.uuid4().hex}.tmp")
+            if in_place
+            else new_path
+        )
+        new_store = WhisperStore.create(
+            self.spark, target, new_archives,
+            x_files_factor=xff, aggregation_method=method,
+        )
+
+        # fetch every old archive over its full retention
+        old_dense = []
+        for a in self.archives:
+            from_time = now - a.retention + a.seconds_per_point
+            (ti, d) = self._fetch_archive_dense(a, from_time, now)
+            old_dense.append((a, ti, d))
+
+        if not use_aggregate:
+            for a, _, d in old_dense:
+                pts = d.filter(F.col("value").isNotNull()).select(
+                    "metric", "ts", "value", F.lit(0).cast("long").alias("seq")
+                )
+                new_store.update_many(pts, now=now)
+        else:
+            # merged timeline preferring high precision: archive k>=1 only
+            # contributes slots strictly older than archive k-1's first slot
+            merged = None
+            for k, (a, (fi, _, _), d) in enumerate(old_dense):
+                part = d if k == 0 else d.filter(F.col("ts") < old_dense[k - 1][1][0])
+                merged = part if merged is None else merged.unionByName(part)
+            merged = merged.persist()
+            try:
+                from .aggregation import aggregate_column
+
+                for na in new_store.archives:
+                    step = na.seconds_per_point
+                    from_t = now - na.retention + now % step
+                    until_t = now + now % step + step
+                    n_intervals = (until_t - from_t) // step - 1
+                    binned = (
+                        merged.filter(
+                            (F.col("ts") >= from_t)
+                            & (F.col("ts") < from_t + n_intervals * step)
+                        )
+                        .withColumn(
+                            "its",
+                            (F.lit(from_t) + ((F.col("ts") - from_t) / step).cast("long") * step),
+                        )
+                        .groupBy("metric", "its")
+                        .agg(
+                            aggregate_column(
+                                method, "value", order=F.col("ts"),
+                                expected_slots=F.count("*"),
+                            ).alias("value"),
+                            F.count("value").alias("_known"),
+                            F.count("*").alias("_total"),
+                        )
+                        .filter(
+                            (F.col("_known") > 0)
+                            & (F.col("_known") / F.col("_total") >= F.lit(float(xff)))
+                        )
+                        .select(
+                            "metric", F.col("its").alias("ts"), "value",
+                            F.lit(0).cast("long").alias("seq"),
+                        )
+                    )
+                    new_store.update_many(binned, now=now)
+            finally:
+                merged.unpersist()
+
+        if in_place:
+            bak = self.path + f".bak.{uuid.uuid4().hex}"
+            os.rename(self.path, bak)
+            try:
+                os.rename(target, self.path)
+            except OSError:
+                os.rename(bak, self.path)
+                raise
+            shutil.rmtree(bak, ignore_errors=True)
+            self._policy_cache = None
+            return self
+        return new_store
 
     # ------------------------------------------------------------------ #
     # maintenance (ring-buffer replacement)
