@@ -1,0 +1,156 @@
+"""Data-pipeline operator tests: dedup, similarity, text analysis,
+multimodal plumbing — on the driver testdata plus constructed near-dups."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import sf_dir
+from whisper_spark.operators import dedup, multimodal, similarity, textanalysis
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "0.001")
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{sf_dir(SF)}/documents.parquet")
+
+
+@pytest.fixture()
+def docs_with_dups(spark, docs):
+    """testdata docs + exact copies and near-copies with shifted ids."""
+    base = docs.limit(50)
+    exact = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    out = dedup.dedup_exact(docs_with_dups)
+    assert out.count() == 55  # 5 exact copies dropped
+    groups = dedup.exact_duplicate_groups(docs_with_dups)
+    assert groups.filter("n_docs > 1").count() == 5
+    # canonical is the original (smaller) id
+    assert groups.filter("n_docs > 1").filter("canonical >= 100000").count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_with_dups):
+    cand = dedup.lsh_candidates(docs_with_dups, num_hashes=16, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    # every exact copy pair must be a candidate (identical signatures)
+    for i in range(5):
+        orig = docs_with_dups.orderBy("doc_id").limit(5).collect()[i]["doc_id"]
+        assert (orig, orig + 100000) in pairs, f"exact pair {orig} missed"
+
+
+def test_dedup_minhash_pipeline(spark, docs_with_dups):
+    out = dedup.dedup_minhash(
+        docs_with_dups, threshold=0.9, num_hashes=16, bands=8
+    )
+    n = out.count()
+    # all 5 exact dups (jaccard 1.0) must be gone; near-dups (one word
+    # appended, jaccard ~0.95+) should mostly be gone too
+    assert n <= 55
+    assert out.filter("doc_id >= 100000 and doc_id < 200000").count() == 0
+
+
+def test_ngram_jaccard_verifies(spark, docs_with_dups):
+    cand = dedup.lsh_candidates(docs_with_dups, num_hashes=16, bands=8)
+    ver = dedup.ngram_jaccard_pairs(
+        docs_with_dups, threshold=0.99, candidates=cand
+    )
+    rows = ver.collect()
+    assert all(r["jaccard"] >= 0.99 for r in rows)
+    ids = {(r["id_a"], r["id_b"]) for r in rows}
+    assert all(b - a == 100000 for a, b in ids)  # only the exact copies
+
+
+def test_simhash_near_dups_collide(spark, docs_with_dups):
+    fp = dedup.simhash(docs_with_dups)
+    assert fp.count() == 60
+    cand = dedup.simhash_candidates(fp, bands=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    for i in range(5):
+        orig = docs_with_dups.orderBy("doc_id").limit(5).collect()[i]["doc_id"]
+        assert (orig, orig + 100000) in pairs  # identical docs -> same simhash
+
+
+def test_cosine_topk_and_ivf(spark):
+    emb = spark.read.parquet(f"{sf_dir(SF)}/embeddings.parquet")
+    q = emb.filter("vec_id < 4")
+    exact = similarity.cosine_topk(q, emb, k=5)
+    rows = exact.collect()
+    assert len(rows) == 20
+    assert all(0 <= r["score"] <= 1.0001 for r in rows)
+    # ivf with full probe = exact
+    full = similarity.ivf_topk(q, emb, k=5, nprobe=16, n_buckets=16)
+    e = {(r["qid"], r["rank"]): r["nid"] for r in rows}
+    f = {(r["qid"], r["rank"]): r["nid"] for r in full.collect()}
+    assert e == f
+    # narrow probe recalls most of the exact top-5
+    approx = similarity.ivf_topk(q, emb, k=5, nprobe=4, n_buckets=16)
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    hits = sum(1 for (qid, _), nid in e.items() if (qid, nid) in a)
+    assert hits >= 10  # >= 50% recall on random data with 1/4 of buckets
+
+
+def test_textanalysis(spark, docs):
+    out = textanalysis.token_stats(docs)
+    r = out.filter("n_tokens > 0").count()
+    assert r == docs.count()
+    scored = textanalysis.quality_score(docs)
+    vals = scored.select("score").collect()
+    assert all(0 <= v["score"] <= 1.0 for v in vals)
+    lid = textanalysis.lang_id(docs)
+    assert lid.filter(F.col("lang_pred").isNull()).count() == 0
+    fp = textanalysis.fingerprint(docs)
+    assert fp.select("fp").distinct().count() == docs.select("text").distinct().count()
+
+
+def test_multimodal_plumbing(spark):
+    """Arrow-batched decode over binary payloads: schema + batch shape are
+    real; the decoder is the documented deterministic stub."""
+    rows = [
+        (i, "image" if i % 2 else "video", bytes([i]) * (100 + i),
+         ("x/" + str(i), 100 + i, None, None, 5000 + i * 1000))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    dec = multimodal.decode_media(df, decoder="fake")
+    got = {r["media_id"]: r for r in dec.collect()}
+    assert len(got) == 20
+    assert got[3]["n_bytes"] == 103
+    assert len(got[3]["feature"]) == 8
+    # determinism: same payload -> same feature
+    again = {r["media_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert got[7]["feature"] == again[7]["feature"]
+
+    frames = multimodal.frame_sample(df, every_ms=1000)
+    f = frames.groupBy("media_id").count().collect()
+    by_id = {r["media_id"]: r["count"] for r in f}
+    assert by_id[0] == 5  # 5000ms video -> 5 frames
+    assert 2 not in by_id or df.filter("media_id = 2").first()["kind"] == "video"
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(df, decoder="raise")
+
+
+def test_embedding_neardup(spark):
+    emb = spark.read.parquet(f"{sf_dir(SF)}/embeddings.parquet")
+    # plant a near-identical copy of vec 0
+    twin = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(twin)
+    pairs = dedup.embedding_neardup_pairs(both, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 10000) in got

@@ -1,0 +1,296 @@
+"""Deduplication operators.
+
+Scale design notes (the part that matters at 100 TB):
+
+* ``exact``: one hash-groupBy — a single shuffle on a 32-hex key with
+  map-side combine.  No sort, no window.
+* ``minhash_lsh``: the candidate generation is an equi-join on
+  ``(band_id, band_signature)`` — LSH's whole point is that this join key
+  is selective, so the shuffle is proportional to near-duplicates, not to
+  |pairs|.  Signatures are k small aggregates over the shingle index.
+* ``ngram_jaccard``: exact verification; the inverted-index self-join is
+  quadratic per shingle bucket, so at scale it runs AFTER LSH candidate
+  filtering (pass ``candidates=``), never standalone on the full corpus.
+* ``simhash``: fingerprints are compact (one BIGINT); near-dup candidates
+  come from exact-matching rotated bit-bands (classic Manku et al. 2007
+  layout), again an equi-join.
+* keep-rules avoid connected components (iterative, driver-bound): a doc
+  is dropped iff a candidate duplicate with a smaller id exists — a
+  min-aggregate, deterministic, one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import explode_shingles, h60, h60_seeded, word_tokens
+
+
+# --------------------------------------------------------------------- #
+# exact
+# --------------------------------------------------------------------- #
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fp, n_docs, canonical): md5 content groups; canonical = min id."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("canonical")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (the min id) per distinct content."""
+    keep = exact_duplicate_groups(df, text_col, id_col).select(
+        F.col("canonical").alias(id_col)
+    )
+    return df.join(F.broadcast(keep) if df.isStreaming is False else keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------- #
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, k, h): MinHash sketch — min over shingles of the k-th seeded
+    md5 hash.  One groupBy over the exploded shingle index."""
+    spark = df.sparkSession
+    sh = explode_shingles(df, text_col, id_col, shingle_n)
+    ks = spark.range(num_hashes).select(F.col("id").cast("int").alias("k"))
+    return (
+        sh.crossJoin(F.broadcast(ks))
+        .select(F.col(id_col), "k", h60_seeded(F.col("g"), F.col("k")).alias("hh"))
+        .groupBy(id_col, "k")
+        .agg(F.min("hh").alias("h"))
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_bands) candidate near-dup pairs: docs whose
+    MinHash signatures collide in >= 1 of ``bands`` bands."""
+    rows_per_band = num_hashes // bands
+    mh = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = (
+        mh.withColumn("band_id", (F.col("k") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band_id")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.struct("k", "h"))).cast("string"))).alias("sig"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_common, jaccard) pairs with exact shingle-set
+    Jaccard >= threshold.
+
+    With ``candidates`` (id_a, id_b — e.g. from :func:`lsh_candidates`),
+    only those pairs are verified (the scale path).  Without it, a full
+    inverted-index self-join runs — fine for bounded inputs only.
+    """
+    sh = explode_shingles(df, text_col, id_col, shingle_n)
+    sz = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_semi")
+    sza = sz.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na")
+    szb = sz.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "nb")
+    out = (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify ->
+    drop every doc that has a verified duplicate with a smaller id."""
+    cand = lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold, shingle_n, candidates=cand
+    )
+    drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """(id, simhash): md5-token majority-vote fingerprint, <= 60 bits so
+    it stays positive in a BIGINT everywhere."""
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_tokens(text_col))).alias("tok"),
+    ).distinct()
+    th = toks.select(id_col, h60("tok").alias("h"))
+    js = spark.range(bits).select(F.col("id").cast("int").alias("j"))
+    mask = F.pow(F.lit(2), F.col("j")).cast("long")
+    bitsum = (
+        th.crossJoin(F.broadcast(js))
+        .select(
+            id_col,
+            "j",
+            mask.alias("mask"),
+            F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(-1).alias("c"),
+        )
+        .groupBy(id_col, "j", "mask")
+        .agg(F.sum("c").alias("s"))
+    )
+    return bitsum.groupBy(id_col).agg(
+        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(0)).alias("simhash")
+    )
+
+
+def simhash_candidates(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b) pairs whose simhashes agree exactly on >= bands-1 of
+    ``bands`` contiguous bit-bands — near-dups within a small Hamming
+    radius collide on at least one band (Manku et al., WWW'07 layout).
+    Equi-join per band; no pairwise Hamming scan."""
+    per = bits // bands
+    pieces = []
+    for b in range(bands):
+        shift = b * per
+        piece = fingerprints.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            (
+                F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit((1 << per) - 1))
+            ).alias("sig"),
+        )
+        pieces.append(piece)
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------- #
+# embedding near-dup
+# --------------------------------------------------------------------- #
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    Scale path: vectors are first coarse-quantized to their nearest seed
+    centroid (IVF bucketing, see operators.similarity); the exact cosine
+    self-join then runs per bucket, turning O(n^2) into
+    O(sum of bucket^2)."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(df, emb_col, id_col, n_buckets).select(
+        id_col, "centroid"
+    )
+    e = df.join(assigned, id_col)
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"), "centroid"
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"), "centroid"
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = (
+        a.join(b, ["centroid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (dot / F.sqrt(nrm("ea") * nrm("eb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return j
