@@ -1,0 +1,128 @@
+"""CLI subcommands + maintenance operators."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_spark import cli, maintenance
+from whisper_spark.store import WhisperStore
+
+NOW = 1700000000
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "db"), [(1, 120), (60, 60)], x_files_factor=0.0
+    )
+    s.update_many([(NOW - i, float(i)) for i in range(1, 40)], now=NOW, metric="m")
+    return s
+
+
+def run_cli(argv):
+    return cli.main(argv)
+
+
+def test_cli_help_all_subcommands():
+    """Every subcommand parses --help (the reference CI smoke-tests each
+    tool with --help, tox.ini:17-34)."""
+    p = cli.build_parser()
+    for action in p._subparsers._group_actions[0].choices.values():
+        assert action.format_help()
+
+
+def test_cli_create_estimate(capsys):
+    assert run_cli(["create", "ignored", "60:1440", "--estimate"]) == 0
+    out = capsys.readouterr().out
+    assert "20480 bytes" in out
+
+
+def test_cli_info_and_fetch(store, capsys):
+    assert run_cli(["info", store.path]) == 0
+    out = capsys.readouterr().out
+    assert "maxRetention" in out
+    assert run_cli(["info", store.path, "maxRetention"]) == 0
+    assert capsys.readouterr().out.strip() == "3600"
+    assert run_cli(["info", store.path, "bogus"]) == 1
+    capsys.readouterr()  # drain
+
+    assert (
+        run_cli(
+            ["fetch", store.path, "m", "--from", str(NOW - 2000), "--until", str(NOW), "--now", str(NOW), "--json"]
+        )
+        == 0
+    )
+    data = json.loads(capsys.readouterr().out)
+    assert data["step"] == 60
+
+
+def test_cli_set_and_diff(spark, store, tmp_path, capsys):
+    assert run_cli(["set-xfilesfactor", store.path, "0.25"]) == 0
+    assert WhisperStore.open(spark, store.path).x_files_factor == pytest.approx(0.25)
+    other = WhisperStore.create(
+        spark, str(tmp_path / "db2"), [(1, 120), (60, 60)], x_files_factor=0.0
+    )
+    other.update_many([(NOW - 5, 42.0)], now=NOW, metric="m")
+    assert run_cli(["diff", store.path, other.path, "--summary", "--until", str(NOW), "--now", str(NOW)]) == 0
+    assert "archive 0" in capsys.readouterr().out
+
+
+def test_find_corrupt(spark, tmp_path, capsys):
+    good = WhisperStore.create(spark, str(tmp_path / "fleet" / "good"), [(1, 60), (60, 60)])
+    bad_dir = tmp_path / "fleet" / "bad"
+    bad_dir.mkdir(parents=True)
+    (bad_dir / "policy.json").write_text("{ not json")
+    bad = maintenance.find_corrupt(spark, str(tmp_path / "fleet"))
+    assert len(bad) == 1 and bad[0][0].endswith("bad")
+    assert good.path not in [b[0] for b in bad]
+
+
+def test_reconcile_policies(spark, tmp_path):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "fleet2" / "servers_cpu"),
+        [(60, 120)], x_files_factor=0.5, aggregation_method="average",
+    )
+    s.update_many([(NOW - 60 * i, float(i)) for i in range(100)], now=NOW, metric="cpu")
+    rules = [
+        maintenance.PolicyRule(
+            pattern="*servers_cpu*",
+            archives="1m:4h,5m:1d",
+            x_files_factor=0.1,
+            aggregation_method="max",
+        )
+    ]
+    rep = maintenance.reconcile_policies(
+        spark, str(tmp_path / "fleet2"), rules, apply=False
+    )
+    assert len(rep) == 1 and len(rep[0]["drift"]) == 3 and not rep[0]["fixed"]
+
+    rep2 = maintenance.reconcile_policies(
+        spark, str(tmp_path / "fleet2"), rules, apply=True, now=NOW
+    )
+    assert rep2[0]["fixed"]
+    s2 = WhisperStore.open(spark, s.path)
+    assert s2.aggregation_method == "max"
+    assert [(a.seconds_per_point, a.points) for a in s2.archives] == [(60, 240), (300, 288)]
+    # no more drift
+    assert maintenance.reconcile_policies(spark, str(tmp_path / "fleet2"), rules) == []
+
+
+def test_auto_update(spark, store):
+    """The UDF surface: column-expression read-modify-write
+    (reference: contrib/whisper-auto-update.py:17-20)."""
+    before = store.fetch_series("m", from_time=NOW - 119, now=NOW)
+    # explicit range, like the reference tool's required from/to args —
+    # the range drives archive selection for both the read and the write
+    maintenance.auto_update(store, lambda ts, v: v * 2, from_time=NOW - 119, now=NOW)
+    after = store.fetch_series("m", from_time=NOW - 119, now=NOW)
+    for b, a in zip(before[1], after[1]):
+        if b is not None:
+            assert a == pytest.approx(b * 2)
+
+
+def test_integrity_report(spark, store):
+    store.update("m", 99.0, NOW - 5, now=NOW)  # create write amplification
+    rep = {r["resolution"]: r for r in maintenance.integrity_report(store).collect()}
+    assert rep[1]["rows_raw"] > rep[1]["rows_live"]
+    assert rep[1]["n_metrics"] == 1

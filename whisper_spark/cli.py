@@ -1,0 +1,311 @@
+"""Command-line surface — one subcommand per reference tool.
+
+``python -m whisper_spark.cli <command> ...`` mirrors the reference's
+bin/ tools (whisper-create, whisper-update, whisper-fetch, whisper-dump,
+whisper-info, whisper-merge, whisper-fill, whisper-diff, whisper-resize,
+whisper-set-aggregation-method, whisper-set-xfilesfactor,
+find-corrupt-whisper-files) and the contrib fleet tools (auto-resize ->
+``reconcile``, auto-update -> ``auto-update``), with output shapes kept
+close to the originals (timestamp\\tvalue lines, ``--json``, ``--pretty``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .retention import estimate_size_bytes, parse_retention_defs
+from .session import get_spark
+from .store import WhisperStore
+
+
+def _spark():
+    return get_spark(app_name="whisper_spark_cli")
+
+
+def cmd_create(args):
+    if args.estimate:
+        archives = parse_retention_defs(args.retentions)
+        total = sum(a[1] for a in archives)
+        size = estimate_size_bytes(archives)
+        print(f"Estimated size: {size} bytes ({total} points, {len(archives)} archives)")
+        for n in (1, 5, 10, 50, 100, 500):
+            print(f"  {n}k metrics: {size * n * 1000 / 2**30:.2f} GiB (reference layout)")
+        return 0
+    WhisperStore.create(
+        _spark(), args.path, args.retentions,
+        x_files_factor=args.xFilesFactor, aggregation_method=args.aggregationMethod,
+    )
+    print(f"Created: {args.path}")
+    return 0
+
+
+def cmd_update(args):
+    store = WhisperStore.open(_spark(), args.path)
+    pairs = args.points or [ln.strip() for ln in sys.stdin if ln.strip()]
+    now = int(time.time())
+    points = []
+    for i, p in enumerate(pairs):
+        (ts, v) = p.split(":")
+        points.append((now if ts == "N" else int(ts), float(v), i))
+    if len(points) == 1:
+        store.update(args.metric, points[0][1], points[0][0])
+    else:
+        rows = [(args.metric, t, v, i) for (t, v, i) in points]
+        from .store import INPUT_SCHEMA
+
+        store.update_many(store.spark.createDataFrame(rows, INPUT_SCHEMA))
+    return 0
+
+
+def cmd_fetch(args):
+    store = WhisperStore.open(_spark(), args.path)
+    now = args.now or int(time.time())
+    until = args.until or now
+    frm = args.frm or until - 86400
+    res = store.fetch_series(
+        args.metric, from_time=frm, until_time=until, now=now, drop=args.drop
+    )
+    if res is None:
+        print("No data in selected timerange")
+        return 1
+    ((start, end, step), values) = res
+    if args.json:
+        print(json.dumps({"start": start, "end": end, "step": step, "values": values}))
+        return 0
+    t = start
+    for v in values:
+        ts = (
+            time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(t)) if args.pretty else str(t)
+        )
+        print(f"{ts}\t{v if v is not None else 'None'}")
+        t += step
+    return 0
+
+
+def cmd_dump(args):
+    store = WhisperStore.open(_spark(), args.path)
+    info = store.info()
+    print(json.dumps(info, indent=2))
+    for row in store.dump().collect():
+        print(
+            f"{row['resolution']}: {row['metric']} {row['ts']} {row['value']} "
+            f"(wseq {row['wseq']})"
+        )
+    return 0
+
+
+def cmd_info(args):
+    store = WhisperStore.open(_spark(), args.path)
+    info = store.info()
+    if args.field:
+        if args.field not in info:
+            print(f"Unknown field '{args.field}'. Valid fields are {','.join(info)}")
+            return 1
+        print(info[args.field])
+        return 0
+    print(json.dumps(info, indent=2) if args.json else info)
+    return 0
+
+
+def cmd_merge(args):
+    spark = _spark()
+    src = WhisperStore.open(spark, args.src)
+    dst = WhisperStore.open(spark, args.dst)
+    src.merge_into(dst, time_from=args.frm, time_to=args.until)
+    return 0
+
+
+def cmd_fill(args):
+    spark = _spark()
+    src = WhisperStore.open(spark, args.src)
+    dst = WhisperStore.open(spark, args.dst)
+    dst.fill_from(src)
+    return 0
+
+
+def cmd_diff(args):
+    spark = _spark()
+    a = WhisperStore.open(spark, args.path_a)
+    b = WhisperStore.open(spark, args.path_b)
+    res = a.diff(b, ignore_empty=args.ignore_empty, until_time=args.until, now=args.now)
+    out = []
+    for (idx, df, total) in res:
+        rows = [
+            (r["metric"], r["ts"], r["va"], r["vb"]) for r in df.collect()
+        ]
+        out.append({"archive": idx, "total": total, "points": rows})
+    if args.json:
+        print(json.dumps(out))
+    elif args.summary:
+        for o in out:
+            print(f"archive {o['archive']}: {len(o['points'])} differing of {o['total']}")
+    else:
+        for o in out:
+            for (m, ts, va, vb) in o["points"]:
+                print(f"{o['archive']} {m} {ts} {va} {vb}")
+    return 0
+
+
+def cmd_resize(args):
+    store = WhisperStore.open(_spark(), args.path)
+    store.resize(
+        args.retentions,
+        new_path=args.newfile,
+        x_files_factor=args.xFilesFactor,
+        aggregation_method=args.aggregationMethod,
+        use_aggregate=args.aggregate,
+    )
+    print("Resize complete")
+    return 0
+
+
+def cmd_set_agg(args):
+    store = WhisperStore.open(_spark(), args.path)
+    old = store.set_aggregation_method(args.method, args.xFilesFactor)
+    print(f"Updated aggregation method: {args.path} ({args.method}, was {old})")
+    return 0
+
+
+def cmd_set_xff(args):
+    store = WhisperStore.open(_spark(), args.path)
+    old = store.set_x_files_factor(args.xff)
+    print(f"Updated xFilesFactor: {args.path} ({args.xff}, was {old})")
+    return 0
+
+
+def cmd_find_corrupt(args):
+    from .maintenance import find_corrupt
+
+    bad = find_corrupt(_spark(), args.root, delete=args.delete)
+    for (path, err) in bad:
+        print(f"CORRUPT {path}: {err}")
+    return 1 if bad else 0
+
+
+def cmd_reconcile(args):
+    from .maintenance import PolicyRule, reconcile_policies
+
+    with open(args.rules) as f:
+        rules = [PolicyRule(**r) for r in json.load(f)]
+    report = reconcile_policies(_spark(), args.root, rules, apply=args.apply)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="whisper_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="create a store (whisper-create)")
+    c.add_argument("path")
+    c.add_argument("retentions", nargs="+")
+    c.add_argument("--xFilesFactor", type=float, default=0.5)
+    c.add_argument("--aggregationMethod", default="average")
+    c.add_argument("--estimate", action="store_true")
+    c.set_defaults(fn=cmd_create)
+
+    u = sub.add_parser("update", help="write points (whisper-update)")
+    u.add_argument("path")
+    u.add_argument("metric")
+    u.add_argument("points", nargs="*", metavar="ts:value")
+    u.set_defaults(fn=cmd_update)
+
+    f = sub.add_parser("fetch", help="read a range (whisper-fetch)")
+    f.add_argument("path")
+    f.add_argument("metric")
+    f.add_argument("--from", dest="frm", type=int)
+    f.add_argument("--until", type=int)
+    f.add_argument("--json", action="store_true")
+    f.add_argument("--pretty", action="store_true")
+    f.add_argument("--drop", choices=["nulls", "zeroes", "empty"])
+    f.add_argument("--now", type=int, help="pin 'now' (reproducible reads)")
+    f.set_defaults(fn=cmd_fetch)
+
+    d = sub.add_parser("dump", help="raw dump (whisper-dump)")
+    d.add_argument("path")
+    d.set_defaults(fn=cmd_dump)
+
+    i = sub.add_parser("info", help="header info (whisper-info)")
+    i.add_argument("path")
+    i.add_argument("field", nargs="?")
+    i.add_argument("--json", action="store_true")
+    i.set_defaults(fn=cmd_info)
+
+    m = sub.add_parser("merge", help="merge src into dst (whisper-merge)")
+    m.add_argument("src")
+    m.add_argument("dst")
+    m.add_argument("--from", dest="frm", type=int)
+    m.add_argument("--until", type=int)
+    m.set_defaults(fn=cmd_merge)
+
+    fl = sub.add_parser("fill", help="fill dst gaps from src (whisper-fill)")
+    fl.add_argument("src")
+    fl.add_argument("dst")
+    fl.set_defaults(fn=cmd_fill)
+
+    df_ = sub.add_parser("diff", help="compare stores (whisper-diff)")
+    df_.add_argument("path_a")
+    df_.add_argument("path_b")
+    df_.add_argument("--summary", action="store_true")
+    df_.add_argument("--json", action="store_true")
+    df_.add_argument("--until", type=int)
+    df_.add_argument("--ignore-empty", dest="ignore_empty", action="store_true")
+    df_.add_argument("--now", type=int, help="pin 'now' (reproducible reads)")
+    df_.set_defaults(fn=cmd_diff)
+
+    r = sub.add_parser("resize", help="migrate schema (whisper-resize)")
+    r.add_argument("path")
+    r.add_argument("retentions", nargs="+")
+    r.add_argument("--newfile")
+    r.add_argument("--xFilesFactor", type=float)
+    r.add_argument("--aggregationMethod")
+    r.add_argument("--aggregate", action="store_true")
+    r.set_defaults(fn=cmd_resize)
+
+    sa = sub.add_parser(
+        "set-aggregation-method", help="whisper-set-aggregation-method"
+    )
+    sa.add_argument("path")
+    sa.add_argument("method")
+    sa.add_argument("xFilesFactor", nargs="?", type=float)
+    sa.set_defaults(fn=cmd_set_agg)
+
+    sx = sub.add_parser("set-xfilesfactor", help="whisper-set-xfilesfactor")
+    sx.add_argument("path")
+    sx.add_argument("xff", type=float)
+    sx.set_defaults(fn=cmd_set_xff)
+
+    fc = sub.add_parser("find-corrupt", help="find-corrupt-whisper-files")
+    fc.add_argument("root")
+    fc.add_argument("--delete", action="store_true")
+    fc.set_defaults(fn=cmd_find_corrupt)
+
+    rc = sub.add_parser(
+        "reconcile", help="policy drift check/fix (whisper-auto-resize)"
+    )
+    rc.add_argument("root")
+    rc.add_argument("rules", help="JSON file: [{pattern, archives, ...}]")
+    rc.add_argument("--apply", action="store_true")
+    rc.set_defaults(fn=cmd_reconcile)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except Exception as e:  # clean one-line errors, like the reference tools
+        from .errors import WhisperException
+
+        if isinstance(e, (WhisperException, NotImplementedError, ValueError, OSError)):
+            print(f"[ERROR] {e}", file=sys.stderr)
+            return 1
+        raise
+
+
+if __name__ == "__main__":
+    sys.exit(main())

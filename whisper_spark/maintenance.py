@@ -1,0 +1,183 @@
+"""Fleet-maintenance operators (reference: bin/find-corrupt-whisper-files.py,
+contrib/whisper-auto-resize.py, contrib/whisper-auto-update.py).
+
+Where the reference walks directory trees of .wsp files, we walk
+directories of stores; where it forks a process pool
+(contrib/update-storage-times.py:136-148), Spark's own parallelism applies
+inside each store operation.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import CorruptWhisperFile
+from .retention import parse_retention_defs
+from .store import WhisperStore
+
+
+def find_stores(root: str) -> list[str]:
+    """All store directories (those holding a policy.json) under root —
+    the namespace walk (reference: bin/find-corrupt-whisper-files.py:13-24)."""
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        if "policy.json" in filenames:
+            out.append(dirpath)
+    return sorted(out)
+
+
+def find_corrupt(
+    spark: SparkSession, root: str, delete: bool = False
+) -> list[tuple[str, str]]:
+    """Probe every store under root; return [(path, error)] for those
+    whose metadata or data is unreadable (reference:
+    bin/find-corrupt-whisper-files.py:26-51).  ``delete`` removes corrupt
+    stores like the reference's --delete-corrupt."""
+    import shutil
+
+    bad = []
+    for path in find_stores(root):
+        try:
+            store = WhisperStore.open(spark, path)
+            store.info()
+            # probe the data files too (a bad parquet footer = corrupt)
+            if store._has_data():
+                store._read_points().limit(1).collect()
+        except Exception as e:  # noqa: BLE001 - any failure marks corruption
+            bad.append((path, str(e)))
+            if delete:
+                shutil.rmtree(path, ignore_errors=True)
+    return bad
+
+
+@dataclass
+class PolicyRule:
+    """One storage-schemas/aggregation rule: glob-or-regex pattern ->
+    desired config (reference: contrib/whisper-auto-resize.py:123-139
+    reads the same shape from carbon's conf files)."""
+
+    pattern: str
+    archives: list | str
+    x_files_factor: float | None = None
+    aggregation_method: str | None = None
+
+    def matches(self, metric_or_path: str) -> bool:
+        if self.pattern.startswith("^"):
+            import re
+
+            return re.search(self.pattern, metric_or_path) is not None
+        return fnmatch.fnmatch(metric_or_path, self.pattern)
+
+
+def reconcile_policies(
+    spark: SparkSession,
+    root: str,
+    rules: list[PolicyRule],
+    apply: bool = False,
+    now: int | None = None,
+) -> list[dict]:
+    """Compare every store against the first matching rule; report (and
+    optionally fix) drift — the auto-resize analog (reference:
+    contrib/whisper-auto-resize.py:102-246).
+
+    Returns a report: [{path, drift: [...], fixed: bool}].  ``apply``
+    runs set_aggregation_method/set_x_files_factor for header drift and a
+    resize (with re-aggregation) for archive drift.
+    """
+    report = []
+    for path in find_stores(root):
+        rule = next((r for r in rules if r.matches(path)), None)
+        if rule is None:
+            continue
+        store = WhisperStore.open(spark, path)
+        want = parse_retention_defs(rule.archives)
+        have = [(a.seconds_per_point, a.points) for a in store.archives]
+        drift = []
+        if want != have:
+            drift.append(f"archives {have} != {want}")
+        if (
+            rule.aggregation_method is not None
+            and store.aggregation_method != rule.aggregation_method
+        ):
+            drift.append(
+                f"aggregation {store.aggregation_method} != {rule.aggregation_method}"
+            )
+        if rule.x_files_factor is not None and abs(
+            store.x_files_factor - rule.x_files_factor
+        ) > 1e-9:
+            drift.append(f"xff {store.x_files_factor} != {rule.x_files_factor}")
+        fixed = False
+        if drift and apply:
+            if rule.aggregation_method is not None:
+                store.set_aggregation_method(rule.aggregation_method)
+            if rule.x_files_factor is not None:
+                store.set_x_files_factor(rule.x_files_factor)
+            if want != have:
+                store.resize(
+                    want,
+                    x_files_factor=rule.x_files_factor,
+                    aggregation_method=rule.aggregation_method,
+                    use_aggregate=True,
+                    now=now,
+                )
+            fixed = True
+        if drift:
+            report.append({"path": path, "drift": drift, "fixed": fixed})
+    return report
+
+
+def auto_update(
+    store: WhisperStore,
+    update_value: Callable[[Column, Column], Column],
+    metrics=None,
+    from_time: int | None = None,
+    until_time: int | None = None,
+    now: int | None = None,
+) -> None:
+    """Read-modify-write over a time range — the reference's only UDF
+    surface (contrib/whisper-auto-update.py:17-20 exposes a user-editable
+    ``update_value(timestamp, value)``).
+
+    ``update_value(ts_col, value_col) -> Column`` is a COLUMN transform
+    (stays JVM-side); wrap a Python function in ``F.udf``/``pandas_udf``
+    only if its logic genuinely can't be expressed in expressions.
+    """
+    now = int(now) if now is not None else store._wallclock()
+    from_time = from_time if from_time is not None else now - store.max_retention + 1
+    res = store.fetch(
+        metrics=metrics, from_time=from_time, until_time=until_time, now=now
+    )
+    if res is None:
+        return
+    (_, df) = res
+    updated = (
+        df.filter(F.col("value").isNotNull())
+        .select(
+            "metric",
+            "ts",
+            update_value(F.col("ts"), F.col("value")).alias("value"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+    )
+    store.update_many(updated, now=now)
+
+
+def integrity_report(store: WhisperStore) -> DataFrame:
+    """Per-archive stats: row counts, LWW-duplicate factor, time bounds —
+    the whisper-dump summary view reimagined as a query
+    (reference: bin/whisper-dump.py:40-138)."""
+    raw = store._read_points()
+    return raw.groupBy("resolution").agg(
+        F.count("*").alias("rows_raw"),
+        F.countDistinct("metric", "ts").alias("rows_live"),
+        (F.count("*") / F.countDistinct("metric", "ts")).alias("write_amplification"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.countDistinct("metric").alias("n_metrics"),
+    )
