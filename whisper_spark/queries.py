@@ -67,6 +67,39 @@ def sec(df: DataFrame, col: str) -> F.Column:
     return F.col(col).cast("long")
 
 
+def _ts_bound(df: DataFrame, col: str, epoch_s: int):
+    """Raw-typed literal for comparisons against a timestamp column —
+    keeps the predicate ON THE COLUMN (no cast wrapper) so it pushes down
+    to the parquet scan.  ``sec(x) <= c``  ==  ``x < bound(c+1)`` etc."""
+    import datetime as _dt
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):  # TIMESTAMP(NANOS) read as nanos
+        return F.lit(epoch_s * 1_000_000_000)
+    lit = F.lit(_dt.datetime.fromtimestamp(epoch_s, _dt.timezone.utc).replace(tzinfo=None))
+    if isinstance(dt, T.TimestampNTZType):
+        return lit.cast("timestamp_ntz")
+    return lit.cast("timestamp")
+
+
+def sec_le(df: DataFrame, col: str, c: int):
+    """Pushable predicate equivalent to ``sec(col) <= c``."""
+    return F.col(col) < _ts_bound(df, col, c + 1)
+
+
+def sec_lt(df: DataFrame, col: str, c: int):
+    return F.col(col) < _ts_bound(df, col, c)
+
+
+def sec_ge(df: DataFrame, col: str, c: int):
+    return F.col(col) >= _ts_bound(df, col, c)
+
+
+def sec_gt(df: DataFrame, col: str, c: int):
+    """Pushable predicate equivalent to ``sec(col) > c``."""
+    return F.col(col) >= _ts_bound(df, col, c + 1)
+
+
 def dsum(col: F.Column, scale: str = "decimal(25,6)") -> F.Column:
     """Deterministic double sum: exact decimal sum, then the
     correctly-rounded string->double route (see module docstring)."""
@@ -504,7 +537,7 @@ def q_q1(spark, sf_dir):
         F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
     )
     return (
-        li.filter(sec(li, "l_shipdate") <= cutoff)
+        li.filter(sec_le(li, "l_shipdate", cutoff))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
@@ -548,9 +581,9 @@ def q_q3(spark, sf_dir):
         F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
     )
     j = (
-        li.filter(sec(li, "l_shipdate") > cutoff)
+        li.filter(sec_gt(li, "l_shipdate", cutoff))
         .join(
-            od.filter(sec(od, "o_orderdate") < cutoff),
+            od.filter(sec_lt(od, "o_orderdate", cutoff)),
             li.l_orderkey == od.o_orderkey,
         )
         .join(
@@ -604,7 +637,7 @@ def q_q5(spark, sf_dir):
     )
     j = (
         li.join(
-            od.filter((sec(od, "o_orderdate") >= lo) & (sec(od, "o_orderdate") < hi)),
+            od.filter(sec_ge(od, "o_orderdate", lo) & sec_lt(od, "o_orderdate", hi)),
             li.l_orderkey == od.o_orderkey,
         )
         .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
