@@ -1,0 +1,86 @@
+"""Property-based differential fuzzing: random write patterns must
+produce identical fetch output from WhisperStore and the reference
+library, across every archive and several windows.
+
+Hypothesis drives the input shapes; each example exercises age bucketing,
+within-batch dedup, the xff gate, and the cascade early-stop on a
+two-level policy.  Examples are capped (Spark jobs are ~seconds each).
+"""
+
+import math
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/reference")
+import whisper as refwhisper  # noqa: E402  (differential oracle)
+
+from whisper_spark.store import WhisperStore  # noqa: E402
+
+NOW = 1700000000
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-30, max_value=400),  # age (incl. future + expired)
+        st.one_of(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            st.just(float("nan")),
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.fixture(scope="module")
+def fuzz_tmp(tmp_path_factory):
+    return tmp_path_factory.mktemp("fuzz")
+
+
+_counter = [0]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts=points_strategy,
+    xff=st.sampled_from([0.0, 0.3, 1.0]),
+    agg=st.sampled_from(["average", "sum", "last", "max", "absmax"]),
+)
+def test_fuzz_write_fetch_parity(spark, fuzz_tmp, pts, xff, agg):
+    _counter[0] += 1
+    base = fuzz_tmp / f"case{_counter[0]}"
+    base.mkdir()
+    wsp = str(base / "ref.wsp")
+    archives = [(5, 60), (60, 30)]  # 5s for 5min, 1m for 30min
+    refwhisper.create(wsp, archives, xFilesFactor=xff, aggregationMethod=agg)
+    store = WhisperStore.create(
+        spark, str(base / "store"), archives, x_files_factor=xff, aggregation_method=agg
+    )
+
+    points = [(NOW - age, v) for (age, v) in pts]
+    refwhisper.update_many(wsp, points, now=NOW)
+    store.update_many(list(points), now=NOW, metric="m")
+
+    for (f, u) in [(NOW - 299, NOW), (NOW - 1799, NOW), (NOW - 150, NOW - 30)]:
+        ref = refwhisper.fetch(wsp, f, u, now=NOW)
+        got = store.fetch_series("m", from_time=f, until_time=u, now=NOW)
+        if ref is None:
+            assert got is None
+            continue
+        assert got[0] == tuple(ref[0]), f"timeInfo window ({f},{u})"
+        assert len(got[1]) == len(ref[1])
+        for i, (r, g) in enumerate(zip(ref[1], got[1])):
+            if r is None or g is None:
+                assert r is None and g is None, f"slot {i} of ({f},{u}): {r} vs {g}"
+            elif isinstance(r, float) and math.isnan(r):
+                assert math.isnan(g), f"slot {i}"
+            else:
+                assert g == pytest.approx(r, rel=1e-12), f"slot {i}: {r} vs {g}"

@@ -49,37 +49,62 @@ def aggregate_column(
 ) -> Column:
     """Return the aggregate ``Column`` implementing *method* over ``value``.
 
-    ``order``: arrival-order column for ``last`` (ties broken by largest).
+    ``order``: time/arrival-order column — required by ``last`` and by the
+    NaN-ordering emulation of max/min/absmax/absmin (see below).
     ``expected_slots``: denominator for ``avg_zero`` — the number of
     higher-resolution slots in the interval, *not* the number of known
     values (reference: whisper.py:564-568 divides by
     ``len(neighborValues)``, the full slot list with Nones).
+
+    NaN parity (found by differential fuzzing, tests/test_store_fuzz.py):
+    the reference folds with Python ``max``/``min``, where every
+    comparison against NaN is False — so NaN wins ONLY when it is the
+    first value in time order, and is otherwise ignored.  Spark instead
+    orders NaN above all doubles.  With an ``order`` column we reproduce
+    the reference exactly: ``NaN if first-known value is NaN else the
+    aggregate over non-NaN values``.  Without ``order``, Spark semantics
+    apply (documented deviation).
     """
     v = F.col(value) if isinstance(value, str) else value
+    o = F.col(order) if isinstance(order, str) else order
+
+    def first_known() -> Column:
+        # value of the earliest (by order) non-null slot
+        return F.min(F.when(v.isNotNull(), F.struct(o, v.alias("v"))))["v"]
+
+    def nanfold(agg: Column) -> Column:
+        if o is None:
+            return agg
+        return F.when(F.isnan(first_known()), F.lit(float("nan"))).otherwise(agg)
+
+    not_nan = ~F.isnan(v)
     if method == "average":
         return F.avg(v)
     if method == "sum":
         return F.sum(v)
     if method == "last":
-        if order is None:
-            raise ValueError("'last' requires an arrival-order column")
-        o = F.col(order) if isinstance(order, str) else order
+        if o is None:
+            raise ValueError("'last' requires an order column")
         # max over (order, value) struct = value carried by the max order;
         # value itself tie-breaks equal orders deterministically.
         return F.max(F.when(v.isNotNull(), F.struct(o, v.alias("v"))))["v"]
     if method == "max":
-        return F.max(v)
+        return nanfold(F.max(F.when(not_nan, v)))
     if method == "min":
-        return F.min(v)
+        return nanfold(F.min(F.when(not_nan, v)))
     if method == "avg_zero":
         if expected_slots is None:
             raise ValueError("'avg_zero' requires expected_slots")
         n = F.lit(expected_slots) if isinstance(expected_slots, int) else expected_slots
         return F.sum(F.coalesce(v, F.lit(0.0))) / n.cast("double")
     if method == "absmax":
-        return F.max(F.when(v.isNotNull(), F.struct(F.abs(v).alias("a"), v.alias("v"))))["v"]
+        return nanfold(
+            F.max(F.when(v.isNotNull() & not_nan, F.struct(F.abs(v).alias("a"), v.alias("v"))))["v"]
+        )
     if method == "absmin":
-        return F.min(F.when(v.isNotNull(), F.struct(F.abs(v).alias("a"), v.alias("v"))))["v"]
+        return nanfold(
+            F.min(F.when(v.isNotNull() & not_nan, F.struct(F.abs(v).alias("a"), v.alias("v"))))["v"]
+        )
     raise InvalidAggregationMethod(f"Unrecognized aggregation method {method}")
 
 

@@ -283,6 +283,25 @@ class WhisperStore:
             F.max("wseq").alias("wseq"),
         )
 
+    def _ring_visible(self, lww_df: DataFrame, archive: ArchiveSpec) -> DataFrame:
+        """Apply the reference's ring-buffer eviction to LWW'd rows: the
+        physical slot for timestamp T is shared by every T' ≡ T (mod
+        archive span), and the LATEST write wins it — later batch first,
+        then larger timestamp (the in-batch chronological write order,
+        reference: whisper.py:842-856).  Rows losing their slot are
+        invisible, exactly like a stale stored-timestamp in the ring
+        (whisper.py:1026-1031).  Returns (metric, ts, value)."""
+        span = archive.retention
+        return (
+            lww_df.groupBy("metric", (F.col("ts") % span).alias("_slot"))
+            .agg(
+                F.max(
+                    F.struct(F.col("wseq"), F.col("ts"), F.col("value").alias("v"))
+                ).alias("w")
+            )
+            .select("metric", F.col("w.ts").alias("ts"), F.col("w.v").alias("value"))
+        )
+
     def _append(self, df: DataFrame) -> None:
         """Append rows (metric, resolution, ts, value, wseq); derives tb."""
         out = df.withColumn(
@@ -454,11 +473,33 @@ class WhisperStore:
                         align_ts(F.col("ts"), lower.seconds_per_point).alias("lts"),
                     )
                     .distinct()
-                )
+                ).persist()
                 intervals = cand.select("metric", "lts").distinct()
 
-                src_data = self._lww(
-                    self._read_resolution(higher.seconds_per_point)
+                # scan pruning: the recompute only needs the higher archive
+                # within the touched lower intervals' time span — derive ts
+                # bounds so the (resolution, tb) partitions + parquet
+                # min/max stats prune the read (at 100 TB the store dwarfs
+                # any batch)
+                bounds = cand.agg(
+                    F.min("lts").alias("lo"), F.max("lts").alias("hi")
+                ).collect()[0]
+                if bounds["lo"] is None:
+                    cand.unpersist()
+                    continue
+                # ring-visible state of the higher archive: propagation in
+                # the reference happens AFTER physical slot writes, so a
+                # point evicted by a colliding (mod span) later write must
+                # not feed the rollup.  Colliders live at ts >= lo, so the
+                # lower ts bound still prunes the scan; the upper bound is
+                # dropped (the evictor may sit past the candidate window).
+                src_data = self._ring_visible(
+                    self._lww(
+                        self._read_resolution(
+                            higher.seconds_per_point, ts_from=int(bounds["lo"])
+                        )
+                    ),
+                    higher,
                 ).withColumn(
                     "lts", align_ts(F.col("ts"), lower.seconds_per_point)
                 )
@@ -500,6 +541,7 @@ class WhisperStore:
                     }
                 finally:
                     written.unpersist()
+                    cand.unpersist()
                 for i in sources:
                     if i not in ok_src:
                         alive[i] = False
@@ -594,7 +636,28 @@ class WhisperStore:
         if from_interval == until_interval:
             until_interval += step
         keys_df = self._metrics_df(metrics)
-        pts = self._lww(self._read_resolution(step, from_interval, until_interval - 1))
+        raw = self._read_resolution(step, from_interval, until_interval - 1)
+        # ring-eviction emulation: in the reference, a LATER write whose
+        # timestamp collides modulo the archive span overwrites the
+        # physical slot (whisper.py:842-856) — e.g. a future-timestamped
+        # point evicts the point exactly `retention` seconds older.
+        # Within a fetch window colliders can only come from writes at or
+        # after the window end (anything closer is < one span away), so we
+        # union that typically-empty slice and keep, per ring slot, only
+        # the latest write (by batch, then by timestamp — the in-batch
+        # chronological write order).  Found by differential fuzzing
+        # (tests/test_store_fuzz.py).
+        later = self._read_resolution(step, ts_from=until_interval)
+        if metrics is not None:
+            # push the metric predicate into the parquet scan (an In
+            # filter) instead of relying on the join to drop rows
+            names = [metrics] if isinstance(metrics, str) else list(metrics)
+            raw = raw.filter(F.col("metric").isin(names))
+            later = later.filter(F.col("metric").isin(names))
+        winners = self._ring_visible(self._lww(raw.unionByName(later)), archive)
+        pts = winners.filter(
+            (F.col("ts") >= from_interval) & (F.col("ts") < until_interval)
+        )
         timeline = dense_timeline(
             pts.select("metric", "ts", "value"),
             keys_df,
