@@ -656,6 +656,131 @@ def q_q5(spark, sf_dir):
     )
 
 
+@_q(
+    "q6_revenue_change",
+    """
+SELECT (sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)))::VARCHAR)::DOUBLE AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE epoch_us(l_shipdate) // 1000000 >= 820454400
+  AND epoch_us(l_shipdate) // 1000000 < 852076800
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="filter-only aggregate (TPC-H Q6 shape): every predicate pushes "
+    "to the scan",
+    bench=True,
+)
+def q_q6(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    lo, hi = 820454400, 852076800
+    dec18 = "decimal(18,6)"
+    rev = F.col("l_extendedprice").cast(dec18) * F.col("l_discount").cast(dec18)
+    return (
+        li.filter(
+            sec_ge(li, "l_shipdate", lo)
+            & sec_lt(li, "l_shipdate", hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("string").cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS odate,
+       (sum(CAST(l_quantity AS DECIMAL(18,6)))::VARCHAR)::DOUBLE AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, epoch_us(o_orderdate) // 1000000
+HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250
+""",
+    doc="group-having over a join (TPC-H Q18 shape): large-order detection",
+)
+def q_q18(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    qdec = F.col("l_quantity").cast("decimal(18,6)")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderkey", sec(od, "o_orderdate").alias("odate"))
+        .agg(
+            F.sum(qdec).cast("string").cast("double").alias("total_qty"),
+            F.sum(qdec).alias("_dec"),
+        )
+        .filter(F.col("_dec") > 250)
+        .drop("_dec")
+    )
+
+
+@_q(
+    "ev_top_users_per_type",
+    """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS total_v,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_v, n_events, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY total_v DESC, user_id) AS rnk
+  FROM per_user
+) WHERE rnk <= 3
+""",
+    doc="window-function top-k: top-3 users by summed value per event type",
+    bench=True,
+)
+def q_ev_top_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        dsum(F.col("value")).alias("total_v"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_v").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "total_v", "n_events", "rnk")
+    )
+
+
+@_q(
+    "ev_daily_type_pivot",
+    """
+SELECT epoch_us(ts) // 1000000 // 86400 * 86400 AS day,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       count(DISTINCT user_id) AS active_users
+FROM events GROUP BY 1
+""",
+    doc="pivot + distinct aggregate: daily event-type matrix with active "
+    "user counts",
+)
+def q_ev_pivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    day = (sec(ev, "ts") - sec(ev, "ts") % 86400).alias("day")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+        for t in ["click", "error", "purchase", "signup", "view"]
+    ]
+    return ev.groupBy(day).agg(
+        *aggs, F.countDistinct("user_id").alias("active_users")
+    )
+
+
 # --------------------------------------------------------------------- #
 # data-pipeline family (documents / embeddings)
 # --------------------------------------------------------------------- #
