@@ -51,10 +51,18 @@ _counter = [0]
 )
 @given(
     pts=points_strategy,
+    pts2=st.lists(
+        st.tuples(
+            st.integers(min_value=-10, max_value=350),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
     xff=st.sampled_from([0.0, 0.3, 1.0]),
     agg=st.sampled_from(["average", "sum", "last", "max", "absmax"]),
 )
-def test_fuzz_write_fetch_parity(spark, fuzz_tmp, pts, xff, agg):
+def test_fuzz_write_fetch_parity(spark, fuzz_tmp, pts, pts2, xff, agg):
     _counter[0] += 1
     base = fuzz_tmp / f"case{_counter[0]}"
     base.mkdir()
@@ -68,6 +76,13 @@ def test_fuzz_write_fetch_parity(spark, fuzz_tmp, pts, xff, agg):
     points = [(NOW - age, v) for (age, v) in pts]
     refwhisper.update_many(wsp, points, now=NOW)
     store.update_many(list(points), now=NOW, metric="m")
+
+    # a second batch a little later: cross-batch LWW, cascade recompute of
+    # already-rolled intervals, and ring eviction across batches
+    if pts2:
+        points2 = [(NOW + 7 - age, v) for (age, v) in pts2]
+        refwhisper.update_many(wsp, points2, now=NOW + 7)
+        store.update_many(list(points2), now=NOW + 7, metric="m")
 
     for (f, u) in [(NOW - 299, NOW), (NOW - 1799, NOW), (NOW - 150, NOW - 30)]:
         ref = refwhisper.fetch(wsp, f, u, now=NOW)
