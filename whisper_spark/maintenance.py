@@ -108,8 +108,10 @@ def reconcile_policies(
             drift.append(
                 f"aggregation {store.aggregation_method} != {rule.aggregation_method}"
             )
+        from .store import _f32
+
         if rule.x_files_factor is not None and abs(
-            store.x_files_factor - rule.x_files_factor
+            store.x_files_factor - _f32(rule.x_files_factor)
         ) > 1e-9:
             drift.append(f"xff {store.x_files_factor} != {rule.x_files_factor}")
         fixed = False

@@ -59,6 +59,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import struct as _struct
+
 from .aggregation import validate_aggregation_method
 from .errors import (
     CorruptWhisperFile,
@@ -101,6 +103,14 @@ INPUT_SCHEMA = T.StructType(
 )
 
 
+def _f32(x: float) -> float:
+    """Round-trip through float32 — the reference stores xFilesFactor as
+    ``!f`` (whisper.py:109-110), so e.g. 0.2 becomes 0.20000000298...,
+    which FLIPS gate decisions like ``1/5 >= xff``.  Parity requires the
+    same quantization (found by multi-metric differential testing)."""
+    return _struct.unpack("!f", _struct.pack("!f", float(x)))[0]
+
+
 class WhisperStore:
     """A policy-scoped, multi-metric time-series store on parquet."""
 
@@ -139,7 +149,7 @@ class WhisperStore:
         os.makedirs(path, exist_ok=True)
         policy = {
             "aggregationMethod": aggregation_method,
-            "xFilesFactor": float(x_files_factor),
+            "xFilesFactor": _f32(x_files_factor),
             "archives": [[int(s), int(p)] for (s, p) in archives],
             "batch": 0,
         }
@@ -211,7 +221,7 @@ class WhisperStore:
         if x_files_factor is not None:
             if not 0 <= float(x_files_factor) <= 1:
                 raise InvalidXFilesFactor("x_files_factor must be between 0 and 1")
-            policy["xFilesFactor"] = float(x_files_factor)
+            policy["xFilesFactor"] = _f32(x_files_factor)
         self._write_policy(policy)
         return old
 
@@ -225,7 +235,7 @@ class WhisperStore:
             raise InvalidXFilesFactor("x_files_factor must be between 0 and 1")
         policy = dict(self._policy())
         old = policy["xFilesFactor"]
-        policy["xFilesFactor"] = xff
+        policy["xFilesFactor"] = _f32(xff)
         self._write_policy(policy)
         return old
 
@@ -433,40 +443,42 @@ class WhisperStore:
     def _cascade(
         self, touched: DataFrame, now: int, batch: int, single_point: bool
     ) -> None:
-        """Rollup cascade with per-source early stop (reference:
-        whisper.py:729-733 single-point, :858-875 bulk).
+        """Rollup cascade with per-(source archive, METRIC) early stop.
 
-        ``touched``: (aidx, metric, ts) of points just written directly.
+        Whisper cascades per file — i.e. per metric: an
+        ``__archive_update_many`` stops propagating deeper once an entire
+        level writes nothing *for that file* (reference: whisper.py:729-733
+        single-point, :869-875 bulk).  One store holds many metrics, so
+        aliveness is tracked per (aidx, metric) pair — as a DataFrame, not
+        a driver-side set, so a batch touching millions of metrics never
+        collects them (the only driver-side values are the per-level ts
+        bounds and an emptiness probe).
+
         For each lower level j, candidate intervals come from every still-
         alive cascade whose source archive is higher-precision than j; the
-        recompute reads the *current* level j-1 data (including rows this
-        cascade appended) exactly like ``__propagate`` reads the higher
-        archive's ring (reference: whisper.py:578-637).
+        recompute reads the *current* ring-visible level j-1 data exactly
+        like ``__propagate`` reads the higher archive (whisper.py:578-637).
         """
         archives = self.archives
         policy = self._policy()
         method = policy["aggregationMethod"]
         xff = float(policy["xFilesFactor"])
 
-        src_rows = [r["aidx"] for r in touched.select("aidx").distinct().collect()]
-        alive: dict[int, bool] = {int(i): True for i in src_rows}
-        if not alive:
-            return
         touched = touched.persist()
+        alive = touched.select("aidx", "metric").distinct().persist()
+        retired = []
 
         try:
             for j in range(1, len(archives)):
-                # cascades feeding level j = still-alive cascades whose
-                # source archive is higher-precision than j (this includes
-                # a batch's direct writes into archive j-1, which start
-                # their own cascade — reference: whisper.py:858-875)
-                sources = [i for i, ok in alive.items() if ok and i < j]
-                if not sources:
-                    continue
+                # cascades feeding level j = alive (source, metric) pairs
+                # whose source archive is higher-precision than j (a
+                # batch's direct writes into archive j-1 start their own
+                # cascade — reference: whisper.py:858-875)
+                src_alive = alive.filter(F.col("aidx") < j)
                 lower = archives[j]
                 higher = archives[j - 1]
                 cand = (
-                    touched.filter(F.col("aidx").isin(sources))
+                    touched.join(src_alive, on=["aidx", "metric"], how="left_semi")
                     .select(
                         "aidx",
                         "metric",
@@ -477,10 +489,10 @@ class WhisperStore:
                 intervals = cand.select("metric", "lts").distinct()
 
                 # scan pruning: the recompute only needs the higher archive
-                # within the touched lower intervals' time span — derive ts
-                # bounds so the (resolution, tb) partitions + parquet
-                # min/max stats prune the read (at 100 TB the store dwarfs
-                # any batch)
+                # from the earliest touched interval onward — (resolution,
+                # tb) partitions + parquet min/max stats prune the read
+                # (at 100 TB the store dwarfs any batch).  The upper bound
+                # stays open for ring-eviction colliders (see below).
                 bounds = cand.agg(
                     F.min("lts").alias("lo"), F.max("lts").alias("hi")
                 ).collect()[0]
@@ -490,9 +502,7 @@ class WhisperStore:
                 # ring-visible state of the higher archive: propagation in
                 # the reference happens AFTER physical slot writes, so a
                 # point evicted by a colliding (mod span) later write must
-                # not feed the rollup.  Colliders live at ts >= lo, so the
-                # lower ts bound still prunes the scan; the upper bound is
-                # dropped (the evictor may sit past the candidate window).
+                # not feed the rollup.
                 src_data = self._ring_visible(
                     self._lww(
                         self._read_resolution(
@@ -525,28 +535,36 @@ class WhisperStore:
                     self._append(
                         written.select("metric", "resolution", "ts", "value", "wseq")
                     )
-                    # which sources had at least one interval written?
-                    ok_src = {
-                        int(r["aidx"])
-                        for r in cand.join(
+                    # a (source, metric) cascade survives level j iff at
+                    # least one of its intervals passed the gate
+                    surviving = (
+                        cand.join(
                             written.select(
                                 "metric", F.col("ts").alias("lts")
                             ).distinct(),
                             on=["metric", "lts"],
                             how="left_semi",
                         )
-                        .select("aidx")
+                        .select("aidx", "metric")
                         .distinct()
-                        .collect()
-                    }
+                    )
+                    new_alive = (
+                        alive.filter(F.col("aidx") >= j)
+                        .unionByName(surviving)
+                        .persist()
+                    )
+                    # materialize before dropping the old lineage
+                    new_alive.count()
+                    retired.append(alive)
+                    alive = new_alive
                 finally:
                     written.unpersist()
                     cand.unpersist()
-                for i in sources:
-                    if i not in ok_src:
-                        alive[i] = False
         finally:
             touched.unpersist()
+            alive.unpersist()
+            for df in retired:
+                df.unpersist()
 
     # ------------------------------------------------------------------ #
     # read path (reference: whisper.py:892-1034)
