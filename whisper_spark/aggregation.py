@@ -131,7 +131,7 @@ def aggregate_sql(
     if method == "absmax":
         return f"max_by({value}, (abs({value}), {value}))"
     if method == "absmin":
-        return f"min_by({value}, (abs({value}), -{value}))"
+        return f"min_by({value}, (abs({value}), {value}))"
     raise InvalidAggregationMethod(f"Unrecognized aggregation method {method}")
 
 

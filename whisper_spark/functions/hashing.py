@@ -33,10 +33,18 @@ def h60_seeded(col: Column | str, seed: Column | int) -> Column:
 def char_shingles_expr(text_col: str, n: int = 5) -> Column:
     """Distinct character n-grams of a string column, as an array.
     Stays fully JVM-side (transform over sequence — no UDF; substring with
-    a dynamic start requires the expr form)."""
+    a dynamic start requires the expr form).
+
+    Texts shorter than n yield an EMPTY array: Spark's
+    ``sequence(1, len-n+1)`` would otherwise count DOWN for short texts
+    (sequence(1,0) == [1,0]) and emit junk shingles — DuckDB's
+    generate_series returns empty there, so the guard is also what keeps
+    the two engines' shingle sets identical."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
-        f" i -> substring({text_col}, i, {n})))"
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substring({text_col}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 

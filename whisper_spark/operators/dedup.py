@@ -43,10 +43,12 @@ def exact_duplicate_groups(
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row (the min id) per distinct content."""
+    # no broadcast hint: the keep-set is ~one row per distinct document,
+    # far too large to broadcast at corpus scale — let Catalyst pick
     keep = exact_duplicate_groups(df, text_col, id_col).select(
         F.col("canonical").alias(id_col)
     )
-    return df.join(F.broadcast(keep) if df.isStreaming is False else keep, on=id_col, how="left_semi")
+    return df.join(keep, on=id_col, how="left_semi")
 
 
 # --------------------------------------------------------------------- #

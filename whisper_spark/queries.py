@@ -936,13 +936,15 @@ def q_doc_langid(spark, sf_dir):
     return base.select("doc_id", expr.alias("lang_pred"))
 
 
-# deterministic 60-bit hash (same value in Spark and DuckDB)
+# deterministic 60-bit hash — the Spark side lives in functions.hashing
+# (single definition shared with the operators package)
+from .functions.hashing import explode_shingles as _explode_shingles  # noqa: E402
+from .functions.hashing import h60 as _h60  # noqa: E402
+
+
 def _h60_sql(expr: str) -> str:
+    """DuckDB rendering of functions.hashing.h60."""
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
-
-
-def _h60(col: F.Column) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 _SHINGLE_SQL = """
@@ -957,14 +959,7 @@ shingles AS (
 
 def _shingles(spark, sf_dir) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
-            )
-        ).alias("g"),
-    )
+    return _explode_shingles(d, "text", "doc_id", 5)
 
 
 @_q(

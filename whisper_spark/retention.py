@@ -78,7 +78,13 @@ def parse_retention_def(retention_def: str) -> tuple[int, int]:
 
 
 def parse_retention_defs(spec: str | list) -> list[tuple[int, int]]:
-    """Parse a comma-separated retention spec, or pass through tuples."""
+    """Parse a comma-separated retention spec, or pass through tuples.
+
+    Returns the archives SORTED by precision (finest first) — the
+    reference's ``validateArchiveList`` sorts the caller's list in place
+    (whisper.py:439) so ``create`` always persists sorted archives, and
+    store code relies on index order == precision order.
+    """
     if isinstance(spec, str):
         archives = [parse_retention_def(s) for s in spec.split(",")]
     else:
@@ -86,6 +92,7 @@ def parse_retention_defs(spec: str | list) -> list[tuple[int, int]]:
             parse_retention_def(a) if isinstance(a, str) else (int(a[0]), int(a[1]))
             for a in spec
         ]
+    archives.sort(key=lambda a: a[0])
     validate_archive_list(archives)
     return archives
 

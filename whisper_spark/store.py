@@ -346,7 +346,7 @@ class WhisperStore:
         df = self.spark.createDataFrame(
             [(str(metric), int(timestamp), float(value), 0)], INPUT_SCHEMA
         )
-        self._update_batch(df, now, single_point=True)
+        self._update_batch(df, now)
 
     def update_many(
         self,
@@ -365,6 +365,10 @@ class WhisperStore:
         """
         now = int(now) if now is not None else self._wallclock()
         if not isinstance(points, DataFrame):
+            if metric is None:
+                raise ValueError(
+                    "metric= is required when passing (ts, value) tuples"
+                )
             rows = [
                 (str(metric), int(t), float(v), i)
                 for i, (t, v) in enumerate(points)
@@ -380,7 +384,7 @@ class WhisperStore:
             F.col("value").cast("double"),
             F.col("seq").cast("long"),
         )
-        self._update_batch(points, now, single_point=False)
+        self._update_batch(points, now)
 
     def _wallclock(self) -> int:
         import time
@@ -396,7 +400,7 @@ class WhisperStore:
             expr = F.when(age <= self.archives[i].retention, F.lit(i)).otherwise(expr)
         return points.withColumn("aidx", expr).filter(F.col("aidx").isNotNull())
 
-    def _update_batch(self, points: DataFrame, now: int, single_point: bool) -> None:
+    def _update_batch(self, points: DataFrame, now: int) -> None:
         assigned = self._assign_archive(points, now)
         self._write_assigned(assigned, now)
 
@@ -436,13 +440,11 @@ class WhisperStore:
         try:
             self._append(deduped.drop("aidx"))
             touched = deduped.select("aidx", "metric", "ts", "resolution")
-            self._cascade(touched, now=now, batch=batch, single_point=False)
+            self._cascade(touched, now=now, batch=batch)
         finally:
             deduped.unpersist()
 
-    def _cascade(
-        self, touched: DataFrame, now: int, batch: int, single_point: bool
-    ) -> None:
+    def _cascade(self, touched: DataFrame, now: int, batch: int) -> None:
         """Rollup cascade with per-(source archive, METRIC) early stop.
 
         Whisper cascades per file — i.e. per metric: an
@@ -506,7 +508,10 @@ class WhisperStore:
                 src_data = self._ring_visible(
                     self._lww(
                         self._read_resolution(
-                            higher.seconds_per_point, ts_from=int(bounds["lo"])
+                            higher.seconds_per_point,
+                            # one span back for older-ts later-batch
+                            # evictors of future points (see fetch path)
+                            ts_from=int(bounds["lo"]) - higher.retention,
                         )
                     ),
                     higher,
@@ -622,7 +627,11 @@ class WhisperStore:
         if drop == "nulls":
             timeline = timeline.filter(F.col("value").isNotNull())
         elif drop == "zeroes":
-            timeline = timeline.filter(F.col("value") != 0)
+            # the reference's drop fn is Python `x != 0`, which KEEPS None
+            # rows (bin/whisper-fetch.py:13-17); SQL != would drop NULLs
+            timeline = timeline.filter(
+                F.col("value").isNull() | (F.col("value") != 0)
+            )
         elif drop == "empty":
             timeline = timeline.filter(F.col("value").isNotNull() & (F.col("value") != 0))
         return ((from_interval, until_interval, step), timeline)
@@ -654,17 +663,21 @@ class WhisperStore:
         if from_interval == until_interval:
             until_interval += step
         keys_df = self._metrics_df(metrics)
-        raw = self._read_resolution(step, from_interval, until_interval - 1)
+        span = archive.retention
         # ring-eviction emulation: in the reference, a LATER write whose
         # timestamp collides modulo the archive span overwrites the
-        # physical slot (whisper.py:842-856) — e.g. a future-timestamped
-        # point evicts the point exactly `retention` seconds older.
-        # Within a fetch window colliders can only come from writes at or
-        # after the window end (anything closer is < one span away), so we
-        # union that typically-empty slice and keep, per ring slot, only
-        # the latest write (by batch, then by timestamp — the in-batch
-        # chronological write order).  Found by differential fuzzing
-        # (tests/test_store_fuzz.py).
+        # physical slot (whisper.py:842-856).  A window row's colliders
+        # live one span away on either side: a future-timestamped point
+        # evicts the point one span older (colliders at ts >= window end),
+        # and a later BATCH writing an older timestamp evicts an in-window
+        # future point (colliders one span below the window).  We read the
+        # window plus one span back plus the typically-empty tail, and
+        # keep per ring slot only the latest write (by batch, then by
+        # timestamp — the in-batch chronological write order).  Found by
+        # differential fuzzing + review (tests/test_store_fuzz.py).
+        raw = self._read_resolution(
+            step, from_interval - span, until_interval - 1
+        )
         later = self._read_resolution(step, ts_from=until_interval)
         if metrics is not None:
             # push the metric predicate into the parquet scan (an In
@@ -848,8 +861,12 @@ class WhisperStore:
                     (F.col("ts") / step).cast("long") - F.row_number().over(w),
                 )
                 .groupBy("metric", "grp")
+                # single-slot gaps are never filled, including at the end
+                # of the window: the reference's trailing branch
+                # (bin/whisper-fill.py:115-117) is reachable only when
+                # gapstart was set on an EARLIER iteration (length >= 2)
                 .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
-                .filter((F.col("n") >= 2) | (F.col("hi") == last_slot))
+                .filter(F.col("n") >= 2)
                 .withColumn(
                     "hi",
                     F.when(F.col("hi") == last_slot, F.col("hi")).otherwise(
