@@ -45,6 +45,53 @@ _counter = [0]
 
 
 @settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts_src=points_strategy,
+    pts_dst=points_strategy,
+    window=st.sampled_from([(None, None), (NOW - 200, NOW - 50), (NOW - 1000, None)]),
+)
+def test_fuzz_merge_parity(spark, fuzz_tmp, pts_src, pts_dst, window):
+    """merge: random src/dst contents and windows must leave dst identical
+    to a reference merge (reference: whisper.py:1037-1095)."""
+    _counter[0] += 1
+    base = fuzz_tmp / f"merge{_counter[0]}"
+    base.mkdir()
+    archives = [(5, 60), (60, 30)]
+    names = {}
+    stores = {}
+    for nm, pts in [("src", pts_src), ("dst", pts_dst)]:
+        wsp = str(base / f"{nm}.wsp")
+        refwhisper.create(wsp, archives, xFilesFactor=0.3, aggregationMethod="average")
+        store = WhisperStore.create(
+            spark, str(base / nm), archives, x_files_factor=0.3
+        )
+        points = [(NOW - age, v) for (age, v) in pts]
+        refwhisper.update_many(wsp, points, now=NOW)
+        store.update_many(list(points), now=NOW, metric="m")
+        names[nm], stores[nm] = wsp, store
+
+    (tf, tt) = window
+    refwhisper.merge(names["src"], names["dst"], time_from=tf, time_to=tt, now=NOW)
+    stores["src"].merge_into(stores["dst"], time_from=tf, time_to=tt, now=NOW)
+
+    for (f, u) in [(NOW - 299, NOW), (NOW - 1799, NOW)]:
+        ref = refwhisper.fetch(names["dst"], f, u, now=NOW)
+        got = stores["dst"].fetch_series("m", from_time=f, until_time=u, now=NOW)
+        assert got[0] == tuple(ref[0])
+        for i, (r, g) in enumerate(zip(ref[1], got[1])):
+            if r is None or g is None:
+                assert r is None and g is None, f"merge ({f},{u}) slot {i}: {r} vs {g}"
+            elif isinstance(r, float) and math.isnan(r):
+                assert math.isnan(g), f"slot {i}"
+            else:
+                assert g == pytest.approx(r, rel=1e-12), f"slot {i}: {r} vs {g}"
+
+
+@settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
