@@ -264,6 +264,9 @@ class WhisperStore:
         )
 
     def _read_points(self) -> DataFrame:
+        from . import debug
+
+        debug.record_read(f"points scan {self.path}")
         if not self._has_data():
             return self.spark.createDataFrame([], POINTS_SCHEMA)
         df = self.spark.read.schema(POINTS_SCHEMA).parquet(self._points_path)
@@ -314,6 +317,9 @@ class WhisperStore:
 
     def _append(self, df: DataFrame) -> None:
         """Append rows (metric, resolution, ts, value, wseq); derives tb."""
+        from . import debug
+
+        debug.record_write(f"batch append {self.path}")
         out = df.withColumn(
             "tb", (F.col("ts") / (F.col("resolution") * F.lit(TB_SLOTS))).cast("long")
         ).select(*[f.name for f in POINTS_SCHEMA.fields])
