@@ -1222,6 +1222,99 @@ def q_emb_ivf_assign(spark, sf_dir):
     )
 
 
+_IVF_ASSIGN_SQL = """
+cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+d AS (
+  SELECT v.vec_id, cent.cid,
+         list_sum(list_transform(list_zip(v.embedding, cent.ce),
+                  p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS dist2
+  FROM embeddings v, cent
+),
+asg AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+"""
+
+
+@_q(
+    "emb_neardup_pairs",
+    "WITH "
+    + _IVF_ASSIGN_SQL
+    + """
+, e AS (SELECT v.vec_id, v.embedding, a.centroid FROM embeddings v JOIN asg a USING (vec_id))
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))
+              * list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) AS cosine
+  FROM e a JOIN e b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+""",
+    doc="embedding-cosine near-duplicate pairs, IVF-bucketed: coarse-"
+    "quantize to 16 seed centroids, exact cosine self-join only inside "
+    "each bucket (O(sum bucket^2), not O(n^2)); the dedup scale path "
+    "(operators.dedup.embedding_neardup_pairs)",
+)
+def q_emb_neardup_pairs(spark, sf_dir):
+    from .operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, n_buckets=16
+    )
+
+
+@_q(
+    "emb_ivf_topk",
+    "WITH "
+    + _IVF_ASSIGN_SQL
+    + """
+, q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+qd AS (
+  SELECT q.qid, q.qe, cent.cid,
+         list_sum(list_transform(list_zip(q.qe, cent.ce),
+                  p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS qd2
+  FROM q, cent
+),
+probes AS (
+  SELECT qid, qe, cid AS centroid FROM (
+    SELECT qid, qe, cid, row_number() OVER (PARTITION BY qid ORDER BY qd2, cid) AS rn
+    FROM qd
+  ) WHERE rn <= 4
+),
+cand AS (SELECT e.vec_id AS nid, e.embedding AS ce, a.centroid
+         FROM embeddings e JOIN asg a USING (vec_id)),
+scored AS (
+  SELECT p.qid, c.nid,
+         list_sum(list_transform(list_zip(p.qe, c.ce),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / sqrt(list_sum(list_transform(p.qe, x -> x::DOUBLE * x::DOUBLE))
+              * list_sum(list_transform(c.ce, x -> x::DOUBLE * x::DOUBLE))) AS score
+  FROM probes p JOIN cand c USING (centroid) WHERE p.qid <> c.nid
+)
+SELECT qid, nid, rank, score FROM (
+  SELECT qid, nid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="IVF-probed approximate top-k ANN: each query scans only its 4 "
+    "nearest of 16 buckets instead of the whole corpus — the 100 TB "
+    "search path (operators.similarity.ivf_topk); compare recall vs "
+    "emb_cosine_topk's exact scan",
+    bench=True,
+)
+def q_emb_ivf_topk(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(q, emb, k=5, nprobe=4, n_buckets=16)
+
+
 # --------------------------------------------------------------------- #
 # public accessors (consumed by __spark_entry__.py)
 # --------------------------------------------------------------------- #
