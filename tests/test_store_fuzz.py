@@ -7,8 +7,11 @@ within-batch dedup, the xff gate, and the cascade early-stop on a
 two-level policy.  Examples are capped (Spark jobs are ~seconds each).
 """
 
+import importlib.util
 import math
 import sys
+import types
+from unittest import mock
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -20,6 +23,23 @@ import whisper as refwhisper  # noqa: E402  (differential oracle)
 from whisper_spark.store import WhisperStore  # noqa: E402
 
 NOW = 1700000000
+
+
+def _load_ref_script(name):
+    spec = importlib.util.spec_from_file_location(
+        name.replace("-", "_"), f"/root/reference/bin/{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_ref_fill = _load_ref_script("whisper-fill")
+
+# The reference fill reads wall-clock time internally; pin it to NOW in the
+# reference modules' namespaces only (not globally — Spark threads need
+# real time).
+_FAKE_TIME = types.SimpleNamespace(time=lambda: NOW)
 
 points_strategy = st.lists(
     st.tuples(
@@ -85,6 +105,118 @@ def test_fuzz_merge_parity(spark, fuzz_tmp, pts_src, pts_dst, window):
         for i, (r, g) in enumerate(zip(ref[1], got[1])):
             if r is None or g is None:
                 assert r is None and g is None, f"merge ({f},{u}) slot {i}: {r} vs {g}"
+            elif isinstance(r, float) and math.isnan(r):
+                assert math.isnan(g), f"slot {i}"
+            else:
+                assert g == pytest.approx(r, rel=1e-12), f"slot {i}: {r} vs {g}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts_src=points_strategy,
+    pts_dst=points_strategy,
+)
+def test_fuzz_fill_parity(spark, fuzz_tmp, pts_src, pts_dst):
+    """fill: random src/dst contents must leave dst identical to the
+    reference's bin/whisper-fill.py ``fill_archives`` (gap-run detection,
+    single-slot skip, highest-precision-first source walk)."""
+    _counter[0] += 1
+    base = fuzz_tmp / f"fill{_counter[0]}"
+    base.mkdir()
+    archives = [(5, 60), (60, 30)]
+    names, stores = {}, {}
+    for nm, pts in [("src", pts_src), ("dst", pts_dst)]:
+        wsp = str(base / f"{nm}.wsp")
+        refwhisper.create(wsp, archives, xFilesFactor=0.3, aggregationMethod="average")
+        store = WhisperStore.create(spark, str(base / nm), archives, x_files_factor=0.3)
+        points = [(NOW - age, v) for (age, v) in pts]
+        refwhisper.update_many(wsp, points, now=NOW)
+        store.update_many(list(points), now=NOW, metric="m")
+        names[nm], stores[nm] = wsp, store
+
+    with mock.patch.object(refwhisper, "time", _FAKE_TIME), mock.patch.object(
+        _ref_fill, "time", _FAKE_TIME
+    ):
+        _ref_fill.fill_archives(names["src"], names["dst"], NOW)
+    stores["dst"].fill_from(stores["src"], start_from=NOW, now=NOW)
+
+    for (f, u) in [(NOW - 299, NOW), (NOW - 1799, NOW)]:
+        ref = refwhisper.fetch(names["dst"], f, u, now=NOW)
+        got = stores["dst"].fetch_series("m", from_time=f, until_time=u, now=NOW)
+        assert got[0] == tuple(ref[0])
+        for i, (r, g) in enumerate(zip(ref[1], got[1])):
+            if r is None or g is None:
+                assert r is None and g is None, f"fill ({f},{u}) slot {i}: {r} vs {g}"
+            elif isinstance(r, float) and math.isnan(r):
+                assert math.isnan(g), f"slot {i}"
+            else:
+                assert g == pytest.approx(r, rel=1e-12), f"slot {i}: {r} vs {g}"
+
+
+def _ref_resize_default(old_wsp, new_wsp, new_archives, xff, agg, now):
+    """Replicates bin/whisper-resize.py's default (non-aggregate) path with
+    a pinned clock: fetch each old archive over its retention, replay
+    non-None points coarsest-first (:97 sorts secondsPerPoint descending,
+    :111-115 fetch, :199-206 replay)."""
+    refwhisper.create(new_wsp, new_archives, xFilesFactor=xff, aggregationMethod=agg)
+    olds = sorted(
+        refwhisper.info(old_wsp)["archives"],
+        key=lambda a: a["secondsPerPoint"],
+        reverse=True,
+    )
+    for a in olds:
+        ft = now - a["retention"] + a["secondsPerPoint"]
+        ti, vals = refwhisper.fetch(old_wsp, ft, now, now=now)
+        dp = [p for p in zip(range(*ti), vals) if p[1] is not None]
+        if dp:
+            refwhisper.update_many(new_wsp, dp, now=now)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts=points_strategy,
+    new_archives=st.sampled_from(
+        [[(60, 30)], [(5, 30), (30, 60)], [(1, 120), (10, 90), (60, 60)]]
+    ),
+    agg=st.sampled_from(["average", "last", "max"]),
+)
+def test_fuzz_resize_parity(spark, fuzz_tmp, pts, new_archives, agg):
+    """resize (default path): random contents replayed into a new schema
+    must match the reference script's coarsest-first migration — finer
+    data wins slot conflicts."""
+    _counter[0] += 1
+    base = fuzz_tmp / f"resize{_counter[0]}"
+    base.mkdir()
+    archives = [(5, 60), (60, 30)]
+    wsp = str(base / "old.wsp")
+    refwhisper.create(wsp, archives, xFilesFactor=0.3, aggregationMethod=agg)
+    store = WhisperStore.create(
+        spark, str(base / "old"), archives, x_files_factor=0.3, aggregation_method=agg
+    )
+    points = [(NOW - age, v) for (age, v) in pts]
+    refwhisper.update_many(wsp, points, now=NOW)
+    store.update_many(list(points), now=NOW, metric="m")
+
+    new_wsp = str(base / "new.wsp")
+    _ref_resize_default(wsp, new_wsp, new_archives, 0.3, agg, NOW)
+    new_store = store.resize(new_archives, new_path=str(base / "new"), now=NOW)
+
+    max_ret = max(s * n for (s, n) in new_archives)
+    for (f, u) in [(NOW - max_ret + 1, NOW), (NOW - 150, NOW)]:
+        ref = refwhisper.fetch(new_wsp, f, u, now=NOW)
+        got = new_store.fetch_series("m", from_time=f, until_time=u, now=NOW)
+        assert got[0] == tuple(ref[0])
+        for i, (r, g) in enumerate(zip(ref[1], got[1])):
+            if r is None or g is None:
+                assert r is None and g is None, f"resize ({f},{u}) slot {i}: {r} vs {g}"
             elif isinstance(r, float) and math.isnan(r):
                 assert math.isnan(g), f"slot {i}"
             else:

@@ -6,12 +6,15 @@ a JVM-side aggregate expression applied inside ``groupBy(metric, bucket)``,
 so Catalyst gives us map-side partial aggregation for free — the property
 that makes the rollup cascade scale to 100 TB (no per-metric loops).
 
-Tie-breaking notes (the reference uses Python ``max(..., key=abs)`` which
-keeps the *first* of equal-abs values — an iteration-order artifact, not a
-contract):
+Tie-breaking notes (the reference uses Python ``max(..., key=abs)`` /
+``min(..., key=abs)``, which keep the *first* of equal-abs values in
+chronological slot order — observable behavior our differential fuzzer
+checks, see tests/test_store_fuzz.py):
 
-* ``absmax``: on \|v\| ties we keep the larger signed value (+3 beats -3).
-* ``absmin``: on \|v\| ties we keep the smaller signed value (-3 beats +3).
+* ``absmax``/``absmin``: on \|v\| ties the EARLIEST slot (by the ``order``
+  column) wins, exactly like the reference's first-wins fold.  Without an
+  ``order`` column the signed value breaks the tie (+3 beats -3 for
+  absmax, -3 beats +3 for absmin) — deterministic, documented deviation.
 * ``last``: the value with the greatest (ts, seq) — deterministic given the
   explicit arrival-order column our ingest carries (SURVEY.md §7 "genuinely
   hard parts" (3)).
@@ -98,12 +101,17 @@ def aggregate_column(
         n = F.lit(expected_slots) if isinstance(expected_slots, int) else expected_slots
         return F.sum(F.coalesce(v, F.lit(0.0))) / n.cast("double")
     if method == "absmax":
+        # lexicographic max over (|v|, -order, v): max abs wins, equal-abs
+        # resolved to the EARLIEST slot (reference first-wins fold)
+        key = [F.abs(v).alias("a")] + ([(-o).alias("no")] if o is not None else []) + [v.alias("v")]
         return nanfold(
-            F.max(F.when(v.isNotNull() & not_nan, F.struct(F.abs(v).alias("a"), v.alias("v"))))["v"]
+            F.max(F.when(v.isNotNull() & not_nan, F.struct(*key)))["v"]
         )
     if method == "absmin":
+        # lexicographic min over (|v|, order, v): min abs, earliest slot
+        key = [F.abs(v).alias("a")] + ([o.alias("o")] if o is not None else []) + [v.alias("v")]
         return nanfold(
-            F.min(F.when(v.isNotNull() & not_nan, F.struct(F.abs(v).alias("a"), v.alias("v"))))["v"]
+            F.min(F.when(v.isNotNull() & not_nan, F.struct(*key)))["v"]
         )
     raise InvalidAggregationMethod(f"Unrecognized aggregation method {method}")
 
@@ -129,9 +137,12 @@ def aggregate_sql(
     if method == "avg_zero":
         return f"sum(coalesce({value}, 0)) / {expected_slots}"
     if method == "absmax":
-        return f"max_by({value}, (abs({value}), {value}))"
+        # NOTE: single-key form — DuckDB max_by has no composite keys, so
+        # equal-|v| ties are engine-dependent here; exact tie parity needs
+        # the row_number() window form (see queries.py ws_rollup_5m_methods)
+        return f"arg_max({value}, abs({value}))"
     if method == "absmin":
-        return f"min_by({value}, (abs({value}), {value}))"
+        return f"arg_min({value}, abs({value}))"
     raise InvalidAggregationMethod(f"Unrecognized aggregation method {method}")
 
 

@@ -244,16 +244,24 @@ def q_ws_rollup_1m_avg(spark, sf_dir):
     "ws_rollup_5m_methods",
     EVENTS_CTES
     + f"""
-SELECT metric, ts // 300 * 300 AS ts,
+, b AS (
+  SELECT metric, ts // 300 * 300 AS bts, ts, value,
+         row_number() OVER (PARTITION BY metric, ts // 300 * 300
+                            ORDER BY abs(value) DESC, ts, value DESC) AS rmax,
+         row_number() OVER (PARTITION BY metric, ts // 300 * 300
+                            ORDER BY abs(value), ts, value) AS rmin
+  FROM lww
+)
+SELECT metric, bts AS ts,
        {DSUM("value")} AS sum_v,
        max(value) AS max_v,
        min(value) AS min_v,
        arg_max(value, ts) AS last_v,
-       arg_max(value, abs(value)) AS absmax_v,
-       arg_min(value, abs(value)) AS absmin_v,
+       max(value) FILTER (rmax = 1) AS absmax_v,
+       max(value) FILTER (rmin = 1) AS absmin_v,
        {DSUM("value")} / 300.0 AS avgzero_v,
        count(value) AS known
-FROM lww GROUP BY metric, ts // 300 * 300
+FROM b GROUP BY metric, bts
 """,
     doc="the 8 consolidation functions over 5m buckets "
     "(reference: whisper.py:553-575); avg_zero divides by the full slot "
@@ -269,8 +277,10 @@ def q_ws_rollup_5m_methods(spark, sf_dir):
         F.max(v).alias("max_v"),
         F.min(v).alias("min_v"),
         F.max_by(v, lww["ts"]).alias("last_v"),
-        F.max_by(v, F.abs(v)).alias("absmax_v"),
-        F.min_by(v, F.abs(v)).alias("absmin_v"),
+        # equal-|v| ties -> earliest second slot (reference first-wins
+        # fold in whisper.py:569-572), then the value itself
+        F.max_by(v, F.struct(F.abs(v), -lww["ts"], v)).alias("absmax_v"),
+        F.min_by(v, F.struct(F.abs(v), lww["ts"], v)).alias("absmin_v"),
         (dsum(v) / F.lit(300.0)).alias("avgzero_v"),
         F.count(v).alias("known"),
     )

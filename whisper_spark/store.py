@@ -932,9 +932,11 @@ class WhisperStore:
         """Schema migration (reference: bin/whisper-resize.py).
 
         Default path: replay each old archive's dense non-null points into
-        the new store, finest archive first (bin/whisper-resize.py:199-206)
-        — later, coarser replays overwrite via last-write-wins exactly like
-        the reference's in-place slot writes.
+        the new store, COARSEST archive first (bin/whisper-resize.py:97
+        sorts ``secondsPerPoint`` descending before the replay loop at
+        :199-206) — later, finer replays overwrite via last-write-wins, so
+        the finest data survives conflicts exactly like the reference's
+        in-place slot writes.
 
         ``use_aggregate``: build one merged timeline preferring the finest
         data (each coarser archive contributes only slots older than the
@@ -970,7 +972,11 @@ class WhisperStore:
             old_dense.append((a, ti, d))
 
         if not use_aggregate:
-            for a, _, d in old_dense:
+            # coarsest-first (bin/whisper-resize.py:97): finer replays
+            # land later and win slot conflicts via last-write-wins
+            for a, _, d in sorted(
+                old_dense, key=lambda t: t[0].seconds_per_point, reverse=True
+            ):
                 pts = d.filter(F.col("value").isNotNull()).select(
                     "metric", "ts", "value", F.lit(0).cast("long").alias("seq")
                 )
