@@ -157,6 +157,159 @@ def test_fuzz_fill_parity(spark, fuzz_tmp, pts_src, pts_dst):
                 assert g == pytest.approx(r, rel=1e-12), f"slot {i}: {r} vs {g}"
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts_a=points_strategy,
+    pts_b=points_strategy,
+    ignore_empty=st.booleans(),
+)
+def test_fuzz_diff_parity(spark, fuzz_tmp, pts_a, pts_b, ignore_empty):
+    """diff: per-archive comparison of two random stores must report the
+    same (ts, va, vb) rows and totals as the reference (whisper.py:
+    1098-1149), including NaN != NaN and non-overlapping archive windows."""
+    _counter[0] += 1
+    base = fuzz_tmp / f"diff{_counter[0]}"
+    base.mkdir()
+    archives = [(5, 60), (60, 30)]
+    names, stores = {}, {}
+    for nm, pts in [("a", pts_a), ("b", pts_b)]:
+        wsp = str(base / f"{nm}.wsp")
+        refwhisper.create(wsp, archives, xFilesFactor=0.3, aggregationMethod="average")
+        store = WhisperStore.create(spark, str(base / nm), archives, x_files_factor=0.3)
+        points = [(NOW - age, v) for (age, v) in pts]
+        refwhisper.update_many(wsp, points, now=NOW)
+        store.update_many(list(points), now=NOW, metric="m")
+        names[nm], stores[nm] = wsp, store
+
+    ref = refwhisper.diff(names["a"], names["b"], ignore_empty=ignore_empty, now=NOW)
+    got = stores["a"].diff(stores["b"], ignore_empty=ignore_empty, now=NOW)
+    assert len(got) == len(ref)
+
+    def cmp_cell(r, g, label):
+        if r is None or g is None:
+            assert r is None and g is None, label
+        elif isinstance(r, float) and math.isnan(r):
+            assert math.isnan(g), label
+        else:
+            assert g == pytest.approx(r, rel=1e-12), label
+
+    for (ri, rdiffs, rtotal), (gi, gdf, gtotal) in zip(ref, got):
+        assert gi == ri
+        assert gtotal == rtotal, f"archive {ri} total"
+        # single metric -> ts is unique within an archive: sort and pair up
+        grows = sorted((r["ts"], r["va"], r["vb"]) for r in gdf.collect())
+        rrows = sorted(rdiffs)
+        assert [t for (t, _, _) in grows] == [t for (t, _, _) in rrows], f"archive {ri} ts set"
+        for (ts, va, vb), (_, ga, gb) in zip(rrows, grows):
+            cmp_cell(va, ga, f"archive {ri} ts {ts} va")
+            cmp_cell(vb, gb, f"archive {ri} ts {ts} vb")
+
+
+def _ref_resize_aggregate(old_wsp, new_wsp, new_archives, xff, agg, now):
+    """Replicates bin/whisper-resize.py's --aggregate path with a pinned
+    clock: merged timeline preferring the finest data (:148-163), then
+    per new archive re-bin by bisect with the xff gate (:175-198)."""
+    import bisect
+
+    refwhisper.create(new_wsp, new_archives, xFilesFactor=xff, aggregationMethod=agg)
+    olds = sorted(
+        refwhisper.info(old_wsp)["archives"],
+        key=lambda a: a["secondsPerPoint"],
+        reverse=True,
+    )
+    for a in olds:
+        ft = now - a["retention"] + a["secondsPerPoint"]
+        a["data"] = refwhisper.fetch(old_wsp, ft, now, now=now)
+
+    all_datapoints = []
+    for archive in sorted(olds, key=lambda x: x["secondsPerPoint"]):
+        timeinfo, values = archive["data"]
+        new_datapoints = list(zip(range(*timeinfo), values))
+        new_datapoints.reverse()
+        if all_datapoints:
+            last_timestamp = all_datapoints[-1][0]
+            slice_end = 0
+            for i, (timestamp, value) in enumerate(new_datapoints):
+                if timestamp < last_timestamp:
+                    slice_end = i
+                    break
+            all_datapoints += new_datapoints[slice_end:]
+        else:
+            all_datapoints += new_datapoints
+    all_datapoints.reverse()
+    oldtimestamps = [p[0] for p in all_datapoints]
+    oldvalues = [p[1] for p in all_datapoints]
+
+    for archive in refwhisper.info(new_wsp)["archives"]:
+        step = archive["secondsPerPoint"]
+        from_t = now - archive["retention"] + now % step
+        until_t = now + now % step + step
+        tps = range(from_t, until_t, step)
+        newdatapoints = []
+        for tinterval in zip(tps[:-1], tps[1:]):
+            lefti = bisect.bisect_left(oldtimestamps, tinterval[0])
+            righti = bisect.bisect_left(oldtimestamps, tinterval[1], lo=lefti)
+            newvalues = oldvalues[lefti:righti]
+            if newvalues:
+                non_none = [x for x in newvalues if x is not None]
+                if non_none and 1.0 * len(non_none) / len(newvalues) >= xff:
+                    newdatapoints.append(
+                        [tinterval[0], refwhisper.aggregate(agg, non_none, newvalues)]
+                    )
+        refwhisper.update_many(new_wsp, newdatapoints, now=now)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts=points_strategy,
+    new_archives=st.sampled_from([[(60, 30)], [(10, 90), (60, 60)]]),
+    agg=st.sampled_from(["average", "sum", "max"]),
+    xff=st.sampled_from([0.0, 0.5]),
+)
+def test_fuzz_resize_aggregate_parity(spark, fuzz_tmp, pts, new_archives, agg, xff):
+    """resize --aggregate: re-binned migration must match the reference
+    script's merged-timeline + bisect + xff-gate path."""
+    _counter[0] += 1
+    base = fuzz_tmp / f"resizeagg{_counter[0]}"
+    base.mkdir()
+    archives = [(5, 60), (60, 30)]
+    wsp = str(base / "old.wsp")
+    refwhisper.create(wsp, archives, xFilesFactor=xff, aggregationMethod=agg)
+    store = WhisperStore.create(
+        spark, str(base / "old"), archives, x_files_factor=xff, aggregation_method=agg
+    )
+    points = [(NOW - age, v) for (age, v) in pts]
+    refwhisper.update_many(wsp, points, now=NOW)
+    store.update_many(list(points), now=NOW, metric="m")
+
+    new_wsp = str(base / "new.wsp")
+    _ref_resize_aggregate(wsp, new_wsp, new_archives, xff, agg, NOW)
+    new_store = store.resize(
+        new_archives, new_path=str(base / "new"), use_aggregate=True, now=NOW
+    )
+
+    max_ret = max(s * n for (s, n) in new_archives)
+    for (f, u) in [(NOW - max_ret + 1, NOW), (NOW - 150, NOW)]:
+        ref = refwhisper.fetch(new_wsp, f, u, now=NOW)
+        got = new_store.fetch_series("m", from_time=f, until_time=u, now=NOW)
+        assert got[0] == tuple(ref[0])
+        for i, (r, g) in enumerate(zip(ref[1], got[1])):
+            if r is None or g is None:
+                assert r is None and g is None, f"resize-agg ({f},{u}) slot {i}: {r} vs {g}"
+            elif isinstance(r, float) and math.isnan(r):
+                assert math.isnan(g), f"slot {i}"
+            else:
+                assert g == pytest.approx(r, rel=1e-12), f"slot {i}: {r} vs {g}"
+
+
 def _ref_resize_default(old_wsp, new_wsp, new_archives, xff, agg, now):
     """Replicates bin/whisper-resize.py's default (non-aggregate) path with
     a pinned clock: fetch each old archive over its retention, replay
