@@ -158,6 +158,96 @@ def test_fuzz_fill_parity(spark, fuzz_tmp, pts_src, pts_dst):
 
 
 @settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=90),  # clock advance (s)
+            st.one_of(
+                # single-point update: (age, value)
+                st.tuples(
+                    st.integers(min_value=-30, max_value=400),
+                    st.floats(
+                        min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_infinity=False,
+                    ),
+                ),
+                # batch update_many
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=-30, max_value=400),
+                        st.floats(
+                            min_value=-1e6, max_value=1e6,
+                            allow_nan=False, allow_infinity=False,
+                        ),
+                    ),
+                    min_size=1,
+                    max_size=12,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    agg=st.sampled_from(["average", "last", "absmax"]),
+)
+def test_fuzz_update_sequence_parity(spark, fuzz_tmp, ops, agg):
+    """Interleaved single updates and batches with an advancing clock:
+    exercises single-point age rejection (TimestampNotCovered), cross-batch
+    LWW, rollup recompute of already-propagated intervals, and ring
+    eviction as `now` moves forward (reference: whisper.py:667-737)."""
+    _counter[0] += 1
+    base = fuzz_tmp / f"seq{_counter[0]}"
+    base.mkdir()
+    archives = [(5, 60), (60, 30)]
+    wsp = str(base / "ref.wsp")
+    refwhisper.create(wsp, archives, xFilesFactor=0.3, aggregationMethod=agg)
+    store = WhisperStore.create(
+        spark, str(base / "store"), archives, x_files_factor=0.3,
+        aggregation_method=agg,
+    )
+
+    now = NOW
+    for (advance, op) in ops:
+        now += advance
+        if isinstance(op, tuple):  # single point
+            (age, v) = op
+            ts = now - age
+            ref_err = got_err = None
+            try:
+                refwhisper.update(wsp, v, ts, now=now)
+            except refwhisper.TimestampNotCovered as ex:
+                ref_err = type(ex).__name__
+            try:
+                store.update("m", v, ts, now=now)
+            except Exception as ex:
+                got_err = type(ex).__name__
+            assert got_err == ref_err, f"update({ts}) error parity"
+        else:
+            points = [(now - age, v) for (age, v) in op]
+            refwhisper.update_many(wsp, points, now=now)
+            store.update_many(list(points), now=now, metric="m")
+
+    for (f, u) in [(now - 299, now), (now - 1799, now)]:
+        ref = refwhisper.fetch(wsp, f, u, now=now)
+        got = store.fetch_series("m", from_time=f, until_time=u, now=now)
+        if ref is None:
+            assert got is None
+            continue
+        assert got[0] == tuple(ref[0])
+        for i, (r, g) in enumerate(zip(ref[1], got[1])):
+            if r is None or g is None:
+                assert r is None and g is None, f"seq ({f},{u}) slot {i}: {r} vs {g}"
+            elif isinstance(r, float) and math.isnan(r):
+                assert math.isnan(g), f"slot {i}"
+            else:
+                assert g == pytest.approx(r, rel=1e-12), f"slot {i}: {r} vs {g}"
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
