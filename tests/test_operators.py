@@ -101,6 +101,24 @@ def test_cosine_topk_and_ivf(spark):
     assert hits >= 10  # >= 50% recall on random data with 1/4 of buckets
 
 
+def test_ivf_literal_and_join_paths_agree(spark, monkeypatch):
+    """The broadcast-join fallback (centroid set too large to inline)
+    must produce the same assignment and top-k as the literal path."""
+    emb = spark.read.parquet(f"{sf_dir(SF)}/embeddings.parquet")
+    q = emb.filter("vec_id < 4")
+    lit_assign = similarity.ivf_assign(emb, n_buckets=8).collect()
+    lit_topk = similarity.ivf_topk(q, emb, k=3, nprobe=2, n_buckets=8).collect()
+    monkeypatch.setattr(similarity, "LITERAL_FLOATS_MAX", 0)
+    join_assign = similarity.ivf_assign(emb, n_buckets=8).collect()
+    join_topk = similarity.ivf_topk(q, emb, k=3, nprobe=2, n_buckets=8).collect()
+    assert {(r["vec_id"], r["centroid"]) for r in lit_assign} == {
+        (r["vec_id"], r["centroid"]) for r in join_assign
+    }
+    assert {(r["qid"], r["rank"], r["nid"]) for r in lit_topk} == {
+        (r["qid"], r["rank"], r["nid"]) for r in join_topk
+    }
+
+
 def test_textanalysis(spark, docs):
     out = textanalysis.token_stats(docs)
     r = out.filter("n_tokens > 0").count()

@@ -263,13 +263,21 @@ def embedding_neardup_pairs(
     Scale path: vectors are first coarse-quantized to their nearest seed
     centroid (IVF bucketing, see operators.similarity); the exact cosine
     self-join then runs per bucket, turning O(n^2) into
-    O(sum of bucket^2)."""
-    from .similarity import ivf_assign
+    O(sum of bucket^2).  The assignment is a narrow literal-centroid
+    projection (no shuffle), so computing it on both self-join sides
+    costs two cheap map passes, not two crossJoin+window shuffles."""
+    from .similarity import centroid_literal, centroid_scores, ivf_assign, seed_centroids
 
-    assigned = ivf_assign(df, emb_col, id_col, n_buckets).select(
-        id_col, "centroid"
-    )
-    e = df.join(assigned, id_col)
+    cent_arr, _ = centroid_literal(seed_centroids(df, n_buckets, emb_col, id_col))
+    if cent_arr is not None:
+        e = df.withColumn(
+            "centroid", F.array_min(centroid_scores(emb_col, cent_arr))["cid"]
+        )
+    else:
+        assigned = ivf_assign(df, emb_col, id_col, n_buckets).select(
+            id_col, "centroid"
+        )
+        e = df.join(assigned, id_col)
     a = e.select(
         F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"), "centroid"
     )

@@ -7,11 +7,20 @@ Two tiers, matching how ANN systems scale:
   Right answer for <= a few thousand queries against any corpus size
   (work is one corpus scan), and the verification oracle for the ANN path.
 * :func:`ivf_topk` — IVF-style: corpus bucketed by nearest coarse
-  centroid (a broadcast join against <= a few thousand centroids); a
-  query probes only its ``nprobe`` nearest buckets.  Corpus scan shrinks
-  by ~n_buckets/nprobe; the bucket assignment is precomputable and
-  persistable (partition the corpus table by ``centroid`` and Catalyst
-  prunes buckets at scan time).
+  centroid; a query probes only its ``nprobe`` nearest buckets.  Corpus
+  scan shrinks by ~n_buckets/nprobe; the bucket assignment is
+  precomputable and persistable (partition the corpus table by
+  ``centroid`` and Catalyst prunes buckets at scan time).
+
+Centroid assignment strategy: the centroid set is small by contract, so
+it is collected once and inlined as a LITERAL array column — assignment
+becomes ``array_min`` over per-centroid ``(dist2, cid)`` structs, a
+narrow projection with NO shuffle and no per-side recompute when the
+result feeds a self-join.  (The previous design — crossJoin against
+broadcast centroids + a row_number window partitioned by vector id —
+shuffled n_buckets× the corpus, twice for self-joins.)  Above
+``LITERAL_FLOATS_MAX`` inlined floats the plan would bloat, so large
+centroid sets fall back to that broadcast-join path automatically.
 
 All kernels are built-in expressions (zip_with/aggregate folds) — no
 Python UDFs in the hot path.
@@ -19,8 +28,12 @@ Python UDFs in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: above this many inlined floats (n_buckets * dim) the literal-array
+#: assignment falls back to the broadcast-join form
+LITERAL_FLOATS_MAX = 65536
 
 
 def _dot(a: str, b: str):
@@ -34,6 +47,20 @@ def _dot(a: str, b: str):
 def _sqnorm(c: str):
     return F.aggregate(
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dist2(a, b) -> Column:
+    """Squared L2 between two array columns, folded in element order
+    (bit-identical to the DuckDB oracle's list_sum/list_transform)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -84,6 +111,61 @@ def seed_centroids(
     )
 
 
+def centroid_literal(centroids: DataFrame) -> tuple[Column | None, int]:
+    """Collect the (small-by-contract) centroid set and inline it as a
+    literal ``array<struct<cid,ce>>`` column.  Returns ``(column,
+    n_floats)``; column is None when the set exceeds
+    :data:`LITERAL_FLOATS_MAX` and the caller should use the
+    broadcast-join fallback."""
+    elem_type = centroids.schema["ce"].dataType.simpleString()
+    rows = centroids.select("cid", "ce").orderBy("cid").collect()
+    n_floats = sum(len(r["ce"]) for r in rows)
+    if not rows or n_floats > LITERAL_FLOATS_MAX:
+        return None, n_floats
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["ce"]])
+                .cast(elem_type)
+                .alias("ce"),
+            )
+            for r in rows
+        ]
+    )
+    return arr, n_floats
+
+
+def centroid_scores(emb_col: str, cent_arr: Column) -> Column:
+    """array<struct<dist2,cid>>: squared distance of ``emb_col`` to every
+    inlined centroid; struct order makes (dist2 asc, cid asc) the sort
+    key, so ``array_min`` = nearest assignment and
+    ``slice(array_sort(..), 1, nprobe)`` = probe set."""
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            _dist2(F.col(emb_col), c["ce"]).alias("dist2"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def _assign_join(
+    corpus: DataFrame, emb_col: str, id_col: str, cent: DataFrame
+) -> DataFrame:
+    """Fallback assignment for centroid sets too large to inline:
+    crossJoin against the broadcast centroids + per-id window."""
+    j = corpus.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col), F.col("cid"), _dist2(F.col(emb_col), F.col("ce")).alias("dist2")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cid")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("centroid"), "dist2")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     emb_col: str = "embedding",
@@ -92,25 +174,17 @@ def ivf_assign(
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, centroid, dist2): nearest-centroid assignment — IVF coarse
-    quantization.  Broadcast the centroids; one corpus scan."""
+    quantization as one narrow corpus scan (literal centroids), falling
+    back to broadcast-join + window above :data:`LITERAL_FLOATS_MAX`."""
     cent = centroids if centroids is not None else seed_centroids(corpus, n_buckets, emb_col, id_col)
-    d2 = F.aggregate(
-        F.zip_with(
-            emb_col, "ce",
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    j = corpus.crossJoin(F.broadcast(cent)).select(
-        F.col(id_col), F.col("cid"), d2.alias("dist2")
-    )
-    w = Window.partitionBy(id_col).orderBy("dist2", "cid")
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("cid").alias("centroid"), "dist2")
+    cent_arr, _ = centroid_literal(cent)
+    if cent_arr is None:
+        return _assign_join(corpus, emb_col, id_col, cent)
+    best = F.array_min(centroid_scores(emb_col, cent_arr))
+    return corpus.select(
+        F.col(id_col),
+        best["cid"].alias("centroid"),
+        best["dist2"].alias("dist2"),
     )
 
 
@@ -125,31 +199,37 @@ def ivf_topk(
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, nid, rank, score): approximate top-k — each query scans only
-    its ``nprobe`` nearest IVF buckets instead of the whole corpus."""
-    cent = centroids if centroids is not None else seed_centroids(corpus, n_buckets, emb_col, id_col)
-    cent = cent.persist()
-    assigned = ivf_assign(corpus, emb_col, id_col, n_buckets, centroids=cent)
-    bucketed = corpus.join(assigned.select(id_col, "centroid"), id_col)
+    its ``nprobe`` nearest IVF buckets instead of the whole corpus.
 
-    # probe set per query: its nprobe nearest centroids
-    qd2 = F.aggregate(
-        F.zip_with(
-            "qe", "ce",
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    With inlined centroids both the corpus bucketing and the per-query
+    probe selection are narrow projections; the only shuffle-bearing
+    steps are the probe->bucket broadcast join and the final top-k."""
+    cent = centroids if centroids is not None else seed_centroids(corpus, n_buckets, emb_col, id_col)
+    cent_arr, _ = centroid_literal(cent)
     q = queries.select(F.col(id_col).alias("qid"), F.col(emb_col).alias("qe"))
-    wq = Window.partitionBy("qid").orderBy("qd2", "cid")
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("qid", "qe", "cid", qd2.alias("qd2"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "qe", F.col("cid").alias("centroid"))
-    )
+
+    if cent_arr is not None:
+        bucketed = corpus.withColumn(
+            "centroid", F.array_min(centroid_scores(emb_col, cent_arr))["cid"]
+        )
+        probes = q.select(
+            "qid",
+            "qe",
+            F.explode(
+                F.slice(F.array_sort(centroid_scores("qe", cent_arr)), 1, nprobe)
+            ).alias("p"),
+        ).select("qid", "qe", F.col("p.cid").alias("centroid"))
+    else:
+        assigned = ivf_assign(corpus, emb_col, id_col, n_buckets, centroids=cent)
+        bucketed = corpus.join(assigned.select(id_col, "centroid"), id_col)
+        wq = Window.partitionBy("qid").orderBy("qd2", "cid")
+        probes = (
+            q.crossJoin(F.broadcast(cent))
+            .select("qid", "qe", "cid", _dist2(F.col("qe"), F.col("ce")).alias("qd2"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("qid", "qe", F.col("cid").alias("centroid"))
+        )
 
     c = bucketed.select(
         F.col(id_col).alias("nid"), F.col(emb_col).alias("ce"), "centroid"

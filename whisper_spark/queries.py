@@ -1208,28 +1208,9 @@ SELECT vec_id, cid AS centroid, dist2 FROM (
     "seed centroids — the bucketing stage of scalable ANN",
 )
 def q_emb_ivf_assign(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    dist2 = F.aggregate(
-        F.zip_with(
-            "embedding", "ce", lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    j = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", dist2.alias("dist2")
-    )
-    from pyspark.sql import Window
+    from .operators.similarity import ivf_assign
 
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("centroid"), "dist2")
-    )
+    return ivf_assign(load(spark, sf_dir, "embeddings"), n_buckets=16)
 
 
 _IVF_ASSIGN_SQL = """
