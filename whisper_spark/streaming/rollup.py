@@ -1,0 +1,168 @@
+"""Streaming pre-aggregation and custom stateful slot state.
+
+Two streaming operators beyond plain ingest (streaming/ingest.py):
+
+* :func:`windowed_rollup` — the carbon-aggregator analog (the reference
+  ecosystem pre-aggregates points before they reach whisper files;
+  reference README.md:13 describes carbon as the ingest daemon).  A pure
+  Structured Streaming plan: event-time watermark + tumbling window +
+  the same consolidation functions and xFilesFactor gate as the batch
+  rollup (whisper.py:578-664).  Append mode — a window is emitted once,
+  when the watermark passes it, so downstream sinks receive finalized
+  rollups only.
+
+* :func:`stateful_slot_lww` — whisper's in-place slot overwrite
+  (whisper.py:806-808: duplicate intervals resolve to the last write) as
+  an ``applyInPandasWithState`` operator: per-metric state holds the
+  current (slot -> value, seq) map bounded by retention, and every
+  micro-batch emits only the slots whose value CHANGED — the streaming
+  changelog of the store.  Built-in windowed aggs can't express
+  "re-emit on late overwrite, bounded by retention, dedup by arrival
+  order", which is exactly the GroupState fit.
+
+State at scale: both operators shard by metric — state size is
+``metrics × slots-in-retention``, independent of stream length, the same
+bound as whisper's fixed file size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..aggregation import aggregate_column
+
+
+def windowed_rollup(
+    points: DataFrame,
+    step_seconds: int,
+    method: str = "average",
+    xff: float = 0.5,
+    watermark_seconds: int = 3600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window consolidation of a streaming point
+    DataFrame (metric, ts[long seconds], value, seq).
+
+    Late points inside the watermark update their window before it is
+    finalized; points later than ``watermark_seconds`` are dropped —
+    the streaming analog of retention-bounded late acceptance
+    (whisper.py:693-696, where a point older than maxRetention is
+    rejected).  The xff gate counts received slots against the full
+    ``step/1s`` slot budget only when a slot grain is known; here it
+    gates on distinct contributing seconds, matching one propagation
+    step from 1s resolution (whisper.py:639-640).
+    """
+    evt = F.timestamp_seconds(F.col(ts_col)).alias("_evt")
+    pts = points.select("metric", evt, F.col(ts_col).alias("_sec"), "value", "seq")
+    slots = int(step_seconds)  # slot budget at 1s input grain
+    # consolidates RAW points per window (carbon-aggregator semantics);
+    # the xff fraction counts distinct known seconds against the budget
+    out = (
+        pts.withWatermark("_evt", f"{watermark_seconds} seconds")
+        .groupBy("metric", F.window("_evt", f"{step_seconds} seconds").alias("_w"))
+        .agg(
+            aggregate_column(
+                method, "value", order=F.col("_sec"), expected_slots=slots
+            ).alias("value"),
+            # count_distinct is unsupported on streaming DFs; the slot
+            # cardinality is small (<= step_seconds) so a set is fine
+            F.size(F.collect_set(F.col("_sec"))).alias("_known"),
+        )
+        .filter((F.col("_known") / F.lit(float(slots))) >= F.lit(xff))
+        .select(
+            "metric",
+            F.unix_timestamp(F.col("_w.start")).alias("ts"),
+            "value",
+            F.col("_known").alias("known"),
+        )
+    )
+    return out
+
+
+_LWW_OUTPUT = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_LWW_STATE = T.StructType(
+    [
+        T.StructField("slots", T.ArrayType(T.LongType())),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+        T.StructField("seqs", T.ArrayType(T.LongType())),
+        T.StructField("max_ts", T.LongType()),
+    ]
+)
+
+
+def stateful_slot_lww(
+    points: DataFrame,
+    step_seconds: int = 1,
+    retention_seconds: int = 86400,
+) -> DataFrame:
+    """Streaming changelog of whisper slot state via
+    ``applyInPandasWithState``.
+
+    Input: streaming (metric, ts, value, seq).  Output rows: (metric,
+    ts, value) for every step-aligned slot whose value changed in the
+    micro-batch — late writes re-emit their slot (whisper's in-place
+    overwrite, whisper.py:806-808: ties on a slot resolve to the higher
+    seq, i.e. last write wins).  Per-metric state is the (slot -> value,
+    seq) map pruned to ``retention_seconds`` behind the newest point —
+    the ring buffer's bounded size, kept bounded here the same way.
+    """
+    step = int(step_seconds)
+    ret = int(retention_seconds)
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (slots, values, seqs, max_ts) = state.get
+            cur = {int(s): (v, int(q)) for s, v, q in zip(slots, values, seqs)}
+        else:
+            cur, max_ts = {}, 0
+        changed = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq")
+            for ts, v, seq in zip(pdf["ts"], pdf["value"], pdf["seq"]):
+                slot = int(ts) - int(ts) % step
+                max_ts = max(max_ts, slot)
+                old = cur.get(slot)
+                if old is None or int(seq) >= old[1]:
+                    if old is None or old[0] != v:
+                        changed[slot] = v
+                    cur[slot] = (float(v), int(seq))
+        horizon = max_ts - ret
+        cur = {s: vq for s, vq in cur.items() if s >= horizon}
+        state.update(
+            (
+                [int(s) for s in cur],
+                [float(vq[0]) for vq in cur.values()],
+                [int(vq[1]) for vq in cur.values()],
+                int(max_ts),
+            )
+        )
+        if changed:
+            yield pd.DataFrame(
+                {
+                    "metric": key[0],
+                    "ts": list(changed.keys()),
+                    "value": list(changed.values()),
+                }
+            )
+
+    return points.groupBy("metric").applyInPandasWithState(
+        fn,
+        outputStructType=_LWW_OUTPUT,
+        stateStructType=_LWW_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
