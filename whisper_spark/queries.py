@@ -729,6 +729,101 @@ def q_q18(spark, sf_dir):
 
 
 @_q(
+    "q4_priority_exists",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE epoch_us(o_orderdate) // 1000000 >= 820454400
+  AND epoch_us(o_orderdate) // 1000000 < 852076800
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="EXISTS semi-join + count (TPC-H Q4 shape, adapted: the testdata "
+    "has no l_commitdate/l_receiptdate, so 'late' means shipped after "
+    "the order date); Spark plans a left-semi join that never widens "
+    "the orders rows",
+)
+def q_q4(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lo, hi = 820454400, 852076800
+    late = (od.o_orderkey == li.l_orderkey) & (
+        sec(li, "l_shipdate") > sec(od, "o_orderdate")
+    )
+    return (
+        od.filter(sec_ge(od, "o_orderdate", lo) & sec_lt(od, "o_orderdate", hi))
+        .join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "q12_priority_by_status",
+    """
+SELECT l_linestatus,
+       count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+       count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE epoch_us(l_shipdate) // 1000000 >= 820454400
+  AND epoch_us(l_shipdate) // 1000000 < 852076800
+GROUP BY l_linestatus
+""",
+    doc="conditional aggregation over a fact join (TPC-H Q12 shape, "
+    "adapted: grouped by l_linestatus since the testdata has no "
+    "l_shipmode); both counts come from one scan + one shuffle",
+)
+def q_q12(spark, sf_dir):
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lo, hi = 820454400, 852076800
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(sec_ge(li, "l_shipdate", lo) & sec_lt(li, "l_shipdate", hi))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_cnt",
+    """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+    doc="anti-join + distinct count (TPC-H Q16 shape, adapted: lineitem "
+    "is the part-supplier bridge since the testdata has no partsupp; "
+    "suppliers in deficit are excluded).  The NOT IN side is tiny and "
+    "broadcast; distinct count is a two-level aggregate",
+)
+def q_q16(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
+    bad = su.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(pt.filter(F.col("p_size").isin(1, 2, 3, 4, 5))),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
     "ev_top_users_per_type",
     """
 WITH per_user AS (
@@ -1304,6 +1399,61 @@ def q_emb_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(q, emb, k=5, nprobe=4, n_buckets=16)
+
+
+@_q(
+    "stream_rollup_1m_max",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+win AS (
+  SELECT metric, sec // 60 * 60 AS ts, max(value) AS value,
+         count(DISTINCT sec) AS known
+  FROM raw GROUP BY metric, sec // 60 * 60
+)
+SELECT metric, ts, value, known FROM win, mx WHERE ts + 60 <= m - 600
+""",
+    doc="STRUCTURED STREAMING with a full oracle: events replayed through "
+    "readStream -> 10-min watermark -> 1m tumbling window -> max "
+    "consolidation -> append-mode memory sink (availableNow).  The "
+    "oracle models watermark finalization exactly: a window is emitted "
+    "iff window_end <= max_event_time - delay.  max is order-independent "
+    "so the result is bit-deterministic (streaming/rollup.py "
+    "windowed_rollup — the carbon-aggregator analog)",
+)
+def q_stream_rollup_1m_max(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import windowed_rollup
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+    rolled = windowed_rollup(
+        pts, step_seconds=60, method="max", xff=0.0, watermark_seconds=600
+    )
+    name = "stream_rollup_" + uuid.uuid4().hex[:8]
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 # --------------------------------------------------------------------- #
