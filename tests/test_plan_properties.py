@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+documented in PERF.md are asserted here so a refactor can't silently
+reintroduce a shuffle, lose a pushdown, or drop a broadcast.
+
+These inspect ``executedPlan`` strings at sf0.001 — plan SHAPE is scale
+independent (that's the point of asserting it), only the data volume
+isn't.
+"""
+
+import pytest
+
+from whisper_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = Q.QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_date_filter(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q3_broadcasts_dimensions_and_pushes_segment(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # the customer-side predicate must reach the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_no_sort_merge_join(spark):
+    """All dimension joins broadcast; the fact table never sort-merges."""
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lww_is_partial_aggregated(spark):
+    """LWW must be a map-side-combinable aggregate, not a window sort."""
+    plan = plan_of(spark, "ws_lww_seconds")
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_ivf_assign_is_narrow(spark):
+    """Literal-centroid assignment: one scan, zero shuffles/joins."""
+    plan = plan_of(spark, "emb_ivf_assign")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_topk_minimal_shuffles(spark):
+    plan = plan_of(spark, "emb_ivf_topk")
+    # the probe->bucket join broadcasts; no sort-merge anywhere
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q16_anti_join_broadcasts(spark):
+    plan = plan_of(spark, "q16_supplier_cnt")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_store_fetch_prunes_partitions(spark, tmp_path):
+    """The fetch path must show partition filters on (resolution, tb) and
+    pushed ts bounds — the property that bounds IO at 100 TB."""
+    from whisper_spark.store import WhisperStore
+
+    NOW = 1700000000
+    store = WhisperStore.create(spark, str(tmp_path / "db"), [(5, 60), (60, 30)])
+    store.update_many([(NOW - i * 5, float(i)) for i in range(20)], now=NOW, metric="m")
+    res = store.fetch("m", from_time=NOW - 299, until_time=NOW, now=NOW)
+    assert res is not None
+    (_, df) = res
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "resolution" in plan
+    assert "tb" in plan
+    pushed = plan.split("PushedFilters")[1][:300] if "PushedFilters" in plan else ""
+    assert "ts" in pushed
