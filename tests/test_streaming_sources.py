@@ -173,3 +173,49 @@ def test_stateful_slot_lww_changelog(spark, tmp_path):
         finals[(m, ts)] = v
     assert finals[("m.x", NOW)] == 9.0
     assert finals[("m.x", NOW + 5)] == 2.0
+
+
+def test_stateful_slot_lww_nan_not_reemitted(spark, tmp_path):
+    """A slot rewritten with NaN is UNCHANGED (NaN != NaN must not count
+    as a change) — no changelog row per micro-batch; a later real value
+    still emits."""
+    import os
+
+    from whisper_spark.streaming.rollup import stateful_slot_lww
+
+    indir = tmp_path / "nan_in"
+    indir.mkdir()
+    (indir / "b1.txt").write_text(f"m.n NaN {NOW}\n")
+    (indir / "b2.txt").write_text(f"m.n NaN {NOW}\n")
+    (indir / "b3.txt").write_text(f"m.n 5.0 {NOW}\n")
+    # force deterministic file order (FileStreamSource sorts by mtime)
+    for i, name in enumerate(["b1.txt", "b2.txt", "b3.txt"]):
+        os.utime(indir / name, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(indir))
+    )
+    out = stateful_slot_lww(
+        parse_line_protocol(stream), step_seconds=1, retention_seconds=3600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nan_changes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    vals = [
+        r["value"]
+        for r in spark.sql(
+            f"SELECT value FROM nan_changes WHERE metric='m.n' AND ts={NOW}"
+        ).collect()
+    ]
+    # exactly one NaN emission (not one per NaN batch) + the real value.
+    # NaN crosses the applyInPandasWithState pandas->Arrow boundary as
+    # NULL (pandas' float64 null sentinel), so it surfaces as None here.
+    assert sum(1 for v in vals if v is None or v != v) == 1, vals
+    assert 5.0 in vals

@@ -29,6 +29,40 @@ TABLES = [
 ]
 
 
+_TYPE_ALIASES = {
+    # duckdb DESCRIBE / DBAPI names -> canonical
+    "bigint": "int64", "hugeint": "int128", "integer": "int32",
+    "smallint": "int16", "tinyint": "int8", "ubigint": "uint64",
+    "double": "float64", "float": "float32", "real": "float32",
+    "varchar": "string", "boolean": "bool", "blob": "binary",
+    # spark dtypes -> canonical
+    "long": "int64", "int": "int32", "short": "int16", "byte": "int8",
+}
+
+
+def canon_type(t):
+    t = str(t).strip().lower()
+    t = t.replace("float[]", "array<float32>").replace("double[]", "array<float64>")
+    t = t.replace("array<float>", "array<float32>").replace("array<double>", "array<float64>")
+    return _TYPE_ALIASES.get(t, t)
+
+
+def type_family(t):
+    """Collapse physical width to the Python-value family the driver's
+    canonicalization sees: int32 and int64 both collect as ``int`` (round 1
+    proved the driver passes those), but HUGEINT/DECIMAL surface as
+    ``Decimal`` objects and hash differently — that family split is what
+    the one red round-1 row (doc_simhash) was."""
+    t = canon_type(t)
+    if t in ("int8", "int16", "int32", "int64", "uint64"):
+        return "int"
+    if t == "int128" or t.startswith("decimal"):
+        return "decimal"
+    if t in ("float32", "float64"):
+        return "float"
+    return t
+
+
 def canon_cell(v):
     if v is None:
         return "\x00NULL"
@@ -67,6 +101,14 @@ def run_one(spark, con, name, sf_dir, verbose=False):
     if sorted(scols) != sorted(dcols):
         out["status"] = "SCHEMA_MISMATCH"
         out["cols_spark"], out["cols_duck"] = scols, dcols
+        return out
+    stypes = {c: type_family(t) for c, t in sdf.dtypes}
+    # DBAPI description only reports generic 'NUMBER'; DESCRIBE gives real types
+    dtypes = {r[0]: type_family(r[1]) for r in con.execute(f"DESCRIBE {q.sql}").fetchall()}
+    tdiff = {c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]}
+    if tdiff:
+        out["status"] = "TYPE_MISMATCH"
+        out["type_diff"] = tdiff
         return out
     if len(srows) != len(drows):
         out["status"] = "ROWCOUNT_MISMATCH"

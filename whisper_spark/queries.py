@@ -1190,7 +1190,7 @@ WITH toks AS (
   FROM th, (SELECT unnest(generate_series(0, 59)) AS j)
   GROUP BY doc_id, j
 )
-SELECT doc_id, sum(CASE WHEN s > 0 THEN mask ELSE 0 END) AS simhash
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
     doc="SimHash fingerprint: 60-bit, md5-derived token hashes, majority "

@@ -117,6 +117,11 @@ def stateful_slot_lww(
     seq, i.e. last write wins).  Per-metric state is the (slot -> value,
     seq) map pruned to ``retention_seconds`` behind the newest point —
     the ring buffer's bounded size, kept bounded here the same way.
+
+    Note: an emitted NaN value crosses the pandas->Arrow output boundary
+    as NULL (pandas' float64 null sentinel); state keeps the true NaN, so
+    change detection is NaN-exact — a slot rewritten with NaN does not
+    re-emit.
     """
     step = int(step_seconds)
     ret = int(retention_seconds)
@@ -137,7 +142,12 @@ def stateful_slot_lww(
                 max_ts = max(max_ts, slot)
                 old = cur.get(slot)
                 if old is None or int(seq) >= old[1]:
-                    if old is None or old[0] != v:
+                    # NaN-aware unchanged check: NaN != NaN is True, so a
+                    # slot rewritten with NaN must not re-emit every batch
+                    same = old is not None and (
+                        old[0] == v or (old[0] != old[0] and v != v)
+                    )
+                    if not same:
                         changed[slot] = v
                     cur[slot] = (float(v), int(seq))
         horizon = max_ts - ret
