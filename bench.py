@@ -47,17 +47,29 @@ def main():
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name, q in Q.QUERIES.items():
-        if not q.bench:
-            continue
-        t0 = time.time()
-        # noop sink: executes the full plan distributed without paying
-        # driver-side row serialization (collect() costs ~4x the compute
-        # for the wider results and measures the wrong thing)
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # 3 runs per query, report the MEDIAN: identical-commit totals vary
+    # 11.9-17.3 s on this shared host (PERF.md), so single-shot numbers
+    # make round-over-round deltas meaningless.  Runs are interleaved
+    # (full sweep x3) so one host-load spike cannot bias one query's
+    # median.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    names = [name for name, q in Q.QUERIES.items() if q.bench]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _rep in range(reps):
+        for name in names:
+            t0 = time.time()
+            # noop sink: executes the full plan distributed without paying
+            # driver-side row serialization (collect() costs ~4x the compute
+            # for the wider results and measures the wrong thing)
+            Q.QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {n: round(median(v), 3) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

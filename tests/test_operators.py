@@ -172,3 +172,15 @@ def test_embedding_neardup(spark):
     pairs = dedup.embedding_neardup_pairs(both, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 10000) in got
+
+
+def test_ivf_recall_floor(spark):
+    """ANN quality: IVF-probed top-5 (nprobe=4/16) keeps recall >= 0.5
+    per query and >= 0.8 mean vs the exact cosine scan."""
+    from whisper_spark.queries import q_emb_ivf_recall
+
+    rows = q_emb_ivf_recall(spark, sf_dir(SF)).collect()
+    assert rows, "no query vectors"
+    recalls = [r["recall"] for r in rows]
+    assert min(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

@@ -81,3 +81,37 @@ def test_store_fetch_prunes_partitions(spark, tmp_path):
     assert "tb" in plan
     pushed = plan.split("PushedFilters")[1][:300] if "PushedFilters" in plan else ""
     assert "ts" in pushed
+
+
+def test_fetch_skips_collision_pass_when_metadata_proves_clean(spark, tmp_path):
+    """Ring-eviction emulation must short-circuit when partition metadata
+    proves no collider rows exist: ONE parquet scan (no one-span-back +
+    tail union) and no ts%span slot aggregate.  A store with an actual
+    future-tail bucket must still take the fuzz-proven collision path."""
+    from whisper_spark.store import WhisperStore
+
+    NOW = 1700000000
+    # archive tb width = 5*TB_SLOTS; all points land inside the window's
+    # buckets, no tail bucket -> short-circuit eligible
+    store = WhisperStore.create(spark, str(tmp_path / "db"), [(5, 60)])
+    store.update_many([(NOW - i * 5, float(i)) for i in range(12)], now=NOW, metric="m")
+    res = store.fetch("m", from_time=NOW - 59, until_time=NOW, now=NOW)
+    (_, df) = res
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    # the ring slot-collision aggregate (max over (wseq, ts, value)
+    # structs keyed on ts%span) must be absent
+    assert "struct(wseq" not in plan
+
+    # same store, but a future-timestamped point creates a tail bucket:
+    # the collision path (2 scans + slot aggregate) must engage
+    store2 = WhisperStore.create(spark, str(tmp_path / "db2"), [(5, 60)])
+    store2.update_many(
+        [(NOW - i * 5, float(i)) for i in range(12)] + [(NOW + 40, 99.0)],
+        now=NOW, metric="m",
+    )
+    res2 = store2.fetch("m", from_time=NOW - 59, until_time=NOW - 45, now=NOW)
+    (_, df2) = res2
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") >= 2
+    assert "struct(wseq" in plan2

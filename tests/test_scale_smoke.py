@@ -78,6 +78,40 @@ def test_skewed_bulk_ingest_and_fetch(spark, tmp_path, skewed_points):
     assert got_cold == exp_cold
 
 
+def _part_files(root):
+    out = []
+    for dirpath, _dirs, files in __import__("os").walk(root):
+        out += [f"{dirpath}/{f}" for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_append_parallelism_scales_with_volume(spark, tmp_path, skewed_points):
+    """Large appends must not funnel through the 4-task small-batch path:
+    with a small chunk target, a 1M-point batch writes with many tasks
+    (>4 part files even within one (resolution, tb) directory), while a
+    tiny batch keeps its file count bounded."""
+    store = WhisperStore.create(
+        spark, str(tmp_path / "db"), [(60, 1440), (3600, 168)],
+        x_files_factor=0.0, aggregation_method="average",
+    )
+    store.append_chunk_bytes = 64 * 1024  # force the volume-scaled path
+    store.update_many(skewed_points, now=NOW)
+    files = _part_files(str(tmp_path / "db" / "points"))
+    assert len(files) > 4, len(files)
+    # salted repartition: even a single hot (resolution, tb) bucket is
+    # spread across tasks, not serialized through one
+    by_dir = {}
+    for f in files:
+        by_dir.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    assert max(len(v) for v in by_dir.values()) > 4
+
+    # small-batch floor: a tiny append adds few files (no file spray)
+    before = len(files)
+    store.update_many([(NOW - 30, 1.0)], now=NOW, metric="tiny")
+    after = len(_part_files(str(tmp_path / "db" / "points")))
+    assert after - before <= 8  # raw slot + rollup cascade, <=4 each
+
+
 def test_skewed_cascade_hourly(spark, tmp_path, skewed_points):
     """The rollup cascade must produce hourly aggregates for the hot
     metric that match an independent two-level recompute."""

@@ -93,6 +93,34 @@ def test_read_rrd_gated(spark):
         read_rrd(spark, "/nonexistent.rrd")
 
 
+def test_rrd_fetch_mapping(spark):
+    """The RRA->rows mapping validated on a synthetic rrdtool.fetch()
+    result (rrdtool itself stays absent): one metric per datasource,
+    wallclock stepped from the fetch start, NaN/None slots dropped,
+    unknown datasources filtered (reference: bin/rrd2whisper.py:109-163)."""
+    from whisper_spark.sources.points import POINTS_READ_SCHEMA, rrd_fetch_to_rows
+
+    t_info = (1000, 1040, 10)  # (start, end, step)
+    names = ("a", "b", "ghost")
+    values = [
+        (1.0, None, 9.0),   # ghost not a declared datasource -> dropped
+        (2.0, 3.0, None),
+        (None, None, None),  # fully-unknown RRA row -> no output
+        (4.5, 0.0, None),
+    ]
+    rows = rrd_fetch_to_rows("sys.load", {"a", "b"}, t_info, names, values)
+    assert rows == [
+        ("sys.load.a", 1000, 1.0, 0),
+        ("sys.load.a", 1010, 2.0, 0),
+        ("sys.load.b", 1010, 3.0, 0),
+        ("sys.load.a", 1030, 4.5, 0),
+        ("sys.load.b", 1030, 0.0, 0),
+    ]
+    # rows ingest cleanly through the standard points shape
+    df = spark.createDataFrame(rows, POINTS_READ_SCHEMA)
+    assert df.count() == 5 and df.columns == ["metric", "ts", "value", "seq"]
+
+
 def test_windowed_rollup_stream(spark, tmp_path):
     """Watermarked tumbling-window pre-aggregation (carbon-aggregator
     analog): finalized windows only, xff-gated."""

@@ -1222,6 +1222,335 @@ def q_doc_simhash(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_dup_clusters",
+    "WITH RECURSIVE "
+    + _SHINGLE_SQL.strip()
+    + f"""
+, mh AS (
+  SELECT doc_id, k, min({_h60_sql("g || '#' || k")}) AS h
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS k)
+  GROUP BY doc_id, k
+), sig AS (
+  SELECT doc_id,
+         md5(CAST(min(CASE WHEN k=0 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=1 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=2 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=3 THEN h END) AS VARCHAR)) AS band0,
+         md5(CAST(min(CASE WHEN k=4 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=5 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=6 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=7 THEN h END) AS VARCHAR)) AS band1
+  FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, band1 AS sig FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+""",
+    doc="near-dup CLUSTERING: connected components over the MinHash-LSH "
+    "candidate graph — iterative min-label propagation on Spark "
+    "(O(diameter) rounds, each fully distributed) matched bit-exact by a "
+    "recursive-CTE transitive closure in DuckDB",
+)
+def q_doc_dup_clusters(spark, sf_dir):
+    pairs = q_doc_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    # min-label propagation to a fixed point.  Each round is one
+    # distributed join+aggregate; rounds ~ graph diameter (small for dup
+    # clusters).  localCheckpoint truncates lineage so the plan does not
+    # grow with rounds (the iterative-algorithm pattern at scale).
+    for _round in range(64):
+        prop = edges.join(
+            labels, edges["doc_a"] == labels["doc_id"], "inner"
+        ).select(F.col("doc_b").alias("doc_id"), F.col("cluster_id"))
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@_q(
+    "doc_split_assign",
+    f"""
+SELECT doc_id,
+       {_h60_sql("'split#' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+       CASE WHEN {_h60_sql("'split#' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+            WHEN {_h60_sql("'split#' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="deterministic train/valid/test split assignment by salted hash "
+    "bucket (80/10/10) — reproducible across runs and engines, no RNG "
+    "state; a narrow map pass at any scale",
+)
+def q_doc_split_assign(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _h60(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+_PII_AUG_SQL = """
+aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                      WHEN doc_id % 5 = 1
+                      THEN ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR) || ' there'
+                      ELSE '' END AS text
+  FROM documents
+)
+"""
+
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_URL_RE = "https?://[^ ]+"
+
+
+@_q(
+    "doc_scrub_pii",
+    "WITH "
+    + _PII_AUG_SQL
+    + f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_URL_RE}', '<URL>', 'g')) AS scrub_sig
+FROM aug
+""",
+    doc="PII/URL scrubbing: regex redaction + per-doc match counts over "
+    "deterministically planted addresses (the synthetic corpus has none); "
+    "output carries md5 of the scrubbed text so the oracle checks the "
+    "full rewrite, not just counts",
+)
+def q_doc_scrub_pii(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.lit(" see https://ex.org/d/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" there"),
+                ),
+            )
+            .otherwise(""),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.md5(scrubbed).alias("scrub_sig"),
+    )
+
+
+@_q(
+    "doc_pack_bins",
+    """
+SELECT doc_id, source, n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS bin_id
+FROM (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+""",
+    doc="sequence packing for context-window batching: docs chunked into "
+    "~256-token bins by running token count, packed per source shard "
+    "(PARTITION BY source keeps the window distributed — no global sort)",
+)
+def q_doc_pack_bins(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(256)).alias("bin_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# multimodal family (documents-derived media table)
+# --------------------------------------------------------------------- #
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hexbyte_sql(h: str, i: int) -> str:
+    """DuckDB expression for byte i of a hex digest string (the oracle's
+    view of the fake decoder's md5-derived metadata)."""
+    p1 = f"(strpos('{_HEXDIGITS}', substr({h}, {2 * i + 1}, 1)) - 1)"
+    p2 = f"(strpos('{_HEXDIGITS}', substr({h}, {2 * i + 2}, 1)) - 1)"
+    return f"(16 * {p1} + {p2})"
+
+
+_MEDIA_SQL = """
+media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h,
+         CASE WHEN doc_id % 3 = 2
+              THEN ((doc_id % 7) + 1) * 1500 END AS duration_ms
+  FROM documents WHERE doc_id < 300
+)
+"""
+
+
+def _media_df(spark, sf_dir):
+    """Deterministic media table built from documents: payload = utf-8
+    text bytes, kind cycles image/audio/video, videos carry a synthetic
+    duration.  Mirrors the ``media`` CTE in the oracles exactly."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(F.col("doc_id") % 3 == 2, ((F.col("doc_id") % 7) + 1) * 1500)
+            .cast("long")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+@_q(
+    "mm_decode_media",
+    "WITH "
+    + _MEDIA_SQL
+    + f"""
+SELECT media_id, kind, n_bytes,
+       CAST(16 + {_hexbyte_sql("h", 0)} AS INTEGER) AS width,
+       CAST(16 + {_hexbyte_sql("h", 1)} AS INTEGER) AS height,
+       """
+    + ",\n       ".join(
+        f"CAST({_hexbyte_sql('h', i)} / 255.0 AS REAL) AS f{i}" for i in range(8)
+    )
+    + "\nFROM media",
+    doc="Arrow-batched mapInPandas media decode (deterministic md5 stub "
+    "decoder); oracle recomputes the stub's metadata from hex digests",
+)
+def q_mm_decode_media(spark, sf_dir):
+    from .operators.multimodal import decode_media
+
+    dec = decode_media(_media_df(spark, sf_dir), decoder="fake")
+    return dec.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(8)],
+    )
+
+
+@_q(
+    "mm_frame_sample",
+    "WITH "
+    + _MEDIA_SQL
+    + """
+SELECT media_id, frame_idx, frame_idx * 1000 AS frame_ts_ms FROM (
+  SELECT media_id,
+         unnest(generate_series(0, greatest(duration_ms // 1000 - 1, 0))) AS frame_idx
+  FROM media WHERE kind = 'video'
+)
+""",
+    doc="video frame-sampling plan: one row per sampled frame from "
+    "meta.duration_ms (pure JVM explode, no decode in the planning pass)",
+)
+def q_mm_frame_sample(spark, sf_dir):
+    from .operators.multimodal import frame_sample
+
+    return frame_sample(_media_df(spark, sf_dir), every_ms=1000)
+
+
 _COS_SQL = """
 dotp AS (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
@@ -1399,6 +1728,78 @@ def q_emb_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(q, emb, k=5, nprobe=4, n_buckets=16)
+
+
+@_q(
+    "emb_ivf_recall",
+    "WITH "
+    + _COS_SQL
+    + ", exact AS (\n"
+    + """
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nq * nc) DESC, nid) AS rank
+    FROM dotp
+  ) WHERE rank <= 5
+),
+"""
+    + _IVF_ASSIGN_SQL.strip().lstrip()
+    + """
+, q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+qd AS (
+  SELECT q.qid, q.qe, cent.cid,
+         list_sum(list_transform(list_zip(q.qe, cent.ce),
+                  p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS qd2
+  FROM q, cent
+),
+probes AS (
+  SELECT qid, qe, cid AS centroid FROM (
+    SELECT qid, qe, cid, row_number() OVER (PARTITION BY qid ORDER BY qd2, cid) AS rn
+    FROM qd
+  ) WHERE rn <= 4
+),
+cand AS (SELECT e.vec_id AS nid, e.embedding AS ce, a.centroid
+         FROM embeddings e JOIN asg a USING (vec_id)),
+scored AS (
+  SELECT p.qid, c.nid,
+         list_sum(list_transform(list_zip(p.qe, c.ce),
+                                 x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         / sqrt(list_sum(list_transform(p.qe, x -> x::DOUBLE * x::DOUBLE))
+              * list_sum(list_transform(c.ce, x -> x::DOUBLE * x::DOUBLE))) AS score
+  FROM probes p JOIN cand c USING (centroid) WHERE p.qid <> c.nid
+),
+approx AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+)
+SELECT e.qid, count(a.nid) AS hits,
+       count(a.nid) / 5.0 AS recall
+FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+GROUP BY e.qid
+""",
+    doc="ANN quality gate: recall@5 of the IVF-probed search against the "
+    "exact cosine scan, per query vector — measures the approximate "
+    "path's quality, not just its speed",
+)
+def q_emb_ivf_recall(spark, sf_dir):
+    e = q_emb_cosine_topk(spark, sf_dir).select("qid", "nid")
+    a = q_emb_ivf_topk(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("nid").alias("anid")
+    )
+    return (
+        e.join(
+            a,
+            (e["qid"] == a["aqid"]) & (e["nid"] == a["anid"]),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("anid").alias("hits"),
+            (F.count("anid") / F.lit(5.0)).alias("recall"),
+        )
+    )
 
 
 @_q(

@@ -59,6 +59,22 @@ def _normalize(df: DataFrame) -> DataFrame:
     )
 
 
+def rrd_fetch_to_rows(base: str, datasources, t_info, names, values):
+    """Pure mapping of an ``rrdtool.fetch()`` result to (metric, ts,
+    value, seq) rows — one metric per datasource, wallclock stepped from
+    the fetch start (reference: bin/rrd2whisper.py:109-163).  Split out
+    from :func:`read_rrd` so the mapping is testable without rrdtool."""
+    (start, _end, step) = t_info
+    rows = []
+    t = start
+    for row in values:
+        for name, v in zip(names, row):
+            if v is not None and name in datasources:
+                rows.append((f"{base}.{name}", int(t), float(v), 0))
+        t += step
+    return rows
+
+
 def read_rrd(spark: SparkSession, path: str) -> DataFrame:
     """RRD import connector (reference: bin/rrd2whisper.py:59-163).
 
@@ -86,13 +102,6 @@ def read_rrd(spark: SparkSession, path: str) -> DataFrame:
         {k.split("[")[1].split("]")[0] for k in info if k.startswith("ds[")}
     )
     base = os.path.basename(path).rsplit(".", 1)[0]
-    rows = []
-    (start, end, step) = rrdtool.fetch(path, "AVERAGE")[0:1][0]
     (t_info, names, values) = rrdtool.fetch(path, "AVERAGE")
-    t = t_info[0]
-    for row in values:
-        for name, v in zip(names, row):
-            if v is not None and name in datasources:
-                rows.append((f"{base}.{name}", t, float(v), 0))
-        t += t_info[2]
+    rows = rrd_fetch_to_rows(base, set(datasources), t_info, names, values)
     return spark.createDataFrame(rows, POINTS_READ_SCHEMA)

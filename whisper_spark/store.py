@@ -53,6 +53,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,10 +115,16 @@ def _f32(x: float) -> float:
 class WhisperStore:
     """A policy-scoped, multi-metric time-series store on parquet."""
 
+    #: target bytes per append-write task; batches estimated larger than
+    #: 4x this switch from the small-batch coalesce(4) to a volume-scaled
+    #: salted repartition (overridable per instance for tests/tuning)
+    APPEND_CHUNK_BYTES = 64 << 20
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._policy_cache: dict | None = None  # CACHE_HEADERS analog
+        self.append_chunk_bytes = self.APPEND_CHUNK_BYTES
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -200,11 +207,41 @@ class WhisperStore:
     def max_retention(self) -> int:
         return max(a.retention for a in self.archives)
 
+    @contextmanager
+    def _fs_lock(self, name: str):
+        """flock single-writer gate — the reference's LOCK analog
+        (whisper.py:98-104,683-684: flock around file mutation).  flock
+        is host-local: it makes concurrent writers on one driver/host
+        safe.  For multi-driver cluster deployments replace with an
+        external coordination point (the code only needs mutual exclusion
+        here, nothing finer)."""
+        import fcntl
+
+        lf = open(os.path.join(self.path, name), "a+")
+        try:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+            lf.close()
+
+    @contextmanager
+    def _policy_lock(self):
+        """Mutual exclusion for policy read-modify-write: two simultaneous
+        ``update_many`` calls can no longer mint the same wseq, so LWW
+        ties stay deterministic.  Downstream only needs wseq uniqueness +
+        monotonicity, so a cluster-scale deployment can swap this for any
+        monotonic allocator."""
+        with self._fs_lock(".policy.lock"):
+            self._policy_cache = None  # observe other writers' mutations
+            yield
+
     def _next_batch(self) -> int:
-        policy = dict(self._policy())
-        policy["batch"] = int(policy.get("batch", 0)) + 1
-        self._write_policy(policy)
-        return policy["batch"]
+        with self._policy_lock():
+            policy = dict(self._policy())
+            policy["batch"] = int(policy.get("batch", 0)) + 1
+            self._write_policy(policy)
+            return policy["batch"]
 
     # ------------------------------------------------------------------ #
     # header mutation (reference: whisper.py:331-418)
@@ -215,14 +252,15 @@ class WhisperStore:
     ) -> str:
         """Returns the previous method (reference: whisper.py:345-388)."""
         validate_aggregation_method(method)
-        policy = dict(self._policy())
-        old = policy["aggregationMethod"]
-        policy["aggregationMethod"] = method
-        if x_files_factor is not None:
-            if not 0 <= float(x_files_factor) <= 1:
-                raise InvalidXFilesFactor("x_files_factor must be between 0 and 1")
-            policy["xFilesFactor"] = _f32(x_files_factor)
-        self._write_policy(policy)
+        if x_files_factor is not None and not 0 <= float(x_files_factor) <= 1:
+            raise InvalidXFilesFactor("x_files_factor must be between 0 and 1")
+        with self._policy_lock():
+            policy = dict(self._policy())
+            old = policy["aggregationMethod"]
+            policy["aggregationMethod"] = method
+            if x_files_factor is not None:
+                policy["xFilesFactor"] = _f32(x_files_factor)
+            self._write_policy(policy)
         return old
 
     def set_x_files_factor(self, x_files_factor: float) -> float:
@@ -233,10 +271,11 @@ class WhisperStore:
             raise InvalidXFilesFactor("Invalid xFilesFactor") from None
         if not 0 <= xff <= 1:
             raise InvalidXFilesFactor("x_files_factor must be between 0 and 1")
-        policy = dict(self._policy())
-        old = policy["xFilesFactor"]
-        policy["xFilesFactor"] = _f32(xff)
-        self._write_policy(policy)
+        with self._policy_lock():
+            policy = dict(self._policy())
+            old = policy["xFilesFactor"]
+            policy["xFilesFactor"] = _f32(xff)
+            self._write_policy(policy)
         return old
 
     def info(self) -> dict:
@@ -315,17 +354,50 @@ class WhisperStore:
             .select("metric", F.col("w.ts").alias("ts"), F.col("w.v").alias("value"))
         )
 
+    @staticmethod
+    def _plan_size_bytes(df: DataFrame) -> int | None:
+        """Catalyst's size estimate for the plan, or None when unknown
+        (LocalRelation-derived batches report Long.MaxValue) or absurd
+        (join-product default estimates)."""
+        try:
+            est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        except Exception:  # pragma: no cover - py4j access is best-effort
+            return None
+        if est <= 0 or est >= (1 << 60):
+            return None
+        return est
+
     def _append(self, df: DataFrame) -> None:
-        """Append rows (metric, resolution, ts, value, wseq); derives tb."""
+        """Append rows (metric, resolution, ts, value, wseq); derives tb.
+
+        Write parallelism scales with batch volume: small batches (or
+        unknown size estimates — always tiny local batches here) keep the
+        no-shuffle coalesce(4) so file counts stay bounded; batches whose
+        Catalyst size estimate exceeds 4x ``append_chunk_bytes`` are
+        hash-repartitioned to ~chunk-sized tasks, clustered on the write
+        partitions (resolution, tb) and salted so one hot time bucket
+        cannot serialize a cluster-scale ingest through a single task."""
         from . import debug
 
         debug.record_write(f"batch append {self.path}")
         out = df.withColumn(
             "tb", (F.col("ts") / (F.col("resolution") * F.lit(TB_SLOTS))).cast("long")
         ).select(*[f.name for f in POINTS_SCHEMA.fields])
+        est = self._plan_size_bytes(out)
+        chunk = int(self.append_chunk_bytes)
+        if est is not None and est > 4 * chunk:
+            cap = max(4, 4 * self.spark.sparkContext.defaultParallelism)
+            n = int(min(est // chunk, cap))
+            out = out.repartition(
+                n,
+                F.col("resolution"),
+                F.col("tb"),
+                F.pmod(F.hash("metric", "ts"), F.lit(n)),
+            )
+        else:
+            out = out.coalesce(4)
         (
-            out.coalesce(4)
-            .write.partitionBy("resolution", "tb")
+            out.write.partitionBy("resolution", "tb")
             .mode("append")
             .parquet(self._points_path)
         )
@@ -417,7 +489,21 @@ class WhisperStore:
         bucketing) and merge (fixed same-index writes, reference:
         whisper.py:1085-1095)."""
         archives = self.archives
-        batch = self._next_batch()
+        with self._fs_lock(".append.lock"):
+            batch = self._next_batch()
+            self._write_assigned_locked(assigned, archives, batch, now)
+
+    def _write_assigned_locked(
+        self, assigned: DataFrame, archives, batch: int, now: int
+    ) -> None:
+        # Serialized writer section (whisper LOCK semantics: one writer
+        # per file).  Two reasons, both real: (a) concurrent append jobs
+        # share the table root's Hadoop _temporary staging dir and corrupt
+        # each other's commit; (b) a cascade computed without seeing an
+        # in-flight sibling's raw append could win LWW with an incomplete
+        # rollup.  wseq is allocated INSIDE the lock, so lock order ==
+        # wseq order: the highest-wseq (winning) cascade always ran last
+        # and saw every earlier committed batch.
 
         # align to the receiving archive's step; within-batch dedup keeps
         # the greatest raw ts, ties to the earliest seq (reference:
@@ -652,6 +738,83 @@ class WhisperStore:
             T.StructType([T.StructField("metric", T.StringType())]),
         )
 
+    def _tb_buckets(self, step: int) -> list[int]:
+        """tb partition values present for one resolution, from directory
+        metadata only (no data scan).  At cluster scale this is one
+        listing of time-bucket dirs — bounded by retention/(step*TB_SLOTS),
+        not by data volume."""
+        p = os.path.join(self._points_path, f"resolution={step}")
+        if not os.path.isdir(p):
+            return []
+        out = []
+        for e in os.listdir(p):
+            if e.startswith("tb="):
+                try:
+                    out.append(int(e.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return out
+
+    def _bucket_ts_bounds(self, step: int, b: int) -> tuple[int, int] | None:
+        """(min_ts, max_ts) across one tb bucket from parquet FOOTER
+        statistics only — row-group min/max, no data pages read.  None if
+        any file lacks ts stats (inconclusive) or the bucket is empty."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self._points_path, f"resolution={step}", f"tb={b}")
+        mn: int | None = None
+        mx: int | None = None
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return None
+        for fname in names:
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            ts_idx = next(
+                (i for i in range(md.num_columns) if md.schema.column(i).name == "ts"),
+                None,
+            )
+            if ts_idx is None:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ts_idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        if mn is None:
+            return None
+        return (int(mn), int(mx))
+
+    def _no_colliders_possible(
+        self, step: int, back_lo: int, back_hi: int, tail_lo: int
+    ) -> bool:
+        """True when storage metadata proves no stored row can ring-
+        collide with the fetch window: no row lives in the one-span-back
+        region [back_lo, back_hi) or the tail [tail_lo, inf).
+
+        Two metadata tiers, zero data pages read: tb partition dirs rule
+        out buckets wholly inside the safe zone; boundary-straddling
+        buckets (the window's own buckets, usually) are settled by
+        parquet footer min/max on ts.  Anything inconclusive -> False
+        (the fuzz-proven collision path handles it)."""
+        w = step * TB_SLOTS
+        for b in self._tb_buckets(step):
+            lo, hi = b * w, b * w + w  # bucket's ts range [lo, hi)
+            if lo >= back_hi and hi <= tail_lo:
+                continue  # bucket wholly inside the safe zone
+            bounds = self._bucket_ts_bounds(step, b)
+            if bounds is None:
+                return False
+            mn, mx = bounds
+            if mx >= tail_lo:
+                return False
+            if mn < back_hi and mx >= back_lo:
+                return False
+        return True
+
     def _fetch_archive_dense(
         self,
         archive: ArchiveSpec,
@@ -681,20 +844,36 @@ class WhisperStore:
         # keep per ring slot only the latest write (by batch, then by
         # timestamp — the in-batch chronological write order).  Found by
         # differential fuzzing + review (tests/test_store_fuzz.py).
-        raw = self._read_resolution(
-            step, from_interval - span, until_interval - 1
-        )
-        later = self._read_resolution(step, ts_from=until_interval)
-        if metrics is not None:
-            # push the metric predicate into the parquet scan (an In
-            # filter) instead of relying on the join to drop rows
-            names = [metrics] if isinstance(metrics, str) else list(metrics)
-            raw = raw.filter(F.col("metric").isin(names))
-            later = later.filter(F.col("metric").isin(names))
-        winners = self._ring_visible(self._lww(raw.unionByName(later)), archive)
-        pts = winners.filter(
-            (F.col("ts") >= from_interval) & (F.col("ts") < until_interval)
-        )
+        #
+        # Short-circuit (the overwhelmingly common case, and always after
+        # compact()): partition-directory metadata alone can prove no
+        # collider rows exist — no (resolution, tb) bucket intersects the
+        # one-span-back region or the future tail.  Then the scan shrinks
+        # to the window itself and the ts%span slot-collision aggregate
+        # (one extra shuffle) is skipped entirely; in-window timestamps
+        # can never collide modulo span (window width <= span).
+        if self._no_colliders_possible(step, from_interval - span,
+                                       from_interval, until_interval):
+            raw = self._read_resolution(step, from_interval, until_interval - 1)
+            if metrics is not None:
+                names = [metrics] if isinstance(metrics, str) else list(metrics)
+                raw = raw.filter(F.col("metric").isin(names))
+            pts = self._lww(raw).select("metric", "ts", "value")
+        else:
+            raw = self._read_resolution(
+                step, from_interval - span, until_interval - 1
+            )
+            later = self._read_resolution(step, ts_from=until_interval)
+            if metrics is not None:
+                # push the metric predicate into the parquet scan (an In
+                # filter) instead of relying on the join to drop rows
+                names = [metrics] if isinstance(metrics, str) else list(metrics)
+                raw = raw.filter(F.col("metric").isin(names))
+                later = later.filter(F.col("metric").isin(names))
+            winners = self._ring_visible(self._lww(raw.unionByName(later)), archive)
+            pts = winners.filter(
+                (F.col("ts") >= from_interval) & (F.col("ts") < until_interval)
+            )
         timeline = dense_timeline(
             pts.select("metric", "ts", "value"),
             keys_df,
