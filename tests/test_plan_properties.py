@@ -65,6 +65,13 @@ def test_q16_anti_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_top_bigrams_uses_distributed_topk(spark):
+    """Global top-k must be TakeOrderedAndProject (distributed partial
+    top-k), never a single-partition window over the full gram table."""
+    plan = plan_of(spark, "doc_top_bigrams")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_store_fetch_prunes_partitions(spark, tmp_path):
     """The fetch path must show partition filters on (resolution, tb) and
     pushed ts bounds — the property that bounds IO at 100 TB."""

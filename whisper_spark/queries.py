@@ -886,6 +886,213 @@ def q_ev_pivot(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_sessionize",
+    """
+WITH raw AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec, value FROM events
+), brk AS (
+  SELECT user_id, event_id, sec, value,
+         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM raw WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+), sess AS (
+  SELECT user_id, sec, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM brk
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(sec) AS t_start, max(sec) AS t_end,
+       (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS sum_value
+FROM sess GROUP BY user_id, session_id
+""",
+    doc="sessionization: per-user 30-min-gap session split (lag + running "
+    "boundary count, both windows partitioned by user_id so the work "
+    "distributes by user — no global sort); per-session rollup with a "
+    "decimal-exact value sum (module determinism rules)",
+)
+def q_ev_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        "user_id", "event_id", sec(ev, "ts").alias("sec"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    brk = raw.withColumn(
+        "is_new",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | ((F.col("sec") - F.lag("sec").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = brk.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("sec").alias("t_start"),
+        F.max("sec").alias("t_end"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@_q(
+    "doc_top_bigrams",
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i::INT] || ' ' || t[(i+1)::INT])) AS gram
+  FROM toks
+)
+SELECT gram, cnt, rnk FROM (
+  SELECT gram, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, gram) AS rnk
+  FROM grams GROUP BY gram
+) WHERE rnk <= 20
+""",
+    doc="corpus statistics: global top-20 token bigrams — explode + "
+    "count (map-side combined) + a top-k that only sorts the aggregated "
+    "gram table, never the corpus",
+)
+def q_doc_top_bigrams(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # guard: Spark's sequence(1, n) counts DOWN for n < 1 (see
+    # functions.hashing.char_shingles_expr) — short docs must yield []
+    grams = d.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    # orderBy().limit() compiles to TakeOrderedAndProject — a distributed
+    # partial top-k with NO single-partition window over the full gram
+    # table; the rank window then runs on 20 rows only
+    top = counts.orderBy(F.col("cnt").desc(), "gram").limit(20)
+    w = Window.orderBy(F.col("cnt").desc(), "gram")
+    return top.withColumn("rnk", F.row_number().over(w)).select("gram", "cnt", "rnk")
+
+
+_KMEANS_QUANT_SQL = """
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q
+  FROM embeddings
+)
+"""
+
+
+def _kmeans_assign_sql(cent_cte: str) -> str:
+    """Nearest-centroid assignment over integer-quantized vectors —
+    exact integer arithmetic, so Spark and DuckDB agree bit-for-bit."""
+    return f"""
+  SELECT vec_id, k FROM (
+    SELECT v.vec_id, c.k,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(list_zip(v.q, c.q),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))), c.k) AS rn
+    FROM qv v, {cent_cte} c
+  ) WHERE rn = 1
+"""
+
+
+@_q(
+    "emb_kmeans2",
+    "WITH "
+    + _KMEANS_QUANT_SQL.strip()
+    + f"""
+, cent0 AS (SELECT vec_id AS k, q FROM qv WHERE vec_id < 8),
+asg1 AS ({_kmeans_assign_sql("cent0")}),
+cent1 AS (
+  SELECT k, list(val ORDER BY i) AS q FROM (
+    SELECT a.k, i, CAST(floor(sum(v.q[i::INT]) * 1.0 / count(*)) AS BIGINT) AS val
+    FROM asg1 a JOIN qv v USING (vec_id),
+         (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY a.k, i
+  ) GROUP BY k
+),
+asg2 AS ({_kmeans_assign_sql("cent1")})
+SELECT k, count(*) AS n FROM asg2 GROUP BY k
+""",
+    doc="iterative ML on Spark: 2 Lloyd rounds of k-means (k=8) over "
+    "integer-quantized embeddings — quantization makes every sum and "
+    "centroid (floor-div mean) EXACT integer arithmetic, so the "
+    "distributed loop matches the unrolled SQL oracle bit-for-bit; "
+    "centroids collect to the driver between rounds (8x64 ints) and "
+    "re-broadcast as literals, the same zero-shuffle assignment pattern "
+    "as operators.similarity.ivf_assign",
+)
+def q_emb_kmeans2(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    # round-0 centroids: the first 8 vectors
+    cents = [
+        (int(r["vec_id"]), list(r["q"]))
+        for r in qv.filter(F.col("vec_id") < 8).collect()
+    ]
+
+    def assign(cent_rows):
+        dist_cols = [
+            F.aggregate(
+                F.zip_with(
+                    "q",
+                    F.array(*[F.lit(int(x)) for x in cq]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"d{k}")
+            for (k, cq) in cent_rows
+        ]
+        scored = qv.select("vec_id", "q", *dist_cols)
+        # argmin over the k literal distance columns, ties to lower k
+        best = F.least(*[F.col(f"d{k}") for (k, _) in cent_rows])
+        kexpr = F.lit(None).cast("int")
+        for (k, _) in reversed(cent_rows):
+            kexpr = F.when(F.col(f"d{k}") == best, F.lit(k)).otherwise(kexpr)
+        return scored.select("vec_id", "q", kexpr.alias("k"))
+
+    asg = assign(cents)
+    # centroid update: element-wise floor-div mean, exact in integers;
+    # posexplode + re-collect keeps it distributed, result is tiny
+    upd = (
+        asg.select("k", F.posexplode("q").alias("i", "qi"))
+        .groupBy("k", "i")
+        .agg(F.floor(F.sum("qi") / F.count("*")).cast("long").alias("val"))
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "val"))).alias("pairs"))
+        .select("k", F.transform("pairs", lambda p: p["val"]).alias("q"))
+    )
+    cents1 = [(int(r["k"]), list(r["q"])) for r in upd.collect()]
+    asg2 = assign(sorted(cents1))
+    return asg2.groupBy("k").agg(F.count("*").alias("n"))
+
+
 # --------------------------------------------------------------------- #
 # data-pipeline family (documents / embeddings)
 # --------------------------------------------------------------------- #
