@@ -184,3 +184,26 @@ def test_ivf_recall_floor(spark):
     recalls = [r["recall"] for r in rows]
     assert min(recalls) >= 0.5, recalls
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_indexed_pruning(spark, tmp_path):
+    """A persisted IVF index answers identically to the in-memory probe
+    path, and the scan reads ONLY the probed bucket partitions
+    (PartitionFilters on centroid)."""
+    emb = spark.read.parquet(f"{sf_dir(SF)}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_buckets=16)
+    q = emb.filter("vec_id < 8")
+
+    got = similarity.ivf_topk_indexed(spark, idx, q, k=5, nprobe=4)
+    want = similarity.ivf_topk(q, emb, k=5, nprobe=4, n_buckets=16)
+    as_set = lambda df: {  # noqa: E731
+        (r["qid"], r["nid"], r["rank"], round(r["score"], 12)) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # several scans exist (query side reads the raw embeddings parquet);
+    # the INDEX scan must carry the centroid partition filter
+    pfs = [seg[:200] for seg in plan.split("PartitionFilters")[1:]]
+    assert any("centroid" in pf for pf in pfs), plan

@@ -160,6 +160,44 @@ def test_windowed_rollup_stream(spark, tmp_path):
     assert ("m.a", NOW + 60 - (NOW + 60) % 60) not in rows
 
 
+def test_sessionize_stream(spark, tmp_path):
+    """Streaming session windows: a 30-min gap splits sessions; only
+    sessions the watermark has passed are emitted; late events inside
+    the gap extend the open session (cross-batch merge)."""
+    from whisper_spark.streaming.rollup import sessionize_stream
+
+    indir = tmp_path / "sess_in"
+    indir.mkdir()
+    # user 7: events at NOW, NOW+100 (one session), then a gap > 1800 ->
+    # second session at NOW+3000; a far-future event advances the
+    # watermark past both
+    lines = [f"u7 1.0 {NOW}", f"u7 5.0 {NOW + 100}", f"u7 2.0 {NOW + 3000}"]
+    lines += [f"u8 9.0 {NOW + 90000}"]
+    (indir / "a.txt").write_text("\n".join(lines) + "\n")
+
+    stream = spark.readStream.format("text").load(str(indir))
+    pts = parse_line_protocol(stream).withColumnRenamed("metric", "user_id")
+    sess = sessionize_stream(
+        pts, gap_seconds=1800, watermark_seconds=600, key_col="user_id"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["t_start"]): (r["t_end"], r["n_events"], r["max_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert rows[("u7", NOW)] == (NOW + 100 + 1800, 2, 5.0)
+    assert rows[("u7", NOW + 3000)] == (NOW + 3000 + 1800, 1, 2.0)
+    # u8's session is still open at the final watermark -> not emitted
+    assert ("u8", NOW + 90000) not in rows
+
+
 def test_stateful_slot_lww_changelog(spark, tmp_path):
     """applyInPandasWithState slot state: cross-batch last-write-wins,
     changed slots re-emitted, state bounded by retention."""

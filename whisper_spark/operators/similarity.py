@@ -188,6 +188,103 @@ def ivf_assign(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Persist an IVF index: the corpus written as parquet PARTITIONED BY
+    its coarse-quantization bucket, plus the centroid table.
+
+    This is the 100 TB search layout: a probe query then reads only its
+    ``nprobe`` bucket directories — Catalyst partition pruning, verified
+    by ``PartitionFilters`` in the scan (see
+    tests/test_operators.py::test_ivf_indexed_pruning) — instead of
+    re-bucketing the corpus per query."""
+    cent = (
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, n_buckets, emb_col, id_col)
+    )
+    assigned = ivf_assign(corpus, emb_col, id_col, n_buckets, centroids=cent)
+    bucketed = corpus.join(
+        assigned.select(id_col, "centroid"), id_col
+    )
+    (
+        bucketed.write.partitionBy("centroid")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, nid, rank, score) against a :func:`build_ivf_index` layout.
+
+    The probe set's distinct bucket ids (<= n_buckets values) are
+    collected and pushed as a literal IN predicate on the PARTITION
+    column, so the scan touches only the probed bucket directories."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    cent_arr, _ = centroid_literal(cent)
+    q = queries.select(F.col(id_col).alias("qid"), F.col(emb_col).alias("qe"))
+    if cent_arr is not None:
+        probes = q.select(
+            "qid",
+            "qe",
+            F.explode(
+                F.slice(F.array_sort(centroid_scores("qe", cent_arr)), 1, nprobe)
+            ).alias("p"),
+        ).select("qid", "qe", F.col("p.cid").alias("centroid"))
+    else:  # huge centroid set: broadcast-join probe selection
+        wq = Window.partitionBy("qid").orderBy("qd2", "cid")
+        probes = (
+            q.crossJoin(F.broadcast(cent))
+            .select("qid", "qe", "cid", _dist2(F.col("qe"), F.col("ce")).alias("qd2"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("qid", "qe", F.col("cid").alias("centroid"))
+        )
+    # collecting the distinct bucket ids costs one extra pass over the
+    # (tiny, narrow) probe projection — cheaper than persisting it, and
+    # it buys the literal IN that prunes the corpus scan to nprobe dirs
+    probe_cids = [
+        int(r["centroid"]) for r in probes.select("centroid").distinct().collect()
+    ]
+    corpus = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("centroid").isin(probe_cids)  # literal IN -> partition pruning
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(emb_col).alias("ce"), "centroid"
+    )
+    j = (
+        F.broadcast(probes)
+        .join(c, "centroid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            (_dot("qe", "ce") / F.sqrt(_sqnorm("qe") * _sqnorm("ce"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "score")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -2064,6 +2064,73 @@ def q_stream_rollup_1m_max(spark, sf_dir):
     return spark.table(name)
 
 
+@_q(
+    "stream_sessionize",
+    """
+WITH raw AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+brk AS (
+  SELECT user_id, sec, value,
+         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM raw WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+sess AS (
+  SELECT user_id, sec, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY sec
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM brk
+),
+agg AS (
+  SELECT user_id, sid, min(sec) AS t_start, max(sec) + 1800 AS t_end,
+         count(*) AS n_events, max(value) AS max_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, t_start, t_end, n_events, max_value
+FROM agg, mx WHERE t_end <= m - 600
+""",
+    doc="STRUCTURED STREAMING session windows with a full oracle: events "
+    "replayed through readStream -> 10-min watermark -> per-user "
+    "session_window(30 min gap) -> append-mode memory sink.  The oracle "
+    "rebuilds sessions with lag/running-count windows and models "
+    "finalization exactly (emitted iff session_end <= max_event_time - "
+    "delay); all aggregates are order-independent "
+    "(streaming/rollup.py sessionize_stream)",
+)
+def q_stream_sessionize(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import sessionize_stream
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        "user_id",
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ts"),
+        F.col("value"),
+    )
+    sessions = sessionize_stream(
+        pts, gap_seconds=1800, watermark_seconds=600
+    )
+    name = "stream_sessionize_" + uuid.uuid4().hex[:8]
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------- #
 # public accessors (consumed by __spark_entry__.py)
 # --------------------------------------------------------------------- #

@@ -84,6 +84,44 @@ def windowed_rollup(
     return out
 
 
+def sessionize_stream(
+    points: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_seconds: int = 600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization: Spark ``session_window`` (dynamic-gap
+    merging windows) per key, watermarked so append mode emits only
+    FINALIZED sessions — a session closes when the watermark passes its
+    end (= last event + gap).
+
+    Output: (key, t_start, t_end, n_events, max_value) with
+    ``t_end = last_event_ts + gap`` (the session_window convention).
+    All aggregates are order-independent, so results are deterministic.
+    State scales by keys x open-sessions, bounded by the watermark."""
+    evt = F.timestamp_seconds(F.col(ts_col)).alias("_evt")
+    pts = points.select(F.col(key_col), evt, F.col(value_col))
+    return (
+        pts.withWatermark("_evt", f"{watermark_seconds} seconds")
+        .groupBy(
+            key_col, F.session_window("_evt", f"{gap_seconds} seconds").alias("_w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            key_col,
+            F.unix_timestamp(F.col("_w.start")).alias("t_start"),
+            F.unix_timestamp(F.col("_w.end")).alias("t_end"),
+            "n_events",
+            "max_value",
+        )
+    )
+
+
 _LWW_OUTPUT = T.StructType(
     [
         T.StructField("metric", T.StringType()),
