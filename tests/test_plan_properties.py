@@ -65,6 +65,23 @@ def test_q16_anti_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_q13_outer_join_shape(spark):
+    """Customer-preserving outer join; orders-side priority filter must
+    reach the orders scan, not post-filter the join."""
+    plan = plan_of(spark, "q13_custdist")
+    assert "LeftOuter" in plan
+    assert "o_orderpriority" in plan.split("PushedFilters")[1][:400] or (
+        "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    )
+
+
+def test_q14_pushes_shipdate_and_broadcasts_part(spark):
+    plan = plan_of(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_top_bigrams_uses_distributed_topk(spark):
     """Global top-k must be TakeOrderedAndProject (distributed partial
     top-k), never a single-partition window over the full gram table."""

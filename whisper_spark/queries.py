@@ -824,6 +824,111 @@ def q_q16(spark, sf_dir):
 
 
 @_q(
+    "q13_custdist",
+    """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+""",
+    doc="outer-join histogram (TPC-H Q13 shape, priority filter standing "
+    "in for the comment filter — testdata has no o_comment): customers "
+    "with ZERO qualifying orders must survive the left join into the "
+    "c_count=0 bucket; two-level aggregation",
+)
+def q_q13(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+SELECT (100.0 * (sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                         * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6)))
+                    ELSE 0::DECIMAL(18,6) END)::VARCHAR)::DOUBLE)
+     / ((sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6))))::VARCHAR)::DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE epoch_us(l_shipdate) // 1000000 >= 852076800
+  AND epoch_us(l_shipdate) // 1000000 < 883612800
+""",
+    doc="conditional-aggregate ratio (TPC-H Q14 shape): promo revenue "
+    "share over one year; decimal-exact sums, broadcast part join, "
+    "shipdate predicate pushed to the scan",
+)
+def q_q14(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    j = li.filter(
+        sec_ge(li, "l_shipdate", 852076800) & sec_le(li, "l_shipdate", 883612799)
+    ).join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+            F.lit(0).cast(dec18)
+        )
+    ).cast("string").cast("double")
+    total = F.sum(disc_price).cast("string").cast("double")
+    return j.agg(((F.lit(100.0) * promo) / total).alias("promo_revenue"))
+
+
+@_q(
+    "q17_small_qty_revenue",
+    f"""
+WITH thr AS (
+  SELECT l_partkey AS t_partkey,
+         0.2 * ({DSUM("l_quantity")} / count(*)) AS t_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {DSUM("l_extendedprice", "DECIMAL(18,6)")} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN thr ON t_partkey = l_partkey
+WHERE p_brand = 'Brand#9' AND p_size <= 5
+  AND l_quantity < t_avg
+""",
+    doc="correlated-average filter (TPC-H Q17 shape, p_size standing in "
+    "for p_container): per-part 20%%-of-average quantity threshold as an "
+    "explicit pre-aggregated join (what Catalyst rewrites the correlated "
+    "subquery into), decimal-exact so the threshold is bit-identical "
+    "across engines",
+)
+def q_q17(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * (dsum(F.col("l_quantity")) / F.count("*"))).alias("t_avg")
+    )
+    sel = pt.filter((F.col("p_brand") == "Brand#9") & (F.col("p_size") <= 5))
+    return (
+        li.join(F.broadcast(sel), li["l_partkey"] == sel["p_partkey"])
+        .join(thr, li["l_partkey"] == thr["t_partkey"])
+        .filter(F.col("l_quantity") < F.col("t_avg"))
+        .agg(
+            (dsum(F.col("l_extendedprice"), "decimal(18,6)") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@_q(
     "ev_top_users_per_type",
     """
 WITH per_user AS (

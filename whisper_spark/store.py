@@ -1228,10 +1228,18 @@ class WhisperStore:
         """Collapse multi-batch duplicates and drop expired rows — the
         LSM-compaction replacement for whisper's in-place ring overwrite.
         Atomic swap like whisper-resize (reference: bin/whisper-resize.py:208-225).
+
+        Runs under the writer lock: an append landing between the
+        compacted rewrite and the directory swap would be silently
+        dropped otherwise.
         """
         if not self._has_data():
             return
         now = int(now) if now is not None else self._wallclock()
+        with self._fs_lock(".append.lock"):
+            self._compact_locked(now)
+
+    def _compact_locked(self, now: int) -> None:
         df = self._lww(self._read_points())
         cond = F.lit(False)
         for a in self.archives:
