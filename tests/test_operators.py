@@ -207,3 +207,18 @@ def test_ivf_indexed_pruning(spark, tmp_path):
     # the INDEX scan must carry the centroid partition filter
     pfs = [seg[:200] for seg in plan.split("PartitionFilters")[1:]]
     assert any("centroid" in pf for pf in pfs), plan
+
+
+def test_ivf_indexed_fallback_agrees(spark, tmp_path, monkeypatch):
+    """ivf_topk_indexed's broadcast-join probe selection (centroid set
+    too large to inline) matches the literal-probe path."""
+    emb = spark.read.parquet(f"{sf_dir(SF)}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_fb")
+    similarity.build_ivf_index(emb, idx, n_buckets=8)
+    q = emb.filter("vec_id < 4")
+    lit = similarity.ivf_topk_indexed(spark, idx, q, k=3, nprobe=2).collect()
+    monkeypatch.setattr(similarity, "LITERAL_FLOATS_MAX", 0)
+    fb = similarity.ivf_topk_indexed(spark, idx, q, k=3, nprobe=2).collect()
+    assert {(r["qid"], r["rank"], r["nid"]) for r in lit} == {
+        (r["qid"], r["rank"], r["nid"]) for r in fb
+    }

@@ -1,0 +1,130 @@
+"""Property-based differential tests for the pipeline operators —
+random inputs driven through the Spark operator AND a trivially-correct
+pure-Python reference, the same strategy the store fuzzers use with the
+reference library (tests/test_store_fuzz.py)."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user
+        st.integers(min_value=0, max_value=20000),    # sec
+        st.integers(min_value=-100, max_value=100),   # value (int-exact)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _py_sessions(rows, gap, exclusive):
+    """Reference sessionizer: per-user sorted scan."""
+    out = {}
+    by_user = {}
+    for (u, s, v) in rows:
+        by_user.setdefault(u, []).append((s, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for (s, v) in evs:
+            broke = prev is None or ((s - prev > gap) if exclusive else (s - prev >= gap))
+            if broke:
+                sid += 1
+                out[(u, sid)] = [0, s, s, 0.0]
+            agg = out[(u, sid)]
+            agg[0] += 1
+            agg[1] = min(agg[1], s)
+            agg[2] = max(agg[2], s)
+            agg[3] += v
+            prev = s
+    return {
+        k: (n, lo, hi, sv) for k, (n, lo, hi, sv) in out.items()
+    }
+
+
+@given(rows=events_strategy, gap=st.integers(min_value=1, max_value=4000),
+       exclusive=st.booleans())
+@settings(**SETTINGS)
+def test_sessionize_batch_matches_python(spark, rows, gap, exclusive):
+    from whisper_spark.operators.sessions import sessionize_batch
+
+    df = spark.createDataFrame(
+        [(u, s, float(v)) for (u, s, v) in rows],
+        "user_id int, sec long, value double",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["t_start"], r["t_end"], r["sum_value"]
+        )
+        for r in sessionize_batch(
+            df, gap_seconds=gap, gap_exclusive=exclusive
+        ).collect()
+    }
+    want = _py_sessions(rows, gap, exclusive)
+    assert set(got) == set(want)
+    for k in want:
+        gn, glo, ghi, gsv = got[k]
+        wn, wlo, whi, wsv = want[k]
+        assert (gn, glo, ghi) == (wn, wlo, whi), k
+        assert math.isclose(gsv, wsv, rel_tol=0, abs_tol=1e-9), k
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="ab c", min_size=0, max_size=40),  # text
+        st.sampled_from(["s1", "s2"]),                      # source
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(docs=docs_strategy, cap=st.integers(min_value=1, max_value=30))
+@settings(**SETTINGS)
+def test_pack_bins_matches_python(spark, docs, cap):
+    """Token-budget chunking: bin = preceding cumulative tokens // cap,
+    per source shard, docs ordered by doc_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, src, text) for i, (text, src) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in df.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(cap)).alias("bin_id"),
+            "n_tokens",
+        )
+        .collect()
+    }
+
+    by_src = {}
+    for (i, src, text) in rows:
+        by_src.setdefault(src, []).append((i, len([t for t in text.split(" ") if t])))
+    want = {}
+    for src, items in by_src.items():
+        cum = 0
+        for (i, nt) in sorted(items):
+            want[i] = (nt, cum // cap)
+            cum += nt
+    assert got == want

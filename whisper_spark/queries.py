@@ -1018,32 +1018,18 @@ FROM sess GROUP BY user_id, session_id
     "decimal-exact value sum (module determinism rules)",
 )
 def q_ev_sessionize(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.sessions import sessionize_batch
 
     ev = load(spark, sf_dir, "events")
     raw = ev.select(
         "user_id", "event_id", sec(ev, "ts").alias("sec"), "value"
     )
-    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    brk = raw.withColumn(
-        "is_new",
-        F.when(
-            F.lag("sec").over(w).isNull()
-            | ((F.col("sec") - F.lag("sec").over(w)) > 1800),
-            1,
-        ).otherwise(0),
-    )
-    sess = brk.withColumn(
-        "session_id",
-        F.sum("is_new")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min("sec").alias("t_start"),
-        F.max("sec").alias("t_end"),
-        dsum(F.col("value")).alias("sum_value"),
+    return sessionize_batch(
+        raw,
+        gap_seconds=1800,
+        order_col="event_id",
+        sum_expr=dsum(F.col("value")),
+        gap_exclusive=True,
     )
 
 
