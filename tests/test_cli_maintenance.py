@@ -126,3 +126,18 @@ def test_integrity_report(spark, store):
     rep = {r["resolution"]: r for r in maintenance.integrity_report(store).collect()}
     assert rep[1]["rows_raw"] > rep[1]["rows_live"]
     assert rep[1]["n_metrics"] == 1
+
+
+def test_cli_compact(store, capsys):
+    """compact via CLI: duplicates collapse physically, fetch unchanged."""
+    before = run_cli(["fetch", store.path, "m", "--from",
+                      str(NOW - 300), "--until", str(NOW), "--now", str(NOW),
+                      "--json"])
+    assert before == 0
+    out_before = capsys.readouterr().out
+    assert run_cli(["compact", store.path, "--now", str(NOW)]) == 0
+    capsys.readouterr()
+    assert run_cli(["fetch", store.path, "m", "--from",
+                    str(NOW - 300), "--until", str(NOW), "--now", str(NOW),
+                    "--json"]) == 0
+    assert capsys.readouterr().out == out_before

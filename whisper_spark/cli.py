@@ -195,6 +195,15 @@ def cmd_reconcile(args):
     return 0
 
 
+def cmd_compact(args):
+    from .store import WhisperStore
+
+    store = WhisperStore.open(_spark(), args.path)
+    store.compact(now=args.now)
+    print(f"compacted {args.path}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="whisper_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -227,6 +236,15 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dump", help="raw dump (whisper-dump)")
     d.add_argument("path")
     d.set_defaults(fn=cmd_dump)
+
+    cp = sub.add_parser(
+        "compact",
+        help="collapse LWW duplicates and drop expired rows (engine op: "
+        "amortizes whisper's in-place ring overwrite)",
+    )
+    cp.add_argument("path")
+    cp.add_argument("--now", type=int, help="pin 'now' (reproducible)")
+    cp.set_defaults(fn=cmd_compact)
 
     i = sub.add_parser("info", help="header info (whisper-info)")
     i.add_argument("path")

@@ -45,6 +45,11 @@ reference library in tests/test_store_parity.py):
   whisper.py:869-875); a gated-out recompute leaves any previously
   written lower value in place (no tombstone — exactly whisper's
   "don't write" behavior).
+* concurrent writers are safe on one host: wseq allocation and the
+  append+cascade run under a per-store flock — the reference's LOCK
+  analog (whisper.py:98-104,683-684).  See ``_fs_lock`` /
+  ``_write_assigned`` for why lock order must equal wseq order, and
+  tests/test_concurrency.py for the differential evidence.
 """
 
 from __future__ import annotations
