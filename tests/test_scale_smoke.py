@@ -147,3 +147,44 @@ def test_skewed_cascade_hourly(spark, tmp_path, skewed_points):
         assert exp.get(h) == v, f"hour {h}"
     # every hour of the ~24h span is present
     assert len(got) >= 23
+
+
+def test_sessionize_1m_skewed(spark):
+    """1M events, half on one hot user: sessionization stays correct
+    under key skew (per-user windows; the hot user's partition is the
+    inherent per-entity bound).  Checked against an independent
+    gap-count recompute."""
+    from whisper_spark.operators.sessions import sessionize_batch
+
+    ids = spark.range(N)
+    ev = ids.select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise((F.col("id") % 997) + 1)
+        .cast("int")
+        .alias("user_id"),
+        # hot user: bursts of 100 events 1s apart, then a 3600s gap
+        (
+            F.lit(NOW)
+            + (F.col("id") / 200).cast("long") * 3600
+            + F.col("id") % 200
+        ).alias("sec"),
+        F.lit(1.0).alias("value"),
+    )
+    sess = sessionize_batch(ev, gap_seconds=1800, value_col=None)
+    got = sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    # independent recompute of session counts: distinct (user, burst) where
+    # burst = which 3600s block the event's sec falls in relative to NOW
+    expected = (
+        ev.withColumn("blk", ((F.col("sec") - NOW) / 3600).cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("blk").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
+    e = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in expected.collect()}
+    assert g == e
+    assert g[0][1] == N // 2  # hot user really has half the events
