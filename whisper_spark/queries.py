@@ -928,6 +928,624 @@ def q_q17(spark, sf_dir):
     )
 
 
+def _year(df: DataFrame, col: str) -> F.Column:
+    """Calendar year of a timestamp column as a BIGINT, matching DuckDB's
+    ``year(ts)`` on the naive value (session timezone is UTC)."""
+    return F.year(F.timestamp_seconds(sec(df, col))).cast("long")
+
+
+@_q(
+    "q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       (sum(vol)::VARCHAR)::DOUBLE AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6))) AS vol
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND epoch_us(l_shipdate) // 1000000 >= 820454400
+    AND epoch_us(l_shipdate) // 1000000 < 883612800
+) GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="bi-directional nation-pair trade volume by year (TPC-H Q7 shape): "
+    "the nation dim joins twice under different roles; both sides broadcast, "
+    "the disjunctive pair filter prunes before the fact shuffle",
+)
+def q_q7(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    pair = ["NATION_1", "NATION_2"]
+    n1 = na.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(pair))
+    n2 = na.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(pair))
+    j = (
+        li.filter(
+            sec_ge(li, "l_shipdate", 820454400) & sec_lt(li, "l_shipdate", 883612800)
+        )
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", _year(li, "l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(disc_price).cast("string").cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+SELECT o_year,
+       (sum(CASE WHEN nation = 'NATION_5' THEN vol
+                 ELSE 0::DECIMAL(18,6) END)::VARCHAR)::DOUBLE
+       / (sum(vol)::VARCHAR)::DOUBLE AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6))) AS vol,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND epoch_us(o_orderdate) // 1000000 >= 820454400
+    AND epoch_us(o_orderdate) // 1000000 < 883612800
+) GROUP BY o_year
+""",
+    doc="national market share within a region (TPC-H Q8 shape): "
+    "seven-table star with the nation dim in two roles; numerator and "
+    "denominator come from one conditional aggregate over one scan",
+)
+def q_q8(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    pt = load(spark, sf_dir, "part")
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    n1 = na.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(F.broadcast(pt.filter(F.col("p_type") == "ECONOMY")),
+                li.l_partkey == pt.p_partkey)
+        .join(
+            od.filter(
+                sec_ge(od, "o_orderdate", 820454400)
+                & sec_lt(od, "o_orderdate", 883612800)
+            ),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), cu.c_nationkey == F.col("n1_key"))
+        .join(
+            F.broadcast(re.filter(F.col("r_name") == "AMERICA")),
+            F.col("n1_region") == re.r_regionkey,
+        )
+        .join(F.broadcast(n2), su.s_nationkey == F.col("n2_key"))
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_5", disc_price).otherwise(
+            F.lit(0).cast(dec18)
+        )
+    ).cast("string").cast("double")
+    den = F.sum(disc_price).cast("string").cast("double")
+    return (
+        j.groupBy(_year(od, "o_orderdate").alias("o_year"))
+        .agg((num / den).alias("mkt_share"))
+    )
+
+
+@_q(
+    "q9_product_profit",
+    """
+SELECT nation, o_year, (sum(amount)::VARCHAR)::DOUBLE AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount)
+              - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%ring%'
+) GROUP BY nation, o_year
+""",
+    doc="profit by supplier nation and year (TPC-H Q9 shape, adapted: no "
+    "partsupp table, so supply cost is modeled as 60%% of p_retailprice). "
+    "The per-row amount is computed in IEEE double (identical fixed "
+    "evaluation order in both engines) then cast once to decimal so the "
+    "aggregate is order-independent",
+)
+def q_q9(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    pt = load(spark, sf_dir, "part")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    j = (
+        li.join(
+            F.broadcast(pt.filter(F.col("p_name").like("%ring%"))),
+            li.l_partkey == pt.p_partkey,
+        )
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"), _year(od, "o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("string").cast("double").alias("sum_profit"))
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+SELECT c_custkey, c_name,
+       (sum(CAST(l_extendedprice AS DECIMAL(18,6))
+            * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6))))::VARCHAR)::DOUBLE
+         AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE epoch_us(o_orderdate) // 1000000 >= 820454400
+  AND epoch_us(o_orderdate) // 1000000 < 828316800
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="top returned-revenue customers in a quarter (TPC-H Q10 shape): "
+    "fact-fact join shuffles on orderkey, customer+nation broadcast, "
+    "deterministic top-20 via the c_custkey tie-break",
+)
+def q_q10(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    na = load(spark, sf_dir, "nation")
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            od.filter(
+                sec_ge(od, "o_orderdate", 820454400)
+                & sec_lt(od, "o_orderdate", 828316800)
+            ),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price).cast("string").cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6)))) AS total_rev
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) // 1000000 >= 820454400
+    AND epoch_us(l_shipdate) // 1000000 < 828316800
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, (total_rev::VARCHAR)::DOUBLE AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s_suppkey
+""",
+    doc="max-revenue supplier in a quarter (TPC-H Q15 shape): the scalar "
+    "max subquery becomes a broadcast cross-join of a 1-row aggregate; "
+    "the equality compares exact decimals so ties are engine-independent",
+)
+def q_q15(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    rev = (
+        li.filter(
+            sec_ge(li, "l_shipdate", 820454400) & sec_lt(li, "l_shipdate", 828316800)
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(disc_price).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        su.join(rev, su.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("string").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "q19_discounted_revenue",
+    """
+SELECT (sum(CAST(l_extendedprice AS DECIMAL(18,6))
+            * (1::DECIMAL(18,6) - CAST(l_discount AS DECIMAL(18,6))))::VARCHAR)::DOUBLE
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+    doc="disjunctive multi-predicate revenue (TPC-H Q19 shape, p_size "
+    "standing in for p_container): the OR-of-ANDs mixes part and lineitem "
+    "columns so it evaluates post-join, but the derivable p_brand IN and "
+    "l_quantity range residuals still prune the broadcast build side",
+)
+def q_q19(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    dec18 = "decimal(18,6)"
+    disc_price = F.col("l_extendedprice").cast(dec18) * (
+        F.lit(1).cast(dec18) - F.col("l_discount").cast(dec18)
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (qty >= 1) & (qty <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (qty >= 10) & (qty <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (qty >= 20) & (qty <= 30)
+        )
+    )
+    pruned = pt.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & (F.col("p_size") <= 15)
+    )
+    return (
+        li.filter((qty >= 1) & (qty <= 30))
+        .join(F.broadcast(pruned), li.l_partkey == pt.p_partkey)
+        .filter(cond)
+        .agg(F.sum(disc_price).cast("string").cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "q21_suppliers_waiting",
+    """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_3', 'NATION_4')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    doc="sole-blamed supplier on multi-supplier orders (TPC-H Q21 shape, "
+    "adapted: 'kept waiting' is a returned line since the testdata has no "
+    "l_receiptdate/l_commitdate).  Spark-first rewrite: the correlated "
+    "EXISTS + NOT EXISTS pair collapses into ONE per-order aggregate "
+    "(distinct-supplier and distinct-returned-supplier counts) joined back "
+    "to the fact — one shuffle instead of two self-semi-joins; equivalent "
+    "because 'another supplier exists' == n_supp >= 2 and 'no other "
+    "supplier returned' == n_rsupp == 1 for a returned l1 row",
+)
+def q_q21(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    ostats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_rsupp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    nat = na.filter(F.col("n_name").isin("NATION_3", "NATION_4"))
+    return (
+        l1.join(
+            ostats.filter((F.col("_n_supp") >= 2) & (F.col("_n_rsupp") == 1)),
+            "l_orderkey",
+        )
+        .join(
+            od.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == od.o_orderkey,
+        )
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(nat), su.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@_q(
+    "q22_global_sales_opportunity",
+    """
+WITH pool AS (
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE', 'MACHINERY')
+), avg_bal AS (
+  SELECT sum(bal) AS s, count(*) AS n FROM pool WHERE bal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       (sum(bal)::VARCHAR)::DOUBLE AS totacctbal
+FROM pool, avg_bal
+WHERE bal * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+    doc="above-average dormant accounts (TPC-H Q22 shape, adapted: market "
+    "segment stands in for the phone country code, and 'no urgent orders' "
+    "for 'no orders' since every testdata customer has ordered).  The "
+    "average comparison is division-free (bal * n > s in exact decimals) "
+    "so the threshold is bit-identical across engines; the NOT EXISTS is "
+    "a broadcast-able anti-join",
+)
+def q_q22(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    pool = cu.filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "FURNITURE", "MACHINERY")
+    ).select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("decimal(18,6)").alias("bal")
+    )
+    avg_bal = pool.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("_s"), F.count("*").alias("_n")
+    )
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        pool.join(urgent, "c_custkey", "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal") * F.col("_n") > F.col("_s"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal").cast("string").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ranked AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+  FROM part
+  JOIN ps       ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM ranked WHERE rnk = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="best supplier per part within a region (TPC-H Q2 shape, adapted: "
+    "the part-supplier bridge is derived as DISTINCT (l_partkey, l_suppkey) "
+    "from lineitem since the testdata has no partsupp, and max s_acctbal "
+    "stands in for min ps_supplycost).  The correlated min-subquery becomes "
+    "a row_number window with a deterministic s_suppkey tie-break",
+)
+def q_q2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    j = (
+        ps.join(F.broadcast(pt.filter(F.col("p_size") == 15)),
+                ps.l_partkey == pt.p_partkey)
+        .join(F.broadcast(su), ps.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(
+            F.broadcast(re.filter(F.col("r_name") == "EUROPE")),
+            na.n_regionkey == re.r_regionkey,
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "q11_important_stock",
+    """
+WITH val AS (
+  SELECT l_partkey AS p_key,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_7', 'NATION_8')
+  GROUP BY l_partkey
+)
+SELECT p_key, (v::VARCHAR)::DOUBLE AS part_value
+FROM val, (SELECT sum(v) AS tot FROM val)
+WHERE v * 1000 > tot
+ORDER BY part_value DESC, p_key
+""",
+    doc="disproportionate-value parts (TPC-H Q11 shape, adapted: stock "
+    "value is shipped extendedprice from two nations' suppliers since the "
+    "testdata has no partsupp).  The scalar fraction-of-total subquery is a "
+    "broadcast 1-row cross-join; the threshold compare is division-free "
+    "(v * 1000 > tot in exact decimals)",
+)
+def q_q11(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    nat = na.filter(F.col("n_name").isin("NATION_7", "NATION_8"))
+    val = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(nat), su.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("_tot"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * F.lit(1000) > F.col("_tot"))
+        .select("p_key", F.col("v").cast("string").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "p_key")
+    )
+
+
+@_q(
+    "q20_part_promotion",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%bolt%'
+      AND epoch_us(l_shipdate) // 1000000 >= 852076800
+      AND epoch_us(l_shipdate) // 1000000 < 883612800
+    GROUP BY l_suppkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 100
+  )
+ORDER BY s_suppkey
+""",
+    doc="suppliers with heavy volume in promotable parts (TPC-H Q20 shape, "
+    "adapted: shipped quantity over a year stands in for ps_availqty "
+    "excess).  The IN-subquery is an aggregate-then-semi-join; the HAVING "
+    "threshold uses an exact decimal sum",
+)
+def q_q20(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    heavy = (
+        li.filter(
+            sec_ge(li, "l_shipdate", 852076800) & sec_lt(li, "l_shipdate", 883612800)
+        )
+        .join(
+            F.broadcast(pt.filter(F.col("p_name").like("%bolt%"))),
+            li.l_partkey == pt.p_partkey,
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sq"))
+        .filter(F.col("_sq") > 100)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        su.join(
+            F.broadcast(na.filter(F.col("n_name") == "NATION_7")),
+            su.s_nationkey == na.n_nationkey,
+        )
+        .join(heavy, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 @_q(
     "ev_top_users_per_type",
     """
