@@ -222,3 +222,77 @@ def test_ivf_indexed_fallback_agrees(spark, tmp_path, monkeypatch):
     assert {(r["qid"], r["rank"], r["nid"]) for r in lit} == {
         (r["qid"], r["rank"], r["nid"]) for r in fb
     }
+
+
+def test_chunk_fixed_covers_text(spark, docs):
+    out = textanalysis.chunk_fixed(docs, chunk_size=200, stride=150)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    for doc_id, chunks in by_doc.items():
+        ids = sorted(c.chunk_id for c in chunks)
+        assert ids == list(range(len(ids)))  # dense chunk ids from 0
+        # closed-form count: max(1, ceil(len/stride))
+        import math
+        assert len(ids) == max(1, math.ceil(lens[doc_id] / 150))
+        # no empty chunks, none longer than chunk_size
+        assert all(0 < c.chunk_len <= 200 for c in chunks)
+    assert set(by_doc) == set(lens)  # every doc chunked, even short ones
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "only three words here"), (2, "tiny"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = textanalysis.word_ngrams(df, n=5).collect()
+    ids = {r.doc_id for r in out}
+    assert 2 not in ids  # 1 word < n: empty, NOT a descending-sequence artifact
+    got = sorted(r.g for r in out if r.doc_id == 3)
+    assert got == ["a b c d e", "b c d e f"]
+
+
+def test_contamination_finds_planted_overlap(spark, docs):
+    base = docs.limit(20)
+    bench = base.limit(3).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    out = textanalysis.contamination(base, bench, n=5)
+    hits = {r.doc_id: r for r in out.collect()}
+    # the 3 copied docs are fully contaminated, each against exactly 1 bench doc
+    copied = [r.doc_id for r in base.limit(3).collect()]
+    for cid in copied:
+        assert cid in hits and hits[cid].n_bench_docs >= 1
+
+
+def test_repetition_stats_bounds(spark, docs):
+    out = textanalysis.repetition_stats(docs, n=3)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.n_distinct <= r.n_grams
+        assert 0.0 <= r.dup_ratio < 1.0
+    rep = spark.createDataFrame([(1, "x y x y x y x y")], "doc_id long, text string")
+    r = textanalysis.repetition_stats(rep, n=3).collect()[0]
+    assert r.n_grams == 6 and r.n_distinct == 2
+    assert abs(r.dup_ratio - 4 / 6) < 1e-12
+
+
+def test_quantize_int8_roundtrip_and_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    assert out[1].amax == 1.0
+    assert out[1].qvec == [127, -63, 32, 0]  # floor(x*127/amax + .5)
+    assert out[2].amax == 0.0 and out[2].qvec == [0, 0, 0, 0]
+    # int8 range: every element within [-127, 127]
+    ed = spark.read.parquet(f"{sf_dir(SF)}/embeddings.parquet")
+    q = similarity.quantize_int8(ed)
+    bad = q.filter(
+        F.exists(F.col("qvec"), lambda v: (v > 127) | (v < -127))
+    ).count()
+    assert bad == 0

@@ -346,3 +346,32 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "score")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(x_i * 127 /
+    amax + 0.5)`` with ``amax = max(|x|)`` (zero vectors quantize to all
+    zeros).  The training-pipeline compression step before ANN shipping.
+
+    floor(x + 0.5) is used instead of round() because engines disagree on
+    half-even vs half-up rounding; the floor form is pure IEEE arithmetic
+    and bit-identical everywhere.  Output is (id, amax, qvec) — a narrow
+    map over the scan, no shuffle, no Python.
+    """
+    x = F.col(emb_col)
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.when(amax == 0.0, F.transform(x, lambda v: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.floor(v.cast("double") * F.lit(127.0) / amax + F.lit(0.5)),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        amax.alias("amax"),
+        q.alias("qvec"),
+    )

@@ -78,3 +78,123 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     """Append a normalized content fingerprint (md5 of lower/trim) —
     engine-portable (see functions.hashing)."""
     return df.withColumn(out_col, F.md5(F.lower(F.trim(F.col(text_col)))))
+
+
+def chunk_fixed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the training-pipeline pre-tokenization step.
+
+    Chunk ``i`` covers characters ``[i*stride, i*stride + chunk_size)``
+    (1-based substring), for ``i in [0, ceil(len/stride))``; the trailing
+    chunk may be shorter, and when ``chunk_size > stride`` the final
+    chunk can be a suffix of the previous one — the rule is deliberately
+    closed-form so it is reproducible by any engine.
+
+    One narrow generate-and-explode per row: no shuffle, no Python; the
+    output keeps ``(id, chunk_id)`` so downstream tokenization can
+    repartition by id for locality.
+    """
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.length(text_col) / F.lit(float(stride)))
+    ).cast("int")
+    chunk = F.expr(
+        f"substring({text_col}, chunk_id * {stride} + 1, {chunk_size})"
+    )
+    return (
+        df.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_sig"),
+        )
+    )
+
+
+def _word_grams(text_col: str, n: int) -> F.Column:
+    """Array of word n-grams (split on single space).  Guarded so docs
+    with fewer than n words yield an EMPTY array — ``sequence(1, 0)``
+    in Spark counts DOWN ([1, 0]), it is not empty."""
+    words = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    out_col: str = "g",
+) -> DataFrame:
+    """Distinct word n-grams per document (split on single space),
+    ``(id, g)`` rows.  Declarative transform+explode — no Python."""
+    grams = _word_grams(text_col, n)
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias(out_col)
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, count the
+    distinct word n-grams it shares with ANY benchmark document, plus how
+    many distinct benchmark documents it collides with.
+
+    The join is an equi-join on the n-gram string — shuffle volume is
+    proportional to matching shingles, never |corpus| x |benchmark|.  At
+    100 TB the benchmark side is small (eval sets) and broadcasts; the
+    corpus side streams through one exploded scan.
+    """
+    cg = word_ngrams(corpus, text_col, id_col, n)
+    bg = word_ngrams(benchmark, text_col, id_col, n).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    hits = cg.join(F.broadcast(bg), "g")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("g").alias("n_hits"),
+        F.count_distinct("bench_id").alias("n_bench_docs"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): total vs
+    distinct word n-grams and the duplicate fraction.  Group-by on the
+    document id only — partial aggregation keeps the shuffle narrow."""
+    grams = _word_grams(text_col, n)
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+    )
+    return per_doc.withColumn(
+        "dup_ratio",
+        F.when(F.col("n_grams") > 0,
+               (F.col("n_grams") - F.col("n_distinct")) * F.lit(1.0) / F.col("n_grams"))
+        .otherwise(F.lit(0.0)),
+    )

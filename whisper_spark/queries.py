@@ -2840,6 +2840,160 @@ def q_stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+@_q(
+    "doc_chunk_fixed",
+    """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(greatest(1, ceil(length(text) / 150.0)) AS BIGINT) - 1)) AS chunk_id
+  FROM documents
+)
+SELECT doc_id, chunk_id,
+       CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS chunk_sig
+FROM c
+""",
+    doc="fixed-size overlapping character chunking (chunk=200, stride=150) "
+    "— the training-pipeline pre-tokenization split.  Closed-form chunk "
+    "rule so any engine reproduces it; Spark side is one narrow "
+    "sequence+explode, no shuffle (operators/textanalysis.py chunk_fixed)",
+)
+def q_doc_chunk_fixed(spark, sf_dir):
+    from .operators.textanalysis import chunk_fixed
+
+    return chunk_fixed(load(spark, sf_dir, "documents"), chunk_size=200, stride=150)
+
+
+_WGRAM_SQL = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(0, len(ws) - 4)),
+         i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS g
+       FROM w WHERE doc_id % 20 <> 0),
+bg AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(0, len(ws) - 4)),
+         i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS g
+       FROM w WHERE doc_id % 20 = 0)
+"""
+
+
+@_q(
+    "doc_contamination",
+    "WITH " + _WGRAM_SQL + """
+SELECT c.doc_id AS doc_id,
+       count(DISTINCT c.g) AS n_hits,
+       count(DISTINCT b.bench_id) AS n_bench_docs
+FROM cg c JOIN bg b ON c.g = b.g
+GROUP BY c.doc_id
+""",
+    doc="benchmark decontamination: distinct 5-word-gram overlap between "
+    "the corpus (doc_id %% 20 != 0) and a held-out benchmark split.  The "
+    "equi-join on the gram string keeps shuffle proportional to matches, "
+    "and the benchmark side broadcasts (eval sets are tiny at any corpus "
+    "scale) — operators/textanalysis.py contamination",
+)
+def q_doc_contamination(spark, sf_dir):
+    from .operators.textanalysis import contamination
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return contamination(corpus, bench, n=5)
+
+
+@_q(
+    "doc_repetition",
+    """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(generate_series(1, len(ws) - 2),
+                                  i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+              ELSE [] END AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+            ELSE 0.0 END AS dup_ratio
+FROM g
+""",
+    doc="intra-document repetition (Gopher-style quality rule): duplicate "
+    "word-3-gram fraction per document; pure per-row array expressions, "
+    "scan-speed (operators/textanalysis.py repetition_stats)",
+)
+def q_doc_repetition(spark, sf_dir):
+    from .operators.textanalysis import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"), n=3)
+
+
+@_q(
+    "doc_sample_stratified",
+    """
+SELECT doc_id, lang,
+       (doc_id * 2654435761) % 4294967296 % 1000 AS bucket
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 1000
+      < CASE WHEN lang = 'en' THEN 300 ELSE 100 END
+""",
+    doc="deterministic stratified sampling for training-mix construction: "
+    "a Knuth multiplicative hash over the id picks 30%% of 'en' and 10%% "
+    "of other languages.  Pure BIGINT arithmetic — reproducible in any "
+    "engine and any partitioning, unlike rand(seed) which is "
+    "partition-order dependent",
+)
+def q_doc_sample_stratified(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
+    rate = F.when(F.col("lang") == "en", F.lit(300)).otherwise(F.lit(100))
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@_q(
+    "emb_quantize_int8",
+    """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, amax,
+       md5(array_to_string(
+         CASE WHEN amax = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
+         END, ',')) AS q_sig
+FROM q
+""",
+    doc="symmetric per-vector int8 quantization (q = floor(x*127/amax + "
+    "0.5)) — embedding compression before ANN shipping.  floor(x+0.5) "
+    "instead of round() because engines disagree on half-even rounding; "
+    "the oracle checks md5 of the full quantized vector "
+    "(operators/similarity.py quantize_int8)",
+)
+def q_emb_quantize_int8(spark, sf_dir):
+    from .operators.similarity import quantize_int8
+
+    qdf = quantize_int8(load(spark, sf_dir, "embeddings"))
+    return qdf.select(
+        "vec_id",
+        "amax",
+        F.md5(
+            F.array_join(F.transform(F.col("qvec"), lambda v: v.cast("string")), ",")
+        ).alias("q_sig"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # public accessors (consumed by __spark_entry__.py)
 # --------------------------------------------------------------------- #
