@@ -139,3 +139,47 @@ def test_fetch_skips_collision_pass_when_metadata_proves_clean(spark, tmp_path):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Scan parquet") >= 2
     assert "struct(wseq" in plan2
+
+
+def test_q21_single_fact_aggregate_no_cartesian(spark):
+    """The EXISTS/NOT-EXISTS rewrite must stay one per-order aggregate
+    joined back — no cartesian product, no second lineitem self-join
+    beyond the ostats join, supplier/nation broadcast."""
+    plan = plan_of(spark, "q21_suppliers_waiting")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_prunes_part_scan(spark):
+    """The derivable brand residual must reach the part scan so the
+    broadcast build side is pruned before the join."""
+    plan = plan_of(spark, "q19_discounted_revenue")
+    assert "p_brand" in plan.split("PushedFilters", 2)[-1][:600]
+    assert "SortMergeJoin" not in plan
+
+
+def test_q15_scalar_max_is_broadcast(spark):
+    """The max-revenue scalar subquery must broadcast its 1-row result,
+    never shuffle the revenue table twice."""
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_fixed_is_narrow(spark):
+    """Chunking must be generate+explode over the scan: no shuffle."""
+    plan = plan_of(spark, "doc_chunk_fixed")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_quantize_is_narrow(spark):
+    plan = plan_of(spark, "emb_quantize_int8")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    plan = plan_of(spark, "doc_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
