@@ -285,3 +285,38 @@ def test_stateful_slot_lww_nan_not_reemitted(spark, tmp_path):
     # NULL (pandas' float64 null sentinel), so it surfaces as None here.
     assert sum(1 for v in vals if v is None or v != v) == 1, vals
     assert 5.0 in vals
+
+
+def test_dedup_stream_cross_batch(spark, tmp_path):
+    """Streaming dedup: a record replayed in a LATER micro-batch (within
+    the watermark) is still dropped — state survives across batches; a
+    distinct key with the same payload passes through."""
+    from whisper_spark.streaming.rollup import dedup_stream
+
+    indir = tmp_path / "dedup_in"
+    indir.mkdir()
+    # batch 1: k1 twice (intra-batch dup) + k2; batch 2: k1 replayed
+    # (cross-batch dup) + k3
+    (indir / "a.txt").write_text(f"k1 1.0 {NOW}\nk1 1.0 {NOW}\nk2 2.0 {NOW + 5}\n")
+    (indir / "b.txt").write_text(f"k1 1.0 {NOW}\nk3 3.0 {NOW + 10}\n")
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(indir))
+    )
+    pts = parse_line_protocol(stream)
+    out = dedup_stream(pts, keys=["metric"], ts_col="ts", watermark_seconds=600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["metric"], r["ts"], r["value"])
+        for r in spark.sql("SELECT metric, ts, value FROM dedup_out").collect()
+    )
+    assert rows == [("k1", NOW, 1.0), ("k2", NOW + 5, 2.0), ("k3", NOW + 10, 3.0)]

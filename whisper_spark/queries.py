@@ -2841,6 +2841,59 @@ def q_stream_sessionize(spark, sf_dir):
 
 
 @_q(
+    "stream_dedup",
+    """
+SELECT event_id, epoch_us(ts) // 1000000 AS sec, user_id, event_type, value
+FROM events
+""",
+    doc="STRUCTURED STREAMING exact deduplication: the event stream is "
+    "replayed with every third record duplicated (at-least-once delivery "
+    "simulation), then dropDuplicates on (event_id, event_time) under a "
+    "10-min watermark — per-key state expires with the watermark, so "
+    "state is bounded by rate x delay, not stream length.  The oracle is "
+    "the original un-duplicated table: if dedup under-delivers or leaks "
+    "a duplicate, rows/hash mismatch (streaming/rollup.py dedup_stream)",
+)
+def q_stream_dedup(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import dedup_stream
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # simulate at-least-once delivery: every third record arrives twice
+    dup = src.select(
+        "event_id",
+        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("sec"),
+        "user_id",
+        "event_type",
+        "value",
+        F.explode(
+            F.when(F.col("event_id") % 3 == 0, F.sequence(F.lit(1), F.lit(2)))
+            .otherwise(F.sequence(F.lit(1), F.lit(1)))
+        ).alias("_copy"),
+    ).drop("_copy")
+    deduped = dedup_stream(
+        dup, keys=["event_id"], ts_col="sec", watermark_seconds=600
+    )
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("event_id", "sec", "user_id", "event_type", "value")
+
+
+@_q(
     "doc_chunk_fixed",
     """
 WITH c AS (

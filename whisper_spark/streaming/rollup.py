@@ -122,6 +122,37 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_seconds: int = 600,
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-pipeline analog of
+    batch ``dropDuplicates``: keeps the first arrival per key and expires
+    per-key state once the watermark passes the key's event time.
+
+    The event-time column is part of the dedup key (Spark's requirement
+    for watermark-based state cleanup with ``dropDuplicates``), so two
+    records count as duplicates when key AND timestamp match — the
+    at-least-once-delivery case (same record replayed), not LWW conflict
+    resolution (that's :func:`stateful_slot_lww`).
+
+    State is one entry per in-watermark key: bounded by arrival rate x
+    watermark, independent of stream length — the property that keeps
+    this viable on an unbounded 100 TB/day feed.  Emitted rows pass
+    through unchanged (no aggregate), so any downstream sink sees
+    each logical record exactly once per watermark window.
+    """
+    evt = F.timestamp_seconds(F.col(ts_col)).alias("_evt")
+    out = (
+        events.select(evt, "*")
+        .withWatermark("_evt", f"{watermark_seconds} seconds")
+        .dropDuplicates(keys + ["_evt"])
+    )
+    return out.drop("_evt")
+
+
 _LWW_OUTPUT = T.StructType(
     [
         T.StructField("metric", T.StringType()),
