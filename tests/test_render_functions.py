@@ -1,0 +1,68 @@
+"""Graphite-render-style series functions (functions/timeseries.py):
+summarize, moving window, derivative, forward-fill, integral, timeshift.
+Reference semantics: graphite-web render functions (public API); the
+storage-side rollup semantics are covered by the store parity suites.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_spark.functions import timeseries as TS
+
+
+@pytest.fixture()
+def series(spark):
+    # one metric, 1m slots, a null gap at t=120 when densified
+    rows = [("m", 0, 1.0), ("m", 60, 2.0), ("m", 180, 4.0), ("m", 240, 1.5),
+            ("n", 0, 10.0), ("n", 60, 20.0)]
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+def test_summarize_no_xff_gate(spark, series):
+    out = TS.summarize(series, ["metric"], 120, method="sum")
+    got = {(r.metric, r.ts): (r.value, r.known) for r in out.collect()}
+    assert got[("m", 0)] == (3.0, 2)
+    assert got[("m", 120)] == (4.0, 1)   # lone slot kept: no xff gate
+    assert got[("m", 240)] == (1.5, 1)
+    assert got[("n", 0)] == (30.0, 2)
+
+
+def test_moving_window_trailing_frame(spark, series):
+    out = TS.moving_window(series, ["metric"], 2)
+    got = {(r.metric, r.ts): r.mavg for r in out.collect()}
+    assert got[("m", 0)] == 1.0          # frame has 1 point
+    assert got[("m", 60)] == 1.5
+    assert got[("m", 180)] == 3.0        # (2+4)/2 — trailing ROWS, not time range
+    assert got[("n", 60)] == 15.0        # series are independent
+
+
+def test_derivative_and_counter_reset(spark, series):
+    out = TS.derivative(series, ["metric"], non_negative=False)
+    nn = TS.derivative(series, ["metric"], out_col="nn", non_negative=True)
+    d = {(r.metric, r.ts): r.delta for r in out.collect()}
+    assert d[("m", 0)] is None and d[("m", 60)] == 1.0 and d[("m", 240)] == -2.5
+    g = {(r.metric, r.ts): r.nn for r in nn.collect()}
+    assert g[("m", 240)] is None          # counter reset nulls out
+    assert g[("m", 180)] == 2.0
+
+
+def test_keep_last_value_fills_forward_only(spark):
+    rows = [("m", 0, None), ("m", 60, 5.0), ("m", 120, None), ("m", 180, None),
+            ("m", 240, 7.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = TS.keep_last_value(df, ["metric"], out_col="filled")
+    got = {r.ts: r.filled for r in out.collect()}
+    assert got[0] is None                 # nothing known yet: stays null
+    assert got[120] == 5.0 and got[180] == 5.0
+    assert got[240] == 7.0
+
+
+def test_integral_running_sum(spark, series):
+    out = TS.integral(series.filter(F.col("metric") == "m"), ["metric"])
+    got = [r.running for r in out.orderBy("ts").collect()]
+    assert got == [1.0, 3.0, 7.0, 8.5]
+
+
+def test_time_shift(spark, series):
+    out = TS.time_shift(series, -3600)
+    assert out.filter((F.col("metric") == "m") & (F.col("ts") == 60 - 3600)).count() == 1

@@ -158,6 +158,112 @@ def dense_timeline(
     return spine.join(pts, on=[*key_cols, ts], how="left")
 
 
+def summarize(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket_seconds: int,
+    method: str = "sum",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Graphite ``summarize(series, interval, func)``: re-bin a series
+    into coarser buckets with NO xFilesFactor gate (unlike
+    :func:`xff_rollup` — render-side re-binning keeps every non-empty
+    bucket; graphite-web functions.py summarize).
+
+    One groupBy(keys, bucket) — partial-aggregated, single shuffle.
+    ``value``'s type is preserved (pass a decimal column for
+    order-independent exact sums)."""
+    bucket = align_ts(F.col(ts), bucket_seconds).alias(ts)
+    agg = aggregate_column(method, value, order=F.col(ts))
+    return df.groupBy(*keys, bucket).agg(
+        agg.alias(value), F.count(value).alias("known")
+    )
+
+
+def _series_window(keys: Sequence[str], ts: str):
+    from pyspark.sql import Window
+
+    return Window.partitionBy(*keys).orderBy(ts)
+
+
+def moving_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    n_points: int,
+    ts: str = "ts",
+    value: str = "value",
+    out_col: str = "mavg",
+) -> DataFrame:
+    """Graphite ``movingAverage(series, N)`` over the trailing N points
+    (ROWS N-1 PRECEDING .. CURRENT).  A per-series sort inside the window
+    — scales by series cardinality (each series sorts independently;
+    no global sort)."""
+    w = _series_window(keys, ts).rowsBetween(-(n_points - 1), 0)
+    return df.withColumn(
+        out_col, F.sum(value).over(w) / F.count(value).over(w)
+    )
+
+
+def derivative(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    out_col: str = "delta",
+    non_negative: bool = False,
+) -> DataFrame:
+    """Graphite ``derivative`` / ``nonNegativeDerivative``: per-slot
+    delta vs the previous slot; first slot is null.  With
+    ``non_negative`` a negative delta (counter reset) becomes null,
+    matching graphite's render semantics."""
+    w = _series_window(keys, ts)
+    d = F.col(value) - F.lag(value).over(w)
+    if non_negative:
+        d = F.when(d >= 0, d)
+    return df.withColumn(out_col, d)
+
+
+def keep_last_value(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Graphite ``keepLastValue``: forward-fill nulls with the most
+    recent known value per series (window ``last(ignorenulls)`` over an
+    unbounded-preceding frame)."""
+    from pyspark.sql import Window
+
+    w = _series_window(keys, ts).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(
+        out_col or value, F.last(value, ignorenulls=True).over(w)
+    )
+
+
+def integral(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str = "ts",
+    value: str = "value",
+    out_col: str = "running",
+) -> DataFrame:
+    """Graphite ``integral``: running sum per series from the start of
+    the window.  Pass a decimal value column for exact accumulation."""
+    from pyspark.sql import Window
+
+    w = _series_window(keys, ts).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def time_shift(
+    df: DataFrame, seconds: int, ts: str = "ts"
+) -> DataFrame:
+    """Graphite ``timeShift``: relabel the series ``seconds`` later."""
+    return df.withColumn(ts, (F.col(ts) + F.lit(seconds)).cast("long"))
+
+
 def select_archive(
     archives: Sequence[ArchiveSpec],
     now: int,

@@ -2840,6 +2840,180 @@ def q_stream_sessionize(spark, sf_dir):
     return spark.table(name)
 
 
+_DEC25 = "decimal(25,6)"
+
+
+@_q(
+    "ws_summarize_15m",
+    EVENTS_CTES
+    + """
+SELECT metric, ts // 900 * 900 AS ts,
+       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS sum_v,
+       count(avg_v) AS known
+FROM min1 GROUP BY metric, ts // 900 * 900
+""",
+    doc="graphite summarize(series, '15min', 'sum') over the 1m rollup: "
+    "render-side re-binning with no xff gate "
+    "(functions/timeseries.py summarize; graphite-web functions.py analog)",
+)
+def q_ws_summarize_15m(spark, sf_dir):
+    from .functions.timeseries import summarize
+
+    base = min1(spark, sf_dir).select(
+        "metric", "ts", F.col("avg_v").cast(_DEC25).alias("value")
+    )
+    out = summarize(base, ["metric"], 900, method="sum")
+    return out.select(
+        "metric", "ts",
+        F.col("value").cast("string").cast("double").alias("sum_v"),
+        "known",
+    )
+
+
+@_q(
+    "ws_moving_avg_5",
+    EVENTS_CTES
+    + """
+SELECT metric, ts,
+       (sum(CAST(avg_v AS DECIMAL(25,6))) OVER w::VARCHAR)::DOUBLE
+         / count(avg_v) OVER w AS mavg
+FROM min1
+WINDOW w AS (PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+    doc="graphite movingAverage(series, 5) on the 1m rollup: trailing "
+    "5-point window per series; decimal-exact numerator so the result is "
+    "engine-independent (functions/timeseries.py moving_window)",
+)
+def q_ws_moving_avg_5(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("ts").rowsBetween(-4, 0)
+    dec = F.col("avg_v").cast(_DEC25)
+    return base.select(
+        "metric", "ts",
+        (
+            F.sum(dec).over(w).cast("string").cast("double")
+            / F.count("avg_v").over(w)
+        ).alias("mavg"),
+    )
+
+
+@_q(
+    "ws_derivative_1m",
+    EVENTS_CTES
+    + """
+SELECT metric, ts,
+       avg_v - lag(avg_v) OVER w AS delta,
+       CASE WHEN avg_v - lag(avg_v) OVER w >= 0
+            THEN avg_v - lag(avg_v) OVER w END AS nn_delta
+FROM min1
+WINDOW w AS (PARTITION BY metric ORDER BY ts)
+""",
+    doc="graphite derivative + nonNegativeDerivative on the 1m rollup: "
+    "per-slot delta via lag; counter resets (negative deltas) null out "
+    "in the nn variant (functions/timeseries.py derivative)",
+)
+def q_ws_derivative_1m(spark, sf_dir):
+    from .functions.timeseries import derivative
+
+    base = min1(spark, sf_dir).select("metric", "ts", F.col("avg_v"))
+    out = derivative(base, ["metric"], value="avg_v", out_col="delta")
+    out = derivative(
+        out, ["metric"], value="avg_v", out_col="nn_delta", non_negative=True
+    )
+    return out.select("metric", "ts", "delta", "nn_delta")
+
+
+@_q(
+    "ws_keep_last_6h",
+    EVENTS_CTES
+    + """
+, bounds AS (SELECT max(ts) AS hi FROM min1),
+spine AS (
+  SELECT m.metric,
+         unnest(generate_series(hi - 21600 + 60, hi, 60)) AS ts
+  FROM (SELECT DISTINCT metric FROM min1) m, bounds
+),
+joined AS (
+  SELECT s.metric, s.ts, m.avg_v AS v_raw
+  FROM spine s LEFT JOIN min1 m ON s.metric = m.metric AND s.ts = m.ts
+)
+SELECT metric, ts, v_raw,
+       last_value(v_raw IGNORE NULLS) OVER (
+         PARTITION BY metric ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM joined
+""",
+    doc="graphite keepLastValue over a dense 6h window: per-series spine "
+    "(sequence+explode, distributed), left join, forward-fill via "
+    "last(ignorenulls) — gaps inherit the most recent known slot "
+    "(functions/timeseries.py keep_last_value + dense_timeline pattern)",
+)
+def q_ws_keep_last_6h(spark, sf_dir):
+    from .functions.timeseries import keep_last_value
+
+    base = min1(spark, sf_dir)
+    hi = base.agg(F.max("ts")).collect()[0][0]
+    lo = hi - 21600 + 60
+    metrics = base.select("metric").distinct()
+    spine = metrics.withColumn(
+        "ts",
+        F.explode(
+            F.sequence(F.lit(lo).cast("long"), F.lit(hi).cast("long"), F.lit(60))
+        ),
+    )
+    joined = spine.join(
+        base.filter(F.col("ts") >= lo).select(
+            "metric", "ts", F.col("avg_v").alias("v_raw")
+        ),
+        ["metric", "ts"],
+        "left",
+    )
+    out = keep_last_value(joined, ["metric"], value="v_raw", out_col="filled")
+    return out.select("metric", "ts", "v_raw", "filled")
+
+
+@_q(
+    "ws_integral_2h",
+    EVENTS_CTES
+    + """
+, bounds AS (SELECT max(ts) AS hi FROM min1)
+SELECT metric, ts,
+       (sum(CAST(avg_v AS DECIMAL(25,6))) OVER (
+          PARTITION BY metric ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::VARCHAR)::DOUBLE
+         AS running
+FROM min1, bounds WHERE ts > hi - 7200
+""",
+    doc="graphite integral over the trailing 2h of the 1m rollup: "
+    "cumulative decimal-exact sum per series "
+    "(functions/timeseries.py integral)",
+)
+def q_ws_integral_2h(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    hi = base.agg(F.max("ts")).collect()[0][0]
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.filter(F.col("ts") > hi - 7200)
+        .select(
+            "metric", "ts",
+            F.sum(F.col("avg_v").cast(_DEC25))
+            .over(w)
+            .cast("string")
+            .cast("double")
+            .alias("running"),
+        )
+    )
+
+
 @_q(
     "stream_dedup",
     """
