@@ -188,3 +188,35 @@ def test_sessionize_1m_skewed(spark):
     e = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in expected.collect()}
     assert g == e
     assert g[0][1] == N // 2  # hot user really has half the events
+
+
+def test_chunk_and_contaminate_1m_docs(spark):
+    """Pipeline ops at 1M docs, generated distributed: chunking must stay
+    a narrow explode (no shuffle), contamination's only shuffle is the
+    match join with a broadcast benchmark side."""
+    from whisper_spark.operators import textanalysis as TA
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        # ~350-char synthetic text, content varies by id so chunks differ
+        F.concat_ws(
+            " ",
+            F.lit(words), F.lit(words), F.lit(words),
+            F.col("id").cast("string"), F.lit(words), F.lit(words),
+        ).alias("text"),
+    )
+    chunks = TA.chunk_fixed(docs, chunk_size=200, stride=150)
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow at any scale
+    expected = docs.select(
+        F.sum(F.greatest(F.lit(1), F.ceil(F.length("text") / 150.0)))
+    ).collect()[0][0]
+    assert chunks.count() == expected > 1_000_000
+
+    bench = docs.filter(F.col("doc_id") % 100_000 == 0)  # 10 bench docs
+    cont = TA.contamination(docs.filter(F.col("doc_id") % 100_000 != 0), bench, n=5)
+    plan = cont._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # the shared word-soup prefix contaminates everything: spot-check it runs
+    assert cont.limit(5).count() == 5
