@@ -3015,6 +3015,100 @@ def q_ws_integral_2h(spark, sf_dir):
 
 
 @_q(
+    "emb_quantized_recall",
+    "WITH "
+    + _COS_SQL
+    + """
+, exact AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nq * nc) DESC, nid) AS rank
+    FROM dotp
+  ) WHERE rank <= 5
+),
+quant AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                          / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                          + 0.5) AS BIGINT))
+         END AS qv
+  FROM embeddings
+),
+qdot AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS dot,
+         list_sum(list_transform(q.qv, x -> x * x)) AS nq,
+         list_sum(list_transform(c.qv, x -> x * x)) AS nc
+  FROM (SELECT * FROM quant WHERE vec_id < 8) q
+  JOIN quant c ON c.vec_id <> q.vec_id
+),
+approx AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC, nid) AS rank
+    FROM qdot
+  ) WHERE rank <= 5
+)
+SELECT e.qid, count(a.nid) AS hits, count(a.nid) / 5.0 AS recall
+FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+GROUP BY e.qid
+""",
+    doc="quantization quality gate: recall@5 of int8-quantized cosine "
+    "search against the exact float scan.  Per-vector symmetric scales "
+    "cancel in cosine, so the quantized ranking is INTEGER dot products "
+    "(bit-exact in any engine) normalized by integer norms — no float "
+    "accumulation anywhere in the approximate path",
+)
+def q_emb_quantized_recall(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.similarity import quantize_int8
+
+    e = q_emb_cosine_topk(spark, sf_dir).select("qid", "nid")
+    qt = quantize_int8(load(spark, sf_dir, "embeddings"))
+    zero = F.lit(0).cast("long")
+
+    def idot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero,
+                           lambda acc, x: acc + x)
+
+    q = qt.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("aqid"), F.col("qvec").alias("qa")
+    )
+    c = qt.select(F.col("vec_id").alias("anid"), F.col("qvec").alias("qb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("aqid") != F.col("anid"))
+        .select(
+            "aqid", "anid",
+            (
+                idot(F.col("qa"), F.col("qb")).cast("double")
+                / F.sqrt(
+                    idot(F.col("qa"), F.col("qa")).cast("double")
+                    * idot(F.col("qb"), F.col("qb")).cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("aqid").orderBy(F.col("score").desc(), F.col("anid"))
+    a = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    return (
+        e.join(a, (e["qid"] == a["aqid"]) & (e["nid"] == a["anid"]), "left")
+        .groupBy("qid")
+        .agg(
+            F.count("anid").alias("hits"),
+            (F.count("anid") / F.lit(5.0)).alias("recall"),
+        )
+    )
+
+
+@_q(
     "stream_dedup",
     """
 SELECT event_id, epoch_us(ts) // 1000000 AS sec, user_id, event_type, value
