@@ -3,7 +3,13 @@
 from .timeseries import (  # noqa: F401
     align_ts,
     dense_timeline,
+    derivative,
+    integral,
+    keep_last_value,
     last_write_wins,
+    moving_window,
     select_archive,
+    summarize,
+    time_shift,
     xff_rollup,
 )

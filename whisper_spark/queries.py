@@ -3015,6 +3015,33 @@ def q_ws_integral_2h(spark, sf_dir):
 
 
 @_q(
+    "doc_length_percentiles",
+    """
+SELECT lang,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.9)  AS p90,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""",
+    doc="corpus length profile: EXACT linear-interpolated percentiles of "
+    "document length per language (both engines implement the same "
+    "p*(n-1) interpolation, verified bit-identical).  Exact percentile "
+    "is a sort-based aggregate — fine per-group at any corpus size "
+    "because groups partition the data; for a single global percentile "
+    "over 100 TB use approx_percentile instead",
+)
+def q_doc_length_percentiles(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_q(
     "emb_quantized_recall",
     "WITH "
     + _COS_SQL
