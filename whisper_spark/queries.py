@@ -2467,6 +2467,50 @@ def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(_media_df(spark, sf_dir), every_ms=1000)
 
 
+@_q(
+    "mm_feature_topk",
+    "WITH "
+    + _MEDIA_SQL
+    + ", feat AS (\n  SELECT media_id, ["
+    + ", ".join(f"CAST({_hexbyte_sql('h', i)} / 255.0 AS REAL)" for i in range(8))
+    + """] AS fv
+  FROM media WHERE kind = 'image'
+),
+dp AS (
+  SELECT q.media_id AS qid, c.media_id AS nid,
+         list_sum(list_transform(list_zip(q.fv, c.fv),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dot,
+         list_sum(list_transform(q.fv, x -> x::DOUBLE * x::DOUBLE)) AS nq,
+         list_sum(list_transform(c.fv, x -> x::DOUBLE * x::DOUBLE)) AS nc
+  FROM (SELECT * FROM feat WHERE media_id < 90) q
+  JOIN feat c ON c.media_id <> q.media_id
+)
+SELECT qid, nid, rank, score FROM (
+  SELECT qid, nid, dot / sqrt(nq * nc) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / sqrt(nq * nc) DESC, nid) AS rank
+  FROM dp
+) WHERE rank <= 3
+""",
+    doc="end-to-end multimodal retrieval: Arrow-batched mapInPandas decode "
+    "-> float32 feature vectors -> exact cosine top-3 among images "
+    "(operators/multimodal.py decode_media + operators/similarity.py "
+    "cosine_topk).  The oracle recomputes the stub decoder's features "
+    "from hex digests with an explicit REAL cast to reproduce the "
+    "Arrow float32 truncation",
+)
+def q_mm_feature_topk(spark, sf_dir):
+    from .operators.multimodal import decode_media
+    from .operators.similarity import cosine_topk
+
+    dec = decode_media(_media_df(spark, sf_dir), decoder="fake")
+    images = dec.filter(F.col("kind") == "image").select("media_id", "feature")
+    probes = images.filter(F.col("media_id") < 90)
+    return cosine_topk(
+        probes, images, k=3, emb_col="feature", id_col="media_id"
+    )
+
+
 _COS_SQL = """
 dotp AS (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
