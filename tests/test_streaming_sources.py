@@ -4,6 +4,7 @@ batch point-source connectors."""
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from whisper_spark.sources import read_points_csv, read_points_lines, read_rrd
 from whisper_spark.store import WhisperStore
@@ -320,3 +321,46 @@ def test_dedup_stream_cross_batch(spark, tmp_path):
         for r in spark.sql("SELECT metric, ts, value FROM dedup_out").collect()
     )
     assert rows == [("k1", NOW, 1.0), ("k2", NOW + 5, 2.0), ("k3", NOW + 10, 3.0)]
+
+
+def test_interval_join_stream_cross_batch(spark, tmp_path):
+    """Stream-stream interval join: a right-side event arriving in a
+    LATER micro-batch still matches a buffered left event inside the
+    window; an event outside the window never matches."""
+    from whisper_spark.streaming.rollup import interval_join_stream
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+    (ldir / "a.txt").write_text(f"u1 1.0 {NOW}\nu2 1.0 {NOW}\n")
+    (rdir / "a.txt").write_text(f"u1 10.0 {NOW + 50}\n")      # in window
+    (rdir / "b.txt").write_text(f"u1 11.0 {NOW + 90}\nu2 12.0 {NOW + 200}\n")
+
+    lt = parse_line_protocol(
+        spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(str(ldir))
+    ).withColumnRenamed("metric", "uid").select("uid", "ts")
+    rt = parse_line_protocol(
+        spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(str(rdir))
+    ).withColumnRenamed("metric", "uid").select(
+        F.col("uid"), F.col("ts").alias("rts"), "value"
+    )
+    out = interval_join_stream(
+        lt, rt, key="uid", window_seconds=100,
+        left_ts="ts", right_ts="rts", watermark_seconds=60,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.uid, r._lts, r._rts, r.value)
+        for r in spark.sql("SELECT uid, _lts, _rts, value FROM attr_out").collect()
+    )
+    # u1's two purchases (50 s and 90 s later) match; u2's 200 s miss doesn't
+    assert rows == [
+        ("u1", NOW, NOW + 50, 10.0),
+        ("u1", NOW, NOW + 90, 11.0),
+    ]

@@ -3233,6 +3233,80 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @_q(
+    "stream_attribution_join",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec, value
+  FROM events
+)
+SELECT a.user_id AS user_id, a.sec AS view_sec, b.sec AS purchase_sec,
+       b.value AS purchase_value
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.sec >= a.sec AND b.sec <= a.sec + 86400
+""",
+    doc="STRUCTURED STREAMING stream-stream interval join: purchases "
+    "attributed to views by the same user within 24 h.  Watermarks on "
+    "both sides + the event-time range condition bound the join state "
+    "to window + delay (never the whole stream); inner-join semantics "
+    "make the availableNow replay deterministic, so the oracle is the "
+    "plain batch interval join (streaming/rollup.py interval_join_stream)",
+)
+def q_stream_attribution_join(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import interval_join_stream
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    views = (
+        _src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ts"),
+        )
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("pts"),
+            F.col("value"),
+        )
+    )
+    joined = interval_join_stream(
+        views, purchases, key="user_id", window_seconds=86400,
+        left_ts="ts", right_ts="pts", watermark_seconds=3600,
+    )
+    name = "stream_attr_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.col("_lts").alias("view_sec"),
+        F.col("_rts").alias("purchase_sec"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
+@_q(
     "doc_chunk_fixed",
     """
 WITH c AS (

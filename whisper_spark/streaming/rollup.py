@@ -153,6 +153,49 @@ def dedup_stream(
     return out.drop("_evt")
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark_seconds: int = 3600,
+) -> DataFrame:
+    """Stream-stream INNER join on ``key`` where the right event lands in
+    ``[left_ts, left_ts + window_seconds]`` — the attribution shape
+    (view -> purchase within N hours).
+
+    Both sides get event-time watermarks; the range condition lets Spark
+    bound the join state to the window + watermark instead of buffering
+    either stream forever — the property that keeps a stream-stream join
+    viable on unbounded feeds.  Inner joins emit exactly the matched
+    pairs, so with ``availableNow`` replay the result is deterministic.
+
+    Column names must not collide across sides (prefix them first);
+    output carries ``_lts``/``_rts`` event-time columns as epoch seconds.
+    """
+    levt = F.timestamp_seconds(F.col(left_ts)).alias("_levt")
+    revt = F.timestamp_seconds(F.col(right_ts)).alias("_revt")
+    lt = left.select(levt, "*").withWatermark("_levt", f"{watermark_seconds} seconds")
+    rt = (
+        right.withColumnRenamed(key, "_rkey")
+        .select(revt, "*")
+        .withWatermark("_revt", f"{watermark_seconds} seconds")
+    )
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (F.col("_revt") >= F.col("_levt"))
+        & (F.col("_revt") <= F.col("_levt") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    out = lt.join(rt, cond, "inner")
+    return (
+        out.withColumn("_lts", F.unix_timestamp("_levt"))
+        .withColumn("_rts", F.unix_timestamp("_revt"))
+        .drop("_levt", "_revt", "_rkey")
+    )
+
+
 _LWW_OUTPUT = T.StructType(
     [
         T.StructField("metric", T.StringType()),
