@@ -220,3 +220,38 @@ def test_chunk_and_contaminate_1m_docs(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     # the shared word-soup prefix contaminates everything: spot-check it runs
     assert cont.limit(5).count() == 5
+
+
+def test_salted_join_scatters_hot_key(spark):
+    """salted_join must (a) equal the plain join exactly and (b) shuffle
+    on (key, _salt) so a 500k-row hot key spreads over n_salt partitions
+    instead of landing on one reducer."""
+    from whisper_spark.functions.skew import salted_join
+
+    large = spark.range(N).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 1000)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(large, small, "k", n_salt=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan and "hashpartitioning(k#" in plan
+        assert out.count() == large.join(small, "k").count() == N
+        # the hot key actually scatters: >1 distinct salt for k=7
+        n_salts = (
+            large.withColumn(
+                "_salt",
+                F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(8)),
+            )
+            .filter(F.col("k") == 7)
+            .select("_salt").distinct().count()
+        )
+        assert n_salts == 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
