@@ -296,3 +296,33 @@ def test_quantize_int8_roundtrip_and_zero(spark):
         F.exists(F.col("qvec"), lambda v: (v > 127) | (v < -127))
     ).count()
     assert bad == 0
+
+
+def test_pq_pipeline_shapes_and_recall_floor(spark):
+    """PQ: codebook covers every (subspace, code); encode assigns every
+    vector in every subspace; shortlist+re-rank recall@5 stays above the
+    measured floor (integer-exact pipeline, so this is deterministic)."""
+    from whisper_spark.operators.similarity import (
+        int_quantize, pq_adc_topk, pq_codebook, pq_encode, pq_train_round,
+    )
+    from whisper_spark import queries as Q
+
+    emb = spark.read.parquet(f"{sf_dir('0.01')}/embeddings.parquet")
+    qv = int_quantize(emb)
+    n = emb.count()
+    cb0 = pq_codebook(qv, n_sub=8, n_codes=16)
+    assert cb0.count() == 8 * 16
+    assert cb0.select(F.size("cq")).distinct().collect()[0][0] == 8
+    codes0 = pq_encode(qv, cb0)
+    assert codes0.count() == n * 8  # every vector coded in every subspace
+    cb1 = pq_train_round(qv, codes0, n_sub=8)
+    # training keeps the codebook shape (no empty codes on this corpus)
+    assert cb1.count() == 8 * 16
+    # deterministic: re-running encode yields identical codes
+    a = set(map(tuple, pq_encode(qv, cb1).collect()))
+    b = set(map(tuple, pq_encode(qv, cb1).collect()))
+    assert a == b
+    # end-to-end recall floor (value measured once; integer-exact => stable)
+    rec = Q.QUERIES["emb_pq_recall"].fn(spark, sf_dir("0.01")).collect()
+    mean = sum(r.recall for r in rec) / len(rec)
+    assert mean >= 0.75, mean

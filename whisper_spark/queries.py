@@ -3180,6 +3180,179 @@ def q_emb_quantized_recall(spark, sf_dir):
 
 
 @_q(
+    "emb_pq_recall",
+    """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+cb0 AS (
+  SELECT s, vec_id AS code, list_slice(q, s*8 + 1, s*8 + 8) AS cq
+  FROM qv, (SELECT unnest(generate_series(0, 7)) AS s) WHERE vec_id < 16
+),
+enc0 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, c.s, c.code,
+           row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+             list_sum(list_transform(
+               list_zip(list_slice(v.q, c.s*8 + 1, c.s*8 + 8), c.cq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), c.code) AS rn
+    FROM qv v, cb0 c
+  ) WHERE rn = 1
+),
+upd AS (
+  SELECT e.s, e.code, i,
+         CAST(floor(sum(v.q[(e.s*8 + i)::INT]) * 1.0 / count(*)) AS BIGINT) AS val
+  FROM enc0 e JOIN qv v USING (vec_id),
+       (SELECT unnest(generate_series(1, 8)) AS i)
+  GROUP BY e.s, e.code, i
+),
+cb AS (SELECT s, code, list(val ORDER BY i) AS cq FROM upd GROUP BY s, code),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, c.s, c.code,
+           row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+             list_sum(list_transform(
+               list_zip(list_slice(v.q, c.s*8 + 1, c.s*8 + 8), c.cq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), c.code) AS rn
+    FROM qv v, cb c
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT qq.vec_id AS qid, c.s, c.code,
+         list_sum(list_transform(
+           list_zip(list_slice(qq.q, c.s*8 + 1, c.s*8 + 8), c.cq),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+  FROM (SELECT * FROM qv WHERE vec_id < 8) qq, cb c
+),
+adc AS (
+  SELECT d.qid, e.vec_id AS nid, sum(d.d) AS adist
+  FROM enc e JOIN dt d ON e.s = d.s AND e.code = d.code
+  WHERE d.qid <> e.vec_id
+  GROUP BY d.qid, e.vec_id
+),
+short AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+    FROM adc
+  ) WHERE rank <= 50
+),
+rerank AS (
+  SELECT s.qid, s.nid,
+         list_sum(list_transform(list_zip(a.q, b.q),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM short s
+  JOIN qv a ON a.vec_id = s.qid
+  JOIN qv b ON b.vec_id = s.nid
+),
+approx AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+    FROM rerank
+  ) WHERE rank <= 5
+),
+exactd AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_sum(list_transform(list_zip(a.q, b.q),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM (SELECT * FROM qv WHERE vec_id < 8) a JOIN qv b ON b.vec_id <> a.vec_id
+),
+exact AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+    FROM exactd
+  ) WHERE rank <= 5
+)
+SELECT e.qid, count(a.nid) AS hits, count(a.nid) / 5.0 AS recall
+FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+GROUP BY e.qid
+""",
+    doc="product-quantization search, full production shape: vectors "
+    "compress to 8 codebook indices (16 codes/subspace, one integer-exact "
+    "Lloyd training round), an ADC pass scores candidates from per-query "
+    "distance TABLES without touching raw vectors, the top-50 shortlist "
+    "is exactly re-ranked, and recall@5 vs the exhaustive scan is "
+    "reported (0.80 mean at sf0.01 while exact-scoring 10%% of the "
+    "corpus).  Integer-exact end-to-end, so the oracle checks encode, "
+    "training, ADC, and re-rank bit-for-bit (operators/similarity.py "
+    "pq_codebook/pq_train_round/pq_encode/pq_adc_topk)",
+)
+def q_emb_pq_recall(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.similarity import (
+        int_quantize,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_train_round,
+    )
+
+    qv = int_quantize(load(spark, sf_dir, "embeddings"))
+    queries_df = qv.filter(F.col("vec_id") < 8)
+    cb0 = pq_codebook(qv, n_sub=8, n_codes=16)
+    cb = pq_train_round(qv, pq_encode(qv, cb0), n_sub=8)
+    codes = pq_encode(qv, cb)
+    shortlist = pq_adc_topk(queries_df, codes, cb, k=50)
+
+    d2s = F.aggregate(
+        F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qs = queries_df.select(F.col("vec_id").alias("qid"), F.col("q").alias("qa"))
+    cs = qv.select(F.col("vec_id").alias("nid"), F.col("q").alias("qb"))
+    rer = (
+        shortlist.join(F.broadcast(qs), "qid")
+        .join(cs, "nid")
+        .select("qid", "nid", d2s.alias("d2"))
+    )
+    wr = Window.partitionBy("qid").orderBy("d2", "nid")
+    approx = (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("qid").alias("aqid"), F.col("nid").alias("anid"))
+    )
+
+    d2 = F.aggregate(
+        F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ex = (
+        F.broadcast(
+            queries_df.select(F.col("vec_id").alias("qid"), F.col("q").alias("qa"))
+        )
+        .join(
+            qv.select(F.col("vec_id").alias("nid"), F.col("q").alias("qb")),
+            F.col("qid") != F.col("nid"),
+        )
+        .select("qid", "nid", d2.alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    exact = ex.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["qid"] == approx["aqid"]) & (exact["nid"] == approx["anid"]),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("anid").alias("hits"),
+            (F.count("anid") / F.lit(5.0)).alias("recall"),
+        )
+    )
+
+
+@_q(
     "stream_dedup",
     """
 SELECT event_id, epoch_us(ts) // 1000000 AS sec, user_id, event_type, value
