@@ -141,3 +141,51 @@ def test_cli_compact(store, capsys):
                     str(NOW - 300), "--until", str(NOW), "--now", str(NOW),
                     "--json"]) == 0
     assert capsys.readouterr().out == out_before
+
+
+def test_vacuum_removes_only_wholly_expired_buckets(spark, tmp_path, capsys):
+    """vacuum deletes (resolution, tb) dirs whose whole span is past
+    retention, keeps partially-live buckets, and leaves every fetchable
+    timeline bit-identical — directory metadata ops, no data rewrite."""
+    import os
+
+    from whisper_spark.store import WhisperStore, TB_SLOTS
+
+    s = WhisperStore.create(spark, str(tmp_path / "vdb"), [(1, 120), (60, 1440)])
+    span1 = 1 * TB_SLOTS  # archive-0 bucket width in seconds
+    # live points now, plus points so old their archive-1 buckets expire
+    s.update_many([(NOW - i, float(i)) for i in range(1, 40)], now=NOW, metric="m")
+    old = NOW - 1440 * 60 - 3 * 60 * TB_SLOTS  # far past the 60s retention
+    s.update_many([(old - i * 60, 1.0) for i in range(5)], now=old, metric="m")
+
+    def dirs():
+        out = []
+        root = os.path.join(str(tmp_path / "vdb"), "points")
+        for r in sorted(os.listdir(root)):
+            if r.startswith("resolution="):
+                out += [
+                    (r, t)
+                    for t in sorted(os.listdir(os.path.join(root, r)))
+                    if t.startswith("tb=")
+                ]
+        return out
+
+    before_dirs = dirs()
+    (_, df) = s.fetch("m", from_time=NOW - 100, until_time=NOW, now=NOW)
+    before_fetch = [tuple(r) for r in df.orderBy("ts").collect()]
+
+    removed = s.vacuum(now=NOW)
+    assert removed >= 1
+    after_dirs = dirs()
+    assert len(after_dirs) == len(before_dirs) - removed
+    # the live archive-0 bucket(s) survive
+    live_tb = (NOW - 39) // span1
+    assert any(t == f"tb={live_tb}" or t == f"tb={NOW // span1}" for _, t in after_dirs)
+
+    (_, df2) = s.fetch("m", from_time=NOW - 100, until_time=NOW, now=NOW)
+    assert [tuple(r) for r in df2.orderBy("ts").collect()] == before_fetch
+
+    # idempotent + CLI surface
+    assert s.vacuum(now=NOW) == 0
+    assert run_cli(["vacuum", str(tmp_path / "vdb"), "--now", str(NOW)]) == 0
+    assert "0 expired" in capsys.readouterr().out

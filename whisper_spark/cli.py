@@ -204,6 +204,15 @@ def cmd_compact(args):
     return 0
 
 
+def cmd_vacuum(args):
+    from .store import WhisperStore
+
+    store = WhisperStore.open(_spark(), args.path)
+    n = store.vacuum(now=args.now)
+    print(f"vacuumed {args.path}: {n} expired partition dir(s) removed")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="whisper_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -245,6 +254,15 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("path")
     cp.add_argument("--now", type=int, help="pin 'now' (reproducible)")
     cp.set_defaults(fn=cmd_compact)
+
+    vc = sub.add_parser(
+        "vacuum",
+        help="delete wholly-expired (resolution, tb) partition dirs — "
+        "retention enforcement without a data rewrite",
+    )
+    vc.add_argument("path")
+    vc.add_argument("--now", type=int, help="pin 'now' (reproducible)")
+    vc.set_defaults(fn=cmd_vacuum)
 
     i = sub.add_parser("info", help="header info (whisper-info)")
     i.add_argument("path")

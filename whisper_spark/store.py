@@ -1270,3 +1270,48 @@ class WhisperStore:
         shutil.rmtree(bak, ignore_errors=True)
 
     delete_expired = compact
+
+    def vacuum(self, now: int | None = None) -> int:
+        """Directory-level retention enforcement: delete every
+        ``(resolution, tb)`` partition directory whose ENTIRE time range
+        is past its archive's retention.  Returns the number of
+        directories removed.
+
+        This is the 100 TB complement to :meth:`compact`: compact
+        rewrites the whole dataset (full scan + shuffle) to collapse
+        duplicates AND trim expired rows; vacuum is O(#directories)
+        metadata work with no data rewrite — the right cadence is
+        frequent vacuums and occasional compacts.  A bucket ``tb`` spans
+        ``[tb*span, (tb+1)*span)`` with ``span = resolution*TB_SLOTS``;
+        it is deleted only when ``(tb+1)*span <= now - retention``, i.e.
+        every slot in it is strictly unfetchable (fetch clamps
+        ``from_time`` to ``now - retention``, reference whisper.py:927-933),
+        so reads before/after a vacuum return identical timelines.
+
+        Runs under the writer lock: a concurrent append could otherwise
+        race the directory scan (it never APPENDS to an expired bucket —
+        update_many drops expired points — but the rollup cascade reads
+        sibling directories mid-write)."""
+        now = int(now) if now is not None else self._wallclock()
+        if not self._has_data():
+            return 0
+        removed = 0
+        with self._fs_lock(".append.lock"):
+            by_res = {a.seconds_per_point: a.retention for a in self.archives}
+            root = self._points_path
+            for rdir in sorted(os.listdir(root)):
+                if not rdir.startswith("resolution="):
+                    continue
+                res = int(rdir.split("=", 1)[1])
+                retention = by_res.get(res)
+                if retention is None:
+                    continue
+                span = res * TB_SLOTS
+                for tdir in sorted(os.listdir(os.path.join(root, rdir))):
+                    if not tdir.startswith("tb="):
+                        continue
+                    tb = int(tdir.split("=", 1)[1])
+                    if (tb + 1) * span <= now - retention:
+                        shutil.rmtree(os.path.join(root, rdir, tdir))
+                        removed += 1
+        return removed
