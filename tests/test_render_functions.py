@@ -66,3 +66,32 @@ def test_integral_running_sum(spark, series):
 def test_time_shift(spark, series):
     out = TS.time_shift(series, -3600)
     assert out.filter((F.col("metric") == "m") & (F.col("ts") == 60 - 3600)).count() == 1
+
+
+def test_glob_to_regex_semantics():
+    g = TS.glob_to_regex
+    assert g("servers.*.cpu") == r"^servers\.[^.]*\.cpu$"
+    assert g("a.{b,c}.d") == r"^a\.(b|c)\.d$"
+    assert g("x?y") == "^x[^.]y$"
+    assert g("a[0-9].b") == r"^a[0-9]\.b$"
+
+
+def test_filter_metrics_star_never_crosses_dots(spark):
+    df = spark.createDataFrame(
+        [("servers.web1.cpu",), ("servers.web1.disk.io",), ("servers.db.cpu",)],
+        "metric string",
+    )
+    got = sorted(r.metric for r in TS.filter_metrics(df, "servers.*.cpu").collect())
+    assert got == ["servers.db.cpu", "servers.web1.cpu"]  # not the 4-node one
+    assert TS.filter_metrics(df, "servers.*.*.io").count() == 1
+
+
+def test_group_by_node_merges_series(spark):
+    rows = [("dc1.web.cpu", 0, 1.0), ("dc1.db.cpu", 0, 2.0),
+            ("dc2.web.cpu", 0, 10.0), ("dc1.web.cpu", 60, 5.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = TS.group_by_node(df, 1, method="sum")
+    got = {(r.metric, r.ts): (r.value, r.n_series) for r in out.collect()}
+    assert got[("web", 0)] == (11.0, 2)   # two series merged
+    assert got[("db", 0)] == (2.0, 1)
+    assert got[("web", 60)] == (5.0, 1)

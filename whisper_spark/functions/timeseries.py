@@ -264,6 +264,68 @@ def time_shift(
     return df.withColumn(ts, (F.col(ts) + F.lit(seconds)).cast("long"))
 
 
+def glob_to_regex(pattern: str) -> str:
+    """Graphite metric glob -> anchored regex: ``*`` matches within one
+    dotted node (never across dots), ``?`` one non-dot char,
+    ``{a,b}`` alternation, ``[...]`` char classes pass through; all other
+    regex metachars are escaped.  (graphite-web node-matching semantics.)
+    """
+    out, i = ["^"], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            out.append("[^.]*")
+        elif ch == "?":
+            out.append("[^.]")
+        elif ch == "{":
+            j = pattern.index("}", i)
+            out.append("(" + "|".join(pattern[i + 1 : j].split(",")) + ")")
+            i = j
+        elif ch == "[":
+            j = pattern.index("]", i)
+            out.append(pattern[i : j + 1])
+            i = j
+        elif ch in ".\\+^$()|":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+def filter_metrics(
+    df: DataFrame, pattern: str, metric: str = "metric"
+) -> DataFrame:
+    """Select the series matching a graphite glob (``servers.*.cpu``)."""
+    return df.filter(F.col(metric).rlike(glob_to_regex(pattern)))
+
+
+def group_by_node(
+    df: DataFrame,
+    node: int,
+    method: str = "sum",
+    metric: str = "metric",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Graphite ``groupByNode(series, node, func)``: merge series whose
+    dotted name shares node ``node``, aggregating values per timestamp.
+    ``sumSeries``/``averageSeries`` over a glob are the node-constant
+    special case.
+
+    One groupBy((node-key, ts)) — cross-SERIES aggregation is just a
+    re-key; partial aggregation keeps the shuffle narrow however many
+    series merge.  ``value``'s type is preserved (pass decimal for exact
+    cross-series sums)."""
+    key = F.split(F.col(metric), r"\.").getItem(node).alias(metric)
+    agg = aggregate_column(method, value, order=F.col(ts))
+    return (
+        df.groupBy(key, F.col(ts))
+        .agg(agg.alias(value), F.count(value).alias("n_series"))
+    )
+
+
 def select_archive(
     archives: Sequence[ArchiveSpec],
     now: int,

@@ -2888,6 +2888,44 @@ _DEC25 = "decimal(25,6)"
 
 
 @_q(
+    "ws_sum_series",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT 'ev.' || metric || '.m1' AS metric, ts, avg_v
+  FROM min1
+  WHERE regexp_matches('ev.' || metric || '.m1',
+                       '^ev\\.(click|view|error)\\.m1$')
+)
+SELECT string_split(metric, '.')[3] AS metric, ts,
+       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value,
+       count(avg_v) AS n_series
+FROM ser GROUP BY string_split(metric, '.')[3], ts
+""",
+    doc="graphite sumSeries over a metric glob: series selected by "
+    "'ev.{click,view,error}.m1' (glob_to_regex: * never crosses a dot), "
+    "then merged per timestamp via groupByNode — cross-SERIES "
+    "aggregation as one re-keyed groupBy with decimal-exact sums "
+    "(functions/timeseries.py filter_metrics + group_by_node)",
+)
+def q_ws_sum_series(spark, sf_dir):
+    from .functions.timeseries import filter_metrics, group_by_node
+
+    base = min1(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
+        "ts",
+        F.col("avg_v").cast(_DEC25).alias("value"),
+    )
+    g = filter_metrics(base, "ev.{click,view,error}.m1")
+    out = group_by_node(g, 2, method="sum")
+    return out.select(
+        "metric", "ts",
+        F.col("value").cast("string").cast("double").alias("value"),
+        "n_series",
+    )
+
+
+@_q(
     "ws_summarize_15m",
     EVENTS_CTES
     + """
