@@ -4,6 +4,9 @@ from .timeseries import (  # noqa: F401
     align_ts,
     dense_timeline,
     derivative,
+    filter_metrics,
+    glob_to_regex,
+    group_by_node,
     integral,
     keep_last_value,
     last_write_wins,

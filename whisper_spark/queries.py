@@ -2926,6 +2926,36 @@ def q_ws_sum_series(spark, sf_dir):
 
 
 @_q(
+    "ws_as_percent",
+    EVENTS_CTES
+    + """
+SELECT metric, ts,
+       ((CAST(avg_v AS DECIMAL(25,6)) * 100)::VARCHAR)::DOUBLE
+         / ((sum(CAST(avg_v AS DECIMAL(25,6))) OVER (PARTITION BY ts))::VARCHAR)::DOUBLE
+         AS pct
+FROM min1
+""",
+    doc="graphite asPercent(series, total): each series' share of the "
+    "per-timestamp total — a window sum partitioned by ts (no join "
+    "needed), numerator and denominator decimal-exact before the one "
+    "double division",
+)
+def q_ws_as_percent(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    dec = F.col("avg_v").cast(_DEC25)
+    w = Window.partitionBy("ts")
+    return base.select(
+        "metric", "ts",
+        (
+            (dec * 100).cast("string").cast("double")
+            / F.sum(dec).over(w).cast("string").cast("double")
+        ).alias("pct"),
+    )
+
+
+@_q(
     "ws_summarize_15m",
     EVENTS_CTES
     + """
