@@ -3248,6 +3248,63 @@ def q_emb_quantized_recall(spark, sf_dir):
 
 
 @_q(
+    "ev_funnel",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec FROM events
+),
+v AS (SELECT user_id, min(sec) AS v_sec FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT v.user_id, min(e.sec) AS c_sec
+      FROM v JOIN e ON e.user_id = v.user_id
+       AND e.event_type = 'click' AND e.sec >= v.v_sec
+      GROUP BY v.user_id),
+p AS (SELECT c.user_id, min(e.sec) AS p_sec
+      FROM c JOIN e ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.sec >= c.c_sec
+      GROUP BY c.user_id)
+SELECT v.user_id, v.v_sec, c.c_sec, p.p_sec
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+    doc="strict-ordering conversion funnel: earliest view, earliest click "
+    "AT-OR-AFTER that view, earliest purchase at-or-after that click, per "
+    "user — three aggregate-then-join stages keyed on user_id (each stage "
+    "shrinks the key set; one shuffle each, broadcast-able at any fan-in "
+    "because stage outputs are one row per surviving user)",
+)
+def q_ev_funnel(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", sec(ev, "ts").alias("s")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("v_sec"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("s") >= F.col("v_sec"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("c_sec"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("s") >= F.col("c_sec"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("p_sec"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "v_sec", "c_sec", "p_sec")
+    )
+
+
+@_q(
     "emb_pq_recall",
     """
 WITH qv AS (
