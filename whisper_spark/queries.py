@@ -3696,6 +3696,80 @@ def q_doc_repetition(spark, sf_dir):
 
 
 @_q(
+    "doc_clean_pipeline",
+    """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(generate_series(1, len(ws) - 2),
+                                  i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+              ELSE [] END AS grams,
+         len(list_filter(ws, x -> x <> '')) AS n_tokens
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+rep AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(grams) > 0
+              THEN (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+              ELSE 0.0 END AS dup_ratio
+  FROM g
+),
+canon AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id,
+       d.n_chars BETWEEN 100 AND 2000        AS f_len,
+       r.n_tokens >= 20                      AS f_tok,
+       r.dup_ratio < 0.2                     AS f_rep,
+       d.lang IN ('en', 'de', 'es', 'fr')    AS f_lang,
+       c.keep_id = d.doc_id                  AS f_canon,
+       (d.n_chars BETWEEN 100 AND 2000) AND r.n_tokens >= 20
+         AND r.dup_ratio < 0.2 AND d.lang IN ('en', 'de', 'es', 'fr')
+         AND c.keep_id = d.doc_id            AS keep
+FROM documents d
+JOIN rep r USING (doc_id)
+JOIN canon c ON md5(d.text) = c.h
+""",
+    doc="the composed C4-style cleaning pipeline as ONE declarative plan: "
+    "length gate, token-count gate, repetition gate (duplicate 3-gram "
+    "ratio), language allowlist, and exact-dup canonicalization (min "
+    "doc_id per content hash) — each surviving filter is a column, the "
+    "keep decision their conjunction.  One scan + one hash groupBy; at "
+    "100 TB every gate is scan-speed and the dedup shuffle is the only "
+    "wide stage (operators/textanalysis + operators/dedup composition)",
+)
+def q_doc_clean_pipeline(spark, sf_dir):
+    from .operators.textanalysis import repetition_stats
+
+    d = load(spark, sf_dir, "documents")
+    rep = repetition_stats(d, n=3).select("doc_id", "dup_ratio")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = d.select(
+        "doc_id", "n_chars", "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    canon = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    j = base.join(rep, "doc_id").join(F.broadcast(canon), "h")
+    f_len = F.col("n_chars").between(100, 2000)
+    f_tok = F.col("n_tokens") >= 20
+    f_rep = F.col("dup_ratio") < 0.2
+    f_lang = F.col("lang").isin("en", "de", "es", "fr")
+    f_canon = F.col("keep_id") == F.col("doc_id")
+    return j.select(
+        "doc_id",
+        f_len.alias("f_len"),
+        f_tok.alias("f_tok"),
+        f_rep.alias("f_rep"),
+        f_lang.alias("f_lang"),
+        f_canon.alias("f_canon"),
+        (f_len & f_tok & f_rep & f_lang & f_canon).alias("keep"),
+    )
+
+
+@_q(
     "doc_sample_stratified",
     """
 SELECT doc_id, lang,
