@@ -183,3 +183,25 @@ def test_contamination_broadcasts_benchmark(spark):
     plan = plan_of(spark, "doc_contamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_recall_no_sort_merge(spark):
+    """PQ search: distance tables and the re-rank shortlist broadcast;
+    the corpus is never sort-merged."""
+    plan = plan_of(spark, "emb_pq_recall")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_no_cartesian(spark):
+    plan = plan_of(spark, "ev_funnel")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_clean_pipeline_single_wide_stage(spark):
+    """The composed cleaning pipeline: canonicalization is the only
+    groupBy; the gates stay scan-side (broadcast joins, no SMJ)."""
+    plan = plan_of(spark, "doc_clean_pipeline")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

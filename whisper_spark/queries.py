@@ -3432,9 +3432,10 @@ def q_emb_pq_recall(spark, sf_dir):
     )
     qs = queries_df.select(F.col("vec_id").alias("qid"), F.col("q").alias("qa"))
     cs = qv.select(F.col("vec_id").alias("nid"), F.col("q").alias("qb"))
+    # the shortlist is |queries| x 50 rows by construction — broadcast it
+    # against the corpus (statistics can't see that, so say it explicitly)
     rer = (
-        shortlist.join(F.broadcast(qs), "qid")
-        .join(cs, "nid")
+        cs.join(F.broadcast(shortlist.join(F.broadcast(qs), "qid")), "nid")
         .select("qid", "nid", d2s.alias("d2"))
     )
     wr = Window.partitionBy("qid").orderBy("d2", "nid")
@@ -3465,7 +3466,7 @@ def q_emb_pq_recall(spark, sf_dir):
     )
     return (
         exact.join(
-            approx,
+            F.broadcast(approx),
             (exact["qid"] == approx["aqid"]) & (exact["nid"] == approx["anid"]),
             "left",
         )
