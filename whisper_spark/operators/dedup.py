@@ -304,3 +304,42 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return j
+
+
+def simhash_hamming_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded candidates -> EXACT Hamming verification: (id_a, id_b,
+    hamming) for pairs within ``max_hamming`` bits.
+
+    Completes the Manku pipeline: :func:`simhash_candidates` recalls
+    every pair within radius (bands-1 bands must match somewhere), this
+    stage removes band-collision false positives with one
+    ``bit_count(xor)`` per candidate — work proportional to candidates,
+    never |corpus|^2."""
+    cand = simhash_candidates(fingerprints, id_col, bits, bands)
+    fa = fingerprints.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a")
+    )
+    fb = fingerprints.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b")
+    )
+    # no broadcast hints: fingerprints are one row per document (the BIG
+    # side at corpus scale); the candidate set is the small side and AQE
+    # broadcasts it when it fits — the shuffles are candidate-proportional
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -2139,6 +2139,51 @@ def q_doc_simhash(spark, sf_dir):
 
 
 @_q(
+    "doc_simhash_pairs",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents WHERE doc_id < 200
+  )
+), th AS (
+  SELECT doc_id, {{h60}} AS h FROM toks
+), bits AS (
+  SELECT doc_id, j, CAST(pow(2, j) AS BIGINT) AS mask,
+         sum(CASE WHEN (h & CAST(pow(2, j) AS BIGINT)) <> 0 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS j)
+  GROUP BY doc_id, j
+), fp AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, b AS band_id, (simhash >> (b * 15)) & 32767 AS sig
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = id_a
+JOIN fp fb ON fb.doc_id = id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 6
+""".replace("{h60}", _h60_sql("tok")),
+    doc="the complete Manku SimHash pipeline: 60-bit fingerprints -> "
+    "4-band equi-join candidates -> EXACT Hamming verify (bit_count of "
+    "xor) within radius 6.  Verification work is candidate-proportional, "
+    "never corpus^2 (operators/dedup.py simhash_hamming_pairs)",
+)
+def q_doc_simhash_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_hamming_pairs
+
+    fp = q_doc_simhash(spark, sf_dir)
+    return simhash_hamming_pairs(fp, max_hamming=6)
+
+
+@_q(
     "doc_dup_clusters",
     "WITH RECURSIVE "
     + _SHINGLE_SQL.strip()
