@@ -128,3 +128,62 @@ def test_pack_bins_matches_python(spark, docs, cap):
             want[i] = (nt, cum // cap)
             cum += nt
     assert got == want
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # which metric
+        st.integers(min_value=0, max_value=50),       # slot index
+        st.integers(min_value=-50, max_value=50),     # value (int-exact)
+    ),
+    min_size=1,
+    max_size=50,
+).map(lambda rows: sorted({(m, t): v for m, t, v in rows}.items()))
+# one value per (metric, slot), deterministic order
+
+
+@given(rows=series_strategy,
+       bucket=st.sampled_from([120, 180, 300]),
+       n_pts=st.integers(min_value=1, max_value=6))
+@settings(**SETTINGS)
+def test_render_functions_match_python_reference(spark, rows, bucket, n_pts):
+    """summarize / moving_window / derivative / integral vs a per-series
+    sorted-scan Python reference (integer values => exact equality)."""
+    from whisper_spark.functions import timeseries as TS
+    from pyspark.sql import functions as F
+
+    data = [(f"m{m}", t * 60, float(v)) for ((m, t), v) in rows]
+    df = spark.createDataFrame(data, "metric string, ts long, value double")
+
+    by_series = {}
+    for m, t, v in data:
+        by_series.setdefault(m, []).append((t, v))
+    for s in by_series.values():
+        s.sort()
+
+    # summarize(sum)
+    got = {(r.metric, r.ts): (r.value, r.known)
+           for r in TS.summarize(df, ["metric"], bucket, "sum").collect()}
+    exp = {}
+    for m, pts in by_series.items():
+        for t, v in pts:
+            b = t - t % bucket
+            s, n = exp.get((m, b), (0.0, 0))
+            exp[(m, b)] = (s + v, n + 1)
+    assert got == exp
+
+    # moving_window / derivative / integral
+    mv = {(r.metric, r.ts): r.mavg
+          for r in TS.moving_window(df, ["metric"], n_pts).collect()}
+    dv = {(r.metric, r.ts): r.delta
+          for r in TS.derivative(df, ["metric"]).collect()}
+    ig = {(r.metric, r.ts): r.running
+          for r in TS.integral(df, ["metric"]).collect()}
+    for m, pts in by_series.items():
+        run = 0.0
+        for i, (t, v) in enumerate(pts):
+            frame = [x for _, x in pts[max(0, i - n_pts + 1): i + 1]]
+            assert mv[(m, t)] == sum(frame) / len(frame)
+            assert dv[(m, t)] == (None if i == 0 else v - pts[i - 1][1])
+            run += v
+            assert ig[(m, t)] == run
