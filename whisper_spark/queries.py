@@ -3199,6 +3199,54 @@ def q_doc_length_percentiles(spark, sf_dir):
 
 
 @_q(
+    "emb_filtered_topk",
+    """
+WITH pool AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+dotp AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dot,
+         list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nq,
+         list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nc
+  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+  JOIN pool c ON c.vec_id <> q.vec_id
+)
+SELECT qid, nid, rank, score FROM (
+  SELECT qid, nid, dot / sqrt(nq * nc) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / sqrt(nq * nc) DESC, nid) AS rank
+  FROM dotp
+) WHERE rank <= 5
+""",
+    doc="FILTERED vector search (the vector-DB capability ANN engines "
+    "bolt on): top-5 cosine restricted to vectors whose linked document "
+    "is English — pre-filtering via a relational join BEFORE the "
+    "distance work, so selectivity cuts the scan instead of post-hoc "
+    "discarding results.  In Spark the attribute filter and the ANN "
+    "kernel are one plan; Catalyst pushes d.lang to the documents scan",
+)
+def q_emb_filtered_topk(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    pool = emb.join(
+        F.broadcast(
+            docs.filter(F.col("lang") == "en").select(
+                F.col("doc_id").alias("vec_id")
+            )
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    return cosine_topk(emb.filter(F.col("vec_id") < 8), pool, k=5)
+
+
+@_q(
     "emb_quantized_recall",
     "WITH "
     + _COS_SQL
