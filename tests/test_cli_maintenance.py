@@ -189,3 +189,17 @@ def test_vacuum_removes_only_wholly_expired_buckets(spark, tmp_path, capsys):
     assert s.vacuum(now=NOW) == 0
     assert run_cli(["vacuum", str(tmp_path / "vdb"), "--now", str(NOW)]) == 0
     assert "0 expired" in capsys.readouterr().out
+
+
+def test_cli_auto_update_expr(spark, store, capsys):
+    """auto-update via CLI: a SQL expression over (ts, value) rewrites
+    the stored values; fetch reflects the rewrite."""
+    (_, before) = store.fetch("m", from_time=NOW - 10, until_time=NOW, now=NOW)
+    vals_before = {r.ts: r.value for r in before.collect() if r.value is not None}
+    assert vals_before
+    assert run_cli(["auto-update", store.path, "--expr", "value * 2 + 1",
+                    "--from", str(NOW - 119), "--now", str(NOW)]) == 0
+    capsys.readouterr()
+    (_, after) = store.fetch("m", from_time=NOW - 10, until_time=NOW, now=NOW)
+    vals_after = {r.ts: r.value for r in after.collect() if r.value is not None}
+    assert vals_after == {t: v * 2 + 1 for t, v in vals_before.items()}

@@ -204,6 +204,34 @@ def cmd_compact(args):
     return 0
 
 
+def cmd_auto_update(args):
+    """SQL-expression variant of contrib/whisper-auto-update.py: the
+    user passes ``--expr`` referencing ``ts``/``value`` columns (e.g.
+    ``value * 2`` or ``CASE WHEN value < 0 THEN 0 ELSE value END``) —
+    a column transform, not per-row Python."""
+    from pyspark.sql import functions as F
+
+    from .maintenance import auto_update
+    from .store import WhisperStore
+
+    store = WhisperStore.open(_spark(), args.path)
+    expr = args.expr
+
+    def update_value(ts_col, value_col):
+        return F.expr(expr)
+
+    auto_update(
+        store,
+        update_value,
+        metrics=args.metric or None,
+        from_time=args.frm,
+        until_time=args.until,
+        now=args.now,
+    )
+    print(f"auto-updated {args.path} with: {expr}")
+    return 0
+
+
 def cmd_vacuum(args):
     from .store import WhisperStore
 
@@ -263,6 +291,23 @@ def build_parser() -> argparse.ArgumentParser:
     vc.add_argument("path")
     vc.add_argument("--now", type=int, help="pin 'now' (reproducible)")
     vc.set_defaults(fn=cmd_vacuum)
+
+    au = sub.add_parser(
+        "auto-update",
+        help="rewrite stored values with a SQL expression over ts/value "
+        "(contrib/whisper-auto-update.py analog)",
+    )
+    au.add_argument("path")
+    au.add_argument("--expr", required=True,
+                    help="SQL expression over columns ts, value")
+    au.add_argument("--from", dest="frm", type=int,
+                    help="range start (drives archive selection, like the "
+                    "reference tool's required from/to)")
+    au.add_argument("--until", type=int)
+    au.add_argument("--metric", action="append",
+                    help="restrict to metric(s); repeatable")
+    au.add_argument("--now", type=int, help="pin 'now' (reproducible)")
+    au.set_defaults(fn=cmd_auto_update)
 
     i = sub.add_parser("info", help="header info (whisper-info)")
     i.add_argument("path")
