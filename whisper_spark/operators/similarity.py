@@ -540,3 +540,43 @@ def pq_train_round(
         .agg(F.array_sort(F.collect_list(F.struct("i", "val"))).alias("pairs"))
         .select("s", "code", F.transform("pairs", lambda p: p["val"]).alias("cq"))
     )
+
+
+def ivf_residual_assign(
+    corpus_q: DataFrame,
+    n_coarse: int = 4,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """IVF coarse quantization in the integer domain + residuals:
+    (id, cid, r) where ``cid`` is the nearest of ``n_coarse`` seeded
+    coarse centroids (integer L2, ties to lower cid) and ``r = q -
+    centroid`` elementwise — the input PQ encodes in an IVF-PQ index.
+
+    Residual encoding is what makes PQ codebooks sharp: within a coarse
+    cell the residuals are centered near zero, so 16 codes per subspace
+    cover them far better than they cover raw vectors.  All integer
+    arithmetic — bit-reproducible."""
+    cents = corpus_q.filter(F.col(id_col) < n_coarse).select(
+        F.col(id_col).alias("cid"), F.col(q_col).alias("_cq0")
+    )
+    d2 = F.aggregate(
+        F.zip_with(q_col, "_cq0", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        corpus_q.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), "cid", d2.alias("_d2"))
+        .groupBy(id_col)
+        .agg(F.min_by("cid", F.struct("_d2", "cid")).alias("cid"))
+    )
+    return (
+        corpus_q.join(asg, id_col)
+        .join(F.broadcast(cents), "cid")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.zip_with(q_col, "_cq0", lambda a, b: a - b).alias("r"),
+        )
+    )
