@@ -205,3 +205,27 @@ def test_clean_pipeline_single_wide_stage(spark):
     plan = plan_of(spark, "doc_clean_pipeline")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_join_shapes(spark):
+    """IVF-PQ: centroids, codebook, and distance tables broadcast.  The
+    codes<->assignment join IS allowed to sort-merge — both sides are
+    corpus-sized and share the vec_id key (the legitimate large-large
+    equi-join at scale); what must never appear is a cartesian product
+    or a sort-merge against one of the tiny index tables."""
+    plan = plan_of(spark, "emb_ivfpq_recall")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # any SMJ must be on the corpus key, not on (s, code)/(cid) index keys
+    import re
+
+    for m in re.finditer(r"SortMergeJoin \[([a-z_]+)#", plan):
+        assert m.group(1) == "vec_id", plan
+
+
+def test_filtered_topk_pushes_lang(spark):
+    """Filtered ANN: the attribute filter must reach the documents scan
+    (pre-filtering), not post-filter the scored pairs."""
+    plan = plan_of(spark, "emb_filtered_topk")
+    assert "EqualTo(lang,en)" in plan
+    assert "SortMergeJoin" not in plan
