@@ -3341,6 +3341,35 @@ def q_emb_quantized_recall(spark, sf_dir):
 
 
 @_q(
+    "ev_props_json",
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k,
+       CAST(max(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                     THEN CAST(json_extract(props, '$.k') AS BIGINT) END) AS BIGINT)
+         AS max_k_ge50
+FROM events
+GROUP BY event_type
+""",
+    doc="semi-structured extraction: the events props column is a JSON "
+    "document; the path extraction (get_json_object) runs JVM-side "
+    "inside codegen, so JSON-typed payloads aggregate at scan speed — "
+    "integer-exact sums, no Python",
+)
+def q_ev_props_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count_distinct(k).alias("distinct_k"),
+        F.max(F.when(k >= 50, k)).alias("max_k_ge50"),
+    )
+
+
+@_q(
     "ev_funnel",
     """
 WITH e AS (
