@@ -3341,6 +3341,43 @@ def q_emb_quantized_recall(spark, sf_dir):
 
 
 @_q(
+    "ev_daily_cube",
+    """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT), -1) AS day_num,
+       count(*) AS n,
+       (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS sum_v
+FROM events
+GROUP BY CUBE (event_type, epoch_us(ts) // 1000000 // 86400)
+""",
+    doc="multi-dimensional aggregate (CUBE): per (type, day), per type, "
+    "per day, and grand-total rows from ONE scan — Spark expands the "
+    "grouping sets map-side so the shuffle stays single-pass; nulls from "
+    "the rollup dimensions are coalesced to sentinels so the driver's "
+    "sorted-hash compare is stable",
+)
+def q_ev_daily_cube(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    day = (sec(ev, "ts") / F.lit(86400)).cast("long")
+    base = ev.select(
+        "event_type", day.alias("day_num"), F.col("value").cast(_DEC25).alias("v")
+    )
+    return (
+        base.cube("event_type", "day_num")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("string").cast("double").alias("sum_v"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day_num"), F.lit(-1)).alias("day_num"),
+            "n",
+            "sum_v",
+        )
+    )
+
+
+@_q(
     "ev_props_json",
     """
 SELECT event_type,
