@@ -3341,6 +3341,48 @@ def q_emb_quantized_recall(spark, sf_dir):
 
 
 @_q(
+    "q_set_ops_customers",
+    """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND epoch_us(o_orderdate) // 1000000 >= 820454400
+    AND epoch_us(o_orderdate) // 1000000 < 852076800
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY c_custkey
+""",
+    doc="set-operation shapes: BUILDING customers who ordered in 1996 "
+    "INTERSECT solvent customers, EXCEPT anyone with an urgent order.  "
+    "Catalyst rewrites both to semi/anti joins (distinct-key sets), so "
+    "the plan is joins + one distinct — no materialized intermediates",
+)
+def q_set_ops_customers(spark, sf_dir):
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    bought_96 = (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            od.filter(
+                sec_ge(od, "o_orderdate", 820454400)
+                & sec_lt(od, "o_orderdate", 852076800)
+            ),
+            cu.c_custkey == od.o_custkey,
+        )
+        .select("c_custkey")
+    )
+    solvent = cu.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # intersect/subtract are SQL INTERSECT/EXCEPT (distinct set semantics)
+    return bought_96.intersect(solvent).subtract(urgent).orderBy("c_custkey")
+
+
+@_q(
     "ev_daily_cube",
     """
 SELECT coalesce(event_type, '<all>') AS event_type,
