@@ -3341,6 +3341,45 @@ def q_emb_quantized_recall(spark, sf_dir):
 
 
 @_q(
+    "q_acctbal_quartiles",
+    """
+SELECT c_mktsegment, quartile,
+       count(*) AS n,
+       (sum(CAST(c_acctbal AS DECIMAL(18,6)))::VARCHAR)::DOUBLE AS sum_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+GROUP BY c_mktsegment, quartile
+""",
+    doc="distribution banding: ntile(4) quartiles of account balance per "
+    "segment (c_custkey tie-break makes the banding total-order "
+    "deterministic), then per-band rollup — the segmentation shape for "
+    "cohort/LTV analyses",
+)
+def q_acctbal_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cu = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cu.select(
+            "c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_bal"),
+        )
+    )
+
+
+@_q(
     "q_set_ops_customers",
     """
 SELECT c_custkey FROM (
