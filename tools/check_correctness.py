@@ -139,7 +139,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_ok = 0
     for name in names:
-        r = run_one(spark, con, name, sf_dir, verbose=True)
+        try:
+            r = run_one(spark, con, name, sf_dir, verbose=True)
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the sweep
+            r = {"name": name, "status": "ERROR", "err": str(e).split("\n")[0][:300]}
         ok = r["status"] in ("OK", "rows_only")
         n_ok += ok
         print(("PASS " if ok else "FAIL ") + str(r), flush=True)

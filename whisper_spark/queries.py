@@ -67,6 +67,20 @@ def sec(df: DataFrame, col: str) -> F.Column:
     return F.col(col).cast("long")
 
 
+def stream_sec(schema: T.StructType, col: str) -> F.Column:
+    """Epoch-seconds expression for a streaming source whose schema came
+    from a batch read of the same parquet.  Same three-way dispatch as
+    ``sec`` (TIMESTAMP(NANOS)-as-long / TIMESTAMP_NTZ / TIMESTAMP) — the
+    driver's testdata has shipped both nanos and micros timestamps across
+    rounds, so nothing may hardcode the physical type."""
+    dt = schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{col} div 1000000000")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col(col).cast("timestamp").cast("long")
+    return F.col(col).cast("long")
+
+
 def _ts_bound(df: DataFrame, col: str, epoch_s: int):
     """Raw-typed literal for comparisons against a timestamp column —
     keeps the predicate ON THE COLUMN (no cast wrapper) so it pushes down
@@ -2843,7 +2857,7 @@ def q_stream_rollup_1m_max(spark, sf_dir):
     )
     pts = src.select(
         F.col("event_type").alias("metric"),
-        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ts"),
+        stream_sec(schema, "ts").alias("ts"),
         F.col("value"),
         F.col("event_id").alias("seq"),
     )
@@ -2911,7 +2925,7 @@ def q_stream_sessionize(spark, sf_dir):
     )
     pts = src.select(
         "user_id",
-        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ts"),
+        stream_sec(schema, "ts").alias("ts"),
         F.col("value"),
     )
     sessions = sessionize_stream(
@@ -3943,7 +3957,7 @@ def q_stream_dedup(spark, sf_dir):
     # simulate at-least-once delivery: every third record arrives twice
     dup = src.select(
         "event_id",
-        (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("sec"),
+        stream_sec(schema, "ts").alias("sec"),
         "user_id",
         "event_type",
         "value",
@@ -4008,7 +4022,7 @@ def q_stream_attribution_join(spark, sf_dir):
         .filter(F.col("event_type") == "view")
         .select(
             "user_id",
-            (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ts"),
+            stream_sec(schema, "ts").alias("ts"),
         )
     )
     purchases = (
@@ -4016,7 +4030,7 @@ def q_stream_attribution_join(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id"),
-            (F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("pts"),
+            stream_sec(schema, "ts").alias("pts"),
             F.col("value"),
         )
     )
