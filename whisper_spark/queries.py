@@ -4284,6 +4284,469 @@ def q_emb_quantize_int8(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# render layer, continued: the remaining graphite-web function families
+# (graphite-web render/functions.py analogs; whisper itself stops at
+# fetch, so these are the query surface its users actually run on top)
+# --------------------------------------------------------------------- #
+
+
+@_q(
+    "ws_time_shift_1h",
+    EVENTS_CTES
+    + """
+SELECT a.metric AS metric, a.ts AS ts, a.avg_v AS value,
+       b.avg_v AS value_1h_ago, a.avg_v - b.avg_v AS delta
+FROM min1 a JOIN min1 b
+  ON a.metric = b.metric AND b.ts + 3600 = a.ts
+""",
+    doc="graphite timeShift(series, '1h') compare: the 1m rollup joined "
+    "against itself displaced one hour — hour-over-hour delta per slot.  "
+    "A self equi-join on (metric, ts) — both sides share the same "
+    "partitioning so at scale this is a co-partitioned join, no extra "
+    "shuffle beyond the rollup's own (functions/timeseries.py time_shift)",
+)
+def q_ws_time_shift_1h(spark, sf_dir):
+    base = min1(spark, sf_dir)
+    cur = base.select("metric", "ts", F.col("avg_v").alias("value"))
+    prev = base.select(
+        "metric",
+        (F.col("ts") + 3600).alias("ts"),
+        F.col("avg_v").alias("value_1h_ago"),
+    )
+    return cur.join(prev, ["metric", "ts"]).select(
+        "metric", "ts", "value", "value_1h_ago",
+        (F.col("value") - F.col("value_1h_ago")).alias("delta"),
+    )
+
+
+@_q(
+    "ws_scale_clamp",
+    EVENTS_CTES
+    + """
+SELECT metric, ts,
+       avg_v * 2.5 - 100 AS scaled,
+       abs(avg_v * 2.5 - 100) AS absv,
+       CASE WHEN abs(avg_v * 2.5 - 100) > 250 THEN NULL
+            ELSE abs(avg_v * 2.5 - 100) END AS clipped,
+       avg_v - min(avg_v) OVER (PARTITION BY metric) AS zeroed
+FROM min1
+""",
+    doc="graphite scale/offset/absolute/removeAboveValue/offsetToZero as "
+    "one projection: every transform is a single IEEE double op on "
+    "already-deterministic inputs, so raw float math is engine-exact; "
+    "offsetToZero is the one windowed term (per-series min).  "
+    "Scan-speed at any scale",
+)
+def q_ws_scale_clamp(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    scaled = F.col("avg_v") * 2.5 - 100
+    absv = F.abs(scaled)
+    return base.select(
+        "metric", "ts",
+        scaled.alias("scaled"),
+        absv.alias("absv"),
+        F.when(absv > 250, F.lit(None).cast("double")).otherwise(absv).alias("clipped"),
+        (F.col("avg_v") - F.min("avg_v").over(Window.partitionBy("metric"))).alias("zeroed"),
+    )
+
+
+@_q(
+    "ws_series_combine",
+    EVENTS_CTES
+    + """
+SELECT ts,
+       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(avg_v) AS avg_s,
+       max(avg_v) AS max_s,
+       min(avg_v) AS min_s,
+       max(avg_v) - min(avg_v) AS range_s,
+       count(*) AS n_series
+FROM min1 GROUP BY ts
+""",
+    doc="graphite averageSeries/maxSeries/minSeries/rangeOfSeries: the "
+    "cross-series combine family collapses to ONE groupBy(ts) with "
+    "mixed aggregates — decimal-exact for the order-sensitive average, "
+    "raw for max/min (no float math).  One shuffle keyed on ts "
+    "(functions/timeseries.py group_by_node generalization)",
+)
+def q_ws_series_combine(spark, sf_dir):
+    base = min1(spark, sf_dir)
+    return base.groupBy("ts").agg(
+        (dsum(F.col("avg_v")) / F.count("avg_v")).alias("avg_s"),
+        F.max("avg_v").alias("max_s"),
+        F.min("avg_v").alias("min_s"),
+        (F.max("avg_v") - F.min("avg_v")).alias("range_s"),
+        F.count("*").alias("n_series"),
+    )
+
+
+@_q(
+    "ws_highest_avg_top2",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT metric,
+         (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(avg_v) AS series_avg
+  FROM min1 GROUP BY metric
+),
+rk AS (
+  SELECT metric, series_avg,
+         row_number() OVER (ORDER BY series_avg DESC, metric) AS rnk
+  FROM ser
+)
+SELECT m.metric AS metric, m.ts AS ts, m.avg_v AS value,
+       r.series_avg AS series_avg, r.rnk AS rnk
+FROM min1 m JOIN rk r ON m.metric = r.metric
+WHERE r.rnk <= 2
+""",
+    doc="graphite highestAverage(seriesList, 2): rank whole series by "
+    "their decimal-exact mean, keep the top 2, return those series in "
+    "full.  The per-series aggregate is tiny (one row per metric) so the "
+    "rank + join-back side broadcasts at any corpus scale; ties break on "
+    "metric name for determinism",
+)
+def q_ws_highest_avg_top2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    ser = base.groupBy("metric").agg(
+        (dsum(F.col("avg_v")) / F.count("avg_v")).alias("series_avg")
+    )
+    rk = ser.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("series_avg"), F.asc("metric"))),
+    ).filter(F.col("rnk") <= 2)
+    return base.join(F.broadcast(rk), "metric").select(
+        "metric", "ts", F.col("avg_v").alias("value"), "series_avg", "rnk"
+    )
+
+
+@_q(
+    "ws_percentile_series_p50",
+    EVENTS_CTES
+    + """
+, rk AS (
+  SELECT ts, avg_v,
+         row_number() OVER (PARTITION BY ts ORDER BY avg_v, metric) AS rn,
+         count(*) OVER (PARTITION BY ts) AS n
+  FROM min1
+)
+SELECT ts, avg_v AS p50, n AS n_series
+FROM rk WHERE rn = (n + 1) // 2
+""",
+    doc="graphite percentileOfSeries(seriesList, 50): per-timestamp "
+    "median across series by NEAREST-RANK (rank ceil(n/2)) — picks an "
+    "actual stored value instead of interpolating, so there is no float "
+    "arithmetic to diverge between engines.  One window keyed on ts; "
+    "ties break (value, metric) for determinism",
+)
+def q_ws_percentile_series_p50(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    w = Window.partitionBy("ts")
+    rk = base.select(
+        "ts", "avg_v",
+        F.row_number().over(w.orderBy("avg_v", "metric")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    return rk.filter(F.expr("rn = (n + 1) div 2")).select(
+        "ts", F.col("avg_v").alias("p50"), F.col("n").alias("n_series")
+    )
+
+
+@_q(
+    "ws_hitcount_10m",
+    EVENTS_CTES
+    + """
+SELECT metric, ts // 600 * 600 AS ts,
+       (sum(CAST(avg_v AS DECIMAL(25,6)) * 60)::VARCHAR)::DOUBLE AS hits
+FROM min1 GROUP BY metric, ts // 600 * 600
+""",
+    doc="graphite hitcount(series, '10min'): rate-to-count conversion "
+    "(value x step seconds) re-binned to 10-minute buckets; the x60 "
+    "stays in decimal so the re-bin sum is order-independent.  Same "
+    "one-shuffle shape as summarize (functions/timeseries.py summarize)",
+)
+def q_ws_hitcount_10m(spark, sf_dir):
+    base = min1(spark, sf_dir)
+    return (
+        base.groupBy("metric", (F.col("ts") - F.col("ts") % 600).alias("ts"))
+        .agg(
+            F.sum(F.col("avg_v").cast(_DEC25) * 60)
+            .cast("string")
+            .cast("double")
+            .alias("hits")
+        )
+    )
+
+
+@_q(
+    "ws_remove_above_p90",
+    EVENTS_CTES
+    + """
+, rk AS (
+  SELECT metric, ts, avg_v,
+         row_number() OVER (PARTITION BY metric ORDER BY avg_v, ts) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM min1
+),
+thr AS (
+  SELECT metric, avg_v AS p90 FROM rk WHERE rn = (9 * n + 9) // 10
+)
+SELECT m.metric AS metric, m.ts AS ts,
+       CASE WHEN m.avg_v <= t.p90 THEN m.avg_v END AS value,
+       t.p90 AS p90
+FROM min1 m JOIN thr t ON m.metric = t.metric
+""",
+    doc="graphite removeAbovePercentile(series, 90): per-series "
+    "nearest-rank p90 threshold (rank ceil(0.9 n) — a stored value, no "
+    "interpolation), then null out slots above it.  The thresholds table "
+    "is one row per series, broadcast back over the scan",
+)
+def q_ws_remove_above_p90(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    w = Window.partitionBy("metric")
+    rk = base.select(
+        "metric", "ts", "avg_v",
+        F.row_number().over(w.orderBy("avg_v", "ts")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    thr = rk.filter(F.expr("rn = (9 * n + 9) div 10")).select(
+        "metric", F.col("avg_v").alias("p90")
+    )
+    return base.join(F.broadcast(thr), "metric").select(
+        "metric", "ts",
+        F.when(F.col("avg_v") <= F.col("p90"), F.col("avg_v")).alias("value"),
+        "p90",
+    )
+
+
+@_q(
+    "ws_sort_by_total_top3",
+    EVENTS_CTES
+    + """
+, tot AS (
+  SELECT metric, (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS total
+  FROM min1 GROUP BY metric
+)
+SELECT metric, total,
+       row_number() OVER (ORDER BY total DESC, metric) AS rnk
+FROM tot QUALIFY rnk <= 3
+""",
+    doc="graphite sortByTotal + limit(3): series ranked by decimal-exact "
+    "total.  The aggregate collapses to one row per series before the "
+    "global sort, so the ORDER BY runs over series count, not points",
+)
+def q_ws_sort_by_total_top3(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    tot = base.groupBy("metric").agg(dsum(F.col("avg_v")).alias("total"))
+    return (
+        tot.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("total"), F.asc("metric"))),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_q(
+    "ws_stdev_moving_10",
+    EVENTS_CTES
+    + """
+, acc AS (
+  SELECT metric, ts,
+         (sum(CAST(avg_v AS DECIMAL(15,6))) OVER w::VARCHAR)::DOUBLE AS sx,
+         (sum(CAST(avg_v AS DECIMAL(15,6)) * CAST(avg_v AS DECIMAL(15,6)))
+            OVER w::VARCHAR)::DOUBLE AS sxx,
+         count(avg_v) OVER w AS n
+  FROM min1
+  WINDOW w AS (PARTITION BY metric ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT metric, ts,
+       sqrt(CASE WHEN (n * sxx - sx * sx) / (n * n) < 0 THEN 0
+                 ELSE (n * sxx - sx * sx) / (n * n) END) AS mstdev,
+       n
+FROM acc
+""",
+    doc="graphite stdev(series, 10): trailing-window population standard "
+    "deviation.  Both moments accumulate in DECIMAL (exact, "
+    "order-independent); the variance n*sxx - sx^2 over n^2 and the final "
+    "sqrt are the identical IEEE sequence in both engines, with a clamp "
+    "for the tiny-negative cancellation case.  DECIMAL(15,6) inputs keep "
+    "the squared sum inside DECIMAL(38,12) so neither engine rounds",
+)
+def q_ws_stdev_moving_10(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("ts").rowsBetween(-9, 0)
+    v = F.col("avg_v").cast("decimal(15,6)")
+    acc = base.select(
+        "metric", "ts",
+        F.sum(v).over(w).cast("string").cast("double").alias("sx"),
+        F.sum(v * v).over(w).cast("string").cast("double").alias("sxx"),
+        F.count("avg_v").over(w).alias("n"),
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (F.col("n") * F.col("n"))
+    return acc.select(
+        "metric", "ts",
+        F.sqrt(F.when(var < 0, F.lit(0.0)).otherwise(var)).alias("mstdev"),
+        "n",
+    )
+
+
+# --------------------------------------------------------------------- #
+# pipeline mechanics, continued
+# --------------------------------------------------------------------- #
+
+
+@_q(
+    "doc_shuffle_shards",
+    """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, hv % 8 AS shard,
+       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+FROM h
+""",
+    doc="deterministic global training shuffle: every doc gets a seeded "
+    "60-bit hash, a shard (hash mod n_shards), and a position within its "
+    "shard by hash order — the epoch-reshuffle primitive for training "
+    "runs, reproducible under any partitioning (unlike rand()).  At "
+    "scale the window is per-shard, i.e. n_shards independent sorts of "
+    "1/n of the data each (functions/hashing.py h60_seeded)",
+)
+def q_doc_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.hashing import h60
+
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        h60(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("hv"),
+    )
+    return h.select(
+        "doc_id",
+        (F.col("hv") % 8).alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy(F.col("hv") % 8).orderBy("hv", "doc_id"))
+        .alias("pos"),
+    )
+
+
+@_q(
+    "ev_retention_cohorts",
+    """
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 604800 AS wk FROM events
+),
+f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+cs AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort),
+grid AS (
+  SELECT f.cohort AS cohort_wk, e.wk - f.cohort AS week_k, count(*) AS n_users
+  FROM e JOIN f USING (user_id)
+  GROUP BY f.cohort, e.wk - f.cohort
+)
+SELECT g.cohort_wk, g.week_k, g.n_users, cs.n_cohort,
+       CAST(g.n_users AS DOUBLE) / cs.n_cohort AS retention
+FROM grid g JOIN cs ON cs.cohort = g.cohort_wk
+""",
+    doc="weekly cohort retention over the events stream: users bucketed "
+    "by first-seen week, then the fraction still active k weeks later.  "
+    "All-integer until the final division, so engine-exact; two "
+    "shuffles (user-week distinct, cohort grid) with the tiny cohort "
+    "sizes broadcast back",
+)
+def q_ev_retention_cohorts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", (sec(ev, "ts") / 604800).cast("long").alias("wk")
+    ).distinct()
+    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    cs = f.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    grid = (
+        e.join(f, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_wk"),
+            (F.col("wk") - F.col("cohort")).alias("week_k"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+    return grid.join(
+        F.broadcast(cs), grid["cohort_wk"] == cs["cohort"]
+    ).select(
+        "cohort_wk", "week_k", "n_users", "n_cohort",
+        (F.col("n_users").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
+
+
+@_q(
+    "doc_source_ngram_jaccard",
+    """
+WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gram
+  FROM w
+),
+sz AS (SELECT source, count(*) AS n FROM g GROUP BY source)
+SELECT a.source AS src_a, b.source AS src_b,
+       count(*) AS n_inter, max(sa.n) AS n_a, max(sb.n) AS n_b,
+       CAST(count(*) AS DOUBLE) / (max(sa.n) + max(sb.n) - count(*)) AS jaccard
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+JOIN sz sa ON sa.source = a.source
+JOIN sz sb ON sb.source = b.source
+GROUP BY a.source, b.source
+""",
+    doc="corpus-level source similarity: word-3-gram vocabulary Jaccard "
+    "between every source pair — the mix-analysis / source-contamination "
+    "matrix.  The pair count comes from ONE equi-join on the gram "
+    "(shuffle proportional to shared vocabulary, never |A| x |B|), and "
+    "the per-source totals broadcast back over the 190-pair result",
+)
+def q_doc_source_ngram_jaccard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> array_join(slice(split(text, ' '), i, 3), ' '))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    g = d.select("source", F.explode(grams).alias("gram")).distinct()
+    sz = g.groupBy("source").agg(F.count("*").alias("n"))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    out = pairs.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    return out.select(
+        "src_a", "src_b", "n_inter", "n_a", "n_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------- #
 # public accessors (consumed by __spark_entry__.py)
 # --------------------------------------------------------------------- #
 
