@@ -30,6 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..aggregation import aggregate_column
 from ..retention import ArchiveSpec
@@ -262,6 +263,53 @@ def time_shift(
 ) -> DataFrame:
     """Graphite ``timeShift``: relabel the series ``seconds`` later."""
     return df.withColumn(ts, (F.col(ts) + F.lit(seconds)).cast("long"))
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    alpha: float,
+    ts: str = "ts",
+    value: str = "value",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Graphite ``exponentialMovingAverage``: the per-series recurrence
+    ``e_1 = x_1; e_t = alpha*x_t + (1-alpha)*e_{t-1}``.
+
+    This is the one render function that is genuinely SEQUENTIAL — the
+    recurrence is order-dependent, so no order-independent aggregate or
+    window expresses it, and the closed-form power sum rounds differently
+    than the recurrence.  Per the engine's UDF policy (Python only where
+    built-ins can't express the semantics) it runs as an Arrow-batched
+    ``applyInPandas`` over series groups: each series is one group, so
+    parallelism scales with series count — the natural partitioning for a
+    metrics corpus — and each group does one O(n) pass.
+
+    The float sequence ``alpha*x + beta*prev`` (two products, one add,
+    left-to-right) is written identically in the DuckDB recursive-CTE
+    oracle, so results are bit-exact across engines.
+    """
+    import pandas as pd
+
+    beta = 1.0 - alpha
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.DoubleType(), True)])
+    key_cols = list(keys)
+
+    def _one_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        prev = None
+        out = []
+        for x in pdf[value]:
+            if x is None or x != x:  # null/NaN slots propagate the state
+                out.append(float("nan") if prev is None else prev)
+                continue
+            prev = float(x) if prev is None else alpha * float(x) + beta * prev
+            out.append(prev)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_one_series, schema=out_schema)
 
 
 def glob_to_regex(pattern: str) -> str:

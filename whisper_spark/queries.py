@@ -4601,6 +4601,99 @@ def q_ws_stdev_moving_10(spark, sf_dir):
     )
 
 
+@_q(
+    "ws_ewma",
+    EVENTS_CTES.replace("WITH raw", "WITH RECURSIVE raw", 1)
+    + """
+, bounds AS (SELECT max(ts) AS hi FROM min1),
+base AS (
+  SELECT metric, ts, avg_v,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS rn
+  FROM min1, bounds WHERE ts > hi - 172800
+),
+r AS (
+  SELECT metric, ts, rn, avg_v, avg_v AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.metric, b.ts, b.rn, b.avg_v, 0.25 * b.avg_v + 0.75 * r.ewma
+  FROM base b JOIN r ON b.metric = r.metric AND b.rn = r.rn + 1
+)
+SELECT metric, ts, avg_v AS value, ewma FROM r
+""",
+    doc="graphite exponentialMovingAverage(series, alpha=0.25): the "
+    "sequential recurrence e_t = a*x_t + (1-a)*e_(t-1).  The ONE render "
+    "function no order-independent aggregate expresses — implemented as "
+    "an Arrow-batched applyInPandas with one O(n) pass per series "
+    "(parallelism = series count), per the UDF policy.  The oracle is a "
+    "DuckDB recursive CTE running the identical float sequence, so the "
+    "check is still bit-exact; the query smooths the trailing 48h window "
+    "(bounding the oracle's recursion depth) — functions/timeseries.py ewma",
+)
+def q_ws_ewma(spark, sf_dir):
+    from .functions.timeseries import ewma
+
+    m = min1(spark, sf_dir)
+    hi = m.agg(F.max("ts")).collect()[0][0]
+    base = m.filter(F.col("ts") > hi - 172800).select(
+        "metric", "ts", F.col("avg_v").alias("value")
+    )
+    out = ewma(base, ["metric"], alpha=0.25, value="value")
+    return out.select("metric", "ts", "value", "ewma")
+
+
+@_q(
+    "stream_sliding_5m_1m",
+    EVENTS_CTES
+    + """
+, mx AS (SELECT max(ts) AS m FROM raw),
+win AS (
+  SELECT metric, r.ts // 60 * 60 - 60 * k.k AS w_start,
+         max(value) AS max_value, count(*) AS n_events
+  FROM raw r CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) k
+  GROUP BY metric, r.ts // 60 * 60 - 60 * k.k
+)
+SELECT metric, w_start, w_start + 300 AS w_end, max_value, n_events
+FROM win, mx WHERE w_start + 300 <= m - 600
+""",
+    doc="STRUCTURED STREAMING sliding-window rollup: 5-minute windows "
+    "sliding by 1 minute (each event lands in 5 overlapping windows), "
+    "10-min watermark, append-mode finalization.  The oracle expands "
+    "each event into its 5 member windows via generate_series and "
+    "applies the same closed-window rule (w_end <= max_event_time - "
+    "delay); max/count are order-independent so the replay is "
+    "bit-deterministic (streaming/rollup.py sliding_rollup)",
+)
+def q_stream_sliding_5m_1m(spark, sf_dir):
+    import uuid
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from .streaming.rollup import sliding_rollup
+
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("sec"),
+        F.col("value"),
+    )
+    agg = sliding_rollup(
+        pts, window_seconds=300, slide_seconds=60, watermark_seconds=600
+    )
+    name = "stream_sliding_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #

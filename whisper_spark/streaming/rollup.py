@@ -84,6 +84,43 @@ def windowed_rollup(
     return out
 
 
+def sliding_rollup(
+    points: DataFrame,
+    window_seconds: int,
+    slide_seconds: int,
+    watermark_seconds: int = 600,
+    ts_col: str = "sec",
+) -> DataFrame:
+    """Watermarked SLIDING-window consolidation: each point lands in
+    ``window/slide`` overlapping windows (e.g. 5m windows advancing every
+    1m — the smoothed-rate view graphite users build with
+    movingAverage-over-summarize).  Aggregates are limited to the
+    order-independent set (max + count) so an availableNow replay is
+    bit-deterministic; append mode emits a window once the watermark
+    passes its end.
+
+    Output: (metric, w_start, w_end, max_value, n_events) with epoch-
+    second window bounds."""
+    pts = points.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+    return (
+        pts.withWatermark("_evt", f"{watermark_seconds} seconds")
+        .groupBy(
+            "metric",
+            F.window(
+                "_evt", f"{window_seconds} seconds", f"{slide_seconds} seconds"
+            ).alias("_w"),
+        )
+        .agg(F.max("value").alias("max_value"), F.count("*").alias("n_events"))
+        .select(
+            "metric",
+            F.col("_w.start").cast("long").alias("w_start"),
+            F.col("_w.end").cast("long").alias("w_end"),
+            "max_value",
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     points: DataFrame,
     gap_seconds: int = 1800,
