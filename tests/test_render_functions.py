@@ -95,3 +95,49 @@ def test_group_by_node_merges_series(spark):
     assert got[("web", 0)] == (11.0, 2)   # two series merged
     assert got[("db", 0)] == (2.0, 1)
     assert got[("web", 60)] == (5.0, 1)
+
+
+def test_ewma_recurrence_and_series_independence(spark):
+    rows = [("m", 0, 1.0), ("m", 60, 2.0), ("m", 120, 4.0),
+            ("n", 0, 100.0), ("n", 60, 0.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = TS.ewma(df, ["metric"], alpha=0.5)
+    got = {(r.metric, r.ts): r.ewma for r in out.collect()}
+    assert got[("m", 0)] == 1.0                    # seeded with x_1
+    assert got[("m", 60)] == 0.5 * 2.0 + 0.5 * 1.0
+    assert got[("m", 120)] == 0.5 * 4.0 + 0.5 * 1.5
+    assert got[("n", 60)] == 50.0                  # series don't bleed
+
+
+def test_ewma_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [("s%d" % (i % 3), i * 60, rng.uniform(-50, 50)) for i in range(120)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = TS.ewma(df, ["metric"], alpha=0.25)
+    got = {(r.metric, r.ts): r.ewma for r in out.collect()}
+    # driver-side replay of the identical float sequence
+    series = {}
+    for m, ts, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        prev = series.get(m)
+        prev = v if prev is None else 0.25 * v + 0.75 * prev
+        series[m] = prev
+        assert got[(m, ts)] == prev               # bit-exact, not approx
+
+
+def test_sliding_rollup_window_membership(spark):
+    from whisper_spark.streaming.rollup import sliding_rollup
+
+    # batch DF: withWatermark is a no-op, window semantics identical
+    rows = [("m", s, float(s)) for s in (0, 59, 60, 299, 300)]
+    df = spark.createDataFrame(rows, "metric string, sec long, value double")
+    out = sliding_rollup(df, window_seconds=300, slide_seconds=60)
+    got = {r.w_start: (r.max_value, r.n_events) for r in out.collect()}
+    # window [0, 300) holds secs 0,59,60,299 but not 300
+    assert got[0] == (299.0, 4)
+    # window [60, 360): secs 60,299,300
+    assert got[60] == (300.0, 3)
+    # every event lands in exactly window/slide = 5 windows
+    total = sum(n for _, n in got.values())
+    assert total == 5 * len(rows)
