@@ -312,6 +312,61 @@ def ewma(
     return df.groupBy(*key_cols).applyInPandas(_one_series, schema=out_schema)
 
 
+def holt_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    alpha: float,
+    gamma: float,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Holt double exponential smoothing (the trend half of graphite's
+    holtWintersForecast, without the seasonal term):
+
+        l_1 = x_1,  b_1 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = gamma*(l_t - l_{t-1}) + (1-gamma)*b_{t-1}
+
+    Adds ``level``, ``trend``, and the one-step-ahead ``forecast``
+    (= level + trend).  Same execution shape and determinism contract as
+    :func:`ewma`: sequential per-series recurrence -> Arrow-batched
+    ``applyInPandas``, one O(n) pass per series, float ops written in the
+    exact order the recursive-CTE oracle uses."""
+    import pandas as pd
+
+    a, na = alpha, 1.0 - alpha
+    g, ng = gamma, 1.0 - gamma
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("level", T.DoubleType(), True),
+            T.StructField("trend", T.DoubleType(), True),
+            T.StructField("forecast", T.DoubleType(), True),
+        ]
+    )
+
+    def _one_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        lv = bv = None
+        levels, trends, fcs = [], [], []
+        for x in pdf[value]:
+            x = float(x)
+            if lv is None:
+                lv, bv = x, 0.0
+            else:
+                prev = lv
+                lv = a * x + na * (lv + bv)
+                bv = g * (lv - prev) + ng * bv
+            levels.append(lv)
+            trends.append(bv)
+            fcs.append(lv + bv)
+        pdf["level"], pdf["trend"], pdf["forecast"] = levels, trends, fcs
+        return pdf
+
+    return df.groupBy(*list(keys)).applyInPandas(_one_series, schema=out_schema)
+
+
 def glob_to_regex(pattern: str) -> str:
     """Graphite metric glob -> anchored regex: ``*`` matches within one
     dotted node (never across dots), ``?`` one non-dot char,

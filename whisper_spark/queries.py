@@ -4641,6 +4641,183 @@ def q_ws_ewma(spark, sf_dir):
 
 
 @_q(
+    "ws_holt_linear",
+    EVENTS_CTES.replace("WITH raw", "WITH RECURSIVE raw", 1)
+    + """
+, bounds AS (SELECT max(ts) AS hi FROM min1),
+base AS (
+  SELECT metric, ts, avg_v,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS rn
+  FROM min1, bounds WHERE ts > hi - 172800
+),
+r AS (
+  SELECT metric, ts, rn, avg_v, avg_v AS l, CAST(0.0 AS DOUBLE) AS b FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b2.metric, b2.ts, b2.rn, b2.avg_v,
+         0.5 * b2.avg_v + 0.5 * (r.l + r.b),
+         0.25 * ((0.5 * b2.avg_v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+  FROM base b2 JOIN r ON b2.metric = r.metric AND b2.rn = r.rn + 1
+)
+SELECT metric, ts, avg_v AS value, l AS level, b AS trend, l + b AS forecast
+FROM r
+""",
+    doc="Holt double exponential smoothing (alpha=0.5, gamma=0.25) — the "
+    "trend half of graphite's holtWintersForecast family: level/trend "
+    "state recurrence plus the one-step-ahead forecast.  Sequential like "
+    "ewma, so applyInPandas per series; the recursive-CTE oracle carries "
+    "(level, trend) through the identical float sequence and the check "
+    "stays bit-exact over the trailing 48h "
+    "(functions/timeseries.py holt_linear)",
+)
+def q_ws_holt_linear(spark, sf_dir):
+    from .functions.timeseries import holt_linear
+
+    m = min1(spark, sf_dir)
+    hi = m.agg(F.max("ts")).collect()[0][0]
+    base = m.filter(F.col("ts") > hi - 172800).select(
+        "metric", "ts", F.col("avg_v").alias("value")
+    )
+    out = holt_linear(base, ["metric"], alpha=0.5, gamma=0.25)
+    return out.select("metric", "ts", "value", "level", "trend", "forecast")
+
+
+@_q(
+    "ev_distinct_users_kmv",
+    """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+)
+SELECT event_type, max(nd) AS n_exact,
+       CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+            ELSE 63.0 * 1152921504606846976
+                 / max(CASE WHEN rn = 64 THEN hv END)
+       END AS est_distinct
+FROM rk GROUP BY event_type
+""",
+    doc="approximate distinct count via a KMV (k-minimum-values) sketch, "
+    "k=64: keep each group's 64 smallest 60-bit md5 hashes; the k-th "
+    "smallest estimates density as (k-1)*2^60/h_k.  Unlike HLL built-ins "
+    "(engine-specific, non-portable) the md5 KMV is DETERMINISTIC and "
+    "cross-engine exact, so the sketch itself is oracle-checkable; the "
+    "exact distinct count rides along for the error comparison.  At "
+    "scale: the window is per-group and the sketch is mergeable "
+    "(union the min-sets) for partial aggregation",
+)
+def q_ev_distinct_users_kmv(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .functions.hashing import h60
+
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", h60(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type")
+    rk = h.select(
+        "event_type", "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rn"),
+        F.count("*").over(w).alias("nd"),
+    )
+    return rk.groupBy("event_type").agg(
+        F.max("nd").alias("n_exact"),
+        F.when(
+            F.max("nd") < 64, F.max("nd").cast("double")
+        )
+        .otherwise(
+            F.lit(63.0 * float(1152921504606846976))
+            / F.max(F.when(F.col("rn") == 64, F.col("hv")))
+        )
+        .alias("est_distinct"),
+    )
+
+
+_MATRYOSHKA_DIM = 16
+
+
+@_q(
+    "emb_matryoshka_recall",
+    f"""
+WITH q AS (
+  SELECT vec_id, embedding, list_slice(embedding, 1, {_MATRYOSHKA_DIM}) AS emb16
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, embedding, list_slice(embedding, 1, {_MATRYOSHKA_DIM}) AS emb16
+  FROM embeddings
+),
+full_s AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dot,
+         list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nq,
+         list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nc
+  FROM q JOIN c ON c.vec_id <> q.vec_id
+),
+tr_s AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_sum(list_transform(list_zip(q.emb16, c.emb16),
+                                 p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dot,
+         list_sum(list_transform(q.emb16, x -> x::DOUBLE * x::DOUBLE)) AS nq,
+         list_sum(list_transform(c.emb16, x -> x::DOUBLE * x::DOUBLE)) AS nc
+  FROM q JOIN c ON c.vec_id <> q.vec_id
+),
+ex AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nq * nc) DESC, nid) AS rk
+    FROM full_s) WHERE rk <= 5
+),
+tr AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nq * nc) DESC, nid) AS rk
+    FROM tr_s) WHERE rk <= 5
+)
+SELECT e.qid AS qid, count(t.nid) AS n_hits,
+       CAST(count(t.nid) AS DOUBLE) / 5 AS recall_at_5
+FROM ex e LEFT JOIN tr t ON t.qid = e.qid AND t.nid = e.nid
+GROUP BY e.qid
+""",
+    doc="matryoshka-truncation quality gate: top-5 cosine retrieval using "
+    "only the first 16 of 64 dimensions, scored as recall against the "
+    "full-dimension exact top-5.  The truncated pass is the cheap "
+    "first-stage ranker (4x less compute and shuffle per pair); this "
+    "query measures exactly what that truncation costs "
+    "(operators/similarity.py cosine_topk on a sliced column)",
+)
+def q_emb_matryoshka_recall(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(q, emb, k=5).select("qid", "nid")
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, _MATRYOSHKA_DIM).alias("embedding")
+    )
+    q16 = emb16.filter(F.col("vec_id") < 8)
+    trunc = cosine_topk(q16, emb16, k=5).select(
+        F.col("qid").alias("tqid"), F.col("nid").alias("tnid")
+    )
+    j = exact.join(
+        trunc,
+        (F.col("qid") == F.col("tqid")) & (F.col("nid") == F.col("tnid")),
+        "left",
+    )
+    return j.groupBy("qid").agg(
+        F.count("tnid").alias("n_hits"),
+        (F.count("tnid").cast("double") / 5).alias("recall_at_5"),
+    )
+
+
+@_q(
     "stream_sliding_5m_1m",
     EVENTS_CTES
     + """
