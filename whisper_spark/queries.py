@@ -4627,6 +4627,7 @@ SELECT metric, ts, avg_v AS value, ewma FROM r
     "DuckDB recursive CTE running the identical float sequence, so the "
     "check is still bit-exact; the query smooths the trailing 48h window "
     "(bounding the oracle's recursion depth) — functions/timeseries.py ewma",
+    bench=True,
 )
 def q_ws_ewma(spark, sf_dir):
     from .functions.timeseries import ewma
@@ -4871,6 +4872,112 @@ def q_stream_sliding_5m_1m(spark, sf_dir):
     return spark.table(name)
 
 
+@_q(
+    "ev_asof_view_purchase",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type, value, event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, sec, event_type, value, event_id,
+         last_value(CASE WHEN event_type = 'view' THEN sec END IGNORE NULLS)
+           OVER w AS view_sec,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER w AS view_id
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS purchase_id, sec AS purchase_sec,
+       value AS purchase_value, view_sec, view_id,
+       sec - view_sec AS lag_seconds
+FROM s WHERE event_type = 'purchase' AND view_sec IS NOT NULL
+""",
+    doc="batch AS-OF join (backward): each purchase matched to the most "
+    "recent preceding view by the same user — the operator Spark lacks "
+    "natively.  Implemented as union-order + forward-fill: one window "
+    "over (user, ts, seq) with last(ignorenulls) carries the latest "
+    "view's attributes to every later row — ONE shuffle keyed on user, "
+    "no range-join pair explosion, which is the 100 TB-safe as-of "
+    "design (vs. an inequality join whose candidate set is unbounded).  "
+    "Ties at the same second break on event_id, so the match is total "
+    "and deterministic",
+    bench=True,
+)
+def q_ev_asof_view_purchase(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        sec(ev, "ts").alias("sec"),
+        "event_type",
+        "value",
+        F.col("event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_view = F.col("event_type") == "view"
+    s = e.select(
+        "user_id", "sec", "event_type", "value", "event_id",
+        F.last(F.when(is_view, F.col("sec")), ignorenulls=True).over(w).alias("view_sec"),
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(w).alias("view_id"),
+    )
+    return s.filter(
+        (F.col("event_type") == "purchase") & F.col("view_sec").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("sec").alias("purchase_sec"),
+        F.col("value").alias("purchase_value"),
+        "view_sec",
+        "view_id",
+        (F.col("sec") - F.col("view_sec")).alias("lag_seconds"),
+    )
+
+
+@_q(
+    "ws_consolidate_800",
+    EVENTS_CTES
+    + """
+, bounds AS (
+  SELECT min(ts) AS lo, max(ts) AS hi FROM min1
+),
+step AS (
+  SELECT lo, hi,
+         ((hi - lo + 60) + 800 * 60 - 1) // (800 * 60) * 60 AS cstep
+  FROM bounds
+)
+SELECT metric, ts // cstep * cstep AS ts,
+       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(avg_v) AS value,
+       count(avg_v) AS known, max(cstep) AS cstep
+FROM min1, step GROUP BY metric, ts // cstep * cstep
+""",
+    doc="graphite maxDataPoints auto-consolidation (consolidateBy "
+    "'average', budget 800 points): the render pipeline coarsens a "
+    "series so it fits the point budget — step' = range/budget rounded "
+    "UP to a multiple of the native step, then summarize.  The derived "
+    "step is closed-form integer arithmetic so both engines bin "
+    "identically; one groupBy like summarize",
+)
+def q_ws_consolidate_800(spark, sf_dir):
+    base = min1(spark, sf_dir)
+    lo, hi = base.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cstep = ((hi - lo + 60) + 800 * 60 - 1) // (800 * 60) * 60
+    return (
+        base.groupBy("metric", (F.col("ts") - F.col("ts") % cstep).alias("ts"))
+        .agg(
+            (dsum(F.col("avg_v")) / F.count("avg_v")).alias("value"),
+            F.count("avg_v").alias("known"),
+            F.max(F.lit(cstep)).alias("cstep"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #
@@ -4984,6 +5091,7 @@ GROUP BY a.source, b.source
     "matrix.  The pair count comes from ONE equi-join on the gram "
     "(shuffle proportional to shared vocabulary, never |A| x |B|), and "
     "the per-source totals broadcast back over the 190-pair result",
+    bench=True,
 )
 def q_doc_source_ngram_jaccard(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
