@@ -5071,11 +5071,16 @@ def q_ev_retention_cohorts(spark, sf_dir):
     "doc_source_ngram_jaccard",
     """
 WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
-g AS (
+g0 AS (
   SELECT DISTINCT source,
          unnest(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
                                i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gram
   FROM w
+),
+g AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram
+  FROM g0
 ),
 sz AS (SELECT source, count(*) AS n FROM g GROUP BY source)
 SELECT a.source AS src_a, b.source AS src_b,
@@ -5101,7 +5106,16 @@ def q_doc_source_ngram_jaccard(spark, sf_dir):
         "i -> array_join(slice(split(text, ' '), i, 3), ' '))) "
         "ELSE CAST(array() AS array<string>) END"
     )
-    g = d.select("source", F.explode(grams).alias("gram")).distinct()
+    from .functions.hashing import h60
+
+    # shuffle 8-byte hashed gram keys, not ~25-byte strings: the distinct
+    # and the self-join key on the 60-bit md5 (both engines hash
+    # identically, so any collision is shared and the counts still match)
+    g = (
+        d.select("source", F.explode(grams).alias("gram"))
+        .select("source", h60("gram").alias("gram"))
+        .distinct()
+    )
     sz = g.groupBy("source").agg(F.count("*").alias("n"))
     a = g.alias("a")
     b = g.alias("b")
