@@ -4978,6 +4978,137 @@ def q_ws_consolidate_800(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_tfidf_topterms",
+    """
+WITH t AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY source, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.source, tf.term, tf.tf, df.df,
+         CAST(tf.tf * 20 AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT source, term, tf, df, score FROM (
+  SELECT source, term, tf, df, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rk
+  FROM s
+) WHERE rk <= 5
+""",
+    doc="per-source characteristic terms by TF-IDF (rational variant: "
+    "tf * n_sources / df — no log, so the score is one exact integer "
+    "product and one IEEE division, engine-identical).  Two partial-"
+    "aggregated groupBys + one equi-join on term + a per-source top-5 "
+    "window; the corpus-mix profiling companion to "
+    "doc_source_ngram_jaccard",
+)
+def q_doc_tfidf_topterms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = t.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    s = tf.join(df_, "term").select(
+        "source", "term", "tf", "df",
+        ((F.col("tf") * 20).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "tf", "df", "score")
+    )
+
+
+@_q(
+    "stream_hourly_users_kmv",
+    EVENTS_CTES
+    + """
+, mx AS (SELECT max(ts) AS m FROM raw),
+h AS (
+  SELECT DISTINCT metric, ts // 3600 * 3600 AS w_start,
+         ('0x' || substr(md5(CAST(uid AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM (SELECT event_type AS metric, epoch_us(ts) // 1000000 AS ts, user_id AS uid
+        FROM events)
+),
+rk AS (
+  SELECT metric, w_start, hv,
+         row_number() OVER (PARTITION BY metric, w_start ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY metric, w_start) AS nd
+  FROM h
+)
+SELECT metric, w_start, max(nd) AS n_exact,
+       CASE WHEN max(nd) < 16 THEN CAST(max(nd) AS DOUBLE)
+            ELSE 15.0 * 1152921504606846976
+                 / max(CASE WHEN rn = 16 THEN hv END)
+       END AS est_users
+FROM rk, mx
+WHERE w_start + 3600 <= m - 600
+GROUP BY metric, w_start
+""",
+    doc="STRUCTURED STREAMING sketch: per event-type per 1h tumbling "
+    "window, approximate distinct users via the k=16 KMV over 60-bit md5 "
+    "hashes — collect_set + array_sort keeps the sketch ORDER-INDEPENDENT "
+    "so the streaming replay is bit-deterministic, and the bounded set "
+    "(<= window users) is the state.  Oracle rebuilds the same sketch "
+    "per window with the append-mode closed-window rule "
+    "(streaming analog of ev_distinct_users_kmv)",
+)
+def q_stream_hourly_users_kmv(spark, sf_dir):
+    import uuid
+
+    from .functions.hashing import h60
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("sec"),
+        h60(F.col("user_id").cast("string")).alias("hv"),
+    ).withColumn("_evt", F.col("sec").cast("timestamp"))
+    agg = (
+        pts.withWatermark("_evt", "600 seconds")
+        .groupBy("metric", F.window("_evt", "3600 seconds").alias("_w"))
+        .agg(F.array_sort(F.collect_set("hv")).alias("hs"))
+        .select(
+            "metric",
+            F.col("_w.start").cast("long").alias("w_start"),
+            F.size("hs").alias("n_exact"),
+            F.when(F.size("hs") < 16, F.size("hs").cast("double"))
+            .otherwise(
+                F.lit(15.0 * float(1152921504606846976))
+                / F.element_at("hs", 16)
+            )
+            .alias("est_users"),
+        )
+    )
+    name = "stream_kmv_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #
