@@ -229,3 +229,41 @@ def test_filtered_topk_pushes_lang(spark):
     plan = plan_of(spark, "emb_filtered_topk")
     assert "EqualTo(lang,en)" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The as-of match is forward-fill over ONE user-keyed shuffle — a
+    plan with any join node would be the unbounded range-join shape the
+    operator exists to avoid."""
+    plan = plan_of(spark, "ev_asof_view_purchase")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_highest_avg_broadcasts_rank_back(spark):
+    """The per-series rank table is one row per metric; joining it back
+    over the scan must broadcast, never sort-merge."""
+    plan = plan_of(spark, "ws_highest_avg_top2")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_matryoshka_recall_broadcast_only(spark):
+    """Both ranking passes broadcast the 8-query side; the corpus is
+    never shuffled for a join."""
+    plan = plan_of(spark, "emb_matryoshka_recall")
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_jaccard_no_cartesian(spark):
+    """The source-pair counts come from the gram equi-join — a plan that
+    degenerates to a cartesian/nested-loop product would be |A|x|B|."""
+    plan = plan_of(spark, "doc_source_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_partial_aggregates(spark):
+    """Both counting stages must map-side combine before their shuffle."""
+    plan = plan_of(spark, "doc_tfidf_topterms")
+    assert "partial_count" in plan

@@ -4808,7 +4808,7 @@ def q_emb_matryoshka_recall(spark, sf_dir):
         F.col("qid").alias("tqid"), F.col("nid").alias("tnid")
     )
     j = exact.join(
-        trunc,
+        F.broadcast(trunc),  # k rows per query — always broadcastable
         (F.col("qid") == F.col("tqid")) & (F.col("nid") == F.col("tnid")),
         "left",
     )
