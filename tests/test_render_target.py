@@ -1,0 +1,153 @@
+"""Graphite target-expression language (whisper_spark/render.py):
+parser, evaluator, and the CLI ``render`` subcommand.  Reference
+semantics: the public graphite-web render-API target syntax — the query
+language reference-stack users actually type.
+"""
+
+import json
+
+import pytest
+
+from whisper_spark import cli
+from whisper_spark.render import (
+    Call,
+    Path,
+    TargetSyntaxError,
+    evaluate_target,
+    parse_duration,
+    parse_target,
+)
+from whisper_spark.store import WhisperStore
+
+NOW = 1700000000
+
+
+# --------------------------------------------------------------------- #
+# parser (no spark)
+# --------------------------------------------------------------------- #
+
+
+def test_parse_path_and_nested_calls():
+    t = parse_target("summarize(sumSeries(ev.*.m1), '5min', 'sum')")
+    assert isinstance(t, Call) and t.name == "summarize"
+    inner = t.args[0]
+    assert isinstance(inner, Call) and inner.name == "sumSeries"
+    assert isinstance(inner.args[0], Path) and inner.args[0].glob == "ev.*.m1"
+    assert t.args[1] == "5min" and t.args[2] == "sum"
+
+
+def test_parse_brace_glob_commas_stay_inside():
+    t = parse_target("sumSeries(ev.{click,view}.m1)")
+    assert t.args[0].glob == "ev.{click,view}.m1"
+
+
+def test_parse_numbers_and_negatives():
+    t = parse_target("scale(offset(a.b, -10), 2.5)")
+    assert t.args[1] == 2.5
+    assert t.args[0].args[1] == -10
+
+
+def test_parse_errors():
+    for bad in ["sumSeries(", "foo)", "'str'", "42", "f(,)"]:
+        with pytest.raises(TargetSyntaxError):
+            parse_target(bad)
+
+
+def test_parse_duration_units():
+    assert parse_duration("15min") == 900
+    assert parse_duration("1h") == 3600
+    assert parse_duration("2w") == 1209600
+    with pytest.raises(TargetSyntaxError):
+        parse_duration("15parsecs")
+
+
+# --------------------------------------------------------------------- #
+# evaluator
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def frame(spark):
+    rows = [
+        ("ev.click.m1", 0, 1.0), ("ev.click.m1", 60, 2.0),
+        ("ev.click.m1", 120, 4.0),
+        ("ev.view.m1", 0, 10.0), ("ev.view.m1", 60, 20.0),
+        ("ev.error.m1", 0, 0.5),
+    ]
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+def _vals(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_eval_sum_series_merges_glob(frame):
+    out = _vals(evaluate_target(frame, "sumSeries(ev.{click,view}.m1)"))
+    assert [(v[1], v[2]) for v in out] == [(0, 11.0), (60, 22.0), (120, 4.0)]
+
+
+def test_eval_summarize_rebins(frame):
+    out = _vals(evaluate_target(frame, "summarize(ev.click.m1, '2min', 'sum')"))
+    assert [(v[1], v[2]) for v in out] == [(0, 3.0), (120, 4.0)]
+
+
+def test_eval_pipeline_composes(frame):
+    out = _vals(
+        evaluate_target(frame, "movingAverage(sumSeries(ev.*.m1), 2)")
+    )
+    # per-ts sums 11.5, 22, 4 -> trailing-2 averages
+    assert [round(v[2], 6) for v in out] == [11.5, 16.75, 13.0]
+
+
+def test_eval_scalar_transforms(frame):
+    out = _vals(evaluate_target(frame, "absolute(offset(ev.click.m1, -2))"))
+    assert [v[2] for v in out] == [1.0, 0.0, 2.0]
+    clip = _vals(evaluate_target(frame, "removeAboveValue(ev.click.m1, 2)"))
+    assert [v[2] for v in clip] == [1.0, 2.0, None]
+
+
+def test_eval_selection_and_naming(frame):
+    top = evaluate_target(frame, "highestAverage(ev.*.m1, 1)")
+    assert set(r.metric for r in top.collect()) == {"ev.view.m1"}
+    byn = evaluate_target(frame, "aliasByNode(ev.*.m1, 1)")
+    assert set(r.metric for r in byn.collect()) == {"click", "view", "error"}
+    al = evaluate_target(frame, "alias(ev.click.m1, 'renamed')")
+    assert set(r.metric for r in al.collect()) == {"renamed"}
+
+
+def test_eval_unknown_function_raises(frame):
+    with pytest.raises(TargetSyntaxError):
+        evaluate_target(frame, "definitelyNotAFunction(ev.*.m1)")
+
+
+# --------------------------------------------------------------------- #
+# CLI
+# --------------------------------------------------------------------- #
+
+
+def test_cli_render_end_to_end(spark, tmp_path, capsys):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "db"), [(60, 60)], x_files_factor=0.0
+    )
+    for metric, base in (("web.cpu", 10.0), ("db.cpu", 20.0)):
+        s.update_many(
+            [(NOW - 60 * i, base + i) for i in range(1, 4)], now=NOW, metric=metric
+        )
+    assert (
+        cli.main(
+            [
+                "render", s.path, "sumSeries(*.cpu)",
+                "--from", str(NOW - 300), "--until", str(NOW), "--now", str(NOW),
+                "--json",
+            ]
+        )
+        == 0
+    )
+    data = json.loads(capsys.readouterr().out)
+    (label,) = data.keys()
+    assert label == "sumSeries(*.cpu)"
+    merged = {ts: v for ts, v in data[label]}
+    # both series wrote base+i at NOW - 60i -> per-slot sums
+    aligned = {(NOW - 60 * i) // 60 * 60: 30.0 + 2 * i for i in range(1, 4)}
+    got = {ts: v for ts, v in merged.items() if v is not None}
+    assert got == aligned

@@ -241,6 +241,32 @@ def cmd_vacuum(args):
     return 0
 
 
+def cmd_render(args):
+    from .render import evaluate_target
+
+    store = WhisperStore.open(_spark(), args.path)
+    now = args.now or int(time.time())
+    until = args.until or now
+    frm = args.frm or until - 86400
+    fetched = store.fetch(None, from_time=frm, until_time=until, now=now)
+    if fetched is None:
+        print("No data in selected timerange")
+        return 1
+    (_, df) = fetched
+    out = evaluate_target(df.select("metric", "ts", "value"), args.target)
+    rows = out.orderBy("metric", "ts").collect()
+    if args.json:
+        series: dict[str, list] = {}
+        for r in rows:
+            series.setdefault(r["metric"], []).append([r["ts"], r["value"]])
+        print(json.dumps(series))
+        return 0
+    for r in rows:
+        v = r["value"] if r["value"] is not None else "None"
+        print(f"{r['metric']}\t{r['ts']}\t{v}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="whisper_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -273,6 +299,19 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dump", help="raw dump (whisper-dump)")
     d.add_argument("path")
     d.set_defaults(fn=cmd_dump)
+
+    rn = sub.add_parser(
+        "render",
+        help="evaluate a graphite render target over the store "
+        "(graphite-web target syntax: summarize(sumSeries(a.*.b), '15min'))",
+    )
+    rn.add_argument("path")
+    rn.add_argument("target")
+    rn.add_argument("--from", dest="frm", type=int)
+    rn.add_argument("--until", type=int)
+    rn.add_argument("--json", action="store_true")
+    rn.add_argument("--now", type=int, help="pin 'now' (reproducible reads)")
+    rn.set_defaults(fn=cmd_render)
 
     cp = sub.add_parser(
         "compact",

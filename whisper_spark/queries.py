@@ -5109,6 +5109,47 @@ def q_stream_hourly_users_kmv(spark, sf_dir):
     return spark.table(name)
 
 
+@_q(
+    "ws_render_target",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT 'ev.' || metric || '.m1' AS metric, ts, avg_v AS value FROM min1
+  WHERE regexp_matches('ev.' || metric || '.m1', '^ev\\.(click|view|error)\\.m1$')
+),
+ss AS (
+  SELECT ts, (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value
+  FROM ser GROUP BY ts
+)
+SELECT 'movingAverage(sumSeries(ev.{click,view,error}.m1), 3)' AS metric, ts,
+       (sum(CAST(value AS DECIMAL(25,6))) OVER w::VARCHAR)::DOUBLE
+         / count(value) OVER w AS value
+FROM ss
+WINDOW w AS (ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    doc="the graphite target LANGUAGE end-to-end: the string "
+    "'movingAverage(sumSeries(ev.{click,view,error}.m1), 3)' is parsed "
+    "(render.py recursive-descent parser) and evaluated to the composed "
+    "DataFrame plan — glob selection, per-ts decimal-exact series merge, "
+    "trailing-3 moving average.  The oracle replays the same pipeline in "
+    "SQL, so the parser+evaluator path itself is under the bit-exact "
+    "gate (render.py evaluate_target; public graphite-web target syntax)",
+)
+def q_ws_render_target(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
+        "ts",
+        F.col("avg_v").alias("value"),
+    )
+    out = evaluate_target(
+        base, "movingAverage(sumSeries(ev.{click,view,error}.m1), 3)"
+    )
+    relabel = "movingAverage(sumSeries(ev.{click,view,error}.m1), 3)"
+    return out.select(F.lit(relabel).alias("metric"), "ts", "value")
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #

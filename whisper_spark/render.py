@@ -1,0 +1,379 @@
+"""Graphite target-expression language: parser + evaluator.
+
+The reference repo is storage-only (whisper.py has no query language),
+but every graphite user queries it through graphite-web's render API
+target strings — ``summarize(sumSeries(servers.*.cpu), "15min", "sum")``.
+This module implements that public target syntax over the engine's
+series frames, so a reference-stack user can run the queries they run
+today directly against the Spark store.
+
+Grammar (graphite-web render API, public docs):
+
+    target := call | path
+    call   := NAME '(' arg (',' arg)* ')'
+    arg    := target | 'string' | "string" | number
+    path   := dotted metric glob  (servers.*.cpu, a.{b,c}.d, x?y[0-9])
+
+Evaluation contract: every node evaluates to a **series frame** — a
+DataFrame with columns ``(metric STRING, ts LONG, value DOUBLE)`` — and
+every function is a pure DataFrame transformation (window / groupBy /
+projection; ``exponentialMovingAverage`` routes to the applyInPandas
+recurrence).  Aggregating functions accumulate in DECIMAL and round-trip
+through string like the rest of the engine (see queries.py determinism
+rules), so parsed pipelines stay bit-reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions import timeseries as TS
+
+_DEC = "decimal(25,6)"
+
+
+# --------------------------------------------------------------------- #
+# parsing
+# --------------------------------------------------------------------- #
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.name}({', '.join(map(repr, self.args))})"
+
+
+@dataclass
+class Path:
+    glob: str
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return self.glob
+
+
+# a word is a function name or metric glob: dotted segments of
+# name/glob chars, where a brace alternation {a,b} is one unit (commas
+# are argument separators everywhere else)
+_TOKEN = re.compile(
+    r"""
+    \s*(?:
+      (?P<lparen>\() | (?P<rparen>\)) | (?P<comma>,)
+    | (?P<string>'[^']*'|"[^"]*")
+    | (?P<number>-?\d+\.\d+|-?\d+)(?![\w.])
+    | (?P<word>(?:[\w*?\[\]\-]|\{[^}]*\}|\.)+)
+    )""",
+    re.X,
+)
+
+
+class TargetSyntaxError(ValueError):
+    pass
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN.match(s, i)
+        if not m or m.end() == i:
+            raise TargetSyntaxError(f"bad token at {s[i:i+20]!r}")
+        kind = m.lastgroup
+        text = m.group(kind)
+        # a word followed by '(' is a function name; the word regex is
+        # greedy over commas inside {a,b} braces, so split a trailing
+        # bare comma back out
+        out.append((kind, text))
+        i = m.end()
+    return out
+
+
+def parse_target(s: str) -> Call | Path:
+    """Parse one render target string into an AST."""
+    toks = _tokenize(s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(kind=None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise TargetSyntaxError("unexpected end of target")
+        k, t = toks[pos]
+        if kind and k != kind:
+            raise TargetSyntaxError(f"expected {kind}, got {t!r}")
+        pos += 1
+        return k, t
+
+    def expr():
+        k, t = take()
+        if k == "word":
+            if peek()[0] == "lparen":
+                take("lparen")
+                args = []
+                if peek()[0] != "rparen":
+                    args.append(arg())
+                    while peek()[0] == "comma":
+                        take("comma")
+                        args.append(arg())
+                take("rparen")
+                return Call(t, args)
+            return Path(t)
+        if k == "string":
+            return t[1:-1]
+        if k == "number":
+            return float(t) if "." in t else int(t)
+        raise TargetSyntaxError(f"unexpected {t!r}")
+
+    def arg():
+        return expr()
+
+    node = expr()
+    if pos != len(toks):
+        raise TargetSyntaxError(f"trailing input: {toks[pos:]}")
+    if isinstance(node, (str, int, float)):
+        raise TargetSyntaxError("target must be a path or function call")
+    return node
+
+
+_DURATION = re.compile(r"^(\d+)(s|min|h|d|w|mon|y)$")
+_DUR_SECONDS = {
+    "s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800,
+    "mon": 2592000, "y": 31536000,
+}
+
+
+def parse_duration(s: str | int) -> int:
+    """'15min' -> 900 (graphite render-API interval syntax)."""
+    if isinstance(s, int):
+        return s
+    m = _DURATION.match(s.strip())
+    if not m:
+        raise TargetSyntaxError(f"bad duration {s!r}")
+    return int(m.group(1)) * _DUR_SECONDS[m.group(2)]
+
+
+# --------------------------------------------------------------------- #
+# evaluation
+# --------------------------------------------------------------------- #
+
+
+def _dsum(col):
+    return F.sum(F.col(col).cast(_DEC)).cast("string").cast("double")
+
+
+def _series_label(df: DataFrame, label: str) -> DataFrame:
+    return df.withColumn("metric", F.lit(label))
+
+
+def _combine(df: DataFrame, label: str, how: str) -> DataFrame:
+    """Cross-series combine per timestamp (sumSeries & friends)."""
+    g = df.groupBy("ts")
+    if how == "sum":
+        agg = _dsum("value")
+    elif how == "avg":
+        agg = _dsum("value") / F.count("value")
+    elif how == "max":
+        agg = F.max("value")
+    elif how == "min":
+        agg = F.min("value")
+    else:  # pragma: no cover - registry controls `how`
+        raise TargetSyntaxError(f"bad combine {how!r}")
+    return g.agg(agg.alias("value")).select(
+        F.lit(label).alias("metric"), "ts", "value"
+    )
+
+
+def _summarize(df: DataFrame, step: int, how: str) -> DataFrame:
+    b = (F.col("ts") - F.col("ts") % step).alias("ts")
+    g = df.groupBy("metric", b)
+    if how == "sum":
+        agg = _dsum("value")
+    elif how in ("avg", "average"):
+        agg = _dsum("value") / F.count("value")
+    elif how == "max":
+        agg = F.max("value")
+    elif how == "min":
+        agg = F.min("value")
+    elif how == "last":
+        agg = F.max_by("value", "ts")
+    else:
+        raise TargetSyntaxError(f"bad summarize function {how!r}")
+    return g.agg(agg.alias("value")).select("metric", "ts", "value")
+
+
+def _sw(n: int | None = None):
+    w = Window.partitionBy("metric").orderBy("ts")
+    return w.rowsBetween(-(n - 1), 0) if n else w
+
+
+def _moving_avg(df: DataFrame, n: int) -> DataFrame:
+    w = _sw(int(n))
+    return df.select(
+        "metric", "ts",
+        (
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("string").cast("double")
+            / F.count("value").over(w)
+        ).alias("value"),
+    )
+
+
+def _top_by_avg(df: DataFrame, n: int) -> DataFrame:
+    ser = df.groupBy("metric").agg(
+        (_dsum("value") / F.count("value")).alias("_avg")
+    )
+    rk = ser.withColumn(
+        "_rk", F.row_number().over(Window.orderBy(F.desc("_avg"), F.asc("metric")))
+    ).filter(F.col("_rk") <= int(n))
+    return df.join(F.broadcast(rk.select("metric")), "metric").select(
+        "metric", "ts", "value"
+    )
+
+
+def _sort_by_total(df: DataFrame, n: int | None) -> DataFrame:
+    tot = df.groupBy("metric").agg(_dsum("value").alias("_tot"))
+    rk = tot.withColumn(
+        "_rk", F.row_number().over(Window.orderBy(F.desc("_tot"), F.asc("metric")))
+    )
+    if n is not None:
+        rk = rk.filter(F.col("_rk") <= int(n))
+    return df.join(F.broadcast(rk.select("metric")), "metric").select(
+        "metric", "ts", "value"
+    )
+
+
+def _alias_by_node(df: DataFrame, *nodes: int) -> DataFrame:
+    parts = F.split(F.col("metric"), r"\.")
+    label = F.concat_ws(
+        ".", *[F.element_at(parts, int(n) + 1) for n in nodes]
+    )
+    return df.withColumn("metric", label)
+
+
+def _percentile_of_series(df: DataFrame, p: float, label: str) -> DataFrame:
+    """Nearest-rank percentile across series per timestamp."""
+    w = Window.partitionBy("ts")
+    rk = df.select(
+        "ts", "value",
+        F.row_number().over(w.orderBy("value", "metric")).alias("_rn"),
+        F.count("*").over(w).alias("_n"),
+    )
+    target = F.ceil(F.col("_n") * float(p) / 100.0).cast("long")
+    return rk.filter(F.col("_rn") == F.greatest(target, F.lit(1))).select(
+        F.lit(label).alias("metric"), "ts", F.col("value")
+    )
+
+
+def _evaluate(node, source: DataFrame, text: str) -> DataFrame:
+    if isinstance(node, Path):
+        return TS.filter_metrics(source, node.glob).select("metric", "ts", "value")
+    if not isinstance(node, Call):
+        raise TargetSyntaxError(f"cannot evaluate literal {node!r}")
+
+    name, args = node.name, node.args
+
+    def series(i=0) -> DataFrame:
+        return _evaluate(args[i], source, text)
+
+    label = f"{name}({', '.join(map(repr, args))})"
+
+    if name in ("sumSeries", "sum"):
+        return _combine(series(), label, "sum")
+    if name in ("averageSeries", "avg"):
+        return _combine(series(), label, "avg")
+    if name == "maxSeries":
+        return _combine(series(), label, "max")
+    if name == "minSeries":
+        return _combine(series(), label, "min")
+    if name == "summarize":
+        step = parse_duration(args[1])
+        how = args[2] if len(args) > 2 else "sum"
+        return _summarize(series(), step, how)
+    if name == "hitcount":
+        step = parse_duration(args[1])
+        scaled = series().withColumn(
+            "value",
+            (F.col("value").cast(_DEC) * 60).cast("string").cast("double"),
+        )
+        return _summarize(scaled, step, "sum")
+    if name == "movingAverage":
+        return _moving_avg(series(), int(args[1]))
+    if name == "derivative":
+        return (
+            TS.derivative(series(), ["metric"], out_col="_d")
+            .select("metric", "ts", F.col("_d").alias("value"))
+        )
+    if name == "nonNegativeDerivative":
+        return (
+            TS.derivative(series(), ["metric"], out_col="_d", non_negative=True)
+            .select("metric", "ts", F.col("_d").alias("value"))
+        )
+    if name == "keepLastValue":
+        return TS.keep_last_value(series(), ["metric"])
+    if name == "integral":
+        dec = series().withColumn("value", F.col("value").cast(_DEC))
+        out = TS.integral(dec, ["metric"], out_col="_r")
+        return out.select(
+            "metric", "ts",
+            F.col("_r").cast("string").cast("double").alias("value"),
+        )
+    if name == "timeShift":
+        return TS.time_shift(series(), parse_duration(args[1]))
+    if name == "scale":
+        return series().withColumn("value", F.col("value") * float(args[1]))
+    if name == "offset":
+        return series().withColumn("value", F.col("value") + float(args[1]))
+    if name == "absolute":
+        return series().withColumn("value", F.abs(F.col("value")))
+    if name == "removeAboveValue":
+        return series().withColumn(
+            "value", F.when(F.col("value") <= float(args[1]), F.col("value"))
+        )
+    if name == "removeBelowValue":
+        return series().withColumn(
+            "value", F.when(F.col("value") >= float(args[1]), F.col("value"))
+        )
+    if name == "highestAverage":
+        return _top_by_avg(series(), int(args[1]))
+    if name == "sortByTotal":
+        return _sort_by_total(series(), None)
+    if name == "limit":
+        return _sort_by_total(series(), int(args[1]))
+    if name == "exponentialMovingAverage":
+        out = TS.ewma(series(), ["metric"], alpha=float(args[1]))
+        return out.select("metric", "ts", F.col("ewma").alias("value"))
+    if name == "groupByNode":
+        out = TS.group_by_node(series(), int(args[1]), method=args[2])
+        return out.select("metric", "ts", "value")
+    if name == "alias":
+        return _series_label(series(), args[1])
+    if name == "aliasByNode":
+        return _alias_by_node(series(), *args[1:])
+    if name == "percentileOfSeries":
+        return _percentile_of_series(series(), float(args[1]), label)
+    raise TargetSyntaxError(f"unknown function {name!r}")
+
+
+def evaluate_target(source: DataFrame, target: str) -> DataFrame:
+    """Evaluate a graphite render target over a series frame.
+
+    ``source`` must carry ``(metric STRING, ts LONG, value DOUBLE)`` —
+    e.g. a store fetch timeline or any rollup view.  Returns the same
+    shape."""
+    return _evaluate(parse_target(target), source, target)
+
+
+FUNCTIONS = [
+    "sumSeries", "sum", "averageSeries", "avg", "maxSeries", "minSeries",
+    "summarize", "hitcount", "movingAverage", "derivative",
+    "nonNegativeDerivative", "keepLastValue", "integral", "timeShift",
+    "scale", "offset", "absolute", "removeAboveValue", "removeBelowValue",
+    "highestAverage", "sortByTotal", "limit", "exponentialMovingAverage",
+    "groupByNode", "alias", "aliasByNode", "percentileOfSeries",
+]
