@@ -198,3 +198,59 @@ def repetition_stats(
                (F.col("n_grams") - F.col("n_distinct")) * F.lit(1.0) / F.col("n_grams"))
         .otherwise(F.lit(0.0)),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", the MOSS
+    algorithm; public paper, no reference-repo analog).
+
+    Hash every ``k``-char gram (60-bit md5 so any engine reproduces it),
+    slide a window of ``w`` consecutive hashes, and keep each window's
+    MINIMUM: the selected set is position-robust (guaranteed to share
+    fingerprints with any copy >= w+k-1 chars) yet ~1/w the gram count.
+
+    Returns (id, n_fp, fp_sig): distinct-fingerprint count and the md5 of
+    the sorted fingerprint list — a verifiable digest of the exact
+    selection.  Pure array expressions over one scan; joining docs on
+    exploded fingerprints is the near-dup candidate generator, with
+    shuffle proportional to matches like the MinHash-LSH path."""
+    t = F.col(text_col)
+    hashes = F.expr(
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    h = df.select(F.col(id_col), hashes.alias("hs"))
+    fps = F.when(
+        F.size("hs") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                lambda i: F.array_min(F.slice("hs", i, w)),
+            )
+        ),
+    ).otherwise(
+        F.array_distinct(
+            F.when(F.size("hs") > 0, F.array(F.array_min("hs"))).otherwise(
+                F.expr("CAST(array() AS array<bigint>)")
+            )
+        )
+    )
+    out = h.select(F.col(id_col), fps.alias("fps"))
+    return out.select(
+        F.col(id_col),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort("fps"), lambda x: x.cast("string")), ","
+            )
+        ).alias("fp_sig"),
+    )

@@ -5150,6 +5150,109 @@ def q_ws_render_target(spark, sf_dir):
     return out.select(F.lit(relabel).alias("metric"), "ts", "value")
 
 
+@_q(
+    "doc_winnowing_fp",
+    """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 8 THEN
+           list_transform(generate_series(1, length(text) - 7),
+             i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15))::BIGINT)
+         ELSE [] END AS hs
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_distinct(list_transform(generate_series(1, len(hs) - 3),
+             i -> list_min(list_slice(hs, i, i + 3))))
+         ELSE list_distinct(CASE WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END)
+         END AS fps
+  FROM h
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+       md5(array_to_string(list_sort(fps), ',')) AS fp_sig
+FROM w
+""",
+    doc="winnowing fingerprints (Schleimer et al., MOSS): hash every "
+    "8-char k-gram, slide a window of 4 hashes, keep each window's "
+    "minimum — guaranteed-coverage local fingerprints for robust "
+    "near-dup/plagiarism detection.  Entirely array expressions over "
+    "one scan (no shuffle until someone joins on a fingerprint); the "
+    "oracle checks the md5 of the sorted fingerprint set so the WHOLE "
+    "selection is verified (operators/textanalysis.py winnowing)",
+)
+def q_doc_winnowing_fp(spark, sf_dir):
+    from .operators.textanalysis import winnowing_fingerprints
+
+    return winnowing_fingerprints(load(spark, sf_dir, "documents"), k=8, w=4)
+
+
+@_q(
+    "ws_anomaly_mad",
+    EVENTS_CTES
+    + """
+, rk AS (
+  SELECT metric, ts, avg_v,
+         row_number() OVER (PARTITION BY metric ORDER BY avg_v, ts) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM min1
+),
+med AS (SELECT metric, avg_v AS med FROM rk WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT m.metric, m.ts, m.avg_v, d.med, abs(m.avg_v - d.med) AS ad
+  FROM min1 m JOIN med d ON m.metric = d.metric
+),
+drk AS (
+  SELECT metric, ts, avg_v, med, ad,
+         row_number() OVER (PARTITION BY metric ORDER BY ad, ts) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM dev
+),
+mad AS (SELECT metric, ad AS mad FROM drk WHERE rn = (n + 1) // 2)
+SELECT d.metric AS metric, d.ts AS ts, d.avg_v AS value, d.med, m.mad
+FROM dev d JOIN mad m ON d.metric = m.metric
+WHERE abs(d.avg_v - d.med) > 3 * m.mad
+""",
+    doc="robust anomaly detection on the 1m rollup: per-series median and "
+    "median-absolute-deviation by NEAREST-RANK (stored values — no "
+    "interpolation, so engine-exact), flagging slots more than 3 MADs "
+    "out.  Two rank windows; the one-row-per-series thresholds broadcast "
+    "back over the scan — the monitoring-alert query whisper users run "
+    "downstream",
+)
+def q_ws_anomaly_mad(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    w = Window.partitionBy("metric")
+    rk = base.select(
+        "metric", "ts", "avg_v",
+        F.row_number().over(w.orderBy("avg_v", "ts")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = rk.filter(F.expr("rn = (n + 1) div 2")).select(
+        "metric", F.col("avg_v").alias("med")
+    )
+    dev = base.join(F.broadcast(med), "metric").select(
+        "metric", "ts", "avg_v", "med",
+        F.abs(F.col("avg_v") - F.col("med")).alias("ad"),
+    )
+    drk = dev.select(
+        "metric", "ts", "avg_v", "med", "ad",
+        F.row_number().over(w.orderBy("ad", "ts")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    mad = drk.filter(F.expr("rn = (n + 1) div 2")).select(
+        "metric", F.col("ad").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "metric")
+        .filter(F.abs(F.col("avg_v") - F.col("med")) > 3 * F.col("mad"))
+        .select("metric", "ts", F.col("avg_v").alias("value"), "med", "mad")
+    )
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #
