@@ -5253,6 +5253,142 @@ def q_ws_anomaly_mad(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_shard_manifest",
+    "WITH "
+    + _MEDIA_SQL
+    + """
+, c AS (
+  SELECT media_id, kind, n_bytes,
+         sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM media
+)
+SELECT media_id, kind, n_bytes,
+       CAST(cum - n_bytes AS BIGINT) AS start_off,
+       CAST((cum - n_bytes) // 4096 AS BIGINT) AS shard
+FROM c
+""",
+    doc="webdataset-style shard manifest: per media kind, items are laid "
+    "out in id order and assigned to fixed-capacity shards by their "
+    "cumulative byte offset (all-integer, engine-exact).  The declared "
+    "semantic is the ordered running sum; at 100 TB the same manifest "
+    "is built two-phase — per-partition byte totals, a tiny broadcast "
+    "prefix-offset table, then a partition-local cumsum — without "
+    "changing the output (operators/multimodal.py repartition_by_bytes "
+    "is the physical counterpart)",
+)
+def q_mm_shard_manifest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    m = _media_df(spark, sf_dir).select(
+        "media_id", "kind", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("kind")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = m.withColumn("cum", F.sum("n_bytes").over(w))
+    return c.select(
+        "media_id", "kind", "n_bytes",
+        (F.col("cum") - F.col("n_bytes")).alias("start_off"),
+        ((F.col("cum") - F.col("n_bytes")) / 4096).cast("long").alias("shard"),
+    )
+
+
+@_q(
+    "ev_markov_transitions",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec, event_id
+  FROM events
+),
+s AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS prev_type
+  FROM e
+),
+t AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tot AS (SELECT prev_type, sum(n) AS total FROM t GROUP BY prev_type)
+SELECT t.prev_type AS prev_type, t.next_type AS next_type, t.n AS n,
+       CAST(t.n AS DOUBLE) / tot.total AS prob
+FROM t JOIN tot ON t.prev_type = tot.prev_type
+""",
+    doc="behavioral Markov transition matrix: per-user event-type "
+    "bigrams via one lag window (deterministic order: sec, event_id), "
+    "integer counts, and the row-normalized transition probability as "
+    "one exact division.  One user-keyed shuffle for the lag, then "
+    "partial-aggregated counts over a 25-cell result",
+)
+def q_ev_markov_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", sec(ev, "ts").alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    s = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    t = (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return t.join(F.broadcast(tot), "prev_type").select(
+        "prev_type", "next_type", "n",
+        (F.col("n").cast("double") / F.col("total")).alias("prob"),
+    )
+
+
+@_q(
+    "ws_storage_report",
+    EVENTS_CTES
+    + """
+, n1 AS (SELECT metric, count(*) AS n_1s FROM lww GROUP BY metric),
+n60 AS (SELECT metric, count(*) AS n_1m FROM slot1m GROUP BY metric)
+SELECT n1.metric AS metric, n1.n_1s, n60.n_1m,
+       16 + 12 * 2 + 12 * (n1.n_1s + n60.n_1m) AS whisper_bytes,
+       (16 + 12 * 2 + 12 * (n1.n_1s + n60.n_1m) + 4095) // 4096 * 4096
+         AS whisper_bytes_on_disk
+FROM n1 JOIN n60 ON n1.metric = n60.metric
+""",
+    doc="per-metric storage report priced with the reference's own cost "
+    "model: size = 16B metadata + 12B per archiveInfo + 12B per point, "
+    "rounded up to 4 KiB blocks (bin/whisper-create.py:71-77, struct "
+    "sizes whisper.py:107-118) — what each metric WOULD cost as a .wsp "
+    "file with its live 1s+1m slot counts.  Two partial-aggregated "
+    "counts joined on metric",
+)
+def q_ws_storage_report(spark, sf_dir):
+    n1 = (
+        lww_seconds(spark, sf_dir)
+        .groupBy("metric")
+        .agg(F.count("*").alias("n_1s"))
+    )
+    n60 = (
+        slot_1m(spark, sf_dir)
+        .groupBy("metric")
+        .agg(F.count("*").alias("n_1m"))
+    )
+    j = n1.join(n60, "metric")
+    raw = F.lit(16 + 12 * 2) + 12 * (F.col("n_1s") + F.col("n_1m"))
+    return j.select(
+        "metric", "n_1s", "n_1m",
+        raw.alias("whisper_bytes"),
+        (F.floor((raw + 4095) / 4096) * 4096).cast("long").alias("whisper_bytes_on_disk"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #
