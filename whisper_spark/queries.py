@@ -5389,6 +5389,80 @@ def q_ws_storage_report(spark, sf_dir):
     )
 
 
+@_q(
+    "ws_linear_regression",
+    EVENTS_CTES
+    + """
+, bounds AS (SELECT max(ts) AS hi FROM min1),
+win AS (
+  SELECT metric, ts, avg_v FROM min1, bounds WHERE ts > hi - 172800
+),
+rel AS (
+  SELECT metric, ts, avg_v,
+         ts - min(ts) OVER (PARTITION BY metric) AS t
+  FROM win
+),
+mo AS (
+  SELECT metric,
+         count(*) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS sv,
+         (sum(CAST(t AS DECIMAL(12,0)) * CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS stv,
+         min(ts) AS t0, max(ts) AS t1
+  FROM rel GROUP BY metric
+)
+SELECT metric, n, t0, t1,
+       (n * stv - st * sv) / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS slope,
+       (sv - (n * stv - st * sv) / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) * st) / n AS intercept,
+       (sv - (n * stv - st * sv) / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) * st) / n
+         + (n * stv - st * sv) / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) * (t1 - t0 + 60) AS forecast_next
+FROM mo
+""",
+    doc="graphite linearRegression: per-series ordinary least squares "
+    "over the trailing 48h, plus the one-step-ahead forecast.  Times are "
+    "re-based to the window start so every moment (n, sum t, sum t^2, "
+    "decimal sum v, decimal sum t*v) accumulates EXACTLY in "
+    "int64/decimal; slope and intercept are then a fixed IEEE sequence "
+    "over those exact moments, identical in both engines.  One "
+    "partial-aggregated groupBy per series — scan-speed at any series "
+    "count",
+)
+def q_ws_linear_regression(spark, sf_dir):
+    from pyspark.sql import Window
+
+    m = min1(spark, sf_dir)
+    hi = m.agg(F.max("ts")).collect()[0][0]
+    win = m.filter(F.col("ts") > hi - 172800)
+    rel = win.select(
+        "metric", "ts", "avg_v",
+        (F.col("ts") - F.min("ts").over(Window.partitionBy("metric"))).alias("t"),
+    )
+    mo = rel.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        dsum(F.col("avg_v")).alias("sv"),
+        F.sum(F.col("t").cast("decimal(12,0)") * F.col("avg_v").cast(_DEC25))
+        .cast("string")
+        .cast("double")
+        .alias("stv"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    slope = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")) / (
+        F.col("n") * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    intercept = (F.col("sv") - slope * F.col("st")) / F.col("n")
+    return mo.select(
+        "metric", "n", "t0", "t1",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        (intercept + slope * (F.col("t1") - F.col("t0") + 60)).alias("forecast_next"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #
