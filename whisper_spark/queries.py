@@ -5463,6 +5463,100 @@ def q_ws_linear_regression(spark, sf_dir):
     )
 
 
+@_q(
+    "ws_interpolate_6h",
+    EVENTS_CTES
+    + """
+, bounds AS (SELECT max(ts) AS hi FROM min1),
+spine AS (
+  SELECT m.metric, unnest(generate_series(hi - 21600 + 60, hi, 60)) AS ts
+  FROM (SELECT DISTINCT metric FROM min1) m, bounds
+),
+joined AS (
+  SELECT s.metric, s.ts, m.avg_v AS v_raw
+  FROM spine s LEFT JOIN min1 m ON s.metric = m.metric AND s.ts = m.ts
+),
+ctx AS (
+  SELECT metric, ts, v_raw,
+         last_value(v_raw IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v_raw IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER wp AS pts,
+         first_value(v_raw IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v_raw IS NOT NULL THEN ts END IGNORE NULLS)
+           OVER wn AS nts
+  FROM joined
+  WINDOW wp AS (PARTITION BY metric ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY metric ORDER BY ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT metric, ts, v_raw,
+       CASE WHEN v_raw IS NOT NULL THEN v_raw
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (ts - pts) / (nts - pts)
+       END AS filled
+FROM ctx
+""",
+    doc="graphite interpolate over a dense 6h spine: interior gaps are "
+    "linearly interpolated between the bracketing known slots (two "
+    "ignorenulls windows carry the previous and next known value+ts); "
+    "leading/trailing gaps stay null, matching graphite.  The "
+    "interpolation expression is one fixed IEEE sequence over exact "
+    "integer time deltas — engine-identical.  Completes the gap family: "
+    "keepLastValue (step), interpolate (linear), drop (omit)",
+)
+def q_ws_interpolate_6h(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    hi = base.agg(F.max("ts")).collect()[0][0]
+    lo = hi - 21600 + 60
+    spine = (
+        base.select("metric")
+        .distinct()
+        .withColumn(
+            "ts",
+            F.explode(
+                F.sequence(F.lit(lo).cast("long"), F.lit(hi).cast("long"), F.lit(60))
+            ),
+        )
+    )
+    joined = spine.join(
+        base.filter(F.col("ts") >= lo).select(
+            "metric", "ts", F.col("avg_v").alias("v_raw")
+        ),
+        ["metric", "ts"],
+        "left",
+    )
+    wp = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_ts = F.when(F.col("v_raw").isNotNull(), F.col("ts"))
+    ctx = joined.select(
+        "metric", "ts", "v_raw",
+        F.last("v_raw", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_ts, ignorenulls=True).over(wp).alias("pts"),
+        F.first("v_raw", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_ts, ignorenulls=True).over(wn).alias("nts"),
+    )
+    fill = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("ts") - F.col("pts")
+    ) / (F.col("nts") - F.col("pts"))
+    return ctx.select(
+        "metric", "ts", "v_raw",
+        F.when(F.col("v_raw").isNotNull(), F.col("v_raw"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), fill)
+        .alias("filled"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #
