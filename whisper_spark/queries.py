@@ -5557,6 +5557,163 @@ def q_ws_interpolate_6h(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_bloom_membership",
+    """
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents WHERE doc_id % 20 <> 0
+),
+bits AS (
+  SELECT source, t,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT % 252 AS b1,
+         ('0x' || substr(md5(t || '#1'), 1, 15))::BIGINT % 252 AS b2
+  FROM tok
+),
+blooms AS (
+  SELECT source,
+         bit_or(CASE WHEN b1 // 63 = 0 THEN (1::BIGINT << (b1 % 63)) ELSE 0 END
+              | CASE WHEN b2 // 63 = 0 THEN (1::BIGINT << (b2 % 63)) ELSE 0 END) AS w0,
+         bit_or(CASE WHEN b1 // 63 = 1 THEN (1::BIGINT << (b1 % 63)) ELSE 0 END
+              | CASE WHEN b2 // 63 = 1 THEN (1::BIGINT << (b2 % 63)) ELSE 0 END) AS w1,
+         bit_or(CASE WHEN b1 // 63 = 2 THEN (1::BIGINT << (b1 % 63)) ELSE 0 END
+              | CASE WHEN b2 // 63 = 2 THEN (1::BIGINT << (b2 % 63)) ELSE 0 END) AS w2,
+         bit_or(CASE WHEN b1 // 63 = 3 THEN (1::BIGINT << (b1 % 63)) ELSE 0 END
+              | CASE WHEN b2 // 63 = 3 THEN (1::BIGINT << (b2 % 63)) ELSE 0 END) AS w3
+  FROM bits GROUP BY source
+),
+probes AS (
+  SELECT DISTINCT t,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT % 252 AS b1,
+         ('0x' || substr(md5(t || '#1'), 1, 15))::BIGINT % 252 AS b2
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 20 = 0)
+),
+tested AS (
+  SELECT bl.source, p.t,
+         (CASE p.b1 // 63 WHEN 0 THEN bl.w0 WHEN 1 THEN bl.w1
+                          WHEN 2 THEN bl.w2 ELSE bl.w3 END
+            & (1::BIGINT << (p.b1 % 63))) <> 0
+         AND
+         (CASE p.b2 // 63 WHEN 0 THEN bl.w0 WHEN 1 THEN bl.w1
+                          WHEN 2 THEN bl.w2 ELSE bl.w3 END
+            & (1::BIGINT << (p.b2 % 63))) <> 0 AS maybe
+  FROM blooms bl CROSS JOIN probes p
+),
+truth AS (SELECT DISTINCT source, t FROM tok)
+SELECT td.source,
+       count(*) AS n_probes,
+       CAST(sum(CASE WHEN td.maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(sum(CASE WHEN tr.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+FROM tested td
+LEFT JOIN truth tr ON tr.source = td.source AND tr.t = td.t
+GROUP BY td.source
+""",
+    doc="deterministic 252-bit Bloom filter as a MERGEABLE aggregate: "
+    "each source's token set folds into four int64 words via bit_or of "
+    "two md5-derived bit positions — unlike engine Bloom built-ins the "
+    "construction is bit-reproducible anywhere, so the filter itself is "
+    "under the oracle gate.  The probe pass tests a held-out token set "
+    "against every source's filter (filters broadcast — they're 32 "
+    "bytes each) and scores maybe vs exact membership, measuring the "
+    "false-positive rate.  This is the shuffle-avoidance primitive for "
+    "100 TB anti-joins: ship the 32-byte bloom, not the key set",
+)
+def q_doc_bloom_membership(spark, sf_dir):
+    from .functions.hashing import h60
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).alias("t")
+    tok = d.filter(F.col("doc_id") % 20 != 0).select("source", toks).distinct()
+    bits = tok.select(
+        "source", "t",
+        (h60(F.col("t")) % 252).alias("b1"),
+        (h60(F.concat(F.col("t"), F.lit("#1"))) % 252).alias("b2"),
+    )
+
+    def word(w):
+        def mask(b):
+            return F.expr(
+                f"CASE WHEN {b} div 63 = {w} THEN "
+                f"shiftleft(cast(1 AS BIGINT), cast({b} % 63 AS INT)) "
+                f"ELSE cast(0 AS BIGINT) END"
+            )
+
+        return F.bit_or(mask("b1").bitwiseOR(mask("b2"))).alias(f"w{w}")
+
+    blooms = bits.groupBy("source").agg(*[word(w) for w in range(4)])
+    probes = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select(toks)
+        .distinct()
+        .select(
+            "t",
+            (h60(F.col("t")) % 252).alias("b1"),
+            (h60(F.concat(F.col("t"), F.lit("#1"))) % 252).alias("b2"),
+        )
+    )
+
+    def bit_set(b):
+        return F.expr(
+            f"(CASE cast({b} div 63 AS INT) WHEN 0 THEN w0 WHEN 1 THEN w1 "
+            f"WHEN 2 THEN w2 ELSE w3 END "
+            f"& shiftleft(cast(1 AS BIGINT), cast({b} % 63 AS INT))) != 0"
+        )
+
+    tested = F.broadcast(blooms).crossJoin(probes).select(
+        "source", "t", (bit_set("b1") & bit_set("b2")).alias("maybe")
+    )
+    truth = tok.withColumnRenamed("t", "tt")
+    j = tested.join(
+        truth,
+        (tested["source"] == truth["source"]) & (tested["t"] == truth["tt"]),
+        "left",
+    )
+    return j.groupBy(tested["source"]).agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_maybe"),
+        F.sum(F.when(F.col("tt").isNotNull(), 1).otherwise(0)).alias("n_true"),
+    )
+
+
+@_q(
+    "ws_xff_sensitivity",
+    EVENTS_CTES
+    + """
+, hr AS (
+  SELECT metric, ts // 3600 * 3600 AS ts, count(value) AS known
+  FROM lww GROUP BY metric, ts // 3600 * 3600
+)
+SELECT metric,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN known / 3600.0 >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS pass_025,
+       CAST(sum(CASE WHEN known / 3600.0 >= 0.5  THEN 1 ELSE 0 END) AS BIGINT) AS pass_050,
+       CAST(sum(CASE WHEN known / 3600.0 >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS pass_075
+FROM hr GROUP BY metric
+""",
+    doc="xFilesFactor sensitivity: for 1h rollup windows over the 1s "
+    "slots, how many survive the known-fraction gate at xff 0.25/0.5/"
+    "0.75 — the capacity-planning query behind choosing an xff "
+    "(whisper.py:639-640 gate; storage-aggregation.conf tuning).  One "
+    "pass computes all thresholds as conditional aggregates",
+)
+def q_ws_xff_sensitivity(spark, sf_dir):
+    lww = lww_seconds(spark, sf_dir)
+    hr = lww.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+    ).agg(F.count("value").alias("known"))
+    frac = F.col("known") / 3600.0
+    return hr.groupBy("metric").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(frac >= 0.25, 1).otherwise(0)).alias("pass_025"),
+        F.sum(F.when(frac >= 0.5, 1).otherwise(0)).alias("pass_050"),
+        F.sum(F.when(frac >= 0.75, 1).otherwise(0)).alias("pass_075"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #
