@@ -5714,6 +5714,133 @@ def q_ws_xff_sensitivity(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_lsh_recall",
+    "WITH "
+    + _SHINGLE_SQL
+    + f"""
+, sz AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+),
+mh AS (
+  SELECT doc_id, k, min({_h60_sql("g || '#' || k")}) AS h
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS k)
+  GROUP BY doc_id, k
+), sig AS (
+  SELECT doc_id,
+         md5(CAST(min(CASE WHEN k=0 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=1 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=2 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=3 THEN h END) AS VARCHAR)) AS band0,
+         md5(CAST(min(CASE WHEN k=4 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=5 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=6 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=7 THEN h END) AS VARCHAR)) AS band1
+  FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, band1 AS sig FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT e.n_exact, c.n_cand, h.n_hit,
+       CASE WHEN e.n_exact = 0 THEN NULL
+            ELSE CAST(h.n_hit AS DOUBLE) / e.n_exact END AS recall
+FROM (SELECT count(*) AS n_exact FROM exact) e,
+     (SELECT count(*) AS n_cand FROM cand) c,
+     (SELECT count(*) AS n_hit FROM exact JOIN cand USING (doc_a, doc_b)) h
+""",
+    doc="LSH quality gate for TEXT near-dup (the doc-side analog of "
+    "emb_ivf_recall): candidate pairs from the 2x4 MinHash banding vs "
+    "the exact shingle-Jaccard>=0.5 truth on the same fenced doc set — "
+    "recall of the bucketing that replaces the quadratic scan at scale",
+)
+def q_doc_lsh_recall(spark, sf_dir):
+    exact = q_doc_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = q_doc_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    e = exact.agg(F.count("*").alias("n_exact"))
+    c = cand.agg(F.count("*").alias("n_cand"))
+    h = exact.join(cand, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_hit"))
+    return (
+        e.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_exact", "n_cand", "n_hit",
+            F.when(
+                F.col("n_exact") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(F.col("n_hit").cast("double") / F.col("n_exact"))
+            .alias("recall"),
+        )
+    )
+
+
+@_q(
+    "stream_rollup_5m_min_xff",
+    EVENTS_CTES
+    + """
+, mx AS (SELECT max(ts) AS m FROM raw),
+win AS (
+  SELECT metric, ts // 300 * 300 AS ts, min(value) AS value,
+         count(DISTINCT ts) AS known
+  FROM raw GROUP BY metric, ts // 300 * 300
+  HAVING count(DISTINCT ts) / 300.0 >= 0.006
+)
+SELECT metric, ts, value, known FROM win, mx WHERE ts + 300 <= m - 600
+""",
+    doc="STRUCTURED STREAMING rollup WITH the xFilesFactor gate: 5m "
+    "tumbling windows keep their consolidated min only when the known "
+    "fraction of the 1s slot budget clears the gate (whisper.py:639-640 "
+    "applied inside a watermarked stream; 0.6% =~ 2 known slots at this "
+    "event density, chosen so the gate visibly suppresses ~90% of "
+    "nonempty windows); failing windows never reach the append-mode "
+    "sink.  Complements stream_rollup_1m_max (xff=0) — "
+    "streaming/rollup.py windowed_rollup's gate path",
+)
+def q_stream_rollup_5m_min_xff(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import windowed_rollup
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+    rolled = windowed_rollup(
+        pts, step_seconds=300, method="min", xff=0.006, watermark_seconds=600
+    )
+    name = "stream_xff_" + uuid.uuid4().hex[:8]
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------- #
 # pipeline mechanics, continued
 # --------------------------------------------------------------------- #
