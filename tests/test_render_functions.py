@@ -141,3 +141,37 @@ def test_sliding_rollup_window_membership(spark):
     # every event lands in exactly window/slide = 5 windows
     total = sum(n for _, n in got.values())
     assert total == 5 * len(rows)
+
+
+def test_holt_linear_recurrence(spark):
+    rows = [("m", 0, 10.0), ("m", 60, 14.0), ("m", 120, 18.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = TS.holt_linear(df, ["metric"], alpha=0.5, gamma=0.5)
+    got = {r.ts: (r.level, r.trend, r.forecast) for r in out.collect()}
+    assert got[0] == (10.0, 0.0, 10.0)
+    # l2 = .5*14 + .5*(10+0) = 12 ; b2 = .5*(12-10) + .5*0 = 1
+    assert got[60] == (12.0, 1.0, 13.0)
+    # l3 = .5*18 + .5*(12+1) = 15.5 ; b3 = .5*(15.5-12) + .5*1 = 2.25
+    assert got[120] == (15.5, 2.25, 17.75)
+
+
+def test_winnowing_guarantee_and_shape(spark):
+    from whisper_spark.operators.textanalysis import winnowing_fingerprints
+
+    # identical substring of >= w+k-1 chars must share >= 1 fingerprint;
+    # verify via equal signatures for identical docs and overlap for a
+    # doc embedded in a longer one
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "PREFIX the quick brown fox jumps over the lazy dog SUFFIX"),
+        (4, "completely different content with no overlap at all x"),
+        (5, "tiny"),  # shorter than k -> zero fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_fp, r.fp_sig) for r in
+           winnowing_fingerprints(df, k=8, w=4).collect()}
+    assert out[1] == out[2]                      # deterministic
+    assert out[5][0] == 0
+    assert out[1][0] > 0 and out[4][0] > 0
+    assert out[1][1] != out[4][1]                # different docs differ
