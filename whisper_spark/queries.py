@@ -6001,6 +6001,60 @@ def q_doc_source_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _register_dedup_survivors():
+    """doc_dedup_survivors reuses doc_dup_clusters' oracle verbatim
+    (appending two CTE stages), so it is registered after that query's
+    SQL exists — guaranteeing the two stay in lockstep."""
+    base = QUERIES["doc_dup_clusters"].sql
+    final = (
+        "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id\n"
+        "FROM reach GROUP BY src"
+    )
+    assert final in base, "doc_dup_clusters oracle changed shape"
+    sql = base.replace(
+        final,
+        ", clusters AS (\n  " + final.replace("\n", "\n  ") + "\n)\n"
+        """SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+WHERE d.doc_id < 200
+GROUP BY d.source""",
+    )
+
+    @_q(
+        "doc_dedup_survivors",
+        sql,
+        doc="the dedup pipeline's OUTPUT contract: per-source kept/removed "
+        "counts after near-dup clustering with the min-doc_id canonical "
+        "keep rule (cluster_id == canonical by construction of the "
+        "min-label propagation).  The cluster table is one row per "
+        "clustered doc — broadcast back over the corpus scan; same fenced "
+        "doc set as the clustering query",
+    )
+    def q_doc_dedup_survivors(spark, sf_dir):
+        clusters = q_doc_dup_clusters(spark, sf_dir)
+        d = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "source")
+        )
+        j = d.join(F.broadcast(clusters), "doc_id", "left")
+        removed = F.col("cluster_id").isNotNull() & (
+            F.col("cluster_id") != F.col("doc_id")
+        )
+        return j.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(removed, 1).otherwise(0)).alias("n_removed"),
+            F.sum(F.when(~removed, 1).otherwise(0)).alias("n_kept"),
+        )
+
+
+_register_dedup_survivors()
+
+
 # --------------------------------------------------------------------- #
 # public accessors (consumed by __spark_entry__.py)
 # --------------------------------------------------------------------- #
