@@ -6001,6 +6001,49 @@ def q_doc_source_ngram_jaccard(spark, sf_dir):
     )
 
 
+@_q(
+    "ws_render_target_topk",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT 'ev.' || metric || '.m1' AS metric, ts, avg_v AS value FROM min1
+),
+sm AS (
+  SELECT metric, ts // 600 * 600 AS ts, max(value) AS value
+  FROM ser GROUP BY metric, ts // 600 * 600
+),
+avgs AS (
+  SELECT metric,
+         (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(value) AS a
+  FROM sm GROUP BY metric
+),
+rk AS (
+  SELECT metric, row_number() OVER (ORDER BY a DESC, metric) AS rnk FROM avgs
+)
+SELECT split_part(s.metric, '.', 2) AS metric, s.ts, s.value
+FROM sm s JOIN rk r ON s.metric = r.metric WHERE r.rnk <= 2
+""",
+    doc="second end-to-end target-language gate entry, exercising a "
+    "different registry slice: aliasByNode(highestAverage(summarize("
+    "ev.*.m1, '10min', 'max'), 2), 1) — re-bin by max, rank series by "
+    "decimal-exact mean, keep the top 2, rename to the node.  Proves "
+    "selection + renaming functions compose through the parser "
+    "identically to hand-written plans (render.py evaluate_target)",
+)
+def q_ws_render_target_topk(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
+        "ts",
+        F.col("avg_v").alias("value"),
+    )
+    return evaluate_target(
+        base,
+        "aliasByNode(highestAverage(summarize(ev.*.m1, '10min', 'max'), 2), 1)",
+    )
+
+
 def _register_dedup_survivors():
     """doc_dedup_survivors reuses doc_dup_clusters' oracle verbatim
     (appending two CTE stages), so it is registered after that query's
