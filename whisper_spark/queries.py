@@ -6044,6 +6044,34 @@ def q_ws_render_target_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_value_histogram",
+    """
+SELECT event_type,
+       CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       CAST(floor(value / 25.0) AS BIGINT) * 25 AS bin_lo,
+       count(*) AS n,
+       min(value) AS v_min, max(value) AS v_max
+FROM events GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+""",
+    doc="value-distribution histogram per event type: fixed-width bins "
+    "via floor division (exact in any engine), with per-bin extrema.  "
+    "One partial-aggregated groupBy — the data-profiling primitive "
+    "behind retention/xff tuning and outlier triage",
+)
+def q_ev_value_histogram(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 25.0).cast("long")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    ).select(
+        "event_type", "bin", (F.col("bin") * 25).alias("bin_lo"),
+        "n", "v_min", "v_max",
+    )
+
+
 def _register_dedup_survivors():
     """doc_dedup_survivors reuses doc_dup_clusters' oracle verbatim
     (appending two CTE stages), so it is registered after that query's
