@@ -130,10 +130,11 @@ def centroid_literal(centroids: DataFrame) -> tuple[Column | None, int]:
     if not rows or n_floats > LITERAL_FLOATS_MAX:
         return None, n_floats
     # Two SINGLE Literal nodes (array<bigint> + array<array<float>>), not
-    # a CreateArray of n_buckets*dim scalar literals: codegen references
-    # the literal array objects instead of unrolling ~10^3 constants into
-    # the generated projection, which cut whole-stage compile time ~10x
-    # on the 16x64 default (the data path is identical).
+    # a CreateArray of n_buckets*dim scalar literals: the plan carries two
+    # array objects instead of ~10^3 constant expression nodes.  Same data
+    # path and same bench wall (measured: the small-scale cost is per-plan
+    # execution prep, not this literal); the win is plan size/analysis
+    # cost, which grows with n_buckets*dim on the unrolled form.
     cids = F.lit([int(r["cid"]) for r in rows]).cast("array<bigint>")
     vecs = F.lit([[float(x) for x in r["ce"]] for r in rows]).cast(
         f"array<{elem_type}>"
