@@ -27,6 +27,7 @@ from .retention import (
     parse_retention_defs,
     validate_archive_list,
 )
+from .render import evaluate_target, parse_target
 from .session import get_spark
 from .store import WhisperStore
 
@@ -45,8 +46,10 @@ __all__ = [
     "WhisperStore",
     "aggregate_column",
     "estimate_size_bytes",
+    "evaluate_target",
     "get_spark",
     "parse_retention_def",
     "parse_retention_defs",
+    "parse_target",
     "validate_archive_list",
 ]
