@@ -5971,27 +5971,40 @@ def q_doc_source_ngram_jaccard(spark, sf_dir):
     )
     from .functions.hashing import h60
 
-    # shuffle 8-byte hashed gram keys, not ~25-byte strings: the distinct
-    # and the self-join key on the 60-bit md5 (both engines hash
-    # identically, so any collision is shared and the counts still match)
+    # ONE evaluation of the gram explode: shuffle 8-byte hashed gram keys
+    # (both engines hash identically, so any collision is shared and the
+    # counts still match), collect each gram's source set, and emit every
+    # ordered pair INCLUDING self-pairs — (s,s) counts are exactly the
+    # per-source vocabulary sizes, so sizes and intersections come out of
+    # the same aggregate instead of three re-executions of the scan
     g = (
         d.select("source", F.explode(grams).alias("gram"))
         .select("source", h60("gram").alias("gram"))
         .distinct()
     )
-    sz = g.groupBy("source").agg(F.count("*").alias("n"))
-    a = g.alias("a")
-    b = g.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+    sets = g.groupBy("gram").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) -> "
+                "transform(slice(ss, i + 1, size(ss) - i), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    counts = (
+        pairs.groupBy(
+            F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b")
         )
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
-    out = pairs.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    diag = counts.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("s"), F.col("n_inter").alias("n")
+    )
+    out = (
+        counts.filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(diag).withColumnRenamed("s", "src_a").withColumnRenamed("n", "n_a"), "src_a")
+        .join(F.broadcast(diag).withColumnRenamed("s", "src_b").withColumnRenamed("n", "n_b"), "src_b")
+    )
     return out.select(
         "src_a", "src_b", "n_inter", "n_a", "n_b",
         (
