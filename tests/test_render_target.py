@@ -151,3 +151,61 @@ def test_cli_render_end_to_end(spark, tmp_path, capsys):
     aligned = {(NOW - 60 * i) // 60 * 60: 30.0 + 2 * i for i in range(1, 4)}
     got = {ts: v for ts, v in merged.items() if v is not None}
     assert got == aligned
+
+
+# --------------------------------------------------------------------- #
+# parser property fuzz
+# --------------------------------------------------------------------- #
+
+
+def test_parser_roundtrip_fuzz():
+    """Serialize random ASTs and parse them back: parse(str(ast)) == ast.
+    Catches tokenizer precedence bugs (brace commas, negative numbers,
+    nested calls) without enumerating cases by hand."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.sampled_from(["ev", "srv1", "cpu-0", "a_b", "*", "x?y", "{a,b}"])
+    paths = st.lists(seg, min_size=1, max_size=4).map(lambda s: Path(".".join(s)))
+    names = st.sampled_from(
+        ["sumSeries", "summarize", "movingAverage", "scale", "aliasByNode"]
+    )
+    numbers = st.one_of(
+        st.integers(min_value=-999, max_value=999),
+        st.floats(min_value=-99.5, max_value=99.5).map(lambda f: round(f, 2)),
+    )
+    strings = st.sampled_from(["15min", "1h", "sum", "a b c"])
+
+    def calls(children):
+        return st.builds(
+            Call,
+            names,
+            st.lists(
+                st.one_of(children, numbers, strings), min_size=1, max_size=3
+            ).filter(lambda a: isinstance(a[0], (Call, Path))),
+        )
+
+    asts = st.recursive(paths, calls, max_leaves=6)
+
+    def render(node):
+        if isinstance(node, Path):
+            return node.glob
+        if isinstance(node, Call):
+            return f"{node.name}({', '.join(map(render_arg, node.args))})"
+        raise AssertionError(node)
+
+    def render_arg(a):
+        if isinstance(a, (Call, Path)):
+            return render(a)
+        if isinstance(a, str):
+            return f"'{a}'"
+        if isinstance(a, float) and a == int(a):
+            return f"{a:.1f}"
+        return repr(a)
+
+    @settings(max_examples=200, deadline=None)
+    @given(asts)
+    def check(ast):
+        assert parse_target(render(ast)) == ast
+
+    check()
