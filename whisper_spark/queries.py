@@ -6085,6 +6085,87 @@ def q_ev_value_histogram(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_user_activity_percentiles",
+    """
+WITH ua AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+rk AS (
+  SELECT n_events,
+         row_number() OVER (ORDER BY n_events, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM ua
+)
+SELECT max(CASE WHEN rn = (n + 1) // 2 THEN n_events END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_events END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_events END) AS p99,
+       max(n) AS n_users
+FROM rk
+""",
+    doc="user-activity distribution: nearest-rank p50/p90/p99 of per-user "
+    "event counts — the power-user/abuse profile.  One count aggregate, "
+    "one global rank over the (small) per-user table, conditional "
+    "aggregates pick the percentile rows exactly (no interpolation)",
+)
+def q_ev_user_activity_percentiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy()
+    rk = ua.select(
+        "n_events",
+        F.row_number().over(w.orderBy("n_events", "user_id")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    return rk.agg(
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("n_events"))).alias("p50"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("n_events"))).alias("p90"),
+        F.max(F.when(F.expr("rn = (99 * n + 99) div 100"), F.col("n_events"))).alias("p99"),
+        F.max("n").alias("n_users"),
+    )
+
+
+@_q(
+    "emb_ivf_bucket_stats",
+    """
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+d AS (
+  SELECT v.vec_id, cent.cid,
+         list_sum(list_transform(list_zip(v.embedding, cent.ce),
+                  p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS dist2
+  FROM embeddings v, cent
+),
+best AS (
+  SELECT vec_id, cid AS centroid, dist2 FROM (
+    SELECT vec_id, cid, dist2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT centroid, count(*) AS n_vecs,
+       (sum(CAST(dist2 AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(*) AS mean_dist2,
+       max(dist2) AS max_dist2
+FROM best GROUP BY centroid
+""",
+    doc="IVF index balance report: per-bucket vector count and mean/max "
+    "assignment distance — the skew diagnostic that decides when to "
+    "retrain centroids or split hot buckets (a skewed bucket is a "
+    "straggler task at probe time).  dist2 goes through decimal for the "
+    "order-independent mean; one aggregate over the narrow assignment",
+)
+def q_emb_ivf_bucket_stats(spark, sf_dir):
+    from .operators.similarity import ivf_assign
+
+    asg = ivf_assign(load(spark, sf_dir, "embeddings"), n_buckets=16)
+    return asg.groupBy("centroid").agg(
+        F.count("*").alias("n_vecs"),
+        (dsum(F.col("dist2")) / F.count("*")).alias("mean_dist2"),
+        F.max("dist2").alias("max_dist2"),
+    )
+
+
 def _register_dedup_survivors():
     """doc_dedup_survivors reuses doc_dup_clusters' oracle verbatim
     (appending two CTE stages), so it is registered after that query's
