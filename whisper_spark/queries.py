@@ -6086,6 +6086,64 @@ def q_ev_value_histogram(spark, sf_dir):
 
 
 @_q(
+    "stream_top_metric_1m",
+    EVENTS_CTES
+    + """
+, mx AS (SELECT max(ts) AS m FROM raw),
+rk AS (
+  SELECT ts // 60 * 60 AS w_start, metric, value,
+         row_number() OVER (PARTITION BY ts // 60 * 60
+                            ORDER BY value DESC, metric DESC) AS rn
+  FROM raw
+)
+SELECT w_start, metric AS top_metric, value AS top_value
+FROM rk, mx WHERE rn = 1 AND w_start + 60 <= m - 600
+""",
+    doc="STRUCTURED STREAMING per-window argmax ACROSS series: which "
+    "metric peaked in each 1m window.  max(struct(value, metric)) is an "
+    "order-independent aggregate with a total deterministic tie-break "
+    "(value, then metric name), so it is streaming-safe where max_by is "
+    "not; the oracle ranks (value DESC, metric DESC) — the same total "
+    "order — under the closed-window rule",
+)
+def q_stream_top_metric_1m(spark, sf_dir):
+    import uuid
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("sec"),
+        F.col("value"),
+    ).withColumn("_evt", F.col("sec").cast("timestamp"))
+    agg = (
+        pts.withWatermark("_evt", "600 seconds")
+        .groupBy(F.window("_evt", "60 seconds").alias("_w"))
+        .agg(F.max(F.struct("value", "metric")).alias("best"))
+        .select(
+            F.col("_w.start").cast("long").alias("w_start"),
+            F.col("best.metric").alias("top_metric"),
+            F.col("best.value").alias("top_value"),
+        )
+    )
+    name = "stream_top_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "ev_user_activity_percentiles",
     """
 WITH ua AS (
