@@ -6144,6 +6144,43 @@ def q_stream_top_metric_1m(spark, sf_dir):
 
 
 @_q(
+    "ws_route_aggregate_1h_max",
+    EVENTS_CTES
+    + """
+SELECT metric, ts // 3600 * 3600 AS ts, max(value) AS max_v,
+       60 AS routed_step
+FROM lww GROUP BY metric, ts // 3600 * 3600
+""",
+    doc="materialized-rollup ROUTING (plans/routing.py route_resolution, "
+    "SURVEY 4's planner-adjacent decision): a 1h max aggregate is "
+    "answered from the 1m max rollup — the coarsest stored resolution "
+    "whose step divides the bucket — reading 1/60th of the rows.  The "
+    "oracle computes the same buckets DIRECTLY from the 1s slots, so "
+    "the gate proves the route is lossless for associative "
+    "consolidation (max over 1m maxes == max over seconds).  The "
+    "routed_step column records the routing decision itself",
+)
+def q_ws_route_aggregate_1h_max(spark, sf_dir):
+    from .plans.routing import route_resolution
+    from .retention import ArchiveSpec
+
+    # the store's archive ladder for the events model: 1s and 1m
+    archives = [ArchiveSpec(1, 90 * 86400), ArchiveSpec(60, 90 * 1440)]
+    routed = route_resolution(archives, now=0, from_time=0, bucket_seconds=3600)
+    assert routed.seconds_per_point == 60  # coarsest divisor of 3600
+    lww = lww_seconds(spark, sf_dir)
+    # the stored 1m max rollup (what a real store would have materialized)
+    m1max = lww.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 60).alias("ts")
+    ).agg(F.max("value").alias("max_v"))
+    return (
+        m1max.groupBy("metric", (F.col("ts") - F.col("ts") % 3600).alias("ts"))
+        .agg(F.max("max_v").alias("max_v"))
+        .withColumn("routed_step", F.lit(routed.seconds_per_point))
+    )
+
+
+@_q(
     "ev_user_activity_percentiles",
     """
 WITH ua AS (
