@@ -6144,6 +6144,45 @@ def q_stream_top_metric_1m(spark, sf_dir):
 
 
 @_q(
+    "ws_moving_avg_1h_range",
+    EVENTS_CTES
+    + """
+SELECT metric, ts,
+       (sum(CAST(avg_v AS DECIMAL(25,6))) OVER w::VARCHAR)::DOUBLE
+         / count(avg_v) OVER w AS mavg_1h,
+       count(avg_v) OVER w AS n_in_frame
+FROM min1
+WINDOW w AS (PARTITION BY metric ORDER BY ts
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    doc="trailing moving average over a TIME-RANGE frame (RANGE BETWEEN "
+    "3600 PRECEDING) — on an irregular/sparse series this is the correct "
+    "'last hour' semantics where a ROWS frame silently widens its time "
+    "span; n_in_frame exposes how many slots each frame actually held.  "
+    "Same decimal-exact accumulation as the ROWS variant "
+    "(ws_moving_avg_5); per-series sort, no global shuffle",
+)
+def q_ws_moving_avg_1h_range(spark, sf_dir):
+    from pyspark.sql import Window
+
+    base = min1(spark, sf_dir)
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rangeBetween(-3600, 0)
+    )
+    dec = F.col("avg_v").cast(_DEC25)
+    return base.select(
+        "metric", "ts",
+        (
+            F.sum(dec).over(w).cast("string").cast("double")
+            / F.count("avg_v").over(w)
+        ).alias("mavg_1h"),
+        F.count("avg_v").over(w).alias("n_in_frame"),
+    )
+
+
+@_q(
     "ws_route_aggregate_1h_max",
     EVENTS_CTES
     + """
