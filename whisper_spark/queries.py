@@ -6144,6 +6144,108 @@ def q_stream_top_metric_1m(spark, sf_dir):
 
 
 @_q(
+    "doc_boilerplate_chunks",
+    """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST(greatest(1, ceil(length(text) / 150.0)) AS BIGINT) - 1)) AS chunk_id
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, md5(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS chunk_sig
+  FROM c
+)
+SELECT chunk_sig,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS canonical_doc
+FROM sig
+GROUP BY chunk_sig
+HAVING count(DISTINCT doc_id) > 1
+""",
+    doc="sub-document boilerplate detection (C4-style): the SAME chunking "
+    "as doc_chunk_fixed, grouped by chunk signature — signatures spanning "
+    "more than one document are repeated headers/footers/templates to "
+    "strip before training.  One groupBy on the 32-hex signature with "
+    "partial aggregation; the canonical keep rule matches the exact-dedup "
+    "family (min doc_id)",
+)
+def q_doc_boilerplate_chunks(spark, sf_dir):
+    from .operators.textanalysis import chunk_fixed
+
+    chunks = chunk_fixed(
+        load(spark, sf_dir, "documents"), chunk_size=200, stride=150
+    )
+    return (
+        chunks.groupBy("chunk_sig")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@_q(
+    "ev_gap_stats",
+    """
+WITH e AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, event_id
+  FROM events
+),
+g AS (
+  SELECT metric,
+         sec - lag(sec) OVER (PARTITION BY metric ORDER BY sec, event_id) AS gap
+  FROM e
+),
+rk AS (
+  SELECT metric, gap,
+         row_number() OVER (PARTITION BY metric ORDER BY gap, metric) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM g WHERE gap IS NOT NULL
+)
+SELECT metric,
+       max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_gap,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN gap END) AS p99_gap,
+       max(gap) AS max_gap,
+       max(n) AS n_gaps
+FROM rk GROUP BY metric
+""",
+    doc="inter-event gap distribution per metric: nearest-rank median/p99 "
+    "and max of the deltas between consecutive events — the heartbeat/"
+    "staleness profile that drives alerting thresholds and retention "
+    "choices.  One lag window + one rank window, all-integer",
+)
+def q_ev_gap_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("metric"),
+        sec(ev, "ts").alias("sec"),
+        "event_id",
+    )
+    wl = Window.partitionBy("metric").orderBy("sec", "event_id")
+    g = e.select(
+        "metric", (F.col("sec") - F.lag("sec").over(wl)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    wr = Window.partitionBy("metric")
+    rk = g.select(
+        "metric", "gap",
+        F.row_number().over(wr.orderBy("gap", "metric")).alias("rn"),
+        F.count("*").over(wr).alias("n"),
+    )
+    return rk.groupBy("metric").agg(
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("gap"))).alias("median_gap"),
+        F.max(F.when(F.expr("rn = (99 * n + 99) div 100"), F.col("gap"))).alias("p99_gap"),
+        F.max("gap").alias("max_gap"),
+        F.max("n").alias("n_gaps"),
+    )
+
+
+@_q(
     "ws_moving_avg_1h_range",
     EVENTS_CTES
     + """
