@@ -6246,6 +6246,163 @@ def q_ev_gap_stats(spark, sf_dir):
 
 
 @_q(
+    "stream_slot_lww_state",
+    EVENTS_CTES
+    + """
+SELECT metric, ts // 60 * 60 AS ts, arg_max(value, seq) AS value
+FROM raw GROUP BY metric, ts // 60 * 60
+""",
+    doc="CUSTOM STATEFUL STREAMING OPERATOR under the oracle gate: "
+    "applyInPandasWithState keeps each metric's (slot -> value, seq) map "
+    "— whisper's ring-buffer slot state — and emits a changelog row per "
+    "slot whose value changed in the micro-batch, ties resolving to the "
+    "higher seq (whisper.py:806-808 in-place overwrite).  Under an "
+    "availableNow replay every slot emits its final LWW value, which is "
+    "exactly arg_max(value, seq) per aligned slot — so the stateful "
+    "path itself hash-matches the oracle "
+    "(streaming/rollup.py stateful_slot_lww)",
+)
+def q_stream_slot_lww_state(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import stateful_slot_lww
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+    out = stateful_slot_lww(pts, step_seconds=60, retention_seconds=90 * 86400)
+    name = "stream_state_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("metric", "ts", "value")
+
+
+@_q(
+    "doc_langid_confusion",
+    """
+WITH pred AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN len(list_filter(string_split(lower(text), ' '),
+                x -> x IN ('the','and','of','to','is','in','that','it'))) > 0
+                OR length(text) = 0
+           THEN 'en' ELSE 'other' END AS naive_pred
+  FROM documents
+)
+SELECT lang, naive_pred, count(*) AS n
+FROM pred GROUP BY lang, naive_pred
+""",
+    doc="language-ID EVALUATION: confusion counts of a naive "
+    "stopword-presence classifier against the labeled lang column — the "
+    "quality-measurement companion to doc_langid (which checks the real "
+    "n-gram classifier's outputs).  One scan + one tiny groupBy; the "
+    "classifier here is deliberately simple so the confusion structure "
+    "is visible at sf0.01",
+)
+def q_doc_langid_confusion(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    stop = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda x: x.isin("the", "and", "of", "to", "is", "in", "that", "it"),
+    )
+    pred = F.when(
+        (F.size(stop) > 0) | (F.length("text") == 0), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return (
+        d.select("lang", pred.alias("naive_pred"))
+        .groupBy("lang", "naive_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "doc_dup_triangles",
+    "WITH "
+    + _SHINGLE_SQL
+    + f"""
+, mh AS (
+  SELECT doc_id, k, min({_h60_sql("g || '#' || k")}) AS h
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS k)
+  GROUP BY doc_id, k
+), sig AS (
+  SELECT doc_id,
+         md5(CAST(min(CASE WHEN k=0 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=1 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=2 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=3 THEN h END) AS VARCHAR)) AS band0,
+         md5(CAST(min(CASE WHEN k=4 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=5 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=6 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=7 THEN h END) AS VARCHAR)) AS band1
+  FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, band1 AS sig FROM sig
+), e AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT count(*) AS n_triangles,
+       count(DISTINCT a) + count(DISTINCT b) + count(DISTINCT c) AS node_role_counts
+FROM tri
+""",
+    doc="triangle counting on the near-dup candidate graph: the standard "
+    "two-join ordered-edge formulation (u<v<w counts each triangle "
+    "once) — dense triangle neighborhoods mark template families worth "
+    "clustering eagerly.  Join order keeps intermediate size bounded by "
+    "wedges of ordered edges, the distributed-graph-analytics pattern "
+    "at any graph scale",
+)
+def q_doc_dup_triangles(spark, sf_dir):
+    e = q_doc_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).distinct()
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        (
+            F.count_distinct("a") + F.count_distinct("b") + F.count_distinct("c")
+        ).alias("node_role_counts"),
+    )
+
+
+@_q(
     "ws_moving_avg_1h_range",
     EVENTS_CTES
     + """
