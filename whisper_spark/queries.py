@@ -6613,6 +6613,79 @@ GROUP BY d.source""",
 _register_dedup_survivors()
 
 
+def _register_simhash_recall():
+    """doc_simhash_recall shares doc_simhash_pairs' oracle verbatim (its
+    final SELECT becomes CTEs), same lockstep guarantee as
+    doc_dedup_survivors."""
+    base = QUERIES["doc_simhash_pairs"].sql
+    final = """SELECT id_a, id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = id_a
+JOIN fp fb ON fb.doc_id = id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 6"""
+    assert final in base, "doc_simhash_pairs oracle changed shape"
+    sql = base.replace(
+        final,
+        """, ver AS (
+  SELECT id_a, id_b FROM cand
+  JOIN fp fa ON fa.doc_id = id_a
+  JOIN fp fb ON fb.doc_id = id_b
+  WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 6
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+)
+SELECT t.n_truth, c.n_cand, h.n_hit,
+       CASE WHEN t.n_truth = 0 THEN NULL
+            ELSE CAST(h.n_hit AS DOUBLE) / t.n_truth END AS recall
+FROM (SELECT count(*) AS n_truth FROM truth) t,
+     (SELECT count(*) AS n_cand FROM ver) c,
+     (SELECT count(*) AS n_hit FROM truth JOIN ver USING (id_a, id_b)) h""",
+    )
+
+    @_q(
+        "doc_simhash_recall",
+        sql,
+        doc="SimHash banding quality gate (completes the recall-gate "
+        "family: emb_ivf_recall, emb_pq_recall, doc_lsh_recall): banded+"
+        "verified candidate pairs vs the FULL pairwise Hamming<=6 truth "
+        "on the fenced doc set.  Manku's guarantee says the 4x15 banding "
+        "catches every pair within Hamming 3 and most within 6 — this "
+        "measures it instead of assuming it",
+    )
+    def q_doc_simhash_recall(spark, sf_dir):
+        from .operators.dedup import simhash_hamming_pairs
+
+        fp = q_doc_simhash(spark, sf_dir).select("doc_id", "simhash")
+        ver = simhash_hamming_pairs(fp, max_hamming=6).select("id_a", "id_b")
+        a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_a"))
+        b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_b"))
+        truth = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(F.expr("bit_count(_a ^ _b) <= 6"))
+            .select("id_a", "id_b")
+        )
+        t = truth.agg(F.count("*").alias("n_truth"))
+        c = ver.agg(F.count("*").alias("n_cand"))
+        h = truth.join(ver, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+        return (
+            t.crossJoin(c)
+            .crossJoin(h)
+            .select(
+                "n_truth", "n_cand", "n_hit",
+                F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+                .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
+                .alias("recall"),
+            )
+        )
+
+
+_register_simhash_recall()
+
+
 # --------------------------------------------------------------------- #
 # public accessors (consumed by __spark_entry__.py)
 # --------------------------------------------------------------------- #
