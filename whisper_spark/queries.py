@@ -6403,6 +6403,89 @@ def q_doc_dup_triangles(spark, sf_dir):
 
 
 @_q(
+    "ws_seasonal_profile",
+    EVENTS_CTES
+    + """
+SELECT metric, (ts % 86400) // 3600 AS hour_of_day,
+       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(avg_v)
+         AS hour_mean,
+       max(avg_v) AS hour_max,
+       count(*) AS n_slots
+FROM min1 GROUP BY metric, (ts % 86400) // 3600
+""",
+    doc="hour-of-day seasonal baseline per metric (the holt-winters "
+    "seasonal term's lookup table, computed batch-side): mean/max of the "
+    "1m rollup bucketed by UTC hour via pure integer arithmetic — no "
+    "timezone functions, so both engines bin identically.  One "
+    "partial-aggregated groupBy into 24 rows per metric; at scale this "
+    "is the broadcastable profile that anomaly scoring joins against",
+)
+def q_ws_seasonal_profile(spark, sf_dir):
+    base = min1(spark, sf_dir)
+    hod = ((F.col("ts") % 86400) / 3600).cast("long")
+    return base.groupBy("metric", hod.alias("hour_of_day")).agg(
+        (dsum(F.col("avg_v")) / F.count("avg_v")).alias("hour_mean"),
+        F.max("avg_v").alias("hour_max"),
+        F.count("*").alias("n_slots"),
+    )
+
+
+@_q(
+    "doc_ngram_novelty",
+    """
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(0, len(ws) - 2)),
+                               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM g JOIN firsts f ON f.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       CAST(n_novel AS DOUBLE) / n_grams AS novelty
+FROM per_doc
+""",
+    doc="n-gram novelty attribution in corpus order: each distinct "
+    "word-3-gram is credited to its FIRST document (min doc_id), and a "
+    "document's novelty is the fraction of its grams it introduced — "
+    "the curriculum/dataset-ordering diagnostic (a low-novelty tail is "
+    "redundant data).  One gram groupBy + one gram-keyed join, both "
+    "partial-aggregated; no per-prefix rescans",
+)
+def q_doc_ngram_novelty(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> array_join(slice(split(text, ' '), i, 3), ' '))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+    )
+
+
+@_q(
     "ws_moving_avg_1h_range",
     EVENTS_CTES
     + """
