@@ -6486,6 +6486,129 @@ def q_doc_ngram_novelty(spark, sf_dir):
 
 
 @_q(
+    "ev_type_cooccurrence",
+    """
+WITH ut AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 3600 AS hr, event_type
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_cooccur
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.hr = b.hr AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+""",
+    doc="event-type co-occurrence within (user, hour) windows: the "
+    "unordered companion to the Markov transition matrix — which "
+    "behaviors happen TOGETHER rather than in sequence.  Distinct "
+    "(user, hour, type) first (bounding the self-join input to one row "
+    "per combination), then an equi-join on the window key — shuffle "
+    "proportional to active user-hours, pair fan-out <= types^2 per "
+    "window",
+)
+def q_ev_type_cooccurrence(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select(
+        "user_id",
+        (sec(ev, "ts") / 3600).cast("long").alias("hr"),
+        "event_type",
+    ).distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_cooccur"))
+    )
+
+
+@_q(
+    "doc_len_quality_corr",
+    """
+WITH f AS (
+  SELECT n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+mo AS (
+  SELECT count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+         CAST(sum(n_tok) AS BIGINT) AS sy,
+         CAST(sum(n_tok * n_tok) AS BIGINT) AS syy,
+         CAST(sum(n_chars * n_tok) AS BIGINT) AS sxy
+  FROM f
+)
+SELECT n,
+       (n * sxy - sx * sy)
+         / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+            * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) AS pearson_r
+FROM mo
+""",
+    doc="exact-moment Pearson correlation between document length and "
+    "token count: all five moments accumulate exactly in int64 (bounded "
+    "products), then r is one fixed IEEE sequence — the engine-portable "
+    "form of corr() whose builtin accumulates in floats and is "
+    "order-dependent.  One scan, one single-row aggregate",
+)
+def q_doc_len_quality_corr(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long").alias("n_tok"),
+    )
+    mo = f.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        F.sum("n_tok").alias("sy"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).alias("syy"),
+        F.sum(F.col("n_chars") * F.col("n_tok")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return mo.select("n", (num / den).alias("pearson_r"))
+
+
+@_q(
+    "ws_value_heatmap",
+    EVENTS_CTES
+    + """
+SELECT metric,
+       ts // 21600 * 21600 AS t_bin,
+       CAST(floor(avg_v / 50.0) AS BIGINT) AS v_bin,
+       count(*) AS n
+FROM min1 GROUP BY metric, ts // 21600 * 21600, CAST(floor(avg_v / 50.0) AS BIGINT)
+""",
+    doc="time x value heatmap of the 1m rollup (6h time bins x 50-unit "
+    "value bins) — the render shape behind dashboard heatmap panels: "
+    "value DISTRIBUTION over time where a line chart would alias.  Two "
+    "floor divisions and a count; one partial-aggregated groupBy",
+)
+def q_ws_value_heatmap(spark, sf_dir):
+    base = min1(spark, sf_dir)
+    return base.groupBy(
+        "metric",
+        (F.col("ts") - F.col("ts") % 21600).alias("t_bin"),
+        F.floor(F.col("avg_v") / 50.0).cast("long").alias("v_bin"),
+    ).agg(F.count("*").alias("n"))
+
+
+@_q(
     "ws_moving_avg_1h_range",
     EVENTS_CTES
     + """
