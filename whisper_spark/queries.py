@@ -6609,6 +6609,89 @@ def q_ws_value_heatmap(spark, sf_dir):
 
 
 @_q(
+    "emb_knn_label_accuracy",
+    "WITH "
+    + _COS_SQL
+    + """
+, topk AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nq * nc) DESC, nid) AS rank
+    FROM dotp
+  ) WHERE rank <= 5
+)
+SELECT t.qid,
+       max(lq.label) AS q_label,
+       CAST(sum(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       CAST(sum(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END) AS DOUBLE) / 5
+         AS label_purity
+FROM topk t
+JOIN embeddings lq ON lq.vec_id = t.qid
+JOIN embeddings ln ON ln.vec_id = t.nid
+GROUP BY t.qid
+""",
+    doc="kNN label purity: for each query, the fraction of its exact "
+    "cosine top-5 sharing the query's class label — the standard "
+    "embedding-quality probe (a good space clusters labels; purity ~ "
+    "1/n_classes means the geometry carries no signal).  Label lookups "
+    "broadcast (two narrow id->label joins over the k*queries result)",
+)
+def q_emb_knn_label_accuracy(spark, sf_dir):
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    topk = cosine_topk(q, emb, k=5).select("qid", "nid")
+    labels = emb.select("vec_id", "label")
+    lq = labels.select(F.col("vec_id").alias("qid"), F.col("label").alias("q_lab"))
+    ln = labels.select(F.col("vec_id").alias("nid"), F.col("label").alias("n_lab"))
+    j = topk.join(F.broadcast(lq), "qid").join(F.broadcast(ln), "nid")
+    same = F.when(F.col("n_lab") == F.col("q_lab"), 1).otherwise(0)
+    return j.groupBy("qid").agg(
+        F.max("q_lab").alias("q_label"),
+        F.sum(same).alias("n_same_label"),
+        (F.sum(same).cast("double") / 5).alias("label_purity"),
+    )
+
+
+@_q(
+    "doc_charclass_profile",
+    """
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / length(text) END AS alpha_ratio
+FROM documents
+""",
+    doc="character-class profile per document: alpha/digit/space counts "
+    "via regex strip-and-measure (identical POSIX classes in both "
+    "engines) and the alpha ratio — the cheap garbage detector "
+    "(binary-ish or table-dump docs have low alpha ratios).  Pure "
+    "row expressions, scan-speed",
+)
+def q_doc_charclass_profile(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(n_alpha.cast("double") / F.length("text"))
+        .alias("alpha_ratio"),
+    )
+
+
+@_q(
     "ws_moving_avg_1h_range",
     EVENTS_CTES
     + """
