@@ -6692,6 +6692,78 @@ def q_doc_charclass_profile(spark, sf_dir):
 
 
 @_q(
+    "ws_seasonal_alerts",
+    EVENTS_CTES
+    + """
+, prof AS (
+  SELECT metric, (ts % 86400) // 3600 AS hod,
+         count(*) AS n,
+         (sum(CAST(avg_v AS DECIMAL(15,6)))::VARCHAR)::DOUBLE AS sx,
+         (sum(CAST(avg_v AS DECIMAL(15,6)) * CAST(avg_v AS DECIMAL(15,6)))::VARCHAR)::DOUBLE AS sxx
+  FROM min1 GROUP BY metric, (ts % 86400) // 3600
+),
+thr AS (
+  SELECT metric, hod, sx / n AS mu,
+         sqrt(CASE WHEN (n * sxx - sx * sx) / (n * n) < 0 THEN 0
+                   ELSE (n * sxx - sx * sx) / (n * n) END) AS sigma
+  FROM prof
+)
+SELECT m.metric AS metric, m.ts AS ts, m.avg_v AS value, t.mu, t.sigma
+FROM min1 m JOIN thr t
+  ON t.metric = m.metric AND t.hod = (m.ts % 86400) // 3600
+WHERE abs(m.avg_v - t.mu) > 3 * t.sigma
+""",
+    doc="seasonal-aware anomaly alerts — the monitoring capstone "
+    "composing the engine's pieces: per (metric, hour-of-day) baseline "
+    "mean and population stdev from decimal-exact moments (the "
+    "ws_stdev_moving_10 arithmetic over the ws_seasonal_profile "
+    "grouping), broadcast back over the rollup, flagging slots more "
+    "than 3 sigma from their HOUR's norm — a 9am spike is judged "
+    "against 9am, not the flat daily mean.  sigma/mu and the flag "
+    "comparison are fixed IEEE sequences over exact moments",
+)
+def q_ws_seasonal_alerts(spark, sf_dir):
+    base = min1(spark, sf_dir)
+    hod = ((F.col("ts") % 86400) / 3600).cast("long")
+    v = F.col("avg_v").cast("decimal(15,6)")
+    prof = base.groupBy("metric", hod.alias("hod")).agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("string").cast("double").alias("sx"),
+        F.sum(v * v).cast("string").cast("double").alias("sxx"),
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * F.col("n")
+    )
+    thr = prof.select(
+        "metric", "hod",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(F.when(var < 0, F.lit(0.0)).otherwise(var)).alias("sigma"),
+    )
+    m = base.select(
+        "metric", "ts", "avg_v", hod.alias("hod")
+    ).alias("m")
+    t = thr.select(
+        F.col("metric").alias("t_metric"),
+        F.col("hod").alias("t_hod"),
+        "mu",
+        "sigma",
+    )
+    j = m.join(
+        F.broadcast(t),
+        (F.col("m.metric") == F.col("t_metric")) & (F.col("m.hod") == F.col("t_hod")),
+    )
+    return j.filter(
+        F.abs(F.col("avg_v") - F.col("mu")) > 3 * F.col("sigma")
+    ).select(
+        F.col("m.metric").alias("metric"),
+        F.col("m.ts").alias("ts"),
+        F.col("avg_v").alias("value"),
+        "mu",
+        "sigma",
+    )
+
+
+@_q(
     "ws_moving_avg_1h_range",
     EVENTS_CTES
     + """
