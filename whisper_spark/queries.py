@@ -6764,6 +6764,132 @@ def q_ws_seasonal_alerts(spark, sf_dir):
 
 
 @_q(
+    "doc_dedup_threshold_sweep",
+    "WITH "
+    + _SHINGLE_SQL
+    + """
+, sz AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT n_common * 1.0 / (sa.n + sb.n - n_common) AS j
+  FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS ge_030,
+       CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS ge_050,
+       CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS ge_070,
+       CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS ge_090
+FROM jac
+""",
+    doc="dedup threshold sensitivity: how many candidate pairs survive "
+    "at Jaccard 0.3/0.5/0.7/0.9, in ONE pass of conditional aggregates "
+    "over the inverted-index join (the xff_sensitivity pattern applied "
+    "to dedup tuning) — choosing a threshold from data instead of "
+    "folklore.  Same fenced doc set as the pair queries",
+)
+def q_doc_dedup_threshold_sweep(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            (
+                F.col("n_common") * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("j")
+        )
+    )
+    def ge(t):
+        return F.sum(F.when(F.col("j") >= t, 1).otherwise(0))
+
+    return jac.agg(
+        F.count("*").alias("n_pairs"),
+        ge(0.3).alias("ge_030"),
+        ge(0.5).alias("ge_050"),
+        ge(0.7).alias("ge_070"),
+        ge(0.9).alias("ge_090"),
+    )
+
+
+@_q(
+    "ev_attribution_latency",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type, event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, sec, event_type, event_id,
+         last_value(CASE WHEN event_type = 'view' THEN sec END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_sec
+  FROM e
+),
+lags AS (
+  SELECT sec - view_sec AS lag_s FROM s
+  WHERE event_type = 'purchase' AND view_sec IS NOT NULL
+),
+rk AS (
+  SELECT lag_s,
+         row_number() OVER (ORDER BY lag_s) AS rn,
+         count(*) OVER () AS n
+  FROM lags
+)
+SELECT max(CASE WHEN rn = (n + 1) // 2 THEN lag_s END) AS median_lag_s,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_s END) AS p90_lag_s,
+       max(lag_s) AS max_lag_s,
+       max(n) AS n_conversions
+FROM rk
+""",
+    doc="attribution latency distribution: nearest-rank median/p90 of "
+    "the view-to-purchase lag, composed ON TOP of the as-of join "
+    "operator (ev_asof_view_purchase's forward-fill windows) — the "
+    "conversion-window tuning query.  Ties in the rank break on the "
+    "integer lag itself, so the selection is total",
+)
+def q_ev_attribution_latency(spark, sf_dir):
+    from pyspark.sql import Window
+
+    lags = q_ev_asof_view_purchase(spark, sf_dir).select(
+        F.col("lag_seconds").alias("lag_s")
+    )
+    w = Window.partitionBy()
+    rk = lags.select(
+        "lag_s",
+        F.row_number().over(w.orderBy("lag_s")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    return rk.agg(
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("lag_s"))).alias("median_lag_s"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("lag_s"))).alias("p90_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+        F.max("n").alias("n_conversions"),
+    )
+
+
+@_q(
     "ws_moving_avg_1h_range",
     EVENTS_CTES
     + """
