@@ -175,3 +175,22 @@ def test_winnowing_guarantee_and_shape(spark):
     assert out[5][0] == 0
     assert out[1][0] > 0 and out[4][0] > 0
     assert out[1][1] != out[4][1]                # different docs differ
+
+
+def test_holt_linear_null_gap_holds_state(spark):
+    # dense fetch timelines carry NULL in gap slots: state must hold,
+    # not poison the rest of the series with NaN
+    rows = [("m", 0, 10.0), ("m", 60, 14.0), ("m", 120, None),
+            ("m", 180, 18.0), ("g", 0, None), ("g", 60, 5.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = TS.holt_linear(df, ["metric"], alpha=0.5, gamma=0.5)
+    got = {(r.metric, r.ts): (r.level, r.trend, r.forecast) for r in out.collect()}
+    assert got[("m", 60)] == (12.0, 1.0, 13.0)
+    # gap emits the held state
+    assert got[("m", 120)] == (12.0, 1.0, 13.0)
+    # recurrence resumes from the held state: l = .5*18 + .5*13 = 15.5
+    assert got[("m", 180)] == (15.5, 2.25, 17.75)
+    # leading gap before initialization -> no value (NaN/None), then seeds
+    lv, bv, fc = got[("g", 0)]
+    assert all(v is None or v != v for v in (lv, bv, fc))
+    assert got[("g", 60)] == (5.0, 0.0, 5.0)

@@ -209,3 +209,71 @@ def test_parser_roundtrip_fuzz():
         assert parse_target(render(ast)) == ast
 
     check()
+
+
+# --------------------------------------------------------------------- #
+# graphite-web API-parity fixes (windowSize EMA, step-aware hitcount,
+# null-safe percentileOfSeries, groupByNode default, list-order limit)
+# --------------------------------------------------------------------- #
+
+
+def test_eval_ema_takes_window_size_not_alpha(frame):
+    # graphite: exponentialMovingAverage(x, 3) means alpha = 2/(3+1) = 0.5
+    out = evaluate_target(frame, "exponentialMovingAverage(ev.click.m1, 3)")
+    got = {r.ts: r.value for r in out.collect()}
+    assert got[0] == 1.0
+    assert got[60] == 0.5 * 2.0 + 0.5 * 1.0
+    assert got[120] == 0.5 * 4.0 + 0.5 * 1.5
+    # duration windowSize converts via step: '3min' at step=60 -> 3 points
+    dur = evaluate_target(
+        frame, "exponentialMovingAverage(ev.click.m1, '3min')", step=60
+    )
+    dg = {r.ts: r.value for r in dur.collect()}
+    assert dg == got
+    with pytest.raises(TargetSyntaxError):
+        evaluate_target(frame, "exponentialMovingAverage(ev.click.m1, 0)")
+
+
+def test_eval_hitcount_uses_series_step(spark):
+    # a 300s-step series: rate 2/s over 300s slots -> 600 hits per slot
+    rows = [("m.a", 0, 2.0), ("m.a", 300, 2.0), ("m.a", 600, 2.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = evaluate_target(frame, "hitcount(m.a, '10min')")
+    got = {r.ts: r.value for r in out.collect()}
+    # bucket [0,600): two slots x 2.0 x 300s = 1200 ; [600,1200): 600
+    assert got[0] == 1200.0 and got[600] == 600.0
+    # explicit step wins over the derived one
+    forced = evaluate_target(frame, "hitcount(m.a, '10min')", step=60)
+    fg = {r.ts: r.value for r in forced.collect()}
+    assert fg[0] == 240.0 and fg[600] == 120.0
+
+
+def test_eval_percentile_ignores_null_slots(spark):
+    rows = [
+        ("s.a", 0, None), ("s.b", 0, 1.0), ("s.c", 0, 2.0), ("s.d", 0, 3.0),
+    ]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = evaluate_target(frame, "percentileOfSeries(s.*, 50)")
+    [r] = out.collect()
+    # nearest-rank p50 of {1,2,3} = rank ceil(3*.5)=2 -> 2.0 ; with the
+    # NULL counted, n=4 would select rank 2 of a NULL-first ordering
+    assert r.value == 2.0
+
+
+def test_eval_group_by_node_defaults_to_average(spark):
+    rows = [("dc1.web.cpu", 0, 1.0), ("dc2.web.cpu", 0, 3.0),
+            ("dc1.db.cpu", 0, 8.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = evaluate_target(frame, "groupByNode(*.*.cpu, 1)")
+    got = {(r.metric, r.ts): r.value for r in out.collect()}
+    assert got[("web", 0)] == 2.0          # average, not sum
+    assert got[("db", 0)] == 8.0
+    with pytest.raises(TargetSyntaxError):
+        evaluate_target(frame, "groupByNode(*.*.cpu)")
+
+
+def test_eval_limit_preserves_list_order(frame):
+    # graphite limit() keeps the FIRST n series in list (name) order —
+    # ev.click.m1 ranks before ev.error.m1/ev.view.m1 despite a lower total
+    out = evaluate_target(frame, "limit(ev.*.m1, 1)")
+    assert set(r.metric for r in out.collect()) == {"ev.click.m1"}

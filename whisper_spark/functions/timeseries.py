@@ -350,7 +350,18 @@ def holt_linear(
         pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
         lv = bv = None
         levels, trends, fcs = [], [], []
+        nan = float("nan")
         for x in pdf[value]:
+            # dense fetch timelines carry NULL (NaN) in gap slots; like
+            # ewma, a gap holds the (level, trend) state unchanged and
+            # emits the held state — NaN before initialization — instead
+            # of poisoning the rest of the series
+            if x is None or x != x:
+                if lv is None:
+                    levels.append(nan); trends.append(nan); fcs.append(nan)
+                else:
+                    levels.append(lv); trends.append(bv); fcs.append(lv + bv)
+                continue
             x = float(x)
             if lv is None:
                 lv, bv = x, 0.0

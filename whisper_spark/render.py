@@ -257,9 +257,14 @@ def _alias_by_node(df: DataFrame, *nodes: int) -> DataFrame:
 
 
 def _percentile_of_series(df: DataFrame, p: float, label: str) -> DataFrame:
-    """Nearest-rank percentile across series per timestamp."""
+    """Nearest-rank percentile across series per timestamp.
+
+    NULL slots (gap-filled frames) are excluded before ranking —
+    graphite's percentileOfSeries ignores None values, and counting
+    them would both shift the nearest-rank index and risk selecting a
+    NULL value."""
     w = Window.partitionBy("ts")
-    rk = df.select(
+    rk = df.filter(F.col("value").isNotNull()).select(
         "ts", "value",
         F.row_number().over(w.orderBy("value", "metric")).alias("_rn"),
         F.count("*").over(w).alias("_n"),
@@ -270,7 +275,23 @@ def _percentile_of_series(df: DataFrame, p: float, label: str) -> DataFrame:
     )
 
 
-def _evaluate(node, source: DataFrame, text: str) -> DataFrame:
+def _series_step_col(df: DataFrame) -> DataFrame:
+    """Annotate each row with its series' native step (seconds between
+    consecutive points), derived from the data itself: the minimum
+    positive ts delta per metric.  Two windows on the same partition key
+    → one shuffle.  Single-point series (no delta) fall back to 60s —
+    graphite's conventional finest step."""
+    w_ord = Window.partitionBy("metric").orderBy("ts")
+    with_delta = df.withColumn(
+        "_delta", F.col("ts") - F.lag("ts").over(w_ord)
+    )
+    w_all = Window.partitionBy("metric")
+    return with_delta.withColumn(
+        "_step", F.coalesce(F.min("_delta").over(w_all), F.lit(60))
+    ).drop("_delta")
+
+
+def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> DataFrame:
     if isinstance(node, Path):
         return TS.filter_metrics(source, node.glob).select("metric", "ts", "value")
     if not isinstance(node, Call):
@@ -279,7 +300,14 @@ def _evaluate(node, source: DataFrame, text: str) -> DataFrame:
     name, args = node.name, node.args
 
     def series(i=0) -> DataFrame:
-        return _evaluate(args[i], source, text)
+        if i >= len(args):
+            raise TargetSyntaxError(f"{name}: missing series argument")
+        return _evaluate(args[i], source, text, step)
+
+    def need(i: int, what: str):
+        if i >= len(args):
+            raise TargetSyntaxError(f"{name}: missing argument {i} ({what})")
+        return args[i]
 
     label = f"{name}({', '.join(map(repr, args))})"
 
@@ -292,18 +320,27 @@ def _evaluate(node, source: DataFrame, text: str) -> DataFrame:
     if name == "minSeries":
         return _combine(series(), label, "min")
     if name == "summarize":
-        step = parse_duration(args[1])
+        bucket = parse_duration(need(1, "interval"))
         how = args[2] if len(args) > 2 else "sum"
-        return _summarize(series(), step, how)
+        return _summarize(series(), bucket, how)
     if name == "hitcount":
-        step = parse_duration(args[1])
-        scaled = series().withColumn(
+        bucket = parse_duration(need(1, "interval"))
+        base = series()
+        if step is not None:
+            # caller threaded the fetch step through (CLI render path) —
+            # multiply by it directly, no extra window needed
+            base = base.withColumn("_step", F.lit(step))
+        else:
+            base = _series_step_col(base)
+        scaled = base.withColumn(
             "value",
-            (F.col("value").cast(_DEC) * 60).cast("string").cast("double"),
-        )
-        return _summarize(scaled, step, "sum")
+            (F.col("value").cast(_DEC) * F.col("_step"))
+            .cast("string")
+            .cast("double"),
+        ).select("metric", "ts", "value")
+        return _summarize(scaled, bucket, "sum")
     if name == "movingAverage":
-        return _moving_avg(series(), int(args[1]))
+        return _moving_avg(series(), int(need(1, "windowSize")))
     if name == "derivative":
         return (
             TS.derivative(series(), ["metric"], out_col="_d")
@@ -324,49 +361,87 @@ def _evaluate(node, source: DataFrame, text: str) -> DataFrame:
             F.col("_r").cast("string").cast("double").alias("value"),
         )
     if name == "timeShift":
-        return TS.time_shift(series(), parse_duration(args[1]))
+        return TS.time_shift(series(), parse_duration(need(1, "timeShift")))
     if name == "scale":
-        return series().withColumn("value", F.col("value") * float(args[1]))
+        return series().withColumn("value", F.col("value") * float(need(1, "factor")))
     if name == "offset":
-        return series().withColumn("value", F.col("value") + float(args[1]))
+        return series().withColumn("value", F.col("value") + float(need(1, "factor")))
     if name == "absolute":
         return series().withColumn("value", F.abs(F.col("value")))
     if name == "removeAboveValue":
         return series().withColumn(
-            "value", F.when(F.col("value") <= float(args[1]), F.col("value"))
+            "value", F.when(F.col("value") <= float(need(1, "n")), F.col("value"))
         )
     if name == "removeBelowValue":
         return series().withColumn(
-            "value", F.when(F.col("value") >= float(args[1]), F.col("value"))
+            "value", F.when(F.col("value") >= float(need(1, "n")), F.col("value"))
         )
     if name == "highestAverage":
-        return _top_by_avg(series(), int(args[1]))
+        return _top_by_avg(series(), int(need(1, "n")))
     if name == "sortByTotal":
         return _sort_by_total(series(), None)
     if name == "limit":
-        return _sort_by_total(series(), int(args[1]))
+        # graphite's limit keeps the FIRST n series of the list — list
+        # order for a glob fetch is metric-name order, not total-ranked
+        n = int(need(1, "n"))
+        w = Window.orderBy("metric")
+        keep = (
+            series()
+            .select("metric")
+            .distinct()
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .select("metric")
+        )
+        return series().join(F.broadcast(keep), "metric").select(
+            "metric", "ts", "value"
+        )
     if name == "exponentialMovingAverage":
-        out = TS.ewma(series(), ["metric"], alpha=float(args[1]))
+        # graphite-web semantics: the 2nd arg is a WINDOW SIZE (number of
+        # points, or a duration string), and alpha = 2/(windowSize+1) —
+        # NOT a raw alpha.  Duration windows need the series step to
+        # convert to points: use the threaded fetch step when available,
+        # else 60s (graphite's conventional finest step).
+        ws = need(1, "windowSize")
+        if isinstance(ws, str):
+            n = max(1, parse_duration(ws) // (step or 60))
+        else:
+            n = int(ws)
+            if n < 1:
+                raise TargetSyntaxError(
+                    f"exponentialMovingAverage: windowSize must be >= 1, got {ws!r}"
+                )
+        alpha = 2.0 / (n + 1.0)
+        out = TS.ewma(series(), ["metric"], alpha=alpha)
         return out.select("metric", "ts", F.col("ewma").alias("value"))
     if name == "groupByNode":
-        out = TS.group_by_node(series(), int(args[1]), method=args[2])
+        node_idx = int(need(1, "node"))
+        method = args[2] if len(args) > 2 else "average"
+        out = TS.group_by_node(series(), node_idx, method=method)
         return out.select("metric", "ts", "value")
     if name == "alias":
-        return _series_label(series(), args[1])
+        return _series_label(series(), need(1, "newName"))
     if name == "aliasByNode":
         return _alias_by_node(series(), *args[1:])
     if name == "percentileOfSeries":
-        return _percentile_of_series(series(), float(args[1]), label)
+        return _percentile_of_series(series(), float(need(1, "n")), label)
     raise TargetSyntaxError(f"unknown function {name!r}")
 
 
-def evaluate_target(source: DataFrame, target: str) -> DataFrame:
+def evaluate_target(
+    source: DataFrame, target: str, step: int | None = None
+) -> DataFrame:
     """Evaluate a graphite render target over a series frame.
 
     ``source`` must carry ``(metric STRING, ts LONG, value DOUBLE)`` —
     e.g. a store fetch timeline or any rollup view.  Returns the same
-    shape."""
-    return _evaluate(parse_target(target), source, target)
+    shape.  ``step``: the fetch step in seconds, when known (the CLI
+    render path passes the step ``store.fetch`` returns) — used by
+    step-dependent functions (``hitcount``'s rate→count multiply,
+    ``exponentialMovingAverage``'s duration-window→points conversion).
+    When omitted, those functions derive a per-series step from the
+    data's ts deltas (hitcount) or assume 60s (EMA duration windows)."""
+    return _evaluate(parse_target(target), source, target, step)
 
 
 FUNCTIONS = [
