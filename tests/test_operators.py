@@ -326,3 +326,71 @@ def test_pq_pipeline_shapes_and_recall_floor(spark):
     rec = Q.QUERIES["emb_pq_recall"].fn(spark, sf_dir("0.01")).collect()
     mean = sum(r.recall for r in rec) / len(rec)
     assert mean >= 0.75, mean
+
+
+def test_parse_media_header_real_formats():
+    """The stdlib container-header parser against handcrafted files."""
+    import struct
+
+    from whisper_spark.operators.multimodal import parse_media_header as p
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+           + struct.pack(">II", 640, 480))
+    assert p(png) == {"mime": "image/png", "width": 640, "height": 480,
+                      "duration_ms": None}
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert p(gif) == {"mime": "image/gif", "width": 320, "height": 200,
+                      "duration_ms": None}
+
+    # BMP with a matching file-size field parses; text that merely starts
+    # with "BM" must NOT false-positive
+    body = (b"\x00" * 4 + struct.pack("<I", 54)
+            + struct.pack("<I", 40) + struct.pack("<ii", 800, -600)
+            + b"\x00" * 28)
+    bmp = b"BM" + struct.pack("<I", 2 + 4 + len(body)) + body
+    assert p(bmp) == {"mime": "image/bmp", "width": 800, "height": 600,
+                      "duration_ms": None}
+    assert p(b"BMW production rose 4% in the third quarter, said...") is None
+
+    jpg = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", 768, 1024) + b"\x00" * 12)
+    assert p(jpg) == {"mime": "image/jpeg", "width": 1024, "height": 768,
+                      "duration_ms": None}
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 48000))
+    # 48000 bytes at 16000 B/s -> 3000 ms
+    assert p(wav) == {"mime": "audio/wav", "width": None, "height": None,
+                      "duration_ms": 3000}
+
+    assert p(b"just some text") is None
+    assert p(b"") is None
+
+
+def test_decode_media_auto_mixes_real_and_fallback(spark):
+    """decoder='auto' header-parses recognized formats and md5-stubs the
+    rest, in one Arrow batch pass."""
+    import hashlib
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+           + struct.pack(">II", 12, 34))
+    blob = b"opaque unknown payload"
+    rows = [
+        (1, "image", png, None),
+        (2, "image", blob, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert got[1]["mime"] == "image/png"
+    assert (got[1]["width"], got[1]["height"]) == (12, 34)
+    d = hashlib.md5(blob).digest()
+    assert got[2]["mime"] == "application/octet-stream"
+    assert (got[2]["width"], got[2]["height"]) == (16 + d[0], 16 + d[1])
+    # the feature stays digest-derived for BOTH paths
+    assert got[1]["feature"] == [
+        pytest.approx(b / 255.0) for b in hashlib.md5(png).digest()[:8]
+    ]

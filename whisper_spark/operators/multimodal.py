@@ -2,12 +2,15 @@
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing here is real and tested — schema contracts,
-partitioning, batch shapes, UDF signatures.  The actual media decoding is
-STUBBED (`decoder="fake"`) because image/audio libraries are not in this
-container: the fake decoder derives deterministic pseudo-metadata and
-features from the payload bytes.  Plug a real decoder in by passing
-``decoder=callable(payload: bytes) -> dict``; everything around it (Arrow
-transfer, batching, schema) is unchanged.
+partitioning, batch shapes, UDF signatures — and so is container-header
+decoding for the common formats: PNG, GIF, BMP, JPEG dimensions and WAV
+sample-rate/channels/duration are parsed from the payload bytes with the
+stdlib only (``decoder="auto"``, the default).  Pixel/sample DECODE
+(which needs PIL/ffmpeg, absent from this container) is what stays
+stubbed: unknown formats fall back to deterministic md5-derived
+pseudo-metadata, and the 8-dim feature is always digest-derived.  Plug a
+full decoder in by passing ``decoder=callable(payload: bytes) -> dict``;
+everything around it (Arrow transfer, batching, schema) is unchanged.
 
 Scale notes: media payloads are large and skew partition sizes — wrap
 datasets with :func:`repartition_by_bytes` before heavy stages so each
@@ -51,59 +54,161 @@ DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
 
 
+def _make_header_parser() -> Callable[[bytes], dict | None]:
+    """Build the stdlib container-header parser.
+
+    Defined as a closure (factory) on purpose: cloudpickle serializes
+    closures BY VALUE, so Spark's Python workers never need
+    ``whisper_spark`` on their PYTHONPATH (a driver-side sys.path tweak
+    does not propagate to workers).  The module-level
+    :data:`parse_media_header` below is the same object for unit tests.
+    """
+    import struct
+
+    def parse_header(p: bytes) -> dict | None:
+        """Return {mime, width, height, duration_ms} for recognized
+        container formats, None otherwise.  Header-only: dimensions and
+        timing come from the container metadata, no pixel/sample decode."""
+        n = len(p)
+        # PNG: 8-byte magic, then the IHDR chunk (len + 'IHDR' + w + h BE)
+        if n >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", p[16:24])
+            return {"mime": "image/png", "width": w, "height": h, "duration_ms": None}
+        # GIF87a / GIF89a: logical screen descriptor, little-endian u16
+        if n >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", p[6:10])
+            return {"mime": "image/gif", "width": w, "height": h, "duration_ms": None}
+        # BMP: 'BM' + u32 file size (validated against the actual payload
+        # length so ASCII text starting with "BM" can't false-positive),
+        # DIB BITMAPINFOHEADER at offset 14
+        if n >= 26 and p[:2] == b"BM":
+            (fsize,) = struct.unpack("<I", p[2:6])
+            (dib,) = struct.unpack("<I", p[14:18])
+            if fsize == n and dib in (40, 52, 56, 108, 124):
+                w, h = struct.unpack("<ii", p[18:26])
+                return {
+                    "mime": "image/bmp", "width": abs(w), "height": abs(h),
+                    "duration_ms": None,
+                }
+        # JPEG: scan markers for a start-of-frame (C0-CF minus C4/C8/CC)
+        if n >= 4 and p[:3] == b"\xff\xd8\xff":
+            i = 2
+            while i + 9 < n:
+                if p[i] != 0xFF:
+                    break
+                marker = p[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seglen,) = struct.unpack(">H", p[i + 2 : i + 4])
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    return {
+                        "mime": "image/jpeg", "width": w, "height": h,
+                        "duration_ms": None,
+                    }
+                i += 2 + seglen
+            return {"mime": "image/jpeg", "width": None, "height": None,
+                    "duration_ms": None}
+        # WAV: RIFF/WAVE chunk list — 'fmt ' gives byte rate, 'data' gives
+        # payload size; duration = data_bytes / byte_rate (integer ms)
+        if n >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            i, byte_rate, data_size = 12, None, None
+            while i + 8 <= n:
+                cid = p[i : i + 4]
+                (clen,) = struct.unpack("<I", p[i + 4 : i + 8])
+                if cid == b"fmt " and i + 20 <= n:
+                    (byte_rate,) = struct.unpack("<I", p[i + 16 : i + 20])
+                elif cid == b"data":
+                    data_size = clen
+                i += 8 + clen + (clen & 1)
+            dur = (
+                data_size * 1000 // byte_rate
+                if byte_rate and data_size is not None
+                else None
+            )
+            return {"mime": "audio/wav", "width": None, "height": None,
+                    "duration_ms": dur}
+        return None
+
+    return parse_header
+
+
+#: stdlib header parser (PNG/GIF/BMP/JPEG/WAV); closure-built so Spark
+#: tasks ship it by value — see _make_header_parser
+parse_media_header = _make_header_parser()
+
+
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for a real media decoder: metadata and an
-    8-dim feature derived from the payload digest.  Replace with a real
-    decoder (PIL/ffmpeg/...) outside this container."""
+    """Deterministic md5 pseudo-metadata — the fallback for formats the
+    header parser doesn't recognize, and the bit-stable stub used by the
+    oracle-checked queries.  Replace with a full decoder (PIL/ffmpeg/...)
+    outside this container."""
     if payload is None:
-        return {"n_bytes": None, "width": None, "height": None, "feature": None}
+        return {"mime": None, "n_bytes": None, "width": None, "height": None,
+                "duration_ms": None, "feature": None}
     d = hashlib.md5(payload).digest()
     return {
+        "mime": "application/octet-stream",
         "n_bytes": len(payload),
         "width": 16 + d[0],
         "height": 16 + d[1],
+        "duration_ms": None,
         "feature": [b / 255.0 for b in d[:8]],
     }
 
 
 def decode_media(
     df: DataFrame,
-    decoder: Callable[[bytes], dict] | str = "fake",
+    decoder: Callable[[bytes], dict] | str = "auto",
     batch_note_col: str | None = None,
 ) -> DataFrame:
     """Decode payloads to metadata + feature vectors via Arrow-batched
-    ``mapInPandas``.  ``decoder="fake"`` uses the deterministic stub;
-    ``decoder="raise"`` raises NotImplementedError (marks the real-decoder
-    integration point)."""
+    ``mapInPandas``.
+
+    ``decoder="auto"`` (default): parse real container headers
+    (PNG/GIF/BMP/JPEG/WAV — stdlib struct, no third-party libs) and fall
+    back to the deterministic md5 stub for unrecognized bytes; the 8-dim
+    feature is digest-derived either way.  ``decoder="fake"`` forces the
+    md5 stub for every payload (bit-stable regardless of content —
+    what the oracle-checked queries pin).  ``decoder="raise"`` raises
+    NotImplementedError (marks the full pixel/sample-decoder integration
+    point).  A callable receives the payload bytes and must return a dict
+    with the DECODED_SCHEMA metadata fields."""
     if decoder == "raise":
         raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; pass decoder='fake' or a callable"
+            "full pixel/sample decoding requires image/audio libraries not "
+            "present in this environment; use decoder='auto' (header "
+            "parsing), 'fake', or a callable"
         )
-    if decoder == "fake":
-        # defined inline so cloudpickle ships it BY VALUE: Spark's Python
-        # workers must not need whisper_spark on their PYTHONPATH (a
-        # driver-side sys.path tweak does not propagate to workers)
+    if decoder in ("auto", "fake"):
+        # closures only (shipped by value — see _make_header_parser)
+        parse = _make_header_parser() if decoder == "auto" else None
+
         def dec(payload):
             import hashlib as _hl
 
             if payload is None:
-                return {"n_bytes": None, "width": None, "height": None, "feature": None}
+                return {"mime": None, "n_bytes": None, "width": None,
+                        "height": None, "duration_ms": None, "feature": None}
             d = _hl.md5(payload).digest()
-            return {
-                "n_bytes": len(payload),
-                "width": 16 + d[0],
-                "height": 16 + d[1],
-                "feature": [b / 255.0 for b in d[:8]],
-            }
+            feature = [b / 255.0 for b in d[:8]]
+            hdr = parse(payload) if parse is not None else None
+            if hdr is None:
+                hdr = {"mime": "application/octet-stream",
+                       "width": 16 + d[0], "height": 16 + d[1],
+                       "duration_ms": None}
+            return {"n_bytes": len(payload), "feature": feature, **hdr}
     else:
         dec = decoder
 
@@ -113,11 +218,15 @@ def decode_media(
         for pdf in batches:
             out = pdf[["media_id", "kind"]].copy()
             decoded = [dec(p) for p in pdf["payload"]]
+            out["mime"] = [d["mime"] for d in decoded]
             out["n_bytes"] = pd.array(
                 [d["n_bytes"] for d in decoded], dtype="Int64"
             )
             out["width"] = pd.array([d["width"] for d in decoded], dtype="Int32")
             out["height"] = pd.array([d["height"] for d in decoded], dtype="Int32")
+            out["duration_ms"] = pd.array(
+                [d["duration_ms"] for d in decoded], dtype="Int64"
+            )
             out["feature"] = [d["feature"] for d in decoded]
             yield out
 

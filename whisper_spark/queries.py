@@ -2527,6 +2527,89 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_real_headers",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120)
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'audio' ELSE 'image' END AS kind,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+         ELSE 'image/gif' END AS mime,
+       CAST(CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 24 WHEN 1 THEN 44 ELSE 10 END AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(doc_id % 50 + 100 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(doc_id % 30 + 50 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST((doc_id % 10 + 1) * 500 AS BIGINT) END AS duration_ms
+FROM m
+""",
+    doc="REAL media decoding end-to-end: valid PNG / GIF89a / WAV byte "
+    "streams are assembled JVM-side (hex/unhex byte packing — width, "
+    "height, and WAV data length derived from doc_id), shipped through "
+    "Arrow to the Python worker, and struct-parsed back by the stdlib "
+    "container-header decoder (operators/multimodal.py "
+    "parse_media_header, decoder='auto').  The oracle recomputes the "
+    "expected dimensions/duration arithmetically, so any drift in magic "
+    "matching, endianness, chunk walking, or the WAV byte-rate math "
+    "fails the hash gate",
+)
+def q_mm_decode_real_headers(spark, sf_dir):
+    from .operators.multimodal import decode_media
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+    def le32(c):
+        h = F.lpad(F.hex(c.cast("bigint")), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2), F.substring(h, 5, 2),
+                F.substring(h, 3, 2), F.substring(h, 1, 2),
+            )
+        )
+
+    def le16(c):
+        h = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+        return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    w = (F.col("doc_id") % 50 + 100).cast("int")
+    h = (F.col("doc_id") % 30 + 50).cast("int")
+    dlen = ((F.col("doc_id") % 10 + 1) * 4000).cast("int")
+
+    png = F.concat(
+        F.lit(bytes.fromhex("89504e470d0a1a0a")),      # magic
+        F.lit(bytes.fromhex("0000000d")),              # IHDR length
+        F.lit(b"IHDR"), be32(w), be32(h),
+    )
+    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h))
+    wav = F.concat(
+        F.lit(b"RIFF"), le32(F.lit(36)), F.lit(b"WAVE"),
+        F.lit(b"fmt "), le32(F.lit(16)),
+        le16(F.lit(1)), le16(F.lit(1)),                # PCM, mono
+        le32(F.lit(8000)), le32(F.lit(8000)),          # sample rate, byte rate
+        le16(F.lit(1)), le16(F.lit(8)),                # block align, bits
+        F.lit(b"data"), le32(dlen),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 1, "audio").otherwise("image").alias("kind"),
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, wav)
+        .otherwise(gif)
+        .alias("payload"),
+        F.lit(None)
+        .cast("struct<mime:string,n_bytes:bigint,width:int,height:int,duration_ms:bigint>")
+        .alias("meta"),
+    )
+    return decode_media(media, decoder="auto").select(
+        "media_id", "kind", "mime", "n_bytes", "width", "height", "duration_ms"
+    )
+
+
+@_q(
     "mm_feature_topk",
     "WITH "
     + _MEDIA_SQL
