@@ -278,45 +278,113 @@ def stateful_slot_lww(
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
+        # fully vectorized (numpy/pandas) — no per-point Python loop; at
+        # streaming rates the state function IS the operator's throughput
+        # ceiling, so the hot path is: one stable sort by seq, one merge
+        # against the state map, one (slot, seq) sort for transition
+        # chains, one groupby tail.
+        import numpy as np
+
         if state.exists:
-            (slots, values, seqs, max_ts) = state.get
-            cur = {int(s): (v, int(q)) for s, v, q in zip(slots, values, seqs)}
+            (slots0, values0, seqs0, max_ts) = state.get
+            st = pd.DataFrame(
+                {
+                    "slot": np.asarray(slots0, dtype="int64"),
+                    "_sval": np.asarray(values0, dtype="float64"),
+                    "_sseq": np.asarray(seqs0, dtype="int64"),
+                }
+            )
+            max_ts = int(max_ts)
         else:
-            cur, max_ts = {}, 0
-        changed = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values("seq")
-            for ts, v, seq in zip(pdf["ts"], pdf["value"], pdf["seq"]):
-                slot = int(ts) - int(ts) % step
-                max_ts = max(max_ts, slot)
-                old = cur.get(slot)
-                if old is None or int(seq) >= old[1]:
-                    # NaN-aware unchanged check: NaN != NaN is True, so a
-                    # slot rewritten with NaN must not re-emit every batch
-                    same = old is not None and (
-                        old[0] == v or (old[0] != old[0] and v != v)
+            st = pd.DataFrame(
+                {
+                    "slot": np.array([], dtype="int64"),
+                    "_sval": np.array([], dtype="float64"),
+                    "_sseq": np.array([], dtype="int64"),
+                }
+            )
+            max_ts = 0
+
+        chunks = [p for p in pdfs if len(p)]
+        out = None
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            # arrival order = seq order (stable, like the in-place
+            # overwrite replay whisper.py:806-808 models)
+            pdf = pdf.sort_values("seq", kind="mergesort")
+            ts = pdf["ts"].to_numpy(dtype="int64")
+            df = pd.DataFrame(
+                {
+                    "slot": ts - ts % step,
+                    "v": pdf["value"].to_numpy(dtype="float64"),
+                    "seq": pdf["seq"].to_numpy(dtype="int64"),
+                }
+            )
+            # reject writes older than the slot's stored seq (within the
+            # batch, seq-sorted order makes later writes always eligible)
+            df = df.merge(st, on="slot", how="left")
+            has_state = df["_sseq"].notna().to_numpy()
+            df = df[~has_state | (df["seq"] >= df["_sseq"])]
+            if len(df):
+                max_ts = max(max_ts, int(df["slot"].max()))
+                # transition chains: per slot in seq order, a slot emits
+                # iff ANY applied write differed from its predecessor
+                # (state value seeds the chain); NaN==NaN counts as same
+                # so a slot rewritten with NaN does not re-emit
+                df = df.sort_values(["slot", "seq"], kind="mergesort")
+                sl = df["slot"].to_numpy()
+                vv = df["v"].to_numpy()
+                sval = df["_sval"].to_numpy()
+                has_state = df["_sseq"].notna().to_numpy()
+                chain = np.empty(len(df), dtype=bool)
+                chain[0] = False
+                chain[1:] = sl[1:] == sl[:-1]
+                prev = np.where(chain, np.roll(vv, 1), sval)
+                had_prev = chain | has_state
+                same = had_prev & (
+                    (vv == prev) | (np.isnan(vv) & np.isnan(prev))
+                )
+                grp = df.groupby("slot", sort=False).agg(
+                    v=("v", "last"), seq=("seq", "last")
+                )
+                any_changed = (
+                    pd.Series(~same, index=df.index)
+                    .groupby(sl, sort=False)
+                    .any()
+                )
+                emit = grp[any_changed.to_numpy()]
+                if len(emit):
+                    out = pd.DataFrame(
+                        {
+                            "metric": key[0],
+                            "ts": emit.index.to_numpy(dtype="int64"),
+                            "value": emit["v"].to_numpy(),
+                        }
                     )
-                    if not same:
-                        changed[slot] = v
-                    cur[slot] = (float(v), int(seq))
+                # fold the batch's final (value, seq) per slot into state
+                st = (
+                    pd.concat(
+                        [
+                            st[~st["slot"].isin(grp.index)],
+                            grp.reset_index().rename(
+                                columns={"v": "_sval", "seq": "_sseq"}
+                            ),
+                        ],
+                        ignore_index=True,
+                    )
+                )
         horizon = max_ts - ret
-        cur = {s: vq for s, vq in cur.items() if s >= horizon}
+        st = st[st["slot"] >= horizon]
         state.update(
             (
-                [int(s) for s in cur],
-                [float(vq[0]) for vq in cur.values()],
-                [int(vq[1]) for vq in cur.values()],
+                [int(s) for s in st["slot"]],
+                [float(v) for v in st["_sval"]],
+                [int(q) for q in st["_sseq"]],
                 int(max_ts),
             )
         )
-        if changed:
-            yield pd.DataFrame(
-                {
-                    "metric": key[0],
-                    "ts": list(changed.keys()),
-                    "value": list(changed.values()),
-                }
-            )
+        if out is not None:
+            yield out
 
     return points.groupBy("metric").applyInPandasWithState(
         fn,
