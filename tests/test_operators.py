@@ -394,3 +394,60 @@ def test_decode_media_auto_mixes_real_and_fallback(spark):
     assert got[1]["feature"] == [
         pytest.approx(b / 255.0) for b in hashlib.md5(png).digest()[:8]
     ]
+
+
+def test_cosine_topk_broadcast_guard(spark):
+    """cosine_topk must not broadcast an oversized query side: above the
+    limit the hint is dropped (shuffled join, same results); below it the
+    broadcast plan is kept."""
+    emb = spark.read.parquet(f"{sf_dir(SF)}/embeddings.parquet")
+    corpus = emb.select("vec_id", "embedding")
+    probes = corpus.filter(F.col("vec_id") < 30)
+
+    # kill size-based auto-broadcast so any Broadcast node in the plan
+    # can only come from cosine_topk's explicit hint
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = similarity.cosine_topk(probes, corpus, k=2, broadcast_limit=10)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" not in plan_big, plan_big
+
+        small = similarity.cosine_topk(probes, corpus, k=2, broadcast_limit=1000)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan_small
+
+        g = sorted(map(tuple, big.collect()))
+        s = sorted(map(tuple, small.collect()))
+        assert g == s and len(g) == 30 * 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_source_ngram_jaccard_stop_gram_cap(spark, tmp_path):
+    """A gram present in every source (a stop-gram) must be excluded by
+    the document-frequency cap: it contributes no pair rows, so a
+    stop-gram-only corpus yields ZERO pairs instead of S^2/2 per gram."""
+    from whisper_spark import queries as Q
+
+    stop = "the quick brown fox jumps"          # shared by ALL sources
+    rows = []
+    for s in range(6):
+        # each source: the ubiquitous sentence + one unique sentence
+        rows.append((2 * s, f"src{s}", "xx", stop))
+        rows.append((2 * s + 1, f"src{s}", "xx", f"unique words for source {s} only"))
+    # sources 0 and 1 additionally share a rare sentence (df=2 <= cap=3)
+    rare = "rare shared signal sentence here"
+    rows.append((100, "src0", "xx", rare))
+    rows.append((101, "src1", "xx", rare))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = Q.QUERIES["doc_source_ngram_jaccard"].fn(spark, str(tmp_path))
+    got = {(r.src_a, r.src_b): r.n_inter for r in out.collect()}
+    # ONLY the rare-gram pair survives; the stop sentence (df=6 > 3) is
+    # capped out and creates no cross-source rows at all
+    assert set(got) == {("src0", "src1")}
+    assert got[("src0", "src1")] == 3          # the rare sentence's 3-grams

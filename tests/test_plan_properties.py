@@ -267,3 +267,27 @@ def test_tfidf_partial_aggregates(spark):
     """Both counting stages must map-side combine before their shuffle."""
     plan = plan_of(spark, "doc_tfidf_topterms")
     assert "partial_count" in plan
+
+
+def test_trailing_window_queries_run_one_discovery_scan_per_session(spark):
+    """The `hi = max(ts)` now-pin and the parquet schema read are cached
+    per (session, dataset): after one discovery job, building every
+    trailing-window query plan launches ZERO additional Spark jobs (at
+    100 TB a per-query discovery is a full second pass over the fact
+    table; a per-query footer job is real latency too)."""
+    sc = spark.sparkContext
+
+    def last_job():
+        ids = sc.statusTracker().getJobIdsForGroup(None) or []
+        return max(ids, default=-1)
+
+    Q._NOW_CACHE.clear()
+    Q.events_now(spark, SF)  # the one discovery job (warms both caches)
+    n_before = last_job()
+    for name in ("ws_ewma", "ws_holt_linear", "ws_integral_2h",
+                 "ws_keep_last_6h", "ws_interpolate_6h",
+                 "ws_linear_regression"):
+        Q.QUERIES[name].fn(spark, SF)  # plan construction only, no action
+    assert last_job() == n_before, (
+        f"query construction launched {last_job() - n_before} extra job(s)"
+    )

@@ -66,17 +66,30 @@ def _dist2(a, b) -> Column:
     )
 
 
+#: above this many query rows, cosine_topk refuses to broadcast the
+#: query side (a silent driver OOM waiting to happen) and falls back to
+#: a shuffled cross join
+COSINE_TOPK_BROADCAST_LIMIT = 100_000
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_limit: int = COSINE_TOPK_BROADCAST_LIMIT,
 ) -> DataFrame:
     """(qid, nid, rank, score): exact top-k by cosine, ties broken by id.
 
     ``queries``/``corpus`` both carry (id_col, emb_col); a query never
-    matches itself."""
+    matches itself.  Intended for ≤ a few thousand queries against one
+    corpus scan — the contract is ENFORCED, not just documented: if the
+    query side exceeds ``broadcast_limit`` rows (one cheap count against
+    limit+1, not a full count), the broadcast hint is dropped so Spark
+    plans a shuffled join instead of silently OOMing the driver.  For
+    genuinely large query sets use :func:`ivf_topk_indexed` (bucketed,
+    partition-pruned) instead of exact all-pairs."""
     # norms fold ONCE per row on each side (qn before the broadcast, cn on
     # the corpus scan) instead of once per (q, c) pair inside the join —
     # at scale that is corpus+queries folds instead of corpus*queries
@@ -86,8 +99,14 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("nid"), F.col(emb_col).alias("ce")
     ).withColumn("cn", _sqnorm("ce"))
+    small_enough = (
+        broadcast_limit is None
+        or len(q.select("qid").limit(broadcast_limit + 1).take(broadcast_limit + 1))
+        <= broadcast_limit
+    )
+    qh = F.broadcast(q) if small_enough else q
     j = (
-        F.broadcast(q)
+        qh
         .join(c, F.col("qid") != F.col("nid"))
         .select(
             "qid", "nid",
