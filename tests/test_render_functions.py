@@ -194,3 +194,58 @@ def test_holt_linear_null_gap_holds_state(spark):
     lv, bv, fc = got[("g", 0)]
     assert all(v is None or v != v for v in (lv, bv, fc))
     assert got[("g", 60)] == (5.0, 0.0, 5.0)
+
+
+def test_holt_winters_seasonal_recurrence(spark):
+    """Additive-seasonal HW: after one full season the seasonal ring
+    feeds back; a perfectly periodic series becomes exactly predictable
+    (deviation shrinks, forecast tracks)."""
+    import itertools
+
+    season = [10.0, 20.0, 30.0]
+    rows = [("m", 60 * i, v)
+            for i, v in enumerate(itertools.islice(itertools.cycle(season), 30))]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = TS.holt_winters(
+        df, ["metric"], alpha=0.5, beta=0.1, gamma=0.5, season_length=3
+    )
+    got = {r.ts: r for r in out.collect()}
+    # driver-side replica of the exact recurrence
+    lv = bv = None
+    seas, devs = [], []
+    for i, (_, ts, x) in enumerate(rows):
+        sp = seas[i - 3] if i >= 3 else 0.0
+        dp = devs[i - 3] if i >= 3 else 0.0
+        if lv is None:
+            pred, lv, bv = x, x, 0.0
+            s_new, d_new = 0.5 * (x - lv) + 0.5 * sp, 0.0
+        else:
+            pred = lv + bv + sp
+            l_new = 0.5 * (x - sp) + 0.5 * (lv + bv)
+            b_new = 0.1 * (l_new - lv) + 0.9 * bv
+            s_new = 0.5 * (x - l_new) + 0.5 * sp
+            d_new = 0.5 * abs(x - pred) + 0.5 * dp
+            lv, bv = l_new, b_new
+        seas.append(s_new)
+        devs.append(d_new)
+        r = got[ts]
+        assert (r.level, r.trend, r.seasonal, r.forecast, r.deviation) == (
+            lv, bv, s_new, pred, d_new
+        )
+        assert r.upper == pred + 3.0 * d_new and r.lower == pred - 3.0 * d_new
+    # bands tighten as the periodic pattern is learned
+    assert got[rows[-1][1]].deviation < got[rows[5][1]].deviation
+
+
+def test_holt_winters_gap_holds_state(spark):
+    rows = [("m", 0, 10.0), ("m", 60, 12.0), ("m", 120, None), ("m", 180, 14.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = TS.holt_winters(
+        df, ["metric"], alpha=0.5, beta=0.5, gamma=0.5, season_length=2
+    )
+    got = {r.ts: r for r in out.collect()}
+    # the gap row holds level/trend and emits the held forecast
+    assert got[120].level == got[60].level and got[120].trend == got[60].trend
+    # the recurrence index did NOT advance on the gap: slot 180 is the
+    # third KNOWN point, so its seasonal lookback (m=2) sees s_1
+    assert got[180].forecast == got[60].level + got[60].trend + 0.0

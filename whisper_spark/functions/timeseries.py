@@ -378,6 +378,122 @@ def holt_linear(
     return df.groupBy(*list(keys)).applyInPandas(_one_series, schema=out_schema)
 
 
+def holt_winters(
+    df: DataFrame,
+    keys: Sequence[str],
+    alpha: float,
+    beta: float,
+    gamma: float,
+    season_length: int,
+    band_k: float = 3.0,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Additive-seasonal Holt-Winters with confidence bands — the full
+    ``holtWintersForecast`` family (graphite-web holtwinters.py public
+    semantics: level/trend/seasonal triple smoothing, one-step-ahead
+    forecast, and a seasonally-smoothed absolute deviation that scales
+    the ± bands).
+
+        pred_t = l_{t-1} + b_{t-1} + s_{t-m}
+        l_t = alpha*(y_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(y_t - l_t) + (1-gamma)*s_{t-m}
+        d_t = gamma*|y_t - pred_t| + (1-gamma)*d_{t-m}
+        upper/lower_t = pred_t ± band_k * d_t
+
+    with s/d treated as 0 before one full season and the first point
+    seeding (l=y, b=0, pred=y, d=0).  Adds ``level, trend, seasonal,
+    forecast, deviation, upper, lower``.
+
+    Same execution shape and determinism contract as :func:`ewma`: a
+    genuinely SEQUENTIAL per-series recurrence (the seasonal ring makes
+    it doubly so) -> Arrow-batched ``applyInPandas``, one O(n) pass per
+    series, every float op written in the exact order the recursive-CTE
+    oracle uses.  Null/NaN gap slots hold all state and emit the held
+    forecast (NaN before initialization), like ewma/holt_linear."""
+    import pandas as pd
+
+    a, na = alpha, 1.0 - alpha
+    b_, nb = beta, 1.0 - beta
+    g, ng = gamma, 1.0 - gamma
+    m = int(season_length)
+    k = float(band_k)
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField(c, T.DoubleType(), True)
+            for c in (
+                "level", "trend", "seasonal", "forecast",
+                "deviation", "upper", "lower",
+            )
+        ]
+    )
+
+    def _one_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        lv = bv = None
+        seasonals: list[float] = []
+        devs: list[float] = []
+        cols: dict[str, list[float]] = {
+            c: []
+            for c in (
+                "level", "trend", "seasonal", "forecast",
+                "deviation", "upper", "lower",
+            )
+        }
+        nan = float("nan")
+        i = 0  # recurrence index — advances only on KNOWN slots
+        for x in pdf[value]:
+            if x is None or x != x:  # gap: hold every piece of state
+                if lv is None:
+                    for c in cols:
+                        cols[c].append(nan)
+                else:
+                    sp = seasonals[i - m] if i >= m else 0.0
+                    held = lv + bv + sp
+                    dp = devs[i - m] if i >= m else 0.0
+                    cols["level"].append(lv)
+                    cols["trend"].append(bv)
+                    cols["seasonal"].append(sp)
+                    cols["forecast"].append(held)
+                    cols["deviation"].append(dp)
+                    cols["upper"].append(held + k * dp)
+                    cols["lower"].append(held - k * dp)
+                continue
+            x = float(x)
+            sp = seasonals[i - m] if i >= m else 0.0
+            dp = devs[i - m] if i >= m else 0.0
+            if lv is None:
+                pred = x
+                lv, bv = x, 0.0
+                s_new = g * (x - lv) + ng * sp
+                d_new = 0.0
+            else:
+                pred = lv + bv + sp
+                l_new = a * (x - sp) + na * (lv + bv)
+                b_new = b_ * (l_new - lv) + nb * bv
+                s_new = g * (x - l_new) + ng * sp
+                d_new = g * abs(x - pred) + ng * dp
+                lv, bv = l_new, b_new
+            seasonals.append(s_new)
+            devs.append(d_new)
+            cols["level"].append(lv)
+            cols["trend"].append(bv)
+            cols["seasonal"].append(s_new)
+            cols["forecast"].append(pred)
+            cols["deviation"].append(d_new)
+            cols["upper"].append(pred + k * d_new)
+            cols["lower"].append(pred - k * d_new)
+            i += 1
+        for c, vals in cols.items():
+            pdf[c] = vals
+        return pdf
+
+    return df.groupBy(*list(keys)).applyInPandas(_one_series, schema=out_schema)
+
+
 def glob_to_regex(pattern: str) -> str:
     """Graphite metric glob -> anchored regex: ``*`` matches within one
     dotted node (never across dots), ``?`` one non-dot char,

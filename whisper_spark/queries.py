@@ -4819,6 +4819,72 @@ def q_ws_holt_linear(spark, sf_dir):
 
 
 @_q(
+    "ws_holt_winters",
+    EVENTS_CTES.replace("WITH raw", "WITH RECURSIVE raw", 1)
+    + """
+, bounds AS (SELECT max(ts) AS hi FROM min1),
+base AS (
+  SELECT metric, ts, avg_v,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS rn
+  FROM min1, bounds WHERE ts > hi - 21600
+),
+r AS (
+  SELECT metric, ts, rn, avg_v,
+         avg_v AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s,
+         avg_v AS pred, CAST(0.0 AS DOUBLE) AS dev,
+         [CAST(0.0 AS DOUBLE)] AS ss, [CAST(0.0 AS DOUBLE)] AS ds
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT metric, ts, rn, avg_v, l_new, b_new, s_new, pred_new, d_new,
+         list_append(ss0, s_new), list_append(ds0, d_new)
+  FROM (
+    SELECT b2.metric, b2.ts, b2.rn, b2.avg_v,
+           r.ss AS ss0, r.ds AS ds0,
+           CASE WHEN b2.rn > 60 THEN r.ss[b2.rn - 60] ELSE 0.0 END AS sp,
+           CASE WHEN b2.rn > 60 THEN r.ds[b2.rn - 60] ELSE 0.0 END AS dp,
+           r.l + r.b + sp AS pred_new,
+           0.25 * (b2.avg_v - sp) + 0.75 * (r.l + r.b) AS l_new,
+           0.05 * (l_new - r.l) + 0.95 * r.b AS b_new,
+           0.2 * (b2.avg_v - l_new) + 0.8 * sp AS s_new,
+           0.2 * abs(b2.avg_v - pred_new) + 0.8 * dp AS d_new
+    FROM base b2 JOIN r ON b2.metric = r.metric AND b2.rn = r.rn + 1
+  )
+)
+SELECT metric, ts, avg_v AS value, l AS level, b AS trend, s AS seasonal,
+       pred AS forecast, dev AS deviation,
+       pred + 3.0 * dev AS upper, pred - 3.0 * dev AS lower
+FROM r
+""",
+    doc="FULL additive-seasonal Holt-Winters (alpha=0.25, beta=0.05, "
+    "gamma=0.2, 1h season at 1m slots) with ±3-deviation confidence "
+    "bands — the complete holtWintersForecast family (graphite-web "
+    "holtwinters.py semantics): level/trend/seasonal triple smoothing, "
+    "one-step-ahead forecast, seasonally-smoothed absolute deviation.  "
+    "Doubly sequential (the seasonal ring looks back a full season), so "
+    "applyInPandas per series; the recursive-CTE oracle carries the "
+    "seasonal/deviation rings as LISTS through the recursion and "
+    "replays the identical float sequence, keeping the check bit-exact "
+    "over the trailing 6h (functions/timeseries.py holt_winters)",
+)
+def q_ws_holt_winters(spark, sf_dir):
+    from .functions.timeseries import holt_winters
+
+    m = min1(spark, sf_dir)
+    hi = min1_hi(spark, sf_dir)
+    base = m.filter(F.col("ts") > hi - 21600).select(
+        "metric", "ts", F.col("avg_v").alias("value")
+    )
+    out = holt_winters(
+        base, ["metric"], alpha=0.25, beta=0.05, gamma=0.2,
+        season_length=60, band_k=3.0,
+    )
+    return out.select(
+        "metric", "ts", "value", "level", "trend", "seasonal",
+        "forecast", "deviation", "upper", "lower",
+    )
+
+
+@_q(
     "ev_distinct_users_kmv",
     """
 WITH h AS (

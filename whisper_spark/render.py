@@ -425,6 +425,40 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return _alias_by_node(series(), *args[1:])
     if name == "percentileOfSeries":
         return _percentile_of_series(series(), float(need(1, "n")), label)
+    if name in (
+        "holtWintersForecast",
+        "holtWintersConfidenceBands",
+        "holtWintersAberration",
+    ):
+        # graphite-web holtwinters.py public defaults: alpha=0.1,
+        # beta=0.0035, gamma=0.1, one-day season at the series step
+        season = max(1, 86400 // (step or 60))
+        hw = TS.holt_winters(
+            series(), ["metric"], alpha=0.1, beta=0.0035, gamma=0.1,
+            season_length=season, band_k=3.0,
+        )
+        if name == "holtWintersForecast":
+            return hw.select("metric", "ts", F.col("forecast").alias("value"))
+        if name == "holtWintersConfidenceBands":
+            up = hw.select(
+                F.concat(F.lit("upper("), "metric", F.lit(")")).alias("metric"),
+                "ts", F.col("upper").alias("value"),
+            )
+            lo = hw.select(
+                F.concat(F.lit("lower("), "metric", F.lit(")")).alias("metric"),
+                "ts", F.col("lower").alias("value"),
+            )
+            return up.unionByName(lo)
+        # aberration: how far the value strays OUTSIDE the bands
+        return hw.select(
+            "metric", "ts",
+            F.when(F.col("value") > F.col("upper"),
+                   F.col("value") - F.col("upper"))
+            .when(F.col("value") < F.col("lower"),
+                  F.col("value") - F.col("lower"))
+            .otherwise(F.lit(0.0))
+            .alias("value"),
+        )
     raise TargetSyntaxError(f"unknown function {name!r}")
 
 
@@ -451,4 +485,6 @@ FUNCTIONS = [
     "scale", "offset", "absolute", "removeAboveValue", "removeBelowValue",
     "highestAverage", "sortByTotal", "limit", "exponentialMovingAverage",
     "groupByNode", "alias", "aliasByNode", "percentileOfSeries",
+    "holtWintersForecast", "holtWintersConfidenceBands",
+    "holtWintersAberration",
 ]
