@@ -277,3 +277,90 @@ def test_eval_limit_preserves_list_order(frame):
     # ev.click.m1 ranks before ev.error.m1/ev.view.m1 despite a lower total
     out = evaluate_target(frame, "limit(ev.*.m1, 1)")
     assert set(r.metric for r in out.collect()) == {"ev.click.m1"}
+
+
+# --------------------------------------------------------------------- #
+# combine / transform / filter families (graphite-web public functions)
+# --------------------------------------------------------------------- #
+
+
+def test_eval_multi_arg_combines(frame):
+    # sumSeries accepts N seriesLists, not just one glob
+    out = _vals(evaluate_target(frame, "sumSeries(ev.click.m1, ev.view.m1)"))
+    assert [(v[1], v[2]) for v in out] == [(0, 11.0), (60, 22.0), (120, 4.0)]
+    rng = _vals(evaluate_target(frame, "rangeOfSeries(ev.*.m1)"))
+    assert [(v[1], v[2]) for v in rng] == [(0, 9.5), (60, 18.0), (120, 0.0)]
+    cnt = _vals(evaluate_target(frame, "countSeries(ev.*.m1)"))
+    assert [(v[1], v[2]) for v in cnt] == [(0, 3.0), (60, 2.0), (120, 1.0)]
+
+
+def test_eval_diff_and_divide(frame):
+    diff = _vals(evaluate_target(frame, "diffSeries(ev.view.m1, ev.click.m1)"))
+    assert [(v[1], v[2]) for v in diff] == [(0, 9.0), (60, 18.0)]
+    div = _vals(evaluate_target(frame, "divideSeries(ev.view.m1, ev.click.m1)"))
+    assert [(v[1], v[2]) for v in div] == [(0, 10.0), (60, 10.0)]
+    mul = _vals(evaluate_target(frame, "multiplySeries(ev.click.m1, ev.view.m1)"))
+    # ts=120 exists only for click -> None (graphite aligned-slot mul)
+    assert [(v[1], v[2]) for v in mul] == [(0, 10.0), (60, 40.0), (120, None)]
+
+
+def test_eval_transform_family(spark):
+    rows = [("a.x", 0, None), ("a.x", 60, 4.0), ("a.x", 120, -9.0),
+            ("a.x", 180, 0.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    tn = {r.ts: r.value for r in
+          evaluate_target(frame, "transformNull(a.x, -1)").collect()}
+    assert tn[0] == -1.0 and tn[60] == 4.0
+    nn = {r.ts: r.value for r in
+          evaluate_target(frame, "isNonNull(a.x)").collect()}
+    assert (nn[0], nn[60]) == (0.0, 1.0)
+    inv = {r.ts: r.value for r in
+           evaluate_target(frame, "invert(a.x)").collect()}
+    assert inv[60] == 0.25 and inv[180] is None    # 1/0 -> None
+    sq = {r.ts: r.value for r in
+          evaluate_target(frame, "squareRoot(a.x)").collect()}
+    assert sq[60] == 2.0 and sq[120] is None       # sqrt(<0) -> None
+    lg = {r.ts: r.value for r in
+          evaluate_target(frame, "logarithm(a.x, 2)").collect()}
+    assert lg[60] == 2.0 and lg[120] is None and lg[180] is None
+
+
+def test_eval_per_second_and_delay(spark):
+    rows = [("c.n", 0, 100.0), ("c.n", 60, 160.0), ("c.n", 120, 40.0),
+            ("c.n", 180, 100.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    ps = {r.ts: r.value for r in
+          evaluate_target(frame, "perSecond(c.n)").collect()}
+    assert ps[60] == 1.0                  # (160-100)/60
+    assert ps[120] is None                # counter reset
+    assert ps[180] == 1.0
+    dl = {r.ts: r.value for r in
+          evaluate_target(frame, "delay(c.n, 1)").collect()}
+    assert dl[0] is None and dl[60] == 100.0 and dl[180] == 40.0
+
+
+def test_eval_filter_by_stat_families(frame):
+    keep = evaluate_target(frame, "averageAbove(ev.*.m1, 2.0)")
+    assert set(r.metric for r in keep.collect()) == {"ev.click.m1", "ev.view.m1"}
+    # click avg = 7/3 < 3 -> only view stays
+    keep2 = evaluate_target(frame, "averageAbove(ev.*.m1, 3.0)")
+    assert set(r.metric for r in keep2.collect()) == {"ev.view.m1"}
+    cur = evaluate_target(frame, "currentAbove(ev.*.m1, 4.0)")
+    # last values: click 4.0 @120, view 20.0 @60, error 0.5 @0
+    assert set(r.metric for r in cur.collect()) == {"ev.click.m1", "ev.view.m1"}
+    low = evaluate_target(frame, "maximumBelow(ev.*.m1, 4.0)")
+    assert set(r.metric for r in low.collect()) == {"ev.click.m1", "ev.error.m1"}
+    top = evaluate_target(frame, "highestCurrent(ev.*.m1, 1)")
+    assert set(r.metric for r in top.collect()) == {"ev.view.m1"}
+    hm = evaluate_target(frame, "highestMax(ev.*.m1, 2)")
+    assert set(r.metric for r in hm.collect()) == {"ev.click.m1", "ev.view.m1"}
+
+
+def test_eval_npercentile_and_alias_sub(frame):
+    np_ = {(r.metric, r.ts): r.value for r in
+           evaluate_target(frame, "nPercentile(ev.click.m1, 50)").collect()}
+    # click values {1,2,4}: nearest-rank p50 = 2.0 as a constant line
+    assert np_[("ev.click.m1", 0)] == 2.0
+    assert np_[("ev.click.m1", 120)] == 2.0
+    sub = evaluate_target(frame, "aliasSub(ev.click.m1, 'ev\\.', 'x.')")
+    assert set(r.metric for r in sub.collect()) == {"x.click.m1"}

@@ -5353,6 +5353,50 @@ def q_ws_render_target(spark, sf_dir):
 
 
 @_q(
+    "ws_render_target_ratio",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT 'ev.' || metric || '.m1' AS metric, ts, avg_v AS value FROM min1
+),
+e AS (
+  SELECT ts, (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS a
+  FROM ser WHERE metric = 'ev.error.m1' GROUP BY ts
+),
+cv AS (
+  SELECT ts, (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS b
+  FROM ser WHERE metric IN ('ev.click.m1', 'ev.view.m1') GROUP BY ts
+)
+SELECT 'error_ratio' AS metric, e.ts AS ts,
+       coalesce(CASE WHEN cv.b IS NOT NULL AND cv.b <> 0
+                     THEN e.a / cv.b END, 0.0) AS value
+FROM e LEFT JOIN cv ON e.ts = cv.ts
+""",
+    doc="third target-language gate, exercising the arithmetic combine "
+    "family end-to-end: transformNull(divideSeries(error, "
+    "sumSeries(click,view)), 0) — per-minute error ratio with "
+    "zero-divisor and missing-slot handling.  Both series merge in "
+    "decimal, the division is one IEEE op on the correctly-rounded "
+    "doubles, so the parsed pipeline stays bit-exact "
+    "(render.py divideSeries/transformNull)",
+)
+def q_ws_render_target_ratio(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
+        "ts",
+        F.col("avg_v").alias("value"),
+    )
+    out = evaluate_target(
+        base,
+        "transformNull(divideSeries(ev.error.m1, "
+        "sumSeries(ev.click.m1, ev.view.m1)), 0)",
+    )
+    return out.select(F.lit("error_ratio").alias("metric"), "ts", "value")
+
+
+@_q(
     "doc_winnowing_fp",
     """
 WITH h AS (

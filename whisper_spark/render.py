@@ -311,14 +311,96 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
 
     label = f"{name}({', '.join(map(repr, args))})"
 
+    def all_series(start=0) -> DataFrame:
+        """Union every series argument from ``start`` on — graphite's
+        combine functions accept N seriesLists, not just one."""
+        dfs = [
+            _evaluate(a, source, text, step)
+            for a in args[start:]
+            if isinstance(a, (Path, Call))
+        ]
+        if not dfs:
+            raise TargetSyntaxError(f"{name}: needs at least one series")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     if name in ("sumSeries", "sum"):
-        return _combine(series(), label, "sum")
+        return _combine(all_series(), label, "sum")
     if name in ("averageSeries", "avg"):
-        return _combine(series(), label, "avg")
+        return _combine(all_series(), label, "avg")
     if name == "maxSeries":
-        return _combine(series(), label, "max")
+        return _combine(all_series(), label, "max")
     if name == "minSeries":
-        return _combine(series(), label, "min")
+        return _combine(all_series(), label, "min")
+    if name == "rangeOfSeries":
+        return (
+            all_series()
+            .groupBy("ts")
+            .agg((F.max("value") - F.min("value")).alias("value"))
+            .select(F.lit(label).alias("metric"), "ts", "value")
+        )
+    if name == "countSeries":
+        return (
+            all_series()
+            .groupBy("ts")
+            .agg(F.count("value").cast("double").alias("value"))
+            .select(F.lit(label).alias("metric"), "ts", "value")
+        )
+    if name == "stddevSeries":
+        # population stddev across series per timestamp (graphite uses
+        # the population form)
+        return (
+            all_series()
+            .groupBy("ts")
+            .agg(F.stddev_pop("value").alias("value"))
+            .select(F.lit(label).alias("metric"), "ts", "value")
+        )
+    if name == "diffSeries":
+        # first seriesList minus the sum of the rest; None others count
+        # as 0, a None minuend stays None (graphite safeDiff)
+        first = (
+            series()
+            .groupBy("ts")
+            .agg(_dsum("value").alias("_a"))
+        )
+        rest = (
+            all_series(1)
+            .groupBy("ts")
+            .agg(_dsum("value").alias("_b"))
+        )
+        return (
+            first.join(rest, "ts", "left")
+            .select(
+                F.lit(label).alias("metric"), "ts",
+                (F.col("_a") - F.coalesce(F.col("_b"), F.lit(0.0))).alias("value"),
+            )
+        )
+    if name == "divideSeries":
+        dividend = series().groupBy("ts").agg(_dsum("value").alias("_a"))
+        divisor = series(1).groupBy("ts").agg(_dsum("value").alias("_b"))
+        return (
+            dividend.join(divisor, "ts", "left")
+            .select(
+                F.lit(label).alias("metric"), "ts",
+                F.when(
+                    F.col("_b").isNotNull() & (F.col("_b") != 0.0),
+                    F.col("_a") / F.col("_b"),
+                ).alias("value"),
+            )
+        )
+    if name == "multiplySeries":
+        prod = all_series().groupBy("ts").agg(
+            F.product("value").alias("value"), F.count("*").alias("_n")
+        )
+        n_series = len(args)
+        # a ts missing from any input series yields None (graphite
+        # safeMul over aligned slots)
+        return prod.select(
+            F.lit(label).alias("metric"), "ts",
+            F.when(F.col("_n") == n_series, F.col("value")).alias("value"),
+        )
     if name == "summarize":
         bucket = parse_duration(need(1, "interval"))
         how = args[2] if len(args) > 2 else "sum"
@@ -425,6 +507,115 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return _alias_by_node(series(), *args[1:])
     if name == "percentileOfSeries":
         return _percentile_of_series(series(), float(need(1, "n")), label)
+    if name == "transformNull":
+        default = float(args[1]) if len(args) > 1 else 0.0
+        return series().withColumn(
+            "value", F.coalesce(F.col("value"), F.lit(default))
+        )
+    if name == "isNonNull":
+        return series().withColumn(
+            "value", F.col("value").isNotNull().cast("double")
+        )
+    if name == "invert":
+        return series().withColumn(
+            "value",
+            F.when(F.col("value") != 0.0, F.lit(1.0) / F.col("value")),
+        )
+    if name == "logarithm":
+        base = float(args[1]) if len(args) > 1 else 10.0
+        return series().withColumn(
+            "value",
+            F.when(F.col("value") > 0.0, F.log(base, F.col("value"))),
+        )
+    if name == "squareRoot":
+        return series().withColumn(
+            "value", F.when(F.col("value") >= 0.0, F.sqrt(F.col("value")))
+        )
+    if name in ("pow", "powSeries"):
+        return series().withColumn(
+            "value", F.pow(F.col("value"), F.lit(float(need(1, "factor"))))
+        )
+    if name == "perSecond":
+        # nonNegativeDerivative divided by the per-slot time delta
+        d = TS.derivative(series(), ["metric"], out_col="_d", non_negative=True)
+        w = Window.partitionBy("metric").orderBy("ts")
+        return d.select(
+            "metric", "ts",
+            (F.col("_d") / (F.col("ts") - F.lag("ts").over(w))).alias("value"),
+        )
+    if name == "delay":
+        steps = int(need(1, "steps"))
+        w = Window.partitionBy("metric").orderBy("ts")
+        return series().select(
+            "metric", "ts", F.lag("value", steps).over(w).alias("value")
+        )
+    if name in (
+        "averageAbove", "averageBelow", "currentAbove", "currentBelow",
+        "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
+    ):
+        n = float(need(1, "n"))
+        df = series()
+        if name.startswith("average"):
+            stat = (_dsum("value") / F.count("value")).alias("_s")
+        elif name.startswith("current"):
+            stat = F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))).alias("_s")
+        elif name.startswith("maximum"):
+            stat = F.max("value").alias("_s")
+        else:
+            stat = F.min("value").alias("_s")
+        keep = df.groupBy("metric").agg(stat)
+        cond = F.col("_s") >= n if name.endswith("Above") else F.col("_s") <= n
+        return df.join(
+            F.broadcast(keep.filter(cond).select("metric")), "metric"
+        ).select("metric", "ts", "value")
+    if name in ("highestCurrent", "lowestCurrent", "highestMax", "lowestAverage"):
+        n = int(need(1, "n"))
+        df = series()
+        if name == "highestMax":
+            stat = F.max("value").alias("_s")
+        elif name == "lowestAverage":
+            stat = (_dsum("value") / F.count("value")).alias("_s")
+        else:
+            stat = F.max_by(
+                "value", F.when(F.col("value").isNotNull(), F.col("ts"))
+            ).alias("_s")
+        ranked = df.groupBy("metric").agg(stat)
+        order = (
+            [F.asc("_s"), F.asc("metric")]
+            if name.startswith("lowest")
+            else [F.desc("_s"), F.asc("metric")]
+        )
+        keep = (
+            ranked.withColumn("_rk", F.row_number().over(Window.orderBy(*order)))
+            .filter(F.col("_rk") <= n)
+            .select("metric")
+        )
+        return df.join(F.broadcast(keep), "metric").select("metric", "ts", "value")
+    if name == "nPercentile":
+        # per-series constant line at the nearest-rank percentile
+        p = float(need(1, "n"))
+        w = Window.partitionBy("metric")
+        rk = series().filter(F.col("value").isNotNull()).select(
+            "metric", "ts", "value",
+            F.row_number().over(w.orderBy("value", "ts")).alias("_rn"),
+            F.count("*").over(w).alias("_n"),
+        )
+        target = F.greatest(
+            F.ceil(F.col("_n") * p / 100.0).cast("long"), F.lit(1)
+        )
+        thr = rk.filter(F.col("_rn") == target).select(
+            "metric", F.col("value").alias("_p")
+        )
+        return (
+            series()
+            .join(F.broadcast(thr), "metric")
+            .select("metric", "ts", F.col("_p").alias("value"))
+        )
+    if name == "aliasSub":
+        pat, repl = str(need(1, "search")), str(need(2, "replace"))
+        return series().withColumn(
+            "metric", F.regexp_replace("metric", pat, repl)
+        )
     if name in (
         "holtWintersForecast",
         "holtWintersConfidenceBands",
@@ -487,4 +678,12 @@ FUNCTIONS = [
     "groupByNode", "alias", "aliasByNode", "percentileOfSeries",
     "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration",
+    "rangeOfSeries", "countSeries", "stddevSeries", "diffSeries",
+    "divideSeries", "multiplySeries",
+    "transformNull", "isNonNull", "invert", "logarithm", "squareRoot",
+    "pow", "perSecond", "delay",
+    "averageAbove", "averageBelow", "currentAbove", "currentBelow",
+    "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
+    "highestCurrent", "lowestCurrent", "highestMax", "lowestAverage",
+    "nPercentile", "aliasSub",
 ]
