@@ -300,3 +300,78 @@ def test_stateful_slot_lww_1m_throughput(spark, tmp_path, skewed_points):
     assert g == e
     # soft throughput gate: 1M points must clear well under the timeout
     assert elapsed < 120, f"state op took {elapsed:.0f}s for 1M points"
+
+
+def test_simhash_candidates_10m_no_allpairs(spark):
+    """10M fingerprints through the banded simhash candidate join:
+    every planted 1-bit near-dup must surface, total candidates must
+    stay collision-proportional (a pairwise or cartesian plan would be
+    ~5*10^13 pairs), and the plan must be an equi-join.
+
+    Band sizing note (the real 100TB lesson this test encodes): band
+    width must satisfy 2^width >> n_docs.  60 bits / 2 bands = 30-bit
+    sigs keep expected incidental collisions ~C(n,2)/2^30 per band; the
+    default 4x15-bit layout is for <=100k-doc partitions."""
+    import time
+
+    from whisper_spark.operators.dedup import simhash_candidates
+
+    n = 10_000_000
+    ids = spark.range(n)
+    mix = lambda c: F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))  # noqa: E731
+    # doc i (i % 1000 == 0) and doc i+1 are planted near-dups: 1 bit apart
+    base = F.when(F.col("id") % 1000 == 1, mix(F.col("id") - 1)).otherwise(
+        mix(F.col("id"))
+    )
+    fp = ids.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 1000 == 1, base.bitwiseXOR(F.lit(1)))
+        .otherwise(base)
+        .alias("simhash"),
+    )
+    cand = simhash_candidates(fp, bits=60, bands=2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    t0 = time.time()
+    planted = cand.filter(
+        (F.col("id_a") % 1000 == 0) & (F.col("id_b") == F.col("id_a") + 1)
+    ).count()
+    total = cand.count()
+    elapsed = time.time() - t0
+    assert planted == n // 1000  # every planted near-dup found
+    # collision-proportional: ~2 * C(n,2)/2^30 incidental pairs expected
+    # (~100k); an all-pairs blowup would be 7 orders of magnitude larger
+    assert total < 1_000_000, total
+    assert elapsed < 240, f"candidate join took {elapsed:.0f}s"
+
+
+def test_lsh_candidates_500k_planted_dups(spark):
+    """500k distinct-content docs through MinHash+LSH banding: every
+    planted exact dup collides in all 4 bands, and the candidate set is
+    proportional to real near-dups (~n/100), not doc pairs (~1.25e11).
+    Non-dup docs get md5-derived texts so their shingle sets are
+    disjoint — chance band collisions stay near zero."""
+    from whisper_spark.operators.dedup import lsh_candidates
+
+    n = 500_000
+    # doc i with i % 100 == 1 copies doc i-1's content
+    eff = F.col("id") - (F.col("id") % 100 == 1).cast("long")
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.md5(eff.cast("string")).alias("text")
+    )
+    cand = lsh_candidates(docs, num_hashes=16, bands=4, shingle_n=5)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    planted = cand.filter(
+        (F.col("id_b") == F.col("id_a") + 1)
+        & (F.col("id_a") % 100 == 0)
+        & (F.col("n_shared_bands") == 4)
+    ).count()
+    assert planted == n // 100
+    # candidate-proportional: planted pairs + a handful of chance band
+    # collisions — an all-pairs plan would be 7 orders of magnitude more
+    total = cand.count()
+    assert total < 50_000, total
