@@ -53,6 +53,24 @@ def word_tokens(text_col: str) -> Column:
     return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
 
 
+def word_ngrams_expr(text_col: str, n: int) -> Column:
+    """Distinct word n-grams (space-joined) of a text column, as an array.
+
+    Uses the let-binding idiom — ``transform`` over a 1-element array
+    binds the ``split`` ONCE per row.  Writing ``slice(split(text), i,
+    n)`` inside the per-gram lambda would re-split the text for every
+    gram (O(words²) per document: Spark's subexpression elimination does
+    not reach inside higher-order-function lambdas), which profiling
+    showed dominating the corpus n-gram queries."""
+    return F.expr(
+        f"flatten(transform(array(split({text_col}, ' ')), ws -> "
+        f"CASE WHEN size(ws) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> array_join(slice(ws, i, {n}), ' '))) "
+        f"ELSE CAST(array() AS array<string>) END))"
+    )
+
+
 def explode_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """(id, shingle) rows — the inverted-index input for Jaccard/MinHash."""
     return df.select(

@@ -122,17 +122,21 @@ def chunk_fixed(
 
 
 def _word_grams(text_col: str, n: int) -> F.Column:
-    """Array of word n-grams (split on single space).  Guarded so docs
-    with fewer than n words yield an EMPTY array — ``sequence(1, 0)``
-    in Spark counts DOWN ([1, 0]), it is not empty."""
-    words = F.split(F.col(text_col), " ")
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Array of word n-grams (split on single space), duplicates kept.
+    Guarded so docs with fewer than n words yield an EMPTY array —
+    ``sequence(1, 0)`` in Spark counts DOWN ([1, 0]), it is not empty.
+
+    Let-binding form (see functions.hashing.word_ngrams_expr): the
+    outer transform over a 1-element array binds the split ONCE per
+    row; slicing an inlined split inside the per-gram lambda would
+    re-split the text per gram (O(words²) per document)."""
+    return F.expr(
+        f"flatten(transform(array(split({text_col}, ' ')), ws -> "
+        f"CASE WHEN size(ws) >= {n} THEN "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> array_join(slice(ws, i, {n}), ' ')) "
+        f"ELSE CAST(array() AS array<string>) END))"
+    )
 
 
 def word_ngrams(

@@ -1743,20 +1743,19 @@ def q_doc_top_bigrams(spark, sf_dir):
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
     # guard: Spark's sequence(1, n) counts DOWN for n < 1 (see
-    # functions.hashing.char_shingles_expr) — short docs must yield []
+    # functions.hashing.char_shingles_expr) — short docs must yield [].
+    # Let-binding form (see functions.hashing.word_ngrams_expr): the
+    # token filter+split binds once per row, not once per bigram element.
     grams = d.select(
         F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.expr(
+                "flatten(transform(array(filter(split(text, ' '), x -> x != '')), "
+                "ws -> CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) "
+                "ELSE CAST(array() AS array<string>) END))"
+            )
         ).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
@@ -6219,25 +6218,22 @@ GROUP BY a.source, b.source
     bench=True,
 )
 def q_doc_source_ngram_jaccard(spark, sf_dir):
+    from .functions.hashing import word_ngrams_expr
+
     d = load(spark, sf_dir, "documents")
-    grams = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> array_join(slice(split(text, ' '), i, 3), ' '))) "
-        "ELSE CAST(array() AS array<string>) END"
-    )
+    # let-binding form — binds the split once per row, not per gram
+    grams = word_ngrams_expr("text", 3)
     from .functions.hashing import h60
 
-    # ONE evaluation of the gram explode: shuffle 8-byte hashed gram keys
-    # (both engines hash identically, so any collision is shared and the
-    # counts still match), collect each gram's source set, and emit every
-    # ordered pair INCLUDING self-pairs — (s,s) counts are exactly the
-    # per-source vocabulary sizes, so sizes and intersections come out of
-    # the same aggregate instead of three re-executions of the scan
-    g = (
-        d.select("source", F.explode(grams).alias("gram"))
-        .select("source", h60("gram").alias("gram"))
-        .distinct()
+    # ONE evaluation of the gram explode AND one shuffle total for the
+    # set-building: collect_set is itself distinct, so grouping the raw
+    # exploded (gram, source) rows directly dedups per gram WITHOUT a
+    # separate DISTINCT shuffle of the largest intermediate.  Grams are
+    # 8-byte md5-60 keys (both engines hash identically, so any
+    # collision is shared and the counts still match); self-pairs make
+    # the per-source vocabulary sizes fall out of the same aggregate.
+    g = d.select("source", F.explode(grams).alias("gram")).select(
+        "source", h60("gram").alias("gram")
     )
     sets = g.groupBy("gram").agg(F.sort_array(F.collect_set("source")).alias("ss"))
     # document-frequency cap: a gram present in more than max(2, S/2)
@@ -6725,13 +6721,11 @@ FROM per_doc
     "partial-aggregated; no per-prefix rescans",
 )
 def q_doc_ngram_novelty(spark, sf_dir):
+    from .functions.hashing import word_ngrams_expr
+
     d = load(spark, sf_dir, "documents")
-    grams = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> array_join(slice(split(text, ' '), i, 3), ' '))) "
-        "ELSE CAST(array() AS array<string>) END"
-    )
+    # let-binding form — binds the split once per row, not per gram
+    grams = word_ngrams_expr("text", 3)
     g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
