@@ -5396,6 +5396,58 @@ def q_ws_render_target_ratio(spark, sf_dir):
 
 
 @_q(
+    "ws_render_target_filter",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT 'ev.' || metric || '.m1' AS metric, ts, avg_v AS value FROM min1
+),
+avgs AS (
+  SELECT metric,
+         (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(value) AS a
+  FROM ser GROUP BY metric
+),
+kept AS (
+  SELECT s.metric, s.ts, s.value FROM ser s JOIN avgs g ON s.metric = g.metric
+  WHERE g.a >= 40.0
+),
+rk AS (
+  SELECT metric, value,
+         row_number() OVER (PARTITION BY metric ORDER BY value, ts) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM kept WHERE value IS NOT NULL
+),
+thr AS (
+  SELECT metric, value AS p FROM rk
+  WHERE rn = greatest(CAST(ceil(n * 0.95) AS BIGINT), 1)
+)
+SELECT regexp_replace(k.metric, '^ev\\.', 'svc.') AS metric, k.ts AS ts,
+       t.p AS value
+FROM kept k JOIN thr t ON k.metric = t.metric
+""",
+    doc="fourth target-language gate — the stat-filter family end-to-"
+    "end: aliasSub(nPercentile(averageAbove(ev.*.m1, 40), 95), "
+    "'^ev\\.', 'svc.') keeps only series whose decimal-exact mean "
+    "clears the threshold, draws each survivor's nearest-rank p95 as a "
+    "constant line, and regex-renames the series.  The nearest-rank "
+    "pick is a stored value (no interpolation), so the parsed pipeline "
+    "stays bit-exact (render.py averageAbove/nPercentile/aliasSub)",
+)
+def q_ws_render_target_filter(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
+        "ts",
+        F.col("avg_v").alias("value"),
+    )
+    return evaluate_target(
+        base,
+        "aliasSub(nPercentile(averageAbove(ev.*.m1, 40), 95), '^ev\\.', 'svc.')",
+    ).select("metric", "ts", "value")
+
+
+@_q(
     "doc_winnowing_fp",
     """
 WITH h AS (
