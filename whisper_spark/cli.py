@@ -252,8 +252,13 @@ def cmd_render(args):
     if fetched is None:
         print("No data in selected timerange")
         return 1
-    (_, df) = fetched
-    out = evaluate_target(df.select("metric", "ts", "value"), args.target)
+    (ti, df) = fetched
+    # thread the fetch step through: step-dependent functions (hitcount,
+    # duration-window EMA, Holt-Winters seasons) need the archive's real
+    # resolution, which auto-selection may have coarsened
+    out = evaluate_target(
+        df.select("metric", "ts", "value"), args.target, step=ti[2]
+    )
     rows = out.orderBy("metric", "ts").collect()
     if args.json:
         series: dict[str, list] = {}
