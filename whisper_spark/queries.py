@@ -187,6 +187,21 @@ def events_now(spark: SparkSession, sf_dir: str) -> int:
     return now
 
 
+_NSOURCES_CACHE: dict[str, int] = {}
+
+
+def _n_sources(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct source count of the documents table — one tiny cached
+    discovery job per (session, dataset), same contract as
+    :func:`events_now`."""
+    key = f"{sf_dir}/documents#nsources"
+    if key not in _NSOURCES_CACHE:
+        _NSOURCES_CACHE[key] = (
+            load(spark, sf_dir, "documents").select("source").distinct().count()
+        )
+    return _NSOURCES_CACHE[key]
+
+
 def min1_hi(spark: SparkSession, sf_dir: str) -> int:
     """max(ts) of the min1 rollup — the newest event second aligned down
     to its minute slot.  Derived from the cached :func:`events_now`, so
@@ -6290,12 +6305,13 @@ def q_doc_source_ngram_jaccard(spark, sf_dir):
     sets = g.groupBy("gram").agg(F.sort_array(F.collect_set("source")).alias("ss"))
     # document-frequency cap: a gram present in more than max(2, S/2)
     # sources is a stop-gram — no Jaccard signal, S^2/2 pair rows of
-    # cost.  S comes from a broadcast 1-row aggregate (no driver value),
-    # integer-exact in both engines (S // 2).
-    n_sources = d.agg(F.countDistinct("source").alias("s"))
-    sets = sets.crossJoin(F.broadcast(n_sources)).filter(
-        F.size("ss") <= F.greatest(F.lit(2), F.expr("s div 2"))
-    )
+    # cost.  S (the source cardinality) is discovered once per
+    # (session, dataset) and cached like events_now — a scalar-join
+    # formulation kept degrading to a nested-loop cross join once
+    # Catalyst folded the literal equi-key away, and a literal cap keeps
+    # the plan pure equi-join.  Integer-exact in both engines (S // 2).
+    cap = max(2, _n_sources(spark, sf_dir) // 2)
+    sets = sets.filter(F.size("ss") <= cap)
     pairs = sets.select(
         F.explode(
             F.expr(
