@@ -364,3 +364,33 @@ def test_eval_npercentile_and_alias_sub(frame):
     assert np_[("ev.click.m1", 120)] == 2.0
     sub = evaluate_target(frame, "aliasSub(ev.click.m1, 'ev\\.', 'x.')")
     assert set(r.metric for r in sub.collect()) == {"x.click.m1"}
+
+
+def test_eval_moving_family(spark):
+    rows = [("m.x", 0, 3.0), ("m.x", 60, 1.0), ("m.x", 120, 5.0),
+            ("m.x", 180, 2.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    ms = {r.ts: r.value for r in
+          evaluate_target(frame, "movingSum(m.x, 2)").collect()}
+    assert ms == {0: 3.0, 60: 4.0, 120: 6.0, 180: 7.0}
+    mx = {r.ts: r.value for r in
+          evaluate_target(frame, "movingMax(m.x, 3)").collect()}
+    assert mx[120] == 5.0 and mx[180] == 5.0
+    mn = {r.ts: r.value for r in
+          evaluate_target(frame, "movingMin(m.x, 2)").collect()}
+    assert mn[120] == 1.0 and mn[180] == 2.0
+    md = {r.ts: r.value for r in
+          evaluate_target(frame, "movingMedian(m.x, 3)").collect()}
+    # trailing-3 frames: [3] [3,1] [3,1,5] [1,5,2] -> nearest-rank medians
+    assert md == {0: 3.0, 60: 1.0, 120: 3.0, 180: 2.0}
+
+
+def test_eval_as_percent_and_offset_to_zero(frame):
+    ap = {(r.metric, r.ts): r.value for r in
+          evaluate_target(frame, "asPercent(ev.{click,view}.m1)").collect()}
+    assert ap[("ev.click.m1", 0)] == 1.0 / 11.0 * 100.0
+    assert ap[("ev.view.m1", 0)] == 10.0 / 11.0 * 100.0
+    assert ap[("ev.click.m1", 120)] == 100.0
+    oz = {r.ts: r.value for r in
+          evaluate_target(frame, "offsetToZero(ev.click.m1)").collect()}
+    assert oz == {0: 0.0, 60: 1.0, 120: 3.0}

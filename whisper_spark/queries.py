@@ -4879,6 +4879,7 @@ FROM r
     "seasonal/deviation rings as LISTS through the recursion and "
     "replays the identical float sequence, keeping the check bit-exact "
     "over the trailing 6h (functions/timeseries.py holt_winters)",
+    bench=True,
 )
 def q_ws_holt_winters(spark, sf_dir):
     from .functions.timeseries import holt_winters

@@ -423,6 +423,50 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return _summarize(scaled, bucket, "sum")
     if name == "movingAverage":
         return _moving_avg(series(), int(need(1, "windowSize")))
+    if name in ("movingSum", "movingMax", "movingMin", "movingMedian"):
+        n = int(need(1, "windowSize"))
+        w = _sw(n)
+        if name == "movingSum":
+            val = (
+                F.sum(F.col("value").cast(_DEC)).over(w)
+                .cast("string").cast("double")
+            )
+        elif name == "movingMax":
+            val = F.max("value").over(w)
+        elif name == "movingMin":
+            val = F.min("value").over(w)
+        else:
+            # nearest-rank median of the trailing frame: a stored value,
+            # no interpolation (engine-exact like percentileOfSeries)
+            val = F.expr(
+                "element_at(array_sort(collect_list(value) "
+                f"OVER (PARTITION BY metric ORDER BY ts "
+                f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)), "
+                "greatest(cast(ceil(size(collect_list(value) "
+                f"OVER (PARTITION BY metric ORDER BY ts "
+                f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)) * 0.5) "
+                "as int), 1))"
+            )
+        return series().select("metric", "ts", val.alias("value"))
+    if name == "asPercent":
+        # each series as a percentage of the per-ts total (the one-arg
+        # graphite form)
+        df = series()
+        w = Window.partitionBy("ts")
+        tot = (
+            F.sum(F.col("value").cast(_DEC)).over(w)
+            .cast("string").cast("double")
+        )
+        return df.select(
+            "metric", "ts",
+            F.when(tot != 0.0, F.col("value") / tot * 100.0).alias("value"),
+        )
+    if name == "offsetToZero":
+        w = Window.partitionBy("metric")
+        return series().select(
+            "metric", "ts",
+            (F.col("value") - F.min("value").over(w)).alias("value"),
+        )
     if name == "derivative":
         return (
             TS.derivative(series(), ["metric"], out_col="_d")
@@ -686,4 +730,6 @@ FUNCTIONS = [
     "maximumAbove", "maximumBelow", "minimumAbove", "minimumBelow",
     "highestCurrent", "lowestCurrent", "highestMax", "lowestAverage",
     "nPercentile", "aliasSub",
+    "movingSum", "movingMax", "movingMin", "movingMedian",
+    "asPercent", "offsetToZero",
 ]
