@@ -394,3 +394,162 @@ def test_eval_as_percent_and_offset_to_zero(frame):
     oz = {r.ts: r.value for r in
           evaluate_target(frame, "offsetToZero(ev.click.m1)").collect()}
     assert oz == {0: 0.0, 60: 1.0, 120: 3.0}
+
+
+# --------------------------------------------------------------------- #
+# round-4 families: filters, sorts, node grouping, time, generators
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def wide(spark):
+    rows = [
+        ("a.x.m1", 0, 1.0), ("a.x.m1", 60, 2.0), ("a.x.m1", 120, None),
+        ("a.x.m1", 180, 4.0),
+        ("a.y.m1", 0, 10.0), ("a.y.m1", 60, 20.0), ("a.y.m1", 120, 30.0),
+        ("a.y.m1", 180, 40.0),
+        ("a.z.m2", 0, 5.0), ("a.z.m2", 60, 5.0), ("a.z.m2", 120, 5.0),
+        ("a.z.m2", 180, 6.0),
+    ]
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+def _metrics(df):
+    return {r.metric for r in df.select("metric").distinct().collect()}
+
+
+def test_eval_grep_exclude_and_generic_selectors(wide):
+    assert _metrics(evaluate_target(wide, "exclude(a.*.*, 'y')")) == {
+        "a.x.m1", "a.z.m2"}
+    assert _metrics(evaluate_target(wide, "grep(a.*.*, 'm1$')")) == {
+        "a.x.m1", "a.y.m1"}
+    assert _metrics(evaluate_target(wide, "mostDeviant(a.*.*, 1)")) == {
+        "a.y.m1"}
+    assert _metrics(evaluate_target(wide, "highest(a.*.*, 1, 'max')")) == {
+        "a.y.m1"}
+    # lowest defaults: n=1, func='average'
+    assert _metrics(evaluate_target(wide, "lowest(a.*.*)")) == {"a.x.m1"}
+    assert _metrics(
+        evaluate_target(wide, "filterSeries(a.*.*, 'average', '>', 5)")
+    ) == {"a.y.m1", "a.z.m2"}
+
+
+def test_eval_limit_respects_child_sort(wide):
+    assert _metrics(
+        evaluate_target(wide, "limit(sortByMaxima(a.*.*), 1)")
+    ) == {"a.y.m1"}
+    assert _metrics(
+        evaluate_target(wide, "limit(sortByMinima(a.*.*), 1)")
+    ) == {"a.x.m1"}
+    assert _metrics(
+        evaluate_target(wide, "limit(sortByName(a.*.*), 2)")
+    ) == {"a.x.m1", "a.y.m1"}
+
+
+def test_eval_generic_aggregate(wide):
+    # median of [1,10] / [2,20] -> averaged middles; null slots ignored
+    med = {r.ts: r.value for r in
+           evaluate_target(wide, "aggregate(a.*.m1, 'median')").collect()}
+    assert med == {0: 5.5, 60: 11.0, 120: 30.0, 180: 22.0}
+    # diff = first series (name order) minus the rest
+    diff = {r.ts: r.value for r in
+            evaluate_target(wide, "aggregate(a.*.*, 'diff')").collect()}
+    assert diff[0] == 1.0 - 15.0 and diff[60] == 2.0 - 25.0
+    rng = {r.ts: r.value for r in
+           evaluate_target(wide, "aggregate(a.*.*, 'range')").collect()}
+    assert rng[0] == 9.0 and rng[180] == 36.0
+
+
+def test_eval_aggregate_line_constant_per_series(wide):
+    out = evaluate_target(wide, "aggregateLine(a.x.m1, 'max')")
+    got = {r.ts: r.value for r in out.collect()}
+    assert got == {0: 4.0, 60: 4.0, 120: 4.0, 180: 4.0}
+
+
+def test_eval_group_by_nodes_and_wildcards(wide):
+    g = {(r.metric, r.ts): r.value for r in
+         evaluate_target(wide, "groupByNodes(a.*.*, 'sum', 0, 2)").collect()}
+    assert g[("a.m1", 0)] == 11.0 and g[("a.m2", 180)] == 6.0
+    s = {(r.metric, r.ts): r.value for r in
+         evaluate_target(wide, "sumSeriesWithWildcards(a.*.*, 1)").collect()}
+    assert s[("a.m1", 60)] == 22.0
+    a = {(r.metric, r.ts): r.value for r in
+         evaluate_target(wide, "aggregateWithWildcards(a.*.*, 'max', 1)").collect()}
+    assert a[("a.m1", 120)] == 30.0
+    assert _metrics(evaluate_target(wide, "aliasByMetric(a.x.m1)")) == {"m1"}
+
+
+def test_eval_weighted_average_and_divide_lists(wide):
+    wa = {r.ts: r.value for r in
+          evaluate_target(wide, "weightedAverage(a.*.m1, a.*.m1, 1)").collect()}
+    # sum(v*w)/sum(w): ts0 = (1*1 + 10*10) / 11
+    assert abs(wa[0] - 101.0 / 11.0) < 1e-12
+    dl = {r.ts: r.value for r in
+          evaluate_target(wide, "divideSeriesLists(a.x.m1, a.y.m1)").collect()}
+    assert dl[0] == 0.1 and dl[120] is None
+
+
+def test_eval_time_family(wide):
+    ibi = {r.ts: r.value for r in
+           evaluate_target(wide, "integralByInterval(a.x.m1, '2min')").collect()}
+    # resets at 120; None accumulates as 0
+    assert ibi == {0: 1.0, 60: 3.0, 120: 0.0, 180: 4.0}
+    sm = {r.ts: r.value for r in
+          evaluate_target(wide, "smartSummarize(a.x.m1, '2min', 'sum')").collect()}
+    assert sm == {0: 3.0, 120: 4.0}
+    stack = {(r.metric, r.ts) for r in
+             evaluate_target(wide, "timeStack(a.x.m1, '1min', 0, 2)").collect()}
+    assert ("timeShift(a.x.m1, 1)", 60) in stack  # ts=0 shifted forward
+    sl = {r.ts for r in
+          evaluate_target(wide, "timeSlice(a.x.m1, 60, 120)").collect()}
+    assert sl == {60, 120}
+
+
+def test_eval_regression_changed_interpolate(wide):
+    lr = {r.ts: r.value for r in
+          evaluate_target(wide, "linearRegression(a.y.m1)").collect()}
+    assert lr == {0: 10.0, 60: 20.0, 120: 30.0, 180: 40.0}  # exact fit
+    ch = {r.ts: r.value for r in
+          evaluate_target(wide, "changed(a.x.m1)").collect()}
+    assert ch == {0: 0.0, 60: 1.0, 120: 0.0, 180: 0.0}
+    it = {r.ts: r.value for r in
+          evaluate_target(wide, "interpolate(a.x.m1)").collect()}
+    assert it[120] == 3.0  # linear between 2.0@60 and 4.0@180
+    limited = {r.ts: r.value for r in
+               evaluate_target(wide, "interpolate(a.x.m1, 0)").collect()}
+    assert limited[120] is None  # gap of 1 slot > limit 0
+
+
+def test_eval_scalar_round_minmax_stdev(wide):
+    mm = {r.ts: r.value for r in
+          evaluate_target(wide, "minMax(a.y.m1)").collect()}
+    assert mm[0] == 0.0 and mm[180] == 1.0
+    sd = {r.ts: r.value for r in
+          evaluate_target(wide, "stdev(a.y.m1, 2)").collect()}
+    assert sd[0] == 0.0 and sd[60] == 5.0  # pop stddev of [10,20]
+    rd = {r.ts: r.value for r in
+          evaluate_target(wide, "round(scale(a.y.m1, 0.333), 1)").collect()}
+    assert rd[0] == 3.3
+
+
+def test_eval_generators_use_source_spine(wide):
+    cl = {r.ts: r.value for r in
+          evaluate_target(wide, "constantLine(7)").collect()}
+    assert cl == {0: 7.0, 60: 7.0, 120: 7.0, 180: 7.0}
+    th = evaluate_target(wide, "threshold(60, 'limit')")
+    assert _metrics(th) == {"limit"}
+    idn = {r.ts: r.value for r in
+           evaluate_target(wide, "identity('t')").collect()}
+    assert idn[120] == 120.0
+
+
+def test_eval_percentile_band_filters(wide):
+    # 3 series: band at n=90 spans [min, max] per the graphite
+    # nearest-rank formula, and boundary points count as outside -> all
+    # three survive removeBetweenPercentile; averageOutsidePercentile
+    # keeps the extremes
+    assert _metrics(
+        evaluate_target(wide, "removeBetweenPercentile(a.*.*, 90)")
+    ) == {"a.x.m1", "a.y.m1", "a.z.m2"}
+    out = _metrics(evaluate_target(wide, "averageOutsidePercentile(a.*.*, 90)"))
+    assert "a.x.m1" in out and "a.y.m1" in out

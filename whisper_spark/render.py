@@ -172,20 +172,60 @@ def _series_label(df: DataFrame, label: str) -> DataFrame:
     return df.withColumn("metric", F.lit(label))
 
 
+def _agg_expr(how: str):
+    """Aggregate Column for a cross-series combine group — the shared
+    dispatch behind sumSeries/averageSeries/aggregate()/groupByNodes().
+    Sums and averages accumulate in DECIMAL (engine determinism rules);
+    ``median`` is graphite's safeMedian (average of the two middle
+    stored values for even counts); ``diff``/``last`` resolve list
+    order as metric-name order, the order a glob fetch produces."""
+    if how == "sum":
+        return _dsum("value")
+    if how in ("avg", "average"):
+        return _dsum("value") / F.count("value")
+    if how == "max":
+        return F.max("value")
+    if how == "min":
+        return F.min("value")
+    if how == "count":
+        return F.count("value").cast("double")
+    if how in ("range", "rangeOf"):
+        return F.max("value") - F.min("value")
+    if how == "stddev":
+        return F.stddev_pop("value")
+    if how == "median":
+        arr = F.array_sort(F.collect_list("value"))
+        n = F.size(arr)
+        # when/otherwise does NOT short-circuit evaluation: both branches
+        # run for every row, so the even-count indices must stay valid
+        # (>= 1) on odd/singleton groups too — clamp instead of trusting
+        # the branch condition
+        lo = F.greatest((n / 2).cast("int"), F.lit(1))
+        hi = F.greatest(F.least((n / 2 + 1).cast("int"), n), F.lit(1))
+        odd = F.try_element_at(arr, F.greatest(((n + 1) / 2).cast("int"), F.lit(1)))
+        even = (F.try_element_at(arr, lo) + F.try_element_at(arr, hi)) / 2.0
+        return F.when(n == 0, F.lit(None).cast("double")).when(
+            n % 2 == 1, odd
+        ).otherwise(even)
+    if how == "multiply":
+        return F.when(
+            F.count("*") == F.count("value"), F.product("value")
+        )
+    if how == "last":
+        # last non-null value in list (= metric-name) order
+        return F.max_by(
+            "value", F.when(F.col("value").isNotNull(), F.col("metric"))
+        )
+    if how == "diff":
+        # first series minus the sum of the rest: first - (total - first)
+        first = F.min_by("value", "metric")
+        return first - (_dsum("value") - first)
+    raise TargetSyntaxError(f"unknown aggregate function {how!r}")
+
+
 def _combine(df: DataFrame, label: str, how: str) -> DataFrame:
     """Cross-series combine per timestamp (sumSeries & friends)."""
-    g = df.groupBy("ts")
-    if how == "sum":
-        agg = _dsum("value")
-    elif how == "avg":
-        agg = _dsum("value") / F.count("value")
-    elif how == "max":
-        agg = F.max("value")
-    elif how == "min":
-        agg = F.min("value")
-    else:  # pragma: no cover - registry controls `how`
-        raise TargetSyntaxError(f"bad combine {how!r}")
-    return g.agg(agg.alias("value")).select(
+    return df.groupBy("ts").agg(_agg_expr(how).alias("value")).select(
         F.lit(label).alias("metric"), "ts", "value"
     )
 
@@ -273,6 +313,69 @@ def _percentile_of_series(df: DataFrame, p: float, label: str) -> DataFrame:
     return rk.filter(F.col("_rn") == F.greatest(target, F.lit(1))).select(
         F.lit(label).alias("metric"), "ts", F.col("value")
     )
+
+
+def _series_stat(func: str):
+    """Per-series scalar statistic (one row per metric after groupBy) —
+    the key function behind filterSeries/highest/lowest/aggregateLine."""
+    if func in ("average", "avg"):
+        return _dsum("value") / F.count("value")
+    if func in ("sum", "total"):
+        return _dsum("value")
+    if func == "max":
+        return F.max("value")
+    if func == "min":
+        return F.min("value")
+    if func in ("current", "last"):
+        return F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts")))
+    if func == "stddev":
+        return F.stddev_pop("value")
+    if func == "count":
+        return F.count("value").cast("double")
+    if func == "median":
+        return _agg_expr("median")
+    raise TargetSyntaxError(f"unknown series statistic {func!r}")
+
+
+def _keep_series(df: DataFrame, keep: DataFrame) -> DataFrame:
+    """Restrict ``df`` to the metrics in ``keep`` (a tiny one-column
+    frame — always broadcast: series count is bounded, points are not)."""
+    return df.join(F.broadcast(keep.select("metric")), "metric").select(
+        "metric", "ts", "value"
+    )
+
+
+def _rank_series(df: DataFrame, n: int, func: str, ascending: bool) -> DataFrame:
+    """Keep the n series ranked best by a per-series statistic
+    (highest/lowest/highestAverage/... share this one shape)."""
+    stat = df.groupBy("metric").agg(_series_stat(func).alias("_s"))
+    order = (
+        [F.asc("_s"), F.asc("metric")] if ascending
+        else [F.desc("_s"), F.asc("metric")]
+    )
+    keep = (
+        stat.withColumn("_rk", F.row_number().over(Window.orderBy(*order)))
+        .filter(F.col("_rk") <= int(n))
+    )
+    return _keep_series(df, keep)
+
+
+def _graphite_pct_rank(p, n):
+    """graphite getPercentile's nearest-rank index (1-based Column):
+    rank = int(p/100 * (len+1)), clamped to [1, len]."""
+    raw = F.floor(F.lit(float(p)) / 100.0 * (n + 1)).cast("long")
+    return F.least(F.greatest(raw, F.lit(1)), n)
+
+
+# graphite's sort functions order the series LIST; frames are unordered
+# sets, so the order materializes where list position matters: `limit`
+# (and CLI output) consults the child sort via this table.
+_SORT_ORDERS = {
+    "sortByTotal": ("sum", False),
+    "sortByMaxima": ("max", False),
+    "sortByMinima": ("min", True),
+    "sortByName": (None, True),
+}
 
 
 def _series_step_col(df: DataFrame) -> DataFrame:
@@ -507,9 +610,15 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
     if name == "sortByTotal":
         return _sort_by_total(series(), None)
     if name == "limit":
-        # graphite's limit keeps the FIRST n series of the list — list
-        # order for a glob fetch is metric-name order, not total-ranked
+        # graphite's limit keeps the FIRST n series of the list — name
+        # order for a glob fetch, or the child sort function's order when
+        # the argument is sortByTotal/sortByName/sortByMaxima/sortByMinima
         n = int(need(1, "n"))
+        child = args[0] if args else None
+        if isinstance(child, Call) and child.name in _SORT_ORDERS:
+            func, asc = _SORT_ORDERS[child.name]
+            if func is not None:
+                return _rank_series(series(), n, func, asc)
         w = Window.orderBy("metric")
         keep = (
             series()
@@ -517,11 +626,8 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             .distinct()
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= n)
-            .select("metric")
         )
-        return series().join(F.broadcast(keep), "metric").select(
-            "metric", "ts", "value"
-        )
+        return _keep_series(series(), keep)
     if name == "exponentialMovingAverage":
         # graphite-web semantics: the 2nd arg is a WINDOW SIZE (number of
         # points, or a duration string), and alpha = 2/(windowSize+1) —
@@ -694,6 +800,369 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             .otherwise(F.lit(0.0))
             .alias("value"),
         )
+    if name in ("exclude", "grep"):
+        pat = str(need(1, "pattern"))
+        cond = F.col("metric").rlike(pat)
+        return series().filter(~cond if name == "exclude" else cond)
+    if name in ("sortByName", "sortByTotal", "sortByMaxima", "sortByMinima"):
+        # frames are unordered sets: the sort itself is a passthrough,
+        # and the order materializes in `limit` (above) / CLI output
+        if name == "sortByTotal":
+            return _sort_by_total(series(), None)
+        return series()
+    if name == "mostDeviant":
+        return _rank_series(series(), int(need(1, "n")), "stddev", False)
+    if name in ("highest", "lowest"):
+        n = int(args[1]) if len(args) > 1 else 1
+        func = str(args[2]) if len(args) > 2 else "average"
+        return _rank_series(series(), n, func, name == "lowest")
+    if name == "filterSeries":
+        func = str(need(1, "func"))
+        op = str(need(2, "operator"))
+        thr = float(need(3, "threshold"))
+        stat = series().groupBy("metric").agg(_series_stat(func).alias("_s"))
+        conds = {
+            "=": F.col("_s") == thr, "!=": F.col("_s") != thr,
+            ">": F.col("_s") > thr, ">=": F.col("_s") >= thr,
+            "<": F.col("_s") < thr, "<=": F.col("_s") <= thr,
+        }
+        if op not in conds:
+            raise TargetSyntaxError(f"filterSeries: unknown operator {op!r}")
+        return _keep_series(series(), stat.filter(conds[op]))
+    if name == "averageOutsidePercentile":
+        # keep series whose average falls outside the [100-n, n]
+        # percentile band of all series' averages (graphite getPercentile
+        # nearest-rank over the average list)
+        p = float(need(1, "n"))
+        if p < 50.0:
+            p = 100.0 - p
+        df = series()
+        avgs = df.groupBy("metric").agg(
+            (_dsum("value") / F.count("value")).alias("_avg")
+        )
+        w = Window.orderBy("_avg", "metric")
+        rk = avgs.select(
+            "metric", "_avg",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)
+            ).alias("_n"),
+        )
+        band = rk.groupBy().agg(
+            F.max(
+                F.when(F.col("_rn") == _graphite_pct_rank(100.0 - p, F.col("_n")),
+                       F.col("_avg"))
+            ).alias("_lo"),
+            F.max(
+                F.when(F.col("_rn") == _graphite_pct_rank(p, F.col("_n")),
+                       F.col("_avg"))
+            ).alias("_hi"),
+        )
+        keep = (
+            avgs.crossJoin(F.broadcast(band))
+            .filter(~((F.col("_avg") > F.col("_lo")) & (F.col("_avg") < F.col("_hi"))))
+        )
+        return _keep_series(df, keep)
+    if name == "removeBetweenPercentile":
+        # keep series with at least one point outside the per-timestamp
+        # [100-n, n] percentile band across series
+        p = float(need(1, "n"))
+        if p < 50.0:
+            p = 100.0 - p
+        df = series()
+        vals = df.filter(F.col("value").isNotNull())
+        w = Window.partitionBy("ts")
+        rk = vals.select(
+            "metric", "ts", "value",
+            F.row_number().over(w.orderBy("value", "metric")).alias("_rn"),
+            F.count("*").over(w).alias("_n"),
+        )
+        band = rk.groupBy("ts").agg(
+            F.max(
+                F.when(F.col("_rn") == _graphite_pct_rank(100.0 - p, F.col("_n")),
+                       F.col("value"))
+            ).alias("_lo"),
+            F.max(
+                F.when(F.col("_rn") == _graphite_pct_rank(p, F.col("_n")),
+                       F.col("value"))
+            ).alias("_hi"),
+        )
+        keep = (
+            vals.join(band, "ts")
+            .filter(~((F.col("value") > F.col("_lo")) & (F.col("value") < F.col("_hi"))))
+            .select("metric")
+            .distinct()
+        )
+        return _keep_series(df, keep)
+    if name == "aggregate":
+        return _combine(series(), label, str(need(1, "func")))
+    if name == "aggregateLine":
+        # per-series horizontal line at the series statistic
+        func = str(args[1]) if len(args) > 1 else "average"
+        df = series()
+        stat = df.groupBy("metric").agg(_series_stat(func).alias("_s"))
+        return (
+            df.join(F.broadcast(stat), "metric")
+            .select(
+                F.concat(F.lit("aggregateLine("), "metric",
+                         F.lit(f", '{func}')")).alias("metric"),
+                "ts", F.col("_s").alias("value"),
+            )
+        )
+    if name == "groupByNodes":
+        # generic groupByNode: key = the named node positions joined by
+        # '.', one groupBy((key, ts)) — re-key, narrow shuffle
+        method = str(need(1, "callback"))
+        nodes = [int(a) for a in args[2:]]
+        if not nodes:
+            raise TargetSyntaxError("groupByNodes: needs at least one node")
+        parts = F.split(F.col("metric"), r"\.")
+        key = F.concat_ws(".", *[F.element_at(parts, n + 1) for n in nodes])
+        return (
+            series()
+            .groupBy(key.alias("metric"), "ts")
+            .agg(_agg_expr(method).alias("value"))
+            .select("metric", "ts", "value")
+        )
+    if name == "aliasByMetric":
+        parts = F.split(F.col("metric"), r"\.")
+        return series().withColumn("metric", F.element_at(parts, -1))
+    if name in (
+        "sumSeriesWithWildcards", "averageSeriesWithWildcards",
+        "aggregateWithWildcards",
+    ):
+        # drop the wildcard node positions from each name, then combine
+        # the series that collapse onto the same reduced name
+        if name == "aggregateWithWildcards":
+            method = str(need(1, "func"))
+            positions = [int(a) for a in args[2:]]
+        else:
+            method = "sum" if name.startswith("sum") else "avg"
+            positions = [int(a) for a in args[1:]]
+        pos_sql = ",".join(str(p) for p in positions) or "-1"
+        reduced = F.expr(
+            "concat_ws('.', filter(transform(split(metric, '\\\\.'), "
+            f"(x, i) -> IF(i IN ({pos_sql}), NULL, x)), x -> x IS NOT NULL))"
+        )
+        return (
+            series()
+            .groupBy(reduced.alias("metric"), "ts")
+            .agg(_agg_expr(method).alias("value"))
+            .select("metric", "ts", "value")
+        )
+    if name == "weightedAverage":
+        # sum(avg_i * weight_i) / sum(weight_i) per ts, pairing the two
+        # seriesLists on the identity nodes
+        nodes = [int(a) for a in args[2:]]
+        if not nodes:
+            raise TargetSyntaxError("weightedAverage: needs node positions")
+        parts = F.split(F.col("metric"), r"\.")
+        key = F.concat_ws(".", *[F.element_at(parts, n + 1) for n in nodes])
+        a = series(0).select(key.alias("_k"), "ts", F.col("value").alias("_a"))
+        b = series(1).select(key.alias("_k"), "ts", F.col("value").alias("_w"))
+        prod = a.join(b, ["_k", "ts"])
+        return (
+            prod.groupBy("ts")
+            .agg(
+                (
+                    F.sum((F.col("_a") * F.col("_w")).cast(_DEC))
+                    .cast("string").cast("double")
+                    / F.sum(F.col("_w").cast(_DEC)).cast("string").cast("double")
+                ).alias("value")
+            )
+            .select(F.lit(label).alias("metric"), "ts", "value")
+        )
+    if name == "divideSeriesLists":
+        # pairwise divide, pairing the two lists by name order (the
+        # order a glob fetch produces); graphite requires equal lengths
+        def ranked(df, col):
+            names = df.select("metric").distinct().withColumn(
+                "_rk", F.row_number().over(Window.orderBy("metric"))
+            )
+            return df.join(F.broadcast(names), "metric").select(
+                F.col("metric").alias(col + "m"), "_rk", "ts",
+                F.col("value").alias(col),
+            )
+        a = ranked(series(0), "_a")
+        b = ranked(series(1), "_b")
+        return a.join(b, ["_rk", "ts"]).select(
+            F.concat(F.lit("divideSeries("), "_am", F.lit(","), "_bm",
+                     F.lit(")")).alias("metric"),
+            "ts",
+            F.when(
+                F.col("_b").isNotNull() & (F.col("_b") != 0.0),
+                F.col("_a") / F.col("_b"),
+            ).alias("value"),
+        )
+    if name == "integralByInterval":
+        # running sum that resets at each interval boundary; None counts
+        # as 0 inside the running sum (graphite keeps the accumulator)
+        step_s = parse_duration(need(1, "intervalUnit"))
+        bucket = F.col("ts") - F.col("ts") % step_s
+        w = (
+            Window.partitionBy("metric", bucket)
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return series().select(
+            "metric", "ts",
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast(_DEC)).over(w)
+            .cast("string").cast("double").alias("value"),
+        )
+    if name == "smartSummarize":
+        # summarize with buckets aligned to each series' own start,
+        # not the epoch
+        step_s = parse_duration(need(1, "interval"))
+        how = args[2] if len(args) > 2 else "sum"
+        w = Window.partitionBy("metric")
+        df = series().withColumn("_t0", F.min("ts").over(w))
+        bucket = (
+            F.col("_t0")
+            + ((F.col("ts") - F.col("_t0")) - (F.col("ts") - F.col("_t0")) % step_s)
+        )
+        return (
+            df.groupBy("metric", bucket.alias("ts"))
+            .agg(_agg_expr(how).alias("value"))
+            .select("metric", "ts", "value")
+        )
+    if name == "timeStack":
+        # overlay N shifted copies: shift i moves data i*unit forward so
+        # history lines up under the present
+        unit = parse_duration(need(1, "timeShiftUnit"))
+        start = int(need(2, "timeShiftStart"))
+        end = int(need(3, "timeShiftEnd"))
+        if end <= start:
+            raise TargetSyntaxError("timeStack: timeShiftEnd must be > start")
+        base = series()
+        out = None
+        for shft in range(start, end):
+            piece = TS.time_shift(base, shft * unit).select(
+                F.concat(F.lit(f"timeShift("), "metric",
+                         F.lit(f", {shft})")).alias("metric"),
+                "ts", "value",
+            )
+            out = piece if out is None else out.unionByName(piece)
+        return out
+    if name == "timeSlice":
+        # epoch-second bounds (graphite's at-style time strings reduce to
+        # epochs before evaluation; the engine takes them directly)
+        lo = int(need(1, "startSliceAt"))
+        hi = int(args[2]) if len(args) > 2 else None
+        df = series().filter(F.col("ts") >= lo)
+        return df.filter(F.col("ts") <= hi) if hi is not None else df
+    if name == "stdev":
+        # moving population stddev over a trailing row window
+        n = int(need(1, "points"))
+        return series().select(
+            "metric", "ts",
+            F.stddev_pop("value").over(_sw(n)).alias("value"),
+        )
+    if name == "linearRegression":
+        # least-squares fit per series over its full range, evaluated at
+        # every slot; x is centered on the series start for fp stability
+        df = series()
+        pts = df.filter(F.col("value").isNotNull())
+        w = Window.partitionBy("metric")
+        centered = pts.withColumn("_x", (F.col("ts") - F.min("ts").over(w)).cast("double"))
+        mom = centered.groupBy("metric").agg(
+            F.count("*").cast("double").alias("_n"),
+            F.min("ts").alias("_t0"),
+            F.sum("_x").alias("_sx"),
+            F.sum("value").alias("_sy"),
+            F.sum(F.col("_x") * F.col("value")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+        den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        slope = F.when(
+            den != 0.0,
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+        )
+        fit = mom.select(
+            "metric", "_t0", slope.alias("_b"),
+            ((F.col("_sy") - slope * F.col("_sx")) / F.col("_n")).alias("_a"),
+        )
+        return df.join(F.broadcast(fit), "metric").select(
+            F.concat(F.lit("linearRegression("), "metric", F.lit(")"))
+            .alias("metric"),
+            "ts",
+            (F.col("_a") + F.col("_b") * (F.col("ts") - F.col("_t0"))).alias("value"),
+        )
+    if name == "changed":
+        # 1 when the value differs from the previous slot, else 0
+        w = Window.partitionBy("metric").orderBy("ts")
+        prev = F.lag("value").over(w)
+        return series().select(
+            "metric", "ts",
+            F.when(prev.isNull(), 0.0)
+            .when(F.col("value").isNotNull() & (F.col("value") != prev), 1.0)
+            .otherwise(0.0)
+            .alias("value"),
+        )
+    if name == "interpolate":
+        # linear fill of interior gaps; optional limit = max gap length
+        # in slots.  Forward/backward window scans over ONE series
+        # shuffle (same pattern as the store's interpolate view).
+        gap_limit = int(args[1]) if len(args) > 1 else None
+        w = Window.partitionBy("metric").orderBy("ts")
+        wp = w.rowsBetween(Window.unboundedPreceding, 0)
+        wn = w.rowsBetween(0, Window.unboundedFollowing)
+        df = series().withColumn("_idx", F.row_number().over(w))
+        known_ts = F.when(F.col("value").isNotNull(), F.col("ts"))
+        known_idx = F.when(F.col("value").isNotNull(), F.col("_idx"))
+        ctx = df.select(
+            "metric", "ts", "value",
+            F.last("value", ignorenulls=True).over(wp).alias("_pv"),
+            F.last(known_ts, ignorenulls=True).over(wp).alias("_pts"),
+            F.last(known_idx, ignorenulls=True).over(wp).alias("_pidx"),
+            F.first("value", ignorenulls=True).over(wn).alias("_nv"),
+            F.first(known_ts, ignorenulls=True).over(wn).alias("_nts"),
+            F.first(known_idx, ignorenulls=True).over(wn).alias("_nidx"),
+        )
+        fill = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+            F.col("ts") - F.col("_pts")
+        ) / (F.col("_nts") - F.col("_pts"))
+        ok = F.col("_pv").isNotNull() & F.col("_nv").isNotNull()
+        if gap_limit is not None:
+            ok = ok & ((F.col("_nidx") - F.col("_pidx") - 1) <= gap_limit)
+        return ctx.select(
+            "metric", "ts",
+            F.when(F.col("value").isNotNull(), F.col("value"))
+            .when(ok, fill)
+            .alias("value"),
+        )
+    if name == "round":
+        precision = int(args[1]) if len(args) > 1 else 0
+        # bround = HALF_EVEN, matching python3 round() in graphite
+        return series().withColumn("value", F.bround(F.col("value"), precision))
+    if name == "minMax":
+        w = Window.partitionBy("metric")
+        vmin, vmax = F.min("value").over(w), F.max("value").over(w)
+        return series().select(
+            "metric", "ts",
+            F.when(vmax != vmin, (F.col("value") - vmin) / (vmax - vmin))
+            .alias("value"),
+        )
+    if name in ("constantLine", "threshold", "identity", "timeFunction"):
+        # generators: one value per distinct timestamp of the source
+        # frame (the evaluation context stands in for the render range)
+        spine = source.select("ts").distinct()
+        if name in ("identity", "timeFunction"):
+            lbl = str(need(0, "name"))
+            return spine.select(
+                F.lit(lbl).alias("metric"), "ts",
+                F.col("ts").cast("double").alias("value"),
+            )
+        val = float(need(0, "value"))
+        lbl = (
+            str(args[1])
+            if name == "threshold" and len(args) > 1
+            else str(val)
+        )
+        return spine.select(
+            F.lit(lbl).alias("metric"), "ts",
+            F.lit(val).alias("value"),
+        )
     raise TargetSyntaxError(f"unknown function {name!r}")
 
 
@@ -732,4 +1201,13 @@ FUNCTIONS = [
     "nPercentile", "aliasSub",
     "movingSum", "movingMax", "movingMin", "movingMedian",
     "asPercent", "offsetToZero",
+    "exclude", "grep", "sortByName", "sortByMaxima", "sortByMinima",
+    "mostDeviant", "highest", "lowest", "filterSeries",
+    "averageOutsidePercentile", "removeBetweenPercentile",
+    "aggregate", "aggregateLine", "groupByNodes", "aliasByMetric",
+    "sumSeriesWithWildcards", "averageSeriesWithWildcards",
+    "aggregateWithWildcards", "weightedAverage", "divideSeriesLists",
+    "integralByInterval", "smartSummarize", "timeStack", "timeSlice",
+    "stdev", "linearRegression", "changed", "interpolate", "round",
+    "minMax", "constantLine", "threshold", "identity", "timeFunction",
 ]
