@@ -451,3 +451,34 @@ def test_source_ngram_jaccard_stop_gram_cap(spark, tmp_path):
     # capped out and creates no cross-source rows at all
     assert set(got) == {("src0", "src1")}
     assert got[("src0", "src1")] == 3          # the rare sentence's 3-grams
+
+
+def test_substring_dedup_window_pairs_and_keep_rule(spark):
+    from whisper_spark.operators.dedup import (
+        dedup_substring,
+        substring_duplicate_pairs,
+    )
+
+    shared = "one two three four five six"          # 6-word run
+    rows = [
+        (1, f"intro text {shared} outro a"),        # shares the run with 2
+        (2, f"different head {shared} tail words"),
+        (3, "totally unrelated content with no overlap at all"),
+        (4, f"intro text {shared} outro a"),        # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = substring_duplicate_pairs(docs, window=6, max_df=50)
+    got = {(r.id_a, r.id_b): r.n_shared for r in pairs.collect()}
+    # every pair among {1,2,4} shares the 6-word window; 3 pairs with none
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert got[(1, 4)] > got[(1, 2)]               # exact dup shares more windows
+
+    kept = sorted(r.doc_id for r in dedup_substring(docs, window=6).collect())
+    assert kept == [1, 3]                          # min-id survivor per overlap
+
+    # boilerplate cap: a window present in > max_df docs emits NO pairs
+    many = [(i, f"boiler plate header row {i} {shared}") for i in range(10)]
+    boiler = spark.createDataFrame(many, "doc_id long, text string")
+    capped = substring_duplicate_pairs(boiler, window=6, max_df=3)
+    assert capped.count() == 0

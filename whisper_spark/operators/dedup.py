@@ -343,3 +343,98 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------- #
+# exact-substring (fixed-window) dedup
+# --------------------------------------------------------------------- #
+
+
+def window_fingerprints(
+    df: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, wfp): 60-bit hashes of every distinct ``window``-word
+    substring of each document.
+
+    The distributed stand-in for suffix-array exact-substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): any exact repeat of >= ``window`` words between two
+    documents shares at least one aligned window, so fixed-length window
+    fingerprints recall every such overlap without building a global
+    suffix structure.  All JVM-side: the window build is one
+    transform-over-split per row (split bound once — see
+    ``word_ngrams_expr``), hashes are 8-byte md5-60 keys."""
+    from ..functions.hashing import word_ngrams_expr
+
+    return df.select(
+        F.col(id_col), F.explode(word_ngrams_expr(text_col, window)).alias("_w")
+    ).select(F.col(id_col), h60(F.col("_w")).alias("wfp"))
+
+
+def substring_duplicate_pairs(
+    df: DataFrame,
+    window: int = 20,
+    max_df: int = 50,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= ``min_shared``
+    exact ``window``-word substrings.
+
+    Scale shape: pairs come from the per-window posting lists
+    (sort_array(collect_set(id)) then in-list pair expansion) — an
+    equi-join-equivalent with shuffle proportional to shared windows,
+    never |docs|^2.  ``max_df`` is the boilerplate guard: a window
+    occurring in more than ``max_df`` documents (license headers,
+    navigation chrome) would emit df^2/2 pair rows for zero dedup signal
+    — the same document-frequency cap the corpus-mix queries use.
+    Dropped windows are template text by construction; genuine long
+    duplications still meet on their rarer neighboring windows."""
+    fps = window_fingerprints(df, window, text_col, id_col)
+    posting = fps.groupBy("wfp").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    )
+    posting = posting.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_df)
+    )
+    # i is 0-based: element a sits at 1-based position i+1, so the
+    # strictly-after slice starts at i+2 — no self-pairs
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def dedup_substring(
+    df: DataFrame,
+    window: int = 20,
+    max_df: int = 50,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-rule over :func:`substring_duplicate_pairs`: drop a document
+    iff it shares a window run with a SMALLER id — the same one-pass
+    min-aggregate keep used by the other dedup families (no connected
+    components)."""
+    pairs = substring_duplicate_pairs(
+        df, window, max_df, min_shared, text_col, id_col
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

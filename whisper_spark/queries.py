@@ -7501,6 +7501,42 @@ FROM (SELECT count(*) AS n_truth FROM truth) t,
 _register_simhash_recall()
 
 
+@_q(
+    "doc_substring_dup_pairs",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(0, len(ws) - 11)),
+                i -> array_to_string(list_slice(ws, i, i + 11), ' '))) AS win
+  FROM w
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(win), 1, 15))::BIGINT AS wfp
+  FROM g0
+),
+keep AS (SELECT wfp FROM g GROUP BY wfp HAVING count(*) BETWEEN 2 AND 50),
+gk AS (SELECT g.doc_id, g.wfp FROM g JOIN keep USING (wfp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM gk a JOIN gk b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+    doc="exact-substring dedup, the distributed Lee-et-al-2021 shape: "
+    "any repeat of >= 12 consecutive words between two documents shares "
+    "an aligned 12-word window, so hashed fixed-length windows recall "
+    "every such overlap without a suffix array.  Pairs come from "
+    "per-window posting lists (candidate-proportional, never all-pairs); "
+    "windows in > 50 documents are boilerplate and are capped out before "
+    "the pair expansion",
+)
+def q_doc_substring_dup_pairs(spark, sf_dir):
+    from .operators.dedup import substring_duplicate_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return substring_duplicate_pairs(d, window=12, max_df=50)
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
