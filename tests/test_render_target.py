@@ -553,3 +553,73 @@ def test_eval_percentile_band_filters(wide):
     ) == {"a.x.m1", "a.y.m1", "a.z.m2"}
     out = _metrics(evaluate_target(wide, "averageOutsidePercentile(a.*.*, 90)"))
     assert "a.x.m1" in out and "a.y.m1" in out
+
+
+def test_eval_moving_window_generic(spark):
+    rows = [("m.x", 0, 3.0), ("m.x", 60, 1.0), ("m.x", 120, 5.0),
+            ("m.x", 180, 2.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    mr = {r.ts: r.value for r in
+          evaluate_target(frame, "movingWindow(m.x, 2, 'range')").collect()}
+    assert mr == {0: 0.0, 60: 2.0, 120: 4.0, 180: 3.0}
+    ml = {r.ts: r.value for r in
+          evaluate_target(frame, "movingWindow(m.x, 3, 'last')").collect()}
+    assert ml[180] == 2.0
+    # default func is average — identical to movingAverage
+    ma = {r.ts: r.value for r in
+          evaluate_target(frame, "movingWindow(m.x, 2)").collect()}
+    mv = {r.ts: r.value for r in
+          evaluate_target(frame, "movingAverage(m.x, 2)").collect()}
+    assert ma == mv
+
+
+def test_consolidate_by_passthrough_and_method(wide):
+    from whisper_spark.render import (
+        consolidate,
+        consolidation_method,
+        parse_target,
+    )
+
+    out = {(r.metric, r.ts): r.value for r in
+           evaluate_target(wide, "consolidateBy(a.x.m1, 'sum')").collect()}
+    raw = {(r.metric, r.ts): r.value for r in
+           evaluate_target(wide, "a.x.m1").collect()}
+    assert out == raw                                  # data passthrough
+    assert consolidation_method(
+        parse_target("scale(consolidateBy(a.x.m1, 'sum'), 2)")) == "sum"
+    assert consolidation_method(parse_target("cumulative(a.x.m1)")) == "sum"
+    assert consolidation_method(parse_target("a.x.m1")) == "average"
+    with pytest.raises(TargetSyntaxError):
+        evaluate_target(wide, "consolidateBy(a.x.m1, 'bogus')")
+
+    # budget 2 points over a 4-slot/60s series -> cstep 120, sums per bin
+    df = evaluate_target(wide, "consolidateBy(a.y.m1, 'sum')")
+    got, cstep = consolidate(df, 2, 60, "sum")
+    assert cstep == 120
+    vals = {r.ts: r.value for r in got.collect()}
+    assert vals == {0: 30.0, 120: 70.0}
+
+
+def test_cli_render_max_datapoints(spark, tmp_path, capsys):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "db"), [(60, 60)], x_files_factor=0.0
+    )
+    s.update_many(
+        [(NOW - 60 * i, float(i)) for i in range(1, 7)], now=NOW, metric="m.cpu"
+    )
+    assert (
+        cli.main(
+            [
+                "render", s.path, "cumulative(m.cpu)",
+                "--from", str(NOW - 420), "--until", str(NOW), "--now", str(NOW),
+                "--max-datapoints", "3", "--json",
+            ]
+        )
+        == 0
+    )
+    data = json.loads(capsys.readouterr().out)
+    (label,) = data.keys()
+    pts = [p for p in data[label] if p[1] is not None]
+    assert 0 < len(pts) <= 3                       # under the budget
+    total = sum(v for _, v in pts)
+    assert total == sum(range(1, 7))               # sum-consolidated, lossless

@@ -259,6 +259,11 @@ def cmd_render(args):
     out = evaluate_target(
         df.select("metric", "ts", "value"), args.target, step=ti[2]
     )
+    if getattr(args, "max_datapoints", None):
+        from .render import consolidate, consolidation_method, parse_target
+
+        how = consolidation_method(parse_target(args.target))
+        out, _ = consolidate(out, args.max_datapoints, ti[2], how)
     rows = out.orderBy("metric", "ts").collect()
     if args.json:
         series: dict[str, list] = {}
@@ -316,6 +321,12 @@ def build_parser() -> argparse.ArgumentParser:
     rn.add_argument("--until", type=int)
     rn.add_argument("--json", action="store_true")
     rn.add_argument("--now", type=int, help="pin 'now' (reproducible reads)")
+    rn.add_argument(
+        "--max-datapoints", dest="max_datapoints", type=int,
+        help="graphite maxDataPoints: auto-consolidate each series to at "
+        "most N points (method from consolidateBy/cumulative in the "
+        "target, default average)",
+    )
     rn.set_defaults(fn=cmd_render)
 
     cp = sub.add_parser(

@@ -1143,6 +1143,43 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             F.when(vmax != vmin, (F.col("value") - vmin) / (vmax - vmin))
             .alias("value"),
         )
+    if name == "movingWindow":
+        # graphite 1.1's generic moving window: movingAverage/Sum/Max/...
+        # are the specializations
+        n = int(need(1, "windowSize"))
+        how = str(args[2]) if len(args) > 2 else "average"
+        w = _sw(n)
+        if how in ("average", "avg"):
+            return _moving_avg(series(), n)
+        if how == "sum":
+            val = (
+                F.sum(F.col("value").cast(_DEC)).over(w)
+                .cast("string").cast("double")
+            )
+        elif how == "max":
+            val = F.max("value").over(w)
+        elif how == "min":
+            val = F.min("value").over(w)
+        elif how == "stddev":
+            val = F.stddev_pop("value").over(w)
+        elif how == "count":
+            val = F.count("value").over(w).cast("double")
+        elif how == "range":
+            val = F.max("value").over(w) - F.min("value").over(w)
+        elif how == "last":
+            val = F.last("value", ignorenulls=True).over(w)
+        else:
+            raise TargetSyntaxError(f"movingWindow: unknown func {how!r}")
+        return series().select("metric", "ts", val.alias("value"))
+    if name in ("consolidateBy", "cumulative"):
+        # data passthrough: the consolidation method is display-pipeline
+        # metadata, honored when a maxDataPoints budget forces coarsening
+        # (cmd_render reads it off the AST via consolidation_method)
+        if name == "consolidateBy" and len(args) > 1:
+            how = str(args[1])
+            if how not in ("sum", "average", "avg", "max", "min", "last"):
+                raise TargetSyntaxError(f"consolidateBy: unknown func {how!r}")
+        return series()
     if name in ("constantLine", "threshold", "identity", "timeFunction"):
         # generators: one value per distinct timestamp of the source
         # frame (the evaluation context stands in for the render range)
@@ -1164,6 +1201,41 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             F.lit(val).alias("value"),
         )
     raise TargetSyntaxError(f"unknown function {name!r}")
+
+
+def consolidation_method(node) -> str:
+    """The consolidation method a target declares for maxDataPoints
+    coarsening: the innermost ``consolidateBy`` wins (graphite semantics —
+    it sets per-series metadata); ``cumulative`` is consolidateBy('sum').
+    Default 'average'."""
+    if isinstance(node, Call):
+        for a in node.args:
+            m = consolidation_method(a)
+            if m != "average":
+                return m
+        if node.name == "cumulative":
+            return "sum"
+        if node.name == "consolidateBy" and len(node.args) > 1:
+            return str(node.args[1])
+    return "average"
+
+
+def consolidate(
+    df: DataFrame, max_points: int, step: int, how: str = "average"
+) -> tuple[DataFrame, int]:
+    """graphite's maxDataPoints auto-consolidation: coarsen a series
+    frame so no series exceeds ``max_points`` — step' = range/budget
+    rounded UP to a multiple of the native step, then one summarize
+    groupBy.  Returns (frame, effective_step); a frame already under
+    budget passes through.  The bounds lookup is one 2-value aggregate
+    (bounded driver data, same precedent as the session now-pin)."""
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:
+        return df, step
+    cstep = ((hi - lo + step) + max_points * step - 1) // (max_points * step) * step
+    if cstep <= step:
+        return df, step
+    return _summarize(df, cstep, how), cstep
 
 
 def evaluate_target(
@@ -1210,4 +1282,5 @@ FUNCTIONS = [
     "integralByInterval", "smartSummarize", "timeStack", "timeSlice",
     "stdev", "linearRegression", "changed", "interpolate", "round",
     "minMax", "constantLine", "threshold", "identity", "timeFunction",
+    "movingWindow", "consolidateBy", "cumulative",
 ]
