@@ -375,3 +375,45 @@ def test_lsh_candidates_500k_planted_dups(spark):
     # collisions — an all-pairs plan would be 7 orders of magnitude more
     total = cand.count()
     assert total < 50_000, total
+
+
+def test_substring_pairs_200k_boilerplate_capped(spark):
+    """200k docs through exact-substring window dedup: planted 6-word
+    overlaps all surface, a boilerplate sentence shared by EVERY doc is
+    capped out by max_df instead of exploding into ~2*10^10 pairs, and
+    the plan stays an aggregation pipeline (no cartesian join)."""
+    from whisper_spark.operators.dedup import substring_duplicate_pairs
+
+    n = 200_000
+    # every doc: a CORPUS-WIDE boilerplate header + a per-doc body;
+    # docs with id % 100 == 1 copy the body of id-1 -> planted pairs
+    eff = F.col("id") - (F.col("id") % 100 == 1).cast("long")
+    body = F.concat_ws(
+        " ",
+        F.md5(eff.cast("string")),
+        F.md5((eff + 1000000).cast("string")),
+        F.md5((eff + 2000000).cast("string")),
+        F.md5((eff + 3000000).cast("string")),
+        F.md5((eff + 4000000).cast("string")),
+        F.md5((eff + 5000000).cast("string")),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("all rights reserved contact the site admin"), body
+        ).alias("text"),
+    )
+    pairs = substring_duplicate_pairs(docs, window=6, max_df=50)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    planted = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("id_a") % 100 == 0)
+    ).count()
+    assert planted == n // 100
+    # the boilerplate window appears in all 200k docs: with the df cap it
+    # contributes ZERO pairs, so the total stays ~planted (md5 bodies are
+    # pairwise distinct apart from the planted copies)
+    total = pairs.count()
+    assert total < 3 * (n // 100), total
