@@ -623,3 +623,63 @@ def test_cli_render_max_datapoints(spark, tmp_path, capsys):
     assert 0 < len(pts) <= 3                       # under the budget
     total = sum(v for _, v in pts)
     assert total == sum(range(1, 7))               # sum-consolidated, lossless
+
+
+def test_eval_substr_and_unique(wide):
+    assert _metrics(evaluate_target(wide, "substr(a.x.m1, 1)")) == {"x.m1"}
+    assert _metrics(evaluate_target(wide, "substr(a.x.m1, 0, 2)")) == {"a.x"}
+    u = evaluate_target(wide, "unique(a.x.m1, a.{x,y}.m1)")
+    # a.x.m1 appears in both lists but its rows survive exactly once
+    assert u.count() == 8 and _metrics(u) == {"a.x.m1", "a.y.m1"}
+
+
+def test_eval_remove_percentile_per_series(spark):
+    rows = [("m.x", 60 * i, float(i)) for i in range(1, 11)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    above = {r.ts: r.value for r in
+             evaluate_target(frame, "removeAbovePercentile(m.x, 50)").collect()}
+    # graphite rank = int(0.5 * 11) = 5 -> threshold 5.0 (at ts=300)
+    assert above[300] == 5.0 and above[360] is None
+    below = {r.ts: r.value for r in
+             evaluate_target(frame, "removeBelowPercentile(m.x, 50)").collect()}
+    assert below[240] is None and below[300] == 5.0
+
+
+def test_eval_fallback_series(wide):
+    out = _metrics(evaluate_target(wide, "fallbackSeries(a.x.m1, a.y.m1)"))
+    assert out == {"a.x.m1"}
+    out = _metrics(evaluate_target(wide, "fallbackSeries(nope.*, a.y.m1)"))
+    assert out == {"a.y.m1"}
+
+
+def test_eval_sort_by_generic_with_limit(wide):
+    assert _metrics(
+        evaluate_target(wide, "limit(sortBy(a.*.*, 'max'), 1)")
+    ) == {"a.x.m1"}                                    # smallest max first
+    assert _metrics(
+        evaluate_target(wide, "limit(sortBy(a.*.*, 'max', true), 1)")
+    ) == {"a.y.m1"}                                    # reversed: largest
+    assert _metrics(evaluate_target(wide, "sortBy(a.*.*)")) == {
+        "a.x.m1", "a.y.m1", "a.z.m2"}                  # passthrough alone
+
+
+def test_eval_keep_last_value_gap_limit(spark):
+    rows = [("m", 0, 1.0), ("m", 60, None), ("m", 120, None), ("m", 180, 4.0),
+            ("m", 240, None), ("m", 300, None), ("m", 360, None),
+            ("m", 420, 8.0), ("m", 480, None)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {r.ts: r.value for r in
+           evaluate_target(frame, "keepLastValue(m, 2)").collect()}
+    # 2-slot gap filled; 3-slot gap left broken (graphite fills only
+    # whole runs <= limit); trailing 1-slot gap filled
+    assert out[60] == 1.0 and out[120] == 1.0
+    assert out[240] is None and out[300] is None and out[360] is None
+    assert out[480] == 8.0
+
+
+def test_eval_multiply_series_with_wildcards(wide):
+    out = {(r.metric, r.ts): r.value for r in
+           evaluate_target(
+               wide, "multiplySeriesWithWildcards(a.{x,y}.m1, 1)").collect()}
+    assert out[("a.m1", 0)] == 10.0                    # 1*10
+    assert out[("a.m1", 120)] is None                  # null slot -> None

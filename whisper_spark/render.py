@@ -367,6 +367,16 @@ def _graphite_pct_rank(p, n):
     return F.least(F.greatest(raw, F.lit(1)), n)
 
 
+def _boolish(a) -> bool:
+    """Boolean render-target argument: graphite targets write true/false
+    as bare words, which the tokenizer reads as Paths."""
+    if isinstance(a, Path):
+        return a.glob.lower() == "true"
+    if isinstance(a, str):
+        return a.lower() == "true"
+    return bool(a)
+
+
 # graphite's sort functions order the series LIST; frames are unordered
 # sets, so the order materializes where list position matters: `limit`
 # (and CLI output) consults the child sort via this table.
@@ -581,6 +591,36 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             .select("metric", "ts", F.col("_d").alias("value"))
         )
     if name == "keepLastValue":
+        if len(args) > 1:
+            # limit = max gap length to fill: graphite fills a run of
+            # Nones ONLY when the whole run is <= limit slots (longer
+            # gaps stay broken, not prefix-filled).  Gap length needs the
+            # next known slot (or series end, for trailing gaps) — same
+            # row-index windows as interpolate's limit.
+            gap_limit = int(args[1])
+            w = Window.partitionBy("metric").orderBy("ts")
+            wp = w.rowsBetween(Window.unboundedPreceding, 0)
+            wn = w.rowsBetween(0, Window.unboundedFollowing)
+            wall = Window.partitionBy("metric")
+            df = series().withColumn("_idx", F.row_number().over(w))
+            known_idx = F.when(F.col("value").isNotNull(), F.col("_idx"))
+            ctx = df.select(
+                "metric", "ts", "value", "_idx",
+                F.last("value", ignorenulls=True).over(wp).alias("_pv"),
+                F.last(known_idx, ignorenulls=True).over(wp).alias("_pidx"),
+                F.first(known_idx, ignorenulls=True).over(wn).alias("_nidx"),
+                F.max("_idx").over(wall).alias("_maxidx"),
+            )
+            gap_len = (
+                F.coalesce(F.col("_nidx"), F.col("_maxidx") + 1)
+                - F.col("_pidx") - 1
+            )
+            return ctx.select(
+                "metric", "ts",
+                F.when(F.col("value").isNotNull(), F.col("value"))
+                .when(gap_len <= gap_limit, F.col("_pv"))
+                .alias("value"),
+            )
         return TS.keep_last_value(series(), ["metric"])
     if name == "integral":
         dec = series().withColumn("value", F.col("value").cast(_DEC))
@@ -619,6 +659,10 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             func, asc = _SORT_ORDERS[child.name]
             if func is not None:
                 return _rank_series(series(), n, func, asc)
+        if isinstance(child, Call) and child.name == "sortBy":
+            func = str(child.args[1]) if len(child.args) > 1 else "average"
+            reverse = _boolish(child.args[2]) if len(child.args) > 2 else False
+            return _rank_series(series(), n, func, not reverse)
         w = Window.orderBy("metric")
         keep = (
             series()
@@ -930,7 +974,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return series().withColumn("metric", F.element_at(parts, -1))
     if name in (
         "sumSeriesWithWildcards", "averageSeriesWithWildcards",
-        "aggregateWithWildcards",
+        "multiplySeriesWithWildcards", "aggregateWithWildcards",
     ):
         # drop the wildcard node positions from each name, then combine
         # the series that collapse onto the same reduced name
@@ -938,7 +982,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             method = str(need(1, "func"))
             positions = [int(a) for a in args[2:]]
         else:
-            method = "sum" if name.startswith("sum") else "avg"
+            method = {"sum": "sum", "ave": "avg", "mul": "multiply"}[name[:3]]
             positions = [int(a) for a in args[1:]]
         pos_sql = ",".join(str(p) for p in positions) or "-1"
         reduced = F.expr(
@@ -1143,6 +1187,56 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             F.when(vmax != vmin, (F.col("value") - vmin) / (vmax - vmin))
             .alias("value"),
         )
+    if name == "substr":
+        # trim the dotted name to nodes [start, stop) — graphite slices
+        # the path, with python-style omitted stop = end
+        start = int(need(1, "start"))
+        stop = int(args[2]) if len(args) > 2 else 0
+        parts = F.split(F.col("metric"), r"\.")
+        if stop:
+            sliced = F.slice(parts, start + 1, stop - start)
+        else:
+            sliced = F.slice(parts, start + 1, F.size(parts) - start)
+        return series().withColumn("metric", F.concat_ws(".", sliced))
+    if name in ("removeAbovePercentile", "removeBelowPercentile"):
+        # null out points beyond the series' own nth-percentile value
+        # (graphite getPercentile nearest-rank per series)
+        p = float(need(1, "n"))
+        df = series()
+        w = Window.partitionBy("metric")
+        rk = df.filter(F.col("value").isNotNull()).select(
+            "metric",
+            "value",
+            F.row_number().over(w.orderBy("value", "ts")).alias("_rn"),
+            F.count("*").over(w).alias("_cnt"),
+        )
+        thr = rk.filter(
+            F.col("_rn") == _graphite_pct_rank(p, F.col("_cnt"))
+        ).select("metric", F.col("value").alias("_thr"))
+        df = df.join(F.broadcast(thr), "metric", "left")
+        keep = (
+            F.col("value") <= F.col("_thr")
+            if name == "removeAbovePercentile"
+            else F.col("value") >= F.col("_thr")
+        )
+        return df.select(
+            "metric", "ts", F.when(keep, F.col("value")).alias("value")
+        )
+    if name == "fallbackSeries":
+        # second seriesList when the first matches nothing (one bounded
+        # emptiness probe — a 1-row take, not a full count)
+        primary = series(0)
+        return primary if primary.take(1) else series(1)
+    if name == "unique":
+        # collapse series lists that name the same metric twice
+        # (overlapping globs in a multi-arg call)
+        return all_series().distinct()
+    if name == "sortBy":
+        # generic sort: passthrough data-wise; limit() reads func/reverse
+        # off the AST like the other sort functions
+        if len(args) > 1:
+            _series_stat(str(args[1]))  # validate the key function early
+        return series()
     if name == "movingWindow":
         # graphite 1.1's generic moving window: movingAverage/Sum/Max/...
         # are the specializations
@@ -1283,4 +1377,6 @@ FUNCTIONS = [
     "stdev", "linearRegression", "changed", "interpolate", "round",
     "minMax", "constantLine", "threshold", "identity", "timeFunction",
     "movingWindow", "consolidateBy", "cumulative",
+    "substr", "removeAbovePercentile", "removeBelowPercentile",
+    "fallbackSeries", "unique", "sortBy", "multiplySeriesWithWildcards",
 ]
