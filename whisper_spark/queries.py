@@ -7502,6 +7502,55 @@ _register_simhash_recall()
 
 
 @_q(
+    "ws_render_target_window",
+    EVENTS_CTES
+    + """
+, sub AS (
+  SELECT metric || '.m1' AS metric, ts, avg_v AS value FROM min1
+),
+mw AS (
+  SELECT metric, ts,
+         max(value) OVER w - min(value) OVER w AS value
+  FROM sub
+  WINDOW w AS (PARTITION BY metric ORDER BY ts
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+),
+rk AS (
+  SELECT metric, ts, value,
+         row_number() OVER (PARTITION BY metric ORDER BY value, ts) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM mw WHERE value IS NOT NULL
+),
+thr AS (
+  SELECT metric, value AS t FROM rk
+  WHERE rn = least(greatest(CAST(floor(0.9 * (n + 1)) AS BIGINT), 1), n)
+)
+SELECT m.metric, m.ts, CASE WHEN m.value <= t.t THEN m.value END AS value
+FROM mw m LEFT JOIN thr t USING (metric)
+""",
+    doc="fifth target-language gate — the round-4 families end-to-end: "
+    "removeAbovePercentile(movingWindow(substr(ev.*.m1, 1), 3, "
+    "'range'), 90) strips the namespace node, takes the trailing-3-slot "
+    "range (local volatility), and nulls points above each series' own "
+    "nearest-rank p90 (graphite rank = int(p/100*(n+1)) clamped).  "
+    "Exercises substr/movingWindow/removeAbovePercentile through "
+    "parse+evaluate (render.py)",
+)
+def q_ws_render_target_window(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
+        "ts",
+        F.col("avg_v").alias("value"),
+    )
+    return evaluate_target(
+        base,
+        "removeAbovePercentile(movingWindow(substr(ev.*.m1, 1), 3, 'range'), 90)",
+    ).select("metric", "ts", "value")
+
+
+@_q(
     "doc_substring_dup_pairs",
     """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
