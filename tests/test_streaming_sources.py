@@ -364,3 +364,52 @@ def test_interval_join_stream_cross_batch(spark, tmp_path):
         ("u1", NOW, NOW + 50, 10.0),
         ("u1", NOW, NOW + 90, 11.0),
     ]
+
+
+def test_near_dedup_stream_flags_in_window_only(spark, tmp_path):
+    """Streaming LSH near-dedup: identical docs inside one tumbling
+    window flag the larger id; the same content in a LATER window is a
+    fresh canonical (window-scoped dedup); unrelated docs never flag.
+    Uses two files + maxFilesPerTrigger so the flag survives a batch
+    boundary inside the watermark."""
+    import json
+
+    from whisper_spark.streaming.rollup import near_dedup_stream
+
+    indir = tmp_path / "nd_in"
+    indir.mkdir()
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different content with no shared shingles at all!"
+    rows1 = [(1, 10, t_a), (2, 20, t_b)]
+    rows2 = [(3, 30, t_a),          # same window as doc 1 -> flagged
+             (9, 400, t_a),         # window 2: canonical again, no flag
+             (99, 4000, "x y z advance the watermark far beyond w2")]
+    for name, rows in (("b1.json", rows1), ("b2.json", rows2)):
+        (indir / name).write_text(
+            "\n".join(json.dumps({"doc_id": d, "sec": s, "text": t})
+                      for d, s, t in rows) + "\n"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, sec long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    flags = near_dedup_stream(
+        stream, window_seconds=300, watermark_seconds=60,
+        num_hashes=16, bands=4, shingle_n=5,
+        id_col="doc_id", ts_col="sec", text_col="text",
+    )
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("nd_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w_start"], r["doc_id"]): r["n_bands"]
+        for r in spark.sql("SELECT * FROM nd_flags").collect()
+    }
+    # doc 3 duplicates doc 1 within window [0, 300): all 4 bands collide
+    assert got == {(0, 3): 4}

@@ -438,3 +438,51 @@ def dedup_substring(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def minhash_bands_expr(
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> F.Column:
+    """``array<struct<band_id:int, band_sig:string>>`` computed as ONE
+    per-row column expression — no explode, no groupBy, no shuffle.
+
+    The batch MinHash path builds signatures with a shingle-index
+    aggregation (fine offline); this form keeps LSH banding legal on a
+    STREAMING DataFrame (stateless projection), and doubles as the
+    zero-shuffle batch variant.  Shingles bind once per row (let-idiom
+    over a 1-element array); each signature is ``array_min`` of the
+    seeded md5-60 family over the shingle set — identical values to
+    ``minhash_signatures``.  Texts shorter than ``shingle_n`` yield an
+    EMPTY band array (no signature, never collides)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    per = num_hashes // bands
+    from ..functions.hashing import char_shingles_expr
+
+    sh = char_shingles_expr(text_col, shingle_n)
+
+    def sig(k: int) -> str:
+        # SQL text so the whole expression nests inside one transform
+        return (
+            # cast: conv() returns STRING — without the bigint cast,
+            # array_min would pick the LEXICOGRAPHIC minimum
+            "array_min(transform(ws, s -> cast("
+            f"conv(substring(md5(concat_ws('#', s, '{k}')), 1, 15), 16, 10)"
+            " as bigint)))"
+        )
+
+    band_structs = ", ".join(
+        f"named_struct('band_id', {b}, 'band_sig', "
+        "md5(concat_ws('#', "
+        + ", ".join(f"cast({sig(b * per + k)} as string)" for k in range(per))
+        + ")))"
+        for b in range(bands)
+    )
+    return F.expr(
+        "flatten(transform(array(" + sh._jc.toString() + "), ws -> "
+        f"IF(size(ws) >= 1, array({band_structs}), "
+        "CAST(array() AS array<struct<band_id:int,band_sig:string>>))))"
+    )

@@ -7551,6 +7551,91 @@ def q_ws_render_target_window(spark, sf_dir):
 
 
 @_q(
+    "stream_near_dedup",
+    """
+WITH d AS (
+  SELECT doc_id, doc_id AS sec, text FROM documents
+),
+mx AS (SELECT max(sec) AS m FROM d),
+sh AS (
+  SELECT doc_id, sec,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, length(text) - 4)),
+           i -> substring(text, i, 5))) AS grams
+  FROM d WHERE length(text) >= 5
+),
+sig AS (
+  SELECT doc_id, sec,
+         list_transform(generate_series(0, 15), k ->
+           list_min(list_transform(grams, s ->
+             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
+  FROM sh WHERE len(grams) >= 1
+),
+bands AS (
+  SELECT doc_id, sec, b.band_id,
+         md5(sigs[4*band_id + 1]::VARCHAR || '#' || sigs[4*band_id + 2]::VARCHAR
+             || '#' || sigs[4*band_id + 3]::VARCHAR || '#'
+             || sigs[4*band_id + 4]::VARCHAR) AS band_sig
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+),
+bw AS (SELECT doc_id, band_id, band_sig, sec // 300 * 300 AS w_start FROM bands),
+buckets AS (
+  SELECT w_start, band_id, band_sig, min(doc_id) AS canon
+  FROM bw GROUP BY w_start, band_id, band_sig
+),
+flags AS (
+  SELECT b.w_start, b.doc_id, count(*) AS n_bands
+  FROM bw b JOIN buckets k
+    ON b.w_start = k.w_start AND b.band_id = k.band_id
+   AND b.band_sig = k.band_sig
+  WHERE b.doc_id <> k.canon
+  GROUP BY b.w_start, b.doc_id
+)
+SELECT w_start, doc_id, n_bands FROM flags, mx WHERE w_start + 300 <= m - 60
+""",
+    doc="STRUCTURED STREAMING near-duplicate suppression: documents "
+    "replayed as a stream (event time = doc_id seconds), MinHash-LSH "
+    "banding computed as a PER-ROW projection (minhash_bands_expr — "
+    "no shuffle, streaming-legal), then two chained watermarked "
+    "aggregations: per-(window, band, sig) bucket min/members, then "
+    "per-(window, doc) band count.  A doc is flagged iff a band bucket "
+    "in its tumbling window holds a smaller id — the batch min-id keep "
+    "rule, deterministic under any arrival order (a first-arrival "
+    "dropDuplicates would not be).  Oracle models watermark "
+    "finalization: window emitted iff w_end <= max_event - delay "
+    "(streaming/rollup.py near_dedup_stream)",
+)
+def q_stream_near_dedup(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import near_dedup_stream
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = src.select("doc_id", F.col("doc_id").alias("sec"), "text")
+    flags = near_dedup_stream(
+        docs, window_seconds=300, watermark_seconds=60,
+        num_hashes=16, bands=4, shingle_n=5,
+        id_col="doc_id", ts_col="sec", text_col="text",
+    )
+    name = "stream_near_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("w_start", "doc_id", "n_bands")
+
+
+@_q(
     "doc_substring_dup_pairs",
     """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

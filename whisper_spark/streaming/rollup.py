@@ -393,3 +393,61 @@ def stateful_slot_lww(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    window_seconds: int = 3600,
+    watermark_seconds: int = 600,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """STREAMING near-duplicate flags: (w_start, doc_id, n_bands) — a doc
+    is flagged iff some MinHash-LSH band bucket inside its tumbling
+    window contains a SMALLER doc id (the batch families' min-id keep
+    rule, so the survivor set is deterministic regardless of arrival
+    order — a first-arrival dropDuplicates would not be).
+
+    Shape: the banding is a per-row projection
+    (:func:`~whisper_spark.operators.dedup.minhash_bands_expr` — no
+    shuffle), then TWO chained watermarked aggregations in append mode
+    (Spark >= 3.5 multiple-stateful-operator support): per-(window, band,
+    sig) bucket min/members, then per-(window, doc) band count.  State is
+    bounded by the watermark on both; bucket membership lists are
+    near-dup-proportional, the same reason batch LSH never goes
+    all-pairs."""
+    from ..operators.dedup import minhash_bands_expr
+
+    b = minhash_bands_expr(text_col, num_hashes, bands, shingle_n)
+    exploded = docs.select(
+        F.col(id_col),
+        F.timestamp_seconds(F.col(ts_col)).alias("_evt"),
+        F.explode(b).alias("_b"),
+    ).withWatermark("_evt", f"{watermark_seconds} seconds")
+    buckets = (
+        exploded.groupBy(
+            F.window("_evt", f"{window_seconds} seconds").alias("_w"),
+            F.col("_b.band_id").alias("_band"),
+            F.col("_b.band_sig").alias("_sig"),
+        )
+        .agg(
+            F.min(id_col).alias("_canon"),
+            F.collect_set(F.col(id_col)).alias("_members"),
+        )
+    )
+    dups = buckets.select(
+        "_w", "_band", F.explode("_members").alias(id_col), "_canon"
+    ).filter(F.col(id_col) != F.col("_canon"))
+    return (
+        dups.groupBy("_w", id_col)
+        .agg(F.count("*").alias("n_bands"))
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("w_start"),
+            F.col(id_col),
+            "n_bands",
+        )
+    )
