@@ -482,3 +482,39 @@ def test_substring_dedup_window_pairs_and_keep_rule(spark):
     boiler = spark.createDataFrame(many, "doc_id long, text string")
     capped = substring_duplicate_pairs(boiler, window=6, max_df=3)
     assert capped.count() == 0
+
+
+def test_parse_media_header_audio_formats():
+    """Round-4 formats: FLAC STREAMINFO, MP3 (bare + ID3v2-tagged), Ogg."""
+    from whisper_spark.operators.multimodal import parse_media_header as p
+
+    # FLAC: 44100 Hz, 441000 total samples -> 10 s
+    u64 = (44100 << 44) | (1 << 41) | (15 << 36) | 441000
+    flac = (b"fLaC" + b"\x00\x00\x00\x22" + b"\x00" * 10
+            + u64.to_bytes(8, "big") + b"\x00" * 16)
+    assert p(flac) == {"mime": "audio/flac", "width": None, "height": None,
+                       "duration_ms": 10000}
+
+    # MP3 MPEG1 Layer III, 128 kbps header; payload 16000 bytes -> 1000 ms
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])   # ver=3, layer=1, br_idx=9
+    mp3 = hdr + b"\x00" * (16000 - 4)
+    got = p(mp3)
+    assert got["mime"] == "audio/mpeg" and got["duration_ms"] == 1000
+
+    # ID3v2-tagged MP3: 100-byte tag (syncsafe), then the same frame
+    tag = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    tagged = tag + hdr + b"\x00" * (16000 - 4)
+    got = p(tagged)
+    assert got["mime"] == "audio/mpeg" and got["duration_ms"] == 1000
+
+    # tag-only payload: recognized, no duration
+    assert p(tag)["mime"] == "audio/mpeg"
+    assert p(tag)["duration_ms"] is None
+
+    ogg = b"OggS" + b"\x00" * 20
+    assert p(ogg) == {"mime": "application/ogg", "width": None,
+                      "height": None, "duration_ms": None}
+
+    # free-format / bad bitrate index -> recognized, no duration
+    bad = bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 100
+    assert p(bad)["duration_ms"] is None

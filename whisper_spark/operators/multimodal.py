@@ -120,6 +120,53 @@ def _make_header_parser() -> Callable[[bytes], dict | None]:
                 i += 2 + seglen
             return {"mime": "image/jpeg", "width": None, "height": None,
                     "duration_ms": None}
+        # FLAC: 'fLaC' magic, then the mandatory STREAMINFO block —
+        # 8 packed bytes carry samplerate(20b)/channels(3b)/bps(5b)/
+        # total samples(36b); duration = samples / rate
+        if n >= 26 and p[:4] == b"fLaC":
+            u64 = int.from_bytes(p[18:26], "big")
+            sr = u64 >> 44
+            total = u64 & ((1 << 36) - 1)
+            dur = total * 1000 // sr if sr and total else None
+            return {"mime": "audio/flac", "width": None, "height": None,
+                    "duration_ms": dur}
+        # MP3: optional ID3v2 tag (syncsafe length), then an MPEG frame
+        # sync.  Duration is the CBR estimate audio_bytes*8/bitrate —
+        # exact for CBR files, the standard header-only approximation
+        # for VBR
+        if n >= 10 and (p[:3] == b"ID3" or (p[0] == 0xFF and p[1] & 0xE0 == 0xE0)):
+            off = 0
+            if p[:3] == b"ID3":
+                off = 10 + (
+                    (p[6] << 21) | (p[7] << 14) | (p[8] << 7) | p[9]
+                )
+            if off + 4 <= n and p[off] == 0xFF and p[off + 1] & 0xE0 == 0xE0:
+                ver = (p[off + 1] >> 3) & 0x3   # 3=MPEG1 2=MPEG2 0=MPEG2.5
+                layer = (p[off + 1] >> 1) & 0x3  # 1=Layer III
+                br_idx = (p[off + 2] >> 4) & 0xF
+                dur = None
+                if layer == 1 and br_idx not in (0, 15):
+                    table = (
+                        [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                         192, 224, 256, 320]
+                        if ver == 3
+                        else [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+                              112, 128, 144, 160]
+                    )
+                    bitrate = table[br_idx] * 1000
+                    dur = (n - off) * 8 * 1000 // bitrate if bitrate else None
+                return {"mime": "audio/mpeg", "width": None, "height": None,
+                        "duration_ms": dur}
+            if p[:3] == b"ID3":
+                # tagged but the audio frame is beyond this payload
+                return {"mime": "audio/mpeg", "width": None, "height": None,
+                        "duration_ms": None}
+        # Ogg container (Vorbis/Opus/Theora): magic only — duration needs
+        # the last page's granule position, i.e. a tail scan the
+        # header-parse contract doesn't cover
+        if n >= 4 and p[:4] == b"OggS":
+            return {"mime": "application/ogg", "width": None, "height": None,
+                    "duration_ms": None}
         # WAV: RIFF/WAVE chunk list — 'fmt ' gives byte rate, 'data' gives
         # payload size; duration = data_bytes / byte_rate (integer ms)
         if n >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
