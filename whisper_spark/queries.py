@@ -7551,6 +7551,83 @@ def q_ws_render_target_window(spark, sf_dir):
 
 
 @_q(
+    "doc_mix_allocation",
+    """
+WITH tok AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(tokens) AS t FROM tok),
+sq AS (
+  SELECT source, tokens,
+         CAST(tokens AS DOUBLE) / t AS share,
+         CAST(CAST(sqrt(CAST(tokens AS DOUBLE) / t) AS DECIMAL(30,15))
+              AS DOUBLE) AS sq_share,
+         CAST(sqrt(CAST(tokens AS DOUBLE) / t) AS DECIMAL(30,15)) AS sq_dec
+  FROM tok, tot
+),
+den AS (SELECT CAST(sum(sq_dec) AS DOUBLE) AS d FROM sq),
+ideal AS (
+  SELECT source, tokens, share,
+         sq_share / d AS mix_share,
+         100000 * sq_share / d AS ideal_quota
+  FROM sq, den
+),
+base AS (
+  SELECT source, tokens, share, mix_share, ideal_quota,
+         CAST(floor(ideal_quota) AS BIGINT) AS floor_q,
+         ideal_quota - floor(ideal_quota) AS rem
+  FROM ideal
+),
+left_over AS (SELECT 100000 - sum(floor_q) AS lo FROM base)
+SELECT source, tokens, share, mix_share,
+       floor_q + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= lo
+                      THEN 1 ELSE 0 END AS quota
+FROM base, left_over
+""",
+    doc="training-data source mixing: temperature-scaled multinomial "
+    "allocation (alpha = 0.5, the multilingual-LM upsampling rule — "
+    "quota_i ~ p_i^alpha boosts low-resource sources) with exact "
+    "largest-remainder rounding to a 100k-token budget.  Float "
+    "determinism: the only order-sensitive reduction (sum of sqrt "
+    "shares) runs in DECIMAL(30,15), so both engines add exactly; "
+    "sqrt/divide are IEEE-deterministic pointwise ops",
+)
+def q_doc_mix_allocation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("tokens")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(w_all)
+    sq_dec = F.sqrt(share).cast("decimal(30,15)")
+    base = tok.select(
+        "source", "tokens", share.alias("share"),
+        (
+            sq_dec.cast("double")
+            / F.sum(sq_dec).over(w_all).cast("double")
+        ).alias("mix_share"),
+    ).withColumn("ideal_quota", F.col("mix_share") * 100000)
+    base = base.withColumn(
+        "floor_q", F.floor("ideal_quota").cast("long")
+    ).withColumn("rem", F.col("ideal_quota") - F.floor("ideal_quota"))
+    lo = F.lit(100000) - F.sum("floor_q").over(w_all)
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    return base.select(
+        "source", "tokens", "share", "mix_share",
+        (F.col("floor_q") + (rk <= lo).cast("long")).alias("quota"),
+    )
+
+
+@_q(
     "stream_near_dedup",
     """
 WITH d AS (
