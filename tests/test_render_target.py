@@ -683,3 +683,32 @@ def test_eval_multiply_series_with_wildcards(wide):
                wide, "multiplySeriesWithWildcards(a.{x,y}.m1, 1)").collect()}
     assert out[("a.m1", 0)] == 10.0                    # 1*10
     assert out[("a.m1", 120)] is None                  # null slot -> None
+
+
+def test_eval_apply_by_node(spark):
+    rows = [
+        ("srv.a.free", 0, 10.0), ("srv.a.total", 0, 40.0),
+        ("srv.b.free", 0, 30.0), ("srv.b.total", 0, 60.0),
+    ]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {r.metric: r.value for r in evaluate_target(
+        frame,
+        "applyByNode(srv.*.free, 1, 'divideSeries(%.free, %.total)', '%.pct')",
+    ).collect()}
+    assert out == {"srv.a.pct": 0.25, "srv.b.pct": 0.5}
+
+
+def test_eval_use_series_above(spark):
+    rows = [
+        ("app.req.count", 0, 500.0), ("app.req.count", 60, 900.0),
+        ("app.idle.count", 0, 3.0),
+        ("app.req.latency", 0, 12.0), ("app.req.latency", 60, 15.0),
+        ("app.idle.latency", 0, 1.0),
+    ]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    # only app.req.count peaks above 100 -> draw app.req.latency
+    out = evaluate_target(
+        frame, "useSeriesAbove(app.*.count, 100, 'count', 'latency')"
+    )
+    got = {(r.metric, r.ts): r.value for r in out.collect()}
+    assert got == {("app.req.latency", 0): 12.0, ("app.req.latency", 60): 15.0}

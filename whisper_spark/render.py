@@ -1274,6 +1274,46 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             if how not in ("sum", "average", "avg", "max", "min", "last"):
                 raise TargetSyntaxError(f"consolidateBy: unknown func {how!r}")
         return series()
+    if name == "applyByNode":
+        # evaluate a template once per node-prefix: applyByNode(
+        # servers.*.disk.*, 1, 'divide(%.free, %.total)').  The prefix
+        # list is driver-collected — bounded by series count, the same
+        # contract as the centroid/bounds literals elsewhere.
+        node_i = int(need(1, "nodeNum"))
+        template = str(need(2, "templateFunction"))
+        newname = str(args[3]) if len(args) > 3 else None
+        prefix = F.concat_ws(
+            ".", F.slice(F.split(F.col("metric"), r"\."), 1, node_i + 1)
+        )
+        prefixes = sorted(
+            r["p"] for r in series().select(prefix.alias("p")).distinct().collect()
+        )
+        out = None
+        for p in prefixes:
+            sub = _evaluate(
+                parse_target(template.replace("%", p)), source, text, step
+            )
+            if newname:
+                sub = sub.withColumn("metric", F.lit(newname.replace("%", p)))
+            out = sub if out is None else out.unionByName(sub)
+        if out is None:
+            raise TargetSyntaxError("applyByNode: no series matched")
+        return out
+    if name == "useSeriesAbove":
+        # for series peaking above the threshold, substitute search ->
+        # replace in the name and draw THOSE series from the store frame
+        val = float(need(1, "value"))
+        search, replace = str(need(2, "search")), str(need(3, "replace"))
+        keep = (
+            series()
+            .groupBy("metric")
+            .agg(F.max("value").alias("_m"))
+            .filter(F.col("_m") > val)
+            .select(F.regexp_replace("metric", search, replace).alias("metric"))
+        )
+        return source.join(F.broadcast(keep), "metric").select(
+            "metric", "ts", "value"
+        )
     if name in ("constantLine", "threshold", "identity", "timeFunction"):
         # generators: one value per distinct timestamp of the source
         # frame (the evaluation context stands in for the render range)
@@ -1379,4 +1419,5 @@ FUNCTIONS = [
     "movingWindow", "consolidateBy", "cumulative",
     "substr", "removeAbovePercentile", "removeBelowPercentile",
     "fallbackSeries", "unique", "sortBy", "multiplySeriesWithWildcards",
+    "applyByNode", "useSeriesAbove",
 ]
