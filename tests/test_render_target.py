@@ -712,3 +712,36 @@ def test_eval_use_series_above(spark):
     )
     got = {(r.metric, r.ts): r.value for r in out.collect()}
     assert got == {("app.req.latency", 0): 12.0, ("app.req.latency", 60): 15.0}
+
+
+def test_eval_as_percent_two_arg_forms(wide):
+    vs = {r.ts: r.value for r in
+          evaluate_target(wide, "asPercent(a.x.m1, 50)").collect()}
+    assert vs[0] == 2.0 and vs[180] == 8.0
+    vt = {r.ts: r.value for r in
+          evaluate_target(wide, "asPercent(a.x.m1, a.y.m1)").collect()}
+    assert vt[0] == 10.0 and vt[180] == 10.0
+
+
+def test_eval_summarize_align_to_from(spark):
+    rows = [("m", 30, 1.0), ("m", 90, 2.0), ("m", 150, 4.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    epoch = {r.ts: r.value for r in
+             evaluate_target(frame, "summarize(m, '2min', 'sum')").collect()}
+    assert epoch == {0: 3.0, 120: 4.0}
+    aligned = {r.ts: r.value for r in evaluate_target(
+        frame, "summarize(m, '2min', 'sum', true)").collect()}
+    assert aligned == {30: 3.0, 150: 4.0}       # anchored at series start
+    last = {r.ts: r.value for r in evaluate_target(
+        frame, "summarize(m, '2min', 'last', true)").collect()}
+    assert last == {30: 2.0, 150: 4.0}          # last by TIME in bucket
+
+
+def test_parse_signed_durations_and_time_shift(spark):
+    assert parse_duration("-1h") == -3600
+    assert parse_duration("+30s") == 30
+    rows = [("m", 0, 1.0), ("m", 60, 2.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    back = {r.ts for r in
+            evaluate_target(frame, "timeShift(m, '-1min')").collect()}
+    assert back == {-60, 0}

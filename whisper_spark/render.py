@@ -142,7 +142,7 @@ def parse_target(s: str) -> Call | Path:
     return node
 
 
-_DURATION = re.compile(r"^(\d+)(s|min|h|d|w|mon|y)$")
+_DURATION = re.compile(r"^([+-]?)(\d+)(s|min|h|d|w|mon|y)$")
 _DUR_SECONDS = {
     "s": 1, "min": 60, "h": 3600, "d": 86400, "w": 604800,
     "mon": 2592000, "y": 31536000,
@@ -150,13 +150,16 @@ _DUR_SECONDS = {
 
 
 def parse_duration(s: str | int) -> int:
-    """'15min' -> 900 (graphite render-API interval syntax)."""
+    """'15min' -> 900 (graphite render-API interval syntax).  An
+    optional sign is honored ('-1h' -> -3600): graphite's
+    parseTimeOffset accepts signed offsets for timeShift/timeSlice."""
     if isinstance(s, int):
         return s
     m = _DURATION.match(s.strip())
     if not m:
         raise TargetSyntaxError(f"bad duration {s!r}")
-    return int(m.group(1)) * _DUR_SECONDS[m.group(2)]
+    sign = -1 if m.group(1) == "-" else 1
+    return sign * int(m.group(2)) * _DUR_SECONDS[m.group(3)]
 
 
 # --------------------------------------------------------------------- #
@@ -230,8 +233,10 @@ def _combine(df: DataFrame, label: str, how: str) -> DataFrame:
     )
 
 
-def _summarize(df: DataFrame, step: int, how: str) -> DataFrame:
-    b = (F.col("ts") - F.col("ts") % step).alias("ts")
+def _summarize(df: DataFrame, step: int, how: str, bucket=None) -> DataFrame:
+    b = (
+        bucket if bucket is not None else (F.col("ts") - F.col("ts") % step)
+    ).alias("ts")
     g = df.groupBy("metric", b)
     if how == "sum":
         agg = _dsum("value")
@@ -517,6 +522,17 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
     if name == "summarize":
         bucket = parse_duration(need(1, "interval"))
         how = args[2] if len(args) > 2 else "sum"
+        if len(args) > 3 and _boolish(args[3]):
+            # alignToFrom=true: buckets anchored at each series' own
+            # start instead of the epoch — smartSummarize's alignment
+            w = Window.partitionBy("metric")
+            df = series().withColumn("_t0", F.min("ts").over(w))
+            b = (
+                F.col("_t0")
+                + ((F.col("ts") - F.col("_t0"))
+                   - (F.col("ts") - F.col("_t0")) % bucket)
+            )
+            return _summarize(df, bucket, how, bucket=b)
         return _summarize(series(), bucket, how)
     if name == "hitcount":
         bucket = parse_duration(need(1, "interval"))
@@ -562,14 +578,33 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             )
         return series().select("metric", "ts", val.alias("value"))
     if name == "asPercent":
-        # each series as a percentage of the per-ts total (the one-arg
-        # graphite form)
+        # one-arg: share of the per-ts total across the list; two-arg:
+        # against a constant, or against another seriesList's per-ts sum
         df = series()
-        w = Window.partitionBy("ts")
-        tot = (
-            F.sum(F.col("value").cast(_DEC)).over(w)
-            .cast("string").cast("double")
-        )
+        if len(args) > 1 and isinstance(args[1], (int, float)):
+            tot = F.lit(float(args[1]))
+        elif len(args) > 1:
+            totals = (
+                series(1)
+                .groupBy("ts")
+                .agg(_dsum("value").alias("_tot"))
+            )
+            return (
+                df.join(totals, "ts", "left")
+                .select(
+                    "metric", "ts",
+                    F.when(
+                        F.col("_tot").isNotNull() & (F.col("_tot") != 0.0),
+                        F.col("value") / F.col("_tot") * 100.0,
+                    ).alias("value"),
+                )
+            )
+        else:
+            w = Window.partitionBy("ts")
+            tot = (
+                F.sum(F.col("value").cast(_DEC)).over(w)
+                .cast("string").cast("double")
+            )
         return df.select(
             "metric", "ts",
             F.when(tot != 0.0, F.col("value") / tot * 100.0).alias("value"),
@@ -1065,11 +1100,9 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             F.col("_t0")
             + ((F.col("ts") - F.col("_t0")) - (F.col("ts") - F.col("_t0")) % step_s)
         )
-        return (
-            df.groupBy("metric", bucket.alias("ts"))
-            .agg(_agg_expr(how).alias("value"))
-            .select("metric", "ts", "value")
-        )
+        # _summarize's dispatch, not _agg_expr's: within one series,
+        # 'last' must resolve by time, not by metric-name list order
+        return _summarize(df, step_s, how, bucket=bucket)
     if name == "timeStack":
         # overlay N shifted copies: shift i moves data i*unit forward so
         # history lines up under the present
