@@ -7760,10 +7760,12 @@ def q_doc_substring_dup_pairs(spark, sf_dir):
 _DRIVER_WINDOW_PROMOTE = [
     "ws_ewma", "ws_holt_winters", "stream_slot_lww_state",
     "ws_render_target", "mm_decode_real_headers",
+    "doc_substring_dup_pairs", "stream_near_dedup",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
     "q2_min_cost_supplier", "q11_important_stock", "q20_part_promotion",
+    "q14_promo_revenue", "q16_supplier_cnt",
 ]
 
 
@@ -7771,7 +7773,12 @@ def _reorder_registry() -> None:
     global QUERIES
     moved = set(_DRIVER_WINDOW_PROMOTE) | set(_DRIVER_WINDOW_DEMOTE)
     rest = [n for n in QUERIES if n not in moved]
-    order = rest[:45] + _DRIVER_WINDOW_PROMOTE + rest[45:] + _DRIVER_WINDOW_DEMOTE
+    order = (
+        rest[: 50 - len(_DRIVER_WINDOW_PROMOTE)]
+        + _DRIVER_WINDOW_PROMOTE
+        + rest[50 - len(_DRIVER_WINDOW_PROMOTE):]
+        + _DRIVER_WINDOW_DEMOTE
+    )
     QUERIES = {n: QUERIES[n] for n in order}
 
 
