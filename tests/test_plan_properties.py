@@ -291,3 +291,22 @@ def test_trailing_window_queries_run_one_discovery_scan_per_session(spark):
     assert last_job() == n_before, (
         f"query construction launched {last_job() - n_before} extra job(s)"
     )
+
+
+def test_substring_dedup_is_aggregation_only(spark):
+    """The suffix-style window dedup must stay a posting-list
+    aggregation pipeline: no join operator AT ALL (pairs come from
+    in-list expansion), and exactly the two aggregate shuffles
+    (posting build, pair count)."""
+    plan = plan_of(spark, "doc_substring_dup_pairs")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_mix_allocation_single_scan(spark):
+    """doc_mix_allocation reads the documents table exactly once — the
+    shares/quotas all derive from one token aggregate."""
+    plan = plan_of(spark, "doc_mix_allocation")
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
