@@ -7595,7 +7595,9 @@ FROM base, left_over
     "shares) runs in DECIMAL(30,15), so both engines add exactly; "
     "sqrt/divide are IEEE-deterministic pointwise ops",
 )
-def q_doc_mix_allocation(spark, sf_dir):
+def _mix_quotas(spark, sf_dir, budget: int = 100000):
+    """Shared by doc_mix_allocation / doc_mix_sample: per-source
+    temperature-scaled token quotas (alpha=0.5, largest remainder)."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
@@ -7615,15 +7617,98 @@ def q_doc_mix_allocation(spark, sf_dir):
             sq_dec.cast("double")
             / F.sum(sq_dec).over(w_all).cast("double")
         ).alias("mix_share"),
-    ).withColumn("ideal_quota", F.col("mix_share") * 100000)
+    ).withColumn("ideal_quota", F.col("mix_share") * budget)
     base = base.withColumn(
         "floor_q", F.floor("ideal_quota").cast("long")
     ).withColumn("rem", F.col("ideal_quota") - F.floor("ideal_quota"))
-    lo = F.lit(100000) - F.sum("floor_q").over(w_all)
+    lo = F.lit(budget) - F.sum("floor_q").over(w_all)
     rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
     return base.select(
         "source", "tokens", "share", "mix_share",
         (F.col("floor_q") + (rk <= lo).cast("long")).alias("quota"),
+    )
+
+
+def q_doc_mix_allocation(spark, sf_dir):
+    return _mix_quotas(spark, sf_dir)
+
+
+@_q(
+    "doc_mix_sample",
+    """
+WITH tok AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(tokens) AS t FROM tok),
+sq AS (
+  SELECT source, tokens,
+         CAST(CAST(sqrt(CAST(tokens AS DOUBLE) / t) AS DECIMAL(30,15))
+              AS DOUBLE) AS sq_share,
+         CAST(sqrt(CAST(tokens AS DOUBLE) / t) AS DECIMAL(30,15)) AS sq_dec
+  FROM tok, tot
+),
+den AS (SELECT CAST(sum(sq_dec) AS DOUBLE) AS d FROM sq),
+base AS (
+  SELECT source,
+         CAST(floor(10000 * sq_share / d) AS BIGINT) AS floor_q,
+         10000 * sq_share / d - floor(10000 * sq_share / d) AS rem
+  FROM sq, den
+),
+left_over AS (SELECT 10000 - sum(floor_q) AS lo FROM base),
+alloc AS (
+  SELECT source,
+         floor_q + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                             <= lo THEN 1 ELSE 0 END AS quota
+  FROM base, left_over
+),
+dt AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS doc_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT dt.doc_id, dt.source, dt.doc_tokens, a.quota,
+         CAST(sum(dt.doc_tokens) OVER (
+           PARTITION BY dt.source
+           ORDER BY md5(dt.doc_id::VARCHAR), dt.doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM dt JOIN alloc a USING (source)
+)
+SELECT doc_id, source, doc_tokens, cum_tokens, quota
+FROM ordered WHERE cum_tokens <= quota
+""",
+    doc="the selection half of the mixing pipeline: within each source, "
+    "documents are ordered by a deterministic content-free shuffle key "
+    "(md5 of the id — reproducible sampling without RNG state) and "
+    "taken greedily until the source's temperature-scaled token quota "
+    "is met (running-sum window, integer-exact).  allocation + sample "
+    "together are the alpha-upsampling data-mix recipe end to end",
+)
+def q_doc_mix_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    quotas = _mix_quotas(spark, sf_dir, budget=10000).select("source", "quota")
+    dt = d.select(
+        "doc_id", "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("doc_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = dt.join(F.broadcast(quotas), "source")
+    return (
+        joined.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("quota"))
+        .select("doc_id", "source", "doc_tokens", "cum_tokens", "quota")
     )
 
 
