@@ -745,3 +745,47 @@ def test_parse_signed_durations_and_time_shift(spark):
     back = {r.ts for r in
             evaluate_target(frame, "timeShift(m, '-1min')").collect()}
     assert back == {-60, 0}
+
+
+# --------------------------------------------------------------------- #
+# graphite 1.1 tag support (carbon tagged names: name;key=value;...)
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def tagged(spark):
+    rows = [
+        ("disk.used;dc=east;host=web1", 0, 10.0),
+        ("disk.used;dc=east;host=web1", 60, 12.0),
+        ("disk.used;dc=east;host=web2", 0, 20.0),
+        ("disk.used;dc=west;host=web3", 0, 40.0),
+        ("cpu.load;dc=east;host=web1", 0, 1.0),
+    ]
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+def test_eval_series_by_tag(tagged):
+    out = _metrics(evaluate_target(
+        tagged, "seriesByTag('name=disk.used', 'dc=east')"))
+    assert out == {"disk.used;dc=east;host=web1", "disk.used;dc=east;host=web2"}
+    neq = _metrics(evaluate_target(
+        tagged, "seriesByTag('name=disk.used', 'dc!=east')"))
+    assert neq == {"disk.used;dc=west;host=web3"}
+    rx = _metrics(evaluate_target(
+        tagged, "seriesByTag('host=~web[12]')"))
+    assert rx == {"disk.used;dc=east;host=web1", "disk.used;dc=east;host=web2",
+                  "cpu.load;dc=east;host=web1"}
+    nrx = _metrics(evaluate_target(
+        tagged, "seriesByTag('name=disk.used', 'host!=~web1')"))
+    assert nrx == {"disk.used;dc=east;host=web2", "disk.used;dc=west;host=web3"}
+
+
+def test_eval_alias_and_group_by_tags(tagged):
+    al = _metrics(evaluate_target(
+        tagged, "aliasByTags(seriesByTag('name=disk.used'), 'host', 'dc')"))
+    assert al == {"web1.east", "web2.east", "web3.west"}
+    g = {(r.metric, r.ts): r.value for r in evaluate_target(
+        tagged, "groupByTags(seriesByTag('name=disk.used'), 'sum', 'dc')"
+    ).collect()}
+    assert g[("east", 0)] == 30.0 and g[("west", 0)] == 40.0
+    assert g[("east", 60)] == 12.0

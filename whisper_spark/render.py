@@ -393,6 +393,39 @@ _SORT_ORDERS = {
 }
 
 
+def _tag_value(tag: str):
+    """Value of ``tag`` in a carbon tagged-metric name
+    (``name;key1=v1;key2=v2``).  The pseudo-tag ``name`` is the part
+    before the first ';'.  Missing tags read as '' (graphite's
+    behavior for formatting/grouping)."""
+    if tag == "name":
+        return F.substring_index(F.col("metric"), ";", 1)
+    return F.regexp_extract(F.col("metric"), ";" + re.escape(tag) + "=([^;]*)", 1)
+
+
+_TAG_EXPR = re.compile(r"^([^=~!]+)(!?=~?)(.*)$")
+
+
+def _tag_filter(expr: str):
+    """One seriesByTag filter expression -> boolean Column.
+    Operators: = exact, != not-equal, =~ regex (anchored at start,
+    graphite semantics), !=~ negated regex."""
+    m = _TAG_EXPR.match(expr.strip())
+    if not m:
+        raise TargetSyntaxError(f"seriesByTag: bad expression {expr!r}")
+    tag, op, val = m.group(1).strip(), m.group(2), m.group(3)
+    v = _tag_value(tag)
+    if op == "=":
+        return v == val
+    if op == "!=":
+        return v != val
+    if op == "=~":
+        return v.rlike("^" + val)
+    if op == "!=~":
+        return ~v.rlike("^" + val)
+    raise TargetSyntaxError(f"seriesByTag: bad operator in {expr!r}")
+
+
 def _series_step_col(df: DataFrame) -> DataFrame:
     """Annotate each row with its series' native step (seconds between
     consecutive points), derived from the data itself: the minimum
@@ -1347,6 +1380,35 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return source.join(F.broadcast(keep), "metric").select(
             "metric", "ts", "value"
         )
+    if name == "seriesByTag":
+        # graphite 1.1 tag queries over carbon tagged names
+        # (name;key=value;...): every expression must match (AND)
+        if not args:
+            raise TargetSyntaxError("seriesByTag: needs expressions")
+        cond = None
+        for a in args:
+            c = _tag_filter(str(a))
+            cond = c if cond is None else (cond & c)
+        return source.filter(cond).select("metric", "ts", "value")
+    if name == "aliasByTags":
+        tags = [str(a) for a in args[1:]]
+        if not tags:
+            raise TargetSyntaxError("aliasByTags: needs tag names")
+        return series().withColumn(
+            "metric", F.concat_ws(".", *[_tag_value(t) for t in tags])
+        )
+    if name == "groupByTags":
+        method = str(need(1, "callback"))
+        tags = [str(a) for a in args[2:]]
+        if not tags:
+            raise TargetSyntaxError("groupByTags: needs tag names")
+        key = F.concat_ws(".", *[_tag_value(t) for t in tags])
+        return (
+            series()
+            .groupBy(key.alias("metric"), "ts")
+            .agg(_agg_expr(method).alias("value"))
+            .select("metric", "ts", "value")
+        )
     if name in ("constantLine", "threshold", "identity", "timeFunction"):
         # generators: one value per distinct timestamp of the source
         # frame (the evaluation context stands in for the render range)
@@ -1453,4 +1515,5 @@ FUNCTIONS = [
     "substr", "removeAbovePercentile", "removeBelowPercentile",
     "fallbackSeries", "unique", "sortBy", "multiplySeriesWithWildcards",
     "applyByNode", "useSeriesAbove",
+    "seriesByTag", "aliasByTags", "groupByTags",
 ]
