@@ -7798,6 +7798,49 @@ def q_stream_near_dedup(spark, sf_dir):
 
 
 @_q(
+    "ws_render_target_tags",
+    EVENTS_CTES
+    + """
+, tagged AS (
+  SELECT CASE WHEN metric IN ('click', 'view') THEN 'east' ELSE 'west' END
+           AS dc,
+         ts, avg_v AS value
+  FROM min1
+)
+SELECT dc AS metric, ts,
+       (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value
+FROM tagged GROUP BY dc, ts
+""",
+    doc="sixth target-language gate — graphite 1.1 TAG queries end to "
+    "end: the minute rollup is renamed to carbon tagged form "
+    "(srv.load;dc=...;host=...), then groupByTags(seriesByTag("
+    "'name=srv.load', 'dc=~(east|west)'), 'sum', 'dc') filters by tag "
+    "expression and re-keys on the dc tag value with the decimal-exact "
+    "sum (render.py seriesByTag/groupByTags)",
+)
+def q_ws_render_target_tags(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir).select(
+        F.concat(
+            F.lit("srv.load;dc="),
+            F.when(F.col("metric").isin("click", "view"), "east").otherwise(
+                "west"
+            ),
+            F.lit(";host="),
+            F.col("metric"),
+        ).alias("metric"),
+        "ts",
+        F.col("avg_v").alias("value"),
+    )
+    return evaluate_target(
+        base,
+        "groupByTags(seriesByTag('name=srv.load', 'dc=~(east|west)'), "
+        "'sum', 'dc')",
+    ).select("metric", "ts", "value")
+
+
+@_q(
     "doc_substring_dup_pairs",
     """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
