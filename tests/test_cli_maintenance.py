@@ -203,3 +203,34 @@ def test_cli_auto_update_expr(spark, store, capsys):
     (_, after) = store.fetch("m", from_time=NOW - 10, until_time=NOW, now=NOW)
     vals_after = {r.ts: r.value for r in after.collect() if r.value is not None}
     assert vals_after == {t: v * 2 + 1 for t, v in vals_before.items()}
+
+
+def test_cli_find_namespace_browse(spark, tmp_path, capsys):
+    """graphite /metrics/find semantics: node expansion at the pattern
+    depth with leaf/branch flags (a name can be both)."""
+    import json as _json
+
+    from whisper_spark import cli
+    from whisper_spark.store import WhisperStore
+
+    now = 1700000000
+    s = WhisperStore.create(spark, str(tmp_path / "db"), [(60, 60)])
+    for m in ["srv.web1.cpu", "srv.web1.mem", "srv.web2.cpu",
+              "srv.web1", "db.pg.conn"]:
+        s.update_many([(now - 60, 1.0)], now=now, metric=m)
+
+    assert cli.main(["find", s.path, "*", "--json"]) == 0
+    top = {r["node"]: r for r in _json.loads(capsys.readouterr().out)}
+    assert set(top) == {"srv", "db"}
+    assert top["srv"]["is_branch"] and not top["srv"]["is_leaf"]
+
+    assert cli.main(["find", s.path, "srv.*", "--json"]) == 0
+    mid = {r["node"]: r for r in _json.loads(capsys.readouterr().out)}
+    # srv.web1 is BOTH a stored metric (leaf) and a prefix (branch)
+    assert mid["srv.web1"]["is_leaf"] and mid["srv.web1"]["is_branch"]
+    assert mid["srv.web2"]["is_branch"] and not mid["srv.web2"]["is_leaf"]
+
+    assert cli.main(["find", s.path, "srv.web*.cpu", "--json"]) == 0
+    leaves = {r["node"]: r for r in _json.loads(capsys.readouterr().out)}
+    assert set(leaves) == {"srv.web1.cpu", "srv.web2.cpu"}
+    assert all(r["is_leaf"] and not r["is_branch"] for r in leaves.values())

@@ -97,6 +97,24 @@ def cmd_dump(args):
     return 0
 
 
+def cmd_find(args):
+    store = WhisperStore.open(_spark(), args.path)
+    rows = store.find(args.pattern).orderBy("node").collect()
+    if args.json:
+        print(json.dumps([
+            {"node": r["node"], "is_leaf": bool(r["is_leaf"]),
+             "is_branch": bool(r["is_branch"])}
+            for r in rows
+        ]))
+        return 0
+    for r in rows:
+        kind = "leaf" if r["is_leaf"] else "branch"
+        if r["is_leaf"] and r["is_branch"]:
+            kind = "leaf+branch"
+        print(f"{r['node']}\t{kind}")
+    return 0
+
+
 def cmd_info(args):
     store = WhisperStore.open(_spark(), args.path)
     info = store.info()
@@ -363,6 +381,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="restrict to metric(s); repeatable")
     au.add_argument("--now", type=int, help="pin 'now' (reproducible)")
     au.set_defaults(fn=cmd_auto_update)
+
+    fd = sub.add_parser(
+        "find",
+        help="browse the metric namespace by dotted glob "
+        "(graphite /metrics/find analog)",
+    )
+    fd.add_argument("path")
+    fd.add_argument("pattern")
+    fd.add_argument("--json", action="store_true")
+    fd.set_defaults(fn=cmd_find)
 
     i = sub.add_parser("info", help="header info (whisper-info)")
     i.add_argument("path")

@@ -904,6 +904,37 @@ class WhisperStore:
         directory tree of .wsp files)."""
         return self._read_points().select("metric").distinct()
 
+    def find(self, pattern: str) -> DataFrame:
+        """graphite ``/metrics/find`` semantics over the store namespace:
+        nodes at the pattern's depth, with leaf/branch flags.
+
+        ``pattern`` is a dotted glob (``servers.*.cpu``); the result has
+        one row per matching node path at that depth — ``is_leaf`` true
+        when a metric ends exactly there, ``is_branch`` true when deeper
+        metrics continue below (both can be true, as in graphite).  One
+        distinct + one groupBy over the name column only (column-pruned
+        scan); the reference stack serves this from the .wsp directory
+        tree, which the metric column replaces."""
+        from .functions.timeseries import glob_to_regex
+
+        depth = pattern.count(".") + 1
+        parts = F.split(F.col("metric"), r"\.")
+        node = F.concat_ws(".", F.slice(parts, 1, depth))
+        return (
+            self.metrics()
+            .filter(F.size(parts) >= depth)
+            .select(
+                node.alias("node"),
+                (F.size(parts) == depth).alias("_leaf"),
+            )
+            .filter(F.col("node").rlike(glob_to_regex(pattern)))
+            .groupBy("node")
+            .agg(
+                F.max(F.col("_leaf")).alias("is_leaf"),
+                F.max(~F.col("_leaf")).alias("is_branch"),
+            )
+        )
+
     def dump(self) -> DataFrame:
         """Full-scan debug view (reference: bin/whisper-dump.py:40-138).
         Returns every stored row (pre-LWW), ordered by archive then ts."""
