@@ -789,3 +789,17 @@ def test_eval_alias_and_group_by_tags(tagged):
     ).collect()}
     assert g[("east", 0)] == 30.0 and g[("west", 0)] == 40.0
     assert g[("east", 60)] == 12.0
+
+
+def test_eval_moving_family_duration_windows(spark):
+    rows = [("m", 0, 3.0), ("m", 60, 1.0), ("m", 120, 5.0), ("m", 180, 2.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    # '2min' at the threaded 60s step -> 2 points, same as movingSum(m, 2)
+    by_dur = {r.ts: r.value for r in evaluate_target(
+        frame, "movingSum(m, '2min')", step=60).collect()}
+    by_n = {r.ts: r.value for r in evaluate_target(
+        frame, "movingSum(m, 2)").collect()}
+    assert by_dur == by_n == {0: 3.0, 60: 4.0, 120: 6.0, 180: 7.0}
+    mw = {r.ts: r.value for r in evaluate_target(
+        frame, "movingWindow(m, '3min', 'max')", step=60).collect()}
+    assert mw[180] == 5.0

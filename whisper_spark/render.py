@@ -462,6 +462,19 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
 
     label = f"{name}({', '.join(map(repr, args))})"
 
+    def window_points(ws) -> int:
+        """graphite's moving-* windowSize: a point count, or a duration
+        string converted at the series step (threaded fetch step, else
+        60s — the same convention as exponentialMovingAverage)."""
+        if isinstance(ws, str):
+            return max(1, parse_duration(ws) // (step or 60))
+        n = int(ws)
+        if n < 1:
+            raise TargetSyntaxError(
+                f"{name}: windowSize must be >= 1, got {ws!r}"
+            )
+        return n
+
     def all_series(start=0) -> DataFrame:
         """Union every series argument from ``start`` on — graphite's
         combine functions accept N seriesLists, not just one."""
@@ -584,9 +597,9 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         ).select("metric", "ts", "value")
         return _summarize(scaled, bucket, "sum")
     if name == "movingAverage":
-        return _moving_avg(series(), int(need(1, "windowSize")))
+        return _moving_avg(series(), window_points(need(1, "windowSize")))
     if name in ("movingSum", "movingMax", "movingMin", "movingMedian"):
-        n = int(need(1, "windowSize"))
+        n = window_points(need(1, "windowSize"))
         w = _sw(n)
         if name == "movingSum":
             val = (
@@ -1163,7 +1176,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return df.filter(F.col("ts") <= hi) if hi is not None else df
     if name == "stdev":
         # moving population stddev over a trailing row window
-        n = int(need(1, "points"))
+        n = window_points(need(1, "points"))
         return series().select(
             "metric", "ts",
             F.stddev_pop("value").over(_sw(n)).alias("value"),
@@ -1306,7 +1319,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
     if name == "movingWindow":
         # graphite 1.1's generic moving window: movingAverage/Sum/Max/...
         # are the specializations
-        n = int(need(1, "windowSize"))
+        n = window_points(need(1, "windowSize"))
         how = str(args[2]) if len(args) > 2 else "average"
         w = _sw(n)
         if how in ("average", "avg"):
