@@ -803,3 +803,28 @@ def test_eval_moving_family_duration_windows(spark):
     mw = {r.ts: r.value for r in evaluate_target(
         frame, "movingWindow(m, '3min', 'max')", step=60).collect()}
     assert mw[180] == 5.0
+
+
+def test_eval_series_lists_family(wide):
+    d = {r.ts: r.value for r in evaluate_target(
+        wide, "diffSeriesLists(a.x.m1, a.y.m1)").collect()}
+    assert d[0] == -9.0 and d[120] is None
+    m = {r.ts: r.value for r in evaluate_target(
+        wide, "multiplySeriesLists(a.x.m1, a.y.m1)").collect()}
+    assert m[0] == 10.0
+    s = {r.ts: r.value for r in evaluate_target(
+        wide, "sumSeriesLists(a.x.m1, a.y.m1)").collect()}
+    assert s[180] == 44.0
+    g = {r.ts: r.value for r in evaluate_target(
+        wide, "aggregateSeriesLists(a.x.m1, a.y.m1, 'diff')").collect()}
+    assert g == d
+
+
+def test_eval_aggregate_xfiles_factor(wide):
+    # at ts=120, only 2 of 3 series have values (a.x.m1 is null there)
+    gated = {r.ts: r.value for r in evaluate_target(
+        wide, "aggregate(a.*.*, 'sum', 0.9)").collect()}
+    assert gated[0] == 16.0 and gated[120] is None
+    loose = {r.ts: r.value for r in evaluate_target(
+        wide, "aggregate(a.*.*, 'sum', 0.5)").collect()}
+    assert loose[120] == 35.0

@@ -1021,7 +1021,28 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         )
         return _keep_series(df, keep)
     if name == "aggregate":
-        return _combine(series(), label, str(need(1, "func")))
+        how = str(need(1, "func"))
+        if len(args) > 2:
+            # graphite 1.1: aggregate(list, func, xFilesFactor) nulls a
+            # point unless >= xff of the list's series have a value
+            # there.  Series count is one bounded driver probe.
+            xff = float(args[2])
+            df = series()
+            n_series = df.select("metric").distinct().count()
+            return (
+                df.groupBy("ts")
+                .agg(
+                    _agg_expr(how).alias("_v"),
+                    F.count("value").alias("_k"),
+                )
+                .select(
+                    F.lit(label).alias("metric"), "ts",
+                    F.when(
+                        F.col("_k") >= float(xff) * n_series, F.col("_v")
+                    ).alias("value"),
+                )
+            )
+        return _combine(series(), label, how)
     if name == "aggregateLine":
         # per-series horizontal line at the series statistic
         func = str(args[1]) if len(args) > 1 else "average"
@@ -1098,9 +1119,18 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             )
             .select(F.lit(label).alias("metric"), "ts", "value")
         )
-    if name == "divideSeriesLists":
-        # pairwise divide, pairing the two lists by name order (the
-        # order a glob fetch produces); graphite requires equal lengths
+    if name in (
+        "divideSeriesLists", "diffSeriesLists", "multiplySeriesLists",
+        "sumSeriesLists", "aggregateSeriesLists",
+    ):
+        # pairwise combine of two equal-length lists, pairing by name
+        # order (the order a glob fetch produces)
+        if name == "aggregateSeriesLists":
+            op = str(need(2, "func"))
+        else:
+            op = {"div": "divide", "dif": "diff", "mul": "multiply",
+                  "sum": "sum"}[name[:3]]
+
         def ranked(df, col):
             names = df.select("metric").distinct().withColumn(
                 "_rk", F.row_number().over(Window.orderBy("metric"))
@@ -1111,14 +1141,23 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             )
         a = ranked(series(0), "_a")
         b = ranked(series(1), "_b")
+        va, vb = F.col("_a"), F.col("_b")
+        if op == "divide":
+            val = F.when(vb.isNotNull() & (vb != 0.0), va / vb)
+        elif op in ("diff", "subtract"):
+            val = va - vb
+        elif op == "multiply":
+            val = va * vb
+        elif op in ("sum", "add"):
+            val = va + vb
+        else:
+            raise TargetSyntaxError(f"{name}: unknown func {op!r}")
+        lbl = "divideSeries" if op == "divide" else f"{op}Series"
         return a.join(b, ["_rk", "ts"]).select(
-            F.concat(F.lit("divideSeries("), "_am", F.lit(","), "_bm",
+            F.concat(F.lit(lbl + "("), "_am", F.lit(","), "_bm",
                      F.lit(")")).alias("metric"),
             "ts",
-            F.when(
-                F.col("_b").isNotNull() & (F.col("_b") != 0.0),
-                F.col("_a") / F.col("_b"),
-            ).alias("value"),
+            val.alias("value"),
         )
     if name == "integralByInterval":
         # running sum that resets at each interval boundary; None counts
@@ -1529,4 +1568,6 @@ FUNCTIONS = [
     "fallbackSeries", "unique", "sortBy", "multiplySeriesWithWildcards",
     "applyByNode", "useSeriesAbove",
     "seriesByTag", "aliasByTags", "groupByTags",
+    "diffSeriesLists", "multiplySeriesLists", "sumSeriesLists",
+    "aggregateSeriesLists",
 ]
