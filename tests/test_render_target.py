@@ -828,3 +828,38 @@ def test_eval_aggregate_xfiles_factor(wide):
     loose = {r.ts: r.value for r in evaluate_target(
         wide, "aggregate(a.*.*, 'sum', 0.5)").collect()}
     assert loose[120] == 35.0
+
+
+def test_eval_counter_wrap_and_scale_to_seconds(spark):
+    rows = [("c", 0, 250.0), ("c", 60, 252.0), ("c", 120, 1.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    plain = {r.ts: r.value for r in evaluate_target(
+        frame, "nonNegativeDerivative(c)").collect()}
+    assert plain[120] is None                    # reset nulls out
+    wrapped = {r.ts: r.value for r in evaluate_target(
+        frame, "nonNegativeDerivative(c, 255)").collect()}
+    assert wrapped[120] == 255.0 - 252.0 + 1.0 + 1.0   # wrap at 255
+    ps = {r.ts: r.value for r in evaluate_target(
+        frame, "perSecond(c, 255)").collect()}
+    assert ps[120] == wrapped[120] / 60.0
+    sts = {r.ts: r.value for r in evaluate_target(
+        frame, "scaleToSeconds(c, 1)", step=60).collect()}
+    assert sts[0] == 250.0 / 60.0
+    # without a threaded step the per-series delta (60s) is derived
+    sts2 = {r.ts: r.value for r in evaluate_target(
+        frame, "scaleToSeconds(c, 1)").collect()}
+    assert abs(sts2[0] - 250.0 / 60.0) < 1e-12
+
+
+def test_eval_remove_empty_series(spark):
+    rows = [("a", 0, 1.0), ("a", 60, 2.0),
+            ("b", 0, None), ("b", 60, None),
+            ("c", 0, 5.0), ("c", 60, None)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    assert _metrics(evaluate_target(frame, "removeEmptySeries(*)")) == {
+        "a", "c"}
+    assert _metrics(evaluate_target(frame, "removeEmptySeries(*, 0.9)")) == {
+        "a"}
+    lg = {r.ts: r.value for r in evaluate_target(
+        frame, "log(a, 10)").collect()}
+    assert lg[0] == 0.0

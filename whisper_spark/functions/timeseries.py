@@ -213,14 +213,22 @@ def derivative(
     value: str = "value",
     out_col: str = "delta",
     non_negative: bool = False,
+    max_value: float | None = None,
 ) -> DataFrame:
     """Graphite ``derivative`` / ``nonNegativeDerivative``: per-slot
     delta vs the previous slot; first slot is null.  With
-    ``non_negative`` a negative delta (counter reset) becomes null,
-    matching graphite's render semantics."""
+    ``non_negative`` a negative delta (counter reset) becomes null;
+    with ``max_value`` it is instead read as a counter WRAP at that
+    ceiling and recovered as ``max_value - prev + cur + 1``
+    (graphite's nonNegativeDerivative(maxValue) formula)."""
     w = _series_window(keys, ts)
-    d = F.col(value) - F.lag(value).over(w)
-    if non_negative:
+    prev = F.lag(value).over(w)
+    d = F.col(value) - prev
+    if max_value is not None:
+        d = F.when(d >= 0, d).otherwise(
+            F.lit(float(max_value)) - prev + F.col(value) + 1.0
+        )
+    elif non_negative:
         d = F.when(d >= 0, d)
     return df.withColumn(out_col, d)
 

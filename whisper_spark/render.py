@@ -667,8 +667,10 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             .select("metric", "ts", F.col("_d").alias("value"))
         )
     if name == "nonNegativeDerivative":
+        mv = float(args[1]) if len(args) > 1 else None
         return (
-            TS.derivative(series(), ["metric"], out_col="_d", non_negative=True)
+            TS.derivative(series(), ["metric"], out_col="_d",
+                          non_negative=True, max_value=mv)
             .select("metric", "ts", F.col("_d").alias("value"))
         )
     if name == "keepLastValue":
@@ -796,7 +798,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             "value",
             F.when(F.col("value") != 0.0, F.lit(1.0) / F.col("value")),
         )
-    if name == "logarithm":
+    if name in ("logarithm", "log"):
         base = float(args[1]) if len(args) > 1 else 10.0
         return series().withColumn(
             "value",
@@ -812,7 +814,9 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         )
     if name == "perSecond":
         # nonNegativeDerivative divided by the per-slot time delta
-        d = TS.derivative(series(), ["metric"], out_col="_d", non_negative=True)
+        mv = float(args[1]) if len(args) > 1 else None
+        d = TS.derivative(series(), ["metric"], out_col="_d",
+                          non_negative=True, max_value=mv)
         w = Window.partitionBy("metric").orderBy("ts")
         return d.select(
             "metric", "ts",
@@ -1461,6 +1465,37 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             .agg(_agg_expr(method).alias("value"))
             .select("metric", "ts", "value")
         )
+    if name == "removeEmptySeries":
+        # drop series with no values; with xFilesFactor, series below
+        # that known-fraction are dropped too
+        xff = float(args[1]) if len(args) > 1 else 0.0
+        df = series()
+        keep = (
+            df.groupBy("metric")
+            .agg(
+                F.count("value").alias("_k"), F.count("*").alias("_n")
+            )
+            .filter(
+                (F.col("_k") > 0)
+                & (F.col("_k") >= F.col("_n") * F.lit(xff))
+            )
+        )
+        return _keep_series(df, keep)
+    if name == "scaleToSeconds":
+        # value * seconds/step: normalize per-slot quantities to a
+        # per-N-seconds rate; step from the threaded fetch step, else
+        # derived per series from ts deltas
+        seconds = float(need(1, "seconds"))
+        df = series()
+        if step is not None:
+            return df.withColumn(
+                "value", F.col("value") * (seconds / float(step))
+            )
+        df = _series_step_col(df)
+        return df.select(
+            "metric", "ts",
+            (F.col("value") * seconds / F.col("_step")).alias("value"),
+        )
     if name in ("constantLine", "threshold", "identity", "timeFunction"):
         # generators: one value per distinct timestamp of the source
         # frame (the evaluation context stands in for the render range)
@@ -1570,4 +1605,5 @@ FUNCTIONS = [
     "seriesByTag", "aliasByTags", "groupByTags",
     "diffSeriesLists", "multiplySeriesLists", "sumSeriesLists",
     "aggregateSeriesLists",
+    "log", "removeEmptySeries", "scaleToSeconds",
 ]
