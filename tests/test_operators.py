@@ -518,3 +518,40 @@ def test_parse_media_header_audio_formats():
     # free-format / bad bitrate index -> recognized, no duration
     bad = bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 100
     assert p(bad)["duration_ms"] is None
+
+
+def test_srp_lsh_recalls_planted_neighbors(spark):
+    """Charikar SRP-LSH: planted near-identical vectors (tiny angle)
+    must collide in >= 3 of 4 bands; the candidate join must stay an
+    equi-join."""
+    import math
+
+    from whisper_spark.operators.similarity import (
+        srp_candidate_pairs,
+        srp_fingerprints,
+        srp_planes,
+    )
+
+    # deterministic "random" base vectors; pairs (2i, 2i+1) nearly equal
+    rows = []
+    for i in range(40):
+        base = [math.sin(0.7 * i + 0.13 * d) for d in range(16)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, [x * 1.001 + 1e-4 for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cand = srp_candidate_pairs(emb, bits=48, bands=4)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    planted = [(2 * i, 2 * i + 1) for i in range(40)]
+    hit = [p for p in planted if p in got]
+    assert len(hit) == 40                       # tiny angle -> all recalled
+
+    # fingerprints are pure per-row projections: same input, same bits
+    fp1 = {r.vec_id: r.simhash for r in srp_fingerprints(emb, bits=48).collect()}
+    fp2 = {r.vec_id: r.simhash for r in srp_fingerprints(emb, bits=48).collect()}
+    assert fp1 == fp2
+    # planes are engine-portable md5 constants
+    assert srp_planes(2, 3) == srp_planes(2, 3)

@@ -648,3 +648,92 @@ def ivf_residual_assign(
             F.zip_with(q_col, "_cq0", lambda a, b: a - b).alias("r"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# signed-random-projection (cosine) LSH
+# --------------------------------------------------------------------- #
+
+
+def srp_planes(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher hyperplanes for sign-random-projection
+    LSH (Charikar 2002): entry (k, d) is +1/-1 from the top bit of
+    md5(f"{k}#{d}") — reproducible in any engine that has md5, no RNG
+    state.  DuckDB equivalent: ``substr(md5(k || '#' || d), 1, 1)``
+    in '89abcdef' -> +1."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{k}#{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for k in range(bits)
+    ]
+
+
+def srp_fingerprints(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash): packed sign-random-projection fingerprint — bit k
+    set iff dot(v, plane_k) >= 0.  Cosine-similar vectors agree on most
+    bits, so the output feeds :func:`simhash_candidates` directly (the
+    column is named ``simhash`` on purpose): banding, candidate joins
+    and Hamming verification are shared with the text pipeline.
+
+    One narrow projection per row (the planes inline as a single
+    from_json literal, same shape as the centroid path) — zero shuffle,
+    so it is also legal on a streaming DataFrame."""
+    import json
+
+    dim = len(df.select(emb_col).first()[0])
+    planes = F.from_json(
+        F.lit(json.dumps(srp_planes(bits, dim))), "array<array<double>>"
+    )
+    # element-order folds: bit-identical to DuckDB list_sum/list_transform
+    dots = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(
+                F.col(emb_col), p, lambda x, r: x.cast("double") * r
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            dots,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            # 2^k via pow: exact in a double up to 2^53, bits <= 60 by
+            # the simhash-band contract anyway
+            lambda d, k: F.when(
+                d >= 0, F.pow(F.lit(2.0), k).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("doc_id"), packed.alias("simhash")) \
+        .withColumnRenamed("doc_id", id_col)
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b) cosine-near-dup candidates: vectors whose SRP
+    fingerprints collide in >= bands-1 of ``bands`` bit-bands — the
+    Charikar-LSH analog of the text pipeline's simhash banding, one
+    equi-join, never all-pairs."""
+    from .dedup import simhash_candidates
+
+    fp = srp_fingerprints(df, emb_col, id_col, bits)
+    return simhash_candidates(fp, id_col=id_col, bits=bits, bands=bands)

@@ -7841,6 +7841,87 @@ def q_ws_render_target_tags(spark, sf_dir):
 
 
 @_q(
+    "emb_srp_pairs",
+    """
+WITH planes AS (
+  SELECT k.k,
+         list_transform(
+           generate_series(0, (SELECT max(len(embedding)) FROM embeddings) - 1),
+           dd -> CASE WHEN substr(md5(k.k::VARCHAR || '#' || dd::VARCHAR), 1, 1)
+                      IN ('8','9','a','b','c','d','e','f')
+                 THEN 1.0 ELSE -1.0 END) AS p
+  FROM (SELECT unnest(generate_series(0, 47)) AS k) k
+),
+sig AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, pl.p),
+                        z -> z[1]::DOUBLE * z[2])) >= 0
+                       THEN CAST(pow(2.0, pl.k) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+banded AS (
+  SELECT vec_id, b.b AS band_id,
+         (fp // CAST(pow(2.0, b.b * 12) AS BIGINT)) % 4096 AS sig12
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band_id = b2.band_id AND a.sig12 = b2.sig12 AND a.vec_id < b2.vec_id
+),
+n AS (
+  SELECT vec_id,
+         list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS nn
+  FROM embeddings
+)
+SELECT c.id_a, c.id_b,
+       list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                               z -> z[1]::DOUBLE * z[2]::DOUBLE))
+       / sqrt(na.nn * nb.nn) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+JOIN n na ON na.vec_id = c.id_a
+JOIN n nb ON nb.vec_id = c.id_b
+""",
+    doc="cosine LSH (Charikar signed random projections): 48 Rademacher "
+    "hyperplanes derived from md5 (no RNG state), packed sign bits, "
+    "4x12-bit band equi-join for candidates (shuffle proportional to "
+    "collisions, never all-pairs), then exact cosine on the survivors.  "
+    "The hyperplane-LSH complement to the IVF family — the classic "
+    "embedding-cosine near-dup recipe (operators/similarity.py "
+    "srp_fingerprints/srp_candidate_pairs; banding shared with the text "
+    "simhash pipeline)",
+)
+def q_emb_srp_pairs(spark, sf_dir):
+    from .operators.similarity import _dot, _sqnorm, srp_candidate_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = srp_candidate_pairs(emb, bits=48, bands=4)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    na = emb.select(
+        F.col("vec_id").alias("id_a"), _sqnorm("embedding").alias("na")
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("id_b"), _sqnorm("embedding").alias("nb")
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")))
+            .alias("cosine"),
+        )
+    )
+
+
+@_q(
     "doc_substring_dup_pairs",
     """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
