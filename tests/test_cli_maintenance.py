@@ -234,3 +234,24 @@ def test_cli_find_namespace_browse(spark, tmp_path, capsys):
     leaves = {r["node"]: r for r in _json.loads(capsys.readouterr().out)}
     assert set(leaves) == {"srv.web1.cpu", "srv.web2.cpu"}
     assert all(r["is_leaf"] and not r["is_branch"] for r in leaves.values())
+
+
+def test_cli_tags_lists_keys_and_values(spark, tmp_path, capsys):
+    import json as _json
+
+    from whisper_spark import cli
+    from whisper_spark.store import WhisperStore
+
+    now = 1700000000
+    s = WhisperStore.create(spark, str(tmp_path / "db"), [(60, 60)])
+    for m in ["disk;dc=east;host=w1", "disk;dc=west;host=w2",
+              "cpu;dc=east;host=w1", "plain.metric"]:
+        s.update_many([(now - 60, 1.0)], now=now, metric=m)
+
+    assert cli.main(["tags", s.path, "--json"]) == 0
+    keys = {r["tag"]: r["n_values"] for r in _json.loads(capsys.readouterr().out)}
+    assert keys == {"dc": 2, "host": 2}
+
+    assert cli.main(["tags", s.path, "--tag", "dc", "--json"]) == 0
+    vals = {r["value"]: r["count"] for r in _json.loads(capsys.readouterr().out)}
+    assert vals == {"east": 2, "west": 1}

@@ -863,3 +863,14 @@ def test_eval_remove_empty_series(spark):
     lg = {r.ts: r.value for r in evaluate_target(
         frame, "log(a, 10)").collect()}
     assert lg[0] == 0.0
+
+
+def test_eval_sigmoid_logit_exp(spark):
+    rows = [("m", 0, 0.0), ("m", 60, 0.5), ("m", 120, 2.0)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    sg = {r.ts: r.value for r in evaluate_target(frame, "sigmoid(m)").collect()}
+    assert sg[0] == 0.5
+    lg = {r.ts: r.value for r in evaluate_target(frame, "logit(m)").collect()}
+    assert lg[60] == 0.0 and lg[120] is None     # out of (0,1) -> None
+    ex = {r.ts: r.value for r in evaluate_target(frame, "exp(m)").collect()}
+    assert ex[0] == 1.0

@@ -115,6 +115,46 @@ def cmd_find(args):
     return 0
 
 
+def cmd_tags(args):
+    """List tag keys (and optionally values) present in the store's
+    carbon tagged metric names (graphite /tags API analog)."""
+    from pyspark.sql import functions as F
+
+    store = WhisperStore.open(_spark(), args.path)
+    pairs = (
+        store.metrics()
+        .select(
+            F.explode(
+                F.slice(F.split("metric", ";"), 2, 1000)
+            ).alias("kv")
+        )
+        .select(
+            F.substring_index("kv", "=", 1).alias("tag"),
+            F.substring_index("kv", "=", -1).alias("value"),
+        )
+    )
+    if args.tag:
+        rows = (
+            pairs.filter(F.col("tag") == args.tag)
+            .groupBy("value").count().orderBy("value").collect()
+        )
+        out = [{"value": r["value"], "count": r["count"]} for r in rows]
+    else:
+        rows = (
+            pairs.groupBy("tag")
+            .agg(F.countDistinct("value").alias("n_values"))
+            .orderBy("tag")
+            .collect()
+        )
+        out = [{"tag": r["tag"], "n_values": r["n_values"]} for r in rows]
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for o in out:
+            print("\t".join(str(v) for v in o.values()))
+    return 0
+
+
 def cmd_info(args):
     store = WhisperStore.open(_spark(), args.path)
     info = store.info()
@@ -391,6 +431,16 @@ def build_parser() -> argparse.ArgumentParser:
     fd.add_argument("pattern")
     fd.add_argument("--json", action="store_true")
     fd.set_defaults(fn=cmd_find)
+
+    tg = sub.add_parser(
+        "tags",
+        help="list tag keys/values in carbon tagged metric names "
+        "(graphite /tags analog)",
+    )
+    tg.add_argument("path")
+    tg.add_argument("--tag", help="list this tag's values with counts")
+    tg.add_argument("--json", action="store_true")
+    tg.set_defaults(fn=cmd_tags)
 
     i = sub.add_parser("info", help="header info (whisper-info)")
     i.add_argument("path")

@@ -804,6 +804,20 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             "value",
             F.when(F.col("value") > 0.0, F.log(base, F.col("value"))),
         )
+    if name == "sigmoid":
+        return series().withColumn(
+            "value", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value")))
+        )
+    if name == "logit":
+        return series().withColumn(
+            "value",
+            F.when(
+                (F.col("value") > 0.0) & (F.col("value") < 1.0),
+                F.log(F.col("value") / (F.lit(1.0) - F.col("value"))),
+            ),
+        )
+    if name == "exp":
+        return series().withColumn("value", F.exp(F.col("value")))
     if name == "squareRoot":
         return series().withColumn(
             "value", F.when(F.col("value") >= 0.0, F.sqrt(F.col("value")))
@@ -1606,4 +1620,5 @@ FUNCTIONS = [
     "diffSeriesLists", "multiplySeriesLists", "sumSeriesLists",
     "aggregateSeriesLists",
     "log", "removeEmptySeries", "scaleToSeconds",
+    "sigmoid", "logit", "exp",
 ]
