@@ -874,3 +874,27 @@ def test_eval_sigmoid_logit_exp(spark):
     assert lg[60] == 0.0 and lg[120] is None     # out of (0,1) -> None
     ex = {r.ts: r.value for r in evaluate_target(frame, "exp(m)").collect()}
     assert ex[0] == 1.0
+
+
+def test_cli_render_multiple_targets(spark, tmp_path, capsys):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "db"), [(60, 60)], x_files_factor=0.0
+    )
+    s.update_many([(NOW - 60, 5.0), (NOW - 120, 7.0)], now=NOW, metric="m.a")
+    assert (
+        cli.main(
+            [
+                "render", s.path, "m.a", "scale(m.a, 2)",
+                "--from", str(NOW - 300), "--until", str(NOW),
+                "--now", str(NOW), "--json",
+            ]
+        )
+        == 0
+    )
+    data = json.loads(capsys.readouterr().out)
+    # multi-target JSON is keyed by target (transforms keep the source
+    # series name, so same-name series would collide in one flat dict)
+    assert set(data) == {"m.a", "scale(m.a, 2)"}
+    raw = {ts: v for ts, v in data["m.a"]["m.a"] if v is not None}
+    scaled = {ts: v for ts, v in data["scale(m.a, 2)"]["m.a"] if v is not None}
+    assert scaled == {ts: v * 2 for ts, v in raw.items()}

@@ -313,25 +313,40 @@ def cmd_render(args):
     (ti, df) = fetched
     # thread the fetch step through: step-dependent functions (hitcount,
     # duration-window EMA, Holt-Winters seasons) need the archive's real
-    # resolution, which auto-selection may have coarsened
-    out = evaluate_target(
-        df.select("metric", "ts", "value"), args.target, step=ti[2]
-    )
-    if getattr(args, "max_datapoints", None):
-        from .render import consolidate, consolidation_method, parse_target
+    # resolution, which auto-selection may have coarsened.  Multiple
+    # targets union like graphite's &target=..&target=.. query string.
+    src = df.select("metric", "ts", "value")
+    multi = len(args.target) > 1
+    per_target = []
+    for target in args.target:
+        one = evaluate_target(src, target, step=ti[2])
+        if getattr(args, "max_datapoints", None):
+            from .render import consolidate, consolidation_method, parse_target
 
-        how = consolidation_method(parse_target(args.target))
-        out, _ = consolidate(out, args.max_datapoints, ti[2], how)
-    rows = out.orderBy("metric", "ts").collect()
+            how = consolidation_method(parse_target(target))
+            one, _ = consolidate(one, args.max_datapoints, ti[2], how)
+        per_target.append((target, one.orderBy("metric", "ts").collect()))
     if args.json:
-        series: dict[str, list] = {}
-        for r in rows:
-            series.setdefault(r["metric"], []).append([r["ts"], r["value"]])
-        print(json.dumps(series))
+        # single target: {series: points} (original shape); several:
+        # keyed by target first — transform functions keep the source
+        # series name, so same-name series from different targets would
+        # otherwise collide
+        def pack(rows):
+            series: dict[str, list] = {}
+            for r in rows:
+                series.setdefault(r["metric"], []).append([r["ts"], r["value"]])
+            return series
+
+        if multi:
+            print(json.dumps({t: pack(rows) for t, rows in per_target}))
+        else:
+            print(json.dumps(pack(per_target[0][1])))
         return 0
-    for r in rows:
-        v = r["value"] if r["value"] is not None else "None"
-        print(f"{r['metric']}\t{r['ts']}\t{v}")
+    for t, rows in per_target:
+        for r in rows:
+            v = r["value"] if r["value"] is not None else "None"
+            prefix = f"{t}\t" if multi else ""
+            print(f"{prefix}{r['metric']}\t{r['ts']}\t{v}")
     return 0
 
 
@@ -374,7 +389,7 @@ def build_parser() -> argparse.ArgumentParser:
         "(graphite-web target syntax: summarize(sumSeries(a.*.b), '15min'))",
     )
     rn.add_argument("path")
-    rn.add_argument("target")
+    rn.add_argument("target", nargs="+")
     rn.add_argument("--from", dest="frm", type=int)
     rn.add_argument("--until", type=int)
     rn.add_argument("--json", action="store_true")
