@@ -742,9 +742,16 @@ def test_parse_signed_durations_and_time_shift(spark):
     assert parse_duration("+30s") == 30
     rows = [("m", 0, 1.0), ("m", 60, 2.0)]
     frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    # graphite: no sign or '-' = back in time -> data drawn LATER
     back = {r.ts for r in
             evaluate_target(frame, "timeShift(m, '-1min')").collect()}
-    assert back == {-60, 0}
+    assert back == {60, 120}
+    same = {r.ts for r in
+            evaluate_target(frame, "timeShift(m, '1min')").collect()}
+    assert same == back
+    ahead = {r.ts for r in
+             evaluate_target(frame, "timeShift(m, '+1min')").collect()}
+    assert ahead == {-60, 0}
 
 
 # --------------------------------------------------------------------- #
@@ -898,3 +905,57 @@ def test_cli_render_multiple_targets(spark, tmp_path, capsys):
     raw = {ts: v for ts, v in data["m.a"]["m.a"] if v is not None}
     scaled = {ts: v for ts, v in data["scale(m.a, 2)"]["m.a"] if v is not None}
     assert scaled == {ts: v * 2 for ts, v in raw.items()}
+
+
+def test_review_fixes_consolidate_and_method_precedence(spark):
+    from whisper_spark.render import (
+        consolidate,
+        consolidation_method,
+        parse_target,
+    )
+
+    # range start not on a cstep boundary: epoch alignment would spill a
+    # third bucket; range alignment keeps the budget
+    rows = [("m", 60 * i, float(i)) for i in range(1, 5)]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out, cstep = consolidate(frame, 2, 60, "sum")
+    got = {r.ts: r.value for r in out.collect()}
+    assert len(got) <= 2 and sum(got.values()) == 10.0
+    assert min(got) == 60                       # anchored at the range start
+
+    # outermost consolidateBy wins (graphite overwrites inner metadata)
+    assert consolidation_method(
+        parse_target("consolidateBy(consolidateBy(m, 'max'), 'sum')")
+    ) == "sum"
+
+
+def test_review_fixes_safe_diff_and_moving_median(wide):
+    # safeDiff: a null in the first series does not null the result
+    d = {r.ts: r.value for r in
+         evaluate_target(wide, "aggregate(a.*.*, 'diff')").collect()}
+    assert d[120] == 30.0 - 5.0                 # a.x null -> first non-null
+    mm = {r.ts: r.value for r in
+          evaluate_target(wide, "movingWindow(a.y.m1, 3, 'median')").collect()}
+    med = {r.ts: r.value for r in
+           evaluate_target(wide, "movingMedian(a.y.m1, 3)").collect()}
+    assert mm == med
+
+
+def test_review_fixes_as_percent_pairing_and_wrap_guard(spark):
+    rows = [
+        ("srv.a.used", 0, 1.0), ("srv.b.used", 0, 3.0),
+        ("srv.a.total", 0, 4.0), ("srv.b.total", 0, 4.0),
+    ]
+    frame = spark.createDataFrame(rows, "metric string, ts long, value double")
+    # multi-series total: one-to-one sorted pairing, not a shared sum
+    ap = {r.metric: r.value for r in evaluate_target(
+        frame, "asPercent(srv.*.used, srv.*.total)").collect()}
+    assert ap == {"srv.a.used": 25.0, "srv.b.used": 75.0}
+
+    # counter wrap only when the ceiling is plausible
+    c = [("c", 0, 250.0), ("c", 60, 300.0), ("c", 120, 10.0)]
+    cf = spark.createDataFrame(c, "metric string, ts long, value double")
+    w = {r.ts: r.value for r in evaluate_target(
+        cf, "nonNegativeDerivative(c, 255)").collect()}
+    assert w[60] == 50.0
+    assert w[120] == 255.0 - 300.0 + 10.0 + 1.0 or w[120] is None

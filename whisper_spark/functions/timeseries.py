@@ -225,8 +225,15 @@ def derivative(
     prev = F.lag(value).over(w)
     d = F.col(value) - prev
     if max_value is not None:
-        d = F.when(d >= 0, d).otherwise(
-            F.lit(float(max_value)) - prev + F.col(value) + 1.0
+        # wrap recovery only when the ceiling is plausible (graphite's
+        # maxValue >= value guard); a value ABOVE the claimed ceiling is
+        # a genuine reset/bad ceiling -> None
+        d = (
+            F.when(d >= 0, d)
+            .when(
+                F.lit(float(max_value)) >= F.col(value),
+                F.lit(float(max_value)) - prev + F.col(value) + 1.0,
+            )
         )
     elif non_negative:
         d = F.when(d >= 0, d)

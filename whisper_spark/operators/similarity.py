@@ -690,7 +690,13 @@ def srp_fingerprints(
     so it is also legal on a streaming DataFrame."""
     import json
 
-    dim = len(df.select(emb_col).first()[0])
+    probe = df.select(emb_col).first()
+    if probe is None:
+        # empty input: empty fingerprint frame with the right schema
+        return df.select(
+            F.col(id_col), F.lit(0).cast("long").alias("simhash")
+        ).limit(0)
+    dim = len(probe[0])
     planes = F.from_json(
         F.lit(json.dumps(srp_planes(bits, dim))), "array<array<double>>"
     )

@@ -7572,7 +7572,7 @@ den AS (SELECT CAST(sum(sq_dec) AS DOUBLE) AS d FROM sq),
 ideal AS (
   SELECT source, tokens, share,
          sq_share / d AS mix_share,
-         100000 * sq_share / d AS ideal_quota
+         sq_share / d * 100000 AS ideal_quota
   FROM sq, den
 ),
 base AS (
@@ -7653,8 +7653,8 @@ sq AS (
 den AS (SELECT CAST(sum(sq_dec) AS DOUBLE) AS d FROM sq),
 base AS (
   SELECT source,
-         CAST(floor(10000 * sq_share / d) AS BIGINT) AS floor_q,
-         10000 * sq_share / d - floor(10000 * sq_share / d) AS rem
+         CAST(floor(sq_share / d * 10000) AS BIGINT) AS floor_q,
+         sq_share / d * 10000 - floor(sq_share / d * 10000) AS rem
   FROM sq, den
 ),
 left_over AS (SELECT 10000 - sum(floor_q) AS lo FROM base),

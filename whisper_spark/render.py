@@ -220,8 +220,12 @@ def _agg_expr(how: str):
             "value", F.when(F.col("value").isNotNull(), F.col("metric"))
         )
     if how == "diff":
-        # first series minus the sum of the rest: first - (total - first)
-        first = F.min_by("value", "metric")
+        # graphite safeDiff: first NON-null value (name order) minus the
+        # sum of the remaining non-null values — a null in the first
+        # series does not null the result
+        first = F.min_by(
+            "value", F.when(F.col("value").isNotNull(), F.col("metric"))
+        )
         return first - (_dsum("value") - first)
     raise TargetSyntaxError(f"unknown aggregate function {how!r}")
 
@@ -251,6 +255,20 @@ def _summarize(df: DataFrame, step: int, how: str, bucket=None) -> DataFrame:
     else:
         raise TargetSyntaxError(f"bad summarize function {how!r}")
     return g.agg(agg.alias("value")).select("metric", "ts", "value")
+
+
+def _moving_median_expr(n: int):
+    """Nearest-rank median of the trailing n-row frame: a stored value,
+    no interpolation (engine-exact like percentileOfSeries)."""
+    return F.expr(
+        "element_at(array_sort(collect_list(value) "
+        f"OVER (PARTITION BY metric ORDER BY ts "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)), "
+        "greatest(cast(ceil(size(collect_list(value) "
+        f"OVER (PARTITION BY metric ORDER BY ts "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)) * 0.5) "
+        "as int), 1))"
+    )
 
 
 def _sw(n: int | None = None):
@@ -611,17 +629,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         elif name == "movingMin":
             val = F.min("value").over(w)
         else:
-            # nearest-rank median of the trailing frame: a stored value,
-            # no interpolation (engine-exact like percentileOfSeries)
-            val = F.expr(
-                "element_at(array_sort(collect_list(value) "
-                f"OVER (PARTITION BY metric ORDER BY ts "
-                f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)), "
-                "greatest(cast(ceil(size(collect_list(value) "
-                f"OVER (PARTITION BY metric ORDER BY ts "
-                f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)) * 0.5) "
-                "as int), 1))"
-            )
+            val = _moving_median_expr(n)
         return series().select("metric", "ts", val.alias("value"))
     if name == "asPercent":
         # one-arg: share of the per-ts total across the list; two-arg:
@@ -630,11 +638,33 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         if len(args) > 1 and isinstance(args[1], (int, float)):
             tot = F.lit(float(args[1]))
         elif len(args) > 1:
-            totals = (
-                series(1)
-                .groupBy("ts")
-                .agg(_dsum("value").alias("_tot"))
+            tot_df = series(1)
+            # graphite pairs a MULTI-series total list one-to-one with
+            # the series list (sorted-name pairing); only a 1-series
+            # total divides every series (one bounded driver probe to
+            # tell the cases apart)
+            multi_total = (
+                len(tot_df.select("metric").distinct().take(2)) > 1
             )
+            if multi_total:
+                def ranked(d, col):
+                    names = d.select("metric").distinct().withColumn(
+                        "_rk", F.row_number().over(Window.orderBy("metric"))
+                    )
+                    return d.join(F.broadcast(names), "metric").select(
+                        *( ["metric"] if col == "_a" else [] ),
+                        "_rk", "ts", F.col("value").alias(col),
+                    )
+                a = ranked(df, "_a")
+                b = ranked(tot_df, "_b")
+                return a.join(b, ["_rk", "ts"], "left").select(
+                    "metric", "ts",
+                    F.when(
+                        F.col("_b").isNotNull() & (F.col("_b") != 0.0),
+                        F.col("_a") / F.col("_b") * 100.0,
+                    ).alias("value"),
+                )
+            totals = tot_df.groupBy("ts").agg(_dsum("value").alias("_tot"))
             return (
                 df.join(totals, "ts", "left")
                 .select(
@@ -713,7 +743,13 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             F.col("_r").cast("string").cast("double").alias("value"),
         )
     if name == "timeShift":
-        return TS.time_shift(series(), parse_duration(need(1, "timeShift")))
+        # graphite parseTimeOffset: no sign or '-' means "back in time"
+        # (yesterday's data drawn at the present -> ts moves FORWARD);
+        # an explicit '+' looks ahead -> ts moves back
+        raw = need(1, "timeShift")
+        ahead = isinstance(raw, str) and raw.strip().startswith("+")
+        shift = abs(parse_duration(raw))
+        return TS.time_shift(series(), -shift if ahead else shift)
     if name == "scale":
         return series().withColumn("value", F.col("value") * float(need(1, "factor")))
     if name == "offset":
@@ -947,11 +983,10 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         pat = str(need(1, "pattern"))
         cond = F.col("metric").rlike(pat)
         return series().filter(~cond if name == "exclude" else cond)
-    if name in ("sortByName", "sortByTotal", "sortByMaxima", "sortByMinima"):
+    if name in ("sortByName", "sortByMaxima", "sortByMinima"):
         # frames are unordered sets: the sort itself is a passthrough,
         # and the order materializes in `limit` (above) / CLI output
-        if name == "sortByTotal":
-            return _sort_by_total(series(), None)
+        # (sortByTotal has its own earlier branch)
         return series()
     if name == "mostDeviant":
         return _rank_series(series(), int(need(1, "n")), "stddev", False)
@@ -1398,6 +1433,8 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             val = F.max("value").over(w) - F.min("value").over(w)
         elif how == "last":
             val = F.last("value", ignorenulls=True).over(w)
+        elif how == "median":
+            val = _moving_median_expr(n)
         else:
             raise TargetSyntaxError(f"movingWindow: unknown func {how!r}")
         return series().select("metric", "ts", val.alias("value"))
@@ -1535,18 +1572,18 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
 
 def consolidation_method(node) -> str:
     """The consolidation method a target declares for maxDataPoints
-    coarsening: the innermost ``consolidateBy`` wins (graphite semantics —
-    it sets per-series metadata); ``cumulative`` is consolidateBy('sum').
-    Default 'average'."""
+    coarsening: graphite evaluates inner-to-outer and each consolidateBy
+    overwrites the series metadata, so the OUTERMOST call wins;
+    ``cumulative`` is consolidateBy('sum').  Default 'average'."""
     if isinstance(node, Call):
-        for a in node.args:
-            m = consolidation_method(a)
-            if m != "average":
-                return m
         if node.name == "cumulative":
             return "sum"
         if node.name == "consolidateBy" and len(node.args) > 1:
             return str(node.args[1])
+        for a in node.args:
+            m = consolidation_method(a)
+            if m != "average":
+                return m
     return "average"
 
 
@@ -1565,7 +1602,11 @@ def consolidate(
     cstep = ((hi - lo + step) + max_points * step - 1) // (max_points * step) * step
     if cstep <= step:
         return df, step
-    return _summarize(df, cstep, how), cstep
+    # buckets anchored at the RANGE start, not the epoch: graphite chunks
+    # from the series start, and epoch alignment can spill one extra
+    # bucket (max_points+1 output rows) whenever lo % cstep != 0
+    bucket = F.lit(lo) + ((F.col("ts") - lo) - (F.col("ts") - lo) % cstep)
+    return _summarize(df, cstep, how, bucket=bucket), cstep
 
 
 def evaluate_target(
