@@ -255,3 +255,34 @@ def test_cli_tags_lists_keys_and_values(spark, tmp_path, capsys):
     assert cli.main(["tags", s.path, "--tag", "dc", "--json"]) == 0
     vals = {r["value"]: r["count"] for r in _json.loads(capsys.readouterr().out)}
     assert vals == {"east": 2, "west": 1}
+
+
+def test_consistent_hash_ring_minimal_movement(spark):
+    """The property that makes the carbon ring worth using: removing one
+    node relocates ONLY that node's metrics; everything else stays put.
+    Plus: assignment is a pure projection (no join/exchange in the
+    plan)."""
+    from whisper_spark.maintenance import shard_assignments
+
+    metrics = spark.range(300).select(
+        F.concat(F.lit("srv."), F.col("id"), F.lit(".cpu")).alias("metric")
+    )
+    four = {
+        r["metric"]: r["shard"]
+        for r in shard_assignments(
+            metrics, ["n1", "n2", "n3", "n4"]
+        ).collect()
+    }
+    three = {
+        r["metric"]: r["shard"]
+        for r in shard_assignments(metrics, ["n1", "n2", "n3"]).collect()
+    }
+    assert set(four.values()) == {"n1", "n2", "n3", "n4"}
+    moved = {m for m in four if four[m] != three[m]}
+    assert moved == {m for m in four if four[m] == "n4"}
+
+    plan = (
+        shard_assignments(metrics, ["n1", "n2"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan

@@ -183,3 +183,53 @@ def integrity_report(store: WhisperStore) -> DataFrame:
         F.max("ts").alias("ts_max"),
         F.countDistinct("metric").alias("n_metrics"),
     )
+
+
+# --------------------------------------------------------------------- #
+# consistent-hash sharding (carbon-relay fleet analog)
+# --------------------------------------------------------------------- #
+
+
+def consistent_hash_ring(
+    nodes: list[str], replica_count: int = 100
+) -> list[tuple[int, str]]:
+    """Carbon-relay's consistent hash ring (public carbon algorithm,
+    lib/carbon/hashing.py): each node gets ``replica_count`` ring
+    positions at ``int(md5(f"{node}:{i}").hexdigest()[:4], 16)``; a key
+    routes to the first position >= its own hash, wrapping to the ring
+    start.  Returned sorted by (position, node) — the tie order the
+    bisect-based original produces."""
+    import hashlib
+
+    ring = [
+        (int(hashlib.md5(f"{node}:{i}".encode()).hexdigest()[:4], 16), node)
+        for node in nodes
+        for i in range(replica_count)
+    ]
+    return sorted(ring)
+
+
+def shard_assignments(
+    df,
+    nodes: list[str],
+    replica_count: int = 100,
+    metric_col: str = "metric",
+):
+    """Assign each metric to its carbon-ring shard as a pure projection.
+
+    The ring inlines as ONE from_json literal (the centroid-literal
+    trick), so assignment costs zero shuffle at any metric count — the
+    relay semantics (which whisper host owns this metric) reproduced as
+    a column expression.  DuckDB-mirrorable: both engines compute
+    ``('0x' || substr(md5(...), 1, 4))::INT`` identically."""
+    import json
+
+    ring = consistent_hash_ring(nodes, replica_count)
+    lit = F.from_json(
+        F.lit(json.dumps([{"pos": p, "node": n} for p, n in ring])),
+        "array<struct<pos:long,node:string>>",
+    )
+    p = F.conv(F.substring(F.md5(F.col(metric_col)), 1, 4), 16, 10).cast("long")
+    best = F.array_min(F.filter(lit, lambda e: e["pos"] >= p))
+    chosen = F.coalesce(best, F.element_at(lit, 1))["node"]
+    return df.withColumn("shard", chosen)

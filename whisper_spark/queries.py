@@ -7841,6 +7841,60 @@ def q_ws_render_target_tags(spark, sf_dir):
 
 
 @_q(
+    "ws_shard_assignment",
+    """
+WITH nodes AS (
+  SELECT unnest(['store-a', 'store-b', 'store-c', 'store-d']) AS node
+),
+reps AS (SELECT unnest(generate_series(0, 99)) AS i),
+ring AS (
+  SELECT ('0x' || substr(md5(node || ':' || i), 1, 4))::BIGINT AS pos, node
+  FROM nodes, reps
+),
+m AS (
+  SELECT DISTINCT event_type || '.h' || (user_id % 50)::VARCHAR AS metric
+  FROM events
+),
+mp AS (
+  SELECT metric, ('0x' || substr(md5(metric), 1, 4))::BIGINT AS p FROM m
+),
+asg AS (
+  SELECT metric, node FROM (
+    SELECT mp.metric, r.node,
+           row_number() OVER (PARTITION BY mp.metric
+             ORDER BY (r.pos < mp.p), r.pos, r.node) AS rn
+    FROM mp CROSS JOIN ring r
+  ) WHERE rn = 1
+)
+SELECT node AS shard, count(*) AS n_metrics, min(metric) AS sample_metric
+FROM asg GROUP BY node
+""",
+    doc="carbon-relay consistent-hash sharding (public carbon algorithm: "
+    "100 md5-derived ring positions per node, first position >= the "
+    "key's 16-bit hash, wrap to ring start): which whisper host owns "
+    "each metric, as a PURE projection — the ring inlines as one "
+    "from_json literal, so fleet routing costs zero shuffle at any "
+    "metric count (maintenance.shard_assignments)",
+)
+def q_ws_shard_assignment(spark, sf_dir):
+    from .maintenance import shard_assignments
+
+    ev = load(spark, sf_dir, "events")
+    metrics = ev.select(
+        F.concat(
+            "event_type", F.lit(".h"), (F.col("user_id") % 50).cast("string")
+        ).alias("metric")
+    ).distinct()
+    asg = shard_assignments(
+        metrics, ["store-a", "store-b", "store-c", "store-d"]
+    )
+    return asg.groupBy(F.col("shard")).agg(
+        F.count("*").alias("n_metrics"),
+        F.min("metric").alias("sample_metric"),
+    )
+
+
+@_q(
     "emb_srp_pairs",
     """
 WITH planes AS (
