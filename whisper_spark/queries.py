@@ -7841,6 +7841,88 @@ def q_ws_render_target_tags(spark, sf_dir):
 
 
 @_q(
+    "doc_curation_pipeline",
+    f"""
+WITH keep1 AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT md5(text) AS fp, min(doc_id) AS canon
+        FROM documents GROUP BY md5(text)) g
+    ON md5(d.text) = g.fp AND d.doc_id = g.canon
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM keep1),
+g0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(0, len(ws) - 11)),
+                i -> array_to_string(list_slice(ws, i, i + 11), ' '))) AS win
+  FROM w
+),
+gh AS (
+  SELECT DISTINCT doc_id, {_h60_sql("win")} AS wfp FROM g0
+),
+keepw AS (SELECT wfp FROM gh GROUP BY wfp HAVING count(*) BETWEEN 2 AND 50),
+drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM gh a JOIN keepw USING (wfp) JOIN gh b USING (wfp)
+  WHERE a.doc_id < b.doc_id
+),
+keep2 AS (
+  SELECT * FROM keep1
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+q AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS toks
+  FROM keep2
+),
+s AS (
+  SELECT source, toks,
+         CASE WHEN {_h60_sql("'split#' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+              THEN 'train'
+              WHEN {_h60_sql("'split#' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+              THEN 'valid'
+              ELSE 'test' END AS split
+  FROM q WHERE toks >= 20
+)
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS sum_tokens
+FROM s GROUP BY source, split
+""",
+    doc="the curation capstone — the full training-data pipeline "
+    "composed end to end: exact dedup (min-id keep per md5 group) -> "
+    "exact-substring window dedup among the survivors (12-word windows, "
+    "boilerplate df cap) -> quality gate (>= 20 tokens) -> "
+    "deterministic 80/10/10 split assignment -> per-(source, split) doc "
+    "and token totals.  Every stage is an already-oracle-proven "
+    "operator; this entry proves they COMPOSE bit-exactly",
+)
+def q_doc_curation_pipeline(spark, sf_dir):
+    from .operators.dedup import dedup_exact, dedup_substring
+
+    d = load(spark, sf_dir, "documents")
+    survivors = dedup_substring(dedup_exact(d), window=12, max_df=50)
+    toks = survivors.select(
+        "source", "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("toks"),
+    ).filter(F.col("toks") >= 20)
+    bucket = F.pmod(
+        _h60(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return toks.select("source", "toks", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("sum_tokens"),
+    )
+
+
+@_q(
     "ws_shard_assignment",
     """
 WITH nodes AS (
