@@ -8106,11 +8106,13 @@ _DRIVER_WINDOW_PROMOTE = [
     "ws_ewma", "ws_holt_winters", "stream_slot_lww_state",
     "ws_render_target", "mm_decode_real_headers",
     "doc_substring_dup_pairs", "stream_near_dedup",
+    "doc_curation_pipeline", "emb_srp_pairs", "ws_shard_assignment",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
     "q2_min_cost_supplier", "q11_important_stock", "q20_part_promotion",
     "q14_promo_revenue", "q16_supplier_cnt",
+    "q19_discounted_revenue", "q21_suppliers_waiting", "q15_top_supplier",
 ]
 
 
