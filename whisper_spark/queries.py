@@ -7841,6 +7841,68 @@ def q_ws_render_target_tags(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_audio_headers",
+    """
+SELECT doc_id AS media_id,
+       'audio' AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/flac' ELSE 'audio/mpeg' END AS mime,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST((doc_id % 20 + 1) * 1000 AS BIGINT)
+            ELSE CAST((doc_id % 10 + 1) * 100 AS BIGINT) END AS duration_ms
+FROM documents WHERE doc_id < 80
+""",
+    doc="REAL audio container decoding: valid FLAC STREAMINFO blocks "
+    "(samplerate/total-samples packed into the 8-byte bitfield) and "
+    "MPEG1 Layer III frames (128 kbps header + sized payload) are "
+    "assembled JVM-side and parsed back by the stdlib header decoder; "
+    "the oracle recomputes durations arithmetically (FLAC total = "
+    "k*44100 samples at 44100 Hz -> k seconds; MP3 CBR bytes*8/bitrate)."
+    "  Any drift in the FLAC bitfield layout or the MP3 bitrate table "
+    "fails the hash gate",
+)
+def q_mm_decode_audio_headers(spark, sf_dir):
+    from .operators.multimodal import decode_media
+
+    def be64(c):
+        return F.unhex(F.lpad(F.hex(c.cast("bigint")), 16, "0"))
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    # FLAC: 44100 Hz mono 16-bit, total = k*44100 samples -> k seconds
+    k = (F.col("doc_id") % 20 + 1).cast("bigint")
+    u64 = (
+        F.lit(44100).cast("bigint") * F.lit(1 << 44).cast("bigint")
+        + F.lit(1 << 41).cast("bigint")
+        + F.lit(15 << 36).cast("bigint")
+        + k * 44100
+    )
+    flac = F.concat(
+        F.lit(b"fLaC"),
+        F.lit(bytes.fromhex("00000022")),        # STREAMINFO block header
+        F.lit(bytes.fromhex("00" * 10)),         # block/frame size fields
+        be64(u64),
+        F.lit(bytes.fromhex("00" * 16)),         # md5 signature field
+    )
+    # MP3: MPEG1 Layer III 128 kbps; total bytes = m*1600 -> m*100 ms
+    mp3 = F.concat(
+        F.lit(bytes.fromhex("fffb9000")),
+        F.unhex(F.expr("repeat('00', cast((doc_id % 10 + 1) * 1600 - 4 as int))")),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, flac).otherwise(mp3).alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<mime:string,n_bytes:bigint,width:int,"
+            "height:int,duration_ms:bigint>"
+        )
+        .alias("meta"),
+    )
+    out = decode_media(media, decoder="auto")
+    return out.select("media_id", "kind", "mime", "duration_ms")
+
+
+@_q(
     "doc_curation_pipeline",
     f"""
 WITH keep1 AS (
