@@ -286,3 +286,30 @@ def test_consistent_hash_ring_minimal_movement(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan
+
+
+def test_store_sql_views(spark, tmp_path):
+    """create_views exposes the store to plain spark.sql with the same
+    pruned scan as the DataFrame path."""
+    now = 1700000000
+    s = WhisperStore.create(spark, str(tmp_path / "db"), [(60, 120), (3600, 48)])
+    s.update_many(
+        [(now - 60 * i, float(i)) for i in range(1, 5)], now=now, metric="m.a"
+    )
+    # overwrite one slot: the series view must show only the last write
+    s.update("m.a", 99.0, now - 60, now=now)
+    names = s.create_views("t")
+    assert names == ["t_points", "t_series", "t_metrics"]
+    n_raw = spark.sql("SELECT count(*) c FROM t_points").first()["c"]
+    live = spark.sql(
+        "SELECT ts, value FROM t_series WHERE metric = 'm.a' AND resolution = 60"
+    ).collect()
+    assert n_raw >= len(live) >= 4
+    got = {r["ts"]: r["value"] for r in live}
+    assert got[(now - 60) - (now - 60) % 60] == 99.0   # LWW applied
+    assert spark.sql("SELECT * FROM t_metrics").first()["metric"] == "m.a"
+    # the view resolves to the same partition-pruned scan
+    plan = spark.sql(
+        "SELECT * FROM t_series WHERE resolution = 60"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

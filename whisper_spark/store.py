@@ -904,6 +904,31 @@ class WhisperStore:
         directory tree of .wsp files)."""
         return self._read_points().select("metric").distinct()
 
+    def create_views(self, prefix: str = "wsp") -> list[str]:
+        """Register the store as SQL temp views so users can query it
+        with plain ``spark.sql``:
+
+        * ``<prefix>_points``  — raw stored rows (pre-LWW, with
+          resolution/wseq), the dump surface
+        * ``<prefix>_series``  — LWW-collapsed live rows per
+          (metric, resolution, ts), the read surface
+        * ``<prefix>_metrics`` — distinct metric names
+
+        Returns the created view names.  Views are session-scoped
+        metadata only — queries against them get the same partition
+        pruning (``WHERE resolution = .. AND tb = ..``) as the
+        DataFrame path, because they resolve to the identical scan."""
+        raw = self._read_points()
+        live = (
+            raw.groupBy("metric", "resolution", "ts")
+            .agg(F.max_by("value", "wseq").alias("value"))
+        )
+        names = [f"{prefix}_points", f"{prefix}_series", f"{prefix}_metrics"]
+        raw.createOrReplaceTempView(names[0])
+        live.createOrReplaceTempView(names[1])
+        self.metrics().createOrReplaceTempView(names[2])
+        return names
+
     def find(self, pattern: str) -> DataFrame:
         """graphite ``/metrics/find`` semantics over the store namespace:
         nodes at the pattern's depth, with leaf/branch flags.
