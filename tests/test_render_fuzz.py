@@ -1,0 +1,187 @@
+"""Differential fuzzing for the render evaluator: random pipelines of
+unary render functions over random gappy series, checked against an
+independent pandas reference implementation per function.
+
+Exactness strategy: inputs are quarter-multiples (exact binary
+fractions), so sums/averages are exact in BOTH float64 and the engine's
+decimal route — any mismatch is a semantics bug, not float noise.
+Engine nulls correspond to pandas NaN (inputs contain no literal NaN,
+and the function pool creates none).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from whisper_spark.render import evaluate_target
+
+TS_GRID = [60 * i for i in range(8)]
+
+
+# --------------------------------------------------------------------- #
+# pandas reference semantics, one entry per fuzzed function
+# --------------------------------------------------------------------- #
+
+
+def _ref_scale(s, k):
+    return s * k
+
+
+def _ref_offset(s, k):
+    return s + k
+
+
+def _ref_absolute(s):
+    return s.abs()
+
+
+def _ref_remove_above(s, k):
+    return s.where(s <= k)
+
+
+def _ref_remove_below(s, k):
+    return s.where(s >= k)
+
+
+def _ref_keep_last(s):
+    return s.ffill()
+
+
+def _ref_delay(s, n):
+    return s.shift(n)
+
+
+def _ref_derivative(s):
+    return s - s.shift(1)
+
+
+def _ref_nn_derivative(s):
+    d = s - s.shift(1)
+    return d.where(d >= 0)
+
+
+def _ref_moving_sum(s, n):
+    return s.rolling(n, min_periods=1).sum()
+
+
+def _ref_moving_max(s, n):
+    return s.rolling(n, min_periods=1).max()
+
+
+def _ref_moving_min(s, n):
+    return s.rolling(n, min_periods=1).min()
+
+
+def _ref_is_non_null(s):
+    return s.notna().astype("float64")
+
+
+def _ref_offset_to_zero(s):
+    return s - s.min()
+
+
+def _ref_changed(s):
+    prev = s.shift(1)
+    out = []
+    for p, v in zip(prev, s):
+        if pd.isna(p):
+            out.append(0.0)
+        elif not pd.isna(v) and v != p:
+            out.append(1.0)
+        else:
+            out.append(0.0)
+    return pd.Series(out, index=s.index)
+
+
+def _ref_integral(s):
+    # engine: decimal running sum over known values; slots before the
+    # first known value stay null
+    out, acc, seen = [], 0.0, False
+    for v in s:
+        if not pd.isna(v):
+            acc += v
+            seen = True
+        out.append(acc if seen else math.nan)
+    return pd.Series(out, index=s.index)
+
+
+#: (target template, pandas reference, arg strategy)
+FUNCS = [
+    ("scale({series}, {a})", _ref_scale, st.integers(-8, 8).map(lambda i: i / 4)),
+    ("offset({series}, {a})", _ref_offset, st.integers(-8, 8).map(lambda i: i / 4)),
+    ("absolute({series})", _ref_absolute, None),
+    ("removeAboveValue({series}, {a})", _ref_remove_above, st.integers(-4, 12)),
+    ("removeBelowValue({series}, {a})", _ref_remove_below, st.integers(-4, 12)),
+    ("keepLastValue({series})", _ref_keep_last, None),
+    ("delay({series}, {a})", _ref_delay, st.integers(1, 3)),
+    ("derivative({series})", _ref_derivative, None),
+    ("nonNegativeDerivative({series})", _ref_nn_derivative, None),
+    ("movingSum({series}, {a})", _ref_moving_sum, st.integers(1, 4)),
+    ("movingMax({series}, {a})", _ref_moving_max, st.integers(1, 4)),
+    ("movingMin({series}, {a})", _ref_moving_min, st.integers(1, 4)),
+    ("isNonNull({series})", _ref_is_non_null, None),
+    ("offsetToZero({series})", _ref_offset_to_zero, None),
+    ("changed({series})", _ref_changed, None),
+    ("integral({series})", _ref_integral, None),
+]
+
+
+def _apply(ref, s, a):
+    return ref(s) if a is None else ref(s, a)
+
+
+values = st.one_of(st.none(), st.integers(-20, 40).map(lambda i: i / 4))
+series_strat = st.lists(values, min_size=len(TS_GRID), max_size=len(TS_GRID))
+step_strat = st.tuples(
+    st.sampled_from(range(len(FUNCS))),
+    st.integers(0, 10 ** 6),  # seed for the arg, drawn via the strategy
+)
+
+
+@st.composite
+def pipelines(draw):
+    steps = []
+    for _ in range(draw(st.integers(1, 3))):
+        idx = draw(st.sampled_from(range(len(FUNCS))))
+        tmpl, ref, arg_strat = FUNCS[idx]
+        arg = draw(arg_strat) if arg_strat is not None else None
+        steps.append((tmpl, ref, arg))
+    return steps
+
+
+@pytest.mark.usefixtures("spark")
+def test_render_pipeline_matches_pandas_reference(spark):
+    @settings(max_examples=30, deadline=None)
+    @given(data=series_strat, steps=pipelines())
+    def check(data, steps):
+        rows = [("m", t, v) for t, v in zip(TS_GRID, data)]
+        frame = spark.createDataFrame(
+            rows, "metric string, ts long, value double"
+        )
+        target = "m"
+        ref = pd.Series(
+            [math.nan if v is None else v for v in data],
+            index=TS_GRID, dtype="float64",
+        )
+        for tmpl, fn, arg in steps:
+            target = tmpl.format(series=target, a=arg)
+            ref = _apply(fn, ref, arg)
+        got_rows = evaluate_target(frame, target).collect()
+        got = {r.ts: r.value for r in got_rows}
+        for t in TS_GRID:
+            g = got.get(t)
+            e = ref.loc[t]
+            if pd.isna(e):
+                assert g is None or (isinstance(g, float) and math.isnan(g)), (
+                    target, t, g)
+            else:
+                assert g is not None and np.isclose(g, e, rtol=0, atol=0), (
+                    target, t, g, e)
+
+    check()
