@@ -65,6 +65,18 @@ def cmd_fetch(args):
     now = args.now or int(time.time())
     until = args.until or now
     frm = args.frm or until - 86400
+    if getattr(args, "out", None):
+        fetched = store.fetch(
+            args.metric, from_time=frm, until_time=until, now=now,
+            drop=args.drop,
+        )
+        if fetched is None:
+            print("No data in selected timerange")
+            return 1
+        ((start, end, step), df) = fetched
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"{args.out}\t{start}\t{end}\t{step}")
+        return 0
     res = store.fetch_series(
         args.metric, from_time=frm, until_time=until, now=now, drop=args.drop
     )
@@ -377,6 +389,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--pretty", action="store_true")
     f.add_argument("--drop", choices=["nulls", "zeroes", "empty"])
     f.add_argument("--now", type=int, help="pin 'now' (reproducible reads)")
+    f.add_argument(
+        "--out",
+        help="write the dense timeline as parquet to this path instead "
+        "of printing (stays distributed — no driver collect)",
+    )
     f.set_defaults(fn=cmd_fetch)
 
     d = sub.add_parser("dump", help="raw dump (whisper-dump)")
