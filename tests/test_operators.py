@@ -555,3 +555,27 @@ def test_srp_lsh_recalls_planted_neighbors(spark):
     assert fp1 == fp2
     # planes are engine-portable md5 constants
     assert srp_planes(2, 3) == srp_planes(2, 3)
+
+
+def test_substring_spans_merge_intervals(spark):
+    from whisper_spark.operators.dedup import substring_duplicate_spans
+
+    run = "one two three four five six"
+    rows = [
+        # doc 1: the shared run appears TWICE, far apart -> two islands
+        (1, f"{run} filler a b c d e f g h i j k l {run} tail"),
+        (2, f"head words {run} middle unrelated stuff {run} more"),
+        (3, "no overlap at all in this one document text here now ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_duplicate_spans(docs, window=6, max_df=10).collect()
+    }
+    by_doc = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    assert 3 not in by_doc
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+    # first island of doc 1 covers exactly the 6-word run at offset 0
+    assert min(by_doc[1]) == (0, 5)

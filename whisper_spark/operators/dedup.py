@@ -486,3 +486,67 @@ def minhash_bands_expr(
         f"IF(size(ws) >= 1, array({band_structs}), "
         "CAST(array() AS array<struct<band_id:int,band_sig:string>>))))"
     )
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    window: int = 20,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, span_start, span_end): maximal word-offset runs covered by
+    ``window``-word substrings that also occur in ANOTHER document —
+    the span-level output the suffix-dedup method actually removes
+    (doc-level dropping is the blunt variant; spans let the pipeline
+    excise the duplicated region and keep the rest).
+
+    Positioned windows (0-based word offsets) -> shared-window filter
+    (cross-doc, df-capped like the pair path) -> per-doc interval merge:
+    two windows merge iff the later starts within ``window`` words of
+    the earlier (their coverage overlaps or touches), a lag+cumsum
+    island pass over ONE per-doc shuffle."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import h60
+
+    pos_windows = F.expr(
+        f"flatten(transform(array(split({text_col}, ' ')), ws -> "
+        f"CASE WHEN size(ws) >= {window} THEN "
+        f"transform(sequence(1, size(ws) - {window - 1}), "
+        f"i -> struct(i - 1 AS pos, array_join(slice(ws, i, {window}), ' ') AS w)) "
+        "ELSE CAST(array() AS array<struct<pos:int,w:string>>) END))"
+    )
+    occ = df.select(
+        F.col(id_col), F.explode(pos_windows).alias("_pw")
+    ).select(
+        F.col(id_col), F.col("_pw.pos").alias("pos"), h60(F.col("_pw.w")).alias("wfp")
+    )
+    shared = (
+        occ.select(id_col, "wfp").distinct()
+        .groupBy("wfp")
+        .agg(F.count("*").alias("_docs"))
+        .filter((F.col("_docs") >= 2) & (F.col("_docs") <= max_df))
+        .select("wfp")
+    )
+    hits = occ.join(shared, "wfp").select(id_col, "pos").distinct()
+    w_ord = W.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w_ord).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_ord) + window),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window - 1).alias("span_end"),
+        )
+        .drop("_island")
+    )

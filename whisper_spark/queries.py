@@ -7841,6 +7841,62 @@ def q_ws_render_target_tags(spark, sf_dir):
 
 
 @_q(
+    "doc_substring_dup_spans",
+    f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+occ0 AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(0, len(ws) - 11))) AS i
+  FROM w
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_h60_sql("array_to_string(list_slice(ws, i, i + 11), ' ')")} AS wfp
+  FROM occ0
+),
+shared AS (
+  SELECT wfp FROM (SELECT DISTINCT doc_id, wfp FROM occ)
+  GROUP BY wfp HAVING count(*) BETWEEN 2 AND 50
+),
+hits AS (SELECT DISTINCT doc_id, pos FROM occ JOIN shared USING (wfp)),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER win IS NULL
+                OR pos > lag(pos) OVER win + 12 THEN 1 ELSE 0 END AS nf
+  FROM hits WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 11 AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, island
+""",
+    doc="span-level exact-substring dedup — the granularity the "
+    "suffix-dedup method actually removes: maximal word-offset runs "
+    "covered by 12-word windows shared with another document "
+    "(positioned windows -> cross-doc df-capped filter -> lag+cumsum "
+    "interval merge per doc).  Doc-level dropping "
+    "(doc_substring_dup_pairs) is the blunt variant; spans excise the "
+    "duplicated region and keep the rest "
+    "(operators/dedup.substring_duplicate_spans)",
+)
+def q_doc_substring_dup_spans(spark, sf_dir):
+    from .operators.dedup import substring_duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    out = substring_duplicate_spans(d, window=12, max_df=50)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+@_q(
     "mm_decode_audio_headers",
     """
 SELECT doc_id AS media_id,
