@@ -579,3 +579,24 @@ def test_substring_spans_merge_intervals(spark):
     assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
     # first island of doc 1 covers exactly the 6-word run at offset 0
     assert min(by_doc[1]) == (0, 5)
+
+
+def test_lsh_candidates_expr_path_matches_index_path(spark):
+    """The zero-shuffle expression banding must produce the same
+    candidate set as the shingle-index path (encodings differ, banding
+    semantics identical) — and its pre-join plan has no Exchange."""
+    from whisper_spark.operators.dedup import lsh_candidates, minhash_bands_expr
+
+    eff = F.col("id") - (F.col("id") % 10 == 1).cast("long")
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.md5(eff.cast("string")).alias("text")
+    )
+    idx = {(r.id_a, r.id_b, r.n_shared_bands) for r in
+           lsh_candidates(docs, via="index").collect()}
+    expr = {(r.id_a, r.id_b, r.n_shared_bands) for r in
+            lsh_candidates(docs, via="expr").collect()}
+    assert idx == expr and len(idx) >= 50
+
+    banded = docs.select(F.explode(minhash_bands_expr("text")).alias("b"))
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -83,9 +83,43 @@ def lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    via: str = "index",
 ) -> DataFrame:
     """(id_a, id_b, n_shared_bands) candidate near-dup pairs: docs whose
-    MinHash signatures collide in >= 1 of ``bands`` bands."""
+    MinHash signatures collide in >= 1 of ``bands`` bands.
+
+    ``via="index"`` (default) builds signatures from the exploded
+    shingle index — one groupBy, the form the oracle queries pin.
+    ``via="expr"`` computes band keys as a per-row projection
+    (:func:`minhash_bands_expr` — ZERO shuffle before the candidate
+    join); signature encodings differ between the two paths but the
+    banding semantics are identical, so candidate sets agree up to
+    md5-band collisions.  Prefer "expr" at corpus scale: the index
+    path shuffles |shingles| rows to build signatures, the expr path
+    shuffles nothing."""
+    if via == "expr":
+        b = minhash_bands_expr(text_col, num_hashes, bands, shingle_n)
+        banded = df.select(
+            F.col(id_col), F.explode(b).alias("_b")
+        ).select(
+            F.col(id_col),
+            F.col("_b.band_id").alias("band_id"),
+            F.col("_b.band_sig").alias("sig"),
+        )
+        a, b2 = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b2,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").alias("n_shared_bands"))
+        )
     rows_per_band = num_hashes // bands
     mh = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = (
