@@ -959,3 +959,106 @@ def test_review_fixes_as_percent_pairing_and_wrap_guard(spark):
         cf, "nonNegativeDerivative(c, 255)").collect()}
     assert w[60] == 50.0
     assert w[120] == 255.0 - 300.0 + 10.0 + 1.0 or w[120] is None
+
+
+# --------------------------------------------------------------------- #
+# round-4 continuation: full graphite-web function-list closure
+# --------------------------------------------------------------------- #
+
+
+def test_eval_group_add_and_pow_series_fold(frame):
+    g = _vals(evaluate_target(frame, "group(ev.click.m1, ev.view.m1)"))
+    assert len(g) == 5 and {v[0] for v in g} == {"ev.click.m1", "ev.view.m1"}
+    off = _vals(evaluate_target(frame, "add(ev.click.m1, 5)"))
+    assert [v[2] for v in off] == [6.0, 7.0, 9.0]
+    # powSeries folds ACROSS series in name order: click^error at ts=0
+    p = {
+        v[1]: v[2]
+        for v in _vals(evaluate_target(frame, "powSeries(ev.click.m1, ev.error.m1)"))
+    }
+    assert p[0] == 1.0 ** 0.5
+    # error series has no ts=60 row: fold over the 1-element list is the
+    # element itself
+    assert p[60] == 2.0 and p[120] == 4.0
+
+
+def test_eval_map_reduce_series(spark):
+    rows = [
+        ("srv.a.disk.used", 0, 30.0), ("srv.a.disk.total", 0, 100.0),
+        ("srv.b.disk.used", 0, 10.0), ("srv.b.disk.total", 0, 40.0),
+        ("srv.a.disk.used", 60, 50.0), ("srv.a.disk.total", 60, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = evaluate_target(
+        df,
+        "reduceSeries(mapSeries(srv.*.disk.*, 1), 'asPercent', 3, 'used', 'total')",
+    )
+    got = {(r.metric, r.ts): r.value for r in out.collect()}
+    assert got[("srv.a.disk.reduce.asPercent", 0)] == 30.0
+    assert got[("srv.b.disk.reduce.asPercent", 0)] == 25.0
+    assert got[("srv.a.disk.reduce.asPercent", 60)] == 50.0
+    div = evaluate_target(
+        df,
+        "reduceSeries(mapSeries(srv.*.disk.*, 1), 'divideSeries', 3, 'used', 'total')",
+    )
+    d = {(r.metric, r.ts): r.value for r in div.collect()}
+    assert d[("srv.b.disk.reduce.divideSeries", 0)] == 0.25
+
+
+def test_eval_cacti_style_and_legend_value(frame):
+    out = evaluate_target(frame, "cactiStyle(ev.click.m1)")
+    names = {r.metric for r in out.collect()}
+    assert names == {"ev.click.m1 Current:4.00 Max:4.00 Min:1.00"}
+    assert out.count() == 3  # values untouched
+    lv = evaluate_target(frame, "legendValue(ev.click.m1, 'avg', 'max')")
+    lnames = {r.metric for r in lv.collect()}
+    assert lnames == {"ev.click.m1 (avg: 2.33333) (max: 4)"}
+
+
+def test_eval_generators_sin_walk_time_vertical(frame):
+    t = _vals(evaluate_target(frame, "time('t')"))
+    assert [v[2] for v in t] == [0.0, 60.0, 120.0]
+    s = {v[1]: v[2] for v in _vals(evaluate_target(frame, "sinFunction('s', 2)"))}
+    import math
+
+    assert abs(s[60] - 2 * math.sin(60)) < 1e-12
+    w = _vals(evaluate_target(frame, "randomWalk('w')"))
+    assert len(w) == 3  # deterministic: same target twice, same walk
+    w2 = _vals(evaluate_target(frame, "randomWalk('w')"))
+    assert w == w2
+    v = _vals(evaluate_target(frame, "verticalLine(60, 'mark')"))
+    assert v == [("mark", 60, 1.0)]
+
+
+def test_eval_transform_null_reference_series(spark):
+    rows = [
+        ("a.m", 0, None), ("a.m", 60, None), ("a.m", 120, 3.0),
+        ("ref.m", 0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = evaluate_target(df, "transformNull(a.m, -1, ref.m)")
+    got = {r.ts: r.value for r in out.collect()}
+    # filled only where the reference has a value (ts=0), not ts=60
+    assert got[0] == -1.0 and got[60] is None and got[120] == 3.0
+
+
+def test_eval_compress_gaps_xff_and_display_passthroughs(spark):
+    rows = [("a.m", 0, 1.0), ("a.m", 60, None), ("a.m", 120, 2.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    cg = _vals(evaluate_target(df, "compressPeriodicGaps(a.m)"))
+    assert [(v[1], v[2]) for v in cg] == [(0, 1.0), (120, 2.0)]
+    for tgt in (
+        "setXFilesFactor(a.m, 0.5)",
+        "alpha(a.m, 0.5)", "color(a.m, 'red')", "dashed(a.m)",
+        "drawAsInfinite(a.m)", "lineWidth(a.m, 2)", "secondYAxis(a.m)",
+        "stacked(a.m)", "areaBetween(a.m)",
+    ):
+        assert _vals(evaluate_target(df, tgt)) == _vals(df)
+
+
+def test_eval_holt_winters_confidence_area_matches_bands(spark):
+    rows = [("a.m", i * 60, float(i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    area = _vals(evaluate_target(df, "holtWintersConfidenceArea(a.m)", step=60))
+    bands = _vals(evaluate_target(df, "holtWintersConfidenceBands(a.m)", step=60))
+    assert area == bands

@@ -8211,6 +8211,82 @@ def q_doc_substring_dup_pairs(spark, sf_dir):
     return substring_duplicate_pairs(d, window=12, max_df=50)
 
 
+@_q(
+    "ws_render_target_reduce",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT 'srv.' || metric || '.disk' AS pre, ts, avg_v AS used,
+         CAST(known AS DOUBLE) AS total
+  FROM min1
+)
+SELECT pre || '.reduce.asPercent' AS metric, ts,
+       CASE WHEN total IS NOT NULL AND total <> 0
+            THEN used / total * 100 END AS value
+FROM ser
+""",
+    doc="seventh target-language gate: the mapSeries/reduceSeries pair "
+    "— graphite's per-prefix series pairing ('used' vs 'total' at node "
+    "3, reduced with asPercent).  The engine derives the prefix keys "
+    "and pairs matched series in ONE groupBy((key, ts)) with "
+    "per-matcher conditional aggregates (render.py reduceSeries) — no "
+    "per-key driver loop, one narrow shuffle at any corpus size.  The "
+    "oracle replays the pairing relationally from the same minute "
+    "rollup",
+)
+def q_ws_render_target_reduce(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir)
+    used = base.select(
+        F.concat(F.lit("srv."), F.col("metric"), F.lit(".disk.used"))
+        .alias("metric"),
+        "ts", F.col("avg_v").alias("value"),
+    )
+    total = base.select(
+        F.concat(F.lit("srv."), F.col("metric"), F.lit(".disk.total"))
+        .alias("metric"),
+        "ts", F.col("known").cast("double").alias("value"),
+    )
+    return evaluate_target(
+        used.unionByName(total),
+        "reduceSeries(mapSeries(srv.*.disk.*, 1), 'asPercent', 3, "
+        "'used', 'total')",
+    )
+
+
+@_q(
+    "ws_render_target_group",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT 'ev.' || metric || '.m1' AS metric, ts, avg_v AS value FROM min1
+)
+SELECT metric, ts, value + 5 AS value FROM ser WHERE metric = 'ev.click.m1'
+UNION ALL
+SELECT metric, ts, value FROM ser WHERE metric = 'ev.view.m1'
+""",
+    doc="eighth target-language gate: the graphite function-list "
+    "closure additions — group() (flat union of seriesLists), add() "
+    "(the 1.1 offset alias), and compressPeriodicGaps() (gap-slot "
+    "removal, a passthrough on a dense rollup).  All three are "
+    "zero-or-one-shuffle frame transforms (render.py round-4 "
+    "continuation block)",
+)
+def q_ws_render_target_group(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
+        "ts",
+        F.col("avg_v").alias("value"),
+    )
+    return evaluate_target(
+        base,
+        "compressPeriodicGaps(group(add(ev.click.m1, 5), ev.view.m1))",
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the

@@ -822,6 +822,27 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return _percentile_of_series(series(), float(need(1, "n")), label)
     if name == "transformNull":
         default = float(args[1]) if len(args) > 1 else 0.0
+        if len(args) > 2 and isinstance(args[2], (Path, Call)):
+            # 3-arg form: only fill slots where the referenceSeries list
+            # has at least one known value (graphite checks the slot
+            # across the whole reference list)
+            ref = (
+                _evaluate(args[2], source, text, step)
+                .groupBy("ts")
+                .agg((F.count("value") > 0).alias("_ref"))
+            )
+            return (
+                series()
+                .join(ref, "ts", "left")
+                .select(
+                    "metric", "ts",
+                    F.when(
+                        F.col("value").isNull()
+                        & F.coalesce(F.col("_ref"), F.lit(False)),
+                        F.lit(default),
+                    ).otherwise(F.col("value")).alias("value"),
+                )
+            )
         return series().withColumn(
             "value", F.coalesce(F.col("value"), F.lit(default))
         )
@@ -858,9 +879,27 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return series().withColumn(
             "value", F.when(F.col("value") >= 0.0, F.sqrt(F.col("value")))
         )
-    if name in ("pow", "powSeries"):
+    if name == "pow":
         return series().withColumn(
             "value", F.pow(F.col("value"), F.lit(float(need(1, "factor"))))
+        )
+    if name == "powSeries":
+        # graphite's powSeries is a CROSS-SERIES fold, not pow-by-constant:
+        # at each ts, fold pow left-to-right over the series in list
+        # (= metric-name) order; any None poisons the slot (safePow).
+        vals = F.expr(
+            "transform(array_sort(collect_list(struct(metric, value))), "
+            "s -> s.value)"
+        )
+        folded = F.expr(
+            "aggregate(slice(_vs, 2, size(_vs) - 1), _vs[0], "
+            "(acc, x) -> power(acc, x))"
+        )
+        return (
+            all_series()
+            .groupBy("ts")
+            .agg(vals.alias("_vs"))
+            .select(F.lit(label).alias("metric"), "ts", folded.alias("value"))
         )
     if name == "perSecond":
         # nonNegativeDerivative divided by the per-slot time delta
@@ -1547,15 +1586,40 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             "metric", "ts",
             (F.col("value") * seconds / F.col("_step")).alias("value"),
         )
-    if name in ("constantLine", "threshold", "identity", "timeFunction"):
+    if name in (
+        "constantLine", "threshold", "identity", "timeFunction", "time",
+        "sinFunction", "sin", "randomWalkFunction", "randomWalk",
+    ):
         # generators: one value per distinct timestamp of the source
         # frame (the evaluation context stands in for the render range)
         spine = source.select("ts").distinct()
-        if name in ("identity", "timeFunction"):
+        if name in ("identity", "timeFunction", "time"):
             lbl = str(need(0, "name"))
             return spine.select(
                 F.lit(lbl).alias("metric"), "ts",
                 F.col("ts").cast("double").alias("value"),
+            )
+        if name in ("sinFunction", "sin"):
+            lbl = str(need(0, "name"))
+            amp = float(args[1]) if len(args) > 1 else 1.0
+            return spine.select(
+                F.lit(lbl).alias("metric"), "ts",
+                (F.sin(F.col("ts").cast("double")) * amp).alias("value"),
+            )
+        if name in ("randomWalkFunction", "randomWalk"):
+            # graphite sums random.random()-0.5 per slot; an engine query
+            # must be reproducible, so the per-slot uniform comes from a
+            # ts hash (deterministic walk, same distribution) instead of
+            # a process-seeded RNG — documented divergence
+            lbl = str(need(0, "name"))
+            u = (
+                F.conv(F.substring(F.md5(F.col("ts").cast("string")), 1, 8), 16, 10)
+                .cast("double") / F.lit(4294967295.0)
+            )
+            w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+            return spine.select(
+                F.lit(lbl).alias("metric"), "ts",
+                F.sum(u - 0.5).over(w).alias("value"),
             )
         val = float(need(0, "value"))
         lbl = (
@@ -1567,6 +1631,168 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             F.lit(lbl).alias("metric"), "ts",
             F.lit(val).alias("value"),
         )
+    if name == "verticalLine":
+        # marker at one instant: graphite draws a 2-point [1.0, 1.0]
+        # series spanning zero time; the frame carries one (ts, 1.0) row
+        ts_at = int(need(0, "ts"))
+        lbl = str(args[1]) if len(args) > 1 else ""
+        return source.sparkSession.createDataFrame(
+            [(lbl, ts_at, 1.0)], "metric string, ts long, value double"
+        )
+    if name == "group":
+        # flat union of every seriesList argument
+        return all_series()
+    if name == "add":
+        # graphite 1.1 alias family: add(seriesList, constant) == offset
+        return series().withColumn(
+            "value", F.col("value") + float(need(1, "constant"))
+        )
+    if name in ("mapSeries", "map"):
+        # mapSeries groups series by node for a following reduceSeries;
+        # frames are unordered sets, so the grouping itself is carried by
+        # the names — data passthrough (reduceSeries re-derives the keys)
+        need(1, "mapNodes")
+        return series()
+    if name in ("reduceSeries", "reduce"):
+        # reduceSeries(mapSeries(...), 'asPercent', reduceNode,
+        # 'used', 'total'): for each name-prefix key, pair the series
+        # whose reduceNode-th node matches each matcher, and apply the
+        # 2-arg (or fold) reduce function.  One groupBy((key, ts)) with
+        # per-matcher conditional aggregates — a single narrow shuffle,
+        # no per-key driver loop.
+        how = str(need(1, "reduceFunction"))
+        node_i = int(need(2, "reduceNode"))
+        matchers = [str(a) for a in args[3:]]
+        if len(matchers) < 2:
+            raise TargetSyntaxError("reduceSeries: needs >= 2 reduceMatchers")
+        parts = F.split(F.col("metric"), r"\.")
+        node = F.element_at(parts, node_i + 1)
+        key = F.concat(
+            F.concat_ws(".", F.slice(parts, 1, node_i)),
+            F.lit(".reduce." + how),
+        )
+        aggs = [
+            F.max(F.when(node == m, F.col("value"))).alias(f"_v{i}")
+            for i, m in enumerate(matchers)
+        ]
+        g = (
+            series()
+            .filter(node.isin(matchers))
+            .groupBy(key.alias("metric"), "ts")
+            .agg(*aggs)
+        )
+        a, b = F.col("_v0"), F.col("_v1")
+        if how in ("asPercent", "divideSeries"):
+            val = F.when(b.isNotNull() & (b != 0.0), a / b)
+            if how == "asPercent":
+                val = val * 100.0
+        elif how == "diffSeries":
+            rest = sum(
+                (F.coalesce(F.col(f"_v{i}"), F.lit(0.0))
+                 for i in range(1, len(matchers))),
+                F.lit(0.0),
+            )
+            val = a - rest
+        elif how == "sumSeries":
+            val = sum(
+                (F.coalesce(F.col(f"_v{i}"), F.lit(0.0))
+                 for i in range(len(matchers))),
+                F.lit(0.0),
+            )
+        elif how == "multiplySeries":
+            prod = F.lit(1.0)
+            ok = F.lit(True)
+            for i in range(len(matchers)):
+                prod = prod * F.col(f"_v{i}")
+                ok = ok & F.col(f"_v{i}").isNotNull()
+            val = F.when(ok, prod)
+        else:
+            raise TargetSyntaxError(
+                f"reduceSeries: unsupported reduceFunction {how!r}"
+            )
+        return g.select("metric", "ts", val.alias("value"))
+    if name == "cactiStyle":
+        # legend annotation: append Current/Max/Min to each name, names
+        # left-justified to the longest (graphite's cacti-like legend).
+        # Values pass through untouched; the stats frame is per-series
+        # (bounded) and broadcast.
+        df = series()
+        stats = df.groupBy("metric").agg(
+            F.max_by(
+                "value", F.when(F.col("value").isNotNull(), F.col("ts"))
+            ).alias("_cur"),
+            F.max("value").alias("_max"),
+            F.min("value").alias("_min"),
+        )
+        width = stats.agg(F.max(F.length("metric")).alias("_w"))
+
+        def fmt(c):
+            return F.coalesce(F.format_string("%.2f", c), F.lit("nan"))
+
+        lbl = F.format_string(
+            "%s Current:%s Max:%s Min:%s",
+            F.rpad(F.col("metric"), F.col("_w").cast("int"), " "),
+            fmt(F.col("_cur")), fmt(F.col("_max")), fmt(F.col("_min")),
+        )
+        tagged_stats = stats.crossJoin(F.broadcast(width)).select(
+            "metric", lbl.alias("_lbl")
+        )
+        return df.join(F.broadcast(tagged_stats), "metric").select(
+            F.col("_lbl").alias("metric"), "ts", "value"
+        )
+    if name == "legendValue":
+        # append '(type: value)' per requested statistic to each name
+        types = [str(a) for a in args[1:]]
+        if not types:
+            raise TargetSyntaxError("legendValue: needs value types")
+        df = series()
+        stats = df.groupBy("metric").agg(
+            *[_series_stat(t).alias(f"_s{i}") for i, t in enumerate(types)]
+        )
+        lbl = F.col("metric")
+        for i, t in enumerate(types):
+            # Java %.6g keeps trailing zeros where python's %g drops
+            # them — trim to graphite's compact form
+            num = F.regexp_replace(
+                F.regexp_replace(
+                    F.format_string("%.6g", F.col(f"_s{i}")),
+                    r"(\.\d*?)0+($|e)", r"$1$2",
+                ),
+                r"\.($|e)", r"$1",
+            )
+            lbl = F.concat(
+                lbl, F.lit(f" ({t}: "),
+                F.coalesce(num, F.lit("None")),
+                F.lit(")"),
+            )
+        keyed = stats.select("metric", lbl.alias("_lbl"))
+        return df.join(F.broadcast(keyed), "metric").select(
+            F.col("_lbl").alias("metric"), "ts", "value"
+        )
+    if name == "compressPeriodicGaps":
+        # drop the all-gap slots a mismatched step produces: the known
+        # points keep their timestamps, the periodic NULL slots vanish
+        # (the frame analog of graphite re-stepping by the detected
+        # period)
+        return series().filter(F.col("value").isNotNull())
+    if name == "holtWintersConfidenceArea":
+        # area fill is presentation; data contract == the bands
+        return _evaluate(
+            Call("holtWintersConfidenceBands", args), source, text, step
+        )
+    if name in ("setXFilesFactor", "xFilesFactor"):
+        # sets the context xff consumed by aggregate/summarize defaults;
+        # the engine takes explicit xff arguments, so this validates and
+        # passes through
+        float(need(1, "xFilesFactor"))
+        return series()
+    if name in (
+        "alpha", "color", "dashed", "drawAsInfinite", "lineWidth",
+        "secondYAxis", "stacked", "areaBetween",
+    ):
+        # display-attribute functions: graphite attaches render options
+        # to the series; the data contract is a passthrough
+        return series()
     raise TargetSyntaxError(f"unknown function {name!r}")
 
 
@@ -1662,4 +1888,10 @@ FUNCTIONS = [
     "aggregateSeriesLists",
     "log", "removeEmptySeries", "scaleToSeconds",
     "sigmoid", "logit", "exp",
+    "group", "add", "powSeries", "mapSeries", "map", "reduceSeries",
+    "reduce", "cactiStyle", "legendValue", "compressPeriodicGaps",
+    "holtWintersConfidenceArea", "setXFilesFactor", "xFilesFactor",
+    "sinFunction", "sin", "randomWalkFunction", "randomWalk", "time",
+    "verticalLine", "alpha", "color", "dashed", "drawAsInfinite",
+    "lineWidth", "secondYAxis", "stacked", "areaBetween",
 ]
