@@ -1062,3 +1062,18 @@ def test_eval_holt_winters_confidence_area_matches_bands(spark):
     area = _vals(evaluate_target(df, "holtWintersConfidenceArea(a.m)", step=60))
     bands = _vals(evaluate_target(df, "holtWintersConfidenceBands(a.m)", step=60))
     assert area == bands
+
+
+def test_eval_alias_query(spark):
+    rows = [
+        ("chan.pwr.1", 0, 5.0), ("chan.pwr.1", 60, 7.5),
+        ("chan.freq.1", 0, 100.0), ("chan.freq.1", 60, 101.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = evaluate_target(
+        df, r"aliasQuery(chan.pwr.*, 'pwr', 'freq', 'Power %.1f MHz')"
+    )
+    got = {(r.metric, r.ts): r.value for r in out.collect()}
+    # freq series' LAST value (101.0) lands in the legend; data unchanged
+    assert got[("Power 101.0 MHz", 60)] == 7.5
+    assert got[("Power 101.0 MHz", 0)] == 5.0

@@ -1786,6 +1786,36 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         # passes through
         float(need(1, "xFilesFactor"))
         return series()
+    if name == "aliasQuery":
+        # aliasQuery(seriesList, search, replace, newName): per series,
+        # regex-rewrite the name into a target query, evaluate it, and
+        # format its LAST value into the new legend name.  The name list
+        # is driver-collected (bounded by series count — the applyByNode
+        # contract); each subquery's last value is one 1-row aggregate.
+        search, replace = str(need(1, "search")), str(need(2, "replace"))
+        newname = str(need(3, "newName"))
+        df = series()
+        names = sorted(
+            r["metric"] for r in df.select("metric").distinct().collect()
+        )
+        out = None
+        for nm in names:
+            q = re.sub(search, replace, nm)
+            sub = _evaluate(parse_target(q), source, text, step)
+            last = sub.filter(F.col("value").isNotNull()).agg(
+                F.max_by("value", "ts")
+            ).first()[0]
+            if last is None:
+                raise TargetSyntaxError(
+                    f"aliasQuery: no data for target {q!r}"
+                )
+            piece = df.filter(F.col("metric") == nm).select(
+                F.lit(newname % last).alias("metric"), "ts", "value"
+            )
+            out = piece if out is None else out.unionByName(piece)
+        if out is None:
+            raise TargetSyntaxError("aliasQuery: no series matched")
+        return out
     if name in (
         "alpha", "color", "dashed", "drawAsInfinite", "lineWidth",
         "secondYAxis", "stacked", "areaBetween",
@@ -1893,5 +1923,5 @@ FUNCTIONS = [
     "holtWintersConfidenceArea", "setXFilesFactor", "xFilesFactor",
     "sinFunction", "sin", "randomWalkFunction", "randomWalk", "time",
     "verticalLine", "alpha", "color", "dashed", "drawAsInfinite",
-    "lineWidth", "secondYAxis", "stacked", "areaBetween",
+    "lineWidth", "secondYAxis", "stacked", "areaBetween", "aliasQuery",
 ]
