@@ -185,3 +185,146 @@ def test_render_pipeline_matches_pandas_reference(spark):
                     target, t, g, e)
 
     check()
+
+
+# --------------------------------------------------------------------- #
+# round-4 continuation pool: the harder null/gap semantics — limited
+# fills, interpolation, row-dropping compress, normalization — against
+# op-order-exact references (same quarter-multiple exactness rules)
+# --------------------------------------------------------------------- #
+
+
+def _ref_add(s, k):
+    return s + k
+
+
+def _ref_transform_null(s, k):
+    return s.fillna(float(k))
+
+
+def _ref_invert(s):
+    return 1.0 / s.where(s != 0)
+
+
+def _ref_square_root(s):
+    return np.sqrt(s.where(s >= 0))
+
+
+def _ref_min_max(s):
+    mn, mx = s.min(), s.max()
+    if pd.isna(mn) or mx == mn:
+        return pd.Series(math.nan, index=s.index)
+    return (s - mn) / (mx - mn)
+
+
+def _ref_round(s, p):
+    return s.round(p)
+
+
+def _ref_moving_average(s, n):
+    return s.rolling(n, min_periods=1).mean()
+
+
+def _ref_moving_range(s, n):
+    r = s.rolling(n, min_periods=1)
+    return r.max() - r.min()
+
+
+def _ref_compress(s):
+    # engine drops the gap ROWS: later row-based steps (delay, moving
+    # windows) must see the compacted series, exactly like the frame
+    return s.dropna()
+
+
+def _ref_keep_last_limited(s, limit):
+    # fill a run of nulls ONLY when the whole run is <= limit slots
+    vals = list(s)
+    out = list(vals)
+    i = 0
+    while i < len(vals):
+        if pd.isna(vals[i]):
+            j = i
+            while j < len(vals) and pd.isna(vals[j]):
+                j += 1
+            run = j - i
+            prev = out[i - 1] if i > 0 else math.nan
+            if run <= limit and i > 0 and not pd.isna(prev):
+                for k in range(i, j):
+                    out[k] = prev
+            i = j
+        else:
+            i += 1
+    return pd.Series(out, index=s.index, dtype="float64")
+
+
+def _ref_interpolate(s):
+    # mirror the engine's exact op order:
+    # pv + ((nv - pv) * (ts - pts)) / (nts - pts); edges stay null
+    idx = list(s.index)
+    vals = list(s)
+    out = list(vals)
+    known = [k for k, v in enumerate(vals) if not pd.isna(v)]
+    for a, b in zip(known, known[1:]):
+        for k in range(a + 1, b):
+            out[k] = vals[a] + (
+                (vals[b] - vals[a]) * (idx[k] - idx[a])
+            ) / (idx[b] - idx[a])
+    return pd.Series(out, index=s.index, dtype="float64")
+
+
+FUNCS_R4 = FUNCS + [
+    ("add({series}, {a})", _ref_add, st.integers(-8, 8).map(lambda i: i / 4)),
+    ("transformNull({series}, {a})", _ref_transform_null, st.integers(-4, 4)),
+    ("invert({series})", _ref_invert, None),
+    ("squareRoot({series})", _ref_square_root, None),
+    ("minMax({series})", _ref_min_max, None),
+    ("round({series}, {a})", _ref_round, st.integers(0, 1)),
+    ("movingAverage({series}, {a})", _ref_moving_average, st.integers(1, 4)),
+    ("movingWindow({series}, {a}, 'range')", _ref_moving_range, st.integers(1, 4)),
+    ("compressPeriodicGaps({series})", _ref_compress, None),
+    ("keepLastValue({series}, {a})", _ref_keep_last_limited, st.integers(1, 3)),
+    ("interpolate({series})", _ref_interpolate, None),
+]
+
+
+@st.composite
+def pipelines_r4(draw):
+    steps = []
+    for _ in range(draw(st.integers(1, 3))):
+        idx = draw(st.sampled_from(range(len(FUNCS_R4))))
+        tmpl, ref, arg_strat = FUNCS_R4[idx]
+        arg = draw(arg_strat) if arg_strat is not None else None
+        steps.append((tmpl, ref, arg))
+    return steps
+
+
+@pytest.mark.usefixtures("spark")
+def test_render_pipeline_matches_pandas_reference_r4(spark):
+    @settings(max_examples=30, deadline=None)
+    @given(data=series_strat, steps=pipelines_r4())
+    def check(data, steps):
+        rows = [("m", t, v) for t, v in zip(TS_GRID, data)]
+        frame = spark.createDataFrame(
+            rows, "metric string, ts long, value double"
+        )
+        target = "m"
+        ref = pd.Series(
+            [math.nan if v is None else v for v in data],
+            index=TS_GRID, dtype="float64",
+        )
+        for tmpl, fn, arg in steps:
+            target = tmpl.format(series=target, a=arg)
+            ref = _apply(fn, ref, arg)
+        got_rows = evaluate_target(frame, target).collect()
+        got = {r.ts: r.value for r in got_rows}
+        for t in TS_GRID:
+            g = got.get(t)
+            e = ref.get(t, math.nan)  # compress may DROP the slot
+            if pd.isna(e):
+                assert g is None or (isinstance(g, float) and math.isnan(g)), (
+                    target, t, g)
+            else:
+                assert g is not None and np.isclose(g, e, rtol=0, atol=0), (
+                    target, t, g, e)
+
+    check()
