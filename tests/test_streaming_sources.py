@@ -413,3 +413,55 @@ def test_near_dedup_stream_flags_in_window_only(spark, tmp_path):
     }
     # doc 3 duplicates doc 1 within window [0, 300): all 4 bands collide
     assert got == {(0, 3): 4}
+
+
+def test_render_stream_end_to_end(spark, tmp_path):
+    """Continuous render target over the carbon stream: finalized 1m max
+    rollups -> per-batch evaluation of scale(sumSeries(...), 2)."""
+    from whisper_spark.streaming.render import render_stream_once
+
+    indir = tmp_path / "rs_in"
+    indir.mkdir()
+    lines = []
+    for m, base in (("ev.a.m1", 10.0), ("ev.b.m1", 20.0)):
+        # minute 0: two points each (max = base+1); watermark pusher at +2h
+        lines += [f"{m} {base} {NOW}", f"{m} {base + 1} {NOW + 30}"]
+    lines += ["ev.a.m1 0.0 " + str(NOW + 7200)]
+    (indir / "a.txt").write_text("\n".join(lines) + "\n")
+
+    stream = spark.readStream.format("text").load(str(indir))
+    pts = parse_line_protocol(stream)
+    out = render_stream_once(
+        spark,
+        pts,
+        "scale(sumSeries(ev.*.m1), 2)",
+        str(tmp_path / "rs_out"),
+        step_seconds=60,
+        method="max",
+        xff=0.0,
+        watermark_seconds=600,
+    )
+    rows = {r["ts"]: (r["metric"], r["value"]) for r in out.collect()}
+    slot = NOW - NOW % 60
+    assert rows[slot] == ("sumSeries(ev.*.m1)", (11.0 + 21.0) * 2)
+    # the +2h slot is NOT finalized (nothing after it advances the
+    # watermark past its end) -> absent
+    assert (NOW + 7200) - (NOW + 7200) % 60 not in rows
+
+
+def test_render_stream_rejects_cross_slot_functions(spark):
+    from whisper_spark.render import TargetSyntaxError
+    from whisper_spark.streaming.render import validate_stream_target
+    from whisper_spark.render import parse_target
+
+    validate_stream_target(parse_target("scale(sumSeries(ev.*.m1), 2)"))
+    for bad in (
+        "movingAverage(ev.*.m1, 3)",
+        "derivative(ev.a.m1)",
+        "sortByTotal(ev.*.m1)",
+        "percentileOfSeries(ev.*.m1, 95)",
+        "integral(ev.a.m1)",
+        "scale(movingSum(ev.*.m1, 2), 2)",  # nested offender
+    ):
+        with pytest.raises(TargetSyntaxError):
+            validate_stream_target(parse_target(bad))

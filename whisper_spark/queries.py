@@ -8287,6 +8287,76 @@ def q_ws_render_target_group(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_render_target",
+    """
+WITH rawall AS (
+  SELECT 'ev.' || event_type || '.m1' AS metric,
+         epoch_us(ts) // 1000000 AS sec, value
+  FROM events
+),
+mx AS (SELECT max(sec) AS m FROM rawall),
+raw AS (
+  SELECT * FROM rawall
+  WHERE metric IN ('ev.click.m1', 'ev.view.m1', 'ev.error.m1')
+),
+win AS (
+  SELECT metric, sec // 60 * 60 AS ts, max(value) AS value
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+fin AS (SELECT metric, ts, value FROM win, mx WHERE ts + 60 <= m - 600),
+ss AS (
+  SELECT ts, (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value
+  FROM fin GROUP BY ts
+)
+SELECT 'sumSeries(ev.{click,view,error}.m1)' AS metric, ts,
+       value * 2 AS value
+FROM ss
+""",
+    doc="STREAMING RENDER: the graphite target "
+    "'scale(sumSeries(ev.{click,view,error}.m1), 2)' evaluated "
+    "CONTINUOUSLY over the carbon point stream — watermarked 1m max "
+    "rollup (append mode: finalized windows only), then the render "
+    "pipeline per micro-batch via foreachBatch into a parquet sink.  "
+    "Batch-local evaluation is exact for the stream-safe subset because "
+    "append-mode finalization is watermark-atomic: all series' windows "
+    "for a ts emit in the same batch (streaming/render.py module doc).  "
+    "The oracle replays rollup -> watermark cut -> decimal cross-series "
+    "sum -> scale",
+)
+def q_stream_render_target(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from .streaming.render import render_stream_once
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.concat(F.lit("ev."), F.col("event_type"), F.lit(".m1"))
+        .alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_render_" + uuid.uuid4().hex[:8])
+    return render_stream_once(
+        spark,
+        pts,
+        "scale(sumSeries(ev.{click,view,error}.m1), 2)",
+        out_dir,
+        step_seconds=60,
+        method="max",
+        xff=0.0,
+        watermark_seconds=600,
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the

@@ -1,0 +1,132 @@
+"""Continuous graphite render targets over the carbon ingest stream.
+
+The batch engine evaluates graphite-web target strings over a fetched
+series frame (render.py).  This module evaluates the SAME target
+language continuously: carbon points stream in, a watermarked tumbling
+window finalizes per-metric rollups (streaming/rollup.py
+windowed_rollup — the carbon-aggregator step), and the render pipeline
+runs on every finalized micro-batch, so a dashboard target like
+``scale(sumSeries(ev.*.m1), 2)`` materializes incrementally into a sink.
+
+Why per-batch evaluation is CORRECT for the supported subset
+-----------------------------------------------------------
+Append mode emits a window exactly once — when the global watermark
+passes its end — and the watermark advances at batch boundaries for all
+keys at once.  Every series' rollup for a timestamp therefore lands in
+the SAME micro-batch, so a per-``ts`` cross-series combine (sumSeries,
+groupByNode, ...) inside ``foreachBatch`` sees the complete slot and is
+equal to the batch evaluation of the same target.  Functions that need
+ORDER ACROSS SLOTS (moving windows, derivatives, sorts, percentiles,
+integrals) are NOT batch-local — their state would straddle batch
+boundaries — so :func:`validate_stream_target` rejects them up front
+instead of returning silently-wrong output.
+
+Scale: state is the rollup window state — ``metrics × windows inside
+the watermark`` — independent of stream length; the per-batch render is
+a narrow plan over one batch's finalized windows (one shuffle per
+cross-series combine, none for the stateless transforms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..render import Call, Path, TargetSyntaxError, evaluate_target, parse_target
+from .rollup import windowed_rollup
+
+#: target functions legal on a finalized streaming rollup: per-row
+#: stateless transforms, name/selection transforms, and per-ts
+#: cross-series combines.  Everything needing cross-slot order or
+#: whole-series statistics is rejected (see module doc).
+STREAM_SAFE = frozenset({
+    # stateless per-row value transforms
+    "scale", "offset", "add", "absolute", "invert", "squareRoot", "pow",
+    "round", "sigmoid", "logit", "exp", "logarithm", "log",
+    "transformNull", "isNonNull", "removeAboveValue", "removeBelowValue",
+    # name / selection transforms
+    "alias", "aliasByNode", "aliasByMetric", "aliasSub", "exclude",
+    "grep", "seriesByTag", "aliasByTags",
+    # per-ts cross-series combines (batch-consistent)
+    "sumSeries", "sum", "averageSeries", "avg", "maxSeries", "minSeries",
+    "rangeOfSeries", "countSeries", "stddevSeries", "diffSeries",
+    "divideSeries", "multiplySeries", "group", "powSeries",
+    "groupByNode", "groupByNodes", "groupByTags", "aggregate",
+})
+
+
+def validate_stream_target(node) -> None:
+    """Reject target functions whose semantics cannot be finalized per
+    micro-batch (anything with cross-slot state)."""
+    if isinstance(node, Path):
+        return
+    if isinstance(node, Call):
+        if node.name not in STREAM_SAFE:
+            raise TargetSyntaxError(
+                f"{node.name!r} is not stream-safe: it needs ordering or "
+                "state across time slots (moving windows, sorts, "
+                "percentiles, integrals), which an append-mode stream "
+                "cannot evaluate batch-locally"
+            )
+        for a in node.args:
+            if isinstance(a, (Call, Path)):
+                validate_stream_target(a)
+
+
+def render_stream(
+    points: DataFrame,
+    target: str,
+    out_path: str,
+    *,
+    step_seconds: int = 60,
+    method: str = "max",
+    xff: float = 0.0,
+    watermark_seconds: int = 600,
+):
+    """Build the streaming writer for a continuous render target.
+
+    ``points``: streaming (metric, ts[long seconds], value, seq) frame.
+    Returns a ``DataStreamWriter`` — caller picks trigger/checkpoint and
+    calls ``.start()``.  Finalized windows roll up at ``step_seconds``
+    with ``method`` (default ``max``: order-independent, so an
+    availableNow replay is bit-deterministic), then every micro-batch
+    evaluates ``target`` over the finalized slots and appends the
+    result frame to ``out_path`` as parquet.
+    """
+    ast = parse_target(target)
+    validate_stream_target(ast)
+    rolled = windowed_rollup(
+        points,
+        step_seconds,
+        method=method,
+        xff=xff,
+        watermark_seconds=watermark_seconds,
+    )
+
+    def _batch(batch_df: DataFrame, _epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        frame = batch_df.select("metric", "ts", "value")
+        out = evaluate_target(frame, target, step=step_seconds)
+        out.write.mode("append").parquet(out_path)
+
+    # append mode is load-bearing: it restricts emission to FINALIZED
+    # windows (watermark passed), the premise of batch-local correctness
+    return rolled.writeStream.foreachBatch(_batch).outputMode("append")
+
+
+def render_stream_once(
+    spark: SparkSession,
+    points: DataFrame,
+    target: str,
+    out_path: str,
+    **kwargs,
+) -> DataFrame:
+    """Replay the stream to completion (availableNow) and return the
+    accumulated render output as a batch DataFrame."""
+    q = (
+        render_stream(points, target, out_path, **kwargs)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_path)
