@@ -8371,12 +8371,14 @@ _DRIVER_WINDOW_PROMOTE = [
     "ws_render_target", "mm_decode_real_headers",
     "doc_substring_dup_pairs", "stream_near_dedup",
     "doc_curation_pipeline", "emb_srp_pairs", "ws_shard_assignment",
+    "stream_render_target", "ws_render_target_reduce",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
     "q2_min_cost_supplier", "q11_important_stock", "q20_part_promotion",
     "q14_promo_revenue", "q16_supplier_cnt",
     "q19_discounted_revenue", "q21_suppliers_waiting", "q15_top_supplier",
+    "q18_large_orders", "q9_product_profit",
 ]
 
 
