@@ -1077,3 +1077,45 @@ def test_eval_alias_query(spark):
     # freq series' LAST value (101.0) lands in the legend; data unchanged
     assert got[("Power 101.0 MHz", 60)] == 7.5
     assert got[("Power 101.0 MHz", 0)] == 5.0
+
+
+def test_parse_at_time():
+    from whisper_spark.render import parse_at_time
+
+    now = 1700000000  # 2023-11-14 22:13:20 UTC
+    assert parse_at_time("now", now) == now
+    assert parse_at_time("now-1h", now) == now - 3600
+    assert parse_at_time("-7d", now) == now - 7 * 86400
+    assert parse_at_time("1699990000", now) == 1699990000
+    mid = now - now % 86400
+    assert parse_at_time("midnight", now) == mid
+    assert parse_at_time("noon", now) == mid + 12 * 3600
+    assert parse_at_time("teatime", now) == mid + 16 * 3600
+    assert parse_at_time("yesterday", now) == mid - 86400
+    assert parse_at_time("tomorrow+30min", now) == mid + 86400 + 1800
+    assert parse_at_time("20231114", now) == mid
+    assert parse_at_time("17:00_20231114", now) == mid + 17 * 3600
+    assert parse_at_time("midnight+1h-10min", now) == mid + 3600 - 600
+    for bad in ("nonsense", "now-1parsec", "now+"):
+        with pytest.raises(TargetSyntaxError):
+            parse_at_time(bad, now)
+
+
+def test_cli_fetch_at_style_times(spark, tmp_path, capsys):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "atdb"), [(60, 120)], x_files_factor=0.0
+    )
+    s.update_many(
+        [(NOW - 60 * i, float(i)) for i in range(1, 5)], now=NOW, metric="m"
+    )
+    assert (
+        cli.main(
+            [
+                "fetch", s.path, "m", "--from=now-3min", "--until", "now",
+                "--now", str(NOW), "--json",
+            ]
+        )
+        == 0
+    )
+    data = json.loads(capsys.readouterr().out)
+    assert data["start"] >= NOW - 240 and len(data["values"]) == 3

@@ -60,11 +60,23 @@ def cmd_update(args):
     return 0
 
 
+def _at_time(val, now):
+    """--from/--until value: epoch int, or graphite at-style string
+    ('now-1h', 'midnight', '-7d', '17:00_20260101')."""
+    if val is None:
+        return None
+    if isinstance(val, int) or (isinstance(val, str) and val.isdigit()):
+        return int(val)
+    from .render import parse_at_time
+
+    return parse_at_time(val, now)
+
+
 def cmd_fetch(args):
     store = WhisperStore.open(_spark(), args.path)
     now = args.now or int(time.time())
-    until = args.until or now
-    frm = args.frm or until - 86400
+    until = _at_time(args.until, now) or now
+    frm = _at_time(args.frm, now) or until - 86400
     if getattr(args, "out", None):
         fetched = store.fetch(
             args.metric, from_time=frm, until_time=until, now=now,
@@ -316,8 +328,8 @@ def cmd_render(args):
 
     store = WhisperStore.open(_spark(), args.path)
     now = args.now or int(time.time())
-    until = args.until or now
-    frm = args.frm or until - 86400
+    until = _at_time(args.until, now) or now
+    frm = _at_time(args.frm, now) or until - 86400
     fetched = store.fetch(None, from_time=frm, until_time=until, now=now)
     if fetched is None:
         print("No data in selected timerange")
@@ -383,8 +395,11 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("fetch", help="read a range (whisper-fetch)")
     f.add_argument("path")
     f.add_argument("metric")
-    f.add_argument("--from", dest="frm", type=int)
-    f.add_argument("--until", type=int)
+    f.add_argument(
+        "--from", dest="frm",
+        help="epoch or graphite at-style time (now-1h, midnight, -7d)",
+    )
+    f.add_argument("--until", help="epoch or at-style time")
     f.add_argument("--json", action="store_true")
     f.add_argument("--pretty", action="store_true")
     f.add_argument("--drop", choices=["nulls", "zeroes", "empty"])
@@ -407,8 +422,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     rn.add_argument("path")
     rn.add_argument("target", nargs="+")
-    rn.add_argument("--from", dest="frm", type=int)
-    rn.add_argument("--until", type=int)
+    rn.add_argument(
+        "--from", dest="frm",
+        help="epoch or graphite at-style time (now-1h, midnight, -7d)",
+    )
+    rn.add_argument("--until", help="epoch or at-style time")
     rn.add_argument("--json", action="store_true")
     rn.add_argument("--now", type=int, help="pin 'now' (reproducible reads)")
     rn.add_argument(

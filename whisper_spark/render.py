@@ -149,6 +149,74 @@ _DUR_SECONDS = {
 }
 
 
+_AT_OFFSET = re.compile(r"([+-])(\d+)(s|min|h|d|w|mon|y)")
+
+
+def parse_at_time(s: str | int, now: int) -> int:
+    """graphite's at-style time grammar -> epoch seconds (UTC).
+
+    The render API's from/until values (graphite-web attime.py, public
+    syntax): a base reference — ``now`` (default), ``midnight``/
+    ``today``, ``noon``, ``teatime`` (16:00), ``yesterday``,
+    ``tomorrow``, an epoch integer, ``YYYYMMDD``, or
+    ``HH:MM_YYYYMMDD`` — followed by any number of signed offsets
+    (``now-1h``, ``midnight+30min``, ``-7d``).  Day-anchored keywords
+    resolve against UTC (the engine is epoch-based; graphite resolves
+    against the server timezone — documented divergence).
+    """
+    import datetime as _dt
+
+    if isinstance(s, int):
+        return s
+    t = s.strip().lower().replace(" ", "")
+    m = re.match(r"^([^+-]*)((?:[+-].*)?)$", t)
+    base, offs = m.group(1), m.group(2)
+    nowdt = _dt.datetime.fromtimestamp(now, _dt.timezone.utc)
+    midnight = nowdt.replace(hour=0, minute=0, second=0, microsecond=0)
+
+    def _ts(d):
+        return int(d.timestamp())
+
+    if base in ("", "now"):
+        ref = now
+    elif base in ("midnight", "today"):
+        ref = _ts(midnight)
+    elif base == "noon":
+        ref = _ts(midnight) + 12 * 3600
+    elif base == "teatime":
+        ref = _ts(midnight) + 16 * 3600
+    elif base == "yesterday":
+        ref = _ts(midnight) - 86400
+    elif base == "tomorrow":
+        ref = _ts(midnight) + 86400
+    elif re.fullmatch(r"\d{1,2}:\d{2}_\d{8}", base):
+        hhmm, ymd = base.split("_")
+        hh, mm = hhmm.split(":")
+        d = _dt.datetime(
+            int(ymd[:4]), int(ymd[4:6]), int(ymd[6:8]),
+            int(hh), int(mm), tzinfo=_dt.timezone.utc,
+        )
+        ref = _ts(d)
+    elif re.fullmatch(r"\d{8}", base):
+        d = _dt.datetime(
+            int(base[:4]), int(base[4:6]), int(base[6:8]),
+            tzinfo=_dt.timezone.utc,
+        )
+        ref = _ts(d)
+    elif base.isdigit():
+        ref = int(base)
+    else:
+        raise TargetSyntaxError(f"bad at-style time {s!r}")
+    consumed = 0
+    for sign, num, unit in _AT_OFFSET.findall(offs):
+        delta = int(num) * _DUR_SECONDS[unit]
+        ref += delta if sign == "+" else -delta
+        consumed += len(sign) + len(num) + len(unit)
+    if consumed != len(offs):
+        raise TargetSyntaxError(f"bad at-style offset in {s!r}")
+    return ref
+
+
 def parse_duration(s: str | int) -> int:
     """'15min' -> 900 (graphite render-API interval syntax).  An
     optional sign is honored ('-1h' -> -3600): graphite's
