@@ -8357,6 +8357,105 @@ def q_stream_render_target(spark, sf_dir):
     )
 
 
+@_q(
+    "emb_semdedup_survivors",
+    "WITH RECURSIVE "
+    + _IVF_ASSIGN_SQL
+    + """
+, e AS (SELECT v.vec_id, v.embedding, a.centroid
+        FROM embeddings v JOIN asg a USING (vec_id)),
+cand AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                   p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))
+                * list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) AS cosine
+    FROM e a JOIN e b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+  ) WHERE cosine >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+lab AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT v.vec_id AS vec_id,
+       coalesce(l.cluster_id, v.vec_id) AS cluster_id,
+       CASE WHEN coalesce(l.cluster_id, v.vec_id) = v.vec_id
+            THEN 1 ELSE 0 END AS kept
+FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.vec_id
+""",
+    doc="SemDeDup (Abbas et al 2023, public): semantic dedup over the "
+    "embedding space — IVF-bucketed cosine pairs above threshold, "
+    "connected components by distributed min-label propagation, keep "
+    "exactly ONE representative per semantic cluster (deterministic: "
+    "the min vec_id).  The Spark path is the 100 TB shape end to end: "
+    "bucketed pair generation (never all-pairs), O(diameter) label "
+    "rounds, one broadcast-join survivor marking.  DuckDB replays it "
+    "with a recursive-CTE transitive closure",
+)
+def q_emb_semdedup_survivors(spark, sf_dir):
+    from .operators.dedup import embedding_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.4, n_buckets=16).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("vec_id"))
+        .persist()
+    )
+    for _round in range(64):
+        prop = edges.join(
+            labels, edges["id_a"] == labels["vec_id"], "inner"
+        ).select(F.col("id_b").alias("vec_id"), F.col("cluster_id"))
+        new = (
+            labels.unionByName(prop)
+            .groupBy("vec_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    lab = labels.select(
+        F.col("vec_id").alias("_lid"), F.col("cluster_id").alias("_cl")
+    )
+    return (
+        emb.select("vec_id")
+        .join(F.broadcast(lab), emb["vec_id"] == lab["_lid"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("_cl"), F.col("vec_id")).alias("cluster_id"),
+            F.when(
+                F.coalesce(F.col("_cl"), F.col("vec_id")) == F.col("vec_id"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("kept"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
