@@ -310,3 +310,39 @@ def test_mix_allocation_single_scan(spark):
     shares/quotas all derive from one token aggregate."""
     plan = plan_of(spark, "doc_mix_allocation")
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+
+
+def test_reduce_series_single_shuffle(spark):
+    """reduceSeries pairs matched series in ONE groupBy — the plan must
+    contain exactly one Exchange (the (key, ts) aggregation), not a
+    per-matcher join tree."""
+    from whisper_spark.render import evaluate_target
+
+    rows = [
+        ("srv.a.disk.used", 0, 30.0), ("srv.a.disk.total", 0, 100.0),
+        ("srv.b.disk.used", 0, 10.0), ("srv.b.disk.total", 0, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = evaluate_target(
+        df,
+        "reduceSeries(mapSeries(srv.*.disk.*, 1), 'asPercent', 3, 'used', 'total')",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_render_functions_list_matches_dispatch(spark):
+    """Every name in render.FUNCTIONS must reach a real dispatch branch:
+    evaluating it may fail on arity/args, but never with 'unknown
+    function' — catches drift between the registry and the evaluator."""
+    from whisper_spark.render import FUNCTIONS, TargetSyntaxError, evaluate_target
+
+    rows = [("a.b.c", 0, 1.0), ("a.b.c", 60, 2.0), ("ref.x", 0, 1.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    for name in FUNCTIONS:
+        try:
+            evaluate_target(df, f"{name}(a.*.c, 1)")
+        except TargetSyntaxError as e:
+            assert "unknown function" not in str(e), name
+        except Exception:
+            pass  # arity/type errors are fine — dispatch was reached
