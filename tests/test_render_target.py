@@ -1119,3 +1119,49 @@ def test_cli_fetch_at_style_times(spark, tmp_path, capsys):
     )
     data = json.loads(capsys.readouterr().out)
     assert data["start"] >= NOW - 240 and len(data["values"]) == 3
+
+
+def test_store_render_library_api(spark, tmp_path):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "rdb"), [(60, 60)], x_files_factor=0.0
+    )
+    for metric, base in (("web.cpu", 10.0), ("db.cpu", 20.0)):
+        s.update_many(
+            [(NOW - 60 * i, base + i) for i in range(1, 4)],
+            now=NOW, metric=metric,
+        )
+    res = s.render(
+        "sumSeries(*.cpu)", from_time="now-5min", until_time="now", now=NOW
+    )
+    assert res is not None
+    out, step = res
+    assert step == 60
+    got = {
+        r.ts: r.value
+        for r in out.collect()
+        if r.value is not None
+    }
+    assert got == {(NOW - 60 * i) // 60 * 60: 30.0 + 2 * i for i in range(1, 4)}
+
+
+def test_cli_render_graphite_json_format(spark, tmp_path, capsys):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "gdb"), [(60, 60)], x_files_factor=0.0
+    )
+    s.update_many(
+        [(NOW - 60, 1.0), (NOW - 120, 2.0)], now=NOW, metric="web.cpu"
+    )
+    assert (
+        cli.main(
+            [
+                "render", s.path, "scale(web.cpu, 2)",
+                "--from", str(NOW - 300), "--until", str(NOW),
+                "--now", str(NOW), "--json", "--format", "graphite",
+            ]
+        )
+        == 0
+    )
+    data = json.loads(capsys.readouterr().out)
+    assert isinstance(data, list) and data[0]["target"] == "web.cpu"
+    pts = {ts: v for v, ts in data[0]["datapoints"] if v is not None}
+    assert pts == {(NOW - 60) // 60 * 60: 2.0, (NOW - 120) // 60 * 60: 4.0}

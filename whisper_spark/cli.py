@@ -361,6 +361,23 @@ def cmd_render(args):
                 series.setdefault(r["metric"], []).append([r["ts"], r["value"]])
             return series
 
+        if getattr(args, "format", None) == "graphite":
+            # graphite-web /render?format=json exact shape: one object
+            # per series, datapoints as [value, ts] pairs, series from
+            # every target concatenated in target order
+            out = []
+            for _t, rows in per_target:
+                series: dict[str, list] = {}
+                for r in rows:
+                    series.setdefault(r["metric"], []).append(
+                        [r["value"], r["ts"]]
+                    )
+                out.extend(
+                    {"target": m, "datapoints": pts}
+                    for m, pts in series.items()
+                )
+            print(json.dumps(out))
+            return 0
         if multi:
             print(json.dumps({t: pack(rows) for t, rows in per_target}))
         else:
@@ -428,6 +445,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     rn.add_argument("--until", help="epoch or at-style time")
     rn.add_argument("--json", action="store_true")
+    rn.add_argument(
+        "--format", choices=["engine", "graphite"], default="engine",
+        help="with --json: 'graphite' emits the /render?format=json "
+        "shape ([{target, datapoints: [[value, ts], ...]}])",
+    )
     rn.add_argument("--now", type=int, help="pin 'now' (reproducible reads)")
     rn.add_argument(
         "--max-datapoints", dest="max_datapoints", type=int,

@@ -899,6 +899,56 @@ class WhisperStore:
         rows = df.orderBy("ts").select("ts", "value").collect()
         return (time_info, [r["value"] for r in rows])
 
+    def render(
+        self,
+        target: str,
+        from_time: int | None = None,
+        until_time: int | None = None,
+        now: int | None = None,
+        max_datapoints: int | None = None,
+    ):
+        """Evaluate a graphite render target over this store — the
+        graphite-web /render API as a library call.
+
+        Fetches the full range once (archive auto-selection picks the
+        resolution), threads the fetch step into the evaluator, and
+        optionally applies maxDataPoints consolidation with the
+        target's consolidateBy method.  ``from``/``until`` accept epochs
+        or at-style strings ('now-1h', 'midnight', '-7d').  Returns
+        ``(frame, step)`` where frame is the unordered
+        (metric, ts, value) result DataFrame — no driver collect.
+        """
+        import time as _time
+
+        from .render import (
+            consolidate,
+            consolidation_method,
+            evaluate_target,
+            parse_at_time,
+        )
+
+        now = now or int(_time.time())
+        until = parse_at_time(until_time, now) if until_time is not None else now
+        frm = (
+            parse_at_time(from_time, now)
+            if from_time is not None
+            else until - 86400
+        )
+        fetched = self.fetch(None, from_time=frm, until_time=until, now=now)
+        if fetched is None:
+            return None
+        (ti, df) = fetched
+        step = ti[2]
+        out = evaluate_target(
+            df.select("metric", "ts", "value"), target, step=step
+        )
+        if max_datapoints:
+            from .render import parse_target
+
+            how = consolidation_method(parse_target(target))
+            out, step = consolidate(out, max_datapoints, step, how)
+        return (out, step)
+
     def metrics(self) -> DataFrame:
         """Distinct metric names — the namespace listing (whisper's
         directory tree of .wsp files)."""
