@@ -600,3 +600,44 @@ def test_lsh_candidates_expr_path_matches_index_path(spark):
     banded = docs.select(F.explode(minhash_bands_expr("text")).alias("b"))
     plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_incremental_dedup_cross_corpus_only(spark):
+    from whisper_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    seen = spark.createDataFrame(
+        [(1, base), (2, "completely different seen text here " * 4)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy of seen 1
+            (11, base + "tail!"),            # near copy of seen 1
+            (12, "fresh never seen content " * 4),
+            (13, "completely different seen text here " * 4),  # exact of 2
+            (14, "zz"),                      # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.exact_dup, r.near_dup, r.keep)
+        for r in incremental_dedup(new, seen).collect()
+    }
+    assert out[10] == (1, 1, 0)
+    assert out[11] == (0, 1, 0)   # near only
+    assert out[12] == (0, 0, 1)
+    assert out[13] == (1, 1, 0)
+    assert out[14] == (0, 0, 1)   # short text: no bands, no flags
+    # duplicates WITHIN the new batch are NOT flagged (cross-corpus only)
+    both_new = spark.createDataFrame(
+        [(20, base), (21, base)], "doc_id long, text string"
+    )
+    fresh_seen = spark.createDataFrame(
+        [(1, "nothing in common at all " * 4)], "doc_id long, text string"
+    )
+    out2 = {
+        r.doc_id: r.keep
+        for r in incremental_dedup(both_new, fresh_seen).collect()
+    }
+    assert out2 == {20: 1, 21: 1}

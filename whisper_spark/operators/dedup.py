@@ -584,3 +584,69 @@ def substring_duplicate_spans(
         )
         .drop("_island")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus — the
+    daily-crawl production shape: only cross-corpus comparisons, never
+    new x new or seen x seen.
+
+    Two passes, both semi-joins (no pair materialization):
+
+    * exact: md5(text) of the new batch left-semi against the seen
+      corpus' distinct hashes;
+    * near: MinHash-LSH bands (minhash_bands_expr — a zero-shuffle
+      per-row projection on BOTH sides) equi-semi-joined on
+      (band_id, band_sig).
+
+    Returns one row per new doc: (id, exact_dup, near_dup, keep) with
+    keep = 1 iff neither flag fired.  At 100 TB the seen side's two
+    projections (hash set, band set) are exactly what a production
+    pipeline would persist as incremental indexes: both are
+    grouped-distinct sets, so the day-over-day cost is one new-batch
+    scan plus two semi-join shuffles proportional to the INDEX, not the
+    corpus text."""
+    h = F.md5(F.col(text_col))
+    seen_h = seen_docs.select(h.alias("_h")).distinct()
+    bands_col = minhash_bands_expr(text_col, num_hashes, bands, shingle_n)
+    new_b = new_docs.select(
+        id_col, F.explode(bands_col).alias("_b")
+    ).select(id_col, "_b.band_id", "_b.band_sig")
+    seen_b = (
+        seen_docs.select(F.explode(bands_col).alias("_b"))
+        .select("_b.band_id", "_b.band_sig")
+        .distinct()
+    )
+    exact = (
+        new_docs.select(id_col, h.alias("_h"))
+        .join(seen_h, "_h", "left_semi")
+        .select(id_col)
+        .withColumn("_e", F.lit(1))
+    )
+    near = (
+        new_b.join(seen_b, ["band_id", "band_sig"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_e"), F.lit(0)).alias("exact_dup"),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("near_dup"),
+            F.when(
+                F.col("_e").isNull() & F.col("_n").isNull(), F.lit(1)
+            ).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

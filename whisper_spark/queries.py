@@ -8456,6 +8456,85 @@ def q_emb_semdedup_survivors(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_incremental_dedup",
+    """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+seend AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+seenh AS (SELECT DISTINCT md5(text) AS h FROM seend),
+ex AS (SELECT doc_id FROM newd WHERE md5(text) IN (SELECT h FROM seenh)),
+shn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, length(text) - 4)),
+           i -> substring(text, i, 5))) AS grams
+  FROM newd WHERE length(text) >= 5
+),
+sgn AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7), k ->
+           list_min(list_transform(grams, s ->
+             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
+  FROM shn WHERE len(grams) >= 1
+),
+bn AS (
+  SELECT doc_id, b.band_id,
+         md5(sigs[2*band_id + 1]::VARCHAR || '#'
+             || sigs[2*band_id + 2]::VARCHAR) AS band_sig
+  FROM sgn, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, length(text) - 4)),
+           i -> substring(text, i, 5))) AS grams
+  FROM seend WHERE length(text) >= 5
+),
+sgs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7), k ->
+           list_min(list_transform(grams, s ->
+             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
+  FROM shs WHERE len(grams) >= 1
+),
+bs AS (
+  SELECT DISTINCT b.band_id,
+         md5(sigs[2*band_id + 1]::VARCHAR || '#'
+             || sigs[2*band_id + 2]::VARCHAR) AS band_sig
+  FROM sgs, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+),
+nr AS (
+  SELECT DISTINCT bn.doc_id
+  FROM bn JOIN bs ON bn.band_id = bs.band_id AND bn.band_sig = bs.band_sig
+)
+SELECT n.doc_id AS doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+       CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+       CASE WHEN e.doc_id IS NULL AND r.doc_id IS NULL
+            THEN 1 ELSE 0 END AS keep
+FROM newd n
+LEFT JOIN ex e ON n.doc_id = e.doc_id
+LEFT JOIN nr r ON n.doc_id = r.doc_id
+""",
+    doc="INCREMENTAL corpus dedup — the daily-crawl shape: a new batch "
+    "(doc_id%3=0) deduped against the already-ingested corpus with "
+    "cross-corpus comparisons ONLY (no new x new / seen x seen work).  "
+    "Exact = md5 semi-join against the seen hash set; near = zero-"
+    "shuffle MinHash-LSH band projection on both sides, semi-joined on "
+    "(band_id, band_sig).  The two seen-side sets are the persistable "
+    "incremental indexes, so day-over-day cost is index-proportional "
+    "(operators/dedup.py incremental_dedup)",
+)
+def q_doc_incremental_dedup(spark, sf_dir):
+    from .operators.dedup import incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 3 == 0),
+        d.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
