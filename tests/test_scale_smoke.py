@@ -417,3 +417,48 @@ def test_substring_pairs_200k_boilerplate_capped(spark):
     # pairwise distinct apart from the planted copies)
     total = pairs.count()
     assert total < 3 * (n // 100), total
+
+
+def test_incremental_dedup_1m_index_proportional(spark):
+    """1M-doc seen corpus + 100k new batch through incremental_dedup:
+    planted exact copies and near-misses are all flagged, the plan has
+    no cartesian/pair explosion, and within-batch dups stay unflagged
+    (cross-corpus only)."""
+    from whisper_spark.operators.dedup import incremental_dedup
+
+    n_seen, n_new = 1_000_000, 100_000
+    seen = spark.range(n_seen).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    # new ids offset past the seen range; every 10th new doc copies the
+    # seen doc with the same index, the rest are fresh md5 content
+    is_dup = F.col("id") % 10 == 0
+    new = spark.range(n_new).select(
+        (F.col("id") + n_seen).alias("doc_id"),
+        F.when(is_dup, F.md5(F.col("id").cast("string")))
+        .otherwise(F.md5((F.col("id") + 7_000_000).cast("string")))
+        .alias("text"),
+    )
+    # 16 hashes / 4 bands: r=4 rows per band. At a 1M-doc index the
+    # r=2 default's chance-collision odds (~J^2 per band) are too
+    # permissive; r=4 keeps false candidates ~zero (see the operator
+    # docstring's scale note).
+    out = incremental_dedup(new, seen, num_hashes=16, bands=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("exact_dup").alias("ex"),
+        F.sum(
+            (F.col("exact_dup") == 0).cast("int") * F.col("near_dup")
+        ).alias("near_only"),
+        F.sum("keep").alias("keep"),
+    ).first()
+    assert agg["n"] == n_new
+    assert agg["ex"] == n_new // 10           # every planted copy flagged
+    # md5 texts are content-disjoint: near-only flags are chance band
+    # collisions, a vanishing fraction
+    assert agg["near_only"] < n_new // 100
+    assert agg["keep"] >= n_new - n_new // 10 - n_new // 100

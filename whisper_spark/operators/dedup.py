@@ -613,7 +613,14 @@ def incremental_dedup(
     pipeline would persist as incremental indexes: both are
     grouped-distinct sets, so the day-over-day cost is one new-batch
     scan plus two semi-join shuffles proportional to the INDEX, not the
-    corpus text."""
+    corpus text.
+
+    Band width at scale: a band of r rows fires by chance with
+    probability ~J^r per seen doc, and the near flag is a semi-join
+    against the WHOLE index — so false-candidate volume grows linearly
+    with index size.  The 8/4 default (r=2) is fine to ~100k docs; at
+    millions use 16/4 (r=4) or wider (verified by the 1M smoke in
+    tests/test_scale_smoke.py)."""
     h = F.md5(F.col(text_col))
     seen_h = seen_docs.select(h.alias("_h")).distinct()
     bands_col = minhash_bands_expr(text_col, num_hashes, bands, shingle_n)
