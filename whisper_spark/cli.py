@@ -314,6 +314,24 @@ def cmd_auto_update(args):
     return 0
 
 
+def cmd_import_wsp(args):
+    from .sources.wsp import import_wsp
+
+    store = import_wsp(_spark(), args.glob, args.dst, root=args.root)
+    n = store.metrics().count()
+    print(f"imported {n} metric(s) into {args.dst}")
+    return 0
+
+
+def cmd_export_wsp(args):
+    from .sources.wsp import export_wsp
+
+    store = WhisperStore.open(_spark(), args.path)
+    n = export_wsp(store, args.out, tree=not args.flat)
+    print(f"exported {n} .wsp file(s) to {args.out}")
+    return 0
+
+
 def cmd_vacuum(args):
     from .store import WhisperStore
 
@@ -467,6 +485,28 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("path")
     cp.add_argument("--now", type=int, help="pin 'now' (reproducible)")
     cp.set_defaults(fn=cmd_compact)
+
+    iw = sub.add_parser(
+        "import-wsp",
+        help="migrate a reference whisper tree into a new store "
+        "(every archive's slots verbatim; one storage-schema subtree "
+        "per import)",
+    )
+    iw.add_argument("glob", help="e.g. /var/lib/graphite/whisper/servers/**/*.wsp")
+    iw.add_argument("dst")
+    iw.add_argument("--root", help="tree root for dotted metric naming")
+    iw.set_defaults(fn=cmd_import_wsp)
+
+    ew = sub.add_parser(
+        "export-wsp",
+        help="write the store as reference-readable .wsp files "
+        "(graphite tree layout), one per metric",
+    )
+    ew.add_argument("path")
+    ew.add_argument("out")
+    ew.add_argument("--flat", action="store_true",
+                    help="a.b.c.wsp flat names instead of a/b/c.wsp")
+    ew.set_defaults(fn=cmd_export_wsp)
 
     vc = sub.add_parser(
         "vacuum",

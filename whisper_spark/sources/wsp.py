@@ -1,0 +1,233 @@
+"""Reference ``.wsp`` binary files as a Spark source and sink — the
+migration path between a graphite whisper tree and this engine.
+
+A reference-stack user switches over by importing their existing
+storage directory (``import_wsp``), and can switch back — or feed
+legacy dashboards — by exporting any store as a tree of files the
+reference library reads byte-for-byte (``export_wsp``).
+
+On-disk format (reference whisper.py:113-118, public):
+
+* metadata ``!2LfL``: (aggregationType u32, maxRetention u32,
+  xFilesFactor f32, archiveCount u32) — 16 bytes
+* per archive ``!3L``: (offset, secondsPerPoint, points) — 12 bytes
+* point ``!Ld``: (interval u32, value f64) — 12 bytes; interval 0
+  marks an empty ring slot (whisper.py:1026-1031 treats stale/zero
+  intervals as gaps)
+
+Both directions are distributed: the reader is ``binaryFiles`` (one
+task per group of files, header+ring parsed executor-side), the writer
+repartitions by metric so each task packs complete files.  Files are
+per-metric and small (16 + 12·archives + 12·Σpoints bytes), so the
+driver never materializes point data.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METADATA_FMT = "!2LfL"
+ARCHIVE_FMT = "!3L"
+POINT_FMT = "!Ld"
+METADATA_SIZE = struct.calcsize(METADATA_FMT)
+ARCHIVE_SIZE = struct.calcsize(ARCHIVE_FMT)
+POINT_SIZE = struct.calcsize(POINT_FMT)
+
+#: reference whisper.py:121-130 aggregationTypeToMethod
+AGG_NUM_TO_METHOD = {
+    1: "average", 2: "sum", 3: "last", 4: "max", 5: "min",
+    6: "avg_zero", 7: "absmax", 8: "absmin",
+}
+METHOD_TO_AGG_NUM = {v: k for k, v in AGG_NUM_TO_METHOD.items()}
+
+WSP_POINTS_SCHEMA = "metric string, resolution long, ts long, value double"
+WSP_HEADER_SCHEMA = (
+    "metric string, aggregation_method string, max_retention long, "
+    "x_files_factor double, "
+    "archives array<struct<seconds_per_point:long, points:long>>"
+)
+
+
+def _strip_scheme(path: str) -> str:
+    return path.split(":", 1)[1] if path.startswith("file:") else path
+
+
+def _metric_name(path: str, root: str | None) -> str:
+    """Filesystem path -> dotted metric name (graphite tree layout:
+    ``<root>/a/b/c.wsp`` is metric ``a.b.c``; without a root, the
+    basename)."""
+    p = _strip_scheme(path)
+    rel = os.path.relpath(p, _strip_scheme(root)) if root else os.path.basename(p)
+    if rel.endswith(".wsp"):
+        rel = rel[:-4]
+    return rel.replace(os.sep, ".")
+
+
+def _parse_header(blob: bytes):
+    aggr, max_ret, xff, count = struct.unpack_from(METADATA_FMT, blob, 0)
+    archives = []
+    off = METADATA_SIZE
+    for _ in range(count):
+        a_off, spp, pts = struct.unpack_from(ARCHIVE_FMT, blob, off)
+        off += ARCHIVE_SIZE
+        archives.append((a_off, spp, pts))
+    return aggr, max_ret, xff, archives
+
+
+def read_wsp(spark: SparkSession, path: str, root: str | None = None) -> DataFrame:
+    """Read a tree/glob of .wsp files into (metric, resolution, ts,
+    value) rows — every non-empty ring slot of every archive."""
+
+    def parse(item):
+        p, blob = item
+        metric = _metric_name(p, root)
+        _aggr, _mr, _xff, archives = _parse_header(blob)
+        out = []
+        for a_off, spp, pts in archives:
+            for i in range(pts):
+                ts, v = struct.unpack_from(POINT_FMT, blob, a_off + i * POINT_SIZE)
+                if ts != 0:
+                    out.append((metric, spp, ts, v))
+        return out
+
+    rdd = spark.sparkContext.binaryFiles(path).flatMap(parse)
+    return spark.createDataFrame(rdd, WSP_POINTS_SCHEMA)
+
+
+def wsp_headers(spark: SparkSession, path: str, root: str | None = None) -> DataFrame:
+    """One row per file: the parsed header (info() surface)."""
+
+    def parse(item):
+        p, blob = item
+        aggr, max_ret, xff, archives = _parse_header(blob)
+        return [(
+            _metric_name(p, root),
+            AGG_NUM_TO_METHOD.get(aggr, f"unknown({aggr})"),
+            max_ret,
+            float(xff),
+            [(spp, pts) for _o, spp, pts in archives],
+        )]
+
+    rdd = spark.sparkContext.binaryFiles(path).flatMap(parse)
+    return spark.createDataFrame(rdd, WSP_HEADER_SCHEMA)
+
+
+def import_wsp(
+    spark: SparkSession, path: str, dst_path: str, root: str | None = None
+):
+    """Create a store at ``dst_path`` from a whisper tree — the
+    switchover migration.
+
+    Every archive's slots import VERBATIM into the matching resolution
+    partition (no re-aggregation: the coarse archives carry history the
+    finest archive no longer has, and whisper's write-time propagation
+    is not replayable from retained data).  All files must share one
+    retention schema — whisper trees are per-policy subtrees
+    (storage-schemas.conf), so import per subtree.  Returns the new
+    WhisperStore."""
+    from ..store import WhisperStore
+
+    hdrs = wsp_headers(spark, path, root)
+    configs = (
+        hdrs.select("aggregation_method", "x_files_factor", "archives")
+        .distinct()
+        .collect()
+    )
+    if len(configs) != 1:
+        raise ValueError(
+            f"import_wsp: {len(configs)} distinct retention configs under "
+            f"{path!r}; import one storage-schema subtree at a time"
+        )
+    cfg = configs[0]
+    store = WhisperStore.create(
+        spark,
+        dst_path,
+        [(int(a["seconds_per_point"]), int(a["points"])) for a in cfg["archives"]],
+        x_files_factor=float(cfg["x_files_factor"]),
+        aggregation_method=cfg["aggregation_method"],
+    )
+    pts = read_wsp(spark, path, root).withColumn("wseq", F.lit(0).cast("long"))
+    store._append(pts)
+    return store
+
+
+def export_wsp(store, out_dir: str, tree: bool = True) -> int:
+    """Write the store as reference-readable .wsp files, one per metric
+    (graphite tree layout ``a/b/c.wsp`` when ``tree``, else flat
+    ``a.b.c.wsp``).  Returns the number of files written.
+
+    Distribution: live rows (LWW + ring visibility, exactly what the
+    store's own fetch would see) repartition by metric, and each task
+    packs its metrics' files independently.  ``out_dir`` must be
+    reachable from executors (shared storage on a cluster; any local
+    path on local[*])."""
+    info = store.info()
+    aggr_num = METHOD_TO_AGG_NUM[info["aggregationMethod"]]
+    xff = float(info["xFilesFactor"])
+    max_ret = int(info["maxRetention"])
+    archives = [
+        (int(a["secondsPerPoint"]), int(a["points"])) for a in info["archives"]
+    ]
+
+    lww = store._lww(store._read_points())
+    per_archive = []
+    for spec in store.archives:
+        vis = store._ring_visible(
+            lww.filter(F.col("resolution") == spec.seconds_per_point), spec
+        )
+        per_archive.append(
+            vis.withColumn("resolution", F.lit(spec.seconds_per_point))
+        )
+    rows = per_archive[0]
+    for d in per_archive[1:]:
+        rows = rows.unionByName(d)
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(it):
+        by_metric: dict[str, dict[int, list]] = {}
+        for r in it:
+            by_metric.setdefault(r["metric"], {}).setdefault(
+                int(r["resolution"]), []
+            ).append((int(r["ts"]), float(r["value"])))
+        n = 0
+        header_size = METADATA_SIZE + ARCHIVE_SIZE * len(archives)
+        for metric, levels in by_metric.items():
+            buf = bytearray(
+                header_size + POINT_SIZE * sum(p for _s, p in archives)
+            )
+            struct.pack_into(
+                METADATA_FMT, buf, 0, aggr_num, max_ret, xff, len(archives)
+            )
+            a_off = header_size
+            h_off = METADATA_SIZE
+            for spp, pts in archives:
+                struct.pack_into(ARCHIVE_FMT, buf, h_off, a_off, spp, pts)
+                h_off += ARCHIVE_SIZE
+                level = sorted(levels.get(spp, []))
+                if level:
+                    base = level[0][0]
+                    for ts, v in level:
+                        slot = ((ts - base) // spp) % pts
+                        struct.pack_into(
+                            POINT_FMT, buf, a_off + slot * POINT_SIZE, ts, v
+                        )
+                a_off += pts * POINT_SIZE
+            rel = metric.replace(".", os.sep) if tree else metric
+            fpath = os.path.join(out_dir, rel + ".wsp")
+            os.makedirs(os.path.dirname(fpath) or out_dir, exist_ok=True)
+            with open(fpath, "wb") as f:
+                f.write(bytes(buf))
+            n += 1
+        yield n
+
+    counts = (
+        rows.repartition("metric")
+        .rdd.mapPartitions(write_partition)
+        .collect()
+    )
+    return sum(counts)
