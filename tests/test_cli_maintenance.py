@@ -313,3 +313,52 @@ def test_store_sql_views(spark, tmp_path):
         "SELECT * FROM t_series WHERE resolution = 60"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_read_storage_schemas_conf(tmp_path, spark):
+    """Carbon conf files drive reconcile_policies unchanged."""
+    from whisper_spark.maintenance import (
+        read_storage_schemas,
+        reconcile_policies,
+    )
+    from whisper_spark.store import WhisperStore
+
+    (tmp_path / "storage-schemas.conf").write_text(
+        "[servers]\n"
+        "pattern = ^servers\\.\n"
+        "retentions = 1m:1h,5m:2h\n"
+        "\n"
+        "[default]\n"
+        "pattern = .*\n"
+        "retentions = 5m:2h\n"
+    )
+    (tmp_path / "storage-aggregation.conf").write_text(
+        "[servers]\n"
+        "pattern = ^servers\\.\n"
+        "xFilesFactor = 0.1\n"
+        "aggregationMethod = max\n"
+    )
+    rules = read_storage_schemas(
+        str(tmp_path / "storage-schemas.conf"),
+        str(tmp_path / "storage-aggregation.conf"),
+    )
+    # carbon's metric-name anchor re-targets to a path-segment boundary
+    assert rules[0].pattern == r"^(.*/)?servers\."
+    assert rules[0].archives == "1m:1h,5m:2h"
+    assert rules[0].x_files_factor == 0.1 and rules[0].aggregation_method == "max"
+    assert rules[1].pattern.endswith(".*")
+    assert rules[0].matches("servers.web1.cpu")
+    assert rules[0].matches("/data/stores/servers.web1.cpu")
+    assert not rules[0].matches("/data/stores/apps.servers1.cpu")
+
+    # a drifted store under a matching path gets reported
+    root = tmp_path / "stores"
+    s = WhisperStore.create(
+        spark, str(root / "servers.web1.cpu"), [(60, 120)],
+        x_files_factor=0.5, aggregation_method="average",
+    )
+    assert s is not None
+    report = reconcile_policies(spark, str(root), rules, apply=False)
+    assert len(report) == 1
+    drift = " ".join(report[0]["drift"])
+    assert "archives" in drift and "aggregation" in drift and "xff" in drift

@@ -268,10 +268,17 @@ def cmd_find_corrupt(args):
 
 
 def cmd_reconcile(args):
-    from .maintenance import PolicyRule, reconcile_policies
+    from .maintenance import (
+        PolicyRule,
+        read_storage_schemas,
+        reconcile_policies,
+    )
 
-    with open(args.rules) as f:
-        rules = [PolicyRule(**r) for r in json.load(f)]
+    if getattr(args, "schemas", None):
+        rules = read_storage_schemas(args.schemas, args.aggregation)
+    else:
+        with open(args.rules) as f:
+            rules = [PolicyRule(**r) for r in json.load(f)]
     report = reconcile_policies(_spark(), args.root, rules, apply=args.apply)
     print(json.dumps(report, indent=2))
     return 0
@@ -610,10 +617,16 @@ def build_parser() -> argparse.ArgumentParser:
     fc.set_defaults(fn=cmd_find_corrupt)
 
     rc = sub.add_parser(
-        "reconcile", help="policy drift check/fix (whisper-auto-resize)"
+        "reconcile", help="policy drift check/fix (whisper-auto-resize); "
+        "rules from a JSON file or carbon conf files"
     )
     rc.add_argument("root")
-    rc.add_argument("rules", help="JSON file: [{pattern, archives, ...}]")
+    rc.add_argument("rules", nargs="?",
+                    help="JSON file: [{pattern, archives, ...}]")
+    rc.add_argument("--schemas",
+                    help="carbon storage-schemas.conf (replaces rules)")
+    rc.add_argument("--aggregation",
+                    help="carbon storage-aggregation.conf (with --schemas)")
     rc.add_argument("--apply", action="store_true")
     rc.set_defaults(fn=cmd_reconcile)
 

@@ -96,10 +96,12 @@ def reconcile_policies(
         if rule is None:
             continue
         store = WhisperStore.open(spark, path)
-        want = parse_retention_defs(rule.archives)
+        # config-only rules (storage-aggregation.conf with no matching
+        # schemas rule) carry empty archives: header checks only
+        want = parse_retention_defs(rule.archives) if rule.archives else None
         have = [(a.seconds_per_point, a.points) for a in store.archives]
         drift = []
-        if want != have:
+        if want is not None and want != have:
             drift.append(f"archives {have} != {want}")
         if (
             rule.aggregation_method is not None
@@ -120,7 +122,7 @@ def reconcile_policies(
                 store.set_aggregation_method(rule.aggregation_method)
             if rule.x_files_factor is not None:
                 store.set_x_files_factor(rule.x_files_factor)
-            if want != have:
+            if want is not None and want != have:
                 store.resize(
                     want,
                     x_files_factor=rule.x_files_factor,
@@ -233,3 +235,75 @@ def shard_assignments(
     best = F.array_min(F.filter(lit, lambda e: e["pos"] >= p))
     chosen = F.coalesce(best, F.element_at(lit, 1))["node"]
     return df.withColumn("shard", chosen)
+
+
+def read_storage_schemas(
+    schemas_path: str, aggregation_path: str | None = None
+) -> list[PolicyRule]:
+    """Parse carbon's ``storage-schemas.conf`` (and optionally
+    ``storage-aggregation.conf``) into :class:`PolicyRule`s — the files
+    a reference deployment already maintains, so its retention policy
+    drives :func:`reconcile_policies` unchanged.
+
+    Format (public carbon docs)::
+
+        [rule-name]
+        pattern = ^servers\\.
+        retentions = 10s:6h,1min:7d,10min:5y
+
+    storage-aggregation.conf adds ``xFilesFactor`` and
+    ``aggregationMethod`` per pattern; rules merge onto schema rules
+    with an identical pattern, else append as config-only rules
+    (archives='' matches reconcile's header-only checks).  Rule order
+    is file order — first match wins, as in carbon."""
+    import configparser
+
+    def _carbon_pat(pat: str) -> str:
+        """Carbon patterns are regexes over METRIC NAMES; reconcile
+        matches store PATHS.  Re-anchor ^ to a path-segment boundary so
+        '^servers\\.' matches both 'servers.web1.cpu' and
+        '/data/stores/servers.web1.cpu', and mark bare patterns as
+        regex (leading ^ is PolicyRule's regex marker)."""
+        if pat.startswith("^"):
+            return "^(.*/)?" + pat[1:]
+        return "^(.*/)?.*" + pat if not pat.startswith("^") else pat
+
+    def load(path):
+        cp = configparser.ConfigParser()
+        with open(path) as f:
+            cp.read_string(f.read())
+        return cp
+
+    rules: list[PolicyRule] = []
+    cp = load(schemas_path)
+    for section in cp.sections():
+        pat = cp.get(section, "pattern", fallback=None)
+        ret = cp.get(section, "retentions", fallback=None)
+        if not pat or not ret:
+            continue
+        rules.append(PolicyRule(pattern=_carbon_pat(pat), archives=ret))
+    if aggregation_path:
+        ag = load(aggregation_path)
+        for section in ag.sections():
+            pat = ag.get(section, "pattern", fallback=None)
+            if not pat:
+                continue
+            xff = ag.get(section, "xFilesFactor", fallback=None)
+            method = ag.get(section, "aggregationMethod", fallback=None)
+            pat = _carbon_pat(pat)
+            merged = False
+            for r in rules:
+                if r.pattern == pat:
+                    r.x_files_factor = float(xff) if xff is not None else None
+                    r.aggregation_method = method
+                    merged = True
+            if not merged:
+                rules.append(
+                    PolicyRule(
+                        pattern=pat,
+                        archives="",
+                        x_files_factor=float(xff) if xff is not None else None,
+                        aggregation_method=method,
+                    )
+                )
+    return rules
