@@ -1165,3 +1165,32 @@ def test_cli_render_graphite_json_format(spark, tmp_path, capsys):
     assert isinstance(data, list) and data[0]["target"] == "web.cpu"
     pts = {ts: v for v, ts in data[0]["datapoints"] if v is not None}
     assert pts == {(NOW - 60) // 60 * 60: 2.0, (NOW - 120) // 60 * 60: 4.0}
+
+
+def test_cli_render_csv_and_raw_formats(spark, tmp_path, capsys):
+    s = WhisperStore.create(
+        spark, str(tmp_path / "fdb"), [(60, 60)], x_files_factor=0.0
+    )
+    s.update_many(
+        [(NOW - 60, 1.5), (NOW - 180, 3.5)], now=NOW, metric="web.cpu"
+    )
+    base = [
+        "render", s.path, "web.cpu",
+        "--from", str(NOW - 240), "--until", str(NOW), "--now", str(NOW),
+    ]
+    assert cli.main(base + ["--format", "csv"]) == 0
+    csv_lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln
+    ]
+    assert all(ln.startswith("web.cpu,") for ln in csv_lines)
+    assert any(ln.endswith(",1.5") for ln in csv_lines)
+    assert any(ln.endswith(",") for ln in csv_lines)  # gap -> empty cell
+
+    assert cli.main(base + ["--format", "raw"]) == 0
+    raw = capsys.readouterr().out.strip()
+    head, body = raw.split("|")
+    m, lo, hi, step = head.rsplit(",", 3)
+    assert m == "web.cpu" and step == "60"
+    vals = body.split(",")
+    assert (int(hi) - int(lo)) // 60 == len(vals)
+    assert "1.5" in vals and "3.5" in vals and "None" in vals

@@ -375,6 +375,34 @@ def cmd_render(args):
             how = consolidation_method(parse_target(target))
             one, _ = consolidate(one, args.max_datapoints, ti[2], how)
         per_target.append((target, one.orderBy("metric", "ts").collect()))
+    if getattr(args, "format", None) == "csv":
+        # graphite /render?format=csv: "<series>,<YYYY-MM-DD HH:MM:SS>,<value>"
+        for _t, rows in per_target:
+            for r in rows:
+                stamp = time.strftime(
+                    "%Y-%m-%d %H:%M:%S", time.gmtime(r["ts"])
+                )
+                v = "" if r["value"] is None else repr(r["value"])
+                print(f"{r['metric']},{stamp},{v}")
+        return 0
+    if getattr(args, "format", None) == "raw":
+        # graphite format=raw: "<series>,<start>,<end>,<step>|v1,v2,..."
+        step_out = ti[2]
+        for _t, rows in per_target:
+            series: dict[str, dict[int, float]] = {}
+            for r in rows:
+                series.setdefault(r["metric"], {})[r["ts"]] = r["value"]
+            for m, pts in series.items():
+                ts_sorted = sorted(pts)
+                lo, hi = ts_sorted[0], ts_sorted[-1]
+                vals = [
+                    pts.get(t) for t in range(lo, hi + step_out, step_out)
+                ]
+                body = ",".join(
+                    "None" if v is None else repr(v) for v in vals
+                )
+                print(f"{m},{lo},{hi + step_out},{step_out}|{body}")
+        return 0
     if args.json:
         # single target: {series: points} (original shape); several:
         # keyed by target first — transform functions keep the source
@@ -471,9 +499,10 @@ def build_parser() -> argparse.ArgumentParser:
     rn.add_argument("--until", help="epoch or at-style time")
     rn.add_argument("--json", action="store_true")
     rn.add_argument(
-        "--format", choices=["engine", "graphite"], default="engine",
-        help="with --json: 'graphite' emits the /render?format=json "
-        "shape ([{target, datapoints: [[value, ts], ...]}])",
+        "--format", choices=["engine", "graphite", "csv", "raw"],
+        default="engine",
+        help="'graphite' (with --json): the /render?format=json shape; "
+        "'csv'/'raw': graphite's text formats",
     )
     rn.add_argument("--now", type=int, help="pin 'now' (reproducible reads)")
     rn.add_argument(
