@@ -465,3 +465,18 @@ def test_render_stream_rejects_cross_slot_functions(spark):
     ):
         with pytest.raises(TargetSyntaxError):
             validate_stream_target(parse_target(bad))
+
+
+def test_parse_line_protocol_normalizes_tag_order(spark):
+    lines = spark.createDataFrame(
+        [
+            ("cpu;host=a;dc=x 1.0 1699999990",),
+            ("cpu;dc=x;host=a 2.0 1699999991",),
+            ("plain.cpu 3.0 1699999992",),
+        ],
+        "value string",
+    )
+    out = parse_line_protocol(lines).collect()
+    names = sorted({r["metric"] for r in out})
+    # both tag orders collapse to carbon's sorted-canonical form
+    assert names == ["cpu;dc=x;host=a", "plain.cpu"]

@@ -34,6 +34,13 @@ def parse_line_protocol(lines: DataFrame, value_col: str = "value") -> DataFrame
 
     Returns (metric, ts, value, seq) rows; malformed lines are dropped.
     ``N`` or a missing timestamp means "now" and resolves per-batch.
+
+    Tagged names (``name;key=value;...``) normalize to carbon's stored
+    form — tags SORTED by key (carbon tags.py public behavior), so
+    ``cpu;host=a;dc=x`` and ``cpu;dc=x;host=a`` land in one series, and
+    seriesByTag/groupByTags see one canonical name.  Untagged names
+    pass through untouched (the normalizer is a pure column expression,
+    streaming-legal).
     """
     col = lines.columns[0]
     parts = F.split(F.trim(F.col(col)), r"\s+")
@@ -42,6 +49,17 @@ def parse_line_protocol(lines: DataFrame, value_col: str = "value") -> DataFrame
         F.get(parts, 0).alias("metric"),
         F.get(parts, 1).alias("_raw_value"),
         F.get(parts, 2).alias("_raw_ts"),
+    )
+    segs = F.split(F.col("metric"), ";")
+    normalized = F.concat_ws(
+        ";",
+        F.get(segs, 0),
+        F.array_join(F.array_sort(F.slice(segs, 2, 100000)), ";"),
+    )
+    out = out.withColumn(
+        "metric",
+        F.when(F.col("metric").contains(";"), normalized)
+        .otherwise(F.col("metric")),
     )
     now = F.unix_timestamp()
     return (
