@@ -144,3 +144,52 @@ def test_wsp_round_trip_preserves_live_rows(spark, tmp_path):
         )
         assert sorted(map(tuple, va.collect())) == sorted(map(tuple, vb.collect()))
     assert b.count() <= a.count()
+
+
+@pytest.mark.parametrize(
+    "archives,agg,xff,n_pts,stride",
+    [
+        ([(60, 10)], "last", 0.0, 40, 60),      # ring wraps 4x: eviction
+        ([(30, 20), (120, 10), (600, 6)], "average", 0.25, 60, 30),
+        ([(60, 30)], "min", 0.5, 25, 90),       # sparse: gaps in the ring
+    ],
+)
+def test_wsp_export_parity_random_configs(
+    spark, tmp_path, archives, agg, xff, n_pts, stride
+):
+    """Seeded point sets (incl. NaN) through export -> the reference
+    library's fetch must equal our own fetch at every archive."""
+    import random
+
+    rng = random.Random(hash((tuple(archives), n_pts)))
+    store = WhisperStore.create(
+        spark, str(tmp_path / "s"), archives, x_files_factor=xff,
+        aggregation_method=agg,
+    )
+    pts = [
+        (
+            NOW - stride * i,
+            float("nan") if rng.random() < 0.1 else rng.uniform(-50, 50),
+        )
+        for i in range(1, n_pts + 1)
+    ]
+    store.update_many(pts, now=NOW, metric="fuzz.m")
+    out = str(tmp_path / "x")
+    assert export_wsp(store, out) == 1
+    fp = os.path.join(out, "fuzz", "m.wsp")
+    for spp, points in archives:
+        frm = NOW - spp * points + 1
+        ref = refwhisper.fetch(fp, frm, NOW, now=NOW, archiveToSelect=spp)
+        got = store.fetch_series(
+            "fuzz.m", from_time=frm, until_time=NOW, now=NOW, archive_step=spp
+        )
+        (ri, rv) = ref
+        (gi, gv) = got
+        assert gi == tuple(ri), (spp, gi, ri)
+        for i, (r, g) in enumerate(zip(rv, gv)):
+            if g is None:
+                assert r is None, (spp, i, r)
+            elif isinstance(g, float) and math.isnan(g):
+                assert r is not None and math.isnan(r), (spp, i, r)
+            else:
+                assert r == pytest.approx(g), (spp, i, r, g)
