@@ -237,3 +237,53 @@ def test_fill_only_gaps(spark, tmp_path):
     assert got[base - 10 * 30] is None
     # existing dst data never overwritten away from gap boundaries
     assert got[base - 10 * 5] == pytest.approx(2000.0 + 5)
+
+
+def test_fetch_federated_first_store_wins(spark, tmp_path):
+    """CLUSTER_SERVERS-style merged read: per slot the first store with
+    a known value wins, later stores fill its gaps only."""
+    from whisper_spark.store import WhisperStore, fetch_federated
+
+    NOW = 1700000000
+    a = WhisperStore.create(spark, str(tmp_path / "fa"), [(60, 30)],
+                            x_files_factor=0.0)
+    b = WhisperStore.create(spark, str(tmp_path / "fb"), [(60, 30)],
+                            x_files_factor=0.0)
+    # a: slots -1m..-3m; b: slots -3m..-5m (overlap at -3m with a
+    # different value — a must win)
+    a.update_many([(NOW - 60 * i, 10.0 + i) for i in (1, 2, 3)],
+                  now=NOW, metric="m")
+    b.update_many([(NOW - 60 * i, 90.0 + i) for i in (3, 4, 5)],
+                  now=NOW, metric="m")
+    res = fetch_federated([a, b], "m", from_time=NOW - 360,
+                          until_time=NOW, now=NOW)
+    assert res is not None
+    ((lo, hi, step), df) = res
+    assert step == 60
+    got = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
+    slot = lambda i: (NOW - 60 * i) // 60 * 60  # noqa: E731
+    assert got[slot(1)] == 11.0 and got[slot(2)] == 12.0
+    assert got[slot(3)] == 13.0          # overlap: store a wins
+    assert got[slot(4)] == 94.0 and got[slot(5)] == 95.0
+
+
+def test_fetch_federated_mixed_resolutions(spark, tmp_path):
+    """Stores with different schemas merge at the coarsest selected
+    step so slots align."""
+    from whisper_spark.store import WhisperStore, fetch_federated
+
+    NOW = 1700000000
+    fine = WhisperStore.create(spark, str(tmp_path / "ff"), [(60, 120)],
+                               x_files_factor=0.0)
+    coarse = WhisperStore.create(spark, str(tmp_path / "fc"), [(300, 24)],
+                                 x_files_factor=0.0)
+    fine.update_many([(NOW - 60 * i, float(i)) for i in range(1, 20)],
+                     now=NOW, metric="m")
+    coarse.update_many([(NOW - 300 * i, 100.0 * i) for i in range(1, 4)],
+                       now=NOW, metric="m")
+    res = fetch_federated([fine, coarse], "m", from_time=NOW - 1800,
+                          until_time=NOW, now=NOW)
+    ((lo, hi, step), df) = res
+    assert step == 300  # coarsest common step
+    vals = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
+    assert vals  # both stores contributed aligned 5m slots

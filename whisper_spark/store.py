@@ -1421,3 +1421,78 @@ class WhisperStore:
                         shutil.rmtree(os.path.join(root, rdir, tdir))
                         removed += 1
         return removed
+
+
+def fetch_federated(
+    stores,
+    metrics=None,
+    from_time: int | None = None,
+    until_time: int | None = None,
+    now: int | None = None,
+    archive_step: int | None = None,
+):
+    """Merged range read across several stores — the graphite-web
+    CLUSTER_SERVERS / multi-DATA_DIR read path: every backend fetches
+    the range, and per (metric, slot) the FIRST store (list order) with
+    a known value wins, later stores only fill its gaps (graphite
+    readers merge results in configured order).
+
+    All stores fetch at one common step: the coarsest step the
+    per-store archive selection would pick (so every store can serve
+    the range), or a forced ``archive_step``.  Returns the standard
+    ``((from, until, step), DataFrame)`` dense-timeline contract, or
+    None when no store covers the range.  The merge is one unionByName
+    + one groupBy((metric, ts)) — a single shuffle regardless of store
+    count."""
+    from pyspark.sql import functions as F
+
+    if not stores:
+        return None
+    fetched = []
+    step = archive_step
+    if step is None:
+        for s in stores:
+            res = s.fetch(
+                metrics, from_time=from_time, until_time=until_time, now=now
+            )
+            if res is not None:
+                fetched.append((s, res))
+        if not fetched:
+            return None
+        step = max(ti[2] for (_s, (ti, _df)) in fetched)
+    # refetch every covering store AT the common step so slots align
+    parts = []
+    ti_out = None
+    for s in stores:
+        try:
+            res = s.fetch(
+                metrics,
+                from_time=from_time,
+                until_time=until_time,
+                now=now,
+                archive_step=step,
+            )
+        except Exception:
+            res = None
+        if res is None:
+            continue
+        (ti, df) = res
+        if ti_out is None:
+            ti_out = ti
+        parts.append(
+            df.select(
+                "metric", "ts", "value",
+                F.lit(len(parts)).alias("_prio"),
+            )
+        )
+    if not parts:
+        return None
+    allp = parts[0]
+    for d in parts[1:]:
+        allp = allp.unionByName(d)
+    merged = allp.groupBy("metric", "ts").agg(
+        F.min_by(
+            "value", F.when(F.col("value").isNotNull(), F.col("_prio"))
+        ).alias("value")
+    )
+    return (ti_out, merged)
