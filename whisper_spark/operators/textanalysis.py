@@ -258,3 +258,65 @@ def winnowing_fingerprints(
             )
         ).alias("fp_sig"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document — the
+    perplexity-style quality filter of CCNet/Gopher pipelines, trained
+    on the corpus itself instead of an external model.
+
+    Model: add-one-smoothed conditional ``P(w2|w1) = (c(w1,w2) + 1) /
+    (c(w1) + V)`` with counts from ONE pass over the corpus' bigrams.
+    The score is the per-doc AVERAGE conditional probability, kept in
+    RATIONAL arithmetic (integer counts, one exact float division per
+    distinct bigram, decimal accumulation) so it is bit-deterministic
+    on any engine — the log-space cross-entropy is one ``F.log`` away
+    for users who want perplexity units but costs engine-dependent
+    transcendentals.
+
+    Scale: two count aggregations + two joins keyed on bigram/unigram
+    (shuffle ~ corpus token count, the same cost class as TF-IDF);
+    ``V`` is one bounded driver probe (same precedent as the session
+    now-pin) unless passed explicitly.
+
+    Returns (id, n_bigrams, avg_bigram_prob); docs with < 2 tokens are
+    absent (no bigram evidence).
+    """
+    toks = word_tokens(text_col)
+    tdf = docs.select(F.col(id_col), toks.alias("t"))
+    if vocab_size is None:
+        vocab_size = (
+            tdf.select(F.explode("t").alias("w")).distinct().count()
+        )
+    big = (
+        tdf.filter(F.size("t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("_c1"))
+    p = (
+        (F.col("_c2") + 1) * 1.0 / (F.col("_c1") + F.lit(int(vocab_size)))
+    ).cast("decimal(25,8)")
+    scored = (
+        big.join(c2, ["w1", "w2"]).join(c1, ["w1"]).select(id_col, p.alias("_p"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("_p").cast("string").cast("double") / F.count("*"))
+        .alias("avg_bigram_prob"),
+    )

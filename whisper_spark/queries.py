@@ -8535,6 +8535,48 @@ def q_doc_incremental_dedup(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_bigram_lm_score",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+big0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT x) AS v FROM (SELECT unnest(t) AS x FROM toks)
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST((c2.c2 + 1) * 1.0 / (c1.c1 + v.v) AS DECIMAL(25,8)) AS p
+  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       ((sum(p))::VARCHAR)::DOUBLE / count(*) AS avg_bigram_prob
+FROM scored GROUP BY doc_id
+""",
+    doc="corpus-trained bigram-LM fluency score (the CCNet/Gopher "
+    "perplexity-filter shape): add-one-smoothed P(w2|w1) from one "
+    "corpus pass, per-doc average conditional probability in RATIONAL "
+    "arithmetic (integer counts, exact float division, decimal "
+    "accumulation — bit-deterministic, no transcendental divergence; "
+    "log-space is one F.log away).  Two count aggs + two bigram-keyed "
+    "joins — TF-IDF cost class (operators/textanalysis.py "
+    "bigram_lm_score)",
+)
+def q_doc_bigram_lm_score(spark, sf_dir):
+    from .operators.textanalysis import bigram_lm_score
+
+    return bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
