@@ -641,3 +641,44 @@ def test_incremental_dedup_cross_corpus_only(spark):
         for r in incremental_dedup(both_new, fresh_seen).collect()
     }
     assert out2 == {20: 1, 21: 1}
+
+
+def test_pca_project_recovers_dominant_axis(spark):
+    from whisper_spark.operators.similarity import (
+        embedding_covariance,
+        pca_project,
+    )
+
+    # synthetic: dim 4, variance concentrated on axis 1 (x4 scale),
+    # deterministic hash-based noise on the rest
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-8, 8), rng.uniform(-1, 1),
+             rng.uniform(-1, 1), rng.uniform(-1, 1)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cov = {(r.i, r.j): r.cov for r in embedding_covariance(df, dim=4).collect()}
+    assert len(cov) == 10  # upper triangle of 4x4
+    assert cov[(1, 1)] > 5 * max(cov[(2, 2)], cov[(3, 3)], cov[(4, 4)])
+
+    out = pca_project(df, n_components=2, dim=4)
+    rows_out = out.collect()
+    assert {c for c in out.columns} == {
+        "vec_id", "pc1", "explained_1", "pc2", "explained_2"
+    }
+    # pc1 must essentially be axis 1 (up to sign normalization):
+    # correlation with the raw first coordinate ~ 1
+    raw = {r[0]: r[1][0] for r in rows}
+    import numpy as np
+
+    a = np.array([raw[r.vec_id] for r in rows_out])
+    b = np.array([r.pc1 for r in rows_out])
+    corr = abs(np.corrcoef(a, b)[0, 1])
+    assert corr > 0.99, corr
+    assert rows_out[0].explained_1 > rows_out[0].explained_2 > 0
+    # deterministic: second run bit-identical (sign normalization)
+    again = {r.vec_id: r.pc1 for r in pca_project(df, 2, dim=4).collect()}
+    assert all(again[r.vec_id] == r.pc1 for r in rows_out)

@@ -743,3 +743,112 @@ def srp_candidate_pairs(
 
     fp = srp_fingerprints(df, emb_col, id_col, bits)
     return simhash_candidates(fp, id_col=id_col, bits=bits, bands=bands)
+
+
+# --------------------------------------------------------------------- #
+# covariance / PCA
+# --------------------------------------------------------------------- #
+
+
+def embedding_covariance(
+    df: DataFrame, emb_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Population covariance matrix of the embedding column as
+    (i, j, cov) rows for the upper triangle (1-based, j >= i).
+
+    One pass, no join: each row expands to its d(d+1)/2 upper-triangle
+    products via a nested transform (JVM expression), and one
+    groupBy((i, j)) reduces them — map-side combine collapses every
+    partition to d^2/2 partials, so the shuffle is partitions x d^2/2
+    regardless of row count.  Sums accumulate in DECIMAL and round-trip
+    through string (engine determinism rules), so cov is
+    bit-reproducible and oracle-checkable."""
+    if dim is None:
+        probe = df.select(F.size(emb_col).alias("d")).first()
+        dim = int(probe["d"])
+    cells = df.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {dim}), i -> "
+                f"transform(sequence(i, {dim}), j -> struct("
+                f"i AS i, j AS j, "
+                f"cast(element_at({emb_col}, i) AS double) AS xi, "
+                f"cast(element_at({emb_col}, j) AS double) AS xj))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.xi", "c.xj")
+
+    # quantize with floor(x * 1e12) BEFORE the decimal cast: floor has
+    # no rounding ties, unlike round-to-scale, where a float32 whose
+    # exact binary expansion terminates at the cut digit lands on a
+    # HALF_UP (Spark) vs HALF_EVEN (DuckDB) tie — observed on real
+    # data, one such value per ~30k floats
+    def dsum(c):
+        return (
+            F.sum(F.floor(c * 1e12).cast("decimal(38,0)"))
+            .cast("string").cast("double") / F.lit(1e12)
+        )
+
+    agg = cells.groupBy("i", "j").agg(
+        F.count("*").alias("_n"),
+        dsum(F.col("xi") * F.col("xj")).alias("_sxy"),
+        dsum(F.col("xi")).alias("_sxi"),
+        dsum(F.col("xj")).alias("_sxj"),
+    )
+    return agg.select(
+        "i", "j",
+        (
+            F.col("_sxy") / F.col("_n")
+            - (F.col("_sxi") / F.col("_n")) * (F.col("_sxj") / F.col("_n"))
+        ).alias("cov"),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top principal components.
+
+    The covariance matrix is d x d — bounded driver data (the
+    centroid-literal precedent), so the eigendecomposition runs
+    driver-side on the collected matrix; the projection itself is a
+    literal-vector dot product per component, a narrow zero-shuffle
+    map over the corpus.  Eigenvector SIGN is normalized (first
+    nonzero coordinate positive) so output is deterministic.
+
+    Returns (id, pc1..pcN, plus ``explained``: each component's
+    variance share, constant per row for downstream filters)."""
+    import numpy as np
+
+    if dim is None:
+        probe = df.select(F.size(emb_col).alias("d")).first()
+        dim = int(probe["d"])
+    tri = embedding_covariance(df, emb_col, dim=dim).collect()
+    cov = np.zeros((dim, dim))
+    for r in tri:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    total = float(vals.sum()) or 1.0
+    cols = [F.col(id_col)]
+    for c, k in enumerate(order):
+        v = vecs[:, k]
+        nz = v[np.nonzero(v)[0][0]] if np.any(v) else 1.0
+        if nz < 0:
+            v = -v
+        lits = ", ".join(repr(float(x)) for x in v)
+        expr = (
+            f"aggregate(zip_with({emb_col}, array({lits}), "
+            "(a, b) -> cast(a AS double) * b), cast(0.0 AS double), "
+            "(acc, x) -> acc + x)"
+        )
+        cols.append(F.expr(expr).alias(f"pc{c + 1}"))
+        cols.append(
+            F.lit(float(vals[k]) / total).alias(f"explained_{c + 1}")
+        )
+    return df.select(*cols)

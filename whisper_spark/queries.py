@@ -8577,6 +8577,41 @@ def q_doc_bigram_lm_score(spark, sf_dir):
     return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+@_q(
+    "emb_covariance",
+    """
+WITH ks AS (SELECT unnest(generate_series(1, 64)) AS k),
+cells AS (
+  SELECT a.k AS i, b.k AS j,
+         e.embedding[a.k]::DOUBLE AS xi, e.embedding[b.k]::DOUBLE AS xj
+  FROM embeddings e, ks a, ks b WHERE b.k >= a.k
+),
+agg AS (
+  SELECT i, j, count(*) AS n,
+         (sum(CAST(floor(xi * xj * 1e12) AS DECIMAL(38,0)))::VARCHAR)::DOUBLE
+           / 1e12 AS sxy,
+         (sum(CAST(floor(xi * 1e12) AS DECIMAL(38,0)))::VARCHAR)::DOUBLE
+           / 1e12 AS sxi,
+         (sum(CAST(floor(xj * 1e12) AS DECIMAL(38,0)))::VARCHAR)::DOUBLE
+           / 1e12 AS sxj
+  FROM cells GROUP BY i, j
+)
+SELECT i, j, sxy / n - (sxi / n) * (sxj / n) AS cov FROM agg
+""",
+    doc="population covariance of the embedding space, the PCA/whitening "
+    "input: one pass, no join — each row expands to its upper-triangle "
+    "products via a nested JVM transform, one groupBy((i,j)) with "
+    "map-side combine reduces the shuffle to partitions x d^2/2 at any "
+    "corpus size.  Decimal accumulation keeps it bit-deterministic "
+    "(operators/similarity.py embedding_covariance; pca_project builds "
+    "on it with a driver-side eigh on the bounded d x d literal)",
+)
+def q_emb_covariance(spark, sf_dir):
+    from .operators.similarity import embedding_covariance
+
+    return embedding_covariance(load(spark, sf_dir, "embeddings"), dim=64)
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
