@@ -320,3 +320,64 @@ def bigram_lm_score(
         (F.sum("_p").cast("string").cast("double") / F.count("*"))
         .alias("avg_bigram_prob"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary: the ``vocab_size`` most frequent whitespace
+    tokens, ids assigned 1..N by (count desc, token asc) — fully
+    deterministic; id 0 is reserved for OOV.  One count aggregation +
+    one bounded global rank (the vocab is top-N small by construction,
+    so the single-partition window ranks N rows, not the corpus)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(word_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .filter(F.col("token_id") <= vocab_size)
+        .select("token", "token_id", "count")
+    )
+
+
+def encode_token_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document as its token-id sequence against ``vocab``
+    (OOV -> 0).  The vocab is broadcast (top-N bounded); the sequence
+    itself is order-preserving via positional explode + re-collect, and
+    the output carries an md5 signature of the id sequence so equality
+    is checkable without array-representation pitfalls.
+
+    Returns (id, n_tokens, n_oov, ids_sig)."""
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(word_tokens(text_col)).alias("pos", "token"),
+    )
+    joined = pos.join(F.broadcast(vocab.select("token", "token_id")),
+                      "token", "left").select(
+        id_col, "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("tid"),
+    )
+    seq = F.expr(
+        "transform(array_sort(collect_list(struct(pos, tid))), s -> s.tid)"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).cast("long").alias("n_oov"),
+        F.md5(
+            F.array_join(
+                F.transform(seq, lambda x: x.cast("string")), ","
+            )
+        ).alias("ids_sig"),
+    )

@@ -8612,6 +8612,68 @@ def q_emb_covariance(spark, sf_dir):
     return embedding_covariance(load(spark, sf_dir, "embeddings"), dim=64)
 
 
+_VOCAB_SQL = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+counts AS (
+  SELECT x AS token, count(*) AS count
+  FROM (SELECT unnest(t) AS x FROM toks) GROUP BY x
+),
+vocab AS (
+  SELECT token, token_id, count FROM (
+    SELECT token, count,
+           row_number() OVER (ORDER BY count DESC, token) AS token_id
+    FROM counts
+  ) WHERE token_id <= 1000
+)
+"""
+
+
+@_q(
+    "doc_vocab_top",
+    "WITH " + _VOCAB_SQL + "SELECT token, token_id, count FROM vocab",
+    doc="corpus vocabulary: top-1000 whitespace tokens, ids assigned by "
+    "(count desc, token asc) — one count aggregation; the global rank "
+    "runs on the BOUNDED top-N candidate set, not the corpus "
+    "(operators/textanalysis.py build_vocab)",
+)
+def q_doc_vocab_top(spark, sf_dir):
+    from .operators.textanalysis import build_vocab
+
+    return build_vocab(load(spark, sf_dir, "documents"), vocab_size=1000)
+
+
+@_q(
+    "doc_token_ids",
+    "WITH " + _VOCAB_SQL + """
+, posj AS (
+  SELECT doc_id, i, t[i] AS token
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+),
+j AS (
+  SELECT p.doc_id, p.i, coalesce(v.token_id, 0) AS tid
+  FROM posj p LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       md5(string_agg(tid::VARCHAR, ',' ORDER BY i)) AS ids_sig
+FROM j GROUP BY doc_id
+""",
+    doc="tokenize-to-ids against the corpus vocabulary (OOV -> 0): "
+    "broadcast vocab join, order-preserving positional encode, md5 "
+    "sequence signature so equality checks are representation-proof "
+    "(operators/textanalysis.py encode_token_ids)",
+)
+def q_doc_token_ids(spark, sf_dir):
+    from .operators.textanalysis import build_vocab, encode_token_ids
+
+    d = load(spark, sf_dir, "documents")
+    return encode_token_ids(d, build_vocab(d, vocab_size=1000))
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
