@@ -8689,6 +8689,8 @@ _DRIVER_WINDOW_PROMOTE = [
     "doc_substring_dup_pairs", "stream_near_dedup",
     "doc_curation_pipeline", "emb_srp_pairs", "ws_shard_assignment",
     "stream_render_target", "ws_render_target_reduce",
+    "doc_incremental_dedup", "emb_semdedup_survivors",
+    "doc_bigram_lm_score", "emb_covariance",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -8696,6 +8698,8 @@ _DRIVER_WINDOW_DEMOTE = [
     "q14_promo_revenue", "q16_supplier_cnt",
     "q19_discounted_revenue", "q21_suppliers_waiting", "q15_top_supplier",
     "q18_large_orders", "q9_product_profit",
+    "q8_market_share", "q7_volume_shipping", "q13_custdist",
+    "q12_priority_by_status",
 ]
 
 
