@@ -8750,6 +8750,65 @@ def q_doc_corpus_card(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_top_metrics",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+win AS (
+  SELECT metric, sec // 60 * 60 AS w_start, count(*) AS n_points
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+fin AS (SELECT * FROM win, mx WHERE w_start + 60 <= m - 600),
+rk AS (
+  SELECT w_start, metric, n_points,
+         row_number() OVER (PARTITION BY w_start
+                            ORDER BY n_points DESC, metric) AS rank
+  FROM fin
+)
+SELECT w_start, metric, n_points, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 3
+""",
+    doc="STREAMING heavy hitters: per-window top-3 metrics by point "
+    "count over the carbon stream — watermarked tumbling counts in "
+    "append mode, rank per finalized micro-batch (batch-local rank is "
+    "exact because finalization is watermark-atomic: every metric's "
+    "window lands in one batch).  The ops 'top talkers' dashboard as a "
+    "continuous query (streaming/rollup.py top_metrics_stream)",
+)
+def q_stream_top_metrics(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from .streaming.rollup import top_metrics_stream
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_topk_" + uuid.uuid4().hex[:8])
+    q = (
+        top_metrics_stream(
+            pts, out_dir, step_seconds=60, k=3, watermark_seconds=600
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the

@@ -451,3 +451,53 @@ def near_dedup_stream(
             "n_bands",
         )
     )
+
+
+def top_metrics_stream(
+    points: DataFrame,
+    out_path: str,
+    step_seconds: int = 60,
+    k: int = 5,
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+):
+    """Per-window top-k metrics by point count — the ops 'top talkers'
+    view over the carbon stream.
+
+    One watermarked tumbling count per (metric, window) in APPEND mode,
+    then the rank runs per micro-batch: append-mode finalization is
+    watermark-atomic, so every metric's count for a window lands in the
+    same batch and the batch-local rank equals the batch rank (the same
+    argument as streaming/render.py).  Returns the DataStreamWriter;
+    output rows (w_start, metric, n_points, rank) append to
+    ``out_path`` as parquet."""
+    from pyspark.sql import Window
+
+    evt = F.timestamp_seconds(F.col(ts_col)).alias("_evt")
+    pts = points.select("metric", evt)
+    counts = (
+        pts.withWatermark("_evt", f"{watermark_seconds} seconds")
+        .groupBy(
+            "metric", F.window("_evt", f"{step_seconds} seconds").alias("_w")
+        )
+        .agg(F.count("*").alias("n_points"))
+        .select(
+            F.col("_w.start").cast("long").alias("w_start"),
+            "metric",
+            "n_points",
+        )
+    )
+
+    def _batch(batch_df: DataFrame, _epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("w_start").orderBy(
+            F.desc("n_points"), F.asc("metric")
+        )
+        top = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        top.write.mode("append").parquet(out_path)
+
+    return counts.writeStream.foreachBatch(_batch).outputMode("append")
