@@ -480,3 +480,35 @@ def test_parse_line_protocol_normalizes_tag_order(spark):
     names = sorted({r["metric"] for r in out})
     # both tag orders collapse to carbon's sorted-canonical form
     assert names == ["cpu;dc=x;host=a", "plain.cpu"]
+
+
+def test_top_metrics_stream_end_to_end(spark, tmp_path):
+    from whisper_spark.streaming.rollup import top_metrics_stream
+
+    indir = tmp_path / "tk_in"
+    indir.mkdir()
+    lines = []
+    # minute 0: a=3 points, b=2, c=1; pusher advances the watermark
+    for m, n in (("a", 3), ("b", 2), ("c", 1)):
+        lines += [f"{m} 1.0 {NOW + i}" for i in range(n)]
+    lines += [f"a 0.0 {NOW + 7200}"]
+    (indir / "a.txt").write_text("\n".join(lines) + "\n")
+
+    pts = parse_line_protocol(
+        spark.readStream.format("text").load(str(indir))
+    ).select("metric", "ts")
+    q = (
+        top_metrics_stream(pts, str(tmp_path / "tk_out"), step_seconds=60,
+                           k=2, watermark_seconds=600)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["w_start"], r["rank"]): (r["metric"], r["n_points"])
+        for r in spark.read.parquet(str(tmp_path / "tk_out")).collect()
+    }
+    slot = NOW - NOW % 60
+    assert rows[(slot, 1)] == ("a", 3)
+    assert rows[(slot, 2)] == ("b", 2)
+    assert len(rows) == 2  # k=2: c cut; +2h window unfinalized
