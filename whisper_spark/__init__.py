@@ -27,9 +27,10 @@ from .retention import (
     parse_retention_defs,
     validate_archive_list,
 )
-from .render import evaluate_target, parse_target
+from .render import evaluate_target, parse_at_time, parse_target
 from .session import get_spark
-from .store import WhisperStore
+from .sources.wsp import export_wsp, import_wsp, read_wsp
+from .store import WhisperStore, fetch_federated
 
 __version__ = "0.1.0"
 
@@ -47,9 +48,14 @@ __all__ = [
     "aggregate_column",
     "estimate_size_bytes",
     "evaluate_target",
+    "export_wsp",
+    "fetch_federated",
     "get_spark",
+    "import_wsp",
+    "parse_at_time",
     "parse_retention_def",
     "parse_retention_defs",
     "parse_target",
+    "read_wsp",
     "validate_archive_list",
 ]
