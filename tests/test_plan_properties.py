@@ -346,3 +346,43 @@ def test_render_functions_list_matches_dispatch(spark):
             assert "unknown function" not in str(e), name
         except Exception:
             pass  # arity/type errors are fine — dispatch was reached
+
+
+def test_embedding_covariance_single_shuffle_no_join(spark):
+    """Covariance is one pass: per-row triangle expansion + one
+    groupBy((i,j)) — no join, exactly one Exchange (map-side combined)."""
+    from whisper_spark.operators.similarity import embedding_covariance
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        embedding_covariance(df, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_bigram_lm_no_cartesian(spark):
+    from whisper_spark.operators.textanalysis import bigram_lm_score
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        bigram_lm_score(df, vocab_size=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_encode_token_ids_broadcasts_vocab(spark):
+    from whisper_spark.operators.textanalysis import (
+        build_vocab,
+        encode_token_ids,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        encode_token_ids(df, build_vocab(df, vocab_size=100))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
