@@ -462,3 +462,37 @@ def test_incremental_dedup_1m_index_proportional(spark):
     # collisions, a vanishing fraction
     assert agg["near_only"] < n_new // 100
     assert agg["keep"] >= n_new - n_new // 10 - n_new // 100
+
+
+def test_embedding_covariance_200k_shuffle_bounded(spark):
+    """200k vectors, dim 32: the covariance shuffle carries at most
+    partitions x d(d+1)/2 partial rows (map-side combine), and the
+    result matches an independent numpy computation on an exact
+    deterministic dataset."""
+    from whisper_spark.operators.similarity import embedding_covariance
+
+    n, d = 200_000, 32
+    # deterministic quarter-multiples: exact in float AND in the
+    # operator's floor-quantized decimal accumulation
+    emb = F.expr(
+        f"transform(sequence(1, {d}), "
+        "j -> cast((pmod(id * j, 17) - 8) / 4.0 AS float))"
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    )
+    out = embedding_covariance(df, dim=d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") == 1
+    rows = out.collect()
+    assert len(rows) == d * (d + 1) // 2
+
+    import numpy as np
+
+    ids = np.arange(n).reshape(-1, 1)
+    js = np.arange(1, d + 1).reshape(1, -1)
+    x = ((ids * js) % 17 - 8) / 4.0
+    ref = np.cov(x, rowvar=False, bias=True)
+    for r in rows[:200]:
+        assert abs(ref[r["i"] - 1, r["j"] - 1] - r["cov"]) < 1e-9, (
+            r["i"], r["j"], ref[r["i"] - 1, r["j"] - 1], r["cov"])
