@@ -193,3 +193,50 @@ def test_wsp_export_parity_random_configs(
                 assert r is not None and math.isnan(r), (spp, i, r)
             else:
                 assert r == pytest.approx(g), (spp, i, r, g)
+
+
+@pytest.mark.parametrize(
+    "archives,agg,n_pts,stride",
+    [
+        ([(60, 12)], "max", 50, 60),              # heavy ring wrap
+        ([(30, 40), (300, 12)], "sum", 80, 45),   # cross-archive ages
+        ([(120, 10), (600, 6), (3600, 4)], "last", 30, 300),
+    ],
+)
+def test_wsp_import_parity_random_configs(
+    spark, tmp_path, archives, agg, n_pts, stride
+):
+    """Reference-written random files (seeded values incl. NaN) import
+    losslessly: our fetch equals the reference's at every archive."""
+    import random
+
+    rng = random.Random(hash((tuple(archives), n_pts, stride)))
+    root = tmp_path / "w"
+    root.mkdir()
+    fp = str(root / "fz.wsp")
+    refwhisper.create(fp, archives, xFilesFactor=0.3, aggregationMethod=agg)
+    pts = [
+        (
+            NOW - stride * i,
+            float("nan") if rng.random() < 0.08 else rng.uniform(-99, 99),
+        )
+        for i in range(1, n_pts + 1)
+    ]
+    refwhisper.update_many(fp, pts, now=NOW)
+    store = import_wsp(spark, fp, str(tmp_path / "imp"), root=str(root))
+    for spp, points in archives:
+        frm = NOW - spp * points + 1
+        ref = refwhisper.fetch(fp, frm, NOW, now=NOW, archiveToSelect=spp)
+        got = store.fetch_series(
+            "fz", from_time=frm, until_time=NOW, now=NOW, archive_step=spp
+        )
+        (ri, rv) = ref
+        (gi, gv) = got
+        assert gi == tuple(ri), (spp, gi, ri)
+        for i, (r, g) in enumerate(zip(rv, gv)):
+            if r is None:
+                assert g is None, (spp, i, g)
+            elif isinstance(r, float) and math.isnan(r):
+                assert g is not None and math.isnan(g), (spp, i, g)
+            else:
+                assert g == pytest.approx(r), (spp, i, r, g)
