@@ -8809,6 +8809,193 @@ def q_stream_top_metrics(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_curation_pipeline_v2",
+    """
+WITH newd AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
+seend AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+seenh AS (SELECT DISTINCT md5(text) AS h FROM seend),
+ex AS (SELECT doc_id FROM newd WHERE md5(text) IN (SELECT h FROM seenh)),
+shn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, length(text) - 4)),
+           i -> substring(text, i, 5))) AS grams
+  FROM newd WHERE length(text) >= 5
+),
+sgn AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15), k ->
+           list_min(list_transform(grams, s ->
+             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
+  FROM shn WHERE len(grams) >= 1
+),
+bn AS (
+  SELECT doc_id, b.band_id,
+         md5(sigs[4*band_id + 1]::VARCHAR || '#'
+             || sigs[4*band_id + 2]::VARCHAR || '#'
+             || sigs[4*band_id + 3]::VARCHAR || '#'
+             || sigs[4*band_id + 4]::VARCHAR) AS band_sig
+  FROM sgn, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, length(text) - 4)),
+           i -> substring(text, i, 5))) AS grams
+  FROM seend WHERE length(text) >= 5
+),
+sgs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15), k ->
+           list_min(list_transform(grams, s ->
+             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
+  FROM shs WHERE len(grams) >= 1
+),
+bs AS (
+  SELECT DISTINCT b.band_id,
+         md5(sigs[4*band_id + 1]::VARCHAR || '#'
+             || sigs[4*band_id + 2]::VARCHAR || '#'
+             || sigs[4*band_id + 3]::VARCHAR || '#'
+             || sigs[4*band_id + 4]::VARCHAR) AS band_sig
+  FROM sgs, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+),
+nr AS (
+  SELECT DISTINCT bn.doc_id
+  FROM bn JOIN bs ON bn.band_id = bs.band_id AND bn.band_sig = bs.band_sig
+),
+kept AS (
+  SELECT n.doc_id, n.source, n.text FROM newd n
+  WHERE n.doc_id NOT IN (SELECT doc_id FROM ex)
+    AND n.doc_id NOT IN (SELECT doc_id FROM nr)
+),
+btoks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM btoks WHERE len(t) >= 2
+),
+bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bg0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+vv AS (
+  SELECT count(DISTINCT x) AS v FROM (SELECT unnest(t) AS x FROM btoks)
+),
+bscored AS (
+  SELECT b.doc_id,
+         CAST((c2.c2 + 1) * 1.0 / (c1.c1 + vv.v) AS DECIMAL(25,8)) AS p
+  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vv
+),
+lm AS (
+  SELECT doc_id,
+         ((sum(p))::VARCHAR)::DOUBLE / count(*) AS score
+  FROM bscored GROUP BY doc_id
+),
+klm AS (
+  SELECT k.doc_id, k.source, k.text, lm.score
+  FROM kept k JOIN lm USING (doc_id)
+),
+medr AS (
+  SELECT score,
+         row_number() OVER (ORDER BY score, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM klm
+),
+med AS (
+  SELECT score AS m FROM medr
+  WHERE rn = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+),
+fluent AS (SELECT * FROM klm, med WHERE score >= med.m),
+counts AS (SELECT x AS token, count(*) AS cnt
+           FROM (SELECT unnest(t) AS x FROM btoks) GROUP BY x),
+vocab AS (
+  SELECT token, token_id FROM (
+    SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS token_id
+    FROM counts
+  ) WHERE token_id <= 1000
+),
+fpos AS (
+  SELECT f.doc_id, f.source, t[i] AS token
+  FROM (SELECT fl.doc_id, fl.source, bt.t
+        FROM fluent fl JOIN btoks bt USING (doc_id)) f,
+       unnest(generate_series(1, len(f.t))) AS g(i)
+),
+fenc AS (
+  SELECT p.doc_id, p.source,
+         CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+  FROM fpos p LEFT JOIN vocab v USING (token)
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_fluent,
+       CAST(count(*) AS BIGINT) AS sum_tokens,
+       CAST(sum(oov) AS BIGINT) AS sum_oov
+FROM fenc GROUP BY source
+""",
+    doc="curation capstone v2 — the session's NEW operators composed "
+    "end to end under one oracle: incremental dedup of the new batch "
+    "against the seen corpus (exact + LSH-band semi-joins) -> corpus-"
+    "trained bigram-LM fluency gate at the nearest-rank median -> "
+    "tokenize-to-ids vocab coverage per source.  Every stage is the "
+    "scale shape already proven for its standalone query; the "
+    "composition check guards stage INTERACTIONS (id flow, gate "
+    "ordering, join keys)",
+)
+def q_doc_curation_pipeline_v2(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from .operators.dedup import incremental_dedup
+    from .operators.textanalysis import bigram_lm_score, build_vocab
+
+    d = load(spark, sf_dir, "documents")
+    newd = d.filter(F.col("doc_id") % 3 == 0)
+    seend = d.filter(F.col("doc_id") % 3 != 0)
+    # r=4 bands per the operator's own band-width-at-scale guidance:
+    # on prose-like corpora r=2 chance-collides so often the whole
+    # batch flags (verified here), r=4 keeps real survivors
+    inc = incremental_dedup(newd, seend, num_hashes=16, bands=4)
+    kept_ids = inc.filter(F.col("keep") == 1).select("doc_id")
+    lm = bigram_lm_score(d).select(
+        "doc_id", F.col("avg_bigram_prob").alias("score")
+    )
+    klm = (
+        newd.join(kept_ids, "doc_id")
+        .join(lm, "doc_id")
+        .select("doc_id", "source", "score")
+    )
+    wm = W.orderBy("score", "doc_id")
+    medr = klm.select(
+        "score",
+        F.row_number().over(wm).alias("rn"),
+        F.count("*").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n"),
+    )
+    med = medr.filter(
+        F.col("rn")
+        == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.5).cast("long"))
+    ).select(F.col("score").alias("_m"))
+    fluent = klm.crossJoin(F.broadcast(med)).filter(
+        F.col("score") >= F.col("_m")
+    ).select("doc_id", "source")
+    vocab = build_vocab(d, vocab_size=1000)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    fpos = (
+        d.join(fluent.select("doc_id"), "doc_id")
+        .select("doc_id", F.explode(toks).alias("token"))
+        .join(fluent, "doc_id")
+        .join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    )
+    return fpos.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_fluent"),
+        F.count("*").cast("long").alias("sum_tokens"),
+        F.sum(F.col("token_id").isNull().cast("long")).cast("long")
+        .alias("sum_oov"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
