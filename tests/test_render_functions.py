@@ -249,3 +249,28 @@ def test_holt_winters_gap_holds_state(spark):
     # the recurrence index did NOT advance on the gap: slot 180 is the
     # third KNOWN point, so its seasonal lookback (m=2) sees s_1
     assert got[180].forecast == got[60].level + got[60].trend + 0.0
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """Linear trend + exact 4-slot cycle: the decomposition recovers
+    both components wherever the trend window is complete."""
+    from whisper_spark.functions.timeseries import seasonal_decompose
+
+    cycle = [2.0, -1.0, -2.0, 1.0]  # zero-mean season, length 4
+    rows = [
+        ("m", 60 * i, 10.0 + 0.0 * i + cycle[i % 4]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = seasonal_decompose(df, ["metric"], season_slots=4, step=60)
+    got = {r.ts: r for r in out.collect()}
+    mid = got[60 * 20]
+    # constant base 10: the centered 5-row mean over an exact 4-cycle
+    # duplicates the WINDOW-START phase -> trend = 10 + cycle[(i-2)%4]/5
+    assert mid.trend == 10.0 + cycle[(20 - 2) % 4] / 5.0
+    assert abs(mid.value - (mid.trend + mid.seasonal + mid.resid)) < 1e-12
+    # edges: incomplete window -> null trend/seasonal/resid
+    assert got[0].trend is None and got[0].seasonal is None
+    # every complete slot reconstructs exactly
+    for ts, r in got.items():
+        if r.trend is not None:
+            assert abs(r.value - (r.trend + r.seasonal + r.resid)) < 1e-9

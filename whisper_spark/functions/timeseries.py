@@ -598,3 +598,66 @@ def select_archive(
         if a.retention >= diff:
             return a
     return ordered[-1]
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    season_slots: int,
+    step: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a step-aligned
+    series frame: ``value = trend + seasonal + resid``.
+
+    * trend: centered moving mean over one full season window
+      (``season_slots`` rows, odd-extended to 2k+1), null until the
+      window is complete — no partial-window bias at the edges;
+    * seasonal: per-phase mean of the detrended values
+      (phase = (ts / step) mod season), re-centered to sum ~0;
+    * resid: what's left.
+
+    One ordered window pass + one phase aggregation — two shuffles on
+    the same keys.  Means accumulate in DECIMAL and round-trip through
+    string (engine determinism rules), so the decomposition is
+    bit-reproducible and oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    k = season_slots // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-k, k)
+    )
+
+    def dmean(c, over=None):
+        s = F.sum(F.col(c).cast("decimal(25,6)"))
+        n = F.count(c)
+        if over is not None:
+            s, n = s.over(over), n.over(over)
+        return s.cast("string").cast("double") / n
+
+    full = F.count(value_col).over(w) == (2 * k + 1)
+    with_trend = df.select(
+        *keys, ts_col, value_col,
+        F.when(full, dmean(value_col, w)).alias("trend"),
+    )
+    det = with_trend.withColumn(
+        "_d", F.col(value_col) - F.col("trend")
+    ).withColumn(
+        "_phase", (F.col(ts_col) / step).cast("long") % season_slots
+    )
+    ph = det.groupBy(*keys, "_phase").agg(
+        dmean("_d").alias("seasonal")
+    )
+    out = det.join(ph, [*keys, "_phase"], "left").select(
+        *keys, ts_col, value_col, "trend",
+        F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.col("_d") - F.col("seasonal"),
+        ).alias("resid"),
+    )
+    return out

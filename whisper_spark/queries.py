@@ -8996,6 +8996,54 @@ def q_doc_curation_pipeline_v2(spark, sf_dir):
     )
 
 
+@_q(
+    "ws_seasonal_decompose",
+    EVENTS_CTES
+    + """
+, tr AS (
+  SELECT metric, ts, avg_v AS value,
+         CASE WHEN count(avg_v) OVER w = 61 THEN
+           ((sum(CAST(avg_v AS DECIMAL(25,6))) OVER w)::VARCHAR)::DOUBLE
+             / count(avg_v) OVER w END AS trend
+  FROM min1
+  WINDOW w AS (PARTITION BY metric ORDER BY ts
+               ROWS BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+),
+det AS (
+  SELECT metric, ts, value, trend, value - trend AS d,
+         (ts // 60) % 60 AS phase
+  FROM tr
+),
+ph AS (
+  SELECT metric, phase,
+         ((sum(CAST(d AS DECIMAL(25,6))))::VARCHAR)::DOUBLE / count(d)
+           AS seasonal
+  FROM det GROUP BY metric, phase
+)
+SELECT det.metric AS metric, det.ts AS ts, det.value AS value, det.trend,
+       CASE WHEN det.trend IS NOT NULL THEN ph.seasonal END AS seasonal,
+       CASE WHEN det.trend IS NOT NULL THEN det.d - ph.seasonal END AS resid
+FROM det LEFT JOIN ph ON det.metric = ph.metric AND det.phase = ph.phase
+""",
+    doc="classical additive seasonal decomposition of the 1m rollup "
+    "(hourly season, 60 slots): centered full-window moving mean as "
+    "trend, per-phase mean of the detrended values as the seasonal "
+    "component, residual remainder — value = trend + seasonal + resid "
+    "where the trend window is complete.  Decimal means keep it "
+    "bit-deterministic; one ordered window pass + one phase groupBy "
+    "(functions/timeseries.py seasonal_decompose)",
+)
+def q_ws_seasonal_decompose(spark, sf_dir):
+    from .functions.timeseries import seasonal_decompose
+
+    base = min1(spark, sf_dir).select(
+        "metric", "ts", F.col("avg_v").alias("value")
+    )
+    return seasonal_decompose(
+        base, ["metric"], season_slots=60, step=60
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
