@@ -661,3 +661,66 @@ def seasonal_decompose(
         ).alias("resid"),
     )
     return out
+
+
+def cusum(
+    df: DataFrame,
+    keys: Sequence[str],
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Two-sided CUSUM change-point detector per series (Page 1954,
+    public): with target = the series' first value,
+
+        up_t = max(0, up_{t-1} + (x_t - (target + slack)))
+        dn_t = max(0, dn_{t-1} + ((target - slack) - x_t))
+
+    alarm = 1 when either sum exceeds ``threshold``.  A sequential
+    recurrence like ewma/holt — one Arrow-batched O(n) pass per series
+    (parallelism = series count), null/NaN slots carry state.  The
+    float op order is written identically in the recursive-CTE oracle,
+    so results stay bit-exact.  Adds (cusum_up, cusum_dn, alarm)."""
+    import pandas as pd
+
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("cusum_up", T.DoubleType(), True),
+            T.StructField("cusum_dn", T.DoubleType(), True),
+            T.StructField("alarm", T.IntegerType(), True),
+        ]
+    )
+
+    def _one_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        target = None
+        up = dn = 0.0
+        ups, dns, alarms = [], [], []
+        for x in pdf[value]:
+            if x is None or x != x:
+                ups.append(up if target is not None else float("nan"))
+                dns.append(dn if target is not None else float("nan"))
+                alarms.append(
+                    1 if target is not None
+                    and (up > threshold or dn > threshold) else 0
+                )
+                continue
+            x = float(x)
+            if target is None:
+                target = x
+                up = dn = 0.0
+            else:
+                up = max(0.0, up + (x - (target + slack)))
+                dn = max(0.0, dn + ((target - slack) - x))
+            ups.append(up)
+            dns.append(dn)
+            alarms.append(1 if up > threshold or dn > threshold else 0)
+        pdf["cusum_up"] = ups
+        pdf["cusum_dn"] = dns
+        pdf["alarm"] = pd.array(alarms, dtype="int32")
+        return pdf
+
+    return df.groupBy(*list(keys)).applyInPandas(_one_series, schema=out_schema)

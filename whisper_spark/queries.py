@@ -9044,6 +9044,50 @@ def q_ws_seasonal_decompose(spark, sf_dir):
     )
 
 
+@_q(
+    "ws_cusum_alarms",
+    EVENTS_CTES.replace("WITH raw", "WITH RECURSIVE raw", 1)
+    + """
+, bounds AS (SELECT max(ts) AS hi FROM min1),
+base AS (
+  SELECT metric, ts, avg_v,
+         row_number() OVER (PARTITION BY metric ORDER BY ts) AS rn
+  FROM min1, bounds WHERE ts > hi - 86400
+),
+r AS (
+  SELECT metric, ts, rn, avg_v, avg_v AS tgt,
+         CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.metric, b.ts, b.rn, b.avg_v, r.tgt,
+         greatest(0.0, r.sp + (b.avg_v - (r.tgt + 0.5))),
+         greatest(0.0, r.sn + ((r.tgt - 0.5) - b.avg_v))
+  FROM base b JOIN r ON b.metric = r.metric AND b.rn = r.rn + 1
+)
+SELECT metric, ts, avg_v AS value, sp AS cusum_up, sn AS cusum_dn,
+       CAST(CASE WHEN sp > 5.0 OR sn > 5.0 THEN 1 ELSE 0 END AS INT) AS alarm
+FROM r
+""",
+    doc="two-sided CUSUM change-point detection (Page 1954) over the "
+    "trailing 24h of the 1m rollup: the sequential recurrence family "
+    "(ewma, holt) gains its alarm sibling — Arrow-batched O(n) pass "
+    "per series, float op order mirrored in the recursive-CTE oracle "
+    "for a bit-exact check (functions/timeseries.py cusum)",
+)
+def q_ws_cusum_alarms(spark, sf_dir):
+    from .functions.timeseries import cusum
+
+    m = min1(spark, sf_dir)
+    hi = min1_hi(spark, sf_dir)
+    base = m.filter(F.col("ts") > hi - 86400).select(
+        "metric", "ts", F.col("avg_v").alias("value")
+    )
+    out = cusum(base, ["metric"], slack=0.5, threshold=5.0)
+    return out.select(
+        "metric", "ts", "value", "cusum_up", "cusum_dn", "alarm"
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
