@@ -1194,3 +1194,20 @@ def test_cli_render_csv_and_raw_formats(spark, tmp_path, capsys):
     vals = body.split(",")
     assert (int(hi) - int(lo)) // 60 == len(vals)
     assert "1.5" in vals and "3.5" in vals and "None" in vals
+
+
+def test_eval_moving_functions_xfilesfactor(spark):
+    rows = [("m", 0, 1.0), ("m", 60, None), ("m", 120, None),
+            ("m", 180, 4.0), ("m", 240, 5.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    # window 3, xff 0.6: need >= 1.8 known of the 3-slot budget
+    out = {v[1]: v[2] for v in _vals(
+        evaluate_target(df, "movingAverage(m, 3, 0.6)"))}
+    # ts=0: trailing window holds 1 known value of the 3-slot budget
+    # -> gated (graphite counts against windowSize, not rows present)
+    assert out[0] is None
+    assert out[120] is None       # known count 1 < 2
+    assert out[240] == 4.5        # [None, 4, 5] -> 2 known >= 2
+    msum = {v[1]: v[2] for v in _vals(
+        evaluate_target(df, "movingWindow(m, 3, 'sum', 0.6)"))}
+    assert msum[240] == 9.0 and msum[120] is None

@@ -344,14 +344,24 @@ def _sw(n: int | None = None):
     return w.rowsBetween(-(n - 1), 0) if n else w
 
 
-def _moving_avg(df: DataFrame, n: int) -> DataFrame:
+def _xff_gate(val, w, n: int, xff: float | None):
+    """graphite 1.1 moving-function xFilesFactor: the point is None
+    unless >= xff of the window's n slots hold a known value."""
+    if not xff:
+        return val
+    return F.when(
+        F.count("value").over(w) >= float(xff) * n, val
+    )
+
+
+def _moving_avg(df: DataFrame, n: int, xff: float | None = None) -> DataFrame:
     w = _sw(int(n))
+    val = (
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("string").cast("double")
+        / F.count("value").over(w)
+    )
     return df.select(
-        "metric", "ts",
-        (
-            F.sum(F.col("value").cast(_DEC)).over(w).cast("string").cast("double")
-            / F.count("value").over(w)
-        ).alias("value"),
+        "metric", "ts", _xff_gate(val, w, n, xff).alias("value")
     )
 
 
@@ -683,9 +693,11 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         ).select("metric", "ts", "value")
         return _summarize(scaled, bucket, "sum")
     if name == "movingAverage":
-        return _moving_avg(series(), window_points(need(1, "windowSize")))
+        xf = float(args[2]) if len(args) > 2 else None
+        return _moving_avg(series(), window_points(need(1, "windowSize")), xf)
     if name in ("movingSum", "movingMax", "movingMin", "movingMedian"):
         n = window_points(need(1, "windowSize"))
+        xf = float(args[2]) if len(args) > 2 else None
         w = _sw(n)
         if name == "movingSum":
             val = (
@@ -698,7 +710,9 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             val = F.min("value").over(w)
         else:
             val = _moving_median_expr(n)
-        return series().select("metric", "ts", val.alias("value"))
+        return series().select(
+            "metric", "ts", _xff_gate(val, w, n, xf).alias("value")
+        )
     if name == "asPercent":
         # one-arg: share of the per-ts total across the list; two-arg:
         # against a constant, or against another seriesList's per-ts sum
@@ -1517,12 +1531,13 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return series()
     if name == "movingWindow":
         # graphite 1.1's generic moving window: movingAverage/Sum/Max/...
-        # are the specializations
+        # are the specializations; 4th arg = xFilesFactor
         n = window_points(need(1, "windowSize"))
         how = str(args[2]) if len(args) > 2 else "average"
+        xf = float(args[3]) if len(args) > 3 else None
         w = _sw(n)
         if how in ("average", "avg"):
-            return _moving_avg(series(), n)
+            return _moving_avg(series(), n, xf)
         if how == "sum":
             val = (
                 F.sum(F.col("value").cast(_DEC)).over(w)
@@ -1544,7 +1559,9 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             val = _moving_median_expr(n)
         else:
             raise TargetSyntaxError(f"movingWindow: unknown func {how!r}")
-        return series().select("metric", "ts", val.alias("value"))
+        return series().select(
+            "metric", "ts", _xff_gate(val, w, n, xf).alias("value")
+        )
     if name in ("consolidateBy", "cumulative"):
         # data passthrough: the consolidation method is display-pipeline
         # metadata, honored when a maxDataPoints budget forces coarsening
