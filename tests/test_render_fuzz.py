@@ -328,3 +328,92 @@ def test_render_pipeline_matches_pandas_reference_r4(spark):
                     target, t, g, e)
 
     check()
+
+
+# --------------------------------------------------------------------- #
+# two-series combine pool: the cross-series null semantics (safeSum /
+# safeDiff / safeMul / safeDiv / asPercent) against pandas references
+# --------------------------------------------------------------------- #
+
+
+def _c_sum(a, b):
+    out = a.add(b, fill_value=0.0)
+    both_nan = a.isna() & b.isna()
+    return out.where(~both_nan)
+
+
+def _c_avg(a, b):
+    s = _c_sum(a, b)
+    n = a.notna().astype("float64") + b.notna().astype("float64")
+    return s / n.where(n > 0)
+
+
+def _c_max(a, b):
+    import pandas as pd
+
+    return pd.concat([a, b], axis=1).max(axis=1)
+
+
+def _c_min(a, b):
+    import pandas as pd
+
+    return pd.concat([a, b], axis=1).min(axis=1)
+
+
+def _c_diff(a, b):
+    # engine: per-ts dsum(a) - coalesce(dsum(b), 0); a-NaN poisons
+    return a - b.fillna(0.0)
+
+
+def _c_div(a, b):
+    return (a / b.where(b != 0)).where(b.notna() & (b != 0))
+
+
+def _c_mul(a, b):
+    # safeMul: any unknown slot -> None
+    return (a * b).where(a.notna() & b.notna())
+
+
+COMBINES = [
+    ("sumSeries({a}, {b})", _c_sum),
+    ("averageSeries({a}, {b})", _c_avg),
+    ("maxSeries({a}, {b})", _c_max),
+    ("minSeries({a}, {b})", _c_min),
+    ("diffSeries({a}, {b})", _c_diff),
+    ("divideSeries({a}, {b})", _c_div),
+    ("multiplySeries({a}, {b})", _c_mul),
+]
+
+
+@pytest.mark.usefixtures("spark")
+def test_render_combines_match_pandas_reference(spark):
+    @settings(max_examples=25, deadline=None)
+    @given(
+        da=series_strat,
+        db=series_strat,
+        which=st.sampled_from(range(len(COMBINES))),
+    )
+    def check(da, db, which):
+        rows = [("s.a", t, v) for t, v in zip(TS_GRID, da)]
+        rows += [("s.b", t, v) for t, v in zip(TS_GRID, db)]
+        frame = spark.createDataFrame(
+            rows, "metric string, ts long, value double"
+        )
+        tmpl, ref_fn = COMBINES[which]
+        target = tmpl.format(a="s.a", b="s.b")
+        a = pd.Series([math.nan if v is None else v for v in da],
+                      index=TS_GRID, dtype="float64")
+        b = pd.Series([math.nan if v is None else v for v in db],
+                      index=TS_GRID, dtype="float64")
+        ref = ref_fn(a, b)
+        got = {r.ts: r.value for r in evaluate_target(frame, target).collect()}
+        for t in TS_GRID:
+            g, e = got.get(t), ref.get(t, math.nan)
+            if pd.isna(e):
+                assert g is None or (isinstance(g, float) and math.isnan(g)), (
+                    target, t, g)
+            else:
+                assert g is not None and np.isclose(g, e, rtol=0, atol=0), (
+                    target, t, g, e)
+
+    check()

@@ -652,11 +652,12 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         )
     if name == "multiplySeries":
         prod = all_series().groupBy("ts").agg(
-            F.product("value").alias("value"), F.count("*").alias("_n")
+            F.product("value").alias("value"), F.count("value").alias("_n")
         )
         n_series = len(args)
-        # a ts missing from any input series yields None (graphite
-        # safeMul over aligned slots)
+        # graphite safeMul: a slot where ANY series is unknown yields
+        # None — gate on KNOWN values, not rows: a dense frame carries
+        # explicit null rows, which must not satisfy the gate
         return prod.select(
             F.lit(label).alias("metric"), "ts",
             F.when(F.col("_n") == n_series, F.col("value")).alias("value"),
