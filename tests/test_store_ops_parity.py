@@ -287,3 +287,28 @@ def test_fetch_federated_mixed_resolutions(spark, tmp_path):
     assert step == 300  # coarsest common step
     vals = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
     assert vals  # both stores contributed aligned 5m slots
+
+
+def test_render_federated_merges_then_evaluates(spark, tmp_path):
+    from whisper_spark.store import WhisperStore, render_federated
+
+    NOW = 1700000000
+    a = WhisperStore.create(spark, str(tmp_path / "ra"), [(60, 30)],
+                            x_files_factor=0.0)
+    b = WhisperStore.create(spark, str(tmp_path / "rb"), [(60, 30)],
+                            x_files_factor=0.0)
+    a.update_many([(NOW - 60, 2.0), (NOW - 120, 4.0)], now=NOW, metric="x.m")
+    b.update_many([(NOW - 180, 6.0)], now=NOW, metric="x.m")
+    res = render_federated(
+        [a, b], "scale(x.m, 10)", from_time="now-5min", until_time="now",
+        now=NOW,
+    )
+    assert res is not None
+    out, step = res
+    assert step == 60
+    got = {r.ts: r.value for r in out.collect() if r.value is not None}
+    assert got == {
+        (NOW - 60) // 60 * 60: 20.0,
+        (NOW - 120) // 60 * 60: 40.0,
+        (NOW - 180) // 60 * 60: 60.0,   # filled from store b
+    }

@@ -30,7 +30,7 @@ from .retention import (
 from .render import evaluate_target, parse_at_time, parse_target
 from .session import get_spark
 from .sources.wsp import export_wsp, import_wsp, read_wsp
-from .store import WhisperStore, fetch_federated
+from .store import WhisperStore, fetch_federated, render_federated
 
 __version__ = "0.1.0"
 
@@ -57,5 +57,6 @@ __all__ = [
     "parse_retention_defs",
     "parse_target",
     "read_wsp",
+    "render_federated",
     "validate_archive_list",
 ]

@@ -1496,3 +1496,46 @@ def fetch_federated(
         ).alias("value")
     )
     return (ti_out, merged)
+
+
+def render_federated(
+    stores,
+    target: str,
+    from_time=None,
+    until_time=None,
+    now: int | None = None,
+    max_datapoints: int | None = None,
+):
+    """graphite-web over CLUSTER_SERVERS: evaluate a render target on
+    the federated multi-store view — :func:`fetch_federated`'s merged
+    timeline fed through the target language, with the same at-style
+    times and maxDataPoints handling as ``WhisperStore.render``.
+    Returns ``(frame, step)`` or None."""
+    import time as _time
+
+    from .render import (
+        consolidate,
+        consolidation_method,
+        evaluate_target,
+        parse_at_time,
+        parse_target,
+    )
+
+    now = now or int(_time.time())
+    until = parse_at_time(until_time, now) if until_time is not None else now
+    frm = (
+        parse_at_time(from_time, now) if from_time is not None
+        else until - 86400
+    )
+    res = fetch_federated(
+        stores, None, from_time=frm, until_time=until, now=now
+    )
+    if res is None:
+        return None
+    (ti, df) = res
+    step = ti[2]
+    out = evaluate_target(df.select("metric", "ts", "value"), target, step=step)
+    if max_datapoints:
+        how = consolidation_method(parse_target(target))
+        out, step = consolidate(out, max_datapoints, step, how)
+    return (out, step)
