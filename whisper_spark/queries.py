@@ -8524,7 +8524,6 @@ LEFT JOIN nr r ON n.doc_id = r.doc_id
     "(band_id, band_sig).  The two seen-side sets are the persistable "
     "incremental indexes, so day-over-day cost is index-proportional "
     "(operators/dedup.py incremental_dedup)",
-    bench=True,
 )
 def q_doc_incremental_dedup(spark, sf_dir):
     from .operators.dedup import incremental_dedup
@@ -8606,7 +8605,6 @@ SELECT i, j, sxy / n - (sxi / n) * (sxj / n) AS cov FROM agg
     "corpus size.  Decimal accumulation keeps it bit-deterministic "
     "(operators/similarity.py embedding_covariance; pca_project builds "
     "on it with a driver-side eigh on the bounded d x d literal)",
-    bench=True,
 )
 def q_emb_covariance(spark, sf_dir):
     from .operators.similarity import embedding_covariance
