@@ -594,6 +594,7 @@ def incremental_dedup(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 5,
+    fast: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-ingested corpus — the
     daily-crawl production shape: only cross-corpus comparisons, never
@@ -623,7 +624,8 @@ def incremental_dedup(
     tests/test_scale_smoke.py)."""
     h = F.md5(F.col(text_col))
     seen_h = seen_docs.select(h.alias("_h")).distinct()
-    bands_col = minhash_bands_expr(text_col, num_hashes, bands, shingle_n)
+    bander = minhash_bands_fast_expr if fast else minhash_bands_expr
+    bands_col = bander(text_col, num_hashes, bands, shingle_n)
     new_b = new_docs.select(
         id_col, F.explode(bands_col).alias("_b")
     ).select(id_col, "_b.band_id", "_b.band_sig")
@@ -656,4 +658,78 @@ def incremental_dedup(
                 F.col("_e").isNull() & F.col("_n").isNull(), F.lit(1)
             ).otherwise(F.lit(0)).alias("keep"),
         )
+    )
+
+
+#: modulus for the seed-mixed MinHash family (prime, < 2^31: every
+#: product below stays inside exact BIGINT range on any engine)
+MINHASH_MIX_M = 2147483647
+
+
+def _mix_consts(k: int) -> tuple[int, int]:
+    """Per-seed affine constants for the mixed family — md5-derived so
+    the multipliers are structurally independent.  (A first cut used
+    a_k = c*(k+1): then every seed orders by (k+1)*g mod M with the
+    SAME g per shingle, the orderings nearly coincide for small k, the
+    "16 hashes" collapse toward one, and chance band collisions explode
+    — caught by the 1M smoke, 14.8k false candidates.)  Plain integers,
+    baked identically into the Spark expression and the SQL oracles."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a-{k}".encode()).hexdigest()[:8], 16) % (
+        MINHASH_MIX_M - 1
+    ) + 1
+    b = int(hashlib.md5(f"mh-b-{k}".encode()).hexdigest()[:8], 16) % MINHASH_MIX_M
+    return a, b
+
+
+def minhash_bands_fast_expr(
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> F.Column:
+    """Seed-mixed variant of :func:`minhash_bands_expr`: ONE md5 per
+    shingle (not one per shingle per seed), the per-seed hash families
+    derived by exact affine mixing ``(h * a_k + b_k) mod M`` over the
+    md5-60's low 31 bits (Broder-style universal family).  Cuts the
+    dominant banding cost ``num_hashes x |shingles| md5`` down to
+    ``|shingles|`` — the 15.5 s sf0.1 incremental-dedup bench profile
+    was ~entirely md5 calls (PERF.md).  All arithmetic stays below
+    2^62, so Spark and DuckDB compute bit-identical signatures.
+
+    Same output shape as minhash_bands_expr (band structs), same LSH
+    recall characteristics; NOT signature-compatible with the md5-seeded
+    family — pick one per index."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    per = num_hashes // bands
+    from ..functions.hashing import char_shingles_expr
+
+    sh = char_shingles_expr(text_col, shingle_n)
+    base = (
+        f"transform(ws, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) "
+        f"as bigint) % {MINHASH_MIX_M})"
+    )
+
+    def sig(k: int) -> str:
+        a, b = _mix_consts(k)
+        return (
+            f"array_min(transform(hs, h -> (h * {a} + {b}) % {MINHASH_MIX_M}))"
+        )
+
+    band_structs = ", ".join(
+        f"named_struct('band_id', {band}, 'band_sig', "
+        "md5(concat_ws('#', "
+        + ", ".join(f"cast({sig(band * per + k)} as string)" for k in range(per))
+        + ")))"
+        for band in range(bands)
+    )
+    return F.expr(
+        # nested let: bind the shingle array once (ws), then its base
+        # md5-60 hashes once (hs) — every seed family reads hs
+        "flatten(transform(array(" + sh._jc.toString() + "), ws -> "
+        "flatten(transform(array(" + base + "), hs -> "
+        f"IF(size(ws) >= 1, array({band_structs}), "
+        "CAST(array() AS array<struct<band_id:int,band_sig:string>>))))))"
     )

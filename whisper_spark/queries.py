@@ -8456,6 +8456,20 @@ def q_emb_semdedup_survivors(spark, sf_dir):
     )
 
 
+def _mix_sig_list_sql(num: int) -> str:
+    """DuckDB list literal of the seed-mixed MinHash signatures — the
+    constants come from the SAME _mix_consts as the Spark expression,
+    so the two engines compute one family by construction."""
+    from .operators.dedup import MINHASH_MIX_M as _MM
+    from .operators.dedup import _mix_consts
+
+    entries = [
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MM}))"
+        for a, b in (_mix_consts(k) for k in range(num))
+    ]
+    return "[" + ",\n          ".join(entries) + "]"
+
+
 @_q(
     "doc_incremental_dedup",
     """
@@ -8472,10 +8486,11 @@ shn AS (
 ),
 sgn AS (
   SELECT doc_id,
-         list_transform(generate_series(0, 7), k ->
-           list_min(list_transform(grams, s ->
-             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
-  FROM shn WHERE len(grams) >= 1
+         """ + _mix_sig_list_sql(8) + """ AS sigs
+  FROM (SELECT doc_id,
+               list_transform(grams, s ->
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+        FROM shn WHERE len(grams) >= 1)
 ),
 bn AS (
   SELECT doc_id, b.band_id,
@@ -8492,10 +8507,11 @@ shs AS (
 ),
 sgs AS (
   SELECT doc_id,
-         list_transform(generate_series(0, 7), k ->
-           list_min(list_transform(grams, s ->
-             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
-  FROM shs WHERE len(grams) >= 1
+         """ + _mix_sig_list_sql(8) + """ AS sigs
+  FROM (SELECT doc_id,
+               list_transform(grams, s ->
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+        FROM shs WHERE len(grams) >= 1)
 ),
 bs AS (
   SELECT DISTINCT b.band_id,
@@ -8825,10 +8841,11 @@ shn AS (
 ),
 sgn AS (
   SELECT doc_id,
-         list_transform(generate_series(0, 15), k ->
-           list_min(list_transform(grams, s ->
-             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
-  FROM shn WHERE len(grams) >= 1
+         """ + _mix_sig_list_sql(16) + """ AS sigs
+  FROM (SELECT doc_id,
+               list_transform(grams, s ->
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+        FROM shn WHERE len(grams) >= 1)
 ),
 bn AS (
   SELECT doc_id, b.band_id,
@@ -8847,10 +8864,11 @@ shs AS (
 ),
 sgs AS (
   SELECT doc_id,
-         list_transform(generate_series(0, 15), k ->
-           list_min(list_transform(grams, s ->
-             ('0x' || substr(md5(s || '#' || k::VARCHAR), 1, 15))::BIGINT))) AS sigs
-  FROM shs WHERE len(grams) >= 1
+         """ + _mix_sig_list_sql(16) + """ AS sigs
+  FROM (SELECT doc_id,
+               list_transform(grams, s ->
+                 ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+        FROM shs WHERE len(grams) >= 1)
 ),
 bs AS (
   SELECT DISTINCT b.band_id,
