@@ -512,3 +512,26 @@ def test_top_metrics_stream_end_to_end(spark, tmp_path):
     assert rows[(slot, 1)] == ("a", 3)
     assert rows[(slot, 2)] == ("b", 2)
     assert len(rows) == 2  # k=2: c cut; +2h window unfinalized
+
+
+def test_render_stream_percentile_of_series(spark, tmp_path):
+    from whisper_spark.streaming.render import render_stream_once
+
+    indir = tmp_path / "ps_in"
+    indir.mkdir()
+    lines = []
+    for m, v in (("ev.a.m1", 1.0), ("ev.b.m1", 5.0), ("ev.c.m1", 9.0)):
+        lines.append(f"{m} {v} {NOW}")
+    lines.append("ev.a.m1 0.0 " + str(NOW + 7200))
+    (indir / "a.txt").write_text("\n".join(lines) + "\n")
+    pts = parse_line_protocol(
+        spark.readStream.format("text").load(str(indir))
+    )
+    out = render_stream_once(
+        spark, pts, "percentileOfSeries(ev.*.m1, 50)",
+        str(tmp_path / "ps_out"), step_seconds=60, method="max",
+        xff=0.0, watermark_seconds=600,
+    )
+    rows = {r["ts"]: r["value"] for r in out.collect()}
+    slot = NOW - NOW % 60
+    assert rows[slot] == 5.0  # nearest-rank median across the 3 series

@@ -51,6 +51,9 @@ STREAM_SAFE = frozenset({
     "rangeOfSeries", "countSeries", "stddevSeries", "diffSeries",
     "divideSeries", "multiplySeries", "group", "powSeries",
     "groupByNode", "groupByNodes", "groupByTags", "aggregate",
+    # per-ts cross-series rank — batch-local for the same reason as the
+    # combines (every series' finalized slot lands in one batch)
+    "percentileOfSeries",
 })
 
 
