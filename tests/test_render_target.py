@@ -1211,3 +1211,28 @@ def test_eval_moving_functions_xfilesfactor(spark):
     msum = {v[1]: v[2] for v in _vals(
         evaluate_target(df, "movingWindow(m, 3, 'sum', 0.6)"))}
     assert msum[240] == 9.0 and msum[120] is None
+
+
+def test_review_fixes_round4c(spark):
+    # transformNull 3-arg gates on reference TRUTHINESS: 0.0 = absent
+    rows = [("a.m", 0, None), ("a.m", 60, None),
+            ("ref.m", 0, 0.0), ("ref.m", 60, 2.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    got = {r.ts: r.value for r in
+           evaluate_target(df, "transformNull(a.m, -1, ref.m)").collect()}
+    assert got[0] is None      # ref 0.0 is falsy -> no fill (graphite)
+    assert got[60] == -1.0
+    # verticalLine accepts absolute at-style times; relative forms raise
+    v = evaluate_target(df, "verticalLine('17:00_20231114', 'x')").collect()
+    assert v[0].ts == 1700000000 - 1700000000 % 86400 + 17 * 3600
+    with pytest.raises(TargetSyntaxError):
+        evaluate_target(df, "verticalLine('now-1h')")
+    # reduceSeries 'sumSeries': an all-null slot stays None
+    rows2 = [("s.a.used", 0, None), ("s.a.free", 0, None),
+             ("s.a.used", 60, 1.0), ("s.a.free", 60, None)]
+    df2 = spark.createDataFrame(rows2, "metric string, ts long, value double")
+    out = {r.ts: r.value for r in evaluate_target(
+        df2,
+        "reduceSeries(mapSeries(s.*.*, 1), 'sumSeries', 2, 'used', 'free')",
+    ).collect()}
+    assert out[0] is None and out[60] == 1.0

@@ -459,7 +459,7 @@ def test_render_stream_rejects_cross_slot_functions(spark):
         "movingAverage(ev.*.m1, 3)",
         "derivative(ev.a.m1)",
         "sortByTotal(ev.*.m1)",
-        "percentileOfSeries(ev.*.m1, 95)",
+        "stdev(ev.*.m1, 5)",
         "integral(ev.a.m1)",
         "scale(movingSum(ev.*.m1, 2), 2)",  # nested offender
     ):
@@ -535,3 +535,13 @@ def test_render_stream_percentile_of_series(spark, tmp_path):
     rows = {r["ts"]: r["value"] for r in out.collect()}
     slot = NOW - NOW % 60
     assert rows[slot] == 5.0  # nearest-rank median across the 3 series
+
+
+def test_parse_line_protocol_tag_sort_by_key(spark):
+    # prefix keys: 'a' must sort before 'a1' (carbon sorts by KEY; a raw
+    # "key=value" string sort would misorder because '=' > digits)
+    lines = spark.createDataFrame(
+        [("cpu;a1=1;a=2 1.0 1699999990",)], "value string"
+    )
+    out = parse_line_protocol(lines).collect()
+    assert out[0]["metric"] == "cpu;a=2;a1=1"

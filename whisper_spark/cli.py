@@ -276,9 +276,12 @@ def cmd_reconcile(args):
 
     if getattr(args, "schemas", None):
         rules = read_storage_schemas(args.schemas, args.aggregation)
-    else:
+    elif args.rules:
         with open(args.rules) as f:
             rules = [PolicyRule(**r) for r in json.load(f)]
+    else:
+        print("reconcile: pass a rules JSON file or --schemas", file=sys.stderr)
+        return 2
     report = reconcile_policies(_spark(), args.root, rules, apply=args.apply)
     print(json.dumps(report, indent=2))
     return 0
@@ -387,7 +390,10 @@ def cmd_render(args):
         return 0
     if getattr(args, "format", None) == "raw":
         # graphite format=raw: "<series>,<start>,<end>,<step>|v1,v2,..."
-        step_out = ti[2]
+        # The step is derived PER SERIES from its own ts deltas — the
+        # target (summarize) or --max-datapoints consolidation may have
+        # coarsened past the fetch step, and a wrong declared step would
+        # pad the body with phantom Nones
         for _t, rows in per_target:
             series: dict[str, dict[int, float]] = {}
             for r in rows:
@@ -395,6 +401,10 @@ def cmd_render(args):
             for m, pts in series.items():
                 ts_sorted = sorted(pts)
                 lo, hi = ts_sorted[0], ts_sorted[-1]
+                deltas = [
+                    b - a for a, b in zip(ts_sorted, ts_sorted[1:]) if b > a
+                ]
+                step_out = min(deltas) if deltas else ti[2]
                 vals = [
                     pts.get(t) for t in range(lo, hi + step_out, step_out)
                 ]

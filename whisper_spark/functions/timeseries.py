@@ -615,7 +615,9 @@ def seasonal_decompose(
       (``season_slots`` rows, odd-extended to 2k+1), null until the
       window is complete — no partial-window bias at the edges;
     * seasonal: per-phase mean of the detrended values
-      (phase = (ts / step) mod season), re-centered to sum ~0;
+      (phase = (ts / step) mod season) — NOT re-centered: short or
+      edge-trimmed series can leave the phase means with a nonzero
+      grand mean, which stays in the seasonal component;
     * resid: what's left.
 
     One ordered window pass + one phase aggregation — two shuffles on

@@ -266,7 +266,7 @@ def read_storage_schemas(
         regex (leading ^ is PolicyRule's regex marker)."""
         if pat.startswith("^"):
             return "^(.*/)?" + pat[1:]
-        return "^(.*/)?.*" + pat if not pat.startswith("^") else pat
+        return "^(.*/)?.*" + pat
 
     def load(path):
         cp = configparser.ConfigParser()

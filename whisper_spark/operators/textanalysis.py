@@ -339,10 +339,13 @@ def build_vocab(
         .groupBy("token")
         .agg(F.count("*").alias("count"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # top-N, never a single-partition sort of the full vocabulary; the
+    # row_number window then ranks only the N survivors
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_size)
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     return (
-        counts.withColumn("token_id", F.row_number().over(w))
-        .filter(F.col("token_id") <= vocab_size)
+        top.withColumn("token_id", F.row_number().over(w))
         .select("token", "token_id", "count")
     )
 

@@ -912,7 +912,13 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             ref = (
                 _evaluate(args[2], source, text, step)
                 .groupBy("ts")
-                .agg((F.count("value") > 0).alias("_ref"))
+                .agg(
+                    # graphite gates on TRUTHINESS (any(v)): a reference
+                    # slot of 0.0 counts as absent, not just null
+                    (
+                        F.count(F.when(F.col("value") != 0.0, 1)) > 0
+                    ).alias("_ref")
+                )
             )
             return (
                 series()
@@ -1719,8 +1725,23 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         )
     if name == "verticalLine":
         # marker at one instant: graphite draws a 2-point [1.0, 1.0]
-        # series spanning zero time; the frame carries one (ts, 1.0) row
-        ts_at = int(need(0, "ts"))
+        # series spanning zero time; the frame carries one (ts, 1.0) row.
+        # Accepts an epoch int or an ABSOLUTE at-style time; relative
+        # forms would need a pinned now (queries must stay reproducible)
+        raw_ts = need(0, "ts")
+        if isinstance(raw_ts, int):
+            ts_at = raw_ts
+        else:
+            t = str(raw_ts).strip().lower()
+            if t.startswith(("now", "+", "-")) or t in (
+                "midnight", "noon", "teatime", "yesterday", "today",
+                "tomorrow",
+            ):
+                raise TargetSyntaxError(
+                    "verticalLine: relative at-style times need a "
+                    "pinned now — pass an epoch or absolute time"
+                )
+            ts_at = parse_at_time(t, 0)
         lbl = str(args[1]) if len(args) > 1 else ""
         return source.sparkSession.createDataFrame(
             [(lbl, ts_at, 1.0)], "metric string, ts long, value double"
@@ -1780,10 +1801,19 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             )
             val = a - rest
         elif how == "sumSeries":
-            val = sum(
-                (F.coalesce(F.col(f"_v{i}"), F.lit(0.0))
-                 for i in range(len(matchers))),
-                F.lit(0.0),
+            # safeSum: None only when EVERY matched value is unknown —
+            # a slot of all-null matches must not fabricate 0.0 (same
+            # known-value rule as the multiplySeries gate)
+            any_known = F.lit(False)
+            for i in range(len(matchers)):
+                any_known = any_known | F.col(f"_v{i}").isNotNull()
+            val = F.when(
+                any_known,
+                sum(
+                    (F.coalesce(F.col(f"_v{i}"), F.lit(0.0))
+                     for i in range(len(matchers))),
+                    F.lit(0.0),
+                ),
             )
         elif how == "multiplySeries":
             prod = F.lit(1.0)

@@ -1452,9 +1452,15 @@ def fetch_federated(
     step = archive_step
     if step is None:
         for s in stores:
-            res = s.fetch(
-                metrics, from_time=from_time, until_time=until_time, now=now
-            )
+            try:
+                res = s.fetch(
+                    metrics, from_time=from_time, until_time=until_time,
+                    now=now,
+                )
+            except Exception:
+                # one failing backend must not abort the federated read
+                # (the refetch loop below skips it the same way)
+                res = None
             if res is not None:
                 fetched.append((s, res))
         if not fetched:

@@ -51,10 +51,15 @@ def parse_line_protocol(lines: DataFrame, value_col: str = "value") -> DataFrame
         F.get(parts, 2).alias("_raw_ts"),
     )
     segs = F.split(F.col("metric"), ";")
+    # sort by tag KEY (carbon's order), not the raw "key=value" string:
+    # '=' sorts above digits, so prefix keys (a vs a1) would misorder
+    sorted_tags = F.expr(
+        "transform(array_sort(transform(slice(split(metric, ';'), 2, "
+        "100000), kv -> struct(substring_index(kv, '=', 1) AS k, "
+        "kv AS kv))), s -> s.kv)"
+    )
     normalized = F.concat_ws(
-        ";",
-        F.get(segs, 0),
-        F.array_join(F.array_sort(F.slice(segs, 2, 100000)), ";"),
+        ";", F.get(segs, 0), F.array_join(sorted_tags, ";")
     )
     out = out.withColumn(
         "metric",
