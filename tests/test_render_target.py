@@ -1236,3 +1236,32 @@ def test_review_fixes_round4c(spark):
         "reduceSeries(mapSeries(s.*.*, 1), 'sumSeries', 2, 'used', 'free')",
     ).collect()}
     assert out[0] is None and out[60] == 1.0
+
+
+def test_cli_render_raw_consolidated_step(spark, tmp_path, capsys):
+    """finding: raw format must declare the COARSENED step after
+    --max-datapoints consolidation, not the fetch step."""
+    s = WhisperStore.create(
+        spark, str(tmp_path / "rawdb"), [(60, 60)], x_files_factor=0.0
+    )
+    s.update_many(
+        [(NOW - 60 * i, float(i)) for i in range(1, 13)], now=NOW, metric="m"
+    )
+    assert (
+        cli.main(
+            [
+                "render", s.path, "m",
+                "--from", str(NOW - 720), "--until", str(NOW),
+                "--now", str(NOW), "--format", "raw",
+                "--max-datapoints", "4",
+            ]
+        )
+        == 0
+    )
+    raw = capsys.readouterr().out.strip()
+    head, body = raw.split("|")
+    _m, lo, hi, step = head.rsplit(",", 3)
+    assert int(step) > 60                   # coarsened, not the fetch step
+    vals = body.split(",")
+    assert len(vals) <= 5                   # budget honored, no None padding
+    assert (int(hi) - int(lo)) // int(step) == len(vals)
