@@ -9106,6 +9106,74 @@ def q_ws_cusum_alarms(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_render_percentile",
+    """
+WITH rawall AS (
+  SELECT 'ev.' || event_type || '.m1' AS metric,
+         epoch_us(ts) // 1000000 AS sec, value
+  FROM events
+),
+mx AS (SELECT max(sec) AS m FROM rawall),
+raw AS (
+  SELECT * FROM rawall
+  WHERE metric IN ('ev.click.m1', 'ev.view.m1', 'ev.error.m1')
+),
+win AS (
+  SELECT metric, sec // 60 * 60 AS ts, max(value) AS value
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+fin AS (SELECT metric, ts, value FROM win, mx WHERE ts + 60 <= m - 600),
+rk AS (
+  SELECT ts, value,
+         row_number() OVER (PARTITION BY ts ORDER BY value, metric) AS rn,
+         count(*) OVER (PARTITION BY ts) AS n
+  FROM fin
+)
+SELECT 'p50' AS metric, ts, value
+FROM rk WHERE rn = greatest(1, CAST(ceil(n * 50.0 / 100.0) AS BIGINT))
+""",
+    doc="second streaming-render gate: percentileOfSeries(ev.*, 50) "
+    "evaluated continuously — the per-ts cross-series RANK is batch-"
+    "local exact for the same watermark-atomicity reason as the "
+    "combines (every series' finalized window lands in one batch), and "
+    "nearest-rank selection keeps it bit-deterministic "
+    "(streaming/render.py STREAM_SAFE)",
+)
+def q_stream_render_percentile(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from .streaming.render import render_stream_once
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.concat(F.lit("ev."), F.col("event_type"), F.lit(".m1"))
+        .alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_rp_" + uuid.uuid4().hex[:8])
+    out = render_stream_once(
+        spark,
+        pts,
+        "alias(percentileOfSeries(ev.{click,view,error}.m1, 50), 'p50')",
+        out_dir,
+        step_seconds=60,
+        method="max",
+        xff=0.0,
+        watermark_seconds=600,
+    )
+    return out
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
