@@ -9174,43 +9174,6 @@ def q_stream_render_percentile(spark, sf_dir):
     return out
 
 
-@_q(
-    "ev_retention_cohorts",
-    """
-WITH raw AS (
-  SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS week FROM events
-),
-firsts AS (SELECT user_id, min(week) AS cohort FROM raw GROUP BY user_id),
-active AS (SELECT DISTINCT user_id, week FROM raw)
-SELECT f.cohort AS cohort_week,
-       CAST(a.week - f.cohort AS BIGINT) AS week_offset,
-       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
-FROM active a JOIN firsts f ON a.user_id = f.user_id
-GROUP BY f.cohort, a.week - f.cohort
-""",
-    doc="retention cohort analysis: users bucketed by first-seen week, "
-    "activity counted per week offset — the product-analytics staple.  "
-    "Two integer aggregations + one broadcast-sized join on user; "
-    "all-integer arithmetic, bit-deterministic",
-)
-def q_ev_retention_cohorts(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    raw = ev.select(
-        "user_id", (sec(ev, "ts") / 604800).cast("long").alias("week")
-    )
-    firsts = raw.groupBy("user_id").agg(F.min("week").alias("cohort"))
-    active = raw.distinct()
-    return (
-        active.join(firsts, "user_id")
-        .groupBy(
-            F.col("cohort").alias("cohort_week"),
-            (F.col("week") - F.col("cohort")).cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
-    )
-
-
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
