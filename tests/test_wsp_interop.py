@@ -240,3 +240,39 @@ def test_wsp_import_parity_random_configs(
                 assert g is not None and math.isnan(g), (spp, i, g)
             else:
                 assert g == pytest.approx(r), (spp, i, r, g)
+
+
+def test_cli_import_export_round_trip(spark, tmp_path, capsys):
+    from whisper_spark import cli
+
+    root = _mk_ref_tree(tmp_path, metrics=("apps.api.rps",))
+    assert (
+        cli.main(
+            [
+                "import-wsp", os.path.join(root, "apps", "*", "*.wsp"),
+                str(tmp_path / "cli_store"), "--root", root,
+            ]
+        )
+        == 0
+    )
+    assert "imported 1 metric(s)" in capsys.readouterr().out
+    assert (
+        cli.main(
+            ["export-wsp", str(tmp_path / "cli_store"),
+             str(tmp_path / "cli_out")]
+        )
+        == 0
+    )
+    assert "exported 1 .wsp file(s)" in capsys.readouterr().out
+    fp = os.path.join(str(tmp_path / "cli_out"), "apps", "api", "rps.wsp")
+    ref = refwhisper.fetch(fp, NOW - 20 * 60, NOW, now=NOW)
+    orig = refwhisper.fetch(
+        os.path.join(root, "apps", "api", "rps.wsp"),
+        NOW - 20 * 60, NOW, now=NOW,
+    )
+    assert ref[0] == orig[0]
+    for r, o in zip(ref[1], orig[1]):
+        if o is None:
+            assert r is None
+        else:
+            assert r == pytest.approx(o)
