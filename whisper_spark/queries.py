@@ -9174,6 +9174,65 @@ def q_stream_render_percentile(spark, sf_dir):
     return out
 
 
+@_q(
+    "ev_rolling_active_users",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day
+  FROM events
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+expanded AS (
+  SELECT user_id, day + k.k AS anchor
+  FROM ud, (SELECT unnest(generate_series(0, 6)) AS k) k
+),
+wau AS (
+  SELECT anchor AS day, count(DISTINCT user_id) AS wau
+  FROM expanded GROUP BY anchor
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+SELECT d.day AS day, d.dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day, bounds b
+WHERE d.day BETWEEN b.lo AND b.hi
+""",
+    doc="rolling 7-day active users (WAU) + DAU/WAU stickiness, the "
+    "product-analytics staple: COUNT DISTINCT over a trailing window "
+    "is not window-expressible, so each (user, day) expands to its 7 "
+    "anchor days and ONE distinct-count aggregation per anchor does "
+    "the job — the standard expand-by-k trick, shuffle ~ 7x the "
+    "distinct (user, day) pairs, no self-join.  All-integer until the "
+    "final stickiness division (engine-exact)",
+)
+def q_ev_rolling_active_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", (sec(ev, "ts") / 86400).cast("long").alias("day")
+    ).distinct()
+    lo, hi = ud.agg(F.min("day"), F.max("day")).first()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("anchor"),
+    )
+    wau = expanded.groupBy(F.col("anchor").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        dau.join(wau, "day")
+        .filter(F.col("day").between(lo, hi))
+        .select(
+            "day", "dau", "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
