@@ -9233,6 +9233,120 @@ def q_ev_rolling_active_users(spark, sf_dir):
     )
 
 
+@_q(
+    "doc_minhash_estimate_error",
+    "WITH "
+    + _SHINGLE_SQL
+    + f"""
+, mh AS (
+  SELECT doc_id, k, min({_h60_sql("g || '#' || k")}) AS h
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS k)
+  GROUP BY doc_id, k
+), sig AS (
+  SELECT doc_id,
+         md5(CAST(min(CASE WHEN k=0 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=1 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=2 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=3 THEN h END) AS VARCHAR)) AS band0,
+         md5(CAST(min(CASE WHEN k=4 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=5 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=6 THEN h END) AS VARCHAR) || ',' ||
+             CAST(min(CASE WHEN k=7 THEN h END) AS VARCHAR)) AS band1
+  FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, band1 AS sig FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+match AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.k = ma.k
+  GROUP BY c.doc_a, c.doc_b
+),
+sz AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.g = sa.g
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b, m.n_match,
+       m.n_match / 8.0 AS est_jaccard,
+       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+         AS exact_jaccard,
+       m.n_match / 8.0
+         - CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS err
+FROM match m
+JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+JOIN sz za ON za.doc_id = m.doc_a
+JOIN sz zb ON zb.doc_id = m.doc_b
+""",
+    doc="sketch-accuracy audit: for every LSH candidate pair, the "
+    "MinHash ESTIMATE (matching signature fraction, the unbiased "
+    "Jaccard estimator) against the exact shingle Jaccard and their "
+    "signed error — the calibration check a production dedup run "
+    "reports before trusting thresholds.  Exact Jaccard is computed on "
+    "CANDIDATES only (bounded), never all pairs; all divisions are "
+    "exact-operand IEEE ops",
+)
+def q_doc_minhash_estimate_error(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    ks = spark.range(8).select(F.col("id").cast("int").alias("k"))
+    mh = (
+        sh.crossJoin(F.broadcast(ks))
+        .select("doc_id", "k", _h60(F.concat_ws("#", "g", "k")).alias("hh"))
+        .groupBy("doc_id", "k")
+        .agg(F.min("hh").alias("h"))
+    )
+    cand = q_doc_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    ma = mh.select(F.col("doc_id").alias("doc_a"), "k", F.col("h").alias("_ha"))
+    mb = mh.select(F.col("doc_id").alias("doc_b"), "k", F.col("h").alias("_hb"))
+    match = (
+        cand.join(ma, "doc_a")
+        .join(mb, ["doc_b", "k"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("_ha") == F.col("_hb")).cast("long"))
+            .cast("long").alias("n_match")
+        )
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_nc"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"))
+    est = F.col("n_match") / 8.0
+    exact = F.col("_nc").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_nc")
+    )
+    return (
+        match.join(inter, ["doc_a", "doc_b"])
+        .join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_match",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            (est - exact).alias("err"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
