@@ -9347,6 +9347,96 @@ def q_doc_minhash_estimate_error(spark, sf_dir):
     )
 
 
+@_q(
+    "emb_pq_distortion",
+    """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+cb0 AS (
+  SELECT s, vec_id AS code, list_slice(q, s*8 + 1, s*8 + 8) AS cq
+  FROM qv, (SELECT unnest(generate_series(0, 7)) AS s) WHERE vec_id < 16
+),
+enc0 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, c.s, c.code,
+           row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+             list_sum(list_transform(
+               list_zip(list_slice(v.q, c.s*8 + 1, c.s*8 + 8), c.cq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), c.code) AS rn
+    FROM qv v, cb0 c
+  ) WHERE rn = 1
+),
+upd AS (
+  SELECT e.s, e.code, i,
+         CAST(floor(sum(v.q[(e.s*8 + i)::INT]) * 1.0 / count(*)) AS BIGINT) AS val
+  FROM enc0 e JOIN qv v USING (vec_id),
+       (SELECT unnest(generate_series(1, 8)) AS i)
+  GROUP BY e.s, e.code, i
+),
+cb AS (SELECT s, code, list(val ORDER BY i) AS cq FROM upd GROUP BY s, code),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT v.vec_id, c.s, c.code,
+           row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+             list_sum(list_transform(
+               list_zip(list_slice(v.q, c.s*8 + 1, c.s*8 + 8), c.cq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), c.code) AS rn
+    FROM qv v, cb c
+  ) WHERE rn = 1
+),
+dist AS (
+  SELECT e.vec_id, e.s,
+         list_sum(list_transform(
+           list_zip(list_slice(v.q, e.s*8 + 1, e.s*8 + 8), c.cq),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM enc e JOIN qv v USING (vec_id)
+  JOIN cb c ON c.s = e.s AND c.code = e.code
+)
+SELECT s, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(d2) AS BIGINT) AS total_d2,
+       CAST(sum(d2) AS DOUBLE) / count(*) AS mean_d2
+FROM dist GROUP BY s
+""",
+    doc="PQ reconstruction distortion per subspace: the quantization-"
+    "quality audit that pairs with emb_pq_recall — per-vector squared "
+    "error against the assigned (trained) codeword, summed per "
+    "subspace.  Integer-exact end to end (int-quantized vectors, "
+    "integer centroids), so the audit is bit-deterministic; skewed "
+    "per-subspace distortion is the signal to rebalance sub-dims or "
+    "widen codebooks (operators/similarity.py pq_codebook/pq_encode)",
+)
+def q_emb_pq_distortion(spark, sf_dir):
+    from .operators.similarity import (
+        int_quantize,
+        pq_codebook,
+        pq_encode,
+        pq_train_round,
+    )
+
+    qv = int_quantize(load(spark, sf_dir, "embeddings"))
+    cb0 = pq_codebook(qv, n_sub=8, n_codes=16)
+    cb = pq_train_round(qv, pq_encode(qv, cb0), n_sub=8)
+    codes = pq_encode(qv, cb)
+    j = (
+        codes.join(qv.select("vec_id", "q"), "vec_id")
+        .join(cb, ["s", "code"])
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(slice(q, s*8 + 1, 8), cq, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    per = j.select("vec_id", "s", d2.alias("_d2"))
+    return per.groupBy("s").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("_d2").cast("long").alias("total_d2"),
+        (F.sum("_d2").cast("double") / F.count("*")).alias("mean_d2"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
