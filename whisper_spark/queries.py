@@ -9437,6 +9437,47 @@ def q_emb_pq_distortion(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_payload_dedup",
+    "WITH "
+    + _MEDIA_SQL
+    + """
+, g AS (
+  SELECT kind, h, min(n_bytes) AS n_bytes, count(*) AS c
+  FROM media GROUP BY kind, h
+)
+SELECT kind,
+       CAST(sum(c) AS BIGINT) AS n_payloads,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(c - 1) AS BIGINT) AS dup_copies,
+       CAST(sum((c - 1) * n_bytes) AS BIGINT) AS bytes_saved
+FROM g GROUP BY kind
+""",
+    doc="binary payload dedup accounting per media kind: distinct "
+    "payload hashes, duplicate copies, and the bytes a content-"
+    "addressed store would save — the storage-planning audit for a "
+    "multimodal corpus.  One md5-key aggregation over the BINARY "
+    "column (hashes computed from the payload bytes, not metadata), "
+    "map-side combined; all-integer output",
+)
+def q_mm_payload_dedup(spark, sf_dir):
+    m = _media_df(spark, sf_dir).select(
+        "kind",
+        F.md5("payload").alias("h"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    g = m.groupBy("kind", "h").agg(
+        F.min("n_bytes").alias("_nb"), F.count("*").alias("_c")
+    )
+    return g.groupBy("kind").agg(
+        F.sum("_c").cast("long").alias("n_payloads"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("_c") - 1).cast("long").alias("dup_copies"),
+        F.sum((F.col("_c") - 1) * F.col("_nb")).cast("long")
+        .alias("bytes_saved"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
