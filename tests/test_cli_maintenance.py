@@ -345,11 +345,16 @@ def test_read_storage_schemas_conf(tmp_path, spark):
     # carbon's metric-name anchor re-targets to a path-segment boundary
     assert rules[0].pattern == r"^(.*/)?servers\."
     assert rules[0].archives == "1m:1h,5m:2h"
-    assert rules[0].x_files_factor == 0.1 and rules[0].aggregation_method == "max"
+    assert rules[0].source == "schemas"
     assert rules[1].pattern.endswith(".*")
     assert rules[0].matches("servers.web1.cpu")
     assert rules[0].matches("/data/stores/servers.web1.cpu")
     assert not rules[0].matches("/data/stores/apps.servers1.cpu")
+    # aggregation rules stay SEPARATE (carbon matches the two conf
+    # files independently), tagged with their source file
+    agg = [r for r in rules if r.source == "aggregation"]
+    assert len(agg) == 1
+    assert agg[0].x_files_factor == 0.1 and agg[0].aggregation_method == "max"
 
     # a drifted store under a matching path gets reported
     root = tmp_path / "stores"
@@ -362,3 +367,49 @@ def test_read_storage_schemas_conf(tmp_path, spark):
     assert len(report) == 1
     drift = " ".join(report[0]["drift"])
     assert "archives" in drift and "aggregation" in drift and "xff" in drift
+
+
+def test_storage_aggregation_pattern_divergent_from_schemas(tmp_path, spark):
+    """An aggregation rule whose pattern differs from EVERY schemas
+    pattern still governs stores matched by a schemas rule — carbon
+    first-matches the two conf files independently per metric."""
+    from whisper_spark.maintenance import (
+        read_storage_schemas,
+        reconcile_policies,
+    )
+    from whisper_spark.store import WhisperStore
+
+    (tmp_path / "storage-schemas.conf").write_text(
+        "[everything]\n"
+        "pattern = .*\n"
+        "retentions = 1m:2h\n"
+    )
+    # pattern shares no byte with the schemas pattern
+    (tmp_path / "storage-aggregation.conf").write_text(
+        "[counters]\n"
+        "pattern = \\.count$\n"
+        "xFilesFactor = 0\n"
+        "aggregationMethod = sum\n"
+    )
+    rules = read_storage_schemas(
+        str(tmp_path / "storage-schemas.conf"),
+        str(tmp_path / "storage-aggregation.conf"),
+    )
+    root = tmp_path / "stores"
+    WhisperStore.create(
+        spark, str(root / "servers.web1.requests.count"), [(60, 120)],
+        x_files_factor=0.5, aggregation_method="average",
+    )
+    report = reconcile_policies(spark, str(root), rules, apply=False)
+    assert len(report) == 1
+    drift = " ".join(report[0]["drift"])
+    # schemas rule ([everything]) governs archives — matches, no drift;
+    # aggregation rule ([counters]) governs method+xff — both drifted
+    assert "archives" not in drift
+    assert "aggregation average != sum" in drift and "xff" in drift
+    # and applying fixes the header drift
+    report2 = reconcile_policies(spark, str(root), rules, apply=True)
+    assert report2[0]["fixed"]
+    s = WhisperStore.open(spark, str(root / "servers.web1.requests.count"))
+    assert s.aggregation_method == "sum" and s.x_files_factor == 0.0
+    assert reconcile_policies(spark, str(root), rules, apply=False) == []

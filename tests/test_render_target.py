@@ -1214,14 +1214,16 @@ def test_eval_moving_functions_xfilesfactor(spark):
 
 
 def test_review_fixes_round4c(spark):
-    # transformNull 3-arg gates on reference TRUTHINESS: 0.0 = absent
-    rows = [("a.m", 0, None), ("a.m", 60, None),
-            ("ref.m", 0, 0.0), ("ref.m", 60, 2.0)]
+    # transformNull 3-arg gates on reference NON-NULL (graphite-web's
+    # any(v is not None)): a reference slot of exactly 0.0 enables fill
+    rows = [("a.m", 0, None), ("a.m", 60, None), ("a.m", 120, None),
+            ("ref.m", 0, 0.0), ("ref.m", 60, 2.0), ("ref.m", 120, None)]
     df = spark.createDataFrame(rows, "metric string, ts long, value double")
     got = {r.ts: r.value for r in
            evaluate_target(df, "transformNull(a.m, -1, ref.m)").collect()}
-    assert got[0] is None      # ref 0.0 is falsy -> no fill (graphite)
+    assert got[0] == -1.0      # ref 0.0 is non-null -> fill (graphite)
     assert got[60] == -1.0
+    assert got[120] is None    # ref null -> no fill
     # verticalLine accepts absolute at-style times; relative forms raise
     v = evaluate_target(df, "verticalLine('17:00_20231114', 'x')").collect()
     assert v[0].ts == 1700000000 - 1700000000 % 86400 + 17 * 3600

@@ -269,7 +269,8 @@ def test_fetch_federated_first_store_wins(spark, tmp_path):
 
 def test_fetch_federated_mixed_resolutions(spark, tmp_path):
     """Stores with different schemas merge at the coarsest selected
-    step so slots align."""
+    step: the fine store is CONSOLIDATED (averaged) onto the coarse
+    grid, not dropped (graphite-web CLUSTER_SERVERS merge behavior)."""
     from whisper_spark.store import WhisperStore, fetch_federated
 
     NOW = 1700000000
@@ -286,7 +287,56 @@ def test_fetch_federated_mixed_resolutions(spark, tmp_path):
     ((lo, hi, step), df) = res
     assert step == 300  # coarsest common step
     vals = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
-    assert vals  # both stores contributed aligned 5m slots
+    # expected: per 300s bucket, avg of the fine store's 60s slots in
+    # that bucket (fine is store #0, so it wins every bucket it covers)
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for i in range(1, 20):
+        slot = (NOW - 60 * i) // 60 * 60
+        buckets[slot // 300 * 300].append(float(i))
+    expect_fine = {b: sum(v) / len(v) for b, v in buckets.items()}
+    for b, v in expect_fine.items():
+        assert vals[b] == pytest.approx(v), f"bucket {b}"
+    # coarse-only buckets (outside the fine data) come from store #1
+    coarse_slots = {(NOW - 300 * i) // 300 * 300: 100.0 * i
+                    for i in range(1, 4)}
+    coarse_only = set(coarse_slots) - set(expect_fine)
+    for b in coarse_only:
+        assert vals[b] == pytest.approx(coarse_slots[b])
+    assert len(vals) == len(set(expect_fine) | set(coarse_slots) & set(vals))
+
+
+def test_fetch_federated_excluded_store_logged(spark, tmp_path, caplog):
+    """A store that cannot serve a forced FINER step is excluded with a
+    logged reason; covering stores still answer (no silent data loss,
+    no blanket exception swallowing)."""
+    import logging
+
+    from whisper_spark.errors import InvalidTimeInterval
+    from whisper_spark.store import WhisperStore, fetch_federated
+
+    NOW = 1700000000
+    fine = WhisperStore.create(spark, str(tmp_path / "xf"), [(60, 60)],
+                               x_files_factor=0.0)
+    coarse = WhisperStore.create(spark, str(tmp_path / "xc"), [(300, 24)],
+                                 x_files_factor=0.0)
+    fine.update_many([(NOW - 60, 1.0), (NOW - 120, 2.0)], now=NOW, metric="m")
+    coarse.update_many([(NOW - 300, 7.0)], now=NOW, metric="m")
+    with caplog.at_level(logging.WARNING, logger="whisper_spark.store"):
+        res = fetch_federated([coarse, fine], "m", from_time=NOW - 1800,
+                              until_time=NOW, now=NOW, archive_step=60)
+    assert res is not None
+    ((lo, hi, step), df) = res
+    assert step == 60
+    got = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
+    assert got == {(NOW - 60) // 60 * 60: 1.0, (NOW - 120) // 60 * 60: 2.0}
+    assert any("excluded" in r.message and "coarser" in r.message
+               for r in caplog.records)
+    # an invalid interval is the CALLER's error — it must propagate,
+    # not be swallowed as a per-store failure
+    with pytest.raises(InvalidTimeInterval):
+        fetch_federated([coarse, fine], "m", from_time=NOW,
+                        until_time=NOW - 600, now=NOW)
 
 
 def test_render_federated_merges_then_evaluates(spark, tmp_path):

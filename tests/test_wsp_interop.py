@@ -276,3 +276,18 @@ def test_cli_import_export_round_trip(spark, tmp_path, capsys):
             assert r is None
         else:
             assert r == pytest.approx(o)
+
+
+def test_metric_name_strips_any_uri_scheme():
+    """binaryFiles returns scheme-qualified paths on cluster
+    filesystems; metric naming must survive hdfs:///s3a:// roots, not
+    just file: (review finding, round 5)."""
+    from whisper_spark.sources.wsp import _metric_name
+
+    for pre in ("file:", "hdfs://namenode:8020", "s3a://bucket"):
+        assert _metric_name(
+            f"{pre}/data/tree/a/b/c.wsp", f"{pre}/data/tree"
+        ) == "a.b.c"
+    # mixed: scheme-qualified file path, bare root (relpath still sane)
+    assert _metric_name("file:/data/tree/x/y.wsp", "/data/tree") == "x.y"
+    assert _metric_name("/data/tree/x/y.wsp", None) == "y"

@@ -66,6 +66,12 @@ class PolicyRule:
     archives: list | str
     x_files_factor: float | None = None
     aggregation_method: str | None = None
+    #: which carbon conf file the rule came from: "schemas",
+    #: "aggregation", or None (hand-built rule that supplies both).
+    #: Carbon matches storage-schemas.conf and storage-aggregation.conf
+    #: INDEPENDENTLY per metric (first match in each file), so
+    #: reconcile runs one first-match pass per source.
+    source: str | None = None
 
     def matches(self, metric_or_path: str) -> bool:
         if self.pattern.startswith("^"):
@@ -92,41 +98,57 @@ def reconcile_policies(
     """
     report = []
     for path in find_stores(root):
-        rule = next((r for r in rules if r.matches(path)), None)
-        if rule is None:
+        # carbon matches storage-schemas.conf and storage-aggregation.conf
+        # INDEPENDENTLY (first match in each file); hand-built rules
+        # (source=None) participate in both passes
+        schemas_rule = next(
+            (r for r in rules
+             if r.source in (None, "schemas") and r.matches(path)),
+            None,
+        )
+        agg_rule = next(
+            (r for r in rules
+             if r.source in (None, "aggregation") and r.matches(path)),
+            None,
+        )
+        if schemas_rule is None and agg_rule is None:
             continue
         store = WhisperStore.open(spark, path)
-        # config-only rules (storage-aggregation.conf with no matching
-        # schemas rule) carry empty archives: header checks only
-        want = parse_retention_defs(rule.archives) if rule.archives else None
+        want = (
+            parse_retention_defs(schemas_rule.archives)
+            if schemas_rule is not None and schemas_rule.archives
+            else None
+        )
+        want_method = agg_rule.aggregation_method if agg_rule else None
+        want_xff = agg_rule.x_files_factor if agg_rule else None
         have = [(a.seconds_per_point, a.points) for a in store.archives]
         drift = []
         if want is not None and want != have:
             drift.append(f"archives {have} != {want}")
         if (
-            rule.aggregation_method is not None
-            and store.aggregation_method != rule.aggregation_method
+            want_method is not None
+            and store.aggregation_method != want_method
         ):
             drift.append(
-                f"aggregation {store.aggregation_method} != {rule.aggregation_method}"
+                f"aggregation {store.aggregation_method} != {want_method}"
             )
         from .store import _f32
 
-        if rule.x_files_factor is not None and abs(
-            store.x_files_factor - _f32(rule.x_files_factor)
+        if want_xff is not None and abs(
+            store.x_files_factor - _f32(want_xff)
         ) > 1e-9:
-            drift.append(f"xff {store.x_files_factor} != {rule.x_files_factor}")
+            drift.append(f"xff {store.x_files_factor} != {want_xff}")
         fixed = False
         if drift and apply:
-            if rule.aggregation_method is not None:
-                store.set_aggregation_method(rule.aggregation_method)
-            if rule.x_files_factor is not None:
-                store.set_x_files_factor(rule.x_files_factor)
+            if want_method is not None:
+                store.set_aggregation_method(want_method)
+            if want_xff is not None:
+                store.set_x_files_factor(want_xff)
             if want is not None and want != have:
                 store.resize(
                     want,
-                    x_files_factor=rule.x_files_factor,
-                    aggregation_method=rule.aggregation_method,
+                    x_files_factor=want_xff,
+                    aggregation_method=want_method,
                     use_aggregate=True,
                     now=now,
                 )
@@ -252,10 +274,12 @@ def read_storage_schemas(
         retentions = 10s:6h,1min:7d,10min:5y
 
     storage-aggregation.conf adds ``xFilesFactor`` and
-    ``aggregationMethod`` per pattern; rules merge onto schema rules
-    with an identical pattern, else append as config-only rules
-    (archives='' matches reconcile's header-only checks).  Rule order
-    is file order — first match wins, as in carbon."""
+    ``aggregationMethod`` per pattern.  Carbon matches the two files
+    INDEPENDENTLY per metric (first match in each file), so aggregation
+    rules are returned as separate ``source="aggregation"`` rules —
+    never merged onto schemas rules by pattern identity —
+    and :func:`reconcile_policies` runs one first-match pass per
+    source.  Rule order is file order within each source."""
     import configparser
 
     def _carbon_pat(pat: str) -> str:
@@ -281,7 +305,9 @@ def read_storage_schemas(
         ret = cp.get(section, "retentions", fallback=None)
         if not pat or not ret:
             continue
-        rules.append(PolicyRule(pattern=_carbon_pat(pat), archives=ret))
+        rules.append(
+            PolicyRule(pattern=_carbon_pat(pat), archives=ret, source="schemas")
+        )
     if aggregation_path:
         ag = load(aggregation_path)
         for section in ag.sections():
@@ -290,20 +316,13 @@ def read_storage_schemas(
                 continue
             xff = ag.get(section, "xFilesFactor", fallback=None)
             method = ag.get(section, "aggregationMethod", fallback=None)
-            pat = _carbon_pat(pat)
-            merged = False
-            for r in rules:
-                if r.pattern == pat:
-                    r.x_files_factor = float(xff) if xff is not None else None
-                    r.aggregation_method = method
-                    merged = True
-            if not merged:
-                rules.append(
-                    PolicyRule(
-                        pattern=pat,
-                        archives="",
-                        x_files_factor=float(xff) if xff is not None else None,
-                        aggregation_method=method,
-                    )
+            rules.append(
+                PolicyRule(
+                    pattern=_carbon_pat(pat),
+                    archives="",
+                    x_files_factor=float(xff) if xff is not None else None,
+                    aggregation_method=method,
+                    source="aggregation",
                 )
+            )
     return rules

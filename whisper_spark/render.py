@@ -907,18 +907,13 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         default = float(args[1]) if len(args) > 1 else 0.0
         if len(args) > 2 and isinstance(args[2], (Path, Call)):
             # 3-arg form: only fill slots where the referenceSeries list
-            # has at least one known value (graphite checks the slot
-            # across the whole reference list)
+            # has at least one known (non-null) value — graphite-web's
+            # `any(v is not None for v in x)` across the reference list;
+            # a reference slot of exactly 0.0 DOES enable the fill
             ref = (
                 _evaluate(args[2], source, text, step)
                 .groupBy("ts")
-                .agg(
-                    # graphite gates on TRUTHINESS (any(v)): a reference
-                    # slot of 0.0 counts as absent, not just null
-                    (
-                        F.count(F.when(F.col("value") != 0.0, 1)) > 0
-                    ).alias("_ref")
-                )
+                .agg((F.count("value") > 0).alias("_ref"))
             )
             return (
                 series()

@@ -53,7 +53,15 @@ WSP_HEADER_SCHEMA = (
 
 
 def _strip_scheme(path: str) -> str:
-    return path.split(":", 1)[1] if path.startswith("file:") else path
+    """Drop any ``<scheme>://authority`` prefix (file:, hdfs://nn:8020,
+    s3a://bucket, ...) so relpath math over ``binaryFiles`` paths works
+    on every filesystem, not just ``file:``."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme and (parsed.netloc or path.startswith(f"{parsed.scheme}:/")):
+        return parsed.path
+    return path
 
 
 def _metric_name(path: str, root: str | None) -> str:

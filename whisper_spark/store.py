@@ -1437,62 +1437,113 @@ def fetch_federated(
     a known value wins, later stores only fill its gaps (graphite
     readers merge results in configured order).
 
-    All stores fetch at one common step: the coarsest step the
-    per-store archive selection would pick (so every store can serve
-    the range), or a forced ``archive_step``.  Returns the standard
-    ``((from, until, step), DataFrame)`` dense-timeline contract, or
-    None when no store covers the range.  The merge is one unionByName
-    + one groupBy((metric, ts)) — a single shuffle regardless of store
-    count."""
+    Stores with heterogeneous retention schemas are all served: each
+    fetches at its own best archive and its dense timeline is
+    CONSOLIDATED (average, graphite-web's merge/normalize behavior)
+    onto the common grid — the coarsest step any covering store
+    selected, or a forced ``archive_step``.  A store is excluded only
+    when it cannot honestly serve the target step (its finest covering
+    archive is coarser than a forced finer step) or its fetch errors
+    ("backend down"); every exclusion is logged with its reason —
+    never silent.  ``InvalidTimeInterval`` propagates (the range is
+    equally invalid for every store).
+
+    Returns the standard ``((from, until, step), DataFrame)``
+    dense-timeline contract, or None when no store covers the range.
+    The merge is one unionByName + one groupBy((metric, ts)) — a
+    single shuffle regardless of store count.
+    """
+    import logging
+
     from pyspark.sql import functions as F
 
+    log = logging.getLogger(__name__)
     if not stores:
         return None
-    fetched = []
-    step = archive_step
-    if step is None:
-        for s in stores:
-            try:
-                res = s.fetch(
-                    metrics, from_time=from_time, until_time=until_time,
-                    now=now,
-                )
-            except Exception:
-                # one failing backend must not abort the federated read
-                # (the refetch loop below skips it the same way)
-                res = None
-            if res is not None:
-                fetched.append((s, res))
-        if not fetched:
-            return None
-        step = max(ti[2] for (_s, (ti, _df)) in fetched)
-    # refetch every covering store AT the common step so slots align
-    parts = []
-    ti_out = None
-    for s in stores:
+
+    # phase 1: every store fetches at its own best archive (lazy — no
+    # job runs; this only builds plans and reads store headers)
+    natives = []  # (index, store, (ti, df))
+    excluded = []  # (index, reason)
+    for i, s in enumerate(stores):
         try:
             res = s.fetch(
-                metrics,
-                from_time=from_time,
-                until_time=until_time,
-                now=now,
-                archive_step=step,
+                metrics, from_time=from_time, until_time=until_time, now=now
             )
-        except Exception:
-            res = None
-        if res is None:
+        except InvalidTimeInterval:
+            raise  # caller error — the range is invalid for every store
+        except Exception as exc:  # backend down / unreadable tree
+            excluded.append((i, f"fetch failed: {exc!r}"))
             continue
-        (ti, df) = res
-        if ti_out is None:
-            ti_out = ti
+        if res is None:
+            excluded.append((i, "range outside retention"))
+            continue
+        natives.append((i, s, res))
+    if natives:
+        step = (
+            archive_step
+            if archive_step is not None
+            else max(ti[2] for (_i, _s, (ti, _df)) in natives)
+        )
+    parts = []
+    ti_native = None
+    bucket_lo = None
+    bucket_hi = None
+    for i, s, (ti, df) in natives:
+        (lo, hi, native) = ti
+        if native != step:
+            # prefer an exact archive at the target step when one exists
+            # (forced steps may name a coarser archive than auto-select)
+            try:
+                exact = s.fetch(
+                    metrics,
+                    from_time=from_time,
+                    until_time=until_time,
+                    now=now,
+                    archive_step=step,
+                )
+            except ValueError:
+                exact = None
+            except InvalidTimeInterval:
+                raise
+            except Exception as exc:
+                excluded.append((i, f"fetch failed: {exc!r}"))
+                continue
+            if exact is not None:
+                ((lo, hi, native), df) = exact
+            elif native < step:
+                # consolidate the fine dense timeline onto the coarse
+                # grid: floor-align slots, average known values per
+                # bucket (all-null bucket stays null) — graphite-web's
+                # consolidation default
+                df = df.groupBy(
+                    "metric",
+                    (F.floor(F.col("ts") / step) * step)
+                    .cast("long")
+                    .alias("ts"),
+                ).agg(F.avg("value").alias("value"))
+                lo, hi = (lo // step) * step, ((hi - native) // step) * step + step
+            else:
+                excluded.append(
+                    (i, f"finest covering archive ({native}s) coarser than "
+                        f"requested step ({step}s)")
+                )
+                continue
+        if native == step and ti_native is None:
+            ti_native = (lo, hi, step)
+        bucket_lo = lo if bucket_lo is None else min(bucket_lo, lo)
+        bucket_hi = hi if bucket_hi is None else max(bucket_hi, hi)
         parts.append(
             df.select(
                 "metric", "ts", "value",
                 F.lit(len(parts)).alias("_prio"),
             )
         )
+    for i, reason in excluded:
+        log.warning("fetch_federated: store #%d excluded: %s", i, reason)
     if not parts:
         return None
+    ti_out = ti_native if ti_native is not None else (bucket_lo, bucket_hi, step)
     allp = parts[0]
     for d in parts[1:]:
         allp = allp.unionByName(d)
