@@ -540,7 +540,9 @@ def test_srp_lsh_recalls_planted_neighbors(spark):
         rows.append((2 * i + 1, [x * 1.001 + 1e-4 for x in base]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    cand = srp_candidate_pairs(emb, bits=48, bands=4)
+    # banding recall property: pin the unguarded clique
+    cand = srp_candidate_pairs(emb, bits=48, bands=4,
+                               collapse_identical=False)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
 
@@ -548,6 +550,25 @@ def test_srp_lsh_recalls_planted_neighbors(spark):
     planted = [(2 * i, 2 * i + 1) for i in range(40)]
     hit = [p for p in planted if p in got]
     assert len(hit) == 40                       # tiny angle -> all recalled
+
+    # guarded default (mega-bucket collapse): every planted pair is
+    # covered either directly or transitively through its group rep —
+    # union-find over the guarded pairs must put 2i and 2i+1 together
+    gcand = srp_candidate_pairs(emb, bits=48, bands=4)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in gcand.collect():
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert all(find(a) == find(b) for a, b in planted)
 
     # fingerprints are pure per-row projections: same input, same bits
     fp1 = {r.vec_id: r.simhash for r in srp_fingerprints(emb, bits=48).collect()}

@@ -377,6 +377,98 @@ def test_lsh_candidates_500k_planted_dups(spark):
     assert total < 50_000, total
 
 
+def test_lsh_identical_mega_cluster_guarded(spark):
+    """A 50k-copy IDENTICAL document cluster through standalone
+    lsh_candidates: the collapse-exact guard must keep candidate volume
+    proportional to distinct near-dups plus group size (linear star
+    pairs), not the ~1.25e9-pair clique an unguarded band join emits —
+    the '10M-copy viral boilerplate page' bomb at 100 TB (round-4
+    verdict, fixed round 5)."""
+    import time
+
+    from whisper_spark.operators.dedup import dedup_minhash, lsh_candidates
+
+    n_dup, n_uni = 50_000, 10_000
+    dup = spark.range(n_dup).select(
+        F.col("id").alias("doc_id"),
+        F.lit("breaking news shared viral boilerplate page text").alias("text"),
+    )
+    uni = spark.range(n_uni).select(
+        (F.col("id") + n_dup).alias("doc_id"),
+        F.md5((F.col("id") + 7).cast("string")).alias("text"),
+    )
+    docs = dup.unionByName(uni)
+    cand = lsh_candidates(docs, num_hashes=16, bands=4, shingle_n=5)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # (a BroadcastNestedLoopJoin IS expected here: the deliberate
+    # 16-row hash-seed broadcast crossJoin inside minhash_signatures)
+    assert "CartesianProduct" not in plan
+
+    t0 = time.time()
+    total = cand.count()
+    stars = cand.filter(
+        (F.col("id_a") == 0) & (F.col("n_shared_bands") == 4)
+    ).count()
+    elapsed = time.time() - t0
+    # every copy is covered by a star pair to the min-id representative
+    assert stars == n_dup - 1
+    # candidate count ∝ distinct near-dups: group coverage + chance
+    # collisions only, nowhere near the 1.25e9 clique
+    assert total < n_dup + 1_000, total
+    assert elapsed < 180, f"guarded LSH took {elapsed:.0f}s"
+    # end-to-end min-id-keep dedup is UNchanged by the guard: exactly
+    # one representative of the cluster survives
+    survivors = dedup_minhash(
+        docs, threshold=0.8, num_hashes=16, bands=4, shingle_n=5
+    )
+    assert survivors.filter(F.col("doc_id") < n_dup).count() == 1
+    assert survivors.count() == 1 + n_uni
+
+
+def test_simhash_identical_mega_cluster_guarded(spark):
+    """50k identical FINGERPRINTS through standalone simhash_candidates:
+    the collapse-identical guard emits the linear star cover, never the
+    clique, while 1-bit near-dups of the cluster still surface via the
+    representative."""
+    import time
+
+    from whisper_spark.operators.dedup import simhash_candidates
+
+    n_dup, n_uni = 50_000, 10_000
+    HOT = 0x123456789ABCD
+    dup = spark.range(n_dup).select(
+        F.col("id").alias("doc_id"), F.lit(HOT).alias("simhash")
+    )
+    # unique fps, plus doc n_dup exactly 1 bit from the hot fingerprint
+    uni = spark.range(n_uni).select(
+        (F.col("id") + n_dup).alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit(HOT ^ 1))
+        .otherwise(
+            F.xxhash64(F.col("id")).bitwiseAND(F.lit((1 << 60) - 1))
+        )
+        .alias("simhash"),
+    )
+    fp = dup.unionByName(uni)
+    # 2x30-bit bands: the documented at-scale layout (2^30 >> n_docs),
+    # so incidental collisions stay ~0 and the bound below is tight
+    cand = simhash_candidates(fp, bits=60, bands=2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    t0 = time.time()
+    total = cand.count()
+    elapsed = time.time() - t0
+    stars = cand.filter(F.col("id_a") == 0).count()
+    # star cover of the identical group (+ the 1-bit neighbor banding
+    # onto the representative: doc 0 vs doc n_dup)
+    assert stars >= n_dup - 1
+    assert cand.filter(
+        (F.col("id_a") == 0) & (F.col("id_b") == n_dup)
+    ).count() == 1, "1-bit near-dup of the cluster must band with the rep"
+    assert total < n_dup + 100, total
+    assert elapsed < 120, f"guarded simhash took {elapsed:.0f}s"
+
+
 def test_substring_pairs_200k_boilerplate_capped(spark):
     """200k docs through exact-substring window dedup: planted 6-word
     overlaps all surface, a boilerplate sentence shared by EVERY doc is

@@ -52,6 +52,42 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # --------------------------------------------------------------------- #
+# identical-group collapse (mega-bucket guard)
+# --------------------------------------------------------------------- #
+
+
+def _collapse_groups(df: DataFrame, key, id_col: str):
+    """Collapse rows with an identical ``key`` to their min-id
+    representative: returns ``(reps, stars)``.
+
+    ``reps`` is one row per distinct key (the min-``id_col`` row, full
+    original schema); ``stars`` is the LINEAR (id_a=rep, id_b=member)
+    pair set covering every identical group — c-1 star pairs instead of
+    the c(c-1)/2 clique a band join would emit.
+
+    This is the guard against identical-content mega-buckets: c copies
+    of one viral page collide in EVERY band, so unguarded banding emits
+    ~c^2/2 candidate pairs (a 5*10^13-pair bomb at c=10M).  Collapsing
+    first makes candidate volume proportional to DISTINCT near-dups
+    plus group sizes.  Downstream "drop the doc if a verified duplicate
+    with a smaller id exists" dedup is provably unchanged: every
+    non-rep member keeps a star pair with its (smaller) rep, and any
+    cross-group duplicate relation survives between reps.  Cost: one
+    extra groupBy on the key (same class as exact dedup).
+    """
+    keyed = df.withColumn("_grp", key)
+    rep_ids = keyed.groupBy("_grp").agg(F.min(F.col(id_col)).alias(id_col))
+    reps = keyed.join(rep_ids, ["_grp", id_col], "left_semi").drop("_grp")
+    stars = (
+        keyed.select("_grp", F.col(id_col).alias("id_b"))
+        .join(rep_ids.select("_grp", F.col(id_col).alias("id_a")), "_grp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return reps, stars
+
+
+# --------------------------------------------------------------------- #
 # MinHash + LSH
 # --------------------------------------------------------------------- #
 
@@ -84,6 +120,7 @@ def lsh_candidates(
     bands: int = 4,
     shingle_n: int = 5,
     via: str = "index",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, n_shared_bands) candidate near-dup pairs: docs whose
     MinHash signatures collide in >= 1 of ``bands`` bands.
@@ -96,7 +133,28 @@ def lsh_candidates(
     banding semantics are identical, so candidate sets agree up to
     md5-band collisions.  Prefer "expr" at corpus scale: the index
     path shuffles |shingles| rows to build signatures, the expr path
-    shuffles nothing."""
+    shuffles nothing.
+
+    ``collapse_exact`` (default ON — the identical-doc mega-bucket
+    guard): docs with byte-identical ``text_col`` collapse to their
+    min-id representative before banding (:func:`_collapse_groups`),
+    and each identical group is covered by c-1 star pairs
+    (``n_shared_bands = bands``) instead of a c^2/2 clique.  Candidate
+    volume is then proportional to distinct near-dups; pair-level
+    output differs from the unguarded clique only WITHIN identical
+    groups (star shape) and for member-to-member cross pairs (covered
+    transitively through the reps), while min-id-keep dedup results
+    are provably identical.  Disable only for corpora already
+    exact-deduplicated (saves one content-hash groupBy)."""
+    if collapse_exact:
+        reps, stars = _collapse_groups(df, F.md5(F.col(text_col)), id_col)
+        core = lsh_candidates(
+            reps, text_col, id_col, num_hashes, bands, shingle_n, via,
+            collapse_exact=False,
+        )
+        return core.unionByName(
+            stars.withColumn("n_shared_bands", F.lit(bands).cast("long"))
+        )
     if via == "expr":
         b = minhash_bands_expr(text_col, num_hashes, bands, shingle_n)
         banded = df.select(
@@ -155,23 +213,41 @@ def ngram_jaccard_pairs(
     Jaccard >= threshold.
 
     With ``candidates`` (id_a, id_b — e.g. from :func:`lsh_candidates`),
-    only those pairs are verified (the scale path).  Without it, a full
-    inverted-index self-join runs — fine for bounded inputs only.
+    ONLY those pairs are verified — the intersection counts are built by
+    joining the candidate list through the shingle index (cost
+    proportional to |candidates| * shingles-per-doc, never the
+    inverted-index self-join), so a candidate set that is already
+    mega-bucket-guarded stays guarded through verification.  Without
+    ``candidates``, a full inverted-index self-join runs — fine for
+    bounded inputs only.
     """
     sh = explode_shingles(df, text_col, id_col, shingle_n)
     sz = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_semi")
+        sh_a = sh.select(F.col(id_col).alias("id_a"), "g")
+        sh_b = sh.select(F.col(id_col).alias("id_b"), "g")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .distinct()
+            .join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
     sza = sz.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na")
     szb = sz.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "nb")
     out = (
@@ -247,11 +323,31 @@ def simhash_candidates(
     id_col: str = "doc_id",
     bits: int = 60,
     bands: int = 4,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """(id_a, id_b) pairs whose simhashes agree exactly on >= bands-1 of
     ``bands`` contiguous bit-bands — near-dups within a small Hamming
     radius collide on at least one band (Manku et al., WWW'07 layout).
-    Equi-join per band; no pairwise Hamming scan."""
+    Equi-join per band; no pairwise Hamming scan.
+
+    ``collapse_identical`` (default ON — the mega-bucket guard): rows
+    with byte-identical fingerprints collapse to their min-id
+    representative before banding and each identical group is covered
+    by c-1 star pairs instead of a c^2/2 clique
+    (:func:`_collapse_groups`).  Hamming distance is a function of the
+    fingerprint alone, so downstream verification and min-id-keep
+    dedup are unchanged; only the pair-level shape within/between
+    identical-fingerprint groups differs (star + rep-to-rep, covered
+    transitively).  Disable for small pinned slices that need the full
+    clique."""
+    if collapse_identical:
+        reps, stars = _collapse_groups(fingerprints, F.col("simhash"), id_col)
+        core = simhash_candidates(
+            reps, id_col, bits, bands, collapse_identical=False
+        )
+        return core.unionByName(
+            stars.select(F.col("id_a"), F.col("id_b"))
+        ).distinct()
     per = bits // bands
     pieces = []
     for b in range(bands):
@@ -346,6 +442,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     bits: int = 60,
     bands: int = 4,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Banded candidates -> EXACT Hamming verification: (id_a, id_b,
     hamming) for pairs within ``max_hamming`` bits.
@@ -354,8 +451,13 @@ def simhash_hamming_pairs(
     every pair within radius (bands-1 bands must match somewhere), this
     stage removes band-collision false positives with one
     ``bit_count(xor)`` per candidate — work proportional to candidates,
-    never |corpus|^2."""
-    cand = simhash_candidates(fingerprints, id_col, bits, bands)
+    never |corpus|^2.  ``collapse_identical`` passes through to the
+    candidate stage (mega-bucket guard, ON by default; identical-
+    fingerprint star pairs verify at hamming 0)."""
+    cand = simhash_candidates(
+        fingerprints, id_col, bits, bands,
+        collapse_identical=collapse_identical,
+    )
     fa = fingerprints.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a")
     )

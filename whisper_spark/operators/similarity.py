@@ -734,15 +734,23 @@ def srp_candidate_pairs(
     id_col: str = "vec_id",
     bits: int = 16,
     bands: int = 4,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """(id_a, id_b) cosine-near-dup candidates: vectors whose SRP
     fingerprints collide in >= bands-1 of ``bands`` bit-bands — the
     Charikar-LSH analog of the text pipeline's simhash banding, one
-    equi-join, never all-pairs."""
+    equi-join, never all-pairs.  ``collapse_identical`` passes through
+    to the banding stage (identical-fingerprint mega-bucket guard,
+    dedup._collapse_groups; ON by default — at small ``bits`` identical
+    fingerprints are common, and a clique over one hot fingerprint is
+    exactly the blowup banding exists to avoid)."""
     from .dedup import simhash_candidates
 
     fp = srp_fingerprints(df, emb_col, id_col, bits)
-    return simhash_candidates(fp, id_col=id_col, bits=bits, bands=bands)
+    return simhash_candidates(
+        fp, id_col=id_col, bits=bits, bands=bands,
+        collapse_identical=collapse_identical,
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -2261,7 +2261,10 @@ def q_doc_simhash_pairs(spark, sf_dir):
     from .operators.dedup import simhash_hamming_pairs
 
     fp = q_doc_simhash(spark, sf_dir)
-    return simhash_hamming_pairs(fp, max_hamming=6)
+    # collapse_identical=False: the oracle SQL pins the full banded
+    # clique on this bounded 200-doc slice; the mega-bucket guard stays
+    # ON for the standalone library entry points
+    return simhash_hamming_pairs(fp, max_hamming=6, collapse_identical=False)
 
 
 @_q(
@@ -7475,7 +7478,10 @@ FROM (SELECT count(*) AS n_truth FROM truth) t,
         from .operators.dedup import simhash_hamming_pairs
 
         fp = q_doc_simhash(spark, sf_dir).select("doc_id", "simhash")
-        ver = simhash_hamming_pairs(fp, max_hamming=6).select("id_a", "id_b")
+        # collapse_identical=False: oracle pins the unguarded clique
+        ver = simhash_hamming_pairs(
+            fp, max_hamming=6, collapse_identical=False
+        ).select("id_a", "id_b")
         a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_a"))
         b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_b"))
         truth = (
@@ -8153,7 +8159,10 @@ def q_emb_srp_pairs(spark, sf_dir):
     from .operators.similarity import _dot, _sqnorm, srp_candidate_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    cand = srp_candidate_pairs(emb, bits=48, bands=4)
+    # collapse_identical=False: oracle pins the unguarded banded clique
+    # (48-bit fps on this table collide rarely anyway)
+    cand = srp_candidate_pairs(emb, bits=48, bands=4,
+                               collapse_identical=False)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     na = emb.select(
