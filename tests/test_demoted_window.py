@@ -1,0 +1,54 @@
+"""CI coverage for queries demoted OUT of the driver's 50-query
+correctness window (review finding, round 5).
+
+The driver's sweep checks only the first 50 registered queries, so the
+flagship rotation in queries.py demotes the most commoditized TPC-H
+shapes past position 50.  This suite keeps EVERY demoted query under
+the exact same Spark-vs-DuckDB oracle comparison inside the regular
+test run (at sf0.001 for speed), so demotion never means "unchecked" —
+the split is: driver window = newest flagship machinery, pytest + the
+tools/check_correctness.py full sweep = everything.
+"""
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+_CHECKER = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "check_correctness.py",
+)
+_spec = importlib.util.spec_from_file_location("check_correctness", _CHECKER)
+CC = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(CC)
+
+from whisper_spark.queries import (  # noqa: E402
+    _DRIVER_WINDOW_DEMOTE,
+    QUERIES,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in CC.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_demoted_set_is_outside_window_and_registered():
+    names = list(QUERIES)
+    for n in _DRIVER_WINDOW_DEMOTE:
+        assert n in QUERIES, f"demoted query {n} vanished from registry"
+        assert names.index(n) >= 50, f"{n} listed as demoted but in window"
+
+
+@pytest.mark.parametrize("name", _DRIVER_WINDOW_DEMOTE)
+def test_demoted_query_matches_oracle(spark, duck, name):
+    r = CC.run_one(spark, duck, name, SF_DIR, verbose=True)
+    assert r["status"] in ("OK", "rows_only"), r

@@ -9504,6 +9504,11 @@ _DRIVER_WINDOW_PROMOTE = [
     "stream_render_target", "ws_render_target_reduce",
     "doc_incremental_dedup", "emb_semdedup_survivors",
     "doc_bigram_lm_score", "emb_covariance",
+    # round-5 rotation: the round-4 flagships (seasonal/CUSUM
+    # recurrences, the v2 curation pipeline, the PQ recall gate, the
+    # streaming max rollup) enter the driver window
+    "ws_seasonal_decompose", "ws_cusum_alarms",
+    "doc_curation_pipeline_v2", "emb_pq_recall", "stream_rollup_1m_max",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -9513,6 +9518,13 @@ _DRIVER_WINDOW_DEMOTE = [
     "q18_large_orders", "q9_product_profit",
     "q8_market_share", "q7_volume_shipping", "q13_custdist",
     "q12_priority_by_status",
+    # round-5 demotions (q1 stays in-window as the TPC-H
+    # representative); EVERY demoted query remains covered by
+    # tools/check_correctness.py AND by the in-repo CI sweep
+    # tests/test_demoted_window.py — the split is deliberate and
+    # documented in README.md
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_change", "q4_priority_exists", "q10_returned_items",
 ]
 
 
