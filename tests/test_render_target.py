@@ -6,6 +6,8 @@ language reference-stack users actually type.
 
 import json
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from whisper_spark import cli
@@ -1267,3 +1269,56 @@ def test_cli_render_raw_consolidated_step(spark, tmp_path, capsys):
     vals = body.split(",")
     assert len(vals) <= 5                   # budget honored, no None padding
     assert (int(hi) - int(lo)) // int(step) == len(vals)
+
+
+def test_alias_query_batched_lookups(spark, monkeypatch):
+    """Plain-path aliasQuery targets batch into ONE max_by aggregation:
+    the per-name .first() fallback must never fire (round-5 review fix —
+    previously one Spark job per matched series)."""
+    # pyspark 4 runtime frames are the classic subclass; patch there
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    rows = []
+    for i in range(50):
+        rows += [(f"a.{i}", 0, 1.0), (f"a.{i}", 60, 2.0),
+                 (f"b.{i}", 0, float(i)), (f"b.{i}", 60, 100.0 + i)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    calls = {"first": 0}
+    orig_first = DataFrame.first
+
+    def spy(self, *a, **k):
+        calls["first"] += 1
+        return orig_first(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "first", spy)
+    out = evaluate_target(df, "aliasQuery(a.*, 'a', 'b', 'last %d')")
+    got = {r.metric for r in out.collect()}
+    assert got == {f"last {100 + i}" for i in range(50)}
+    assert calls["first"] == 0, "plain targets must use the batched path"
+    # a function-shaped target still works via the per-target fallback
+    out2 = evaluate_target(
+        df.filter(F.col("metric").isin("a.1", "b.1", "b.2")),
+        "aliasQuery(a.*, 'a.1', 'sumSeries(b.*)', 'x %g')",
+    )
+    assert {r.metric for r in out2.collect()} == {"x 203"}
+    assert calls["first"] == 1
+
+
+def test_per_series_render_functions_guarded(spark):
+    """A glob matching 10k series errors fast with a clear message
+    instead of launching 10k driver-side sub-evaluations."""
+    import time
+
+    from whisper_spark.render import MAX_QUERY_SERIES
+
+    many = spark.range(10_000).select(
+        F.concat(F.lit("m."), F.col("id")).alias("metric"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    t0 = time.time()
+    with pytest.raises(TargetSyntaxError, match=f"over {MAX_QUERY_SERIES} series"):
+        evaluate_target(many, "aliasQuery(m.*, 'm', 'm', 'x %d')")
+    with pytest.raises(TargetSyntaxError, match="node prefixes"):
+        evaluate_target(many, "applyByNode(m.*, 1, 'scale(%, 1)')")
+    assert time.time() - t0 < 60, "guards must fail fast (limit N+1 scan)"

@@ -35,6 +35,15 @@ from .functions import timeseries as TS
 
 _DEC = "decimal(25,6)"
 
+#: driver-side expansion guard for the per-series render functions
+#: (applyByNode / aliasQuery evaluate one sub-target per matched
+#: series/prefix, which is graphite's own shape here).  Charts draw
+#: tens of series; a glob matching 100k would launch 100k driver-side
+#: jobs, so anything above this limit errors fast with a clear message
+#: instead.  Module-level on purpose: a deployment rendering wide
+#: dashboards can raise it explicitly.
+MAX_QUERY_SERIES = 200
+
 
 # --------------------------------------------------------------------- #
 # parsing
@@ -1576,8 +1585,11 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
     if name == "applyByNode":
         # evaluate a template once per node-prefix: applyByNode(
         # servers.*.disk.*, 1, 'divide(%.free, %.total)').  The prefix
-        # list is driver-collected — bounded by series count, the same
-        # contract as the centroid/bounds literals elsewhere.
+        # list is driver-collected — bounded by the render chart
+        # contract (tens of series) and ENFORCED by MAX_QUERY_SERIES: a
+        # glob matching 100k prefixes would launch 100k driver-side
+        # sub-evaluations, so it errors fast instead (graphite itself
+        # is per-series here).
         node_i = int(need(1, "nodeNum"))
         template = str(need(2, "templateFunction"))
         newname = str(args[3]) if len(args) > 3 else None
@@ -1585,8 +1597,19 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             ".", F.slice(F.split(F.col("metric"), r"\."), 1, node_i + 1)
         )
         prefixes = sorted(
-            r["p"] for r in series().select(prefix.alias("p")).distinct().collect()
+            r["p"]
+            for r in series()
+            .select(prefix.alias("p"))
+            .distinct()
+            .limit(MAX_QUERY_SERIES + 1)
+            .collect()
         )
+        if len(prefixes) > MAX_QUERY_SERIES:
+            raise TargetSyntaxError(
+                f"applyByNode: over {MAX_QUERY_SERIES} node prefixes "
+                f"matched (one sub-target evaluation each); narrow the "
+                f"glob or raise whisper_spark.render.MAX_QUERY_SERIES"
+            )
         out = None
         for p in prefixes:
             sub = _evaluate(
@@ -1899,19 +1922,58 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         return series()
     if name == "aliasQuery":
         # aliasQuery(seriesList, search, replace, newName): per series,
-        # regex-rewrite the name into a target query, evaluate it, and
-        # format its LAST value into the new legend name.  The name list
-        # is driver-collected (bounded by series count — the applyByNode
-        # contract); each subquery's last value is one 1-row aggregate.
+        # regex-rewrite the name into a target query and format that
+        # target's LAST value into the new legend name.  The name list
+        # is driver-collected, guarded by MAX_QUERY_SERIES; rewritten
+        # targets that are PLAIN metric paths (the overwhelmingly
+        # common shape) batch into ONE max_by aggregation over all of
+        # them — one Spark job however many series matched.  Only
+        # glob/function targets fall back to per-target evaluation
+        # (each a 1-row aggregate), still bounded by the guard.
         search, replace = str(need(1, "search")), str(need(2, "replace"))
         newname = str(need(3, "newName"))
         df = series()
         names = sorted(
-            r["metric"] for r in df.select("metric").distinct().collect()
+            r["metric"]
+            for r in df.select("metric")
+            .distinct()
+            .limit(MAX_QUERY_SERIES + 1)
+            .collect()
         )
-        out = None
-        for nm in names:
-            q = re.sub(search, replace, nm)
+        if len(names) > MAX_QUERY_SERIES:
+            raise TargetSyntaxError(
+                f"aliasQuery: over {MAX_QUERY_SERIES} series matched "
+                f"(one last-value lookup each); narrow the glob or "
+                f"raise whisper_spark.render.MAX_QUERY_SERIES"
+            )
+        if not names:
+            raise TargetSyntaxError("aliasQuery: no series matched")
+        targets = {nm: re.sub(search, replace, nm) for nm in names}
+        plain = {
+            nm: q for nm, q in targets.items()
+            if re.fullmatch(r"[\w.:#\-]+", q)
+        }
+        lasts: dict[str, float] = {}
+        if plain:
+            got = {
+                r["metric"]: r["_last"]
+                for r in source.filter(
+                    F.col("metric").isin(sorted(set(plain.values())))
+                )
+                .filter(F.col("value").isNotNull())
+                .groupBy("metric")
+                .agg(F.max_by("value", "ts").alias("_last"))
+                .collect()
+            }
+            for nm, q in plain.items():
+                if q not in got or got[q] is None:
+                    raise TargetSyntaxError(
+                        f"aliasQuery: no data for target {q!r}"
+                    )
+                lasts[nm] = got[q]
+        for nm, q in targets.items():
+            if nm in lasts:
+                continue
             sub = _evaluate(parse_target(q), source, text, step)
             last = sub.filter(F.col("value").isNotNull()).agg(
                 F.max_by("value", "ts")
@@ -1920,13 +1982,17 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
                 raise TargetSyntaxError(
                     f"aliasQuery: no data for target {q!r}"
                 )
-            piece = df.filter(F.col("metric") == nm).select(
-                F.lit(newname % last).alias("metric"), "ts", "value"
-            )
-            out = piece if out is None else out.unionByName(piece)
-        if out is None:
-            raise TargetSyntaxError("aliasQuery: no series matched")
-        return out
+            lasts[nm] = last
+        rename = F.create_map(
+            *[
+                F.lit(x)
+                for nm in names
+                for x in (nm, newname % lasts[nm])
+            ]
+        )
+        return df.select(
+            rename[F.col("metric")].alias("metric"), "ts", "value"
+        )
     if name in (
         "alpha", "color", "dashed", "drawAsInfinite", "lineWidth",
         "secondYAxis", "stacked", "areaBetween",
