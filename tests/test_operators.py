@@ -186,6 +186,34 @@ def test_ivf_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_ivf_trained_recall_floor_and_balance(spark):
+    """Lloyd-trained centroids (train_ivf, the build_ivf_index default)
+    must clear a HIGHER gate than raw seeds at the same nprobe — and
+    tighten the bucket layout (lower weighted mean assignment dist2,
+    the emb_ivf_bucket_stats skew signal)."""
+    from whisper_spark.queries import q_emb_ivf_recall_trained
+
+    rows = q_emb_ivf_recall_trained(spark, sf_dir(SF)).collect()
+    assert rows, "no query vectors"
+    recalls = [r["recall"] for r in rows]
+    assert min(recalls) >= 0.8, recalls          # seeded floor is 0.5
+    assert sum(recalls) / len(recalls) >= 0.89, recalls  # seeded gate: 0.8
+
+    emb = spark.read.parquet(f"{sf_dir(SF)}/embeddings.parquet")
+
+    def wmean_dist2(cent):
+        st = (
+            similarity.ivf_assign(emb, n_buckets=16, centroids=cent)
+            .agg(F.avg("dist2").alias("m"))
+            .collect()
+        )
+        return st[0]["m"]
+
+    seeded = wmean_dist2(similarity.seed_centroids(emb, 16))
+    trained = wmean_dist2(similarity.train_ivf(emb, 16, rounds=2))
+    assert trained < seeded * 0.8, (trained, seeded)
+
+
 def test_ivf_indexed_pruning(spark, tmp_path):
     """A persisted IVF index answers identically to the in-memory probe
     path, and the scan reads ONLY the probed bucket partitions
@@ -196,7 +224,12 @@ def test_ivf_indexed_pruning(spark, tmp_path):
     q = emb.filter("vec_id < 8")
 
     got = similarity.ivf_topk_indexed(spark, idx, q, k=5, nprobe=4)
-    want = similarity.ivf_topk(q, emb, k=5, nprobe=4, n_buckets=16)
+    # compare against the in-memory path driven by the INDEX's own
+    # (trained-by-default) centroid table
+    want = similarity.ivf_topk(
+        q, emb, k=5, nprobe=4, n_buckets=16,
+        centroids=spark.read.parquet(f"{idx}/centroids"),
+    )
     as_set = lambda df: {  # noqa: E731
         (r["qid"], r["nid"], r["rank"], round(r["score"], 12)) for r in df.collect()
     }

@@ -256,6 +256,86 @@ def ivf_assign(
     )
 
 
+def train_ivf(
+    corpus: DataFrame,
+    n_buckets: int = 16,
+    rounds: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd-trained coarse centroids: ``rounds`` k-means iterations in
+    the EXACT integer domain (the emb_kmeans2 convention — vectors
+    quantize to ``floor(x*1000)`` longs, centroid updates are floor-div
+    means), seeded from the ``n_buckets`` smallest-id vectors.
+
+    Returns the same ``(cid, ce)`` contract as :func:`seed_centroids`
+    (``ce`` scaled back to double, ``cid`` = the seed's id), so it
+    drops into :func:`ivf_assign` / :func:`ivf_topk` /
+    :func:`build_ivf_index` unchanged.  Integer arithmetic makes
+    training bit-reproducible AND oracle-mirrorable (DuckDB unrolls the
+    identical rounds — see the emb_ivf_recall_trained query).  Between
+    rounds only the k x dim centroid table is driver-collected and
+    re-inlined as literals; each round is one narrow assignment
+    projection plus one posexplode aggregation.
+
+    Trained centroids fix what seeding cannot: seeds drawn from the
+    first ids land wherever those vectors happen to sit, leaving hot,
+    wide buckets (straggler probes, poor recall per probe); Lloyd
+    rounds move them toward cluster means, tightening buckets and
+    raising recall at the same nprobe.  Clusters that lose all members
+    drop out deterministically."""
+    qv = corpus.select(
+        F.col(id_col),
+        F.transform(
+            emb_col, lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    cent_rows = sorted(
+        (int(r[id_col]), [int(x) for x in r["q"]])
+        for r in qv.orderBy(id_col).limit(n_buckets).collect()
+    )
+
+    def assign(rows):
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "q",
+                            F.array(*[F.lit(v) for v in cq]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+                for k, cq in rows
+            ]
+        )
+        # struct order (d, k): array_min = nearest centroid, ties to
+        # the lower cid — matching the oracle's ORDER BY dist, cid
+        return qv.select("q", F.array_min(scored)["k"].alias("k"))
+
+    for _ in range(rounds):
+        upd = (
+            assign(cent_rows)
+            .select("k", F.posexplode("q").alias("i", "qi"))
+            .groupBy("k", "i")
+            .agg(F.floor(F.sum("qi") / F.count("*")).cast("long").alias("val"))
+            .groupBy("k")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "val"))).alias("p"))
+            .select("k", F.transform("p", lambda x: x["val"]).alias("q"))
+        )
+        cent_rows = sorted(
+            (int(r["k"]), [int(x) for x in r["q"]]) for r in upd.collect()
+        )
+    return corpus.sparkSession.createDataFrame(
+        [(k, [v / 1000.0 for v in q]) for k, q in cent_rows],
+        "cid long, ce array<double>",
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -263,20 +343,27 @@ def build_ivf_index(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    train_rounds: int = 2,
 ) -> None:
     """Persist an IVF index: the corpus written as parquet PARTITIONED BY
     its coarse-quantization bucket, plus the centroid table.
+
+    Centroids default to :func:`train_ivf` (``train_rounds`` exact-
+    integer Lloyd rounds — tighter buckets, higher recall per probe
+    than raw seeds); pass ``centroids=`` to supply your own, or
+    ``train_rounds=0`` for the bare smallest-id seeds.
 
     This is the 100 TB search layout: a probe query then reads only its
     ``nprobe`` bucket directories — Catalyst partition pruning, verified
     by ``PartitionFilters`` in the scan (see
     tests/test_operators.py::test_ivf_indexed_pruning) — instead of
     re-bucketing the corpus per query."""
-    cent = (
-        centroids
-        if centroids is not None
-        else seed_centroids(corpus, n_buckets, emb_col, id_col)
-    )
+    if centroids is not None:
+        cent = centroids
+    elif train_rounds > 0:
+        cent = train_ivf(corpus, n_buckets, train_rounds, emb_col, id_col)
+    else:
+        cent = seed_centroids(corpus, n_buckets, emb_col, id_col)
     assigned = ivf_assign(corpus, emb_col, id_col, n_buckets, centroids=cent)
     bucketed = corpus.join(
         assigned.select(id_col, "centroid"), id_col
