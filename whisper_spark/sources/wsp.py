@@ -163,6 +163,75 @@ def import_wsp(
     return store
 
 
+def import_wsp_tree(
+    spark: SparkSession, path: str, dst_root: str, root: str | None = None
+) -> dict[str, "object"]:
+    """Migrate a whole HETEROGENEOUS whisper tree in one command.
+
+    Real reference trees mix retention policies via carbon's
+    storage-schemas.conf (reference contrib/whisper-auto-resize.py:
+    123-139 reads exactly that mapping), so a tree-level import cannot
+    assume one config.  Files are auto-grouped by their parsed header
+    (archives, aggregationMethod, xFilesFactor) and each group imports
+    into its own store under ``dst_root/policy-NNNN`` — the multi-store
+    layout :func:`whisper_spark.store.fetch_federated` reads as one
+    namespace.
+
+    Returns ``{policy_dir_name: WhisperStore}``, one entry per distinct
+    header config (deterministic order: sorted by archive list, method,
+    xff).  The point data is read ONCE (one distributed ``binaryFiles``
+    pass); each store's append left-semi-joins the group's metric set.
+    """
+    from ..store import WhisperStore
+
+    hdrs = wsp_headers(spark, path, root)
+    cfg_rows = (
+        hdrs.select("aggregation_method", "x_files_factor", "archives")
+        .distinct()
+        .collect()
+    )
+    cfgs = sorted(
+        cfg_rows,
+        key=lambda r: (
+            [(int(a["seconds_per_point"]), int(a["points"])) for a in r["archives"]],
+            r["aggregation_method"],
+            r["x_files_factor"],
+        ),
+    )
+    pts = read_wsp(spark, path, root).withColumn("wseq", F.lit(0).cast("long"))
+    out: dict[str, object] = {}
+    for i, cfg in enumerate(cfgs):
+        archives = [
+            (int(a["seconds_per_point"]), int(a["points"]))
+            for a in cfg["archives"]
+        ]
+        name = f"policy-{i:04d}"
+        store = WhisperStore.create(
+            spark,
+            f"{dst_root}/{name}",
+            archives,
+            x_files_factor=float(cfg["x_files_factor"]),
+            aggregation_method=cfg["aggregation_method"],
+        )
+        arch_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("long").alias("seconds_per_point"),
+                    F.lit(p).cast("long").alias("points"),
+                )
+                for (s, p) in archives
+            ]
+        )
+        members = hdrs.filter(
+            (F.col("aggregation_method") == cfg["aggregation_method"])
+            & (F.col("x_files_factor") == cfg["x_files_factor"])
+            & (F.col("archives") == arch_lit)
+        ).select("metric")
+        store._append(pts.join(members, "metric", "left_semi"))
+        out[name] = store
+    return out
+
+
 def export_wsp(store, out_dir: str, tree: bool = True) -> int:
     """Write the store as reference-readable .wsp files, one per metric
     (graphite tree layout ``a/b/c.wsp`` when ``tree``, else flat
