@@ -545,3 +545,26 @@ def test_parse_line_protocol_tag_sort_by_key(spark):
     )
     out = parse_line_protocol(lines).collect()
     assert out[0]["metric"] == "cpu;a=2;a1=1"
+
+
+def test_chained_render_ops_replay_deterministic(spark):
+    """chained_moving_average / chained_summarize (two stateful
+    operators) must produce IDENTICAL results on replay — the
+    bit-determinism contract their decimal-exact aggregation routes
+    promise (round-5 streaming render ports)."""
+    from whisper_spark.queries import (
+        q_stream_render_moving_avg,
+        q_stream_render_summarize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a1 = {tuple(r) for r in q_stream_render_moving_avg(spark, sf).collect()}
+    a2 = {tuple(r) for r in q_stream_render_moving_avg(spark, sf).collect()}
+    assert a1 and a1 == a2
+    s1 = {tuple(r) for r in q_stream_render_summarize(spark, sf).collect()}
+    s2 = {tuple(r) for r in q_stream_render_summarize(spark, sf).collect()}
+    assert s1 and s1 == s2
+    # summarize buckets strictly coarser than the slot grid: every ts on
+    # the 600s grid with up to 10 member slots
+    assert all(ts % 600 == 0 for (_m, ts, _v, _n) in s1)
+    assert all(1 <= n <= 10 for (_m, _ts, _v, n) in s1)

@@ -3141,6 +3141,129 @@ def q_stream_rollup_1m_max(spark, sf_dir):
 
 
 @_q(
+    "stream_render_moving_avg",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+win AS (
+  SELECT metric, s + 60 + 60 * k.k AS w_end, v
+  FROM slot CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) k
+)
+SELECT metric, w_end AS ts,
+       (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(v) AS moving_avg,
+       count(v) AS n_slots
+FROM win, mx WHERE w_end <= m - 600
+GROUP BY metric, w_end
+""",
+    doc="STREAMING movingAverage — a cross-slot render function "
+    "validate_stream_target rejects on the per-batch path, expressed as "
+    "CHAINED watermarked aggregations (two stateful operators): 1m "
+    "max-consolidated slots -> sliding 5-slot window over the slots' "
+    "window_time, labeled at the window END = graphite's movingAverage "
+    "of the 5 preceding slots for that timestamp.  The oracle expands "
+    "each slot into its 5 member windows and applies the closed-window "
+    "rule (w_end <= max_event_time - delay); the mean runs through the "
+    "decimal-exact sum so the availableNow replay is bit-deterministic "
+    "(streaming/rollup.py chained_moving_average)",
+)
+def q_stream_render_moving_avg(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_moving_average
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_moving_average(
+        pts, n_points=5, step_seconds=60, method="max", watermark_seconds=600
+    )
+    name = "stream_mavg_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
+    "stream_render_summarize",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+)
+SELECT metric, s // 600 * 600 AS ts,
+       (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value,
+       count(v) AS n_slots
+FROM slot, mx WHERE s // 600 * 600 + 600 <= m - 600
+GROUP BY metric, s // 600 * 600
+""",
+    doc="STREAMING summarize(series, '10min', 'sum') over consolidated "
+    "slots — the second cross-slot render function ported to chained "
+    "watermarked aggregations: 1m max slots -> tumbling 10m buckets of "
+    "the slots' window_time (sum via the decimal-exact route), labeled "
+    "at the bucket START, the graphite summarize convention.  Oracle "
+    "models the same two levels plus watermark finalization "
+    "(bucket_end <= max_event_time - delay) "
+    "(streaming/rollup.py chained_summarize)",
+)
+def q_stream_render_summarize(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_summarize
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_summarize(
+        pts, interval_seconds=600, func="sum", step_seconds=60,
+        method="max", watermark_seconds=600,
+    )
+    name = "stream_summ_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "stream_sessionize",
     """
 WITH raw AS (

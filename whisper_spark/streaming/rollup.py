@@ -121,6 +121,153 @@ def sliding_rollup(
     )
 
 
+def _slot_windows(
+    points: DataFrame,
+    step_seconds: int,
+    method: str,
+    watermark_seconds: int,
+    ts_col: str,
+) -> DataFrame:
+    """Level-1 of a CHAINED streaming aggregation: watermarked tumbling
+    per-slot consolidation that KEEPS the window struct (so level 2 can
+    group on ``window_time``).  Restricted to order-independent methods
+    — chained append-mode emission must be replay-deterministic."""
+    if method not in ("max", "min", "sum", "average"):
+        raise ValueError(
+            f"chained streaming rollup needs an order-independent "
+            f"method, got {method!r}"
+        )
+    agg = {
+        "max": F.max("value"),
+        "min": F.min("value"),
+        # decimal-exact routes: partial-aggregation order can't change
+        # the bits (the repo-wide determinism convention)
+        "sum": F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("string").cast("double"),
+        "average": (
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("string").cast("double") / F.count("value")
+        ),
+    }[method]
+    evt = F.timestamp_seconds(F.col(ts_col)).alias("_evt")
+    return (
+        points.select("metric", evt, "value")
+        .withWatermark("_evt", f"{watermark_seconds} seconds")
+        .groupBy(
+            "metric", F.window("_evt", f"{step_seconds} seconds").alias("_w")
+        )
+        .agg(agg.alias("value"))
+    )
+
+
+def chained_moving_average(
+    points: DataFrame,
+    n_points: int = 5,
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ``movingAverage``: graphite's cross-slot render
+    function, previously rejected by validate_stream_target, expressed
+    as CHAINED watermarked aggregations (two stateful operators —
+    Spark's multi-stateful-operator append mode).
+
+    Level 1 consolidates raw points into ``step_seconds`` slots
+    (keeping the window struct); level 2 groups the finalized slots'
+    ``window_time`` into sliding ``n_points * step`` windows advancing
+    by one step.  A sliding window ending at T contains exactly the
+    ``n_points`` slots [T - n*step, T) — so each output row is
+    graphite's movingAverage value FOR slot T (the mean of the
+    preceding ``n_points`` consolidated slots), labeled ``ts = T``.
+
+    Emission: a row finalizes when the watermark passes its window end
+    (by then every member slot has finalized — member slot ends <=
+    window end), so an availableNow replay is bit-deterministic: the
+    mean goes through the decimal-exact sum route.
+
+    Output: (metric, ts, moving_avg, n_slots).  State is bounded by
+    ``metrics x windows-inside-watermark`` at each level.
+    """
+    slots = _slot_windows(points, step_seconds, method, watermark_seconds, ts_col)
+    span = n_points * step_seconds
+    return (
+        slots.groupBy(
+            "metric",
+            F.window(
+                F.window_time("_w"), f"{span} seconds", f"{step_seconds} seconds"
+            ).alias("_w2"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("string").cast("double") / F.count("value")
+            ).alias("moving_avg"),
+            F.count("value").alias("n_slots"),
+        )
+        .select(
+            "metric",
+            F.col("_w2.end").cast("long").alias("ts"),
+            "moving_avg",
+            "n_slots",
+        )
+    )
+
+
+def chained_summarize(
+    points: DataFrame,
+    interval_seconds: int,
+    func: str = "sum",
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ``summarize`` with intervals LARGER than the rollup
+    step — the second previously-rejected cross-slot render function,
+    as chained watermarked aggregations: level 1 consolidates raw
+    points into ``step_seconds`` slots with ``method``; level 2
+    re-aggregates the finalized slots into tumbling
+    ``interval_seconds`` buckets with ``func`` (graphite's
+    summarize(series, interval, func) over consolidated data).
+
+    ``func``: 'sum' | 'avg' | 'max' | 'min' — order-independent set
+    (sums/averages through the decimal-exact route), so the
+    availableNow replay is bit-deterministic.  Buckets are labeled by
+    their START (the graphite summarize convention).
+
+    Output: (metric, ts, value, n_slots).
+    """
+    aggs = {
+        "sum": F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("string").cast("double"),
+        "avg": (
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("string").cast("double") / F.count("value")
+        ),
+        "max": F.max("value"),
+        "min": F.min("value"),
+    }
+    if func not in aggs:
+        raise ValueError(f"summarize func must be one of {sorted(aggs)}")
+    slots = _slot_windows(points, step_seconds, method, watermark_seconds, ts_col)
+    return (
+        slots.groupBy(
+            "metric",
+            F.window(F.window_time("_w"), f"{interval_seconds} seconds").alias(
+                "_w2"
+            ),
+        )
+        .agg(aggs[func].alias("value"), F.count("value").alias("n_slots"))
+        .select(
+            "metric",
+            F.col("_w2.start").cast("long").alias("ts"),
+            "value",
+            "n_slots",
+        )
+    )
+
+
 def sessionize_stream(
     points: DataFrame,
     gap_seconds: int = 1800,
