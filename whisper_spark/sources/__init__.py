@@ -1,1 +1,9 @@
-from .points import read_points_csv, read_points_json, read_points_lines, read_rrd  # noqa: F401
+from .points import (  # noqa: F401
+    parse_rrd_dump,
+    read_points_csv,
+    read_points_json,
+    read_points_lines,
+    read_rrd,
+    read_rrd_xml,
+    rrd2store,
+)

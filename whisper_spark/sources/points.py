@@ -75,23 +75,163 @@ def rrd_fetch_to_rows(base: str, datasources, t_info, names, values):
     return rows
 
 
+def parse_rrd_dump(text: str) -> dict:
+    """Parse an ``rrdtool dump`` XML document (the public, documented
+    interchange format every rrdtool install can produce) into plain
+    Python — the pure fallback that closes the RRD migration path
+    without the C bindings.
+
+    Returns ``{step, lastupdate, ds: [names...], rras: [{cf,
+    pdp_per_row, xff, rows: [[v-or-None per ds, ...], ...]}]}``.
+    Row timestamps follow the rrdtool convention: rows are oldest-first
+    and the LAST row ends at ``lastupdate - lastupdate % (step *
+    pdp_per_row)`` (restore ignores the timestamp comments, so the
+    computed grid is authoritative).  ``NaN`` cells parse to None
+    (unknown slot)."""
+    import math
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    step = int(root.findtext("step").strip())
+    lastupdate = int(root.findtext("lastupdate").strip())
+    ds = [d.findtext("name").strip() for d in root.findall("ds")]
+    rras = []
+    for rra in root.findall("rra"):
+        xff_el = rra.find("params/xff")
+        if xff_el is None:  # rrd 0001 dumps put xff at the rra level
+            xff_el = rra.find("xff")
+        rows = []
+        for row in rra.findall("database/row"):
+            vals = []
+            for v in row.findall("v"):
+                t = (v.text or "").strip()
+                f = float(t) if t else float("nan")
+                vals.append(None if math.isnan(f) else f)
+            rows.append(vals)
+        rras.append(
+            {
+                "cf": rra.findtext("cf").strip(),
+                "pdp_per_row": int(rra.findtext("pdp_per_row").strip()),
+                "xff": float(xff_el.text.strip()) if xff_el is not None else 0.5,
+                "rows": rows,
+            }
+        )
+    return {"step": step, "lastupdate": lastupdate, "ds": ds, "rras": rras}
+
+
+def rrd_dump_to_archive_rows(base: str, info: dict, cf: str = "AVERAGE"):
+    """(archives, rows): map every ``cf``-matching RRA of a parsed dump
+    to whisper shape — ``archives`` = [(precision, points)] sorted
+    finest-first (reference rrd2whisper.py:106-115 derives precision =
+    pdp_per_row * step, points = rows), ``rows`` = (metric, resolution,
+    ts, value) with one metric per datasource
+    (``<base>.<datasource>``)."""
+    step = info["step"]
+    last = info["lastupdate"]
+    archives = []
+    rows = []
+    for rra in info["rras"]:
+        if rra["cf"].upper() != cf.upper():
+            continue
+        precision = rra["pdp_per_row"] * step
+        n = len(rra["rows"])
+        archives.append((precision, n))
+        end = last - last % precision
+        for i, vals in enumerate(rra["rows"]):
+            ts = end - (n - 1 - i) * precision
+            for name, v in zip(info["ds"], vals):
+                if v is not None:
+                    rows.append((f"{base}.{name}", precision, ts, v))
+    archives.sort()
+    return archives, rows
+
+
+def read_rrd_xml(
+    spark: SparkSession, path: str, cf: str = "AVERAGE"
+) -> DataFrame:
+    """Read an ``rrdtool dump`` XML file into (metric, resolution, ts,
+    value) rows — every known slot of every ``cf``-matching RRA, the
+    same shape as :func:`whisper_spark.sources.wsp.read_wsp`.  Pure
+    Python: no rrdtool binding required."""
+    import os
+
+    with open(path) as f:
+        info = parse_rrd_dump(f.read())
+    base = os.path.basename(path).rsplit(".", 1)[0]
+    if base.endswith(".rrd"):
+        base = base[:-4]
+    _archives, rows = rrd_dump_to_archive_rows(base, info, cf)
+    return spark.createDataFrame(
+        rows, "metric string, resolution long, ts long, value double"
+    )
+
+
+def rrd2store(
+    spark: SparkSession,
+    xml_path: str,
+    dst_path: str,
+    cf: str = "AVERAGE",
+    x_files_factor: float | None = None,
+):
+    """The ``rrd2whisper`` migration (reference: bin/rrd2whisper.py:
+    59-163) against an ``rrdtool dump`` XML file — ungated, pure
+    Python: derive the archive list from the ``cf``-matching RRAs
+    (precision = pdp_per_row * step, points = rows; xFilesFactor
+    defaults to the first RRA's xff, as the reference does), create the
+    store, and import every RRA's slots VERBATIM into the matching
+    resolution partition (the import_wsp convention: coarse archives
+    carry history the finest no longer has — no re-aggregation).
+
+    Returns the new WhisperStore."""
+    import os
+
+    from ..store import WhisperStore
+
+    with open(xml_path) as f:
+        info = parse_rrd_dump(f.read())
+    base = os.path.basename(xml_path).rsplit(".", 1)[0]
+    if base.endswith(".rrd"):
+        base = base[:-4]
+    archives, rows = rrd_dump_to_archive_rows(base, info, cf)
+    if not archives:
+        raise ValueError(
+            f"no RRA with consolidation function {cf!r} in {xml_path!r}"
+        )
+    if x_files_factor is None:
+        x_files_factor = next(
+            r["xff"] for r in info["rras"] if r["cf"].upper() == cf.upper()
+        )
+    method = {"AVERAGE": "average", "MAX": "max", "MIN": "min",
+              "LAST": "last"}.get(cf.upper(), "average")
+    store = WhisperStore.create(
+        spark, dst_path, archives,
+        x_files_factor=float(x_files_factor), aggregation_method=method,
+    )
+    pts = spark.createDataFrame(
+        rows, "metric string, resolution long, ts long, value double"
+    ).withColumn("wseq", F.lit(0).cast("long"))
+    store._append(pts)
+    return store
+
+
 def read_rrd(spark: SparkSession, path: str) -> DataFrame:
     """RRD import connector (reference: bin/rrd2whisper.py:59-163).
 
-    rrdtool's Python bindings are not available in this container, so the
-    connector is gated: with ``rrdtool`` importable it maps each RRA to
-    (metric=<basename>.<datasource>, ts, value) rows; otherwise it raises
-    with the integration instructions.  The surface (signature + output
-    schema) is the stable contract.
+    Binary ``.rrd`` files need the rrdtool bindings; with them installed
+    this maps each RRA to (metric=<basename>.<datasource>, ts, value)
+    rows.  WITHOUT the bindings the migration path is still closed:
+    feed ``rrdtool dump`` XML to :func:`read_rrd_xml` /
+    :func:`rrd2store` (pure Python, ungated).
     """
     try:
         import rrdtool  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "RRD import requires the 'rrdtool' python bindings, which are "
-            "not installed in this environment. The connector contract: "
-            "read_rrd(spark, path) -> DataFrame(metric, ts, value, seq) "
-            "with one metric per RRD datasource (reference: "
+            "Binary .rrd import requires the 'rrdtool' python bindings, "
+            "which are not installed in this environment. Ungated "
+            "alternative: run `rrdtool dump db.rrd > db.xml` on the "
+            "source host and use read_rrd_xml()/rrd2store() — pure "
+            "Python, same migration semantics (reference: "
             "bin/rrd2whisper.py:109-163)."
         ) from e
 
