@@ -3264,6 +3264,65 @@ def q_stream_render_summarize(spark, sf_dir):
 
 
 @_q(
+    "stream_render_hitcount",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+)
+SELECT metric, s // 600 * 600 AS ts,
+       (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE * 60 AS hits,
+       count(v) AS n_slots
+FROM slot, mx WHERE s // 600 * 600 + 600 <= m - 600
+GROUP BY metric, s // 600 * 600
+""",
+    doc="STREAMING hitcount(series, '10min'): graphite's rate-integral "
+    "over consolidated slots (sum of value x slot-width seconds per "
+    "bucket) as the same chained-aggregation shape as "
+    "stream_render_summarize — sum through the decimal route, scaled "
+    "by the 60 s slot width post-aggregation so both engines compute "
+    "double(sum)*60 identically",
+)
+def q_stream_render_hitcount(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_summarize
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_summarize(
+        pts, interval_seconds=600, func="sum", step_seconds=60,
+        method="max", watermark_seconds=600,
+    ).select(
+        "metric", "ts", (F.col("value") * 60).alias("hits"), "n_slots"
+    )
+    name = "stream_hitc_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "stream_sessionize",
     """
 WITH raw AS (
