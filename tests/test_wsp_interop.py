@@ -366,3 +366,44 @@ def test_import_wsp_tree_two_policies_round_trip(spark, tmp_path):
             (ni, nv) = refwhisper.fetch(fp_new, frm, NOW, now=NOW)
             assert tuple(oi) == tuple(ni)
             assert ov == nv, m
+
+
+def test_import_wsp_tree_then_federated_read(spark, tmp_path):
+    """The full migration story: heterogeneous tree -> import_wsp_tree
+    -> fetch_federated serves the policy stores as ONE namespace,
+    consolidating the finer policy onto the common step (round-5
+    federated fix + multi-policy import working together)."""
+    from whisper_spark.sources.wsp import import_wsp_tree
+    from whisper_spark.store import fetch_federated
+
+    root = tmp_path / "tree"
+    # fine policy: 1m slots; coarse policy: 5m slots
+    for m, archives, base, step in (
+        ("apps.api.reqs", [(60, 60)], 100.0, 60),
+        ("servers.web1.cpu", [(300, 24)], 500.0, 300),
+    ):
+        p = root.joinpath(*m.split("."))
+        p.parent.mkdir(parents=True, exist_ok=True)
+        fp = str(p) + ".wsp"
+        refwhisper.create(fp, archives, xFilesFactor=0.0,
+                          aggregationMethod="average")
+        refwhisper.update_many(
+            fp, [(NOW - step * i, base + i) for i in range(1, 13)], now=NOW
+        )
+    stores = import_wsp_tree(
+        spark, str(root) + "/*/*/*.wsp", str(tmp_path / "dst"),
+        root=str(root),
+    )
+    res = fetch_federated(list(stores.values()), None,
+                          from_time=NOW - 3000, until_time=NOW, now=NOW)
+    assert res is not None
+    ((lo, hi, step), df) = res
+    assert step == 300  # coarsest policy wins; fine store consolidates
+    got = {(r["metric"], r["ts"]): r["value"] for r in df.collect()
+           if r["value"] is not None}
+    metrics = {m for (m, _t) in got}
+    assert metrics == {"apps.api.reqs", "servers.web1.cpu"}
+    # coarse store values arrive verbatim on its own grid
+    for i in range(1, 10):
+        slot = (NOW - 300 * i) // 300 * 300
+        assert got[("servers.web1.cpu", slot)] == pytest.approx(500.0 + i)
