@@ -296,22 +296,26 @@ def train_ivf(
     )
 
     def assign(rows):
-        scored = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            "q",
-                            F.array(*[F.lit(v) for v in cq]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(k).alias("k"),
-                )
-                for k, cq in rows
-            ]
+        # centroids inline as ONE from_json literal (2 plan nodes at any
+        # k — the centroid_literal trick, integer domain), never k x dim
+        # individual literal nodes: at n_buckets=1000 the naive form is
+        # a 64k-node plan
+        import json
+
+        cents = F.from_json(
+            F.lit(json.dumps([{"k": k, "cq": cq} for k, cq in rows])),
+            "array<struct<k:int,cq:array<long>>>",
+        )
+        scored = F.transform(
+            cents,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with("q", c["cq"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c["k"].alias("k"),
+            ),
         )
         # struct order (d, k): array_min = nearest centroid, ties to
         # the lower cid — matching the oracle's ORDER BY dist, cid
