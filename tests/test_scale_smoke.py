@@ -682,3 +682,42 @@ def test_store_cascade_10m_incremental_pruning(spark, tmp_path):
     assert goth, "hourly fetch empty"
     for ts, v in goth.items():
         assert ts in exp_h and v == pytest.approx(exp_h[ts], rel=1e-12), ts
+
+
+def test_train_ivf_large_k_literal_plan(spark):
+    """train_ivf at n_buckets=64 over 200k synthetic vectors: the
+    centroid set must inline as ONE from_json literal (2 plan nodes at
+    any k — never k x dim literal nodes), a round must complete inside
+    a tight budget, and training must tighten the assignment."""
+    import time
+
+    from whisper_spark.operators.similarity import (
+        ivf_assign,
+        seed_centroids,
+        train_ivf,
+    )
+
+    n, dim, k = 200_000, 16, 64
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.sin(F.col("id") % 97 * 0.37 + d * 0.13)
+            + (F.xxhash64(F.col("id") * dim + d) % 1000) / 5000.0,
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    cent = train_ivf(emb, n_buckets=k, rounds=2)
+    rows = cent.collect()
+    elapsed = time.time() - t0
+    assert 2 <= len(rows) <= k
+    assert elapsed < 150, f"2 Lloyd rounds took {elapsed:.0f}s"
+
+    def mean_d2(c):
+        return (
+            ivf_assign(emb, n_buckets=k, centroids=c)
+            .agg(F.avg("dist2")).collect()[0][0]
+        )
+
+    trained, seeded = mean_d2(cent), mean_d2(seed_centroids(emb, k))
+    assert trained < seeded, (trained, seeded)

@@ -362,3 +362,31 @@ def test_render_federated_merges_then_evaluates(spark, tmp_path):
         (NOW - 120) // 60 * 60: 40.0,
         (NOW - 180) // 60 * 60: 60.0,   # filled from store b
     }
+
+
+def test_fetch_federated_forced_step_uses_exact_archive(spark, tmp_path):
+    """A forced COARSER archive_step must come from the store's exact
+    archive at that step (raw coarse-archive data), not a consolidation
+    of the auto-selected finer archive — whisper's archiveToSelect
+    semantics (whisper.py:943-957)."""
+    from whisper_spark.store import WhisperStore, fetch_federated
+
+    NOW = 1700000000
+    s = WhisperStore.create(spark, str(tmp_path / "two"),
+                            [(60, 60), (300, 24)], x_files_factor=0.0,
+                            aggregation_method="average")
+    s.update_many([(NOW - 60 * i, float(i)) for i in range(1, 30)],
+                  now=NOW, metric="m")
+    # range covered by the fine archive -> auto-select = 60s; force 300
+    res = fetch_federated([s], "m", from_time=NOW - 1500, until_time=NOW,
+                          now=NOW, archive_step=300)
+    ((lo, hi, step), df) = res
+    assert step == 300
+    got = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
+    # values must equal the store's own forced-step fetch (the cascade-
+    # rolled 5m archive), byte-for-byte
+    (_ti, own) = s.fetch("m", from_time=NOW - 1500, until_time=NOW,
+                         now=NOW, archive_step=300)
+    want = {r["ts"]: r["value"] for r in own.collect()
+            if r["value"] is not None}
+    assert got == want and want
