@@ -521,3 +521,70 @@ def test_fuzz_write_fetch_parity(spark, fuzz_tmp, pts, pts2, xff, agg):
                 assert math.isnan(g), f"slot {i}"
             else:
                 assert g == pytest.approx(r, rel=1e-12), f"slot {i}: {r} vs {g}"
+
+
+# --------------------------------------------------------------------- #
+# federated heterogeneous-step consolidation (round-5 fix)
+# --------------------------------------------------------------------- #
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts_a=st.lists(
+        st.tuples(st.integers(1, 110), st.floats(-50, 50, allow_nan=False)),
+        min_size=1, max_size=25, unique_by=lambda p: p[0],
+    ),
+    pts_b=st.lists(
+        st.tuples(st.integers(1, 20), st.floats(-50, 50, allow_nan=False)),
+        min_size=1, max_size=12, unique_by=lambda p: p[0],
+    ),
+)
+def test_fuzz_federated_heterogeneous_consolidation(
+    spark, fuzz_tmp, pts_a, pts_b
+):
+    """fetch_federated over a 60s store + a 300s store vs a pure-Python
+    model of the documented semantics: each store fetches at its own
+    best step, the fine timeline floor-buckets onto the coarse grid
+    with an average of known slots, and per (metric, slot) the FIRST
+    store with a known value wins."""
+    from whisper_spark.store import WhisperStore, fetch_federated
+
+    _counter[0] += 1
+    d = fuzz_tmp / f"fed{_counter[0]}"
+    fine = WhisperStore.create(spark, str(d / "fine"), [(60, 120)],
+                               x_files_factor=0.0)
+    coarse = WhisperStore.create(spark, str(d / "coarse"), [(300, 24)],
+                                 x_files_factor=0.0)
+    a = [(NOW - 60 * i, v) for (i, v) in pts_a]
+    b = [(NOW - 300 * i, v) for (i, v) in pts_b]
+    fine.update_many(a, now=NOW, metric="m")
+    coarse.update_many(b, now=NOW, metric="m")
+
+    res = fetch_federated([fine, coarse], "m", from_time=NOW - 6000,
+                          until_time=NOW, now=NOW)
+    assert res is not None
+    ((lo, hi, step), df) = res
+    assert step == 300
+    got = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
+
+    # model: fine slots -> floor 300 buckets, mean; coarse verbatim
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for (ts, v) in a:
+        slot = ts - ts % 60
+        buckets[slot - slot % 300].append(v)
+    model = {bk: sum(vs) / len(vs) for bk, vs in buckets.items()}
+    for (ts, v) in b:
+        slot = ts - ts % 300
+        model.setdefault(slot, v)  # fine store (listed first) wins
+    # compare on the slots the fetch window covers
+    for ts, v in got.items():
+        assert ts in model, ts
+        assert v == pytest.approx(model[ts], rel=1e-9), ts
+    for ts, v in model.items():
+        if lo <= ts < hi:
+            assert ts in got, f"model slot {ts} missing from merge"
