@@ -693,3 +693,43 @@ def test_rrd_xml_round_trip_ungated(spark, tmp_path):
     assert ti2[2] == 1800
     v2 = {r["ts"]: r["value"] for r in tl2.collect() if r["value"] is not None}
     assert v2[end_coarse - 1800] == 900.5
+
+
+def test_read_points_pickle_carbon_frames(spark, tmp_path):
+    """Carbon pickle-protocol files: length-prefixed frames AND bare
+    pickles both parse; class-bearing payloads are REFUSED (the safe
+    unpickler), never executed."""
+    import pickle
+    import struct
+
+    from whisper_spark.sources import read_points_pickle
+
+    p1 = [("servers.web1.cpu", (1700000000, 1.5)),
+          ("servers.web1.mem", (1700000010, 2.5))]
+    p2 = [("apps.api.reqs", (1700000020, 3.5))]
+    framed = b""
+    for pl in (p1, p2):
+        body = pickle.dumps(pl, protocol=2)
+        framed += struct.pack("!L", len(body)) + body
+    (tmp_path / "framed.pkl").write_bytes(framed)
+    (tmp_path / "bare.pkl").write_bytes(
+        pickle.dumps([("bare.metric", (1700000030, 4.5))], protocol=2)
+    )
+    df = read_points_pickle(spark, str(tmp_path / "*.pkl"))
+    got = {(r.metric, r.ts): r.value for r in df.collect()}
+    assert got == {
+        ("servers.web1.cpu", 1700000000): 1.5,
+        ("servers.web1.mem", 1700000010): 2.5,
+        ("apps.api.reqs", 1700000020): 3.5,
+        ("bare.metric", 1700000030): 4.5,
+    }
+
+    # a payload referencing ANY class (the carbon-CVE shape) must be
+    # refused by the restricted unpickler, not executed
+    bad = tmp_path / "evil"
+    bad.mkdir()
+    (bad / "evil.pkl").write_bytes(
+        pickle.dumps(ValueError("boom"), protocol=2)
+    )
+    with pytest.raises(Exception):
+        read_points_pickle(spark, str(bad / "evil.pkl")).collect()

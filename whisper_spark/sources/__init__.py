@@ -3,6 +3,7 @@ from .points import (  # noqa: F401
     read_points_csv,
     read_points_json,
     read_points_lines,
+    read_points_pickle,
     read_rrd,
     read_rrd_xml,
     rrd2store,

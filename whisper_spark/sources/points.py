@@ -42,6 +42,66 @@ def read_points_lines(spark: SparkSession, path: str) -> DataFrame:
     return parse_line_protocol(spark.read.text(path))
 
 
+def read_points_pickle(spark: SparkSession, path: str) -> DataFrame:
+    """Carbon's PICKLE ingest protocol as a batch source: files holding
+    the payloads carbon-relay speaks on port 2004 — 4-byte big-endian
+    length-prefixed frames, each a pickled ``[(metric, (ts, value)),
+    ...]`` list (public carbon wire format; the line-protocol twin is
+    :func:`read_points_lines`).  Bare un-framed pickles are accepted
+    too.
+
+    Unpickling is RESTRICTED: only primitive containers/scalars load
+    (a custom Unpickler refuses every class lookup) — the hardening
+    carbon itself needed for this protocol.  Distributed: one
+    ``binaryFiles`` task per file group, frames parsed executor-side.
+    """
+    import io
+    import pickle
+    import struct
+
+    class _SafeUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):  # pragma: no cover - guard
+            raise pickle.UnpicklingError(
+                f"carbon pickle payloads may not reference classes "
+                f"({module}.{name})"
+            )
+
+    def _loads(b: bytes):
+        return _SafeUnpickler(io.BytesIO(b)).load()
+
+    def parse(item):
+        _p, blob = item
+        payloads = []
+        off = 0
+        # carbon framing: !L length + payload, repeated
+        while off + 4 <= len(blob):
+            (n,) = struct.unpack("!L", blob[off:off + 4])
+            if n == 0 or off + 4 + n > len(blob):
+                payloads = None
+                break
+            try:
+                payloads_piece = _loads(blob[off + 4:off + 4 + n])
+            except Exception:
+                payloads = None
+                break
+            payloads = (payloads or []) if payloads is not None else None
+            if payloads is None:
+                break
+            payloads.append(payloads_piece)
+            off += 4 + n
+        if payloads is None or off != len(blob) or not payloads:
+            # not framed: try one bare pickle for the whole file
+            payloads = [_loads(blob)]
+        out = []
+        for pl in payloads:
+            for i, (metric, (ts, value)) in enumerate(pl):
+                out.append((str(metric), int(ts), float(value), i))
+        return out
+
+    rdd = spark.sparkContext.binaryFiles(path).flatMap(parse)
+    return spark.createDataFrame(rdd, POINTS_READ_SCHEMA)
+
+
 def _normalize(df: DataFrame) -> DataFrame:
     cols = {c.lower(): c for c in df.columns}
     out = df.select(
