@@ -564,6 +564,10 @@ def test_chained_render_ops_replay_deterministic(spark):
     s1 = {tuple(r) for r in q_stream_render_summarize(spark, sf).collect()}
     s2 = {tuple(r) for r in q_stream_render_summarize(spark, sf).collect()}
     assert s1 and s1 == s2
+    from whisper_spark.queries import q_stream_render_derivative
+    d1 = {tuple(r) for r in q_stream_render_derivative(spark, sf).collect()}
+    d2 = {tuple(r) for r in q_stream_render_derivative(spark, sf).collect()}
+    assert d1 and d1 == d2
     # summarize buckets strictly coarser than the slot grid: every ts on
     # the 600s grid with up to 10 member slots
     assert all(ts % 600 == 0 for (_m, ts, _v, _n) in s1)

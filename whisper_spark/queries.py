@@ -3323,6 +3323,63 @@ def q_stream_render_hitcount(spark, sf_dir):
 
 
 @_q(
+    "stream_render_derivative",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+)
+SELECT a.metric, b.s AS ts, b.v - a.v AS delta
+FROM slot a JOIN slot b ON b.metric = a.metric AND b.s = a.s + 60, mx
+WHERE b.s + 60 <= m - 600
+""",
+    doc="STREAMING derivative — THE 'needs cross-slot ordering' render "
+    "function — as chained watermarked aggregations: 1m max slots -> "
+    "sliding 2-slot windows (each adjacent pair lands in exactly one "
+    "window), emitting later-minus-earlier labeled at the later slot; "
+    "pairs with a gap drop out (graphite's None-for-first-point "
+    "analog).  max_by/min_by key on the distinct slot starts, so the "
+    "replay is bit-deterministic; the oracle is a self-join on "
+    "adjacent slots plus the closed-window rule (later_slot + 60 <= "
+    "max_event_time - delay) (streaming/rollup.py chained_derivative)",
+)
+def q_stream_render_derivative(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_derivative
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_derivative(
+        pts, step_seconds=60, method="max", watermark_seconds=600
+    )
+    name = "stream_deriv_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "stream_sessionize",
     """
 WITH raw AS (

@@ -268,6 +268,56 @@ def chained_summarize(
     )
 
 
+def chained_derivative(
+    points: DataFrame,
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    per_second: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ``derivative`` / ``perSecond``: the adjacent-slot
+    difference — the canonical "needs ordering across slots" render
+    function — as chained watermarked aggregations: level 1
+    consolidates ``step_seconds`` slots, level 2 groups their
+    ``window_time`` into 2-slot sliding windows (length ``2*step``,
+    slide ``step``).  A window holding BOTH member slots emits
+    ``v(t) - v(t-step)`` labeled at the LATER slot ``t`` (graphite's
+    derivative convention: the first point of a series has no value —
+    here a window with one member is simply dropped, same effect);
+    ``per_second=True`` divides by the step (graphite perSecond).
+
+    max_by/min_by on the slot start are deterministic (slot starts are
+    distinct within a window), so the availableNow replay is
+    bit-deterministic.  Output: (metric, ts, delta).
+    """
+    slots = _slot_windows(points, step_seconds, method, watermark_seconds, ts_col)
+    span = 2 * step_seconds
+    out = (
+        slots.groupBy(
+            "metric",
+            F.window(
+                F.window_time("_w"), f"{span} seconds", f"{step_seconds} seconds"
+            ).alias("_w2"),
+        )
+        .agg(
+            F.max_by("value", F.col("_w.start")).alias("_later"),
+            F.min_by("value", F.col("_w.start")).alias("_earlier"),
+            F.count("value").alias("_n"),
+        )
+        .filter(F.col("_n") == 2)
+        .select(
+            "metric",
+            # later slot start = window end - step
+            (F.col("_w2.end").cast("long") - step_seconds).alias("ts"),
+            (F.col("_later") - F.col("_earlier")).alias("delta"),
+        )
+    )
+    if per_second:
+        out = out.withColumn("delta", F.col("delta") / float(step_seconds))
+    return out
+
+
 def sessionize_stream(
     points: DataFrame,
     gap_seconds: int = 1800,
