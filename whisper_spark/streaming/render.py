@@ -68,10 +68,11 @@ def validate_stream_target(node) -> None:
                 f"{node.name!r} is not stream-safe: it needs ordering or "
                 "state across time slots (moving windows, sorts, "
                 "percentiles, integrals), which an append-mode stream "
-                "cannot evaluate batch-locally.  movingAverage and "
-                "coarse summarize/hitcount have dedicated chained-"
-                "aggregation ports: streaming.rollup.chained_moving_"
-                "average / chained_summarize"
+                "cannot evaluate batch-locally.  movingAverage, derivative/"
+                "perSecond and coarse summarize/hitcount have dedicated "
+                "chained-aggregation ports: streaming.rollup."
+                "chained_moving_average / chained_derivative / "
+                "chained_summarize"
             )
         for a in node.args:
             if isinstance(a, (Call, Path)):
