@@ -588,3 +588,94 @@ def test_fuzz_federated_heterogeneous_consolidation(
     for ts, v in model.items():
         if lo <= ts < hi:
             assert ts in got, f"model slot {ts} missing from merge"
+
+
+# --------------------------------------------------------------------- #
+# multi-policy .wsp tree import (round 5) — differential vs reference
+# --------------------------------------------------------------------- #
+
+_POLICIES = [
+    ([(60, 30)], 0.0, "average"),
+    ([(60, 60), (300, 24)], 0.5, "average"),
+    ([(10, 120), (60, 40)], 0.0, "max"),
+    ([(300, 24)], 0.0, "last"),
+]
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    assignment=st.lists(
+        st.integers(0, len(_POLICIES) - 1), min_size=2, max_size=4
+    ),
+    data=st.data(),
+)
+def test_fuzz_import_wsp_tree_reference_parity(
+    spark, fuzz_tmp, assignment, data
+):
+    """Random heterogeneous trees (reference-written .wsp files under
+    random policies with random points) must import via import_wsp_tree
+    such that EVERY metric's fetch matches the reference library's own
+    fetch of the original file, at two window sizes."""
+    from whisper_spark.sources.wsp import import_wsp_tree
+
+    _counter[0] += 1
+    root = fuzz_tmp / f"tree{_counter[0]}"
+    files = {}
+    for mi, pol_i in enumerate(assignment):
+        (archives, xff, method) = _POLICIES[pol_i]
+        m = f"ns{pol_i}.host{mi}.metric"
+        p = root.joinpath(*m.split("."))
+        p.parent.mkdir(parents=True, exist_ok=True)
+        fp = str(p) + ".wsp"
+        refwhisper.create(fp, archives, xFilesFactor=xff,
+                          aggregationMethod=method)
+        step = archives[0][0]
+        n_pts = data.draw(st.integers(1, 20))
+        pts = sorted(
+            {
+                (NOW - step * data.draw(st.integers(1, 50)),
+                 float(data.draw(st.integers(-100, 100))))
+                for _ in range(n_pts)
+            }
+        )
+        # dedupe colliding slots (reference update_many keeps one)
+        by_slot = {}
+        for (t, v) in pts:
+            by_slot[t - t % step] = (t, v)
+        pts = sorted(by_slot.values())
+        refwhisper.update_many(fp, pts, now=NOW)
+        files[m] = (fp, archives)
+
+    stores = import_wsp_tree(
+        spark, str(root) + "/*/*/*.wsp", str(fuzz_tmp / f"dst{_counter[0]}"),
+        root=str(root),
+    )
+    n_configs = len({(tuple(a), x, meth) for (a, x, meth) in
+                     (_POLICIES[i] for i in assignment)})
+    assert len(stores) == n_configs
+    by_metric = {}
+    for store in stores.values():
+        for r in store._read_points().select("metric").distinct().collect():
+            by_metric[r["metric"]] = store
+    assert set(by_metric) == set(files)
+
+    for m, (fp, archives) in files.items():
+        store = by_metric[m]
+        step = archives[0][0]
+        retention = max(s * p for (s, p) in archives)
+        for frm in (NOW - 10 * step, NOW - retention + 1):
+            ref = refwhisper.fetch(fp, frm, NOW, now=NOW)
+            got = store.fetch_series(m, from_time=frm, until_time=NOW,
+                                     now=NOW)
+            (ri, rv) = ref
+            (gi, gv) = got
+            assert gi == tuple(ri), m
+            for i, (r, g) in enumerate(zip(rv, gv)):
+                if r is None:
+                    assert g is None, (m, i, g)
+                else:
+                    assert g == pytest.approx(r), (m, i, r, g)
