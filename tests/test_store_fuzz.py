@@ -577,14 +577,15 @@ def test_fuzz_federated_heterogeneous_consolidation(
     for (ts, v) in a:
         slot = ts - ts % 60
         buckets[slot - slot % 300].append(v)
-    model = {bk: sum(vs) / len(vs) for bk, vs in buckets.items()}
+    # the engine folds each bucket's values in ASCENDING order
+    model = {bk: sum(sorted(vs)) / len(vs) for bk, vs in buckets.items()}
     for (ts, v) in b:
         slot = ts - ts % 300
         model.setdefault(slot, v)  # fine store (listed first) wins
     # compare on the slots the fetch window covers
     for ts, v in got.items():
         assert ts in model, ts
-        assert v == pytest.approx(model[ts], rel=1e-9), ts
+        assert v == model[ts], ts  # bit-exact: sorted-order fold
     for ts, v in model.items():
         if lo <= ts < hi:
             assert ts in got, f"model slot {ts} missing from merge"

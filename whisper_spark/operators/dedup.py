@@ -74,8 +74,18 @@ def _collapse_groups(df: DataFrame, key, id_col: str):
     non-rep member keeps a star pair with its (smaller) rep, and any
     cross-group duplicate relation survives between reps.  Cost: one
     extra groupBy on the key (same class as exact dedup).
+
+    A NULL key means UNKNOWN content, not shared content: null-key rows
+    each form their own singleton group (keyed by their own id), so
+    null-text docs are never asserted to be duplicates of each other.
     """
-    keyed = df.withColumn("_grp", key)
+    keyed = df.withColumn(
+        "_grp",
+        F.coalesce(
+            key.cast("string"),
+            F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+        ),
+    )
     rep_ids = keyed.groupBy("_grp").agg(F.min(F.col(id_col)).alias(id_col))
     reps = keyed.join(rep_ids, ["_grp", id_col], "left_semi").drop("_grp")
     stars = (

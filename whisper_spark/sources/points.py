@@ -77,25 +77,25 @@ def read_points_pickle(spark: SparkSession, path: str) -> DataFrame:
         while off + 4 <= len(blob):
             (n,) = struct.unpack("!L", blob[off:off + 4])
             if n == 0 or off + 4 + n > len(blob):
-                payloads = None
                 break
             try:
-                payloads_piece = _loads(blob[off + 4:off + 4 + n])
+                payloads.append(_loads(blob[off + 4:off + 4 + n]))
             except Exception:
-                payloads = None
                 break
-            payloads = (payloads or []) if payloads is not None else None
-            if payloads is None:
-                break
-            payloads.append(payloads_piece)
             off += 4 + n
-        if payloads is None or off != len(blob) or not payloads:
-            # not framed: try one bare pickle for the whole file
+        # frames parsed -> use them (tolerate trailing garbage such as a
+        # text-mode newline); nothing framed -> the file is a bare pickle
+        if not payloads:
             payloads = [_loads(blob)]
         out = []
+        # seq is a RUNNING counter across frames: a later frame's point
+        # for the same (metric, ts) must win the store's LWW dedup
+        # (carbon applies frames in arrival order)
+        seq = 0
         for pl in payloads:
-            for i, (metric, (ts, value)) in enumerate(pl):
-                out.append((str(metric), int(ts), float(value), i))
+            for (metric, (ts, value)) in pl:
+                out.append((str(metric), int(ts), float(value), seq))
+                seq += 1
         return out
 
     rdd = spark.sparkContext.binaryFiles(path).flatMap(parse)

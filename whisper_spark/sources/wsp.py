@@ -52,16 +52,24 @@ WSP_HEADER_SCHEMA = (
 )
 
 
-def _strip_scheme(path: str) -> str:
-    """Drop any ``<scheme>://authority`` prefix (file:, hdfs://nn:8020,
-    s3a://bucket, ...) so relpath math over ``binaryFiles`` paths works
-    on every filesystem, not just ``file:``."""
-    from urllib.parse import urlparse
+#: <scheme>:[//authority] prefix of a Hadoop filesystem URI.  Manual
+#: regex, NOT urlparse: metric path segments may legally contain '#'
+#: and '?' (graphite names allow '#'), which urlparse would truncate
+#: as fragment/query.
+_SCHEME_RE = None
 
-    parsed = urlparse(path)
-    if parsed.scheme and (parsed.netloc or path.startswith(f"{parsed.scheme}:/")):
-        return parsed.path
-    return path
+
+def _strip_scheme(path: str) -> str:
+    """Drop any ``<scheme>:`` / ``<scheme>://authority`` prefix (file:,
+    hdfs://nn:8020, s3a://bucket, ...) so relpath math over
+    ``binaryFiles`` paths works on every filesystem — preserving ``#``
+    and ``?`` characters inside the path itself."""
+    import re
+
+    global _SCHEME_RE
+    if _SCHEME_RE is None:
+        _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/]*)?(?=/)")
+    return _SCHEME_RE.sub("", path)
 
 
 def _metric_name(path: str, root: str | None) -> str:
@@ -179,12 +187,13 @@ def import_wsp_tree(
 
     Returns ``{policy_dir_name: WhisperStore}``, one entry per distinct
     header config (deterministic order: sorted by archive list, method,
-    xff).  The point data is read ONCE (one distributed ``binaryFiles``
-    pass); each store's append left-semi-joins the group's metric set.
+    xff).  The parsed point data and headers are PERSISTED so the tree
+    is read and struct-unpacked once, not once per policy group; each
+    store's append left-semi-joins the group's metric set.
     """
     from ..store import WhisperStore
 
-    hdrs = wsp_headers(spark, path, root)
+    hdrs = wsp_headers(spark, path, root).persist()
     cfg_rows = (
         hdrs.select("aggregation_method", "x_files_factor", "archives")
         .distinct()
@@ -198,37 +207,45 @@ def import_wsp_tree(
             r["x_files_factor"],
         ),
     )
-    pts = read_wsp(spark, path, root).withColumn("wseq", F.lit(0).cast("long"))
+    pts = (
+        read_wsp(spark, path, root)
+        .withColumn("wseq", F.lit(0).cast("long"))
+        .persist()
+    )
     out: dict[str, object] = {}
-    for i, cfg in enumerate(cfgs):
-        archives = [
-            (int(a["seconds_per_point"]), int(a["points"]))
-            for a in cfg["archives"]
-        ]
-        name = f"policy-{i:04d}"
-        store = WhisperStore.create(
-            spark,
-            f"{dst_root}/{name}",
-            archives,
-            x_files_factor=float(cfg["x_files_factor"]),
-            aggregation_method=cfg["aggregation_method"],
-        )
-        arch_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(s).cast("long").alias("seconds_per_point"),
-                    F.lit(p).cast("long").alias("points"),
-                )
-                for (s, p) in archives
+    try:
+        for i, cfg in enumerate(cfgs):
+            archives = [
+                (int(a["seconds_per_point"]), int(a["points"]))
+                for a in cfg["archives"]
             ]
-        )
-        members = hdrs.filter(
-            (F.col("aggregation_method") == cfg["aggregation_method"])
-            & (F.col("x_files_factor") == cfg["x_files_factor"])
-            & (F.col("archives") == arch_lit)
-        ).select("metric")
-        store._append(pts.join(members, "metric", "left_semi"))
-        out[name] = store
+            name = f"policy-{i:04d}"
+            store = WhisperStore.create(
+                spark,
+                f"{dst_root}/{name}",
+                archives,
+                x_files_factor=float(cfg["x_files_factor"]),
+                aggregation_method=cfg["aggregation_method"],
+            )
+            arch_lit = F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("seconds_per_point"),
+                        F.lit(p).cast("long").alias("points"),
+                    )
+                    for (s, p) in archives
+                ]
+            )
+            members = hdrs.filter(
+                (F.col("aggregation_method") == cfg["aggregation_method"])
+                & (F.col("x_files_factor") == cfg["x_files_factor"])
+                & (F.col("archives") == arch_lit)
+            ).select("metric")
+            store._append(pts.join(members, "metric", "left_semi"))
+            out[name] = store
+    finally:
+        pts.unpersist()
+        hdrs.unpersist()
     return out
 
 

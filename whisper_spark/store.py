@@ -1502,7 +1502,14 @@ def fetch_federated(
                     now=now,
                     archive_step=step,
                 )
-            except ValueError:
+            except ValueError as exc:
+                # only the documented "no archive with exactly this
+                # step" signal falls through to consolidation; any
+                # other ValueError is a real backend failure and must
+                # be a LOGGED exclusion, never silent
+                if "Invalid granularity" not in str(exc):
+                    excluded.append((i, f"fetch failed: {exc!r}"))
+                    continue
                 exact = None
             except InvalidTimeInterval:
                 raise
@@ -1515,13 +1522,28 @@ def fetch_federated(
                 # consolidate the fine dense timeline onto the coarse
                 # grid: floor-align slots, average known values per
                 # bucket (all-null bucket stays null) — graphite-web's
-                # consolidation default
+                # consolidation default.  The mean folds a SORTED value
+                # array (bucket size is bounded by the step ratio), so
+                # repeated reads are bit-identical under partial-
+                # aggregation reorder WITHOUT the decimal route's
+                # 6-decimal rounding of arbitrary stored doubles.
+                members = F.array_sort(
+                    F.collect_list(F.col("value"))
+                )
+                fold = F.aggregate(
+                    members, F.lit(0.0), lambda acc, x: acc + x
+                )
                 df = df.groupBy(
                     "metric",
                     (F.floor(F.col("ts") / step) * step)
                     .cast("long")
                     .alias("ts"),
-                ).agg(F.avg("value").alias("value"))
+                ).agg(
+                    F.when(
+                        F.count("value") > 0,
+                        fold / F.count("value"),
+                    ).alias("value")
+                )
                 lo, hi = (lo // step) * step, ((hi - native) // step) * step + step
             else:
                 excluded.append(
@@ -1551,6 +1573,12 @@ def fetch_federated(
         F.min_by(
             "value", F.when(F.col("value").isNotNull(), F.col("_prio"))
         ).alias("value")
+    )
+    # consolidated stores floor-align while native intervals quantize
+    # UP: clip the merge to the declared interval so the dense-timeline
+    # contract ((from, until, step), df) holds for every consumer
+    merged = merged.filter(
+        (F.col("ts") >= ti_out[0]) & (F.col("ts") < ti_out[1])
     )
     return (ti_out, merged)
 
