@@ -737,3 +737,60 @@ def test_read_points_pickle_carbon_frames(spark, tmp_path):
     )
     with pytest.raises(Exception):
         read_points_pickle(spark, str(bad / "evil.pkl")).collect()
+
+
+def test_render_stream_routes_cross_slot_targets(spark, tmp_path):
+    """render_stream no longer rejects top-level cross-slot targets: a
+    movingAverage / derivative / summarize target on a plain path
+    routes to the chained multi-stateful ports, and the output matches
+    the direct chained-op replay exactly."""
+    from whisper_spark.queries import _ensure_nanos_conf, stream_sec
+    from whisper_spark.render import TargetSyntaxError
+    from whisper_spark.streaming.render import render_stream_once
+    from whisper_spark.streaming.rollup import chained_moving_average
+
+    sf = "/root/testdata/sf0.001"
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def pts():
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        return src.select(
+            F.col("event_type").alias("metric"),
+            stream_sec(schema, "ts").alias("ts"),
+            F.col("value"),
+            F.col("event_id").alias("seq"),
+        )
+
+    out = render_stream_once(
+        spark, pts(), "movingAverage(*, 5)", str(tmp_path / "ma")
+    )
+    got = {(r.metric, r.ts): r.value for r in out.collect()}
+    assert got
+
+    # direct chained op over the same stream = identical output
+    import uuid
+    name = "route_ref_" + uuid.uuid4().hex[:8]
+    ref = chained_moving_average(pts(), n_points=5, step_seconds=60,
+                                 method="max", watermark_seconds=600)
+    q = (ref.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    want = {(r.metric, r.ts): r.moving_avg
+            for r in spark.table(name).collect()}
+    assert got == want
+
+    # derivative routes too; a genuinely unsupported cross-slot target
+    # still errors up front
+    out2 = render_stream_once(
+        spark, pts(), "derivative(*)", str(tmp_path / "dv")
+    )
+    assert out2.count() > 0
+    with pytest.raises(TargetSyntaxError, match="not stream-safe"):
+        render_stream_once(
+            spark, pts(), "integral(*)", str(tmp_path / "ig")
+        )

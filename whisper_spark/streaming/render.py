@@ -79,6 +79,74 @@ def validate_stream_target(node) -> None:
                 validate_stream_target(a)
 
 
+def _chained_stream_plan(
+    ast,
+    points: DataFrame,
+    step_seconds: int,
+    method: str,
+    watermark_seconds: int,
+) -> DataFrame | None:
+    """Streaming plan for the supported CROSS-SLOT top-level render
+    functions — the targets :func:`validate_stream_target` would
+    otherwise reject — via the chained multi-stateful ports
+    (streaming/rollup.py).  Returns a (metric, ts, value) streaming
+    DataFrame, or None when the target isn't one of the routed shapes
+    (top-level movingAverage / derivative / perSecond / summarize /
+    hitcount applied directly to a metric path)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.timeseries import filter_metrics
+    from ..render import parse_duration
+    from .rollup import (
+        chained_derivative,
+        chained_moving_average,
+        chained_summarize,
+    )
+
+    if not isinstance(ast, Call) or not ast.args:
+        return None
+    if not isinstance(ast.args[0], Path):
+        return None
+    pts = filter_metrics(points, ast.args[0].glob)
+    name = ast.name
+    if name == "movingAverage" and len(ast.args) >= 2:
+        ws = ast.args[1]
+        n = (
+            max(1, parse_duration(ws) // step_seconds)
+            if isinstance(ws, str) and not str(ws).lstrip("+-").isdigit()
+            else max(1, int(ws))
+        )
+        return chained_moving_average(
+            pts, n_points=n, step_seconds=step_seconds, method=method,
+            watermark_seconds=watermark_seconds,
+        ).select("metric", "ts", F.col("moving_avg").alias("value"))
+    if name in ("derivative", "perSecond") and len(ast.args) == 1:
+        return chained_derivative(
+            pts, step_seconds=step_seconds, method=method,
+            watermark_seconds=watermark_seconds,
+            per_second=(name == "perSecond"),
+        ).select("metric", "ts", F.col("delta").alias("value"))
+    if name in ("summarize", "hitcount") and len(ast.args) >= 2:
+        interval = parse_duration(str(ast.args[1]))
+        if interval <= step_seconds or interval % step_seconds:
+            return None  # sub-slot summarize stays on the per-batch path
+        func = str(ast.args[2]) if name == "summarize" and len(ast.args) > 2 else "sum"
+        func = {"average": "avg"}.get(func, func)
+        if func not in ("sum", "avg", "max", "min"):
+            return None
+        out = chained_summarize(
+            pts, interval_seconds=interval, func=func,
+            step_seconds=step_seconds, method=method,
+            watermark_seconds=watermark_seconds,
+        )
+        val = (
+            F.col("value") * step_seconds if name == "hitcount"
+            else F.col("value")
+        )
+        return out.select("metric", "ts", val.alias("value"))
+    return None
+
+
 def render_stream(
     points: DataFrame,
     target: str,
@@ -98,8 +166,23 @@ def render_stream(
     availableNow replay is bit-deterministic), then every micro-batch
     evaluates ``target`` over the finalized slots and appends the
     result frame to ``out_path`` as parquet.
+
+    Top-level CROSS-SLOT targets (movingAverage, derivative, perSecond,
+    coarse summarize/hitcount on a plain path) route to the chained
+    multi-stateful ports instead of being rejected — the xff gate does
+    not apply on that path (slot consolidation is ungated there).
     """
     ast = parse_target(target)
+    chained = _chained_stream_plan(
+        ast, points, step_seconds, method, watermark_seconds
+    )
+    if chained is not None:
+        def _write(batch_df: DataFrame, _epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch_df.write.mode("append").parquet(out_path)
+
+        return chained.writeStream.foreachBatch(_write).outputMode("append")
     validate_stream_target(ast)
     rolled = windowed_rollup(
         points,
