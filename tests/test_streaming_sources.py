@@ -794,3 +794,64 @@ def test_render_stream_routes_cross_slot_targets(spark, tmp_path):
         render_stream_once(
             spark, pts(), "integral(*)", str(tmp_path / "ig")
         )
+
+
+def test_render_stream_composes_wrappers_around_chained_core(spark, tmp_path):
+    """Stream-safe wrappers COMPOSE with a chained cross-slot core:
+    scale(movingAverage(path, 5), 10) streams as the chained plan plus
+    a per-batch stateless transform, equal to 10x the bare core."""
+    from whisper_spark.queries import _ensure_nanos_conf, stream_sec
+    from whisper_spark.render import TargetSyntaxError
+    from whisper_spark.streaming.render import render_stream_once
+
+    sf = "/root/testdata/sf0.001"
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def pts():
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        return src.select(
+            F.col("event_type").alias("metric"),
+            stream_sec(schema, "ts").alias("ts"),
+            F.col("value"),
+            F.col("event_id").alias("seq"),
+        )
+
+    bare = {
+        (r.metric, r.ts): r.value
+        for r in render_stream_once(
+            spark, pts(), "movingAverage(*, 5)", str(tmp_path / "bare")
+        ).collect()
+    }
+    scaled = {
+        (r.metric, r.ts): r.value
+        for r in render_stream_once(
+            spark, pts(), "scale(movingAverage(*, 5), 10)",
+            str(tmp_path / "scaled"),
+        ).collect()
+    }
+    assert scaled and set(scaled) == set(bare)
+    for k, v in scaled.items():
+        assert v == pytest.approx(bare[k] * 10)
+
+    # cross-series combine over the core is batch-local-correct too
+    summed = render_stream_once(
+        spark, pts(), "sumSeries(movingAverage(*, 5))",
+        str(tmp_path / "summed"),
+    )
+    srows = {r.ts: r.value for r in summed.collect()}
+    for ts in list(srows)[:50]:
+        want = sum(v for (m, t), v in bare.items() if t == ts)
+        assert srows[ts] == pytest.approx(want), ts
+
+    # two chained cores in one target are not supported -> clear error
+    with pytest.raises(TargetSyntaxError):
+        render_stream_once(
+            spark, pts(),
+            "divideSeries(movingAverage(*, 5), derivative(*))",
+            str(tmp_path / "two"),
+        )

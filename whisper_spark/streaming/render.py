@@ -147,6 +147,41 @@ def _chained_stream_plan(
     return None
 
 
+#: the cross-slot functions with chained multi-stateful ports
+_CHAINED_NAMES = frozenset(
+    {"movingAverage", "derivative", "perSecond", "summarize", "hitcount"}
+)
+
+
+def _find_chained_core(node):
+    """All Calls in the tree whose name has a chained port."""
+    found = []
+    if isinstance(node, Call):
+        if node.name in _CHAINED_NAMES:
+            found.append(node)
+        for a in node.args:
+            if isinstance(a, (Call, Path)):
+                found += _find_chained_core(a)
+    return found
+
+
+def _substitute(node, target_node, replacement):
+    """Copy of the AST with ``target_node`` (by identity) replaced."""
+    if node is target_node:
+        return replacement
+    if isinstance(node, Call):
+        return Call(
+            node.name,
+            [
+                _substitute(a, target_node, replacement)
+                if isinstance(a, (Call, Path))
+                else a
+                for a in node.args
+            ],
+        )
+    return node
+
+
 def render_stream(
     points: DataFrame,
     target: str,
@@ -167,22 +202,54 @@ def render_stream(
     evaluates ``target`` over the finalized slots and appends the
     result frame to ``out_path`` as parquet.
 
-    Top-level CROSS-SLOT targets (movingAverage, derivative, perSecond,
-    coarse summarize/hitcount on a plain path) route to the chained
-    multi-stateful ports instead of being rejected — the xff gate does
-    not apply on that path (slot consolidation is ungated there).
+    CROSS-SLOT targets (movingAverage, derivative, perSecond, coarse
+    summarize/hitcount on a metric path) route to the chained
+    multi-stateful ports instead of being rejected, and COMPOSE with
+    the stream-safe wrapper set: in
+    ``scale(sumSeries(movingAverage(ev.*, 5)), 2)`` the moving average
+    runs as the chained plan and the remaining (per-ts, batch-local)
+    expression evaluates over its finalized windows each micro-batch —
+    valid because a chained window finalizes for ALL series in the
+    same batch, the identical argument that makes the per-batch
+    combines correct.  At most ONE chained core per target; the xff
+    gate does not apply on the chained path (slot consolidation is
+    ungated there).
     """
     ast = parse_target(target)
-    chained = _chained_stream_plan(
-        ast, points, step_seconds, method, watermark_seconds
-    )
-    if chained is not None:
-        def _write(batch_df: DataFrame, _epoch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            batch_df.write.mode("append").parquet(out_path)
+    cores = _find_chained_core(ast)
+    if len(cores) == 1:
+        chained = _chained_stream_plan(
+            cores[0], points, step_seconds, method, watermark_seconds
+        )
+        if chained is not None:
+            if cores[0] is ast:
+                def _write(batch_df: DataFrame, _epoch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    batch_df.write.mode("append").parquet(out_path)
 
-        return chained.writeStream.foreachBatch(_write).outputMode("append")
+                return (
+                    chained.writeStream.foreachBatch(_write)
+                    .outputMode("append")
+                )
+            # wrapper expression around the chained core: substitute
+            # the core with a match-all path and require the remainder
+            # to be stream-safe, then evaluate it per finalized batch
+            sub_ast = _substitute(ast, cores[0], Path("*"))
+            validate_stream_target(sub_ast)
+            from ..render import _evaluate
+
+            def _batch_outer(batch_df: DataFrame, _epoch_id: int) -> None:
+                if batch_df.isEmpty():
+                    return
+                frame = batch_df.select("metric", "ts", "value")
+                out = _evaluate(sub_ast, frame, target, step_seconds)
+                out.write.mode("append").parquet(out_path)
+
+            return (
+                chained.writeStream.foreachBatch(_batch_outer)
+                .outputMode("append")
+            )
     validate_stream_target(ast)
     rolled = windowed_rollup(
         points,
