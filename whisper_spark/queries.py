@@ -3380,6 +3380,65 @@ def q_stream_render_derivative(spark, sf_dir):
 
 
 @_q(
+    "stream_render_composed",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+win AS (
+  SELECT metric, s + 60 + 60 * k.k AS w_end, v
+  FROM slot CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) k
+),
+ma AS (
+  SELECT metric, w_end AS ts,
+         (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(v) AS mav
+  FROM win, mx WHERE w_end <= m - 600
+  GROUP BY metric, w_end
+)
+SELECT ts, (sum(CAST(mav AS DECIMAL(25,6)))::VARCHAR)::DOUBLE * 2 AS value
+FROM ma GROUP BY ts
+""",
+    doc="the COMPOSED streaming render path end to end: the target "
+    "scale(sumSeries(movingAverage(*, 5)), 2) routes its cross-slot "
+    "core to the chained multi-stateful plan and evaluates the "
+    "remaining per-ts expression (decimal-route sumSeries, then scale) "
+    "over each finalized micro-batch — batch-local-correct because a "
+    "chained window finalizes for every series in the same batch.  The "
+    "oracle unrolls all three stages plus watermark finalization "
+    "(streaming/render.py render_stream + _chained_stream_plan)",
+)
+def q_stream_render_composed(spark, sf_dir):
+    import tempfile
+
+    from .streaming.render import render_stream_once
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+    out = render_stream_once(
+        spark, pts, "scale(sumSeries(movingAverage(*, 5)), 2)",
+        tempfile.mkdtemp(prefix="stream_composed_"),
+        step_seconds=60, method="max", watermark_seconds=600,
+    )
+    return out.select("ts", "value")
+
+
+@_q(
     "stream_sessionize",
     """
 WITH raw AS (
