@@ -855,3 +855,73 @@ def test_render_stream_composes_wrappers_around_chained_core(spark, tmp_path):
             "divideSeries(movingAverage(*, 5), derivative(*))",
             str(tmp_path / "two"),
         )
+
+
+def test_carbon_aggregation_rules_grammar_and_batch_stream_parity(
+    spark, tmp_path
+):
+    """aggregation-rules.conf parsing (carbon grammar) + the batch and
+    streaming evaluators agree on finalized buckets."""
+    from whisper_spark.streaming import (
+        aggregate_batch,
+        aggregate_stream,
+        parse_aggregation_rules,
+    )
+
+    rules = parse_aggregation_rules(
+        "# comment\n"
+        "\n"
+        "<env>.apps.<app>.all.req (60) = sum <env>.apps.<app>.*.req\n"
+        "prod.total.req (300) = count *.apps.*.*.req  # trailing\n"
+    )
+    assert len(rules) == 2
+    r0 = rules[0]
+    assert r0.frequency == 60 and r0.method == "sum"
+    assert r0.regex == r"^([^.]+)\.apps\.([^.]+)\.[^.]+\.req$"
+    assert r0.group_index("env") == 1 and r0.group_index("app") == 2
+    with pytest.raises(ValueError):
+        parse_aggregation_rules("bad line without equals\n")
+    with pytest.raises(ValueError):
+        parse_aggregation_rules("a.b (60) = median a.*.b\n")
+
+    NOW_TS = 1700000000 - 1700000000 % 600
+    rows = []
+    for host in range(3):
+        for app in ("web", "api"):
+            for i in range(10):
+                rows.append(
+                    (f"prod.apps.{app}.h{host}.req",
+                     NOW_TS - 60 * i, float(host + i))
+                )
+    pts = spark.createDataFrame(rows, "metric string, ts long, value double")
+    batch = aggregate_batch(pts, rules)
+    got = {(r.metric, r.ts): (r.value, r.n_points) for r in batch.collect()}
+    # rule 0: per-app cross-host sum per minute — 3 hosts merge
+    assert got[("prod.apps.web.all.req", NOW_TS - 60)][1] == 3
+    assert got[("prod.apps.web.all.req", NOW_TS - 60)][0] == \
+        pytest.approx((0 + 1) + (1 + 1) + (2 + 1))
+    # rule 1: global count per 5 minutes — bucket [NOW_TS-600,
+    # NOW_TS-301] holds minutes i=6..9 across all 6 series
+    c = got[("prod.total.req", NOW_TS - 600)]
+    assert c[1] == 24 and c[0] == 24.0
+
+    # streaming twin over the same rows: finalized windows are a subset
+    # (watermark) and every finalized bucket matches the batch value
+    src_dir = tmp_path / "agg_src"
+    pts.write.parquet(str(src_dir))
+    stream = (
+        spark.readStream.schema(pts.schema).parquet(str(src_dir))
+    )
+    import uuid
+    name = "caggr_" + uuid.uuid4().hex[:8]
+    q = (
+        aggregate_stream(stream, rules, watermark_seconds=120)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    srows = {(r.metric, r.ts): (r.value, r.n_points)
+             for r in spark.table(name).collect()}
+    assert srows
+    for k, v in srows.items():
+        assert got[k] == v, k

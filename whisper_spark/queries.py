@@ -3439,6 +3439,99 @@ def q_stream_render_composed(spark, sf_dir):
 
 
 @_q(
+    "stream_carbon_aggregator",
+    r"""
+WITH raw AS (
+  SELECT 'prod.applications.' || event_type || '.host'
+           || CAST(user_id % 3 AS VARCHAR) || '.requests' AS metric,
+         epoch_us(ts) // 1000000 AS sec, value
+  FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+r1 AS (
+  SELECT 'prod.applications.'
+           || regexp_extract(metric,
+                '^prod\.applications\.([^.]+)\.[^.]+\.requests$', 1)
+           || '.all.requests' AS metric,
+         sec // 60 * 60 AS ts,
+         (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value,
+         count(value) AS n_points, 60 AS freq
+  FROM raw
+  WHERE regexp_matches(metric,
+          '^prod\.applications\.([^.]+)\.[^.]+\.requests$')
+  GROUP BY 1, 2
+),
+r2 AS (
+  SELECT 'prod.applications.'
+           || regexp_extract(metric,
+                '^prod\.applications\.([^.]+)\.[^.]+\.requests$', 1)
+           || '.all.req_max' AS metric,
+         sec // 300 * 300 AS ts,
+         max(value) AS value,
+         count(value) AS n_points, 300 AS freq
+  FROM raw
+  WHERE regexp_matches(metric,
+          '^prod\.applications\.([^.]+)\.[^.]+\.requests$')
+  GROUP BY 1, 2
+)
+SELECT metric, ts, value, n_points
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2), mx
+WHERE ts + freq <= m - 600
+""",
+    doc="carbon-aggregator parity: conf-driven CROSS-METRIC streaming "
+    "aggregation (aggregation-rules.conf grammar — '<app>' captures a "
+    "dot-segment, '*' matches one, output template rewrites).  Two "
+    "rules at different frequencies/methods run as filtered regex "
+    "projections -> watermarked tumbling rollups keyed by the OUTPUT "
+    "metric, append-mode finalized.  The oracle mirrors the regex "
+    "mechanics (RE2 named groups in both engines) and the closed-"
+    "window rule per rule frequency "
+    "(streaming/aggregator.py parse_aggregation_rules/aggregate_stream)",
+)
+def q_stream_carbon_aggregator(spark, sf_dir):
+    import uuid
+
+    from .streaming.aggregator import aggregate_stream, parse_aggregation_rules
+
+    rules = parse_aggregation_rules(
+        "# carbon aggregation-rules.conf\n"
+        "prod.applications.<app>.all.requests (60) = "
+        "sum prod.applications.<app>.*.requests\n"
+        "prod.applications.<app>.all.req_max (300) = "
+        "max prod.applications.<app>.*.requests\n"
+    )
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.concat(
+            F.lit("prod.applications."),
+            F.col("event_type"),
+            F.lit(".host"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit(".requests"),
+        ).alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = aggregate_stream(pts, rules, watermark_seconds=600)
+    name = "stream_caggr_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "stream_sessionize",
     """
 WITH raw AS (
