@@ -925,3 +925,52 @@ def test_carbon_aggregation_rules_grammar_and_batch_stream_parity(
     assert srows
     for k, v in srows.items():
         assert got[k] == v, k
+
+
+def test_carbon_aggregator_into_store_end_to_end(spark, tmp_path):
+    """The full carbon pipeline: points stream -> aggregation rules
+    (cross-metric rewrite + rollup) -> start_ingest into a WhisperStore
+    -> fetch serves the aggregated namespace."""
+    from whisper_spark.store import WhisperStore
+    from whisper_spark.streaming import (
+        aggregate_stream,
+        parse_aggregation_rules,
+        start_ingest,
+    )
+
+    NOW_TS = 1700000000 - 1700000000 % 600
+    rules = parse_aggregation_rules(
+        "prod.apps.<app>.all.req (60) = sum prod.apps.<app>.*.req\n"
+    )
+    rows = []
+    for host in range(3):
+        for i in range(1, 9):
+            rows.append(
+                (f"prod.apps.web.h{host}.req", NOW_TS - 60 * i, float(i))
+            )
+    pts = spark.createDataFrame(rows, "metric string, ts long, value double")
+    src_dir = tmp_path / "src"
+    pts.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(pts.schema).parquet(str(src_dir))
+
+    store = WhisperStore.create(
+        spark, str(tmp_path / "db"), [(60, 120)], x_files_factor=0.0,
+        aggregation_method="max",
+    )
+    agg = aggregate_stream(stream, rules, watermark_seconds=120).select(
+        "metric", "ts", "value"
+    )
+    q = start_ingest(
+        agg, store, str(tmp_path / "ckpt"), available_now=True,
+        now_fn=lambda: NOW_TS,
+    )
+    q.awaitTermination(120)
+
+    res = store.fetch("prod.apps.web.all.req", from_time=NOW_TS - 600,
+                      until_time=NOW_TS, now=NOW_TS)
+    (_ti, df) = res
+    got = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
+    # finalized minutes (watermark 120s behind max ts NOW_TS-60): every
+    # slot with window_end = NOW_TS-60i+60 <= (NOW_TS-60)-120 -> i >= 4
+    for i in range(4, 9):
+        assert got[NOW_TS - 60 * i] == pytest.approx(3.0 * i), i
