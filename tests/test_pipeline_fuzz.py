@@ -9,6 +9,9 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 SETTINGS = dict(
+    # derandomize: the suite's pass/fail must not depend on the draw
+    # (round-5 verdict: an unseeded fuzzer shipped a false 'full green')
+    derandomize=True,
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

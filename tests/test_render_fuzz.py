@@ -2,11 +2,16 @@
 unary render functions over random gappy series, checked against an
 independent pandas reference implementation per function.
 
-Exactness strategy: inputs are quarter-multiples (exact binary
-fractions), so sums/averages are exact in BOTH float64 and the engine's
-decimal route — any mismatch is a semantics bug, not float noise.
+Exactness strategy: the comparisons are BIT-exact (atol=0).  The
+engine's sums are naive time-order float64 folds over ordered window
+frames and sorted folds over unordered groups (render.py round-6
+determinism rules), so the references here are explicit Python loops in
+the same order — full precision end to end, including composed targets
+whose intermediates are irrational (sqrt/invert of quarter-multiples;
+the round-5 decimal route quantized those, caught by this suite).
 Engine nulls correspond to pandas NaN (inputs contain no literal NaN,
-and the function pool creates none).
+and the function pool creates none).  ``derandomize=True`` everywhere:
+the suite's verdict must not depend on the draw.
 """
 
 from __future__ import annotations
@@ -66,8 +71,34 @@ def _ref_nn_derivative(s):
     return d.where(d >= 0)
 
 
+def _naive_window_sum(s, n):
+    # explicit time-order fold: the engine's window SUM adds frame rows
+    # in order (plain float64), and pandas' rolling().sum() uses a
+    # compensated add/evict algorithm that is NOT guaranteed
+    # bit-identical on full-precision values
+    vals = list(s)
+    out = []
+    for i in range(len(vals)):
+        acc, seen = 0.0, False
+        for v in vals[max(0, i - n + 1): i + 1]:
+            if not pd.isna(v):
+                acc += v
+                seen = True
+        out.append(acc if seen else math.nan)
+    return pd.Series(out, index=s.index, dtype="float64")
+
+
+def _naive_window_count(s, n):
+    vals = list(s)
+    return pd.Series(
+        [sum(1 for v in vals[max(0, i - n + 1): i + 1] if not pd.isna(v))
+         for i in range(len(vals))],
+        index=s.index, dtype="float64",
+    )
+
+
 def _ref_moving_sum(s, n):
-    return s.rolling(n, min_periods=1).sum()
+    return _naive_window_sum(s, n)
 
 
 def _ref_moving_max(s, n):
@@ -100,8 +131,8 @@ def _ref_changed(s):
 
 
 def _ref_integral(s):
-    # engine: decimal running sum over known values; slots before the
-    # first known value stay null
+    # engine: time-order float64 running sum over known values; slots
+    # before the first known value stay null
     out, acc, seen = [], 0.0, False
     for v in s:
         if not pd.isna(v):
@@ -157,7 +188,7 @@ def pipelines(draw):
 
 @pytest.mark.usefixtures("spark")
 def test_render_pipeline_matches_pandas_reference(spark):
-    @settings(max_examples=30, deadline=None)
+    @settings(derandomize=True, max_examples=30, deadline=None)
     @given(data=series_strat, steps=pipelines())
     def check(data, steps):
         rows = [("m", t, v) for t, v in zip(TS_GRID, data)]
@@ -222,7 +253,8 @@ def _ref_round(s, p):
 
 
 def _ref_moving_average(s, n):
-    return s.rolling(n, min_periods=1).mean()
+    cnt = _naive_window_count(s, n)
+    return _naive_window_sum(s, n) / cnt.where(cnt > 0)
 
 
 def _ref_moving_range(s, n):
@@ -300,7 +332,7 @@ def pipelines_r4(draw):
 
 @pytest.mark.usefixtures("spark")
 def test_render_pipeline_matches_pandas_reference_r4(spark):
-    @settings(max_examples=30, deadline=None)
+    @settings(derandomize=True, max_examples=30, deadline=None)
     @given(data=series_strat, steps=pipelines_r4())
     def check(data, steps):
         rows = [("m", t, v) for t, v in zip(TS_GRID, data)]
@@ -387,7 +419,7 @@ COMBINES = [
 
 @pytest.mark.usefixtures("spark")
 def test_render_combines_match_pandas_reference(spark):
-    @settings(max_examples=25, deadline=None)
+    @settings(derandomize=True, max_examples=25, deadline=None)
     @given(
         da=series_strat,
         db=series_strat,

@@ -205,7 +205,7 @@ def test_parser_roundtrip_fuzz():
             return f"{a:.1f}"
         return repr(a)
 
-    @settings(max_examples=200, deadline=None)
+    @settings(derandomize=True, max_examples=200, deadline=None)
     @given(asts)
     def check(ast):
         assert parse_target(render(ast)) == ast

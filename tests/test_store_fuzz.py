@@ -65,6 +65,7 @@ _counter = [0]
 
 
 @settings(
+    derandomize=True,
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -112,6 +113,7 @@ def test_fuzz_merge_parity(spark, fuzz_tmp, pts_src, pts_dst, window):
 
 
 @settings(
+    derandomize=True,
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -158,6 +160,7 @@ def test_fuzz_fill_parity(spark, fuzz_tmp, pts_src, pts_dst):
 
 
 @settings(
+    derandomize=True,
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -248,6 +251,7 @@ def test_fuzz_update_sequence_parity(spark, fuzz_tmp, ops, agg):
 
 
 @settings(
+    derandomize=True,
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -354,6 +358,7 @@ def _ref_resize_aggregate(old_wsp, new_wsp, new_archives, xff, agg, now):
 
 
 @settings(
+    derandomize=True,
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -420,6 +425,7 @@ def _ref_resize_default(old_wsp, new_wsp, new_archives, xff, agg, now):
 
 
 @settings(
+    derandomize=True,
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -467,6 +473,7 @@ def test_fuzz_resize_parity(spark, fuzz_tmp, pts, new_archives, agg):
 
 
 @settings(
+    derandomize=True,
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -529,6 +536,7 @@ def test_fuzz_write_fetch_parity(spark, fuzz_tmp, pts, pts2, xff, agg):
 
 
 @settings(
+    derandomize=True,
     max_examples=5,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
@@ -571,24 +579,37 @@ def test_fuzz_federated_heterogeneous_consolidation(
     assert step == 300
     got = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
 
-    # model: fine slots -> floor 300 buckets, mean; coarse verbatim
+    # model the FEDERATION (consolidate + first-wins merge + union
+    # interval) on top of each store's own fetch output — per-store
+    # fetch window/quantization semantics are reference-parity-fuzzed
+    # elsewhere (test_fuzz_fetch_*), so building on fetch() here keeps
+    # this a pure differential of the federated layer
+    ((flo, fhi, fstep), fdf) = fine.fetch("m", NOW - 6000, NOW, now=NOW)
+    ((clo, chi, cstep), cdf) = coarse.fetch("m", NOW - 6000, NOW, now=NOW)
+    assert (fstep, cstep) == (60, 300)
     from collections import defaultdict
     buckets = defaultdict(list)
-    for (ts, v) in a:
-        slot = ts - ts % 60
-        buckets[slot - slot % 300].append(v)
+    for r in fdf.collect():
+        if r["value"] is not None:
+            buckets[r["ts"] - r["ts"] % 300].append(r["value"])
     # the engine folds each bucket's values in ASCENDING order
     model = {bk: sum(sorted(vs)) / len(vs) for bk, vs in buckets.items()}
-    for (ts, v) in b:
-        slot = ts - ts % 300
-        model.setdefault(slot, v)  # fine store (listed first) wins
-    # compare on the slots the fetch window covers
+    for r in cdf.collect():
+        if r["value"] is not None:
+            model.setdefault(r["ts"], r["value"])  # fine (first) wins
+    # interval = UNION of coverages: fine's consolidated bounds
+    # (floor-aligned lo, last-covered-bucket hi) united with coarse's
+    exp_lo = min((flo // 300) * 300, clo)
+    exp_hi = max(((fhi - 60) // 300) * 300 + 300, chi)
+    assert (lo, hi) == (exp_lo, exp_hi)
     for ts, v in got.items():
         assert ts in model, ts
         assert v == model[ts], ts  # bit-exact: sorted-order fold
     for ts, v in model.items():
         if lo <= ts < hi:
             assert ts in got, f"model slot {ts} missing from merge"
+        else:  # nothing the stores returned may be clipped away
+            raise AssertionError(f"store slot {ts} outside merged interval")
 
 
 # --------------------------------------------------------------------- #
@@ -604,6 +625,7 @@ _POLICIES = [
 
 
 @settings(
+    derandomize=True,
     max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],

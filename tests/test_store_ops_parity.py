@@ -390,3 +390,32 @@ def test_fetch_federated_forced_step_uses_exact_archive(spark, tmp_path):
     want = {r["ts"]: r["value"] for r in own.collect()
             if r["value"] is not None}
     assert got == want and want
+
+def test_fetch_federated_union_interval_same_step(spark, tmp_path):
+    """Two same-step stores where the SECOND has longer retention: the
+    merged interval must be the UNION of coverages — the round-5 code
+    clipped to the first store's interval and silently discarded the
+    wider sibling's slots (advisor finding, round 6)."""
+    from whisper_spark.store import WhisperStore, fetch_federated
+
+    NOW = 1700000000
+    short = WhisperStore.create(spark, str(tmp_path / "fs"), [(60, 5)],
+                                x_files_factor=0.0)
+    wide = WhisperStore.create(spark, str(tmp_path / "fw"), [(60, 30)],
+                               x_files_factor=0.0)
+    short.update_many([(NOW - 60 * i, 10.0 + i) for i in (1, 2)],
+                      now=NOW, metric="m")
+    wide.update_many([(NOW - 60 * i, 90.0 + i) for i in (1, 10, 20)],
+                     now=NOW, metric="m")
+    res = fetch_federated([short, wide], "m", from_time=NOW - 1500,
+                          until_time=NOW, now=NOW)
+    assert res is not None
+    ((lo, hi, step), df) = res
+    assert step == 60
+    got = {r["ts"]: r["value"] for r in df.collect() if r["value"] is not None}
+    slot = lambda i: (NOW - 60 * i) // 60 * 60  # noqa: E731
+    # first store wins its own coverage...
+    assert got[slot(1)] == 11.0 and got[slot(2)] == 12.0
+    # ...and the wide store's older slots are NOT clipped away
+    assert got[slot(10)] == 100.0 and got[slot(20)] == 110.0
+    assert lo <= slot(20) < hi

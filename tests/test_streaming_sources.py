@@ -974,3 +974,153 @@ def test_carbon_aggregator_into_store_end_to_end(spark, tmp_path):
     # slot with window_end = NOW_TS-60i+60 <= (NOW_TS-60)-120 -> i >= 4
     for i in range(4, 9):
         assert got[NOW_TS - 60 * i] == pytest.approx(3.0 * i), i
+
+def test_render_stream_rejects_wrapper_with_other_paths(spark, tmp_path):
+    """A wrapper around a chained core that references OTHER series
+    (divideSeries(movingAverage(a.*, 5), a.denominator)) must be
+    REJECTED, not silently evaluated against the core's output frame
+    where the extra path matches nothing (advisor finding, round 6)."""
+    from whisper_spark.queries import _ensure_nanos_conf, stream_sec
+    from whisper_spark.render import TargetSyntaxError
+    from whisper_spark.streaming.render import render_stream_once
+
+    sf = "/root/testdata/sf0.001"
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+        F.col("event_id").alias("seq"),
+    )
+    with pytest.raises(TargetSyntaxError, match="other series references"):
+        render_stream_once(
+            spark, pts,
+            "divideSeries(movingAverage(click.*, 5), click.total)",
+            str(tmp_path / "mixed"),
+        )
+
+
+def test_render_stream_sub_slot_summarize_is_batch_local(spark, tmp_path):
+    """summarize with interval <= slot width is batch-local (each bucket
+    holds at most ONE finalized slot) and now evaluates on the per-batch
+    path instead of being rejected (advisor finding, round 6).  At
+    interval == step the output equals the bare rollup re-labeled."""
+    from whisper_spark.render import TargetSyntaxError, parse_target
+    from whisper_spark.streaming.render import (
+        render_stream_once,
+        validate_stream_target,
+    )
+
+    indir = tmp_path / "subslot_in"
+    indir.mkdir()
+    lines = [
+        f"ev.a.m1 10.0 {NOW}",
+        f"ev.a.m1 12.0 {NOW + 30}",
+        "ev.a.m1 0.0 " + str(NOW + 7200),  # watermark pusher
+    ]
+    (indir / "a.txt").write_text("\n".join(lines) + "\n")
+    stream = spark.readStream.format("text").load(str(indir))
+    pts = parse_line_protocol(stream)
+    out = render_stream_once(
+        spark, pts, "summarize(ev.a.m1, '60s', 'sum')",
+        str(tmp_path / "subslot_out"),
+        step_seconds=60, method="max", xff=0.0, watermark_seconds=600,
+    )
+    rows = {r.ts: r.value for r in out.collect()}
+    slot = NOW - NOW % 60
+    assert rows[slot] == 12.0  # one slot per bucket: the max-rolled value
+
+    # validator contract: sub-slot accepted only when step is known;
+    # non-multiple coarse intervals still rejected with the routing hint
+    validate_stream_target(
+        parse_target("summarize(ev.a.m1, '30s', 'sum')"), 60
+    )
+    with pytest.raises(TargetSyntaxError, match="chained"):
+        validate_stream_target(
+            parse_target("summarize(ev.a.m1, '90s', 'sum')"), 60
+        )
+    with pytest.raises(TargetSyntaxError):  # no step context -> reject
+        validate_stream_target(parse_target("summarize(ev.a.m1, '30s')"))
+
+def test_carbon_rule_regex_full_rulemanager_translation(spark):
+    """carbon RuleManager pattern features the round-5 translation
+    mistranslated (advisor finding): <<field>> multi-segment captures,
+    partial-segment captures (cpu<n>.total), and embedded '*' as
+    [^.]* (bare '*' stays [^.]+)."""
+    import re as _re
+
+    from whisper_spark.streaming.aggregator import parse_aggregation_rules
+
+    # <<field>> crosses dots
+    (r1,) = parse_aggregation_rules(
+        "hosts.<<rest>>.sum (60) = sum hosts.<<rest>>.count\n"
+    )
+    assert r1.regex == r"^hosts\.(.+)\.count$"
+    m = _re.match(r1.regex, "hosts.dc1.rack2.web.count")
+    assert m and m.group(1) == "dc1.rack2.web"
+
+    # partial-segment capture with pre/post text
+    (r2,) = parse_aggregation_rules(
+        "agg.cpu<n>.total (60) = sum raw.cpu<n>.total\n"
+    )
+    assert r2.regex == r"^raw\.cpu([^.]+)\.total$"
+    m = _re.match(r2.regex, "raw.cpu7.total")
+    assert m and m.group(1) == "7"
+    assert _re.match(r2.regex, "raw.cpux.y.total") is None
+
+    # embedded '*' -> [^.]* , bare '*' -> [^.]+
+    (r3,) = parse_aggregation_rules("o.x (60) = sum a.b*.c.*\n")
+    assert r3.regex == r"^a\.b[^.]*\.c\.[^.]+$"
+    assert _re.match(r3.regex, "a.b.c.d")
+    assert _re.match(r3.regex, "a.bz9.c.d")
+    assert _re.match(r3.regex, "a.bz9.c.") is None
+
+    # output rewrite uses the right capture for both forms
+    rows = spark.createDataFrame(
+        [("hosts.dc1.rack2.web.count", 0, 1.0)],
+        "metric string, ts long, value double",
+    )
+    got = rows.select(r1.output_metric_expr().alias("m")).collect()[0].m
+    assert got == "hosts.dc1.rack2.web.sum"
+    rows2 = spark.createDataFrame(
+        [("raw.cpu7.total", 0, 1.0)], "metric string, ts long, value double"
+    )
+    got2 = rows2.select(r2.output_metric_expr().alias("m")).collect()[0].m
+    assert got2 == "agg.cpu7.total"
+
+def test_read_points_pickle_mid_file_corruption_raises(spark, tmp_path):
+    """A corrupt COMPLETE frame after good frames must raise, not
+    silently truncate the ingest (advisor finding, round 6); a trailing
+    text-mode newline stays tolerated."""
+    import pickle
+    import struct
+
+    from py4j.protocol import Py4JJavaError
+
+    from whisper_spark.sources import read_points_pickle
+
+    good = pickle.dumps([("m.a", (1700000000, 1.0))], protocol=2)
+    bad = b"\x80\x02this is not a pickle."
+    blob = (
+        struct.pack("!L", len(good)) + good
+        + struct.pack("!L", len(bad)) + bad
+        + struct.pack("!L", len(good)) + good
+    )
+    (tmp_path / "corrupt.pkl").write_bytes(blob)
+    with pytest.raises(Py4JJavaError, match="corrupt carbon pickle frame"):
+        read_points_pickle(spark, str(tmp_path / "corrupt.pkl")).collect()
+
+    # trailing newline after the last frame: still fine
+    (tmp_path / "trail.pkl").write_bytes(
+        struct.pack("!L", len(good)) + good + b"\n"
+    )
+    rows = read_points_pickle(spark, str(tmp_path / "trail.pkl")).collect()
+    assert [(r.metric, r.ts, r.value) for r in rows] == [
+        ("m.a", 1700000000, 1.0)
+    ]

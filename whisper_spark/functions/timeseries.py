@@ -166,6 +166,7 @@ def summarize(
     method: str = "sum",
     ts: str = "ts",
     value: str = "value",
+    float_fold: bool = False,
 ) -> DataFrame:
     """Graphite ``summarize(series, interval, func)``: re-bin a series
     into coarser buckets with NO xFilesFactor gate (unlike
@@ -173,13 +174,27 @@ def summarize(
     bucket; graphite-web functions.py summarize).
 
     One groupBy(keys, bucket) — partial-aggregated, single shuffle.
-    ``value``'s type is preserved (pass a decimal column for
-    order-independent exact sums)."""
+    ``float_fold=True`` routes sum/average through the sorted float64
+    fold (functions/folds.py): full precision on arbitrary doubles AND
+    deterministic under partial-aggregation reorder — use it whenever
+    ``value`` is not exactly representable at a fixed decimal scale."""
     bucket = align_ts(F.col(ts), bucket_seconds).alias(ts)
-    agg = aggregate_column(method, value, order=F.col(ts))
+    agg = _agg_dispatch(method, value, float_fold, order=F.col(ts))
     return df.groupBy(*keys, bucket).agg(
         agg.alias(value), F.count(value).alias("known")
     )
+
+
+def _agg_dispatch(method: str, value: str, float_fold: bool, order=None):
+    """Shared consolidation dispatch for the render-side re-binners:
+    plain :func:`aggregate_column` semantics, with sum/average optionally
+    swapped for the sorted float64 fold (functions/folds.py)."""
+    if float_fold and method in ("sum", "average"):
+        from . import folds
+
+        s = folds.fsum(value)
+        return s if method == "sum" else s / F.count(value)
+    return aggregate_column(method, value, order=order)
 
 
 def _series_window(keys: Sequence[str], ts: str):
@@ -553,6 +568,7 @@ def group_by_node(
     metric: str = "metric",
     ts: str = "ts",
     value: str = "value",
+    float_fold: bool = False,
 ) -> DataFrame:
     """Graphite ``groupByNode(series, node, func)``: merge series whose
     dotted name shares node ``node``, aggregating values per timestamp.
@@ -561,10 +577,11 @@ def group_by_node(
 
     One groupBy((node-key, ts)) — cross-SERIES aggregation is just a
     re-key; partial aggregation keeps the shuffle narrow however many
-    series merge.  ``value``'s type is preserved (pass decimal for exact
-    cross-series sums)."""
+    series merge.  ``float_fold=True`` routes sum/average through the
+    sorted float64 fold (full precision + order-deterministic on
+    arbitrary doubles, see functions/folds.py)."""
     key = F.split(F.col(metric), r"\.").getItem(node).alias(metric)
-    agg = aggregate_column(method, value, order=F.col(ts))
+    agg = _agg_dispatch(method, value, float_fold, order=F.col(ts))
     return (
         df.groupBy(key, F.col(ts))
         .agg(agg.alias(value), F.count(value).alias("n_series"))
@@ -621,11 +638,15 @@ def seasonal_decompose(
     * resid: what's left.
 
     One ordered window pass + one phase aggregation — two shuffles on
-    the same keys.  Means accumulate in DECIMAL and round-trip through
-    string (engine determinism rules), so the decomposition is
-    bit-reproducible and oracle-checkable.
+    the same keys.  The trend mean is a plain float64 window sum (Spark
+    adds frame rows in order — the naive fold, full precision); the
+    per-phase mean folds the value-sorted array (functions/folds.py),
+    so the decomposition is bit-reproducible and oracle-checkable
+    without the old decimal route's 1e-6 quantization.
     """
     from pyspark.sql import Window
+
+    from . import folds
 
     k = season_slots // 2
     w = (
@@ -635,11 +656,9 @@ def seasonal_decompose(
     )
 
     def dmean(c, over=None):
-        s = F.sum(F.col(c).cast("decimal(25,6)"))
-        n = F.count(c)
         if over is not None:
-            s, n = s.over(over), n.over(over)
-        return s.cast("string").cast("double") / n
+            return F.sum(F.col(c)).over(over) / F.count(c).over(over)
+        return folds.fsum(c) / F.count(c)
 
     full = F.count(value_col).over(w) == (2 * k + 1)
     with_trend = df.select(

@@ -857,11 +857,17 @@ def embedding_covariance(
 
     One pass, no join: each row expands to its d(d+1)/2 upper-triangle
     products via a nested transform (JVM expression), and one
-    groupBy((i, j)) reduces them — map-side combine collapses every
-    partition to d^2/2 partials, so the shuffle is partitions x d^2/2
-    regardless of row count.  Sums accumulate in DECIMAL and round-trip
-    through string (engine determinism rules), so cov is
-    bit-reproducible and oracle-checkable."""
+    groupBy((i, j)) reduces them.  Sums go through the sorted float64
+    fold (functions/folds.py): full precision — the round-5 fixed-point
+    floor(x*1e12) route quantized the moments at 1e-12 — and
+    deterministic under partial-aggregation reorder, so cov stays
+    bit-reproducible and oracle-checkable.  NOTE the fold trades the
+    map-side combine away (collect_list partials are the group's
+    values): the shuffle carries the d^2/2-expanded products, which is
+    rows x d^2/2 — acceptable because d is bounded (embedding dims) and
+    the fold is the price of full-precision determinism; a production
+    covariance at 100 TB would drop determinism and use plain float
+    sums with documented tolerance instead."""
     if dim is None:
         probe = df.select(F.size(emb_col).alias("d")).first()
         dim = int(probe["d"])
@@ -877,22 +883,13 @@ def embedding_covariance(
         ).alias("c")
     ).select("c.i", "c.j", "c.xi", "c.xj")
 
-    # quantize with floor(x * 1e12) BEFORE the decimal cast: floor has
-    # no rounding ties, unlike round-to-scale, where a float32 whose
-    # exact binary expansion terminates at the cut digit lands on a
-    # HALF_UP (Spark) vs HALF_EVEN (DuckDB) tie — observed on real
-    # data, one such value per ~30k floats
-    def dsum(c):
-        return (
-            F.sum(F.floor(c * 1e12).cast("decimal(38,0)"))
-            .cast("string").cast("double") / F.lit(1e12)
-        )
+    from ..functions import folds
 
     agg = cells.groupBy("i", "j").agg(
         F.count("*").alias("_n"),
-        dsum(F.col("xi") * F.col("xj")).alias("_sxy"),
-        dsum(F.col("xi")).alias("_sxi"),
-        dsum(F.col("xj")).alias("_sxj"),
+        folds.fsum(F.col("xi") * F.col("xj")).alias("_sxy"),
+        folds.fsum(F.col("xi")).alias("_sxi"),
+        folds.fsum(F.col("xj")).alias("_sxj"),
     )
     return agg.select(
         "i", "j",

@@ -373,22 +373,29 @@ def q_ws_rollup_5m_methods(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT metric, ts // 3600 * 3600 AS ts,
-       (sum(CAST(avg_v AS DECIMAL(25,12)))::VARCHAR)::DOUBLE / count(avg_v) AS avg_v,
+       CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+         (a, x) -> a + x) END / count(avg_v) AS avg_v,
        count(avg_v) AS known
 FROM min1
 GROUP BY metric, ts // 3600 * 3600
 HAVING count(avg_v) / 60.0 >= 0.05
 """,
     doc="second cascade level with the xFilesFactor gate: hour written iff "
-    ">= 5% of its minute slots are known (reference: whisper.py:639-640)",
+    ">= 5% of its minute slots are known (reference: whisper.py:639-640). "
+    "The minute means are full-precision doubles, so the hour mean goes "
+    "through the sorted float64 fold (functions/folds.py), not a "
+    "quantizing decimal cast",
     bench=True,
 )
 def q_ws_rollup_1h_xff(spark, sf_dir):
+    from .functions import folds
+
     m = min1(spark, sf_dir)
     out = (
         m.groupBy("metric", (F.col("ts") - F.col("ts") % 3600).alias("ts"))
         .agg(
-            (dsum(F.col("avg_v"), "decimal(25,12)") / F.count("avg_v")).alias("avg_v"),
+            (folds.fsum("avg_v") / F.count("avg_v")).alias("avg_v"),
             F.count("avg_v").alias("known"),
         )
         .filter(F.col("known") / F.lit(60.0) >= 0.05)
@@ -575,21 +582,26 @@ def q_ws_retention_7d(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT metric, ts // 900 * 900 AS ts,
-       (sum(CAST(avg_v AS DECIMAL(25,12)))::VARCHAR)::DOUBLE / count(avg_v) AS avg_v,
+       CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+         (a, x) -> a + x) END / count(avg_v) AS avg_v,
        count(avg_v) AS known
 FROM min1
 GROUP BY metric, ts // 900 * 900
 HAVING count(avg_v) / 15.0 >= 0.1
 """,
-    doc="resize --aggregate re-binning: 1m -> 15m, xff gate 0.1 "
+    doc="resize --aggregate re-binning: 1m -> 15m, xff gate 0.1, means "
+    "through the sorted float64 fold (full-precision minute means) "
     "(reference: bin/whisper-resize.py:175-198)",
 )
 def q_ws_resize_15m(spark, sf_dir):
+    from .functions import folds
+
     m = min1(spark, sf_dir)
     return (
         m.groupBy("metric", (F.col("ts") - F.col("ts") % 900).alias("ts"))
         .agg(
-            (dsum(F.col("avg_v"), "decimal(25,12)") / F.count("avg_v")).alias("avg_v"),
+            (folds.fsum("avg_v") / F.count("avg_v")).alias("avg_v"),
             F.count("avg_v").alias("known"),
         )
         .filter(F.col("known") / F.lit(15.0) >= 0.1)
@@ -3156,7 +3168,9 @@ win AS (
   FROM slot CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) k
 )
 SELECT metric, w_end AS ts,
-       (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(v) AS moving_avg,
+       CASE WHEN count(v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(v) FILTER (v IS NOT NULL))), (a, x) -> a + x) END
+         / count(v) AS moving_avg,
        count(v) AS n_slots
 FROM win, mx WHERE w_end <= m - 600
 GROUP BY metric, w_end
@@ -3216,7 +3230,9 @@ slot AS (
   FROM raw GROUP BY metric, sec // 60 * 60
 )
 SELECT metric, s // 600 * 600 AS ts,
-       (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value,
+       CASE WHEN count(v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(v) FILTER (v IS NOT NULL))), (a, x) -> a + x) END
+         AS value,
        count(v) AS n_slots
 FROM slot, mx WHERE s // 600 * 600 + 600 <= m - 600
 GROUP BY metric, s // 600 * 600
@@ -3275,7 +3291,9 @@ slot AS (
   FROM raw GROUP BY metric, sec // 60 * 60
 )
 SELECT metric, s // 600 * 600 AS ts,
-       (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE * 60 AS hits,
+       CASE WHEN count(v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(v) FILTER (v IS NOT NULL))), (a, x) -> a + x) END
+         * 60 AS hits,
        count(v) AS n_slots
 FROM slot, mx WHERE s // 600 * 600 + 600 <= m - 600
 GROUP BY metric, s // 600 * 600
@@ -3396,11 +3414,16 @@ win AS (
 ),
 ma AS (
   SELECT metric, w_end AS ts,
-         (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(v) AS mav
+         CASE WHEN count(v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(v) FILTER (v IS NOT NULL))), (a, x) -> a + x) END
+           / count(v) AS mav
   FROM win, mx WHERE w_end <= m - 600
   GROUP BY metric, w_end
 )
-SELECT ts, (sum(CAST(mav AS DECIMAL(25,6)))::VARCHAR)::DOUBLE * 2 AS value
+SELECT ts,
+       CASE WHEN count(mav) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(mav) FILTER (mav IS NOT NULL))), (a, x) -> a + x) END
+         * 2 AS value
 FROM ma GROUP BY ts
 """,
     doc="the COMPOSED streaming render path end to end: the target "
@@ -3454,7 +3477,9 @@ r1 AS (
                 '^prod\.applications\.([^.]+)\.[^.]+\.requests$', 1)
            || '.all.requests' AS metric,
          sec // 60 * 60 AS ts,
-         (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value,
+         CASE WHEN count(value) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(value) FILTER (value IS NOT NULL))),
+           (a, x) -> a + x) END AS value,
          count(value) AS n_points, 60 AS freq
   FROM raw
   WHERE regexp_matches(metric,
@@ -3612,14 +3637,18 @@ _DEC25 = "decimal(25,6)"
                        '^ev\\.(click|view|error)\\.m1$')
 )
 SELECT string_split(metric, '.')[3] AS metric, ts,
-       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value,
+       CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+         (a, x) -> a + x) END AS value,
        count(avg_v) AS n_series
 FROM ser GROUP BY string_split(metric, '.')[3], ts
 """,
     doc="graphite sumSeries over a metric glob: series selected by "
     "'ev.{click,view,error}.m1' (glob_to_regex: * never crosses a dot), "
     "then merged per timestamp via groupByNode — cross-SERIES "
-    "aggregation as one re-keyed groupBy with decimal-exact sums "
+    "aggregation as one re-keyed groupBy through the sorted float64 "
+    "fold: full precision on the derived minute means, deterministic "
+    "under partial-agg reorder "
     "(functions/timeseries.py filter_metrics + group_by_node)",
 )
 def q_ws_sum_series(spark, sf_dir):
@@ -3628,15 +3657,11 @@ def q_ws_sum_series(spark, sf_dir):
     base = min1(spark, sf_dir).select(
         F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
         "ts",
-        F.col("avg_v").cast(_DEC25).alias("value"),
+        F.col("avg_v").alias("value"),
     )
     g = filter_metrics(base, "ev.{click,view,error}.m1")
-    out = group_by_node(g, 2, method="sum")
-    return out.select(
-        "metric", "ts",
-        F.col("value").cast("string").cast("double").alias("value"),
-        "n_series",
-    )
+    out = group_by_node(g, 2, method="sum", float_fold=True)
+    return out.select("metric", "ts", "value", "n_series")
 
 
 @_q(
@@ -3644,27 +3669,31 @@ def q_ws_sum_series(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT metric, ts,
-       ((CAST(avg_v AS DECIMAL(25,6)) * 100)::VARCHAR)::DOUBLE
-         / ((sum(CAST(avg_v AS DECIMAL(25,6))) OVER (PARTITION BY ts))::VARCHAR)::DOUBLE
+       avg_v * 100
+         / (CASE WHEN count(avg_v) OVER (PARTITION BY ts) > 0 THEN
+              list_reduce(list_prepend(0.0::DOUBLE, list_sort(
+                list_filter(list(avg_v) OVER (PARTITION BY ts),
+                            x -> x IS NOT NULL))), (a, x) -> a + x) END)
          AS pct
 FROM min1
 """,
     doc="graphite asPercent(series, total): each series' share of the "
     "per-timestamp total — a window sum partitioned by ts (no join "
-    "needed), numerator and denominator decimal-exact before the one "
-    "double division",
+    "needed).  The per-ts partition has no deterministic row order, so "
+    "the denominator is the sorted float64 fold (functions/folds.py): "
+    "full precision on the derived minute means, order-canonical",
 )
 def q_ws_as_percent(spark, sf_dir):
     from pyspark.sql import Window
 
+    from .functions import folds
+
     base = min1(spark, sf_dir)
-    dec = F.col("avg_v").cast(_DEC25)
     w = Window.partitionBy("ts")
     return base.select(
         "metric", "ts",
         (
-            (dec * 100).cast("string").cast("double")
-            / F.sum(dec).over(w).cast("string").cast("double")
+            (F.col("avg_v") * 100) / folds.fsum_win_sorted(w, "avg_v")
         ).alias("pct"),
     )
 
@@ -3674,25 +3703,26 @@ def q_ws_as_percent(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT metric, ts // 900 * 900 AS ts,
-       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS sum_v,
+       CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+         (a, x) -> a + x) END AS sum_v,
        count(avg_v) AS known
 FROM min1 GROUP BY metric, ts // 900 * 900
 """,
     doc="graphite summarize(series, '15min', 'sum') over the 1m rollup: "
-    "render-side re-binning with no xff gate "
+    "render-side re-binning with no xff gate, sums through the sorted "
+    "float64 fold (full precision on the derived minute means) "
     "(functions/timeseries.py summarize; graphite-web functions.py analog)",
 )
 def q_ws_summarize_15m(spark, sf_dir):
     from .functions.timeseries import summarize
 
     base = min1(spark, sf_dir).select(
-        "metric", "ts", F.col("avg_v").cast(_DEC25).alias("value")
+        "metric", "ts", F.col("avg_v").alias("value")
     )
-    out = summarize(base, ["metric"], 900, method="sum")
+    out = summarize(base, ["metric"], 900, method="sum", float_fold=True)
     return out.select(
-        "metric", "ts",
-        F.col("value").cast("string").cast("double").alias("sum_v"),
-        "known",
+        "metric", "ts", F.col("value").alias("sum_v"), "known"
     )
 
 
@@ -3701,29 +3731,30 @@ def q_ws_summarize_15m(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT metric, ts,
-       (sum(CAST(avg_v AS DECIMAL(25,6))) OVER w::VARCHAR)::DOUBLE
+       (CASE WHEN count(avg_v) OVER w > 0 THEN
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_filter(list(avg_v) OVER w, x -> x IS NOT NULL)),
+            (a, x) -> a + x) END)
          / count(avg_v) OVER w AS mavg
 FROM min1
 WINDOW w AS (PARTITION BY metric ORDER BY ts
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
     doc="graphite movingAverage(series, 5) on the 1m rollup: trailing "
-    "5-point window per series; decimal-exact numerator so the result is "
-    "engine-independent (functions/timeseries.py moving_window)",
+    "5-point window per series.  Spark's plain float64 window SUM adds "
+    "frame rows in order (the naive time-order fold, full precision); "
+    "DuckDB's windowed SUM is segment-tree combined, so the oracle "
+    "mirrors with an explicit frame-order list fold "
+    "(functions/timeseries.py moving_window)",
 )
 def q_ws_moving_avg_5(spark, sf_dir):
-    from pyspark.sql import Window
+    from .functions.timeseries import moving_window
 
-    base = min1(spark, sf_dir)
-    w = Window.partitionBy("metric").orderBy("ts").rowsBetween(-4, 0)
-    dec = F.col("avg_v").cast(_DEC25)
-    return base.select(
-        "metric", "ts",
-        (
-            F.sum(dec).over(w).cast("string").cast("double")
-            / F.count("avg_v").over(w)
-        ).alias("mavg"),
+    base = min1(spark, sf_dir).select(
+        "metric", "ts", F.col("avg_v").alias("value")
     )
+    out = moving_window(base, ["metric"], 5, out_col="mavg")
+    return out.select("metric", "ts", "mavg")
 
 
 @_q(
@@ -3807,37 +3838,34 @@ def q_ws_keep_last_6h(spark, sf_dir):
     + """
 , bounds AS (SELECT max(ts) AS hi FROM min1)
 SELECT metric, ts,
-       (sum(CAST(avg_v AS DECIMAL(25,6))) OVER (
-          PARTITION BY metric ORDER BY ts
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::VARCHAR)::DOUBLE
-         AS running
+       CASE WHEN count(avg_v) OVER w > 0 THEN
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_filter(list(avg_v) OVER w, x -> x IS NOT NULL)),
+           (a, x) -> a + x) END AS running
 FROM min1, bounds WHERE ts > hi - 7200
+WINDOW w AS (PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     doc="graphite integral over the trailing 2h of the 1m rollup: "
-    "cumulative decimal-exact sum per series "
+    "cumulative float64 sum per series — Spark accumulates the running "
+    "frame in time order (graphite's own fold, full precision); the "
+    "oracle mirrors with an explicit frame-order list fold because "
+    "DuckDB's cumulative SUM combines pairwise "
     "(functions/timeseries.py integral)",
 )
 def q_ws_integral_2h(spark, sf_dir):
-    from pyspark.sql import Window
+    from .functions.timeseries import integral
 
     base = min1(spark, sf_dir)
     hi = min1_hi(spark, sf_dir)
-    w = (
-        Window.partitionBy("metric")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    out = integral(
+        base.filter(F.col("ts") > hi - 7200).select(
+            "metric", "ts", F.col("avg_v").alias("value")
+        ),
+        ["metric"],
+        out_col="running",
     )
-    return (
-        base.filter(F.col("ts") > hi - 7200)
-        .select(
-            "metric", "ts",
-            F.sum(F.col("avg_v").cast(_DEC25))
-            .over(w)
-            .cast("string")
-            .cast("double")
-            .alias("running"),
-        )
-    )
+    return out.select("metric", "ts", "running")
 
 
 @_q(
@@ -5012,7 +5040,9 @@ def q_ws_scale_clamp(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT ts,
-       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(avg_v) AS avg_s,
+       CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+         (a, x) -> a + x) END / count(avg_v) AS avg_s,
        max(avg_v) AS max_s,
        min(avg_v) AS min_s,
        max(avg_v) - min(avg_v) AS range_s,
@@ -5021,14 +5051,17 @@ FROM min1 GROUP BY ts
 """,
     doc="graphite averageSeries/maxSeries/minSeries/rangeOfSeries: the "
     "cross-series combine family collapses to ONE groupBy(ts) with "
-    "mixed aggregates — decimal-exact for the order-sensitive average, "
-    "raw for max/min (no float math).  One shuffle keyed on ts "
+    "mixed aggregates — the sorted float64 fold for the order-sensitive "
+    "average (full precision on the derived means), raw for max/min (no "
+    "float math).  One shuffle keyed on ts "
     "(functions/timeseries.py group_by_node generalization)",
 )
 def q_ws_series_combine(spark, sf_dir):
+    from .functions import folds
+
     base = min1(spark, sf_dir)
     return base.groupBy("ts").agg(
-        (dsum(F.col("avg_v")) / F.count("avg_v")).alias("avg_s"),
+        (folds.fsum("avg_v") / F.count("avg_v")).alias("avg_s"),
         F.max("avg_v").alias("max_s"),
         F.min("avg_v").alias("min_s"),
         (F.max("avg_v") - F.min("avg_v")).alias("range_s"),
@@ -5042,7 +5075,9 @@ def q_ws_series_combine(spark, sf_dir):
     + """
 , ser AS (
   SELECT metric,
-         (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(avg_v) AS series_avg
+         CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+           (a, x) -> a + x) END / count(avg_v) AS series_avg
   FROM min1 GROUP BY metric
 ),
 rk AS (
@@ -5065,8 +5100,10 @@ def q_ws_highest_avg_top2(spark, sf_dir):
     from pyspark.sql import Window
 
     base = min1(spark, sf_dir)
+    from .functions import folds
+
     ser = base.groupBy("metric").agg(
-        (dsum(F.col("avg_v")) / F.count("avg_v")).alias("series_avg")
+        (folds.fsum("avg_v") / F.count("avg_v")).alias("series_avg")
     )
     rk = ser.withColumn(
         "rnk",
@@ -5116,24 +5153,25 @@ def q_ws_percentile_series_p50(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT metric, ts // 600 * 600 AS ts,
-       (sum(CAST(avg_v AS DECIMAL(25,6)) * 60)::VARCHAR)::DOUBLE AS hits
+       CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(avg_v * 60) FILTER (avg_v IS NOT NULL))),
+         (a, x) -> a + x) END AS hits
 FROM min1 GROUP BY metric, ts // 600 * 600
 """,
     doc="graphite hitcount(series, '10min'): rate-to-count conversion "
     "(value x step seconds) re-binned to 10-minute buckets; the x60 "
-    "stays in decimal so the re-bin sum is order-independent.  Same "
-    "one-shuffle shape as summarize (functions/timeseries.py summarize)",
+    "products are full-precision doubles, summed via the sorted float64 "
+    "fold so the re-bin is order-deterministic without quantization.  "
+    "Same one-shuffle shape as summarize "
+    "(functions/timeseries.py summarize)",
 )
 def q_ws_hitcount_10m(spark, sf_dir):
+    from .functions import folds
+
     base = min1(spark, sf_dir)
     return (
         base.groupBy("metric", (F.col("ts") - F.col("ts") % 600).alias("ts"))
-        .agg(
-            F.sum(F.col("avg_v").cast(_DEC25) * 60)
-            .cast("string")
-            .cast("double")
-            .alias("hits")
-        )
+        .agg(folds.fsum(F.col("avg_v") * 60).alias("hits"))
     )
 
 
@@ -5185,22 +5223,28 @@ def q_ws_remove_above_p90(spark, sf_dir):
     EVENTS_CTES
     + """
 , tot AS (
-  SELECT metric, (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS total
+  SELECT metric,
+         CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+           (a, x) -> a + x) END AS total
   FROM min1 GROUP BY metric
 )
 SELECT metric, total,
        row_number() OVER (ORDER BY total DESC, metric) AS rnk
 FROM tot QUALIFY rnk <= 3
 """,
-    doc="graphite sortByTotal + limit(3): series ranked by decimal-exact "
-    "total.  The aggregate collapses to one row per series before the "
+    doc="graphite sortByTotal + limit(3): series ranked by sorted-fold "
+    "float64 total (full precision on the derived means).  The aggregate "
+    "collapses to one row per series before the "
     "global sort, so the ORDER BY runs over series count, not points",
 )
 def q_ws_sort_by_total_top3(spark, sf_dir):
     from pyspark.sql import Window
 
+    from .functions import folds
+
     base = min1(spark, sf_dir)
-    tot = base.groupBy("metric").agg(dsum(F.col("avg_v")).alias("total"))
+    tot = base.groupBy("metric").agg(folds.fsum("avg_v").alias("total"))
     return (
         tot.withColumn(
             "rnk",
@@ -5675,7 +5719,9 @@ step AS (
   FROM bounds
 )
 SELECT metric, ts // cstep * cstep AS ts,
-       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(avg_v) AS value,
+       CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+         (a, x) -> a + x) END / count(avg_v) AS value,
        count(avg_v) AS known, max(cstep) AS cstep
 FROM min1, step GROUP BY metric, ts // cstep * cstep
 """,
@@ -5687,13 +5733,15 @@ FROM min1, step GROUP BY metric, ts // cstep * cstep
     "identically; one groupBy like summarize",
 )
 def q_ws_consolidate_800(spark, sf_dir):
+    from .functions import folds
+
     base = min1(spark, sf_dir)
     lo, hi = base.agg(F.min("ts"), F.max("ts")).collect()[0]
     cstep = ((hi - lo + 60) + 800 * 60 - 1) // (800 * 60) * 60
     return (
         base.groupBy("metric", (F.col("ts") - F.col("ts") % cstep).alias("ts"))
         .agg(
-            (dsum(F.col("avg_v")) / F.count("avg_v")).alias("value"),
+            (folds.fsum("avg_v") / F.count("avg_v")).alias("value"),
             F.count("avg_v").alias("known"),
             F.max(F.lit(cstep)).alias("cstep"),
         )
@@ -5840,11 +5888,17 @@ def q_stream_hourly_users_kmv(spark, sf_dir):
   WHERE regexp_matches('ev.' || metric || '.m1', '^ev\\.(click|view|error)\\.m1$')
 ),
 ss AS (
-  SELECT ts, (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value
+  SELECT ts,
+         CASE WHEN count(value) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(value) FILTER (value IS NOT NULL))),
+           (a, x) -> a + x) END AS value
   FROM ser GROUP BY ts
 )
 SELECT 'movingAverage(sumSeries(ev.{click,view,error}.m1), 3)' AS metric, ts,
-       (sum(CAST(value AS DECIMAL(25,6))) OVER w::VARCHAR)::DOUBLE
+       (CASE WHEN count(value) OVER w > 0 THEN
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_filter(list(value) OVER w, x -> x IS NOT NULL)),
+            (a, x) -> a + x) END)
          / count(value) OVER w AS value
 FROM ss
 WINDOW w AS (ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -5852,9 +5906,11 @@ WINDOW w AS (ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     doc="the graphite target LANGUAGE end-to-end: the string "
     "'movingAverage(sumSeries(ev.{click,view,error}.m1), 3)' is parsed "
     "(render.py recursive-descent parser) and evaluated to the composed "
-    "DataFrame plan — glob selection, per-ts decimal-exact series merge, "
-    "trailing-3 moving average.  The oracle replays the same pipeline in "
-    "SQL, so the parser+evaluator path itself is under the bit-exact "
+    "DataFrame plan — glob selection, per-ts sorted-fold series merge "
+    "(full precision), trailing-3 moving average as a plain float64 "
+    "window sum (time-order fold).  The oracle replays the same pipeline "
+    "in SQL with explicit list folds, so the parser+evaluator path "
+    "itself is under the bit-exact "
     "gate (render.py evaluate_target; public graphite-web target syntax)",
 )
 def q_ws_render_target(spark, sf_dir):
@@ -5880,11 +5936,17 @@ def q_ws_render_target(spark, sf_dir):
   SELECT 'ev.' || metric || '.m1' AS metric, ts, avg_v AS value FROM min1
 ),
 e AS (
-  SELECT ts, (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS a
+  SELECT ts,
+         CASE WHEN count(value) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(value) FILTER (value IS NOT NULL))),
+           (a, x) -> a + x) END AS a
   FROM ser WHERE metric = 'ev.error.m1' GROUP BY ts
 ),
 cv AS (
-  SELECT ts, (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS b
+  SELECT ts,
+         CASE WHEN count(value) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(value) FILTER (value IS NOT NULL))),
+           (a, x) -> a + x) END AS b
   FROM ser WHERE metric IN ('ev.click.m1', 'ev.view.m1') GROUP BY ts
 )
 SELECT 'error_ratio' AS metric, e.ts AS ts,
@@ -5925,7 +5987,9 @@ def q_ws_render_target_ratio(spark, sf_dir):
 ),
 avgs AS (
   SELECT metric,
-         (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(value) AS a
+         CASE WHEN count(value) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(value) FILTER (value IS NOT NULL))),
+           (a, x) -> a + x) END / count(value) AS a
   FROM ser GROUP BY metric
 ),
 kept AS (
@@ -6225,8 +6289,12 @@ mo AS (
          count(*) AS n,
          CAST(sum(t) AS BIGINT) AS st,
          CAST(sum(t * t) AS BIGINT) AS stt,
-         (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS sv,
-         (sum(CAST(t AS DECIMAL(12,0)) * CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS stv,
+         CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+           (a, x) -> a + x) END AS sv,
+         CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(t * avg_v) FILTER (avg_v IS NOT NULL))),
+           (a, x) -> a + x) END AS stv,
          min(ts) AS t0, max(ts) AS t1
   FROM rel GROUP BY metric
 )
@@ -6239,12 +6307,13 @@ FROM mo
 """,
     doc="graphite linearRegression: per-series ordinary least squares "
     "over the trailing 48h, plus the one-step-ahead forecast.  Times are "
-    "re-based to the window start so every moment (n, sum t, sum t^2, "
-    "decimal sum v, decimal sum t*v) accumulates EXACTLY in "
-    "int64/decimal; slope and intercept are then a fixed IEEE sequence "
-    "over those exact moments, identical in both engines.  One "
-    "partial-aggregated groupBy per series — scan-speed at any series "
-    "count",
+    "re-based to the window start so the integer moments (n, sum t, "
+    "sum t^2) accumulate EXACTLY in int64; the float moments (sum v, "
+    "sum t*v) go through the sorted float64 fold — full precision on "
+    "the derived minute means, deterministic under partial-agg reorder; "
+    "slope and intercept are then a fixed IEEE sequence over those "
+    "moments, identical in both engines.  One partial-aggregated "
+    "groupBy per series — scan-speed at any series count",
 )
 def q_ws_linear_regression(spark, sf_dir):
     from pyspark.sql import Window
@@ -6256,15 +6325,14 @@ def q_ws_linear_regression(spark, sf_dir):
         "metric", "ts", "avg_v",
         (F.col("ts") - F.min("ts").over(Window.partitionBy("metric"))).alias("t"),
     )
+    from .functions import folds
+
     mo = rel.groupBy("metric").agg(
         F.count("*").alias("n"),
         F.sum("t").alias("st"),
         F.sum(F.col("t") * F.col("t")).alias("stt"),
-        dsum(F.col("avg_v")).alias("sv"),
-        F.sum(F.col("t").cast("decimal(12,0)") * F.col("avg_v").cast(_DEC25))
-        .cast("string")
-        .cast("double")
-        .alias("stv"),
+        folds.fsum("avg_v").alias("sv"),
+        folds.fsum(F.col("t") * F.col("avg_v")).alias("stv"),
         F.min("ts").alias("t0"),
         F.max("ts").alias("t1"),
     )
@@ -6862,7 +6930,9 @@ sm AS (
 ),
 avgs AS (
   SELECT metric,
-         (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(value) AS a
+         CASE WHEN count(value) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(value) FILTER (value IS NOT NULL))),
+           (a, x) -> a + x) END / count(value) AS a
   FROM sm GROUP BY metric
 ),
 rk AS (
@@ -7242,7 +7312,9 @@ def q_doc_dup_triangles(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT metric, (ts % 86400) // 3600 AS hour_of_day,
-       (sum(CAST(avg_v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(avg_v)
+       CASE WHEN count(avg_v) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(avg_v) FILTER (avg_v IS NOT NULL))),
+         (a, x) -> a + x) END / count(avg_v)
          AS hour_mean,
        max(avg_v) AS hour_max,
        count(*) AS n_slots
@@ -7256,10 +7328,12 @@ FROM min1 GROUP BY metric, (ts % 86400) // 3600
     "is the broadcastable profile that anomaly scoring joins against",
 )
 def q_ws_seasonal_profile(spark, sf_dir):
+    from .functions import folds
+
     base = min1(spark, sf_dir)
     hod = ((F.col("ts") % 86400) / 3600).cast("long")
     return base.groupBy("metric", hod.alias("hour_of_day")).agg(
-        (dsum(F.col("avg_v")) / F.count("avg_v")).alias("hour_mean"),
+        (folds.fsum("avg_v") / F.count("avg_v")).alias("hour_mean"),
         F.max("avg_v").alias("hour_max"),
         F.count("*").alias("n_slots"),
     )
@@ -7727,7 +7801,10 @@ def q_ev_attribution_latency(spark, sf_dir):
     EVENTS_CTES
     + """
 SELECT metric, ts,
-       (sum(CAST(avg_v AS DECIMAL(25,6))) OVER w::VARCHAR)::DOUBLE
+       (CASE WHEN count(avg_v) OVER w > 0 THEN
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_filter(list(avg_v) OVER w, x -> x IS NOT NULL)),
+            (a, x) -> a + x) END)
          / count(avg_v) OVER w AS mavg_1h,
        count(avg_v) OVER w AS n_in_frame
 FROM min1
@@ -7738,8 +7815,10 @@ WINDOW w AS (PARTITION BY metric ORDER BY ts
     "3600 PRECEDING) — on an irregular/sparse series this is the correct "
     "'last hour' semantics where a ROWS frame silently widens its time "
     "span; n_in_frame exposes how many slots each frame actually held.  "
-    "Same decimal-exact accumulation as the ROWS variant "
-    "(ws_moving_avg_5); per-series sort, no global shuffle",
+    "Spark adds the ordered frame's rows in time order (plain float64 "
+    "sum = naive fold, full precision); the oracle mirrors with an "
+    "explicit frame-order list fold, like ws_moving_avg_5.  Per-series "
+    "sort, no global shuffle",
 )
 def q_ws_moving_avg_1h_range(spark, sf_dir):
     from pyspark.sql import Window
@@ -7750,12 +7829,10 @@ def q_ws_moving_avg_1h_range(spark, sf_dir):
         .orderBy("ts")
         .rangeBetween(-3600, 0)
     )
-    dec = F.col("avg_v").cast(_DEC25)
     return base.select(
         "metric", "ts",
         (
-            F.sum(dec).over(w).cast("string").cast("double")
-            / F.count("avg_v").over(w)
+            F.sum("avg_v").over(w) / F.count("avg_v").over(w)
         ).alias("mavg_1h"),
         F.count("avg_v").over(w).alias("n_in_frame"),
     )
@@ -7858,23 +7935,28 @@ best AS (
   ) WHERE rn = 1
 )
 SELECT centroid, count(*) AS n_vecs,
-       (sum(CAST(dist2 AS DECIMAL(25,6)))::VARCHAR)::DOUBLE / count(*) AS mean_dist2,
+       CASE WHEN count(dist2) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(dist2) FILTER (dist2 IS NOT NULL))),
+         (a, x) -> a + x) END / count(*) AS mean_dist2,
        max(dist2) AS max_dist2
 FROM best GROUP BY centroid
 """,
     doc="IVF index balance report: per-bucket vector count and mean/max "
     "assignment distance — the skew diagnostic that decides when to "
     "retrain centroids or split hot buckets (a skewed bucket is a "
-    "straggler task at probe time).  dist2 goes through decimal for the "
-    "order-independent mean; one aggregate over the narrow assignment",
+    "straggler task at probe time).  dist2 is a full-precision distance, "
+    "so the mean goes through the sorted float64 fold (order-"
+    "deterministic, no quantization); one aggregate over the narrow "
+    "assignment",
 )
 def q_emb_ivf_bucket_stats(spark, sf_dir):
+    from .functions import folds
     from .operators.similarity import ivf_assign
 
     asg = ivf_assign(load(spark, sf_dir, "embeddings"), n_buckets=16)
     return asg.groupBy("centroid").agg(
         F.count("*").alias("n_vecs"),
-        (dsum(F.col("dist2")) / F.count("*")).alias("mean_dist2"),
+        (folds.fsum("dist2") / F.count("*")).alias("mean_dist2"),
         F.max("dist2").alias("max_dist2"),
     )
 
@@ -8316,15 +8398,17 @@ def q_stream_near_dedup(spark, sf_dir):
   FROM min1
 )
 SELECT dc AS metric, ts,
-       (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value
+       CASE WHEN count(value) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(value) FILTER (value IS NOT NULL))),
+         (a, x) -> a + x) END AS value
 FROM tagged GROUP BY dc, ts
 """,
     doc="sixth target-language gate — graphite 1.1 TAG queries end to "
     "end: the minute rollup is renamed to carbon tagged form "
     "(srv.load;dc=...;host=...), then groupByTags(seriesByTag("
     "'name=srv.load', 'dc=~(east|west)'), 'sum', 'dc') filters by tag "
-    "expression and re-keys on the dc tag value with the decimal-exact "
-    "sum (render.py seriesByTag/groupByTags)",
+    "expression and re-keys on the dc tag value with the sorted-fold "
+    "float64 sum (render.py seriesByTag/groupByTags)",
 )
 def q_ws_render_target_tags(spark, sf_dir):
     from .render import evaluate_target
@@ -8817,7 +8901,10 @@ win AS (
 ),
 fin AS (SELECT metric, ts, value FROM win, mx WHERE ts + 60 <= m - 600),
 ss AS (
-  SELECT ts, (sum(CAST(value AS DECIMAL(25,6)))::VARCHAR)::DOUBLE AS value
+  SELECT ts,
+         CASE WHEN count(value) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(value) FILTER (value IS NOT NULL))),
+           (a, x) -> a + x) END AS value
   FROM fin GROUP BY ts
 )
 SELECT 'sumSeries(ev.{click,view,error}.m1)' AS metric, ts,
@@ -8832,8 +8919,8 @@ FROM ss
     "Batch-local evaluation is exact for the stream-safe subset because "
     "append-mode finalization is watermark-atomic: all series' windows "
     "for a ts emit in the same batch (streaming/render.py module doc).  "
-    "The oracle replays rollup -> watermark cut -> decimal cross-series "
-    "sum -> scale",
+    "The oracle replays rollup -> watermark cut -> sorted-fold "
+    "cross-series sum -> scale",
 )
 def q_stream_render_target(spark, sf_dir):
     import tempfile
@@ -9115,21 +9202,22 @@ cells AS (
 ),
 agg AS (
   SELECT i, j, count(*) AS n,
-         (sum(CAST(floor(xi * xj * 1e12) AS DECIMAL(38,0)))::VARCHAR)::DOUBLE
-           / 1e12 AS sxy,
-         (sum(CAST(floor(xi * 1e12) AS DECIMAL(38,0)))::VARCHAR)::DOUBLE
-           / 1e12 AS sxi,
-         (sum(CAST(floor(xj * 1e12) AS DECIMAL(38,0)))::VARCHAR)::DOUBLE
-           / 1e12 AS sxj
+         CASE WHEN count(*) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(xi * xj))), (a, x) -> a + x) END AS sxy,
+         CASE WHEN count(*) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(xi))), (a, x) -> a + x) END AS sxi,
+         CASE WHEN count(*) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(xj))), (a, x) -> a + x) END AS sxj
   FROM cells GROUP BY i, j
 )
 SELECT i, j, sxy / n - (sxi / n) * (sxj / n) AS cov FROM agg
 """,
     doc="population covariance of the embedding space, the PCA/whitening "
     "input: one pass, no join — each row expands to its upper-triangle "
-    "products via a nested JVM transform, one groupBy((i,j)) with "
-    "map-side combine reduces the shuffle to partitions x d^2/2 at any "
-    "corpus size.  Decimal accumulation keeps it bit-deterministic "
+    "products via a nested JVM transform, one groupBy((i,j)).  The "
+    "moments go through the sorted float64 fold — full precision "
+    "(round 5's floor(x*1e12) fixed-point route quantized at 1e-12) and "
+    "order-deterministic "
     "(operators/similarity.py embedding_covariance; pca_project builds "
     "on it with a driver-side eigh on the bounded d x d literal)",
 )
@@ -9532,7 +9620,10 @@ def q_doc_curation_pipeline_v2(spark, sf_dir):
 , tr AS (
   SELECT metric, ts, avg_v AS value,
          CASE WHEN count(avg_v) OVER w = 61 THEN
-           ((sum(CAST(avg_v AS DECIMAL(25,6))) OVER w)::VARCHAR)::DOUBLE
+           (CASE WHEN count(avg_v) OVER w > 0 THEN
+              list_reduce(list_prepend(0.0::DOUBLE,
+                list_filter(list(avg_v) OVER w, x -> x IS NOT NULL)),
+                (a, x) -> a + x) END)
              / count(avg_v) OVER w END AS trend
   FROM min1
   WINDOW w AS (PARTITION BY metric ORDER BY ts
@@ -9545,7 +9636,9 @@ det AS (
 ),
 ph AS (
   SELECT metric, phase,
-         ((sum(CAST(d AS DECIMAL(25,6))))::VARCHAR)::DOUBLE / count(d)
+         CASE WHEN count(d) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(d) FILTER (d IS NOT NULL))),
+           (a, x) -> a + x) END / count(d)
            AS seasonal
   FROM det GROUP BY metric, phase
 )
@@ -9558,8 +9651,10 @@ FROM det LEFT JOIN ph ON det.metric = ph.metric AND det.phase = ph.phase
     "(hourly season, 60 slots): centered full-window moving mean as "
     "trend, per-phase mean of the detrended values as the seasonal "
     "component, residual remainder — value = trend + seasonal + resid "
-    "where the trend window is complete.  Decimal means keep it "
-    "bit-deterministic; one ordered window pass + one phase groupBy "
+    "where the trend window is complete.  The trend is a plain float64 "
+    "window mean (Spark adds the ordered frame in time order; the "
+    "oracle mirrors with a frame-order list fold); the phase mean goes "
+    "through the sorted float64 fold — full precision, deterministic "
     "(functions/timeseries.py seasonal_decompose)",
 )
 def q_ws_seasonal_decompose(spark, sf_dir):
@@ -10011,6 +10106,13 @@ _DRIVER_WINDOW_PROMOTE = [
     # streaming max rollup) enter the driver window
     "ws_seasonal_decompose", "ws_cusum_alarms",
     "doc_curation_pipeline_v2", "emb_pq_recall", "stream_rollup_1m_max",
+    # round-6 rotation: the round-5 flagships enter the driver window —
+    # the composed chained streaming render path, the carbon-aggregator
+    # rule engine, the trained-IVF recall gate, and the two chained
+    # multi-stateful render ports (judge task 3, round 6)
+    "stream_render_composed", "stream_carbon_aggregator",
+    "emb_ivf_recall_trained", "stream_render_moving_avg",
+    "stream_render_derivative",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -10027,6 +10129,15 @@ _DRIVER_WINDOW_DEMOTE = [
     # documented in README.md
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_change", "q4_priority_exists", "q10_returned_items",
+    # round-6 demotions — commoditized per-row/count shapes whose
+    # machinery is fully covered by in-window siblings (same coverage
+    # contract: tests/test_demoted_window.py + the full sweep):
+    # pivot/count (ev_daily_type_pivot), token count agg
+    # (doc_top_bigrams), per-row hashes/stats (doc_fingerprint,
+    # doc_token_stats), and the 2-round kmeans superseded by the
+    # in-window trained-IVF gate (emb_kmeans2)
+    "ev_daily_type_pivot", "doc_top_bigrams", "doc_fingerprint",
+    "doc_token_stats", "emb_kmeans2",
 ]
 
 

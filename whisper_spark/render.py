@@ -18,9 +18,27 @@ Evaluation contract: every node evaluates to a **series frame** — a
 DataFrame with columns ``(metric STRING, ts LONG, value DOUBLE)`` — and
 every function is a pure DataFrame transformation (window / groupBy /
 projection; ``exponentialMovingAverage`` routes to the applyInPandas
-recurrence).  Aggregating functions accumulate in DECIMAL and round-trip
-through string like the rest of the engine (see queries.py determinism
-rules), so parsed pipelines stay bit-reproducible and oracle-checkable.
+recurrence).
+
+Float-sum determinism (round-6 rules — the decimal(25,6) route this
+module used through round 5 ROUNDED every addend to 1e-6, which silently
+diverged from graphite float semantics for any upstream transform
+producing full-precision doubles: sqrt/log/pow/divideSeries; see
+tests/test_render_decimal_regression.py):
+
+* **Ordered window frames** (moving windows, running integrals) use a
+  plain float64 ``SUM`` — Spark evaluates window frames by adding rows
+  in frame order, so the result is the naive time-order fold, exactly
+  graphite's ``safeSum`` order, at full precision.  The DuckDB oracles
+  mirror it with an explicit frame-order ``list_reduce`` fold (DuckDB's
+  built-in windowed SUM uses pairwise/segment-tree combination and is
+  NOT bit-identical to the naive fold — verified empirically).
+* **Unordered groups** (cross-series combine per ts, summarize buckets)
+  fold the value-SORTED array left-to-right in float64: deterministic
+  under any partial-aggregation or row order, full precision, and
+  exactly mirrorable in SQL (``list_sort`` + fold).  The canonical
+  order is by value, a documented deviation from graphite's
+  series-list order that can differ only in final-ulp rounding.
 """
 
 from __future__ import annotations
@@ -31,9 +49,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .functions import folds
 from .functions import timeseries as TS
-
-_DEC = "decimal(25,6)"
 
 #: driver-side expansion guard for the per-series render functions
 #: (applyByNode / aliasQuery evaluate one sub-target per matched
@@ -244,8 +261,16 @@ def parse_duration(s: str | int) -> int:
 # --------------------------------------------------------------------- #
 
 
-def _dsum(col):
-    return F.sum(F.col(col).cast(_DEC)).cast("string").cast("double")
+def _fsum(col):
+    """Order-canonical full-precision float sum for an UNORDERED group
+    (see functions/folds.py)."""
+    return folds.fsum(col)
+
+
+def _fsum_win(w, col="value"):
+    """Sorted float fold over a window whose frame has NO deterministic
+    row order (e.g. partitionBy(ts) with no ORDER BY)."""
+    return folds.fsum_win_sorted(w, col)
 
 
 def _series_label(df: DataFrame, label: str) -> DataFrame:
@@ -255,14 +280,15 @@ def _series_label(df: DataFrame, label: str) -> DataFrame:
 def _agg_expr(how: str):
     """Aggregate Column for a cross-series combine group — the shared
     dispatch behind sumSeries/averageSeries/aggregate()/groupByNodes().
-    Sums and averages accumulate in DECIMAL (engine determinism rules);
+    Sums and averages fold the value-sorted array in float64 (module
+    determinism rules — full precision, order-canonical);
     ``median`` is graphite's safeMedian (average of the two middle
     stored values for even counts); ``diff``/``last`` resolve list
     order as metric-name order, the order a glob fetch produces."""
     if how == "sum":
-        return _dsum("value")
+        return _fsum("value")
     if how in ("avg", "average"):
-        return _dsum("value") / F.count("value")
+        return _fsum("value") / F.count("value")
     if how == "max":
         return F.max("value")
     if how == "min":
@@ -303,7 +329,7 @@ def _agg_expr(how: str):
         first = F.min_by(
             "value", F.when(F.col("value").isNotNull(), F.col("metric"))
         )
-        return first - (_dsum("value") - first)
+        return first - (_fsum("value") - first)
     raise TargetSyntaxError(f"unknown aggregate function {how!r}")
 
 
@@ -320,9 +346,9 @@ def _summarize(df: DataFrame, step: int, how: str, bucket=None) -> DataFrame:
     ).alias("ts")
     g = df.groupBy("metric", b)
     if how == "sum":
-        agg = _dsum("value")
+        agg = _fsum("value")
     elif how in ("avg", "average"):
-        agg = _dsum("value") / F.count("value")
+        agg = _fsum("value") / F.count("value")
     elif how == "max":
         agg = F.max("value")
     elif how == "min":
@@ -365,10 +391,8 @@ def _xff_gate(val, w, n: int, xff: float | None):
 
 def _moving_avg(df: DataFrame, n: int, xff: float | None = None) -> DataFrame:
     w = _sw(int(n))
-    val = (
-        F.sum(F.col("value").cast(_DEC)).over(w).cast("string").cast("double")
-        / F.count("value").over(w)
-    )
+    # ordered frame: plain float64 sum IS the naive time-order fold
+    val = F.sum("value").over(w) / F.count("value").over(w)
     return df.select(
         "metric", "ts", _xff_gate(val, w, n, xff).alias("value")
     )
@@ -376,7 +400,7 @@ def _moving_avg(df: DataFrame, n: int, xff: float | None = None) -> DataFrame:
 
 def _top_by_avg(df: DataFrame, n: int) -> DataFrame:
     ser = df.groupBy("metric").agg(
-        (_dsum("value") / F.count("value")).alias("_avg")
+        (_fsum("value") / F.count("value")).alias("_avg")
     )
     rk = ser.withColumn(
         "_rk", F.row_number().over(Window.orderBy(F.desc("_avg"), F.asc("metric")))
@@ -387,7 +411,7 @@ def _top_by_avg(df: DataFrame, n: int) -> DataFrame:
 
 
 def _sort_by_total(df: DataFrame, n: int | None) -> DataFrame:
-    tot = df.groupBy("metric").agg(_dsum("value").alias("_tot"))
+    tot = df.groupBy("metric").agg(_fsum("value").alias("_tot"))
     rk = tot.withColumn(
         "_rk", F.row_number().over(Window.orderBy(F.desc("_tot"), F.asc("metric")))
     )
@@ -429,9 +453,9 @@ def _series_stat(func: str):
     """Per-series scalar statistic (one row per metric after groupBy) —
     the key function behind filterSeries/highest/lowest/aggregateLine."""
     if func in ("average", "avg"):
-        return _dsum("value") / F.count("value")
+        return _fsum("value") / F.count("value")
     if func in ("sum", "total"):
-        return _dsum("value")
+        return _fsum("value")
     if func == "max":
         return F.max("value")
     if func == "min":
@@ -632,12 +656,12 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         first = (
             series()
             .groupBy("ts")
-            .agg(_dsum("value").alias("_a"))
+            .agg(_fsum("value").alias("_a"))
         )
         rest = (
             all_series(1)
             .groupBy("ts")
-            .agg(_dsum("value").alias("_b"))
+            .agg(_fsum("value").alias("_b"))
         )
         return (
             first.join(rest, "ts", "left")
@@ -647,8 +671,8 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             )
         )
     if name == "divideSeries":
-        dividend = series().groupBy("ts").agg(_dsum("value").alias("_a"))
-        divisor = series(1).groupBy("ts").agg(_dsum("value").alias("_b"))
+        dividend = series().groupBy("ts").agg(_fsum("value").alias("_a"))
+        divisor = series(1).groupBy("ts").agg(_fsum("value").alias("_b"))
         return (
             dividend.join(divisor, "ts", "left")
             .select(
@@ -697,9 +721,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             base = _series_step_col(base)
         scaled = base.withColumn(
             "value",
-            (F.col("value").cast(_DEC) * F.col("_step"))
-            .cast("string")
-            .cast("double"),
+            F.col("value") * F.col("_step"),
         ).select("metric", "ts", "value")
         return _summarize(scaled, bucket, "sum")
     if name == "movingAverage":
@@ -710,10 +732,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         xf = float(args[2]) if len(args) > 2 else None
         w = _sw(n)
         if name == "movingSum":
-            val = (
-                F.sum(F.col("value").cast(_DEC)).over(w)
-                .cast("string").cast("double")
-            )
+            val = F.sum("value").over(w)
         elif name == "movingMax":
             val = F.max("value").over(w)
         elif name == "movingMin":
@@ -756,7 +775,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
                         F.col("_a") / F.col("_b") * 100.0,
                     ).alias("value"),
                 )
-            totals = tot_df.groupBy("ts").agg(_dsum("value").alias("_tot"))
+            totals = tot_df.groupBy("ts").agg(_fsum("value").alias("_tot"))
             return (
                 df.join(totals, "ts", "left")
                 .select(
@@ -768,11 +787,9 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
                 )
             )
         else:
+            # unordered per-ts partition: sorted fold for determinism
             w = Window.partitionBy("ts")
-            tot = (
-                F.sum(F.col("value").cast(_DEC)).over(w)
-                .cast("string").cast("double")
-            )
+            tot = _fsum_win(w)
         return df.select(
             "metric", "ts",
             F.when(tot != 0.0, F.col("value") / tot * 100.0).alias("value"),
@@ -828,11 +845,11 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             )
         return TS.keep_last_value(series(), ["metric"])
     if name == "integral":
-        dec = series().withColumn("value", F.col("value").cast(_DEC))
-        out = TS.integral(dec, ["metric"], out_col="_r")
+        # ordered running frame: plain float64 running sum = graphite's
+        # time-order accumulation at full precision
+        out = TS.integral(series(), ["metric"], out_col="_r")
         return out.select(
-            "metric", "ts",
-            F.col("_r").cast("string").cast("double").alias("value"),
+            "metric", "ts", F.col("_r").alias("value")
         )
     if name == "timeShift":
         # graphite parseTimeOffset: no sign or '-' means "back in time"
@@ -1017,7 +1034,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         n = float(need(1, "n"))
         df = series()
         if name.startswith("average"):
-            stat = (_dsum("value") / F.count("value")).alias("_s")
+            stat = (_fsum("value") / F.count("value")).alias("_s")
         elif name.startswith("current"):
             stat = F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))).alias("_s")
         elif name.startswith("maximum"):
@@ -1035,7 +1052,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         if name == "highestMax":
             stat = F.max("value").alias("_s")
         elif name == "lowestAverage":
-            stat = (_dsum("value") / F.count("value")).alias("_s")
+            stat = (_fsum("value") / F.count("value")).alias("_s")
         else:
             stat = F.max_by(
                 "value", F.when(F.col("value").isNotNull(), F.col("ts"))
@@ -1148,7 +1165,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             p = 100.0 - p
         df = series()
         avgs = df.groupBy("metric").agg(
-            (_dsum("value") / F.count("value")).alias("_avg")
+            (_fsum("value") / F.count("value")).alias("_avg")
         )
         w = Window.orderBy("_avg", "metric")
         rk = avgs.select(
@@ -1297,9 +1314,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             prod.groupBy("ts")
             .agg(
                 (
-                    F.sum((F.col("_a") * F.col("_w")).cast(_DEC))
-                    .cast("string").cast("double")
-                    / F.sum(F.col("_w").cast(_DEC)).cast("string").cast("double")
+                    _fsum(F.col("_a") * F.col("_w")) / _fsum("_w")
                 ).alias("value")
             )
             .select(F.lit(label).alias("metric"), "ts", "value")
@@ -1356,8 +1371,8 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         )
         return series().select(
             "metric", "ts",
-            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast(_DEC)).over(w)
-            .cast("string").cast("double").alias("value"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).over(w)
+            .alias("value"),
         )
     if name == "smartSummarize":
         # summarize with buckets aligned to each series' own start,
@@ -1550,10 +1565,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         if how in ("average", "avg"):
             return _moving_avg(series(), n, xf)
         if how == "sum":
-            val = (
-                F.sum(F.col("value").cast(_DEC)).over(w)
-                .cast("string").cast("double")
-            )
+            val = F.sum("value").over(w)
         elif how == "max":
             val = F.max("value").over(w)
         elif how == "min":

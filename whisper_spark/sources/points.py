@@ -70,21 +70,36 @@ def read_points_pickle(spark: SparkSession, path: str) -> DataFrame:
         return _SafeUnpickler(io.BytesIO(b)).load()
 
     def parse(item):
-        _p, blob = item
+        path_, blob = item
         payloads = []
         off = 0
         # carbon framing: !L length + payload, repeated
         while off + 4 <= len(blob):
             (n,) = struct.unpack("!L", blob[off:off + 4])
             if n == 0 or off + 4 + n > len(blob):
+                # length header runs past EOF (or is zero): a truncated
+                # tail / trailing garbage such as a text-mode newline —
+                # stop framing; NOT an error by itself
                 break
             try:
                 payloads.append(_loads(blob[off + 4:off + 4 + n]))
-            except Exception:
+            except Exception as exc:
+                if payloads:
+                    # a COMPLETE frame mid-file failed to unpickle:
+                    # silently dropping it (and everything after) would
+                    # make partial ingestion look like success (advisor
+                    # finding, round 6) — fail loudly with the location
+                    raise ValueError(
+                        f"corrupt carbon pickle frame in {path_} at "
+                        f"byte offset {off} (length {n}): {exc!r}; "
+                        f"{len(blob) - off} framed bytes would be lost"
+                    ) from exc
+                # first frame undecodable -> maybe not framed at all;
+                # fall through to the bare-pickle path below
                 break
             off += 4 + n
-        # frames parsed -> use them (tolerate trailing garbage such as a
-        # text-mode newline); nothing framed -> the file is a bare pickle
+        # frames parsed -> use them; nothing framed -> the file is a
+        # bare pickle
         if not payloads:
             payloads = [_loads(blob)]
         out = []

@@ -1486,7 +1486,6 @@ def fetch_federated(
             else max(ti[2] for (_i, _s, (ti, _df)) in natives)
         )
     parts = []
-    ti_native = None
     bucket_lo = None
     bucket_hi = None
     for i, s, (ti, df) in natives:
@@ -1551,8 +1550,6 @@ def fetch_federated(
                         f"requested step ({step}s)")
                 )
                 continue
-        if native == step and ti_native is None:
-            ti_native = (lo, hi, step)
         bucket_lo = lo if bucket_lo is None else min(bucket_lo, lo)
         bucket_hi = hi if bucket_hi is None else max(bucket_hi, hi)
         parts.append(
@@ -1565,7 +1562,13 @@ def fetch_federated(
         log.warning("fetch_federated: store #%d excluded: %s", i, reason)
     if not parts:
         return None
-    ti_out = ti_native if ti_native is not None else (bucket_lo, bucket_hi, step)
+    # the interval is the UNION of every included store's coverage —
+    # pinning it to the FIRST native-step store silently discarded a
+    # sibling store's wider retention at the same step (advisor finding,
+    # round 6); bucket_lo/bucket_hi already track the union and every
+    # store's bounds are step-aligned, so the dense-timeline contract
+    # ((from, until, step), df) still holds
+    ti_out = (bucket_lo, bucket_hi, step)
     allp = parts[0]
     for d in parts[1:]:
         allp = allp.unionByName(d)

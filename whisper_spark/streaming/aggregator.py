@@ -28,6 +28,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import folds
+
 _RULE_RE = re.compile(
     r"^\s*(?P<out>\S+)\s*\((?P<freq>\d+)\)\s*=\s*(?P<method>\w+)\s+(?P<inp>\S+)\s*$"
 )
@@ -46,41 +48,68 @@ class AggregationRule:
 
     @property
     def regex(self) -> str:
-        """The input pattern as an anchored regex: ``<name>`` -> a
-        capture of one dot-segment (PLAIN numbered groups — Java regex
-        rejects Python's ``(?P<...>)`` and the same string must run in
-        Spark AND any SQL oracle engine), ``*`` -> one uncaptured
-        segment (carbon's RuleManager translation of the grammar)."""
+        """The input pattern as an anchored regex — carbon RuleManager's
+        FULL translation (carbon/aggregator/rules.py, public conf
+        grammar), with PLAIN numbered groups (Java regex rejects
+        Python's ``(?P<...>)`` and the same string must run in Spark AND
+        any SQL oracle engine):
+
+        * ``<<name>>`` -> ``(.+)``  — a multi-SEGMENT capture (crosses
+          dots), with any literal text before/after it in the segment;
+        * ``<name>``   -> ``([^.]+)`` — one dot-segment, again honoring
+          pre/post text inside the segment (``cpu<n>.total``);
+        * a bare ``*`` segment -> ``[^.]+`` (one non-empty segment);
+        * ``*`` embedded in a segment -> ``[^.]*`` (carbon's glob);
+        * other segment text passes through verbatim, exactly like
+          RuleManager (it does NOT escape literals — conf authors may
+          use raw regex fragments inside a segment).
+
+        Round-5 advisor finding: the old translation treated ``<<f>>``
+        as single-segment, silently literalized partial-segment captures
+        (a rule that matched nothing), and mapped embedded ``*`` to
+        ``[^.]+``."""
         parts = []
         for seg in self.input_pattern.split("."):
-            if seg.startswith("<") and seg.endswith(">"):
-                parts.append("([^.]+)")
+            if "<<" in seg and ">>" in seg:
+                i, j = seg.find("<<"), seg.find(">>")
+                parts.append(f"{seg[:i]}(.+){seg[j + 2:]}")
+                continue
+            i, j = seg.find("<"), seg.find(">")
+            if -1 < i < j:
+                parts.append(f"{seg[:i]}([^.]+){seg[j + 1:]}")
+            elif seg == "*":
+                parts.append("[^.]+")
             else:
-                parts.append(re.escape(seg).replace(r"\*", "[^.]+"))
+                parts.append(seg.replace("*", "[^.]*"))
         return "^" + r"\.".join(parts) + "$"
 
-    def group_index(self, name: str) -> int:
-        """1-based capture index of ``<name>`` — order of appearance in
-        the input pattern."""
-        fields = [
-            seg[1:-1]
-            for seg in self.input_pattern.split(".")
-            if seg.startswith("<") and seg.endswith(">")
+    def _field_names(self) -> list[str]:
+        """Capture field names in order of appearance, both forms."""
+        return [
+            a or b
+            for a, b in re.findall(
+                r"<<([^<>]+)>>|<([^<>]+)>", self.input_pattern
+            )
         ]
-        return fields.index(name) + 1
+
+    def group_index(self, name: str) -> int:
+        """1-based capture index of ``<name>``/``<<name>>`` — order of
+        appearance in the input pattern."""
+        return self._field_names().index(name) + 1
 
     def output_metric_expr(self, metric_col: str = "metric"):
         """Column producing the rewritten output metric: template
         literals concatenated with the captured ``<field>`` segments."""
         rx = self.regex
         pieces = []
-        for i, tok in enumerate(re.split(r"(<[^>]+>)", self.output_template)):
+        for tok in re.split(r"(<<[^<>]+>>|<[^<>]+>)", self.output_template):
             if not tok:
                 continue
             if tok.startswith("<") and tok.endswith(">"):
+                name = tok.strip("<>")
                 pieces.append(
                     F.regexp_extract(
-                        F.col(metric_col), rx, self.group_index(tok[1:-1])
+                        F.col(metric_col), rx, self.group_index(name)
                     )
                 )
             else:
@@ -116,14 +145,14 @@ def parse_aggregation_rules(text: str) -> list[AggregationRule]:
 
 
 def _method_agg(method: str):
+    # sums/averages: sorted float64 fold (functions/folds.py) — full
+    # precision AND replay/merge-order deterministic; the state holds the
+    # window's value list (bounded by points-per-bucket), the fold is a
+    # scalar post-projection over the finalized list
     if method == "sum":
-        return F.sum(F.col("value").cast("decimal(25,6)")) \
-            .cast("string").cast("double")
+        return folds.fsum("value")
     if method == "avg":
-        return (
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("string").cast("double") / F.count("value")
-        )
+        return folds.fsum("value") / F.count("value")
     if method == "max":
         return F.max("value")
     if method == "min":

@@ -57,26 +57,57 @@ STREAM_SAFE = frozenset({
 })
 
 
-def validate_stream_target(node) -> None:
+def validate_stream_target(node, step_seconds: int | None = None) -> None:
     """Reject target functions whose semantics cannot be finalized per
-    micro-batch (anything with cross-slot state)."""
+    micro-batch (anything with cross-slot state).
+
+    ``step_seconds``: when given, sub-slot ``summarize``/``hitcount``
+    (interval <= slot width) is accepted — an interval no longer than
+    the slot width contains AT MOST ONE finalized slot, so each output
+    bucket derives from exactly one input row and the evaluation is
+    batch-local.  Coarser intervals must route through the chained
+    multi-stateful port (step-multiple intervals only; a bucket spanning
+    several slots can straddle micro-batch boundaries)."""
     if isinstance(node, Path):
         return
     if isinstance(node, Call):
+        if node.name in ("summarize", "hitcount") and step_seconds:
+            from ..render import parse_duration
+
+            interval = (
+                parse_duration(node.args[1])
+                if len(node.args) >= 2 and isinstance(node.args[1], (str, int))
+                else None
+            )
+            if interval is not None and 0 < interval <= step_seconds:
+                for a in node.args:
+                    if isinstance(a, (Call, Path)):
+                        validate_stream_target(a, step_seconds)
+                return
+            raise TargetSyntaxError(
+                f"{node.name!r} with interval > slot width is not "
+                "batch-local here: only a TOP-LEVEL (or single-core) "
+                f"{node.name} whose interval is a multiple of the "
+                f"{step_seconds}s slot width routes to the chained "
+                "multi-stateful port (streaming.rollup.chained_summarize); "
+                "sub-slot intervals (<= slot width) evaluate per batch"
+            )
         if node.name not in STREAM_SAFE:
             raise TargetSyntaxError(
                 f"{node.name!r} is not stream-safe: it needs ordering or "
                 "state across time slots (moving windows, sorts, "
                 "percentiles, integrals), which an append-mode stream "
                 "cannot evaluate batch-locally.  movingAverage, derivative/"
-                "perSecond and coarse summarize/hitcount have dedicated "
-                "chained-aggregation ports: streaming.rollup."
-                "chained_moving_average / chained_derivative / "
-                "chained_summarize"
+                "perSecond and STEP-MULTIPLE coarse summarize/hitcount "
+                "have dedicated chained-aggregation ports: streaming."
+                "rollup.chained_moving_average / chained_derivative / "
+                "chained_summarize; sub-slot summarize/hitcount "
+                "(interval <= slot width) is batch-local and accepted "
+                "when the slot width is known"
             )
         for a in node.args:
             if isinstance(a, (Call, Path)):
-                validate_stream_target(a)
+                validate_stream_target(a, step_seconds)
 
 
 def _chained_stream_plan(
@@ -129,7 +160,11 @@ def _chained_stream_plan(
     if name in ("summarize", "hitcount") and len(ast.args) >= 2:
         interval = parse_duration(str(ast.args[1]))
         if interval <= step_seconds or interval % step_seconds:
-            return None  # sub-slot summarize stays on the per-batch path
+            # sub-slot intervals evaluate per batch (each bucket holds at
+            # most one finalized slot — validate_stream_target accepts
+            # them); non-multiple coarse intervals have no chained port
+            # and are rejected there with the routing explanation
+            return None
         func = str(ast.args[2]) if name == "summarize" and len(ast.args) > 2 else "sum"
         func = {"average": "avg"}.get(func, func)
         if func not in ("sum", "avg", "max", "min"):
@@ -163,6 +198,23 @@ def _find_chained_core(node):
             if isinstance(a, (Call, Path)):
                 found += _find_chained_core(a)
     return found
+
+
+def _has_path_outside(node, excluded) -> bool:
+    """True when the tree contains a Path node OUTSIDE the ``excluded``
+    subtree (by identity) — i.e. a wrapper expression that references
+    other series besides the chained core."""
+    if node is excluded:
+        return False
+    if isinstance(node, Path):
+        return True
+    if isinstance(node, Call):
+        return any(
+            _has_path_outside(a, excluded)
+            for a in node.args
+            if isinstance(a, (Call, Path))
+        )
+    return False
 
 
 def _substitute(node, target_node, replacement):
@@ -234,9 +286,23 @@ def render_stream(
                 )
             # wrapper expression around the chained core: substitute
             # the core with a match-all path and require the remainder
-            # to be stream-safe, then evaluate it per finalized batch
+            # to be stream-safe, then evaluate it per finalized batch.
+            # A wrapper that references OTHER series (any Path outside
+            # the core, e.g. divideSeries(movingAverage(a.*, 5),
+            # a.denominator)) would evaluate those paths against the
+            # chained core's output frame — where they match nothing —
+            # and silently drop them: reject instead (advisor finding,
+            # round 6; the module contract is reject-not-silently-wrong)
+            if _has_path_outside(ast, cores[0]):
+                raise TargetSyntaxError(
+                    "streaming target mixes a chained cross-slot core "
+                    f"({cores[0].name}) with other series references; "
+                    "the wrapper around the chained core may not contain "
+                    "additional metric paths — they would be evaluated "
+                    "against the core's output, not the raw stream"
+                )
             sub_ast = _substitute(ast, cores[0], Path("*"))
-            validate_stream_target(sub_ast)
+            validate_stream_target(sub_ast, step_seconds)
             from ..render import _evaluate
 
             def _batch_outer(batch_df: DataFrame, _epoch_id: int) -> None:
@@ -250,7 +316,7 @@ def render_stream(
                 chained.writeStream.foreachBatch(_batch_outer)
                 .outputMode("append")
             )
-    validate_stream_target(ast)
+    validate_stream_target(ast, step_seconds)
     rolled = windowed_rollup(
         points,
         step_seconds,

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..aggregation import aggregate_column
+from ..functions import folds
 
 
 def windowed_rollup(
@@ -140,14 +141,11 @@ def _slot_windows(
     agg = {
         "max": F.max("value"),
         "min": F.min("value"),
-        # decimal-exact routes: partial-aggregation order can't change
-        # the bits (the repo-wide determinism convention)
-        "sum": F.sum(F.col("value").cast("decimal(25,6)"))
-        .cast("string").cast("double"),
-        "average": (
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("string").cast("double") / F.count("value")
-        ),
+        # sorted float64 folds (functions/folds.py): full precision AND
+        # bit-identical under any state-merge/arrival order — the old
+        # decimal(25,6) route quantized full-precision doubles to 1e-6
+        "sum": folds.fsum("value"),
+        "average": folds.fsum("value") / F.count("value"),
     }[method]
     evt = F.timestamp_seconds(F.col(ts_col)).alias("_evt")
     return (
@@ -184,7 +182,7 @@ def chained_moving_average(
     Emission: a row finalizes when the watermark passes its window end
     (by then every member slot has finalized — member slot ends <=
     window end), so an availableNow replay is bit-deterministic: the
-    mean goes through the decimal-exact sum route.
+    mean goes through the sorted float64 fold (functions/folds.py).
 
     Output: (metric, ts, moving_avg, n_slots).  State is bounded by
     ``metrics x windows-inside-watermark`` at each level.
@@ -199,10 +197,7 @@ def chained_moving_average(
             ).alias("_w2"),
         )
         .agg(
-            (
-                F.sum(F.col("value").cast("decimal(25,6)"))
-                .cast("string").cast("double") / F.count("value")
-            ).alias("moving_avg"),
+            (folds.fsum("value") / F.count("value")).alias("moving_avg"),
             F.count("value").alias("n_slots"),
         )
         .select(
@@ -232,19 +227,15 @@ def chained_summarize(
     summarize(series, interval, func) over consolidated data).
 
     ``func``: 'sum' | 'avg' | 'max' | 'min' — order-independent set
-    (sums/averages through the decimal-exact route), so the
+    (sums/averages through the sorted float64 fold), so the
     availableNow replay is bit-deterministic.  Buckets are labeled by
     their START (the graphite summarize convention).
 
     Output: (metric, ts, value, n_slots).
     """
     aggs = {
-        "sum": F.sum(F.col("value").cast("decimal(25,6)"))
-        .cast("string").cast("double"),
-        "avg": (
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("string").cast("double") / F.count("value")
-        ),
+        "sum": folds.fsum("value"),
+        "avg": folds.fsum("value") / F.count("value"),
         "max": F.max("value"),
         "min": F.min("value"),
     }
