@@ -736,3 +736,117 @@ def test_pca_project_recovers_dominant_axis(spark):
     # deterministic: second run bit-identical (sign normalization)
     again = {r.vec_id: r.pc1 for r in pca_project(df, 2, dim=4).collect()}
     assert all(again[r.vec_id] == r.pc1 for r in rows_out)
+
+# --------------------------------------------------------------------- #
+# PNG scanline pixel decode (round 6: the image leg of the pixel-decode
+# integration point, stdlib only)
+# --------------------------------------------------------------------- #
+
+
+def _png(width, height, pixels, channels=1, filters=None, level=9):
+    """Build a real PNG with python zlib: pixels is rows x (width*channels)
+    byte values; filters picks the per-row filter type actually ENCODED."""
+    import struct
+    import zlib
+
+    ctype = 0 if channels == 1 else 2
+    filters = filters or [0] * height
+    bpp = channels
+    raw = bytearray()
+    prev = bytes(width * channels)
+    for r, ft in zip(range(height), filters):
+        row = bytes(pixels[r])
+        enc = bytearray(row)
+        if ft == 1:
+            for i in range(len(row) - 1, bpp - 1, -1):
+                enc[i] = (row[i] - row[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(len(row)):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decoder_all_filters_gray_and_rgb():
+    import random
+
+    from whisper_spark.operators.multimodal import decode_png_pixels
+
+    rng = random.Random(6)
+    for channels in (1, 3):
+        w, h = 7, 5
+        pixels = [
+            [rng.randrange(256) for _ in range(w * channels)]
+            for _ in range(h)
+        ]
+        for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [0, 1, 2, 3, 4]):
+            got = decode_png_pixels(_png(w, h, pixels, channels, filters))
+            flat = [v for row in pixels for v in row]
+            assert got["width"] == w and got["height"] == h
+            assert got["channels"] == channels
+            assert got["n_pixels"] == w * h
+            assert got["px_sum"] == sum(flat), filters
+            assert got["px_min"] == min(flat)
+            assert got["px_max"] == max(flat)
+            assert got["px_mean"] == sum(flat) / (w * h * channels)
+
+
+def test_png_pixel_decoder_rejects_unsupported():
+    from whisper_spark.operators.multimodal import decode_png_pixels
+
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(None) is None
+    # 16-bit depth unsupported -> None, not garbage
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+        + struct.pack(">I", 5) + b"IDAT" + zlib.compress(b"\0\0\0\0\0")
+        + b"\0\0\0\0"
+    )
+    assert decode_png_pixels(p) is None
+
+
+def test_decode_pixels_mapinpandas(spark):
+    from whisper_spark.operators.multimodal import decode_pixels
+
+    rows = [
+        (1, "image", bytearray(_png(3, 2, [[10, 20, 30], [40, 50, 60]])), None),
+        (2, "image", bytearray(b"garbage"), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_pixels(df).collect()}
+    assert got[1].px_sum == 210 and got[1].n_pixels == 6
+    assert got[1].px_mean == 210 / 6
+    assert got[2].px_sum is None  # kept, null stats

@@ -5,12 +5,16 @@ The Spark-side plumbing here is real and tested — schema contracts,
 partitioning, batch shapes, UDF signatures — and so is container-header
 decoding for the common formats: PNG, GIF, BMP, JPEG dimensions and WAV
 sample-rate/channels/duration are parsed from the payload bytes with the
-stdlib only (``decoder="auto"``, the default).  Pixel/sample DECODE
-(which needs PIL/ffmpeg, absent from this container) is what stays
-stubbed: unknown formats fall back to deterministic md5-derived
-pseudo-metadata, and the 8-dim feature is always digest-derived.  Plug a
-full decoder in by passing ``decoder=callable(payload: bytes) -> dict``;
-everything around it (Arrow transfer, batching, schema) is unchanged.
+stdlib only (``decoder="auto"``, the default).  PNG pixel decode is
+ALSO real and stdlib-only: :func:`decode_pixels` inflates the IDAT
+stream with zlib and reconstructs every scanline (all five PNG filter
+types), oracle-gated end to end (queries.py ``mm_decode_pixels``).
+What stays stubbed is audio/video SAMPLE decode (needs ffmpeg-class
+codecs, absent from this container): unknown formats fall back to
+deterministic md5-derived pseudo-metadata, and the 8-dim feature is
+digest-derived.  Plug a full decoder in by passing
+``decoder=callable(payload: bytes) -> dict``; everything around it
+(Arrow transfer, batching, schema) is unchanged.
 
 Scale notes: media payloads are large and skew partition sizes — wrap
 datasets with :func:`repartition_by_bytes` before heavy stages so each
@@ -196,6 +200,144 @@ def _make_header_parser() -> Callable[[bytes], dict | None]:
 parse_media_header = _make_header_parser()
 
 
+#: output contract for :func:`decode_pixels`
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
+    """Build the stdlib PNG SCANLINE decoder — full pixel decode, no
+    third-party libraries: chunk walk -> zlib inflate of the IDAT stream
+    (the zlib Adler-32 guards pixel-stream integrity) -> per-scanline
+    unfilter (all five PNG filter types: None/Sub/Up/Average/Paeth).
+
+    Supports 8-bit greyscale (color type 0) and truecolor (type 2),
+    non-interlaced — the formats a training-data thumbnail pipeline
+    actually stores.  Chunk CRCs are NOT verified (tolerant reader; the
+    inflate checksum still catches payload corruption).  Closure-built
+    so Spark tasks ship it by value (see _make_header_parser).
+    """
+    import struct
+    import zlib
+
+    def decode_png(p: bytes) -> dict | None:
+        if p is None or len(p) < 8 or p[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        w = h = depth = ctype = interlace = None
+        idat = []
+        off = 8
+        while off + 8 <= len(p):
+            (clen,) = struct.unpack(">I", p[off:off + 4])
+            ctag = p[off + 4:off + 8]
+            body = p[off + 8:off + 8 + clen]
+            if ctag == b"IHDR" and clen >= 13:
+                w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+                interlace = body[12]
+            elif ctag == b"IDAT":
+                idat.append(body)
+            elif ctag == b"IEND":
+                break
+            off += 12 + clen  # len + tag + body + crc (crc not verified)
+        if not (w and h and idat) or depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3}.get(ctype)
+        if channels is None:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return None
+        bpp = channels  # bytes per pixel at depth 8
+        prev = bytearray(stride)
+        total = 0
+        lo, hi = 255, 0
+        pos = 0
+        for _r in range(h):
+            ft = raw[pos]
+            row = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            if ft == 1:  # Sub
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[i] = (row[i] + pred) & 0xFF
+            elif ft != 0:
+                return None
+            total += sum(row)
+            lo = min(lo, min(row))
+            hi = max(hi, max(row))
+            prev = row
+        n_px = w * h
+        return {
+            "width": w, "height": h, "channels": channels,
+            "n_pixels": n_px, "px_min": lo, "px_max": hi,
+            "px_sum": total,
+            "px_mean": total / (n_px * channels),
+        }
+
+    return decode_png
+
+
+#: stdlib PNG pixel decoder; same object for unit tests
+decode_png_pixels = _make_png_pixel_decoder()
+
+
+def decode_pixels(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Full PNG pixel decode as an Arrow-batched ``mapInPandas`` stage:
+    (media_id, payload) -> :data:`PIXELS_SCHEMA` pixel statistics.
+    Unrecognized/unsupported payloads yield NULL stats (the row is kept
+    so coverage is auditable).  This closes the image leg of the former
+    pixel-decode integration point with the stdlib only; audio/video
+    sample decode still needs external codecs (``decode_media``'s
+    ``decoder='raise'`` marker)."""
+    dec = _make_png_pixel_decoder()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame({"media_id": pdf[id_col]})
+            stats = [dec(p) for p in pdf["payload"]]
+            for col, dtype in (
+                ("width", "Int32"), ("height", "Int32"),
+                ("channels", "Int32"), ("n_pixels", "Int64"),
+                ("px_min", "Int32"), ("px_max", "Int32"),
+                ("px_sum", "Int64"),
+            ):
+                out[col] = pd.array(
+                    [s[col] if s else None for s in stats], dtype=dtype
+                )
+            out["px_mean"] = [s["px_mean"] if s else None for s in stats]
+            yield out
+
+    return df.mapInPandas(run, schema=PIXELS_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic md5 pseudo-metadata — the fallback for formats the
     header parser doesn't recognize, and the bit-stable stub used by the
@@ -234,9 +376,10 @@ def decode_media(
     with the DECODED_SCHEMA metadata fields."""
     if decoder == "raise":
         raise NotImplementedError(
-            "full pixel/sample decoding requires image/audio libraries not "
+            "full audio/video SAMPLE decoding requires codec libraries not "
             "present in this environment; use decoder='auto' (header "
-            "parsing), 'fake', or a callable"
+            "parsing), 'fake', a callable — or decode_pixels for real "
+            "stdlib PNG pixel decode"
         )
     if decoder in ("auto", "fake"):
         # closures only (shipped by value — see _make_header_parser)

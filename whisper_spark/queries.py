@@ -2692,6 +2692,96 @@ def q_mm_decode_real_headers(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_pixels",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 50 + 100 AS INTEGER) AS w,
+         CAST(doc_id % 30 + 50 AS INTEGER) AS h,
+         doc_id AS c
+  FROM m
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(w AS BIGINT) * h AS n_pixels,
+       CAST(c AS INTEGER) AS px_min,
+       CAST(c + h - 1 AS INTEGER) AS px_max,
+       CAST(w AS BIGINT) * (h * c + h * (h - 1) // 2) AS px_sum,
+       CAST(w * (h * c + h * (h - 1) // 2) AS DOUBLE) / (w * h) AS px_mean
+FROM dims
+""",
+    doc="FULL PNG pixel decode end-to-end, stdlib only (closes the image "
+    "leg of the pixel-decode integration point): complete, VALID PNGs — "
+    "IHDR + zlib stored-deflate IDAT + IEND — are assembled as pure JVM "
+    "column expressions (scanlines built with transform/repeat over hex, "
+    "the zlib Adler-32 computed by a per-row closed-form fold), shipped "
+    "through Arrow, inflated with zlib and per-scanline UNFILTERED by "
+    "operators/multimodal.py decode_png_pixels, which reports pixel "
+    "statistics.  Row r of image doc_id holds constant gray value "
+    "doc_id + r, so the oracle derives every stat arithmetically; a "
+    "wrong chunk walk, inflate framing, Adler fold, filter "
+    "reconstruction, or stat accumulation fails the hash gate",
+)
+def q_mm_decode_pixels(spark, sf_dir):
+    from .operators.multimodal import decode_pixels
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+    def le16(c):
+        h = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+        return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    w = (F.col("doc_id") % 50 + 100).cast("int")
+    h = (F.col("doc_id") % 30 + 50).cast("int")
+    # scanlines: row r = filter byte 0 + w bytes of gray value (doc_id+r);
+    # doc_id < 120 and r < 80 keep the value < 256 (single hex byte pair)
+    data_hex = F.expr(
+        "array_join(transform(sequence(0, CAST(doc_id % 30 + 50 AS INT) - 1), "
+        "r -> concat('00', repeat(lpad(hex(doc_id + r), 2, '0'), "
+        "CAST(doc_id % 50 + 100 AS INT)))), '')"
+    )
+    # zlib Adler-32 of the scanline stream, per-row closed form: entering
+    # (s1, s2), a row of [0, v x w] gives s1 += w*v and
+    # s2 += (w+1)*s1 + v*w*(w+1)/2 (filter byte adds s1 once, then each
+    # of the w value bytes adds the running s1) — all mod 65521
+    adler = F.expr(
+        "aggregate(sequence(0, CAST(doc_id % 30 + 50 AS INT) - 1), "
+        "struct(CAST(1 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2), "
+        "(acc, r) -> struct("
+        "(acc.s1 + (doc_id % 50 + 100) * (doc_id + r)) % 65521, "
+        "(acc.s2 + (doc_id % 50 + 100 + 1) * acc.s1 "
+        " + (doc_id + r) * ((doc_id % 50 + 100) * (doc_id % 50 + 101) div 2)"
+        ") % 65521), "
+        "acc -> acc.s2 * 65536 + acc.s1)"
+    )
+    ln = (h.cast("bigint") * (w + 1)).cast("int")  # filtered stream bytes
+    crc0 = F.lit(bytes.fromhex("00000000"))  # CRCs unverified by design
+    payload = F.concat(
+        F.lit(bytes.fromhex("89504e470d0a1a0a")),
+        F.lit(bytes.fromhex("0000000d")), F.lit(b"IHDR"),
+        be32(w), be32(h),
+        F.lit(bytes.fromhex("0800000000")),  # depth 8, gray, no interlace
+        crc0,
+        be32(ln + 11), F.lit(b"IDAT"),
+        F.lit(bytes.fromhex("7801")),        # zlib CMF/FLG (FCHECK-valid)
+        F.lit(bytes.fromhex("01")),          # final stored block
+        le16(ln), le16(F.lit(65535) - ln),   # LEN, NLEN
+        F.unhex(data_hex),
+        be32(adler),
+        crc0,
+        F.lit(bytes.fromhex("00000000")), F.lit(b"IEND"), crc0,
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_pixels(media)
+
+
+@_q(
     "mm_feature_topk",
     "WITH "
     + _MEDIA_SQL
@@ -4343,6 +4433,7 @@ GROUP BY e.qid
     "corpus).  Integer-exact end-to-end, so the oracle checks encode, "
     "training, ADC, and re-rank bit-for-bit (operators/similarity.py "
     "pq_codebook/pq_train_round/pq_encode/pq_adc_topk)",
+    bench=True,
 )
 def q_emb_pq_recall(spark, sf_dir):
     from pyspark.sql import Window
@@ -5912,6 +6003,7 @@ WINDOW w AS (ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     "in SQL with explicit list folds, so the parser+evaluator path "
     "itself is under the bit-exact "
     "gate (render.py evaluate_target; public graphite-web target syntax)",
+    bench=True,
 )
 def q_ws_render_target(spark, sf_dir):
     from .render import evaluate_target
@@ -8798,6 +8890,7 @@ GROUP BY a.doc_id, b.doc_id
     "per-window posting lists (candidate-proportional, never all-pairs); "
     "windows in > 50 documents are boilerplate and are capped out before "
     "the pair expansion",
+    bench=True,
 )
 def q_doc_substring_dup_pairs(spark, sf_dir):
     from .operators.dedup import substring_duplicate_pairs
@@ -9138,6 +9231,7 @@ LEFT JOIN nr r ON n.doc_id = r.doc_id
     "(band_id, band_sig).  The two seen-side sets are the persistable "
     "incremental indexes, so day-over-day cost is index-proportional "
     "(operators/dedup.py incremental_dedup)",
+    bench=True,
 )
 def q_doc_incremental_dedup(spark, sf_dir):
     from .operators.dedup import incremental_dedup
@@ -10113,6 +10207,8 @@ _DRIVER_WINDOW_PROMOTE = [
     "stream_render_composed", "stream_carbon_aggregator",
     "emb_ivf_recall_trained", "stream_render_moving_avg",
     "stream_render_derivative",
+    # round-6 flagship: full stdlib PNG pixel decode, oracle-gated
+    "mm_decode_pixels",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -10138,6 +10234,8 @@ _DRIVER_WINDOW_DEMOTE = [
     # in-window trained-IVF gate (emb_kmeans2)
     "ev_daily_type_pivot", "doc_top_bigrams", "doc_fingerprint",
     "doc_token_stats", "emb_kmeans2",
+    # per-row hash split assignment — commoditized, covered by CI
+    "doc_split_assign",
 ]
 
 
