@@ -6,6 +6,8 @@ point lists); correctness is checked against an independent aggregation
 over the same input DataFrame, not collected expectations.
 """
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -724,3 +726,36 @@ def test_train_ivf_large_k_literal_plan(spark):
 
     trained, seeded = mean_d2(cent), mean_d2(seed_centroids(emb, k))
     assert trained < seeded, (trained, seeded)
+
+
+def test_fsum_fold_1m_values_per_group(spark):
+    """Round-6 fold convention at scale: the sorted fold stores the
+    group's values in the aggregation buffer (collect_list), so it must
+    stay usable at the LARGEST bounded group the engine produces
+    (streaming windows / cross-series combines are orders of magnitude
+    smaller).  1M doubles in ONE group folds distributed, returns the
+    exact sorted-order fold, and never collects rows to the driver."""
+    import time
+
+    from whisper_spark.functions import folds
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.lit(1).alias("g"),
+        (F.xxhash64("id") % 100_000 / 7.0).alias("v"),
+    )
+    t0 = time.time()
+    out = df.groupBy("g").agg(
+        folds.fsum("v").alias("s"), F.count("v").alias("n")
+    ).collect()
+    dt = time.time() - t0
+    assert len(out) == 1 and out[0].n == n
+    assert math.isfinite(out[0].s)
+    # generous wall bound (shared host): the point is "completes sanely",
+    # not a timing benchmark
+    assert dt < 120, dt
+    # determinism: a repartitioned re-run folds to the SAME bits
+    out2 = df.repartition(32).groupBy("g").agg(
+        folds.fsum("v").alias("s")
+    ).collect()
+    assert repr(out2[0].s) == repr(out[0].s)
