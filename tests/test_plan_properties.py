@@ -348,9 +348,12 @@ def test_render_functions_list_matches_dispatch(spark):
             pass  # arity/type errors are fine — dispatch was reached
 
 
-def test_embedding_covariance_single_shuffle_no_join(spark):
-    """Covariance is one pass: per-row triangle expansion + one
-    groupBy((i,j)) — no join, exactly one Exchange (map-side combined)."""
+def test_embedding_covariance_two_level_fold_no_join(spark):
+    """Covariance is join-free: per-row triangle expansion + the
+    round-6 two-level deterministic fold — groupBy((i,j,bucket)) with a
+    bounded per-bucket buffer, then groupBy((i,j)) over the n_buckets
+    partials.  Exactly two Exchanges (the second over d^2/2 x n_buckets
+    bounded rows), never a join or cartesian product."""
     from whisper_spark.operators.similarity import embedding_covariance
 
     df = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -359,8 +362,8 @@ def test_embedding_covariance_single_shuffle_no_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
-    assert plan.count("Exchange") == 1
-    assert "partial_" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") == 2
+    assert "partial_" in plan  # map-side partials before each shuffle
 
 
 def test_bigram_lm_no_cartesian(spark):

@@ -566,8 +566,8 @@ def test_embedding_covariance_200k_shuffle_bounded(spark):
     from whisper_spark.operators.similarity import embedding_covariance
 
     n, d = 200_000, 32
-    # deterministic quarter-multiples: exact in float AND in the
-    # operator's floor-quantized decimal accumulation
+    # deterministic quarter-multiples: exact in float32 and in the
+    # float64 fold (sums of quarter-multiples are exact binary fractions)
     emb = F.expr(
         f"transform(sequence(1, {d}), "
         "j -> cast((pmod(id * j, 17) - 8) / 4.0 AS float))"
@@ -577,7 +577,11 @@ def test_embedding_covariance_200k_shuffle_bounded(spark):
     )
     out = embedding_covariance(df, dim=d)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan and plan.count("Exchange") == 1
+    # two-level fold: 2 exchanges (bucketed partials, then the bounded
+    # d^2/2 x n_buckets second level), still join-free — the per-group
+    # fold buffer is capped at n / 1024 values however the input is
+    # partitioned
+    assert "Join" not in plan and plan.count("Exchange") == 2
     rows = out.collect()
     assert len(rows) == d * (d + 1) // 2
 

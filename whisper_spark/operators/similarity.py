@@ -850,28 +850,36 @@ def srp_candidate_pairs(
 
 
 def embedding_covariance(
-    df: DataFrame, emb_col: str = "embedding", dim: int | None = None
+    df: DataFrame,
+    emb_col: str = "embedding",
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Population covariance matrix of the embedding column as
     (i, j, cov) rows for the upper triangle (1-based, j >= i).
 
-    One pass, no join: each row expands to its d(d+1)/2 upper-triangle
-    products via a nested transform (JVM expression), and one
-    groupBy((i, j)) reduces them.  Sums go through the sorted float64
-    fold (functions/folds.py): full precision — the round-5 fixed-point
-    floor(x*1e12) route quantized the moments at 1e-12 — and
-    deterministic under partial-aggregation reorder, so cov stays
-    bit-reproducible and oracle-checkable.  NOTE the fold trades the
-    map-side combine away (collect_list partials are the group's
-    values): the shuffle carries the d^2/2-expanded products, which is
-    rows x d^2/2 — acceptable because d is bounded (embedding dims) and
-    the fold is the price of full-precision determinism; a production
-    covariance at 100 TB would drop determinism and use plain float
-    sums with documented tolerance instead."""
+    No join: each row expands to its d(d+1)/2 upper-triangle products
+    via a nested transform (JVM expression).  The moments are
+    full-precision float64 — the round-5 fixed-point floor(x*1e12)
+    route quantized them at 1e-12 — and bit-deterministic via a
+    TWO-LEVEL fold, because a single value-sorted fold per (i, j) would
+    buffer the whole corpus per cell (unbounded state at 100 TB):
+
+    * level 1 groups on (i, j, ``id % n_buckets``) and folds each
+      bucket's value-sorted array — the data-deterministic bucket key
+      caps the buffer at ~rows/n_buckets regardless of partitioning;
+    * level 2 folds the n_buckets partial sums in BUCKET ORDER — a
+      bounded second aggregation (d^2/2 x n_buckets rows total).
+
+    Both levels are exactly mirrorable in SQL (list_sort folds +
+    ``list(p ORDER BY b)``), so cov stays oracle-checkable; at larger
+    corpora raise ``n_buckets`` to keep rows/n_buckets in memory."""
     if dim is None:
         probe = df.select(F.size(emb_col).alias("d")).first()
         dim = int(probe["d"])
     cells = df.select(
+        F.pmod(F.col(id_col), F.lit(n_buckets)).alias("_b"),
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(1, {dim}), i -> "
@@ -880,16 +888,33 @@ def embedding_covariance(
                 f"cast(element_at({emb_col}, i) AS double) AS xi, "
                 f"cast(element_at({emb_col}, j) AS double) AS xj))))"
             )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.xi", "c.xj")
+        ).alias("c"),
+    ).select("_b", "c.i", "c.j", "c.xi", "c.xj")
 
     from ..functions import folds
 
-    agg = cells.groupBy("i", "j").agg(
+    part = cells.groupBy("i", "j", "_b").agg(
         F.count("*").alias("_n"),
-        folds.fsum(F.col("xi") * F.col("xj")).alias("_sxy"),
-        folds.fsum(F.col("xi")).alias("_sxi"),
-        folds.fsum(F.col("xj")).alias("_sxj"),
+        folds.fsum(F.col("xi") * F.col("xj")).alias("_pxy"),
+        folds.fsum(F.col("xi")).alias("_pxi"),
+        folds.fsum(F.col("xj")).alias("_pxj"),
+    )
+
+    def bucket_fold(c: Column) -> Column:
+        # fold the bucket partials in bucket order (b unique per group)
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_b").alias("b"), c.alias("v")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        )
+
+    agg = part.groupBy("i", "j").agg(
+        F.sum("_n").alias("_n"),
+        bucket_fold(F.col("_pxy")).alias("_sxy"),
+        bucket_fold(F.col("_pxi")).alias("_sxi"),
+        bucket_fold(F.col("_pxj")).alias("_sxj"),
     )
     return agg.select(
         "i", "j",

@@ -9290,28 +9290,40 @@ def q_doc_bigram_lm_score(spark, sf_dir):
     """
 WITH ks AS (SELECT unnest(generate_series(1, 64)) AS k),
 cells AS (
-  SELECT a.k AS i, b.k AS j,
-         e.embedding[a.k]::DOUBLE AS xi, e.embedding[b.k]::DOUBLE AS xj
-  FROM embeddings e, ks a, ks b WHERE b.k >= a.k
+  SELECT e.vec_id % 1024 AS b, a.k AS i, bb.k AS j,
+         e.embedding[a.k]::DOUBLE AS xi, e.embedding[bb.k]::DOUBLE AS xj
+  FROM embeddings e, ks a, ks bb WHERE bb.k >= a.k
+),
+part AS (
+  SELECT i, j, b, count(*) AS n,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(xi * xj))), (a, x) -> a + x) AS pxy,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(xi))), (a, x) -> a + x) AS pxi,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_sort(list(xj))), (a, x) -> a + x) AS pxj
+  FROM cells GROUP BY i, j, b
 ),
 agg AS (
-  SELECT i, j, count(*) AS n,
-         CASE WHEN count(*) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
-           list_sort(list(xi * xj))), (a, x) -> a + x) END AS sxy,
-         CASE WHEN count(*) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
-           list_sort(list(xi))), (a, x) -> a + x) END AS sxi,
-         CASE WHEN count(*) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE,
-           list_sort(list(xj))), (a, x) -> a + x) END AS sxj
-  FROM cells GROUP BY i, j
+  SELECT i, j, CAST(sum(n) AS BIGINT) AS n,
+         list_reduce(list_prepend(0.0::DOUBLE, list(pxy ORDER BY b)),
+                     (a, x) -> a + x) AS sxy,
+         list_reduce(list_prepend(0.0::DOUBLE, list(pxi ORDER BY b)),
+                     (a, x) -> a + x) AS sxi,
+         list_reduce(list_prepend(0.0::DOUBLE, list(pxj ORDER BY b)),
+                     (a, x) -> a + x) AS sxj
+  FROM part GROUP BY i, j
 )
 SELECT i, j, sxy / n - (sxi / n) * (sxj / n) AS cov FROM agg
 """,
     doc="population covariance of the embedding space, the PCA/whitening "
-    "input: one pass, no join — each row expands to its upper-triangle "
-    "products via a nested JVM transform, one groupBy((i,j)).  The "
-    "moments go through the sorted float64 fold — full precision "
-    "(round 5's floor(x*1e12) fixed-point route quantized at 1e-12) and "
-    "order-deterministic "
+    "input: no join — each row expands to its upper-triangle products "
+    "via a nested JVM transform.  The moments are full-precision "
+    "float64 (round 5's floor(x*1e12) fixed-point route quantized at "
+    "1e-12) through a TWO-LEVEL deterministic fold: value-sorted folds "
+    "per (i, j, vec_id%1024) bucket — buffer capped at rows/1024 "
+    "whatever the partitioning — then a bucket-ordered fold of the "
+    "bounded partials "
     "(operators/similarity.py embedding_covariance; pca_project builds "
     "on it with a driver-side eigh on the bounded d x d literal)",
 )
