@@ -259,43 +259,67 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
         if len(raw) != h * (stride + 1):
             return None
         bpp = channels  # bytes per pixel at depth 8
-        prev = bytearray(stride)
-        total = 0
-        lo, hi = 255, 0
-        pos = 0
-        for _r in range(h):
-            ft = raw[pos]
-            row = bytearray(raw[pos + 1:pos + 1 + stride])
-            pos += 1 + stride
-            if ft == 1:  # Sub
-                for i in range(bpp, stride):
-                    row[i] = (row[i] + row[i - bpp]) & 0xFF
-            elif ft == 2:  # Up
-                for i in range(stride):
-                    row[i] = (row[i] + prev[i]) & 0xFF
-            elif ft == 3:  # Average
-                for i in range(stride):
-                    left = row[i - bpp] if i >= bpp else 0
-                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-            elif ft == 4:  # Paeth
-                for i in range(stride):
-                    a = row[i - bpp] if i >= bpp else 0
-                    b = prev[i]
-                    c = prev[i - bpp] if i >= bpp else 0
-                    pp = a + b - c
-                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    row[i] = (row[i] + pred) & 0xFF
-            elif ft != 0:
-                return None
-            total += sum(row)
-            lo = min(lo, min(row))
-            hi = max(hi, max(row))
-            prev = row
+
+        import numpy as np
+
+        buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        fts = buf[:, 0]
+        if fts.max(initial=0) > 4:
+            return None
+        rows = buf[:, 1:]
+        if not fts.any():
+            # filter-None image: fully vectorized, no per-row pass
+            px = rows
+        else:
+            # vectorized where the filter allows (None is a no-op; Up is
+            # a running column sum over consecutive Up rows; Sub is a
+            # per-channel cumulative sum along x) — per-byte Python only
+            # for Average/Paeth, whose predictor mixes both axes
+            px = np.empty_like(rows)
+            prev = np.zeros(stride, dtype=np.uint8)
+            for r in range(h):
+                ft = fts[r]
+                row = rows[r]
+                if ft == 0:
+                    out = row.copy()
+                elif ft == 2:  # Up
+                    out = row + prev  # uint8 wraps mod 256
+                elif ft == 1:  # Sub: cumsum per channel phase
+                    out = row.copy()
+                    for p in range(bpp):
+                        np.cumsum(
+                            out[p::bpp], dtype=np.uint8, out=out[p::bpp]
+                        )
+                else:  # Average / Paeth: sequential in both axes
+                    out = row.copy()
+                    pv = prev
+                    if ft == 3:
+                        for i in range(stride):
+                            left = int(out[i - bpp]) if i >= bpp else 0
+                            out[i] = (
+                                int(row[i]) + ((left + int(pv[i])) >> 1)
+                            ) & 0xFF
+                    else:
+                        for i in range(stride):
+                            a = int(out[i - bpp]) if i >= bpp else 0
+                            b = int(pv[i])
+                            c = int(pv[i - bpp]) if i >= bpp else 0
+                            pp = a + b - c
+                            pa, pb, pc = (
+                                abs(pp - a), abs(pp - b), abs(pp - c)
+                            )
+                            pred = (
+                                a if (pa <= pb and pa <= pc)
+                                else (b if pb <= pc else c)
+                            )
+                            out[i] = (int(row[i]) + pred) & 0xFF
+                px[r] = out
+                prev = out
         n_px = w * h
+        total = int(px.sum(dtype=np.int64))
         return {
             "width": w, "height": h, "channels": channels,
-            "n_pixels": n_px, "px_min": lo, "px_max": hi,
+            "n_pixels": n_px, "px_min": int(px.min()), "px_max": int(px.max()),
             "px_sum": total,
             "px_mean": total / (n_px * channels),
         }
