@@ -850,3 +850,20 @@ def test_decode_pixels_mapinpandas(spark):
     assert got[1].px_sum == 210 and got[1].n_pixels == 6
     assert got[1].px_mean == 210 / 6
     assert got[2].px_sum is None  # kept, null stats
+
+
+def test_png_pixel_decoder_corrupt_idat_returns_none():
+    """A structurally valid PNG whose IDAT bytes are garbage must yield
+    NULL stats, not a raised zlib error that would kill the Spark task."""
+    import struct
+
+    from whisper_spark.operators.multimodal import decode_png_pixels
+
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+        + struct.pack(">I", 6) + b"IDAT" + b"broken" + b"\0\0\0\0"
+        + struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0"
+    )
+    assert decode_png_pixels(bad) is None

@@ -254,7 +254,13 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
         channels = {0: 1, 2: 3}.get(ctype)
         if channels is None:
             return None
-        raw = zlib.decompress(b"".join(idat))
+        try:
+            raw = zlib.decompress(b"".join(idat))
+        except zlib.error:
+            # corrupt/truncated pixel stream: NULL stats, never a task
+            # failure (decode_pixels keeps the row so coverage is
+            # auditable)
+            return None
         stride = w * channels
         if len(raw) != h * (stride + 1):
             return None
