@@ -867,3 +867,61 @@ def test_png_pixel_decoder_corrupt_idat_returns_none():
         + struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0"
     )
     assert decode_png_pixels(bad) is None
+
+
+def test_png_pixel_decoder_truncated_ihdr_returns_none():
+    """An IHDR chunk that DECLARES 13 bytes but is cut short by EOF
+    (truncated upload) must yield None, not struct.error/IndexError
+    (round-6 self-review finding)."""
+    import struct
+
+    from whisper_spark.operators.multimodal import decode_png_pixels
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # body shorter than the 10 bytes struct.unpack needs
+    assert decode_png_pixels(
+        magic + struct.pack(">I", 13) + b"IHDR" + b"\0\0\0\0"
+    ) is None
+    # 12 body bytes: unpack succeeds, body[12] would IndexError
+    assert decode_png_pixels(
+        magic + struct.pack(">I", 13) + b"IHDR" + b"\0" * 12
+    ) is None
+
+
+def test_png_pixel_decoder_bounds_decompression_bomb():
+    """IDAT inflation is bounded by the size IHDR promises: a 1x1 image
+    whose IDAT inflates to 10 MB must return None without fully
+    expanding the stream (round-6 self-review finding)."""
+    import struct
+    import zlib
+
+    from whisper_spark.operators.multimodal import decode_png_pixels
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+        + struct.pack(">I", len(bomb)) + b"IDAT" + bomb + b"\0\0\0\0"
+        + struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0"
+    )
+    assert decode_png_pixels(p) is None
+
+
+def test_pca_project_forwards_custom_id_col(spark):
+    """pca_project(id_col=...) must thread the id through the
+    covariance fold's bucket key, which hard-requires it (round-6
+    self-review finding: it used to fail on any frame without a
+    'vec_id' column)."""
+    import random
+
+    from whisper_spark.operators.similarity import pca_project
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-4, 4), rng.uniform(-1, 1)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    out = pca_project(df, n_components=1, id_col="doc_id", dim=2)
+    got = out.collect()
+    assert len(got) == 40 and {c for c in out.columns} == {
+        "doc_id", "pc1", "explained_1"
+    }

@@ -95,11 +95,6 @@ d = {r[0]: r[1] for r in con.execute(
     "SELECT ts % 7 AS g, list_reduce(list_prepend(0.0::DOUBLE, "
     "list_sort(list(value) FILTER (value IS NOT NULL))), (a, x) -> a + x) "
     "AS v FROM t GROUP BY 1").fetchall()}
-psort = {}
-for i, v in enumerate(vals):
-    psort.setdefault(i % 7, []).append(v)
-psort = {g: math.fsum([0.0]) or None for g in []} or {
-    g: None for g in psort}  # placeholder
 pref = {}
 for g in range(7):
     acc = 0.0

@@ -241,7 +241,10 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
             (clen,) = struct.unpack(">I", p[off:off + 4])
             ctag = p[off + 4:off + 8]
             body = p[off + 8:off + 8 + clen]
-            if ctag == b"IHDR" and clen >= 13:
+            if ctag == b"IHDR" and len(body) >= 13:
+                # len(body) (not clen) guards a truncated IHDR: a chunk
+                # that declares 13+ bytes but is cut short by EOF would
+                # otherwise raise struct.error/IndexError here
                 w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
                 interlace = body[12]
             elif ctag == b"IDAT":
@@ -254,15 +257,20 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
         channels = {0: 1, 2: 3}.get(ctype)
         if channels is None:
             return None
+        stride = w * channels
+        expected = h * (stride + 1)
         try:
-            raw = zlib.decompress(b"".join(idat))
+            # bound the inflate by the size IHDR promises: a crafted
+            # tiny-dimensions PNG with a multi-GB compressed IDAT must
+            # not expand fully into executor memory (decompression bomb)
+            dec = zlib.decompressobj()
+            raw = dec.decompress(b"".join(idat), expected + 1)
         except zlib.error:
             # corrupt/truncated pixel stream: NULL stats, never a task
             # failure (decode_pixels keeps the row so coverage is
             # auditable)
             return None
-        stride = w * channels
-        if len(raw) != h * (stride + 1):
+        if len(raw) != expected or not dec.eof:
             return None
         bpp = channels  # bytes per pixel at depth 8
 

@@ -948,7 +948,7 @@ def pca_project(
     if dim is None:
         probe = df.select(F.size(emb_col).alias("d")).first()
         dim = int(probe["d"])
-    tri = embedding_covariance(df, emb_col, dim=dim).collect()
+    tri = embedding_covariance(df, emb_col, dim=dim, id_col=id_col).collect()
     cov = np.zeros((dim, dim))
     for r in tri:
         cov[r["i"] - 1, r["j"] - 1] = r["cov"]

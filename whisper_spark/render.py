@@ -921,7 +921,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
     if name == "groupByNode":
         node_idx = int(need(1, "node"))
         method = args[2] if len(args) > 2 else "average"
-        out = TS.group_by_node(series(), node_idx, method=method)
+        out = TS.group_by_node(series(), node_idx, method=method, float_fold=True)
         return out.select("metric", "ts", "value")
     if name == "alias":
         return _series_label(series(), need(1, "newName"))

@@ -158,7 +158,10 @@ def _chained_stream_plan(
             per_second=(name == "perSecond"),
         ).select("metric", "ts", F.col("delta").alias("value"))
     if name in ("summarize", "hitcount") and len(ast.args) >= 2:
-        interval = parse_duration(str(ast.args[1]))
+        # a bare int interval (parser yields int for unquoted numbers) is
+        # already seconds — str(30) would fail parse_duration's unit regex
+        iv = ast.args[1]
+        interval = iv if isinstance(iv, int) else parse_duration(str(iv))
         if interval <= step_seconds or interval % step_seconds:
             # sub-slot intervals evaluate per batch (each bucket holds at
             # most one finalized slot — validate_stream_target accepts
