@@ -925,3 +925,100 @@ def test_pca_project_forwards_custom_id_col(spark):
     assert len(got) == 40 and {c for c in out.columns} == {
         "doc_id", "pc1", "explained_1"
     }
+
+
+def test_wav_sample_decoder_against_stdlib_wave_writer():
+    """decode_wav_samples vs an INDEPENDENT WAV producer: files written
+    by the stdlib `wave` module (mono + stereo 16-bit, varied rates)
+    must decode to exactly the numpy stats of the samples written."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_wav_samples
+
+    rng = __import__("random").Random(17)
+    for channels, rate in [(1, 8000), (2, 44100), (1, 16000)]:
+        vals = [rng.randint(-32768, 32767) for _ in range(600 * channels)]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(struct.pack(f"<{len(vals)}h", *vals))
+        got = decode_wav_samples(buf.getvalue())
+        arr = np.array(vals, dtype=np.int64)
+        assert got == {
+            "sample_rate": rate, "channels": channels, "bits": 16,
+            "n_samples": arr.size, "s_min": int(arr.min()),
+            "s_max": int(arr.max()), "s_sum": int(arr.sum()),
+            "s_sq_sum": int((arr * arr).sum()),
+            "s_mean": int(arr.sum()) / arr.size,
+        }, (channels, rate)
+
+
+def test_wav_sample_decoder_pcm8_and_rejects():
+    """PCM8 decodes with NATIVE unsigned values; truncated data chunks,
+    non-PCM formats, 24-bit depth, and odd 16-bit byte counts all yield
+    None (NULL stats), never an exception."""
+    import struct
+
+    from whisper_spark.operators.multimodal import decode_wav_samples
+
+    def wav(fmt=1, ch=1, rate=8000, bits=8, data=b"", declared=None):
+        dlen = len(data) if declared is None else declared
+        return (
+            b"RIFF" + struct.pack("<I", 36 + dlen) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", fmt, ch, rate,
+                          rate * ch * bits // 8, ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", dlen) + data
+        )
+
+    got = decode_wav_samples(wav(bits=8, data=bytes([0, 128, 255, 7])))
+    assert got["bits"] == 8 and got["s_min"] == 0 and got["s_max"] == 255
+    assert got["s_sum"] == 390 and got["n_samples"] == 4
+
+    assert decode_wav_samples(None) is None
+    assert decode_wav_samples(b"RIFFxxxx") is None
+    assert decode_wav_samples(b"not audio at all") is None
+    # data chunk declares 8 bytes but carries 4 (truncated upload)
+    assert decode_wav_samples(wav(data=b"\0\0\0\0", declared=8)) is None
+    # IEEE float (fmt 3) and 24-bit unsupported -> None, not garbage
+    assert decode_wav_samples(wav(fmt=3, bits=16, data=b"\0\0")) is None
+    assert decode_wav_samples(wav(bits=24, data=b"\0" * 6)) is None
+    # odd byte count at 16 bits
+    assert decode_wav_samples(wav(bits=16, data=b"\0\0\0")) is None
+    # stereo 16-bit with a non-multiple sample count
+    assert decode_wav_samples(wav(ch=2, bits=16, data=b"\0\0")) is None
+
+
+def test_decode_samples_mapinpandas(spark):
+    """The Arrow-batched decode_samples stage: valid WAV decoded, junk
+    rows kept with NULL stats."""
+    import io
+    import struct
+    import wave
+
+    from whisper_spark.operators import multimodal
+    from whisper_spark.operators.multimodal import decode_samples
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack("<4h", -2, -1, 3, 4))
+    rows = [
+        (1, "audio", bytearray(buf.getvalue()), None),
+        (2, "audio", bytearray(b"garbage"), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_samples(df).collect()}
+    assert got[1].s_sum == 4 and got[1].n_samples == 4
+    assert got[1].s_min == -2 and got[1].s_max == 4
+    assert got[1].s_sq_sum == 4 + 1 + 9 + 16
+    assert got[1].s_mean == 1.0
+    assert got[2].s_sum is None  # kept, null stats

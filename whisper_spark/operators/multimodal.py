@@ -9,8 +9,11 @@ stdlib only (``decoder="auto"``, the default).  PNG pixel decode is
 ALSO real and stdlib-only: :func:`decode_pixels` inflates the IDAT
 stream with zlib and reconstructs every scanline (all five PNG filter
 types), oracle-gated end to end (queries.py ``mm_decode_pixels``).
-What stays stubbed is audio/video SAMPLE decode (needs ffmpeg-class
-codecs, absent from this container): unknown formats fall back to
+WAV PCM sample decode is real too: :func:`decode_samples` walks the
+RIFF chunks and reads 8/16-bit integer PCM with numpy, oracle-gated
+end to end (queries.py ``mm_decode_wav_pcm``).  What stays stubbed is
+COMPRESSED audio/video payload decode (needs ffmpeg-class codecs,
+absent from this container): unknown formats fall back to
 deterministic md5-derived pseudo-metadata, and the 8-dim feature is
 digest-derived.  Plug a full decoder in by passing
 ``decoder=callable(payload: bytes) -> dict``; everything around it
@@ -374,6 +377,122 @@ def decode_pixels(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=PIXELS_SCHEMA)
+
+
+#: output contract for :func:`decode_samples`
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("s_min", T.IntegerType(), True),
+        T.StructField("s_max", T.IntegerType(), True),
+        T.StructField("s_sum", T.LongType(), True),
+        T.StructField("s_sq_sum", T.LongType(), True),
+        T.StructField("s_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def _make_wav_sample_decoder() -> Callable[[bytes], dict | None]:
+    """Build the stdlib WAV PCM SAMPLE decoder — full sample decode, no
+    third-party libraries: RIFF chunk walk (word-aligned; a chunk that
+    declares more bytes than remain marks the file truncated) ->
+    ``fmt `` parse -> numpy ``frombuffer`` over the ``data`` payload.
+
+    Supports integer PCM (format tag 1) at 8 or 16 bits, any channel
+    count — the formats a training-data audio pipeline actually stores
+    raw.  Samples are reported in their NATIVE signedness (PCM8 is
+    unsigned 0..255 per the container spec; PCM16 is signed little-
+    endian), interleaved channels flattened into one stream (``n_samples``
+    counts every channel's samples).  Closure-built so Spark tasks ship
+    it by value (see _make_header_parser).
+    """
+    import struct
+
+    def decode_wav(p: bytes) -> dict | None:
+        if (
+            p is None or len(p) < 12
+            or p[:4] != b"RIFF" or p[8:12] != b"WAVE"
+        ):
+            return None
+        fmt = data = None
+        off = 12
+        while off + 8 <= len(p):
+            tag = p[off:off + 4]
+            (clen,) = struct.unpack("<I", p[off + 4:off + 8])
+            body = p[off + 8:off + 8 + clen]
+            if len(body) != clen:
+                return None  # truncated chunk: corrupt, NULL stats
+            if tag == b"fmt " and clen >= 16:
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                data = body
+            off += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format, channels, rate, _byte_rate, _block, bits = fmt
+        if audio_format != 1 or channels < 1 or bits not in (8, 16):
+            return None
+
+        import numpy as np
+
+        if bits == 16:
+            if len(data) % 2:
+                return None
+            arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        else:
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        if arr.size == 0 or arr.size % channels:
+            return None
+        total = int(arr.sum())
+        return {
+            "sample_rate": int(rate), "channels": int(channels),
+            "bits": int(bits), "n_samples": int(arr.size),
+            "s_min": int(arr.min()), "s_max": int(arr.max()),
+            "s_sum": total, "s_sq_sum": int((arr * arr).sum()),
+            "s_mean": total / arr.size,
+        }
+
+    return decode_wav
+
+
+#: stdlib WAV PCM sample decoder; same object for unit tests
+decode_wav_samples = _make_wav_sample_decoder()
+
+
+def decode_samples(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Full WAV PCM sample decode as an Arrow-batched ``mapInPandas``
+    stage: (media_id, payload) -> :data:`SAMPLES_SCHEMA` sample
+    statistics.  Unrecognized/unsupported/truncated payloads yield NULL
+    stats (the row is kept so coverage is auditable).  Together with
+    :func:`decode_pixels` this closes the audio leg of the former
+    sample-decode integration point with the stdlib only; compressed
+    codecs (MP3/FLAC/Ogg payload decode) still need external libraries
+    (``decode_media``'s ``decoder='raise'`` marker)."""
+    dec = _make_wav_sample_decoder()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame({"media_id": pdf[id_col]})
+            stats = [dec(p) for p in pdf["payload"]]
+            for col, dtype in (
+                ("sample_rate", "Int32"), ("channels", "Int32"),
+                ("bits", "Int32"), ("n_samples", "Int64"),
+                ("s_min", "Int32"), ("s_max", "Int32"),
+                ("s_sum", "Int64"), ("s_sq_sum", "Int64"),
+            ):
+                out[col] = pd.array(
+                    [s[col] if s else None for s in stats], dtype=dtype
+                )
+            out["s_mean"] = [s["s_mean"] if s else None for s in stats]
+            yield out
+
+    return df.mapInPandas(run, schema=SAMPLES_SCHEMA)
 
 
 def _fake_decode(payload: bytes) -> dict:

@@ -2782,6 +2782,89 @@ def q_mm_decode_pixels(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_wav_pcm",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+s AS (
+  SELECT doc_id,
+         (doc_id % 8 + 1) * 250 AS n,
+         list_transform(generate_series(0, (doc_id % 8 + 1) * 250 - 1),
+                        k -> doc_id + (k % 256) - 128) AS samples
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_min(samples) AS INTEGER) AS s_min,
+       CAST(list_max(samples) AS INTEGER) AS s_max,
+       CAST(list_sum(samples) AS BIGINT) AS s_sum,
+       CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT) AS s_sq_sum,
+       CAST(list_sum(samples) AS DOUBLE) / n AS s_mean
+FROM s
+""",
+    doc="FULL WAV PCM sample decode end-to-end, stdlib+numpy only "
+    "(closes the audio leg of the sample-decode integration point): "
+    "complete, VALID RIFF/WAVE files — fmt chunk + 16-bit mono PCM "
+    "data chunk — are assembled as pure JVM column expressions (sample "
+    "k of doc d is d + (k % 256) - 128, two's-complement little-endian "
+    "via hex byte swaps), shipped through Arrow, and chunk-walked back "
+    "by operators/multimodal.py decode_wav_samples, which reports "
+    "signed sample statistics.  The oracle regenerates the sample "
+    "sequence arithmetically, so any drift in RIFF walking, fmt "
+    "endianness, two's-complement handling, or stat accumulation fails "
+    "the hash gate",
+)
+def q_mm_decode_wav_pcm(spark, sf_dir):
+    from .operators.multimodal import decode_samples
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def le32(c):
+        h = F.lpad(F.hex(c.cast("bigint")), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2), F.substring(h, 5, 2),
+                F.substring(h, 3, 2), F.substring(h, 1, 2),
+            )
+        )
+
+    def le16(c):
+        h = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+        return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    n = (F.col("doc_id") % 8 + 1) * 250
+    dlen = (n * 2).cast("int")  # 16-bit mono: 2 bytes per sample
+    # sample k = doc_id + (k % 256) - 128, signed 16-bit little-endian:
+    # hex of the two's complement (v + 65536) % 65536, byte-swapped
+    data_hex = F.expr(
+        "array_join(transform(sequence(0, CAST((doc_id % 8 + 1) * 250 AS INT) - 1), "
+        "k -> concat("
+        "substring(lpad(hex((doc_id + k % 256 - 128 + 65536) % 65536), 4, '0'), 3, 2), "
+        "substring(lpad(hex((doc_id + k % 256 - 128 + 65536) % 65536), 4, '0'), 1, 2)"
+        ")), '')"
+    )
+    payload = F.concat(
+        F.lit(b"RIFF"), le32(dlen + 36), F.lit(b"WAVE"),
+        F.lit(b"fmt "), le32(F.lit(16)),
+        le16(F.lit(1)), le16(F.lit(1)),            # PCM, mono
+        le32(F.lit(8000)), le32(F.lit(16000)),     # rate, byte rate
+        le16(F.lit(2)), le16(F.lit(16)),           # block align, bits
+        F.lit(b"data"), le32(dlen),
+        F.unhex(data_hex),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    dec = decode_samples(media)
+    return dec.select(
+        "media_id", "sample_rate", "channels", "bits", "n_samples",
+        "s_min", "s_max", "s_sum", "s_sq_sum", "s_mean",
+    )
+
+
+@_q(
     "mm_feature_topk",
     "WITH "
     + _MEDIA_SQL
@@ -10219,8 +10302,9 @@ _DRIVER_WINDOW_PROMOTE = [
     "stream_render_composed", "stream_carbon_aggregator",
     "emb_ivf_recall_trained", "stream_render_moving_avg",
     "stream_render_derivative",
-    # round-6 flagship: full stdlib PNG pixel decode, oracle-gated
-    "mm_decode_pixels",
+    # round-6 flagships: full stdlib PNG pixel decode and WAV PCM
+    # sample decode, both oracle-gated
+    "mm_decode_pixels", "mm_decode_wav_pcm",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
