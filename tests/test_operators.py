@@ -1022,3 +1022,86 @@ def test_decode_samples_mapinpandas(spark):
     assert got[1].s_sq_sum == 4 + 1 + 9 + 16
     assert got[1].s_mean == 1.0
     assert got[2].s_sum is None  # kept, null stats
+
+
+def _ref_bpe(corpus_words, n_merges):
+    """Independent pure-Python Sennrich BPE: dict of word->freq, merge
+    the most frequent adjacent pair each round (ties: lexicographic),
+    leftmost-non-overlapping application."""
+    from collections import Counter
+
+    vocab = {tuple(w): f for w, f in corpus_words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        nv = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    return merges, vocab
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """bpe_train vs an INDEPENDENT in-test Sennrich implementation:
+    merge table and per-doc token counts must agree exactly on a corpus
+    with ties, repeats, single-char words, and identical-run words."""
+    from collections import Counter
+
+    from whisper_spark.operators.textanalysis import (
+        bpe_token_counts,
+        bpe_train_merges,
+    )
+
+    docs = [
+        (1, "low lower lowest low low"),
+        (2, "newer newest new news low"),
+        (3, "aaaa aaa aa a baab"),
+        (4, "the the the them theme"),
+        (5, "x yz the lowest newest"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    words = Counter(w for _, t in docs for w in t.split() if w)
+
+    got = bpe_train_merges(df, n_merges=6)
+    want, _ = _ref_bpe(words, 6)
+    assert got == want, (got, want)
+
+    counts = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+        for r in bpe_token_counts(df, got).collect()
+    }
+    # reference token counts: re-apply the merges per word
+    def seg_len(w):
+        syms = list(w)
+        for a, b, _ in want:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for did, text in docs:
+        ws = [w for w in text.split() if w]
+        assert counts[did] == (
+            len(ws), sum(len(w) for w in ws), sum(seg_len(w) for w in ws)
+        ), did

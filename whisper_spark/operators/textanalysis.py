@@ -384,3 +384,173 @@ def encode_token_ids(
             )
         ).alias("ids_sig"),
     )
+
+
+# --------------------------------------------------------------------- #
+# BPE merge training (Sennrich et al. 2016, the subword-vocab shape)
+# --------------------------------------------------------------------- #
+
+#: symbol separator inside a word's merge sequence; words containing it
+#: are dropped on both engines (defensive — it never occurs in text)
+BPE_SEP = "\x1f"
+
+
+def _bpe_merge_fold(col: F.Column, left: str, right: str) -> F.Column:
+    """Apply ONE learned merge (left, right) to a BPE-SEP-joined symbol
+    string: the classic leftmost, non-overlapping single pass, as a
+    string left-fold.  A merge fires when the accumulator's LAST symbol
+    is exactly ``left`` and the incoming symbol is ``right``; the merged
+    symbol is their concatenation, so firing appends ``right`` with no
+    separator.  A symbol created by a merge earlier in the pass is never
+    re-merged (its value is left+right, not left) — exactly Sennrich's
+    re.sub semantics.  The same fold is expressible verbatim in DuckDB
+    (``list_reduce`` over ``list_prepend('', string_split(...))``), which
+    is what makes the training oracle-checkable bit-for-bit."""
+    sep_left = F.lit(BPE_SEP + left)
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        fires = (x == F.lit(right)) & (
+            (acc == F.lit(left)) | acc.endswith(sep_left)
+        )
+        return (
+            F.when(fires, F.concat(acc, x))
+            .when(acc == F.lit(""), x)
+            .otherwise(F.concat(acc, F.lit(BPE_SEP), x))
+        )
+
+    return F.aggregate(F.split(col, BPE_SEP), F.lit(""), step)
+
+
+def _bpe_word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """(freq, seq) per distinct whitespace word — seq is the word's
+    character sequence joined by BPE_SEP.  Characters come from an
+    explicit substring transform (NOT split(w, '')) so Spark and DuckDB
+    agree codepoint-for-codepoint."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(word_tokens(text_col)).alias("w"))
+        .filter(~F.col("w").contains(BPE_SEP))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            "freq",
+            F.array_join(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+                BPE_SEP,
+            ).alias("seq"),
+        )
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges on the corpus; returns
+    [(left, right, pair_freq), ...] in learned order.
+
+    Distributed shape per round: ONE pair-count aggregation over the
+    distinct-word table (freq-weighted adjacent symbol pairs) and ONE
+    top-1 collect — a single bounded row per round, the same
+    driver-literal envelope as the trained-IVF centroids.  The word
+    table is persisted and re-derived by one fold per round, so lineage
+    stays O(1) deep.  Ties break (count desc, left asc, right asc) —
+    fully deterministic.  At 100 TB the word table is the DISTINCT
+    vocabulary (Zipf-bounded, orders of magnitude under the corpus);
+    every per-round job is a groupBy over it, never a corpus rescan."""
+    words = _bpe_word_freqs(docs, text_col).persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            s = F.split(F.col("seq"), BPE_SEP)
+            # words are short, so re-evaluating the split inside the
+            # lambda is a non-issue (contrast word_ngrams_expr's
+            # let-binding idiom, where texts are documents)
+            pair_arr = F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda i: F.struct(
+                    F.element_at(s, i).alias("l"),
+                    F.element_at(s, i + 1).alias("r"),
+                ),
+            )
+            top = (
+                words.filter(F.size(s) >= 2)
+                .select("freq", F.explode(pair_arr).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            merges.append((left, right, c))
+            nxt = words.select(
+                "freq", _bpe_merge_fold(F.col("seq"), left, right).alias("seq")
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """BPE merge table as a DataFrame:
+    (merge_rank, lhs, rhs, pair_freq) in learned order."""
+    spark = docs.sparkSession
+    merges = bpe_train_merges(docs, text_col, n_merges)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_freq long",
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment every document with the learned merges and report
+    (id, n_words, n_chars, n_bpe_tokens) — the compression-ratio
+    numbers a subword-vocab pipeline tracks.
+
+    The merge chain is applied per DISTINCT word (Zipf: the distinct
+    vocabulary is orders of magnitude under the occurrence count), then
+    joined back to occurrences — so the fold cost is vocabulary-
+    proportional, and the join key is the word itself."""
+    occ = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(word_tokens(text_col)).alias("w"))
+        .filter(~F.col("w").contains(BPE_SEP))
+    )
+    dseq = occ.select("w").distinct().select(
+        "w",
+        F.array_join(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            BPE_SEP,
+        ).alias("seq"),
+    )
+    col = F.col("seq")
+    for m in merges:
+        col = _bpe_merge_fold(col, m[0], m[1])
+    dtok = dseq.select(
+        "w", F.size(F.split(col, BPE_SEP)).cast("long").alias("n_sym")
+    )
+    return (
+        occ.join(dtok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )

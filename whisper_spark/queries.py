@@ -9368,6 +9368,135 @@ def q_doc_bigram_lm_score(spark, sf_dir):
     return bigram_lm_score(load(spark, sf_dir, "documents"))
 
 
+def _bpe_rounds_sql(n: int) -> str:
+    """CTE chain for ``n`` BPE training rounds over ``documents``:
+    ``w0`` (distinct-word freqs, char sequences joined by chr(31)),
+    then per round r: ``px{r}`` (freq-weighted adjacent pairs),
+    ``t{r}`` (the round's winning merge — count desc, pair asc), and
+    ``w{r}`` (the vocab with that merge applied via the same leftmost
+    string fold the Spark side uses; see textanalysis._bpe_merge_fold).
+    Mirrors operators/textanalysis.py bpe_train_merges round for round —
+    the oracle UNROLLS the training loop the way the trained-IVF oracle
+    unrolls Lloyd rounds."""
+    sep = "chr(31)"
+    ctes = [
+        f"""w0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS freq,
+         array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> substring(w, i, 1)), {sep}) AS seq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  WHERE NOT contains(w, {sep})
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, n + 1):
+        ctes.append(
+            f"""px{r} AS (
+  SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+           i -> struct_pack(l := s[i], r2 := s[i + 1]))) AS p
+  FROM (SELECT freq, string_split(seq, {sep}) AS s FROM w{r - 1})
+),
+t{r} AS (
+  SELECT p.l AS l, p.r2 AS r2, CAST(sum(freq) AS BIGINT) AS c
+  FROM px{r} GROUP BY 1, 2 ORDER BY c DESC, l, r2 LIMIT 1
+),
+w{r} AS (
+  SELECT freq,
+         list_reduce(list_prepend('', string_split(seq, {sep})), (acc, x) ->
+           CASE WHEN x = t.r2 AND (acc = t.l OR ends_with(acc, {sep} || t.l))
+                THEN acc || x
+                WHEN acc = '' THEN x
+                ELSE acc || {sep} || x END) AS seq
+  FROM w{r - 1}, t{r} t
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+@_q(
+    "doc_bpe_merges",
+    "WITH "
+    + _bpe_rounds_sql(5)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_rank, l AS lhs, r2 AS rhs, c AS pair_freq FROM t{r}"
+        for r in range(1, 6)
+    ),
+    doc="REAL BPE merge training (Sennrich 2016), 5 rounds: freq-"
+    "weighted adjacent-symbol pair counts over the distinct-word "
+    "vocabulary, top pair merged each round via a leftmost non-"
+    "overlapping string fold that is expressed IDENTICALLY in Spark "
+    "(F.aggregate) and DuckDB (list_reduce) — the oracle unrolls all "
+    "five rounds, so encode, counting, tie-breaks, and merge "
+    "application are checked bit-for-bit.  Per round the Spark plan is "
+    "one groupBy over the Zipf-bounded vocab + a 1-row collect (the "
+    "trained-IVF driver-literal envelope); unit tests differentially "
+    "check an independent pure-Python Sennrich implementation "
+    "(operators/textanalysis.py bpe_train_merges)",
+)
+def q_doc_bpe_merges(spark, sf_dir):
+    from .operators.textanalysis import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=5).select(
+        "merge_rank", "lhs", "rhs", "pair_freq"
+    )
+
+
+@_q(
+    "doc_bpe_token_counts",
+    "WITH "
+    + _bpe_rounds_sql(5)
+    + """,
+occ AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents WHERE text IS NOT NULL)
+  WHERE NOT contains(w, chr(31))
+),
+e0 AS (
+  SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
+                                           i -> substring(w, i, 1)), chr(31)) AS seq
+  FROM (SELECT DISTINCT w FROM occ)
+),
+"""
+    + ",\n".join(
+        f"""e{r} AS (
+  SELECT w,
+         list_reduce(list_prepend('', string_split(seq, chr(31))), (acc, x) ->
+           CASE WHEN x = t.r2 AND (acc = t.l OR ends_with(acc, chr(31) || t.l))
+                THEN acc || x
+                WHEN acc = '' THEN x
+                ELSE acc || chr(31) || x END) AS seq
+  FROM e{r - 1}, t{r} t
+)"""
+        for r in range(1, 6)
+    )
+    + """,
+dtok AS (SELECT w, CAST(len(string_split(seq, chr(31))) AS BIGINT) AS n_sym
+         FROM e5)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM occ JOIN dtok USING (w) GROUP BY doc_id
+""",
+    doc="BPE segmentation at corpus scale: the 5 learned merges are "
+    "applied per DISTINCT word (vocabulary-proportional fold cost — "
+    "Zipf puts the distinct vocab orders of magnitude under the "
+    "occurrence count) and joined back to occurrences for per-doc "
+    "(n_words, n_chars, n_bpe_tokens) compression numbers.  The oracle "
+    "re-unrolls training AND segmentation, so the full train->apply "
+    "pipeline is hash-gated (operators/textanalysis.py "
+    "bpe_token_counts)",
+)
+def q_doc_bpe_token_counts(spark, sf_dir):
+    from .operators.textanalysis import bpe_token_counts, bpe_train_merges
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_token_counts(d, bpe_train_merges(d, n_merges=5))
+
+
 @_q(
     "emb_covariance",
     """
@@ -10303,8 +10432,9 @@ _DRIVER_WINDOW_PROMOTE = [
     "emb_ivf_recall_trained", "stream_render_moving_avg",
     "stream_render_derivative",
     # round-6 flagships: full stdlib PNG pixel decode and WAV PCM
-    # sample decode, both oracle-gated
-    "mm_decode_pixels", "mm_decode_wav_pcm",
+    # sample decode, both oracle-gated; real BPE merge training with
+    # the 5 rounds unrolled in the oracle
+    "mm_decode_pixels", "mm_decode_wav_pcm", "doc_bpe_merges",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
