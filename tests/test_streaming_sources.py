@@ -1164,3 +1164,58 @@ def test_render_stream_summarize_accepts_bare_int_interval(spark, tmp_path):
         ).collect()
     }
     assert got and got == want
+
+
+def test_render_stream_routes_moving_window_family(spark, tmp_path):
+    """movingSum/movingMin/movingMax/movingMedian route to the chained
+    port; output matches the direct chained op exactly, and stream-safe
+    wrappers compose around the new cores."""
+    import uuid
+
+    from whisper_spark.queries import _ensure_nanos_conf, stream_sec
+    from whisper_spark.streaming.render import render_stream_once
+    from whisper_spark.streaming.rollup import chained_moving_window
+
+    sf = "/root/testdata/sf0.001"
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def pts():
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        return src.select(
+            F.col("event_type").alias("metric"),
+            stream_sec(schema, "ts").alias("ts"),
+            F.col("value"),
+            F.col("event_id").alias("seq"),
+        )
+
+    got = {
+        (r.metric, r.ts): r.value
+        for r in render_stream_once(
+            spark, pts(), "movingMedian(*, 5)", str(tmp_path / "mm")
+        ).collect()
+    }
+    assert got
+
+    name = "mw_ref_" + uuid.uuid4().hex[:8]
+    ref = chained_moving_window(pts(), n_points=5, func="median",
+                                step_seconds=60, method="max",
+                                watermark_seconds=600)
+    q = (ref.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    want = {(r.metric, r.ts): r.value for r in spark.table(name).collect()}
+    assert got == want
+
+    # a wrapper composes around the new core; sum route also works
+    out = render_stream_once(
+        spark, pts(), "scale(movingSum(*, 3), 2.0)", str(tmp_path / "ms")
+    )
+    assert out.count() > 0
+
+    with pytest.raises(ValueError, match="func must be one of"):
+        chained_moving_window(pts(), func="p95")

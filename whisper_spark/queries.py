@@ -3392,6 +3392,77 @@ def q_stream_render_moving_avg(spark, sf_dir):
 
 
 @_q(
+    "stream_render_moving_median",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+win AS (
+  SELECT metric, s + 60 + 60 * k.k AS w_end, v
+  FROM slot CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) k
+)
+SELECT metric, w_end AS ts,
+       CASE WHEN count(v) > 0 THEN
+         list_sort(list(v) FILTER (v IS NOT NULL))
+           [greatest(CAST(ceil(count(v) * 0.5) AS INT), 1)]
+       END AS moving_median,
+       count(v) AS n_slots
+FROM win, mx WHERE w_end <= m - 600
+GROUP BY metric, w_end
+""",
+    doc="STREAMING movingMedian — the moving-window family generalized "
+    "beyond the avg core: same chained two-stateful-operator plan, the "
+    "reducer swapped for the NEAREST-RANK median (ceil(n*0.5) of the "
+    "sorted window, exactly the batch render language's movingMedian), "
+    "whose per-window state is the bounded slot-value list.  The "
+    "oracle expands slots into member windows, applies the closed-"
+    "window rule, and takes the identical sorted nearest-rank element "
+    "— a stored value, so the availableNow replay is bit-deterministic "
+    "with no float-fold caveats (streaming/rollup.py "
+    "chained_moving_window)",
+)
+def q_stream_render_moving_median(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_moving_window
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_moving_window(
+        pts, n_points=5, func="median", step_seconds=60, method="max",
+        watermark_seconds=600,
+    )
+    name = "stream_mmed_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.select(
+            "metric", "ts", F.col("value").alias("moving_median"), "n_slots"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "stream_render_summarize",
     """
 WITH raw AS (

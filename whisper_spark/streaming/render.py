@@ -97,11 +97,13 @@ def validate_stream_target(node, step_seconds: int | None = None) -> None:
                 f"{node.name!r} is not stream-safe: it needs ordering or "
                 "state across time slots (moving windows, sorts, "
                 "percentiles, integrals), which an append-mode stream "
-                "cannot evaluate batch-locally.  movingAverage, derivative/"
-                "perSecond and STEP-MULTIPLE coarse summarize/hitcount "
-                "have dedicated chained-aggregation ports: streaming."
-                "rollup.chained_moving_average / chained_derivative / "
-                "chained_summarize; sub-slot summarize/hitcount "
+                "cannot evaluate batch-locally.  movingAverage/Sum/Min/"
+                "Max/Median, derivative/perSecond and STEP-MULTIPLE "
+                "coarse summarize/hitcount have dedicated chained-"
+                "aggregation ports: streaming.rollup."
+                "chained_moving_average / chained_moving_window / "
+                "chained_derivative / chained_summarize; "
+                "sub-slot summarize/hitcount "
                 "(interval <= slot width) is batch-local and accepted "
                 "when the slot width is known"
             )
@@ -131,6 +133,7 @@ def _chained_stream_plan(
     from .rollup import (
         chained_derivative,
         chained_moving_average,
+        chained_moving_window,
         chained_summarize,
     )
 
@@ -151,6 +154,18 @@ def _chained_stream_plan(
             pts, n_points=n, step_seconds=step_seconds, method=method,
             watermark_seconds=watermark_seconds,
         ).select("metric", "ts", F.col("moving_avg").alias("value"))
+    if name in _MW_FUNCS and len(ast.args) >= 2:
+        ws = ast.args[1]
+        n = (
+            max(1, parse_duration(ws) // step_seconds)
+            if isinstance(ws, str) and not str(ws).lstrip("+-").isdigit()
+            else max(1, int(ws))
+        )
+        return chained_moving_window(
+            pts, n_points=n, func=_MW_FUNCS[name],
+            step_seconds=step_seconds, method=method,
+            watermark_seconds=watermark_seconds,
+        ).select("metric", "ts", "value")
     if name in ("derivative", "perSecond") and len(ast.args) == 1:
         return chained_derivative(
             pts, step_seconds=step_seconds, method=method,
@@ -185,9 +200,18 @@ def _chained_stream_plan(
     return None
 
 
+#: moving-window render functions -> chained_moving_window reducer
+_MW_FUNCS = {
+    "movingSum": "sum",
+    "movingMin": "min",
+    "movingMax": "max",
+    "movingMedian": "median",
+}
+
 #: the cross-slot functions with chained multi-stateful ports
 _CHAINED_NAMES = frozenset(
     {"movingAverage", "derivative", "perSecond", "summarize", "hitcount"}
+    | set(_MW_FUNCS)
 )
 
 

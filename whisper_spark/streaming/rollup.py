@@ -187,6 +187,54 @@ def chained_moving_average(
     Output: (metric, ts, moving_avg, n_slots).  State is bounded by
     ``metrics x windows-inside-watermark`` at each level.
     """
+    return chained_moving_window(
+        points, n_points, "avg", step_seconds, method,
+        watermark_seconds, ts_col,
+    ).select(
+        "metric", "ts", F.col("value").alias("moving_avg"), "n_slots"
+    )
+
+
+def chained_moving_window(
+    points: DataFrame,
+    n_points: int = 5,
+    func: str = "avg",
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The full streaming moving-window family — ``movingSum`` /
+    ``movingMin`` / ``movingMax`` / ``movingMedian`` (and the ``avg``
+    core :func:`chained_moving_average` delegates to): the same chained
+    two-stateful-operator shape, one reducer swapped.
+
+    ``func``: 'avg' | 'sum' | 'min' | 'max' | 'median'.  sum/avg run
+    through the sorted float64 fold; median is the NEAREST-RANK stored
+    value at ``ceil(n * 0.5)`` of the sorted window — exactly the batch
+    render language's movingMedian (render.py _moving_median_expr), so
+    stream and batch answers agree slot for slot.  Median state keeps
+    the window's value list — bounded by ``n_points`` values per
+    (metric, window), the same envelope as the fold state.
+
+    Output: (metric, ts, value, n_slots) with ts = window END, the
+    movingX label convention.
+    """
+    aggs = {
+        "avg": folds.fsum("value") / F.count("value"),
+        "sum": folds.fsum("value"),
+        "max": F.max("value"),
+        "min": F.min("value"),
+        "median": F.expr(
+            "element_at(array_sort(collect_list(value)), "
+            "greatest(cast(ceil(count(value) * 0.5) as int), 1))"
+        ),
+    }
+    if func not in aggs:
+        raise ValueError(
+            f"chained_moving_window: func must be one of {sorted(aggs)}, "
+            f"got {func!r}"
+        )
     slots = _slot_windows(points, step_seconds, method, watermark_seconds, ts_col)
     span = n_points * step_seconds
     return (
@@ -197,13 +245,13 @@ def chained_moving_average(
             ).alias("_w2"),
         )
         .agg(
-            (folds.fsum("value") / F.count("value")).alias("moving_avg"),
+            aggs[func].alias("value"),
             F.count("value").alias("n_slots"),
         )
         .select(
             "metric",
             F.col("_w2.end").cast("long").alias("ts"),
-            "moving_avg",
+            "value",
             "n_slots",
         )
     )
