@@ -1105,3 +1105,37 @@ def test_bpe_train_matches_pure_python_reference(spark):
         assert counts[did] == (
             len(ws), sum(len(w) for w in ws), sum(seg_len(w) for w in ws)
         ), did
+
+
+def test_pii_scrub_matches_python_re(spark):
+    """pii_scrub vs Python `re` as an INDEPENDENT third regex engine:
+    counts and the sequentially-redacted text must agree on adversarial
+    spans (adjacent punctuation, multiple hits, boundary digits, clean
+    rows, None)."""
+    import re
+
+    from whisper_spark.operators.textanalysis import PII_PATTERNS, pii_scrub
+
+    texts = [
+        (1, "mail a.b+c%d@ex-ample.co.uk then 10.0.0.1 and +4915112345678."),
+        (2, "two mails x@y.io z@w.org, ips 1.2.3.4 5.6.7.8, phone +1234567"),
+        (3, "no pii here just words and 123 numbers"),
+        (4, "edge: 999.999.999.999 still matches the heuristic; +123456 too short"),
+        (5, "email@at.end.example.com"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    for did, t in texts:
+        counts = {
+            f"n_{name}": len(re.findall(pat, t))
+            for name, pat, _ in PII_PATTERNS
+        }
+        red = t
+        for _, pat, tok in PII_PATTERNS:
+            red = re.sub(pat, tok, red)
+        g = got[did]
+        assert (g.n_emails, g.n_ips, g.n_phones) == (
+            counts["n_emails"], counts["n_ips"], counts["n_phones"]
+        ), (did, t)
+        assert g.redacted_text == red and g.redacted_len == len(red), did

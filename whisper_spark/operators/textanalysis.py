@@ -554,3 +554,51 @@ def bpe_token_counts(
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# PII detection / redaction (the C4/Dolma curation-scrub shape)
+# --------------------------------------------------------------------- #
+
+#: detection patterns, deliberately restricted to the regex subset with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+#: character classes, bounded repetition, ASCII \b — no lookaround, no
+#: backreferences, no ambiguous alternation
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phones", r"\+\d{7,15}", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Detect and redact PII-shaped spans — emails, IPv4 addresses,
+    +international phone numbers — as pure column expressions (JVM
+    regex, whole-stage codegen, no Python).
+
+    Counts are reported against the ORIGINAL text per pattern;
+    redaction is SEQUENTIAL (emails, then IPs, then phones, each pass
+    over the previous pass's output) so overlapping candidates resolve
+    deterministically.  Returns (id, n_emails, n_ips, n_phones,
+    redacted_len, redacted_sig, redacted_text) — the md5 signature
+    makes the exact transform checkable without shipping long strings.
+    """
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, tok)
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_sig"),
+        red.alias("redacted_text"),
+    )

@@ -9569,6 +9569,81 @@ def q_doc_bpe_token_counts(spark, sf_dir):
 
 
 @_q(
+    "doc_pii_scrub",
+    r"""
+WITH synth AS (
+  SELECT doc_id,
+         substring(text, 1, 80) ||
+         CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+           ' contact user' || CAST(doc_id AS VARCHAR) || '@example.' ||
+           CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END ||
+           ' from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+           '.' || CAST(doc_id % 7 AS VARCHAR) ||
+           '.' || CAST(doc_id % 250 AS VARCHAR) ||
+           ' call +' || CAST(490000000 + doc_id AS VARCHAR) || ' '
+         END || substring(text, 81, 80) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\+\d{7,15}', '<PHONE>', 'g') AS r3
+  FROM synth
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t,
+         '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '\+\d{7,15}')) AS BIGINT) AS n_phones,
+       CAST(length(r3) AS BIGINT) AS redacted_len,
+       md5(r3) AS redacted_sig
+FROM red
+""",
+    doc="PII detect + redact (the C4/Dolma curation-scrub shape): "
+    "emails, IPv4s, +international phones counted on the original text "
+    "and redacted SEQUENTIALLY, all as JVM regex column expressions.  "
+    "The word-soup testdata carries no PII, so the query injects a "
+    "deterministic doc_id-derived email/IP/phone span into each "
+    "document (every 5th doc left clean) — making the oracle a genuine "
+    "cross-engine REGEX test: Java regex (Spark) and RE2 (DuckDB) must "
+    "agree match-for-match on counts AND on the md5 of the redacted "
+    "text.  Patterns are deliberately restricted to the subset with "
+    "identical semantics in both engines "
+    "(operators/textanalysis.py pii_scrub, PII_PATTERNS)",
+)
+def q_doc_pii_scrub(spark, sf_dir):
+    from .operators.textanalysis import pii_scrub
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    did = F.col("doc_id")
+    inj = F.when(did % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example."),
+            F.when(did % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+            F.lit(" from 10."), (did % 200).cast("string"),
+            F.lit("."), (did % 7).cast("string"),
+            F.lit("."), (did % 250).cast("string"),
+            F.lit(" call +"), (F.lit(490000000) + did).cast("string"),
+            F.lit(" "),
+        )
+    )
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80), inj, F.substring("text", 81, 80)
+        ).alias("text"),
+    )
+    return pii_scrub(synth).select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        "redacted_len", "redacted_sig",
+    )
+
+
+@_q(
     "emb_covariance",
     """
 WITH ks AS (SELECT unnest(generate_series(1, 64)) AS k),
