@@ -575,22 +575,25 @@ def pii_scrub(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    patterns: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
-    """Detect and redact PII-shaped spans — emails, IPv4 addresses,
-    +international phone numbers — as pure column expressions (JVM
-    regex, whole-stage codegen, no Python).
+    """Detect and redact PII-shaped spans — by default emails, IPv4
+    addresses, +international phone numbers — as pure column
+    expressions (JVM regex, whole-stage codegen, no Python).
 
-    Counts are reported against the ORIGINAL text per pattern;
-    redaction is SEQUENTIAL (emails, then IPs, then phones, each pass
-    over the previous pass's output) so overlapping candidates resolve
-    deterministically.  Returns (id, n_emails, n_ips, n_phones,
-    redacted_len, redacted_sig, redacted_text) — the md5 signature
-    makes the exact transform checkable without shipping long strings.
+    ``patterns``: ordered (name, regex, replacement) triples; stick to
+    the Java/RE2-common subset if the output feeds a cross-engine
+    oracle.  Counts are reported against the ORIGINAL text per
+    pattern; redaction is SEQUENTIAL (each pass over the previous
+    pass's output, in list order) so overlapping candidates resolve
+    deterministically.  Returns (id, n_<name>..., redacted_len,
+    redacted_sig, redacted_text) — the md5 signature makes the exact
+    transform checkable without shipping long strings.
     """
     t = F.col(text_col)
     red = t
     counts = []
-    for name, pat, tok in PII_PATTERNS:
+    for name, pat, tok in patterns if patterns is not None else PII_PATTERNS:
         counts.append(
             F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
         )

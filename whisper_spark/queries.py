@@ -2448,18 +2448,17 @@ def q_doc_scrub_pii(spark, sf_dir):
             .otherwise(""),
         ).alias("text"),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
-    )
-    return aug.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_urls"),
-        F.md5(scrubbed).alias("scrub_sig"),
+    from .operators.textanalysis import pii_scrub
+
+    return pii_scrub(
+        aug,
+        patterns=[
+            ("emails", _EMAIL_RE, "<EMAIL>"),
+            ("urls", _URL_RE, "<URL>"),
+        ],
+    ).select(
+        "doc_id", "n_emails", "n_urls",
+        F.col("redacted_sig").alias("scrub_sig"),
     )
 
 
@@ -9569,7 +9568,7 @@ def q_doc_bpe_token_counts(spark, sf_dir):
 
 
 @_q(
-    "doc_pii_scrub",
+    "doc_pii_redact",
     r"""
 WITH synth AS (
   SELECT doc_id,
@@ -9614,7 +9613,7 @@ FROM red
     "identical semantics in both engines "
     "(operators/textanalysis.py pii_scrub, PII_PATTERNS)",
 )
-def q_doc_pii_scrub(spark, sf_dir):
+def q_doc_pii_redact(spark, sf_dir):
     from .operators.textanalysis import pii_scrub
 
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -10579,8 +10578,10 @@ _DRIVER_WINDOW_PROMOTE = [
     "stream_render_derivative",
     # round-6 flagships: full stdlib PNG pixel decode and WAV PCM
     # sample decode, both oracle-gated; real BPE merge training with
-    # the 5 rounds unrolled in the oracle
+    # the 5 rounds unrolled in the oracle; the streaming moving-window
+    # family's median port; the cross-engine PII redaction gate
     "mm_decode_pixels", "mm_decode_wav_pcm", "doc_bpe_merges",
+    "stream_render_moving_median", "doc_pii_redact",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
