@@ -9559,6 +9559,7 @@ FROM occ JOIN dtok USING (w) GROUP BY doc_id
     "re-unrolls training AND segmentation, so the full train->apply "
     "pipeline is hash-gated (operators/textanalysis.py "
     "bpe_token_counts)",
+    bench=True,
 )
 def q_doc_bpe_token_counts(spark, sf_dir):
     from .operators.textanalysis import bpe_token_counts, bpe_train_merges
