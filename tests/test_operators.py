@@ -908,6 +908,230 @@ def test_png_pixel_decoder_bounds_decompression_bomb():
     assert decode_png_pixels(p) is None
 
 
+def _gif_lzw_encode(pixels, min_code):
+    """INDEPENDENT textbook GIF-LZW encoder (string-table compression,
+    LSB-first variable-width codes, clear on table overflow) — the
+    verification direction for decode_gif_pixels' decompressor."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out_bits = []
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code + 1
+    out_bits.append((clear, code_size))
+    s = b""
+    for px in pixels:
+        c = bytes([px])
+        if s + c in table:
+            s = s + c
+            continue
+        out_bits.append((table[s], code_size))
+        if next_code < 4096:
+            table[s + c] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            out_bits.append((clear, code_size))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+        s = c
+    if s:
+        out_bits.append((table[s], code_size))
+    out_bits.append((end, code_size))
+    acc = nbits = 0
+    by = bytearray()
+    for code, size in out_bits:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        by.append(acc & 0xFF)
+    return bytes(by)
+
+
+def _gif(w, h, pixels, min_code, palette_n, interlace=False, gce=True):
+    import struct
+
+    palette = b"".join(
+        bytes([(7 * i) % 256, (11 * i) % 256, (13 * i) % 256])
+        for i in range(palette_n)
+    )
+    data = _gif_lzw_encode(pixels, min_code)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    packed = 0x80 | (palette_n.bit_length() - 2)
+    ext = b"\x21\xF9\x04\x00\x00\x00\x00\x00" if gce else b""
+    ipacked = 0x40 if interlace else 0
+    return (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, packed, 0, 0) + palette
+        + ext + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+        + bytes([min_code]) + bytes(blocks) + b"\x3B"
+    )
+
+
+def test_gif_pixel_decoder_against_independent_lzw_encoder():
+    """Round-trip decode_gif_pixels against an independently written
+    LZW compressor, covering every code-width transition (min codes
+    2/4/7/8), run-heavy input, the kwkwk (code == next_code) case,
+    extension skipping, and multi-sub-block chunking."""
+    import random
+
+    from whisper_spark.operators.multimodal import decode_gif_pixels
+
+    rng = random.Random(42)
+    for trial in range(20):
+        w, h = rng.randint(1, 60), rng.randint(1, 60)
+        min_code = rng.choice([2, 4, 7, 8])
+        palette_n = 1 << min_code
+        style = rng.choice(["random", "runs", "kwkwk"])
+        n = w * h
+        if style == "random":
+            pixels = [rng.randrange(palette_n) for _ in range(n)]
+        elif style == "runs":
+            pixels = []
+            while len(pixels) < n:
+                pixels += [rng.randrange(palette_n)] * rng.randint(1, 40)
+            pixels = pixels[:n]
+        else:
+            a, b = (rng.sample(range(palette_n), 2)
+                    if palette_n > 1 else (0, 0))
+            pixels = [(a if i % 2 == 0 else b) for i in range(n)]
+        got = decode_gif_pixels(_gif(w, h, pixels, min_code, palette_n))
+        pal = [((7 * i) % 256, (11 * i) % 256, (13 * i) % 256)
+               for i in range(palette_n)]
+        rgb = [c for p in pixels for c in pal[p]]
+        assert got == {
+            "width": w, "height": h, "channels": 3, "n_pixels": n,
+            "px_min": min(rgb), "px_max": max(rgb), "px_sum": sum(rgb),
+            "px_mean": sum(rgb) / (n * 3),
+        }, (trial, w, h, min_code, style)
+
+
+def test_gif_pixel_decoder_dict_overflow_and_rejects():
+    """14400 random 256-color pixels walk the code width 9->12 and force
+    a mid-stream table-overflow clear; corrupt shapes yield None."""
+    import random
+
+    from whisper_spark.operators.multimodal import decode_gif_pixels
+
+    rng = random.Random(7)
+    w = h = 120
+    pixels = [rng.randrange(256) for _ in range(w * h)]
+    gif = _gif(w, h, pixels, 8, 256)
+    got = decode_gif_pixels(gif)
+    pal = [((7 * i) % 256, (11 * i) % 256, (13 * i) % 256)
+           for i in range(256)]
+    rgb = [c for p in pixels for c in pal[p]]
+    assert got["px_sum"] == sum(rgb) and got["n_pixels"] == w * h
+
+    assert decode_gif_pixels(None) is None
+    assert decode_gif_pixels(b"GIF89a") is None  # truncated LSD
+    assert decode_gif_pixels(b"not a gif at all") is None
+    # interlaced: out of scope, NULL stats
+    assert decode_gif_pixels(
+        _gif(4, 4, [0] * 16, 2, 4, interlace=True)
+    ) is None
+    # truncated LZW stream: cut the payload mid-sub-block
+    assert decode_gif_pixels(gif[: len(gif) // 2]) is None
+    # a code beyond the dictionary: min_code 2 stream starting with an
+    # unassigned code (6 = end+1 with nothing assigned yet... use 7)
+    import struct
+
+    bad = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+        + bytes(12)  # 4-entry palette
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + bytes([2, 2, 0b00111100, 0b0000, 0])  # clear(100) then 7
+        + b"\x3B"
+    )
+    assert decode_gif_pixels(bad) is None
+
+
+def _bmp(w, h, rows_bgr, top_down=False):
+    """24-bit BI_RGB BMP; rows_bgr is h rows of 3*w bytes (bottom-up
+    storage order unless top_down)."""
+    import struct
+
+    stride = (3 * w + 3) & ~3
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+            stride * h, 2835, 2835, 0, 0,
+        )
+    )
+    body = b"".join(
+        bytes(r) + bytes(stride - 3 * w) for r in rows_bgr
+    )
+    return hdr + body
+
+
+def test_bmp_pixel_decoder_stats_padding_and_orientation():
+    import random
+
+    from whisper_spark.operators.multimodal import decode_bmp_pixels
+
+    rng = random.Random(5)
+    for w, h in [(1, 1), (2, 3), (5, 4), (7, 2)]:  # strides 4,8,16,24
+        rows = [[rng.randrange(256) for _ in range(3 * w)]
+                for _ in range(h)]
+        flat = [b for r in rows for b in r]
+        exp = {
+            "width": w, "height": h, "channels": 3, "n_pixels": w * h,
+            "px_min": min(flat), "px_max": max(flat),
+            "px_sum": sum(flat), "px_mean": sum(flat) / (w * h * 3),
+        }
+        assert decode_bmp_pixels(_bmp(w, h, rows)) == exp
+        # top-down (negative height): same orderless stats
+        assert decode_bmp_pixels(_bmp(w, h, rows, top_down=True)) == exp
+
+
+def test_bmp_pixel_decoder_rejects():
+    from whisper_spark.operators.multimodal import decode_bmp_pixels
+
+    good = _bmp(2, 2, [[0] * 6, [1] * 6])
+    assert decode_bmp_pixels(good)["n_pixels"] == 4
+    assert decode_bmp_pixels(None) is None
+    assert decode_bmp_pixels(b"BMshort") is None
+    assert decode_bmp_pixels(good[:-3]) is None  # truncated pixel array
+    # 16-bpp and compressed variants: out of scope, NULL stats
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 16
+    assert decode_bmp_pixels(bytes(bad_bpp)) is None
+    bad_comp = bytearray(good)
+    bad_comp[30] = 1  # BI_RLE8
+    assert decode_bmp_pixels(bytes(bad_comp)) is None
+
+
+def test_decode_pixels_dispatches_all_three_formats(spark):
+    from whisper_spark.operators.multimodal import decode_pixels
+
+    gif = _gif(3, 2, [1, 2, 3, 0, 1, 2], 2, 4)
+    bmp = _bmp(2, 2, [[10, 20, 30, 40, 50, 60], [1, 2, 3, 4, 5, 6]])
+    rows = [
+        (1, "image", bytearray(_png(3, 2, [[10, 20, 30], [40, 50, 60]])), None),
+        (2, "image", bytearray(gif), None),
+        (3, "image", bytearray(bmp), None),
+        (4, "image", bytearray(b"garbage"), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_pixels(df).collect()}
+    assert got[1].px_sum == 210 and got[1].channels == 1
+    pal = [((7 * i) % 256, (11 * i) % 256, (13 * i) % 256) for i in range(4)]
+    assert got[2].px_sum == sum(
+        c for p in [1, 2, 3, 0, 1, 2] for c in pal[p]
+    ) and got[2].channels == 3
+    assert got[3].px_sum == 210 + 21 and got[3].n_pixels == 4
+    assert got[4].px_sum is None
+
+
 def test_pca_project_forwards_custom_id_col(spark):
     """pca_project(id_col=...) must thread the id through the
     covariance fold's bucket key, which hard-requires it (round-6

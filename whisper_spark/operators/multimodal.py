@@ -348,15 +348,224 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
 decode_png_pixels = _make_png_pixel_decoder()
 
 
+def _make_gif_pixel_decoder() -> Callable[[bytes], dict | None]:
+    """Build the stdlib GIF PIXEL decoder — a full LZW decompressor, no
+    third-party libraries: logical-screen walk -> global/local color
+    table -> extension skip -> first image descriptor -> variable-width
+    LSB-first LZW (clear/end codes, dictionary growth to the 4096-entry
+    cap with GIF's deferred-clear behavior) -> palette lookup to RGB.
+
+    Supports non-interlaced single-frame reads (the first frame of an
+    animation — the shape a training-data thumbnail pipeline stores).
+    Interlaced images and structurally corrupt streams (truncated
+    sub-blocks, codes beyond the dictionary, indices beyond the palette)
+    yield None — NULL stats, never task failures.  Closure-built so
+    Spark tasks ship it by value (see _make_header_parser).
+    """
+    import struct
+
+    def decode_gif(p: bytes) -> dict | None:
+        if p is None or len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        _sw, _sh, packed = struct.unpack("<HHB", p[6:11])
+        off = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            if off + 3 * n > len(p):
+                return None
+            gct = p[off:off + 3 * n]
+            off += 3 * n
+        # walk to the FIRST image descriptor, skipping extension blocks
+        while off < len(p) and p[off] == 0x21:
+            off += 2  # introducer + label
+            while off < len(p) and p[off] != 0:
+                off += 1 + p[off]
+            off += 1  # block terminator
+        if off + 10 > len(p) or p[off] != 0x2C:
+            return None  # trailer / unknown block before any image
+        w, h, ipacked = struct.unpack("<HHB", p[off + 5:off + 10])
+        off += 10
+        if ipacked & 0x40:
+            return None  # interlaced: out of scope
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if off + 3 * n > len(p):
+                return None
+            table = p[off:off + 3 * n]
+            off += 3 * n
+        if table is None or w == 0 or h == 0 or off >= len(p):
+            return None
+        min_code = p[off]
+        off += 1
+        if not 2 <= min_code <= 8:
+            return None
+        chunks = []
+        while True:
+            if off >= len(p):
+                return None  # missing block terminator: truncated
+            ln = p[off]
+            off += 1
+            if ln == 0:
+                break
+            if off + ln > len(p):
+                return None
+            chunks.append(p[off:off + ln])
+            off += ln
+        data = b"".join(chunks)
+
+        clear = 1 << min_code
+        end = clear + 1
+        n_px = w * h
+        out = bytearray()
+        code_size = min_code + 1
+        next_code = end + 1
+        dict_: dict[int, bytes] = {}
+        prev = None
+        acc = nbits = pos = 0
+        while len(out) < n_px:
+            while nbits < code_size:
+                if pos >= len(data):
+                    return None  # truncated LZW stream
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                code_size = min_code + 1
+                next_code = end + 1
+                dict_.clear()
+                prev = None
+                continue
+            if code == end:
+                break
+            if code < clear:
+                entry = bytes([code])
+            elif code in dict_:
+                entry = dict_[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the kwkwk case
+            else:
+                return None  # code beyond the dictionary: corrupt
+            out += entry
+            if prev is not None and next_code < 4096:
+                dict_[next_code] = prev + entry[:1]
+                next_code += 1
+                # GIF (unlike TIFF) grows the width AFTER the last code
+                # of the current width is assigned, and holds at 12 bits
+                # until an explicit clear (deferred clear)
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+        if len(out) < n_px:
+            return None
+
+        import numpy as np
+
+        idx = np.frombuffer(bytes(out[:n_px]), dtype=np.uint8)
+        tab = np.frombuffer(table, dtype=np.uint8)
+        if int(idx.max(initial=0)) * 3 + 3 > tab.size:
+            return None  # index beyond the palette
+        rgb = tab.reshape(-1, 3)[idx]
+        total = int(rgb.sum(dtype=np.int64))
+        return {
+            "width": int(w), "height": int(h), "channels": 3,
+            "n_pixels": n_px,
+            "px_min": int(rgb.min()), "px_max": int(rgb.max()),
+            "px_sum": total, "px_mean": total / (n_px * 3),
+        }
+
+    return decode_gif
+
+
+#: stdlib GIF LZW pixel decoder; same object for unit tests
+decode_gif_pixels = _make_gif_pixel_decoder()
+
+
+def _make_bmp_pixel_decoder() -> Callable[[bytes], dict | None]:
+    """Build the stdlib BMP PIXEL decoder: BITMAPFILEHEADER +
+    BITMAPINFOHEADER(-or-later) walk, 24-bit uncompressed (BI_RGB)
+    pixel array with 4-byte row stride, bottom-up or top-down (negative
+    height).  The whole pixel pass is one vectorized numpy view — no
+    per-byte Python.  Palettized/compressed/16-32-bit variants yield
+    None (NULL stats).  Closure-built so Spark tasks ship it by value
+    (see _make_header_parser).
+    """
+    import struct
+
+    def decode_bmp(p: bytes) -> dict | None:
+        if p is None or len(p) < 54 or p[:2] != b"BM":
+            return None
+        (data_off,) = struct.unpack("<I", p[10:14])
+        (hdr_size,) = struct.unpack("<I", p[14:18])
+        if hdr_size < 40:
+            return None  # BITMAPCOREHEADER: out of scope
+        w, h_raw = struct.unpack("<ii", p[18:26])
+        planes, bpp = struct.unpack("<HH", p[26:30])
+        (comp,) = struct.unpack("<I", p[30:34])
+        if w <= 0 or h_raw == 0 or planes != 1 or bpp != 24 or comp != 0:
+            return None
+        h = abs(h_raw)  # negative height = top-down; stats are orderless
+        stride = (3 * w + 3) & ~3
+        need = stride * h
+        if data_off + need > len(p) or data_off < 14 + hdr_size:
+            return None
+
+        import numpy as np
+
+        buf = np.frombuffer(p, dtype=np.uint8, count=need, offset=data_off)
+        rows = buf.reshape(h, stride)[:, : 3 * w]  # drop the row padding
+        total = int(rows.sum(dtype=np.int64))
+        n_px = w * h
+        return {
+            "width": int(w), "height": h, "channels": 3,
+            "n_pixels": n_px,
+            "px_min": int(rows.min()), "px_max": int(rows.max()),
+            "px_sum": total, "px_mean": total / (n_px * 3),
+        }
+
+    return decode_bmp
+
+
+#: stdlib BMP pixel decoder; same object for unit tests
+decode_bmp_pixels = _make_bmp_pixel_decoder()
+
+
+def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
+    """Magic-byte dispatch over the three stdlib image pixel decoders
+    (PNG scanline, GIF LZW, BMP 24-bit)."""
+    png = _make_png_pixel_decoder()
+    gif = _make_gif_pixel_decoder()
+    bmp = _make_bmp_pixel_decoder()
+
+    def dec(p: bytes) -> dict | None:
+        if p is None or len(p) < 6:
+            return None
+        if p[:4] == b"\x89PNG":
+            return png(p)
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return gif(p)
+        if p[:2] == b"BM":
+            return bmp(p)
+        return None
+
+    return dec
+
+
 def decode_pixels(df: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """Full PNG pixel decode as an Arrow-batched ``mapInPandas`` stage:
-    (media_id, payload) -> :data:`PIXELS_SCHEMA` pixel statistics.
-    Unrecognized/unsupported payloads yield NULL stats (the row is kept
-    so coverage is auditable).  This closes the image leg of the former
-    pixel-decode integration point with the stdlib only; audio/video
-    sample decode still needs external codecs (``decode_media``'s
-    ``decoder='raise'`` marker)."""
-    dec = _make_png_pixel_decoder()
+    """Full image pixel decode as an Arrow-batched ``mapInPandas`` stage:
+    (media_id, payload) -> :data:`PIXELS_SCHEMA` pixel statistics, with
+    magic-byte dispatch over the three stdlib decoders — PNG scanlines
+    (zlib inflate + unfilter), GIF (full LZW), and BMP (24-bit
+    uncompressed).  Unrecognized/unsupported payloads yield NULL stats
+    (the row is kept so coverage is auditable).  This closes the image
+    leg of the former pixel-decode integration point with the stdlib
+    only; compressed audio/video sample decode still needs external
+    codecs (``decode_media``'s ``decoder='raise'`` marker)."""
+    dec = _make_pixel_decoder()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd

@@ -2864,6 +2864,179 @@ def q_mm_decode_wav_pcm(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_gif_pixels",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 10 + 3 AS INTEGER) AS w,
+         CAST(doc_id % 7 + 4 AS INTEGER) AS h
+  FROM m
+),
+px AS (
+  SELECT doc_id, w, h,
+         flatten(list_transform(generate_series(0, w * h - 1),
+           k -> [ (doc_id + k) % 128,
+                  255 - (doc_id + k) % 128,
+                  (3 * ((doc_id + k) % 128)) % 256 ])) AS bytes_
+  FROM dims
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(w AS BIGINT) * h AS n_pixels,
+       CAST(list_min(bytes_) AS INTEGER) AS px_min,
+       CAST(list_max(bytes_) AS INTEGER) AS px_max,
+       CAST(list_sum(bytes_) AS BIGINT) AS px_sum,
+       CAST(list_sum(bytes_) AS DOUBLE) / (CAST(w AS BIGINT) * h * 3) AS px_mean
+FROM px
+""",
+    doc="FULL GIF pixel decode end-to-end, stdlib only (the LZW leg of "
+    "the image-decode integration point): complete, VALID GIF89a files "
+    "— logical screen + 128-entry global color table + image descriptor "
+    "+ LZW sub-block — are assembled as pure JVM column expressions.  "
+    "The LZW stream emits a CLEAR code before every literal pixel code "
+    "(min code size 7), which pins the code width at 8 bits so the "
+    "bitstream is plain byte arithmetic in SQL; the decoder "
+    "(operators/multimodal.py decode_gif_pixels) still runs its full "
+    "variable-width LZW machine over it (its growth/overflow paths are "
+    "round-tripped against an independent compressor in unit tests).  "
+    "Pixel k of image doc_id is palette index (doc_id+k) %% 128; "
+    "palette entry i is (i, 255-i, 3i %% 256), so the oracle regenerates "
+    "every RGB byte arithmetically — any drift in table parsing, clear "
+    "handling, bit unpacking, palette lookup, or stat accumulation "
+    "fails the hash gate",
+)
+def q_mm_decode_gif_pixels(spark, sf_dir):
+    from .operators.multimodal import decode_pixels
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def le16(c):
+        h = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+        return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    w = (F.col("doc_id") % 10 + 3).cast("int")
+    h = (F.col("doc_id") % 7 + 4).cast("int")
+    palette = F.lit(
+        b"".join(bytes([i, 255 - i, (3 * i) % 256]) for i in range(128))
+    )
+    # sub-block: length byte (2n+1), then [clear, px_k] pairs, then the
+    # end code — every code one byte because clears stop table growth —
+    # then the 0x00 block terminator and 0x3B trailer
+    block_hex = F.expr(
+        "concat("
+        "lpad(hex(2 * CAST((doc_id % 10 + 3) * (doc_id % 7 + 4) AS INT) + 1), 2, '0'), "
+        "array_join(transform("
+        "sequence(0, CAST((doc_id % 10 + 3) * (doc_id % 7 + 4) AS INT) - 1), "
+        "k -> concat('80', lpad(hex((doc_id + k) % 128), 2, '0'))), ''), "
+        "'81', '00', '3b')"
+    )
+    payload = F.concat(
+        F.lit(b"GIF89a"), le16(w), le16(h),
+        F.lit(bytes([0xF6, 0x00, 0x00])),   # GCT present, 128 entries
+        palette,
+        F.lit(bytes([0x2C, 0, 0, 0, 0])),   # image descriptor at (0,0)
+        le16(w), le16(h),
+        F.lit(bytes([0x00, 0x07])),         # no LCT; min LZW code size 7
+        F.unhex(block_hex),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_pixels(media)
+
+
+@_q(
+    "mm_decode_bmp_pixels",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 2 AS INTEGER) AS w,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS h
+  FROM m
+),
+b AS (
+  SELECT doc_id, w, h,
+         flatten(list_transform(generate_series(0, h - 1),
+           y -> [ (doc_id + y) % 256,
+                  (doc_id + y + 85) % 256,
+                  (doc_id + y + 170) % 256 ])) AS bytes_
+  FROM dims
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(w AS BIGINT) * h AS n_pixels,
+       CAST(list_min(bytes_) AS INTEGER) AS px_min,
+       CAST(list_max(bytes_) AS INTEGER) AS px_max,
+       CAST(w * list_sum(bytes_) AS BIGINT) AS px_sum,
+       CAST(w * list_sum(bytes_) AS DOUBLE) / (CAST(w AS BIGINT) * h * 3) AS px_mean
+FROM b
+""",
+    doc="FULL BMP pixel decode end-to-end, stdlib only: complete, VALID "
+    "24-bit BI_RGB bitmaps — BITMAPFILEHEADER + BITMAPINFOHEADER + "
+    "bottom-up pixel array with 4-byte row stride — are assembled as "
+    "pure JVM column expressions.  Row y of image doc_id repeats the "
+    "BGR triple ((doc_id+y) %% 256, +85, +170) across its w pixels with "
+    "real stride padding (w ranges 2-10, so pad is 0-3 bytes), and the "
+    "decoder (operators/multimodal.py decode_bmp_pixels) must strip "
+    "exactly that padding from its vectorized row view; the oracle "
+    "regenerates the per-row bytes arithmetically (each appears w "
+    "times).  Any drift in header offsets, stride math, or padding "
+    "handling fails the hash gate",
+)
+def q_mm_decode_bmp_pixels(spark, sf_dir):
+    from .operators.multimodal import decode_pixels
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def le32(c):
+        h = F.lpad(F.hex(c.cast("bigint")), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2), F.substring(h, 5, 2),
+                F.substring(h, 3, 2), F.substring(h, 1, 2),
+            )
+        )
+
+    def le16(c):
+        h = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+        return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    w = (F.col("doc_id") % 9 + 2).cast("int")
+    h = (F.col("doc_id") % 6 + 2).cast("int")
+    pad = (4 - (w * 3) % 4) % 4
+    stride = w * 3 + pad
+    data_hex = F.expr(
+        "array_join(transform(sequence(0, CAST(doc_id % 6 + 2 AS INT) - 1), "
+        "y -> concat("
+        "repeat(concat("
+        "lpad(hex((doc_id + y) % 256), 2, '0'), "
+        "lpad(hex((doc_id + y + 85) % 256), 2, '0'), "
+        "lpad(hex((doc_id + y + 170) % 256), 2, '0')"
+        "), CAST(doc_id % 9 + 2 AS INT)), "
+        "repeat('00', (4 - ((doc_id % 9 + 2) * 3) % 4) % 4))), '')"
+    )
+    payload = F.concat(
+        F.lit(b"BM"), le32(stride * h + 54),
+        F.lit(bytes(4)),                    # reserved
+        le32(F.lit(54)),                    # pixel-array offset
+        le32(F.lit(40)),                    # BITMAPINFOHEADER size
+        le32(w), le32(h),                   # positive height: bottom-up
+        le16(F.lit(1)), le16(F.lit(24)),    # planes, bpp
+        le32(F.lit(0)),                     # BI_RGB
+        le32(stride * h),                   # image size
+        le32(F.lit(2835)), le32(F.lit(2835)),
+        le32(F.lit(0)), le32(F.lit(0)),
+        F.unhex(data_hex),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_pixels(media)
+
+
+@_q(
     "mm_feature_topk",
     "WITH "
     + _MEDIA_SQL
@@ -10583,6 +10756,9 @@ _DRIVER_WINDOW_PROMOTE = [
     # family's median port; the cross-engine PII redaction gate
     "mm_decode_pixels", "mm_decode_wav_pcm", "doc_bpe_merges",
     "stream_render_moving_median", "doc_pii_redact",
+    # round-6 late additions: the GIF LZW and BMP legs of the image
+    # pixel decoder, each oracle-gated on synthesized valid payloads
+    "mm_decode_gif_pixels", "mm_decode_bmp_pixels",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
