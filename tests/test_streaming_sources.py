@@ -572,6 +572,48 @@ def test_chained_render_ops_replay_deterministic(spark):
     # the 600s grid with up to 10 member slots
     assert all(ts % 600 == 0 for (_m, ts, _v, _n) in s1)
     assert all(1 <= n <= 10 for (_m, _ts, _v, n) in s1)
+    # the stateful integral port: replay-identical too (round 6)
+    from whisper_spark.queries import q_stream_render_integral
+    i1 = {tuple(r) for r in q_stream_render_integral(spark, sf).collect()}
+    i2 = {tuple(r) for r in q_stream_render_integral(spark, sf).collect()}
+    assert i1 and i1 == i2
+
+
+def test_chained_integral_matches_pandas_watermark_model(spark):
+    """chained_integral (applyInPandasWithState + event-time timeouts)
+    vs an INDEPENDENT pandas model of the watermark contract: 60s max
+    slots, slots closed at max_event - delay, running float64 total in
+    ascending-slot order.  Bit-exact equality — the monotone watermark
+    makes the replay's finalization order the live order."""
+    import pandas as pd
+
+    from whisper_spark.queries import q_stream_render_integral
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.metric, r.ts): r.integral
+        for r in q_stream_render_integral(spark, sf).collect()
+    }
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    unit = {
+        "datetime64[ns]": 1_000_000_000, "datetime64[us]": 1_000_000,
+        "datetime64[ms]": 1_000, "datetime64[s]": 1,
+    }.get(str(ev["ts"].dtype), 1_000_000_000)
+    sec = ev["ts"].astype("int64") // unit
+    df = pd.DataFrame(
+        {"metric": ev["event_type"], "slot": sec - sec % 60, "v": ev["value"]}
+    )
+    wm = int(sec.max()) - 600
+    slots = df.groupby(["metric", "slot"])["v"].max().reset_index()
+    fin = slots[slots["slot"] + 60 <= wm].sort_values(["metric", "slot"])
+    exp = {}
+    for metric, g in fin.groupby("metric"):
+        t = 0.0
+        for _, r in g.iterrows():
+            t += r["v"]
+            exp[(metric, int(r["slot"]))] = t
+    assert got == exp and len(got) > 0
 
 
 RRD_XML = """<?xml version="1.0" encoding="utf-8"?>
@@ -784,15 +826,47 @@ def test_render_stream_routes_cross_slot_targets(spark, tmp_path):
             for r in spark.table(name).collect()}
     assert got == want
 
-    # derivative routes too; a genuinely unsupported cross-slot target
-    # still errors up front
+    # derivative / nonNegativeDerivative / integral route too; a
+    # genuinely unsupported cross-slot target (the EMA recurrence has
+    # no chained port) still errors up front
     out2 = render_stream_once(
         spark, pts(), "derivative(*)", str(tmp_path / "dv")
     )
     assert out2.count() > 0
+    out3 = render_stream_once(
+        spark, pts(), "nonNegativeDerivative(*, 50)", str(tmp_path / "nn")
+    )
+    got3 = {(r.metric, r.ts): r.value for r in out3.collect()}
+    # routing parity: identical to the direct chained op (the wrap
+    # formula itself CAN go negative when prev > ceiling — the batch
+    # TS.derivative semantics the port mirrors)
+    from whisper_spark.streaming.rollup import chained_derivative
+    name3 = "route_nn_" + uuid.uuid4().hex[:8]
+    ref3 = chained_derivative(pts(), step_seconds=60, method="max",
+                              watermark_seconds=600,
+                              non_negative=True, max_value=50.0)
+    q3 = (ref3.writeStream.format("memory").queryName(name3)
+          .outputMode("append").trigger(availableNow=True).start())
+    q3.awaitTermination(120)
+    want3 = {(r.metric, r.ts): r.delta
+             for r in spark.table(name3).collect()}
+    assert got3 == want3 and got3
+    # plain (non-wrap) counter resets ARE clamped: no negative survives
+    # a ceiling-free nonNegativeDerivative
+    out3b = render_stream_once(
+        spark, pts(), "nonNegativeDerivative(*)", str(tmp_path / "nnb")
+    )
+    vals3b = [r.value for r in out3b.collect()]
+    assert vals3b and all(v is None or v >= 0 for v in vals3b)
+    assert any(v is None for v in vals3b)  # resets present in testdata
+    out4 = render_stream_once(
+        spark, pts(), "integral(*)", str(tmp_path / "ig")
+    )
+    assert out4.count() > 0
     with pytest.raises(TargetSyntaxError, match="not stream-safe"):
         render_stream_once(
-            spark, pts(), "integral(*)", str(tmp_path / "ig")
+            spark, pts(), "exponentialMovingAverage(*, 10)",
+            str(tmp_path / "ema"),
         )
 
 

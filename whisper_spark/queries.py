@@ -3814,6 +3814,130 @@ def q_stream_render_derivative(spark, sf_dir):
 
 
 @_q(
+    "stream_render_nonneg_derivative",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+)
+SELECT a.metric, b.s AS ts,
+       CASE WHEN b.v - a.v >= 0 THEN b.v - a.v
+            WHEN b.v <= 50 THEN 50 - a.v + b.v + 1 END AS delta
+FROM slot a JOIN slot b ON b.metric = a.metric AND b.s = a.s + 60, mx
+WHERE b.s + 60 <= m - 600
+""",
+    doc="STREAMING nonNegativeDerivative(maxValue=50) — graphite's "
+    "counter semantics on the chained derivative port: a negative "
+    "adjacent-slot delta is read as a counter WRAP at the ceiling and "
+    "recovered as max - prev + cur + 1 when the ceiling is plausible "
+    "(cur <= max), else NULL (genuine reset).  At this ceiling the "
+    "testdata exercises all three branches (positive, wrap, NULL).  "
+    "Same batch formula as functions/timeseries.py derivative "
+    "(non_negative + max_value), so stream and batch counters agree "
+    "(streaming/rollup.py chained_derivative)",
+)
+def q_stream_render_nonneg_derivative(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_derivative
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_derivative(
+        pts, step_seconds=60, method="max", watermark_seconds=600,
+        non_negative=True, max_value=50.0,
+    )
+    name = "stream_nnderiv_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
+    "stream_render_integral",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+fin AS (SELECT metric, s, v FROM slot, mx WHERE s + 60 <= m - 600)
+SELECT metric, s AS ts,
+       list_reduce(list_prepend(0.0::DOUBLE,
+         list(v) OVER (PARTITION BY metric ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         (a, x) -> a + x) AS integral
+FROM fin
+""",
+    doc="STREAMING integral — the UNBOUNDED running sum from the start "
+    "of the series, the one cross-slot render function a sliding window "
+    "cannot express (its frame is the whole history).  Runs as "
+    "applyInPandasWithState with event-time timeouts: per-metric state "
+    "holds (pending slot values, running float64 total); a slot "
+    "finalizes when the watermark passes its end, folding into the "
+    "total in ascending-slot order — the monotone watermark makes live "
+    "finalization order = slot order = the availableNow replay's order, "
+    "so totals are bit-identical either way.  The oracle applies the "
+    "closed-slot rule then folds the slot values in an explicit "
+    "frame-ORDER list fold (DuckDB's windowed SUM is pairwise — "
+    "PERF.md round-6 fold table) (streaming/rollup.py chained_integral)",
+)
+def q_stream_render_integral(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_integral
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_integral(
+        pts, step_seconds=60, method="max", watermark_seconds=600
+    )
+    name = "stream_integ_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "stream_render_composed",
     """
 WITH raw AS (
@@ -10757,8 +10881,11 @@ _DRIVER_WINDOW_PROMOTE = [
     "mm_decode_pixels", "mm_decode_wav_pcm", "doc_bpe_merges",
     "stream_render_moving_median", "doc_pii_redact",
     # round-6 late additions: the GIF LZW and BMP legs of the image
-    # pixel decoder, each oracle-gated on synthesized valid payloads
+    # pixel decoder, each oracle-gated on synthesized valid payloads;
+    # the stateful streaming integral (event-time-timeout finalization)
+    # and the counter-semantics nonNegativeDerivative port
     "mm_decode_gif_pixels", "mm_decode_bmp_pixels",
+    "stream_render_integral", "stream_render_nonneg_derivative",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",

@@ -96,14 +96,15 @@ def validate_stream_target(node, step_seconds: int | None = None) -> None:
             raise TargetSyntaxError(
                 f"{node.name!r} is not stream-safe: it needs ordering or "
                 "state across time slots (moving windows, sorts, "
-                "percentiles, integrals), which an append-mode stream "
+                "percentiles), which an append-mode stream "
                 "cannot evaluate batch-locally.  movingAverage/Sum/Min/"
-                "Max/Median, derivative/perSecond and STEP-MULTIPLE "
+                "Max/Median, derivative/perSecond/nonNegativeDerivative, "
+                "integral, and STEP-MULTIPLE "
                 "coarse summarize/hitcount have dedicated chained-"
                 "aggregation ports: streaming.rollup."
                 "chained_moving_average / chained_moving_window / "
-                "chained_derivative / chained_summarize; "
-                "sub-slot summarize/hitcount "
+                "chained_derivative / chained_integral / "
+                "chained_summarize; sub-slot summarize/hitcount "
                 "(interval <= slot width) is batch-local and accepted "
                 "when the slot width is known"
             )
@@ -132,6 +133,7 @@ def _chained_stream_plan(
     from ..render import parse_duration
     from .rollup import (
         chained_derivative,
+        chained_integral,
         chained_moving_average,
         chained_moving_window,
         chained_summarize,
@@ -166,12 +168,27 @@ def _chained_stream_plan(
             step_seconds=step_seconds, method=method,
             watermark_seconds=watermark_seconds,
         ).select("metric", "ts", "value")
-    if name in ("derivative", "perSecond") and len(ast.args) == 1:
+    if (
+        name in ("derivative", "perSecond", "nonNegativeDerivative")
+        and len(ast.args) <= 2
+    ):
+        # perSecond/nonNegativeDerivative take an optional maxValue
+        # (counter-wrap ceiling); plain derivative is single-arg
+        if name == "derivative" and len(ast.args) > 1:
+            return None
+        mv = float(ast.args[1]) if len(ast.args) > 1 else None
         return chained_derivative(
             pts, step_seconds=step_seconds, method=method,
             watermark_seconds=watermark_seconds,
             per_second=(name == "perSecond"),
+            non_negative=(name == "nonNegativeDerivative"),
+            max_value=mv,
         ).select("metric", "ts", F.col("delta").alias("value"))
+    if name == "integral" and len(ast.args) == 1:
+        return chained_integral(
+            pts, step_seconds=step_seconds, method=method,
+            watermark_seconds=watermark_seconds,
+        ).select("metric", "ts", F.col("integral").alias("value"))
     if name in ("summarize", "hitcount") and len(ast.args) >= 2:
         # a bare int interval (parser yields int for unquoted numbers) is
         # already seconds — str(30) would fail parse_duration's unit regex
@@ -210,7 +227,8 @@ _MW_FUNCS = {
 
 #: the cross-slot functions with chained multi-stateful ports
 _CHAINED_NAMES = frozenset(
-    {"movingAverage", "derivative", "perSecond", "summarize", "hitcount"}
+    {"movingAverage", "derivative", "perSecond", "nonNegativeDerivative",
+     "integral", "summarize", "hitcount"}
     | set(_MW_FUNCS)
 )
 

@@ -314,17 +314,29 @@ def chained_derivative(
     watermark_seconds: int = 600,
     per_second: bool = False,
     ts_col: str = "ts",
+    non_negative: bool = False,
+    max_value: float | None = None,
 ) -> DataFrame:
-    """Streaming ``derivative`` / ``perSecond``: the adjacent-slot
-    difference — the canonical "needs ordering across slots" render
-    function — as chained watermarked aggregations: level 1
-    consolidates ``step_seconds`` slots, level 2 groups their
-    ``window_time`` into 2-slot sliding windows (length ``2*step``,
-    slide ``step``).  A window holding BOTH member slots emits
-    ``v(t) - v(t-step)`` labeled at the LATER slot ``t`` (graphite's
-    derivative convention: the first point of a series has no value —
-    here a window with one member is simply dropped, same effect);
-    ``per_second=True`` divides by the step (graphite perSecond).
+    """Streaming ``derivative`` / ``nonNegativeDerivative`` /
+    ``perSecond``: the adjacent-slot difference — the canonical "needs
+    ordering across slots" render function — as chained watermarked
+    aggregations: level 1 consolidates ``step_seconds`` slots, level 2
+    groups their ``window_time`` into 2-slot sliding windows (length
+    ``2*step``, slide ``step``).  A window holding BOTH member slots
+    emits ``v(t) - v(t-step)`` labeled at the LATER slot ``t``
+    (graphite's derivative convention: the first point of a series has
+    no value — here a window with one member is simply dropped, same
+    effect).
+
+    ``non_negative`` applies graphite's counter-reset rule (negative
+    delta -> NULL); ``max_value`` instead reads a negative delta as a
+    counter WRAP recovered as ``max_value - prev + cur + 1`` when the
+    ceiling is plausible (``max_value >= cur``) — exactly the batch
+    language's ``TS.derivative`` (functions/timeseries.py:224).
+    ``per_second=True`` is graphite ``perSecond``: the NON-NEGATIVE
+    delta divided by the step (batch parity: render.py routes
+    perSecond through nonNegativeDerivative, so a counter reset is
+    NULL rate, not a negative one).
 
     max_by/min_by on the slot start are deterministic (slot starts are
     distinct within a window), so the availableNow replay is
@@ -350,11 +362,159 @@ def chained_derivative(
             # later slot start = window end - step
             (F.col("_w2.end").cast("long") - step_seconds).alias("ts"),
             (F.col("_later") - F.col("_earlier")).alias("delta"),
+            F.col("_later").alias("_later"),
+            F.col("_earlier").alias("_earlier"),
         )
     )
+    if max_value is not None:
+        out = out.withColumn(
+            "delta",
+            F.when(F.col("delta") >= 0, F.col("delta")).when(
+                F.lit(float(max_value)) >= F.col("_later"),
+                F.lit(float(max_value)) - F.col("_earlier")
+                + F.col("_later") + 1.0,
+            ),
+        )
+    elif non_negative or per_second:
+        out = out.withColumn(
+            "delta", F.when(F.col("delta") >= 0, F.col("delta"))
+        )
     if per_second:
         out = out.withColumn("delta", F.col("delta") / float(step_seconds))
-    return out
+    return out.drop("_later", "_earlier")
+
+
+_INTEGRAL_OUTPUT = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("integral", T.DoubleType(), True),
+    ]
+)
+
+_INTEGRAL_STATE = T.StructType(
+    [
+        T.StructField("slots", T.ArrayType(T.LongType()), True),
+        T.StructField(
+            "vals", T.ArrayType(T.ArrayType(T.DoubleType())), True
+        ),
+        T.StructField("total", T.DoubleType(), True),
+    ]
+)
+
+
+def chained_integral(
+    points: DataFrame,
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ``integral``: graphite's UNBOUNDED running sum from the
+    start of the series — the one cross-slot render function a sliding
+    window cannot express (its frame is the whole history), so it runs
+    as ``applyInPandasWithState`` with event-time timeouts rather than
+    chained window aggregations.
+
+    Per-metric state is (pending slot -> value list, running total):
+    incoming points accumulate into their ``step_seconds`` slot; a slot
+    FINALIZES when the watermark passes its end — finalization applies
+    ``method`` (max / min / sum / average; sums fold the slot's values
+    SORTED, the folds.py convention) and folds the slot value into the
+    running float64 total in ascending-slot order, emitting
+    ``(metric, ts=slot_start, integral=total)``.  Because the watermark
+    is monotone, live finalization order IS slot order, and an
+    availableNow replay finalizes everything in one pass in the same
+    ascending order — bit-identical totals either way.  Event-time
+    timeouts (armed at the earliest pending slot's end) flush slots
+    whose metric goes quiet, including the no-data batch that ends an
+    availableNow replay.
+
+    State per metric is the bounded pending map (slots inside the
+    watermark x points per slot, the same envelope as the chained
+    window ports) plus ONE float — the total survives indefinitely, as
+    the unbounded-series semantics require.  Points later than an
+    already-finalized slot are dropped (watermark contract).
+
+    Output: (metric, ts, integral), ts = the slot's own start label
+    (graphite integral keeps each point's timestamp).
+    """
+    if method not in ("max", "min", "sum", "average"):
+        raise ValueError(
+            f"chained streaming rollup needs an order-independent "
+            f"method, got {method!r}"
+        )
+    step = int(step_seconds)
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            slots0, vals0, total = state.get
+            pending = {int(s): list(v) for s, v in zip(slots0, vals0)}
+            total = float(total)
+        else:
+            pending, total = {}, 0.0
+        wm = state.getCurrentWatermarkMs() // 1000
+        for pdf in pdfs:  # empty iterator on a timeout invocation
+            if not len(pdf):
+                continue
+            ts = pdf["ts"].to_numpy(dtype="int64")
+            sl = ts - ts % step
+            vv = pdf["value"].to_numpy(dtype="float64")
+            for s, lst in pd.Series(vv).groupby(sl).agg(list).items():
+                if s + step <= wm:
+                    continue  # slot already finalized: late drop
+                pending.setdefault(int(s), []).extend(lst)
+        out = None
+        due = sorted(s for s in pending if s + step <= wm)
+        if due:
+            rows_ts, rows_v = [], []
+            for s in due:
+                vs = pending.pop(s)
+                if method == "max":
+                    v = max(vs)
+                elif method == "min":
+                    v = min(vs)
+                else:
+                    v = 0.0
+                    for x in sorted(vs):  # sorted float fold (folds.py)
+                        v += x
+                    if method == "average":
+                        v = v / len(vs)
+                total += v
+                rows_ts.append(s)
+                rows_v.append(total)
+            out = pd.DataFrame(
+                {"metric": key[0], "ts": rows_ts, "integral": rows_v}
+            )
+        if pending:
+            # fire when the watermark REACHES the earliest pending end:
+            # watermarks here are whole seconds, so (end-1)s in ms
+            # triggers at wm >= end; clamp strictly above the current
+            # watermark (the API contract)
+            nxt = (min(pending) + step - 1) * 1000
+            state.setTimeoutTimestamp(max(nxt, (wm + 1) * 1000))
+        ordered = sorted(pending)
+        state.update(
+            (ordered, [pending[s] for s in ordered], float(total))
+        )
+        if out is not None:
+            yield out
+
+    evt = F.timestamp_seconds(F.col(ts_col)).alias("_evt")
+    return (
+        points.select("metric", F.col(ts_col).alias("ts"), "value", evt)
+        .withWatermark("_evt", f"{watermark_seconds} seconds")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_INTEGRAL_OUTPUT,
+            stateStructType=_INTEGRAL_STATE,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
 
 
 def sessionize_stream(
