@@ -579,6 +579,42 @@ def test_chained_render_ops_replay_deterministic(spark):
     assert i1 and i1 == i2
 
 
+def test_chained_ewma_matches_batch_recurrence(spark):
+    """Stream/batch parity for the EMA recurrence: chained_ewma's
+    availableNow replay must equal the BATCH language's TS.ewma over
+    the identically consolidated + watermark-clipped slots — same float
+    sequence, bit-exact (the stream engine's 4-way claim: live = replay
+    = batch = recursive-CTE oracle)."""
+    from whisper_spark.functions.timeseries import ewma
+    from whisper_spark.queries import q_stream_render_ewma
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.metric, r.ts): r.ewma
+        for r in q_stream_render_ewma(spark, sf).collect()
+    }
+
+    from whisper_spark.queries import sec as sec_of
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    s = sec_of(ev, "ts")
+    hi = ev.agg(F.max(s)).first()[0]
+    pts = ev.select(
+        F.col("event_type").alias("metric"),
+        (s - s % 60).alias("ts"),
+        "value",
+    )
+    slots = (
+        pts.groupBy("metric", "ts").agg(F.max("value").alias("value"))
+        .filter(F.col("ts") + 60 <= hi - 600)
+    )
+    want = {
+        (r.metric, r.ts): r.ewma
+        for r in ewma(slots, ["metric"], alpha=0.25).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_chained_integral_matches_pandas_watermark_model(spark):
     """chained_integral (applyInPandasWithState + event-time timeouts)
     vs an INDEPENDENT pandas model of the watermark contract: 60s max
@@ -863,10 +899,16 @@ def test_render_stream_routes_cross_slot_targets(spark, tmp_path):
         spark, pts(), "integral(*)", str(tmp_path / "ig")
     )
     assert out4.count() > 0
+    # the EMA recurrence routes too (round 6: slot finalization order =
+    # the recurrence's order); a sort stays genuinely unroutable
+    out5 = render_stream_once(
+        spark, pts(), "exponentialMovingAverage(*, 7)",
+        str(tmp_path / "ema"),
+    )
+    assert out5.count() > 0
     with pytest.raises(TargetSyntaxError, match="not stream-safe"):
         render_stream_once(
-            spark, pts(), "exponentialMovingAverage(*, 10)",
-            str(tmp_path / "ema"),
+            spark, pts(), "sortByMaxima(*)", str(tmp_path / "sm")
         )
 
 

@@ -3938,6 +3938,75 @@ def q_stream_render_integral(spark, sf_dir):
 
 
 @_q(
+    "stream_render_ewma",
+    """
+WITH RECURSIVE raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+fin AS (
+  SELECT metric, s, v,
+         row_number() OVER (PARTITION BY metric ORDER BY s) AS rn
+  FROM slot, mx WHERE s + 60 <= m - 600
+),
+r AS (
+  SELECT metric, s, rn, v AS ewma FROM fin WHERE rn = 1
+  UNION ALL
+  SELECT f.metric, f.s, f.rn, 0.25 * f.v + 0.75 * r.ewma
+  FROM fin f JOIN r ON f.metric = r.metric AND f.rn = r.rn + 1
+)
+SELECT metric, s AS ts, ewma FROM r
+""",
+    doc="STREAMING exponentialMovingAverage — the genuinely SEQUENTIAL "
+    "recurrence e_t = a*x_t + (1-a)*e_(t-1), previously rejected "
+    "outright by validate_stream_target (no order-independent aggregate "
+    "expresses it).  The chained slot-recurrence engine makes it "
+    "streamable: slots finalize in ascending order (monotone "
+    "watermark), which is exactly the order the recurrence needs, so "
+    "the live stream, the availableNow replay, the batch applyInPandas "
+    "(functions/timeseries.py ewma), and this recursive-CTE oracle all "
+    "run the identical float sequence a*x + b*prev — bit-exact across "
+    "all four.  alpha 0.25 = graphite windowSize 7 (2/(n+1)) "
+    "(streaming/rollup.py chained_ewma)",
+)
+def q_stream_render_ewma(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_ewma
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_ewma(
+        pts, alpha=0.25, step_seconds=60, method="max",
+        watermark_seconds=600,
+    )
+    name = "stream_ewma_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "stream_render_composed",
     """
 WITH raw AS (
@@ -10886,6 +10955,8 @@ _DRIVER_WINDOW_PROMOTE = [
     # and the counter-semantics nonNegativeDerivative port
     "mm_decode_gif_pixels", "mm_decode_bmp_pixels",
     "stream_render_integral", "stream_render_nonneg_derivative",
+    # round 6: the EMA recurrence streamed on the slot-recurrence engine
+    "stream_render_ewma",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",

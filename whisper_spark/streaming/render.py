@@ -99,11 +99,11 @@ def validate_stream_target(node, step_seconds: int | None = None) -> None:
                 "percentiles), which an append-mode stream "
                 "cannot evaluate batch-locally.  movingAverage/Sum/Min/"
                 "Max/Median, derivative/perSecond/nonNegativeDerivative, "
-                "integral, and STEP-MULTIPLE "
+                "integral/exponentialMovingAverage, and STEP-MULTIPLE "
                 "coarse summarize/hitcount have dedicated chained-"
                 "aggregation ports: streaming.rollup."
                 "chained_moving_average / chained_moving_window / "
-                "chained_derivative / chained_integral / "
+                "chained_derivative / chained_integral / chained_ewma / "
                 "chained_summarize; sub-slot summarize/hitcount "
                 "(interval <= slot width) is batch-local and accepted "
                 "when the slot width is known"
@@ -133,6 +133,7 @@ def _chained_stream_plan(
     from ..render import parse_duration
     from .rollup import (
         chained_derivative,
+        chained_ewma,
         chained_integral,
         chained_moving_average,
         chained_moving_window,
@@ -189,6 +190,19 @@ def _chained_stream_plan(
             pts, step_seconds=step_seconds, method=method,
             watermark_seconds=watermark_seconds,
         ).select("metric", "ts", F.col("integral").alias("value"))
+    if name == "exponentialMovingAverage" and len(ast.args) == 2:
+        # graphite-web semantics (same as the batch route, render.py):
+        # the arg is a WINDOW SIZE (points or duration), alpha = 2/(n+1)
+        ws = ast.args[1]
+        n = (
+            max(1, parse_duration(ws) // step_seconds)
+            if isinstance(ws, str) and not str(ws).lstrip("+-").isdigit()
+            else max(1, int(ws))
+        )
+        return chained_ewma(
+            pts, alpha=2.0 / (n + 1.0), step_seconds=step_seconds,
+            method=method, watermark_seconds=watermark_seconds,
+        ).select("metric", "ts", F.col("ewma").alias("value"))
     if name in ("summarize", "hitcount") and len(ast.args) >= 2:
         # a bare int interval (parser yields int for unquoted numbers) is
         # already seconds — str(30) would fail parse_duration's unit regex
@@ -228,7 +242,7 @@ _MW_FUNCS = {
 #: the cross-slot functions with chained multi-stateful ports
 _CHAINED_NAMES = frozenset(
     {"movingAverage", "derivative", "perSecond", "nonNegativeDerivative",
-     "integral", "summarize", "hitcount"}
+     "integral", "exponentialMovingAverage", "summarize", "hitcount"}
     | set(_MW_FUNCS)
 )
 

@@ -384,60 +384,53 @@ def chained_derivative(
     return out.drop("_later", "_earlier")
 
 
-_INTEGRAL_OUTPUT = T.StructType(
-    [
-        T.StructField("metric", T.StringType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("integral", T.DoubleType(), True),
-    ]
-)
-
-_INTEGRAL_STATE = T.StructType(
+_RECURRENCE_STATE = T.StructType(
     [
         T.StructField("slots", T.ArrayType(T.LongType()), True),
         T.StructField(
             "vals", T.ArrayType(T.ArrayType(T.DoubleType())), True
         ),
-        T.StructField("total", T.DoubleType(), True),
+        T.StructField("carry", T.DoubleType(), True),
     ]
 )
 
 
-def chained_integral(
+def _chained_slot_recurrence(
     points: DataFrame,
-    step_seconds: int = 60,
-    method: str = "max",
-    watermark_seconds: int = 600,
-    ts_col: str = "ts",
+    step_seconds: int,
+    method: str,
+    watermark_seconds: int,
+    ts_col: str,
+    combine,
+    out_field: str,
 ) -> DataFrame:
-    """Streaming ``integral``: graphite's UNBOUNDED running sum from the
-    start of the series — the one cross-slot render function a sliding
-    window cannot express (its frame is the whole history), so it runs
-    as ``applyInPandasWithState`` with event-time timeouts rather than
-    chained window aggregations.
+    """Shared engine for streaming SEQUENTIAL recurrences over finalized
+    slots (``integral``, ``exponentialMovingAverage``) — the cross-slot
+    render functions a sliding window cannot express (their state spans
+    the whole history), run as ``applyInPandasWithState`` with
+    event-time timeouts.
 
-    Per-metric state is (pending slot -> value list, running total):
-    incoming points accumulate into their ``step_seconds`` slot; a slot
-    FINALIZES when the watermark passes its end — finalization applies
-    ``method`` (max / min / sum / average; sums fold the slot's values
-    SORTED, the folds.py convention) and folds the slot value into the
-    running float64 total in ascending-slot order, emitting
-    ``(metric, ts=slot_start, integral=total)``.  Because the watermark
-    is monotone, live finalization order IS slot order, and an
-    availableNow replay finalizes everything in one pass in the same
-    ascending order — bit-identical totals either way.  Event-time
+    Per-metric state is (pending slot -> value list, carry): incoming
+    points accumulate into their ``step_seconds`` slot; a slot FINALIZES
+    when the watermark passes its end — finalization applies ``method``
+    (max / min / sum / average; sums fold the slot's values SORTED, the
+    folds.py convention), then advances the recurrence
+    ``carry = combine(carry, slot_value)`` in ascending-slot order and
+    emits ``(metric, ts=slot_start, <out_field>=carry)``.  Because the
+    watermark is monotone, live finalization order IS slot order, and
+    an availableNow replay finalizes everything in one pass in the same
+    ascending order — bit-identical carries either way.  Event-time
     timeouts (armed at the earliest pending slot's end) flush slots
     whose metric goes quiet, including the no-data batch that ends an
     availableNow replay.
 
     State per metric is the bounded pending map (slots inside the
     watermark x points per slot, the same envelope as the chained
-    window ports) plus ONE float — the total survives indefinitely, as
+    window ports) plus ONE float — the carry survives indefinitely, as
     the unbounded-series semantics require.  Points later than an
     already-finalized slot are dropped (watermark contract).
-
-    Output: (metric, ts, integral), ts = the slot's own start label
-    (graphite integral keeps each point's timestamp).
+    ``combine(carry: float | None, v: float) -> float`` sees
+    ``carry=None`` on the series' first slot.
     """
     if method not in ("max", "min", "sum", "average"):
         raise ValueError(
@@ -445,16 +438,23 @@ def chained_integral(
             f"method, got {method!r}"
         )
     step = int(step_seconds)
+    out_schema = T.StructType(
+        [
+            T.StructField("metric", T.StringType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField(out_field, T.DoubleType(), True),
+        ]
+    )
 
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            slots0, vals0, total = state.get
+            slots0, vals0, carry = state.get
             pending = {int(s): list(v) for s, v in zip(slots0, vals0)}
-            total = float(total)
+            carry = None if carry is None else float(carry)
         else:
-            pending, total = {}, 0.0
+            pending, carry = {}, None
         wm = state.getCurrentWatermarkMs() // 1000
         for pdf in pdfs:  # empty iterator on a timeout invocation
             if not len(pdf):
@@ -482,11 +482,11 @@ def chained_integral(
                         v += x
                     if method == "average":
                         v = v / len(vs)
-                total += v
+                carry = combine(carry, v)
                 rows_ts.append(s)
-                rows_v.append(total)
+                rows_v.append(carry)
             out = pd.DataFrame(
-                {"metric": key[0], "ts": rows_ts, "integral": rows_v}
+                {"metric": key[0], "ts": rows_ts, out_field: rows_v}
             )
         if pending:
             # fire when the watermark REACHES the earliest pending end:
@@ -497,7 +497,11 @@ def chained_integral(
             state.setTimeoutTimestamp(max(nxt, (wm + 1) * 1000))
         ordered = sorted(pending)
         state.update(
-            (ordered, [pending[s] for s in ordered], float(total))
+            (
+                ordered,
+                [pending[s] for s in ordered],
+                None if carry is None else float(carry),
+            )
         )
         if out is not None:
             yield out
@@ -509,11 +513,66 @@ def chained_integral(
         .groupBy("metric")
         .applyInPandasWithState(
             fn,
-            outputStructType=_INTEGRAL_OUTPUT,
-            stateStructType=_INTEGRAL_STATE,
+            outputStructType=out_schema,
+            stateStructType=_RECURRENCE_STATE,
             outputMode="append",
             timeoutConf="EventTimeTimeout",
         )
+    )
+
+
+def chained_integral(
+    points: DataFrame,
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ``integral``: graphite's UNBOUNDED running sum from the
+    start of the series, on the :func:`_chained_slot_recurrence` engine
+    (its docstring states the finalization-order and determinism
+    contract).  The carry is the running float64 total, advanced
+    ``total + v`` in ascending-slot order — the same naive time-order
+    fold as the batch language (render.py integral) and the oracle's
+    explicit frame-order list fold.
+
+    Output: (metric, ts, integral), ts = the slot's own start label
+    (graphite integral keeps each point's timestamp).
+    """
+    return _chained_slot_recurrence(
+        points, step_seconds, method, watermark_seconds, ts_col,
+        lambda c, v: (0.0 if c is None else c) + v,
+        "integral",
+    )
+
+
+def chained_ewma(
+    points: DataFrame,
+    alpha: float = 0.25,
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ``exponentialMovingAverage``: the genuinely SEQUENTIAL
+    recurrence ``e_1 = x_1; e_t = alpha*x_t + (1-alpha)*e_{t-1}`` —
+    previously rejected outright by validate_stream_target — on the
+    :func:`_chained_slot_recurrence` engine: slot finalization order is
+    ascending (monotone watermark), which is exactly the order the
+    recurrence needs, so the live stream, the availableNow replay, the
+    batch language (functions/timeseries.py ewma), and the DuckDB
+    recursive-CTE oracle all run the identical float sequence
+    ``alpha*x + beta*prev`` (two products, one add, left-to-right) —
+    bit-exact across all four.
+
+    Output: (metric, ts, ewma), ts = the slot's start label.
+    """
+    a = float(alpha)
+    b = 1.0 - a
+    return _chained_slot_recurrence(
+        points, step_seconds, method, watermark_seconds, ts_col,
+        lambda c, v: v if c is None else a * v + b * c,
+        "ewma",
     )
 
 
