@@ -615,6 +615,76 @@ def test_chained_ewma_matches_batch_recurrence(spark):
     assert got == want and len(got) > 0
 
 
+def test_chained_recurrence_skips_null_points(spark, tmp_path):
+    """Null/NaN values are ABSENT to the slot-recurrence engine (the
+    F.max null-skipping convention) — they must not poison a slot's
+    max or make the fold arrival-order-dependent (round-6 review
+    finding: Python max() is NaN-position-dependent)."""
+    import pandas as pd
+
+    from whisper_spark.streaming.rollup import chained_integral
+
+    pd.DataFrame(
+        {
+            "metric": ["m"] * 6,
+            "ts": [0, 30, 60, 90, 120, 3000],
+            "value": [None, 2.0, 5.0, None, 3.0, 1.0],
+        }
+    ).to_parquet(str(tmp_path / "p.parquet"))
+    schema = "metric string, ts long, value double"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    agg = chained_integral(
+        stream, step_seconds=60, method="max", watermark_seconds=600
+    )
+    import uuid
+
+    name = "nulls_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.ts: r.integral for r in spark.table(name).collect()}
+    # watermark 3000-600=2400: slot 0 = max{2.0} (ts=0 null absent),
+    # slot 60 = max{5.0} (ts=90 null absent), slot 120 = 3.0; slot 3000
+    # stays pending.  A NaN-poisoned max would have nulled slots 0/60.
+    assert got == {0: 2.0, 60: 7.0, 120: 10.0}
+
+
+def test_stream_target_arg_validation_errors_are_typed(spark, tmp_path):
+    """Bad windowSize / maxValue args raise TargetSyntaxError up front
+    (round-6 review findings: EMA windowSize<1 was silently clamped
+    where the batch route raises; float(maxValue) leaked raw
+    ValueError)."""
+    from whisper_spark.queries import _ensure_nanos_conf, stream_sec
+    from whisper_spark.render import TargetSyntaxError
+    from whisper_spark.streaming.render import render_stream_once
+
+    sf = "/root/testdata/sf0.001"
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def pts():
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        return src.select(
+            F.col("event_type").alias("metric"),
+            stream_sec(schema, "ts").alias("ts"),
+            F.col("value"),
+        )
+
+    with pytest.raises(TargetSyntaxError, match="windowSize must be >= 1"):
+        render_stream_once(
+            spark, pts(), "exponentialMovingAverage(*, 0)",
+            str(tmp_path / "e0"),
+        )
+    with pytest.raises(TargetSyntaxError, match="maxValue must be a number"):
+        render_stream_once(
+            spark, pts(), "perSecond(*, '7min')", str(tmp_path / "ps")
+        )
+
+
 def test_chained_integral_matches_pandas_watermark_model(spark):
     """chained_integral (applyInPandasWithState + event-time timeouts)
     vs an INDEPENDENT pandas model of the watermark contract: 60s max

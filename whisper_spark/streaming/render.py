@@ -140,6 +140,21 @@ def _chained_stream_plan(
         chained_summarize,
     )
 
+    def _window_points(ws) -> int:
+        """windowSize arg -> slot count: a duration string converts via
+        the slot width, a number (or digit string) is a point count —
+        one translation shared by every windowed route so the three
+        cannot drift apart."""
+        if isinstance(ws, str) and not str(ws).lstrip("+-").isdigit():
+            return max(1, parse_duration(ws) // step_seconds)
+        try:
+            return max(1, int(ws))
+        except (TypeError, ValueError):
+            raise TargetSyntaxError(
+                f"windowSize must be a number of points or a duration "
+                f"string, got {ws!r}"
+            )
+
     if not isinstance(ast, Call) or not ast.args:
         return None
     if not isinstance(ast.args[0], Path):
@@ -147,23 +162,13 @@ def _chained_stream_plan(
     pts = filter_metrics(points, ast.args[0].glob)
     name = ast.name
     if name == "movingAverage" and len(ast.args) >= 2:
-        ws = ast.args[1]
-        n = (
-            max(1, parse_duration(ws) // step_seconds)
-            if isinstance(ws, str) and not str(ws).lstrip("+-").isdigit()
-            else max(1, int(ws))
-        )
         return chained_moving_average(
-            pts, n_points=n, step_seconds=step_seconds, method=method,
+            pts, n_points=_window_points(ast.args[1]),
+            step_seconds=step_seconds, method=method,
             watermark_seconds=watermark_seconds,
         ).select("metric", "ts", F.col("moving_avg").alias("value"))
     if name in _MW_FUNCS and len(ast.args) >= 2:
-        ws = ast.args[1]
-        n = (
-            max(1, parse_duration(ws) // step_seconds)
-            if isinstance(ws, str) and not str(ws).lstrip("+-").isdigit()
-            else max(1, int(ws))
-        )
+        n = _window_points(ast.args[1])
         return chained_moving_window(
             pts, n_points=n, func=_MW_FUNCS[name],
             step_seconds=step_seconds, method=method,
@@ -177,7 +182,15 @@ def _chained_stream_plan(
         # (counter-wrap ceiling); plain derivative is single-arg
         if name == "derivative" and len(ast.args) > 1:
             return None
-        mv = float(ast.args[1]) if len(ast.args) > 1 else None
+        mv = None
+        if len(ast.args) > 1:
+            try:
+                mv = float(ast.args[1])
+            except (TypeError, ValueError):
+                raise TargetSyntaxError(
+                    f"{name}: maxValue must be a number, "
+                    f"got {ast.args[1]!r}"
+                )
         return chained_derivative(
             pts, step_seconds=step_seconds, method=method,
             watermark_seconds=watermark_seconds,
@@ -192,13 +205,17 @@ def _chained_stream_plan(
         ).select("metric", "ts", F.col("integral").alias("value"))
     if name == "exponentialMovingAverage" and len(ast.args) == 2:
         # graphite-web semantics (same as the batch route, render.py):
-        # the arg is a WINDOW SIZE (points or duration), alpha = 2/(n+1)
+        # the arg is a WINDOW SIZE (points or duration), alpha = 2/(n+1);
+        # like the batch route, a windowSize < 1 is an error, not a clamp
         ws = ast.args[1]
-        n = (
-            max(1, parse_duration(ws) // step_seconds)
-            if isinstance(ws, str) and not str(ws).lstrip("+-").isdigit()
-            else max(1, int(ws))
-        )
+        if not isinstance(ws, str) and not (
+            isinstance(ws, (int, float)) and int(ws) >= 1
+        ):
+            raise TargetSyntaxError(
+                f"exponentialMovingAverage: windowSize must be >= 1, "
+                f"got {ws!r}"
+            )
+        n = _window_points(ws)
         return chained_ewma(
             pts, alpha=2.0 / (n + 1.0), step_seconds=step_seconds,
             method=method, watermark_seconds=watermark_seconds,

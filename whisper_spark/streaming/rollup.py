@@ -424,10 +424,14 @@ def _chained_slot_recurrence(
     whose metric goes quiet, including the no-data batch that ends an
     availableNow replay.
 
-    State per metric is the bounded pending map (slots inside the
-    watermark x points per slot, the same envelope as the chained
-    window ports) plus ONE float — the carry survives indefinitely, as
-    the unbounded-series semantics require.  Points later than an
+    State per metric is the bounded pending map — ONE running float per
+    pending slot for the scalar methods (max/min fold on ingest), the
+    slot's value list for sum/average (points per slot, the envelope
+    the chained window ports already carry) — plus ONE carry float,
+    which survives indefinitely as the unbounded-series semantics
+    require.  Null/NaN points are treated as ABSENT (the F.max
+    null-skipping convention of the window ports — also what keeps the
+    scalar folds arrival-order-deterministic).  Points later than an
     already-finalized slot are dropped (watermark contract).
     ``combine(carry: float | None, v: float) -> float`` sees
     ``carry=None`` on the series' first slot.
@@ -460,22 +464,30 @@ def _chained_slot_recurrence(
             if not len(pdf):
                 continue
             ts = pdf["ts"].to_numpy(dtype="int64")
-            sl = ts - ts % step
             vv = pdf["value"].to_numpy(dtype="float64")
+            ok = vv == vv  # null/NaN points are absent, like F.max's
+            ts, vv = ts[ok], vv[ok]  # null-skipping in the window ports
+            sl = ts - ts % step
             for s, lst in pd.Series(vv).groupby(sl).agg(list).items():
                 if s + step <= wm:
                     continue  # slot already finalized: late drop
-                pending.setdefault(int(s), []).extend(lst)
+                cur = pending.setdefault(int(s), [])
+                if method == "max":
+                    # fold scalar methods on ingest: state stays one
+                    # float per pending slot, not one per point
+                    cur[:] = [max(lst) if not cur else max(cur[0], *lst)]
+                elif method == "min":
+                    cur[:] = [min(lst) if not cur else min(cur[0], *lst)]
+                else:
+                    cur.extend(lst)  # sum/average sort-fold at finalize
         out = None
         due = sorted(s for s in pending if s + step <= wm)
         if due:
             rows_ts, rows_v = [], []
             for s in due:
                 vs = pending.pop(s)
-                if method == "max":
-                    v = max(vs)
-                elif method == "min":
-                    v = min(vs)
+                if method in ("max", "min"):
+                    v = vs[0]
                 else:
                     v = 0.0
                     for x in sorted(vs):  # sorted float fold (folds.py)
@@ -489,12 +501,13 @@ def _chained_slot_recurrence(
                 {"metric": key[0], "ts": rows_ts, out_field: rows_v}
             )
         if pending:
-            # fire when the watermark REACHES the earliest pending end:
-            # watermarks here are whole seconds, so (end-1)s in ms
-            # triggers at wm >= end; clamp strictly above the current
-            # watermark (the API contract)
-            nxt = (min(pending) + step - 1) * 1000
-            state.setTimeoutTimestamp(max(nxt, (wm + 1) * 1000))
+            # fire when the watermark REACHES the earliest pending end
+            # (Spark fires a timeout when watermark > timestamp, and
+            # watermarks here are whole seconds, so end*1000 - 1 ms
+            # triggers at exactly wm >= end).  min(pending) survived the
+            # finalize pass, so its end is > wm and the timestamp is
+            # strictly above the current watermark (the API contract).
+            state.setTimeoutTimestamp((min(pending) + step) * 1000 - 1)
         ordered = sorted(pending)
         state.update(
             (
