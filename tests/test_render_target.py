@@ -1322,3 +1322,22 @@ def test_per_series_render_functions_guarded(spark):
     with pytest.raises(TargetSyntaxError, match="node prefixes"):
         evaluate_target(many, "applyByNode(m.*, 1, 'scale(%, 1)')")
     assert time.time() - t0 < 60, "guards must fail fast (limit N+1 scan)"
+
+
+def test_pie_reducers_and_round_alias(spark, frame):
+    """graphite pie-mode reducers collapse each series to ONE scalar
+    (labeled at the series' last ts, keeping the frame contract);
+    roundFunction is the pre-1.1 alias of round."""
+    out = _vals(evaluate_target(frame, "pieAverage(ev.*.m1)"))
+    assert out == [
+        ("ev.click.m1", 120, (1.0 + 2.0 + 4.0) / 3),
+        ("ev.error.m1", 0, 0.5),
+        ("ev.view.m1", 60, 15.0),
+    ]
+    out = _vals(evaluate_target(frame, "pieMaximum(ev.click.m1)"))
+    assert out == [("ev.click.m1", 120, 4.0)]
+    out = _vals(evaluate_target(frame, "pieMinimum(ev.view.m1)"))
+    assert out == [("ev.view.m1", 60, 10.0)]
+    legacy = _vals(evaluate_target(frame, "roundFunction(ev.error.m1)"))
+    modern = _vals(evaluate_target(frame, "round(ev.error.m1)"))
+    assert legacy == modern == [("ev.error.m1", 0, 0.0)]

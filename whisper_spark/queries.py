@@ -6540,6 +6540,39 @@ def q_ws_render_target(spark, sf_dir):
 
 
 @_q(
+    "ws_render_pie",
+    EVENTS_CTES
+    + """
+, ser AS (
+  SELECT 'ev.' || metric || '.m1' AS metric, ts, avg_v AS value FROM min1
+)
+SELECT metric, max(ts) AS ts,
+       list_reduce(list_prepend(0.0::DOUBLE,
+         list_sort(list(value) FILTER (value IS NOT NULL))),
+         (a, x) -> a + x) / count(value) AS value
+FROM ser GROUP BY metric
+""",
+    doc="graphite pie-mode reducer pieAverage: each series collapses to "
+    "ONE scalar — the sorted-fold mean of its values — labeled at the "
+    "series' last timestamp to stay on the (metric, ts, value) frame "
+    "contract (pie mode has no time axis).  Completes the render "
+    "language's coverage of graphite-web's function list alongside the "
+    "roundFunction alias: the only remaining absentee is events(), "
+    "which reads the webapp's events database, not series data "
+    "(render.py pieAverage/pieMaximum/pieMinimum)",
+)
+def q_ws_render_pie(spark, sf_dir):
+    from .render import evaluate_target
+
+    base = min1(spark, sf_dir).select(
+        F.concat(F.lit("ev."), F.col("metric"), F.lit(".m1")).alias("metric"),
+        "ts",
+        F.col("avg_v").alias("value"),
+    )
+    return evaluate_target(base, "pieAverage(ev.*.m1)")
+
+
+@_q(
     "ws_render_target_ratio",
     EVENTS_CTES
     + """

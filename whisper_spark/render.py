@@ -1493,10 +1493,26 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             .when(ok, fill)
             .alias("value"),
         )
-    if name == "round":
+    if name in ("round", "roundFunction"):
+        # roundFunction = graphite's pre-1.1 name for round
         precision = int(args[1]) if len(args) > 1 else 0
         # bround = HALF_EVEN, matching python3 round() in graphite
         return series().withColumn("value", F.bround(F.col("value"), precision))
+    if name in ("pieAverage", "pieMaximum", "pieMinimum"):
+        # graphite's pie-mode reducers: each series collapses to ONE
+        # scalar (avg/max/min of its values).  Pie mode has no time
+        # axis; the row keeps the series' LAST timestamp so the output
+        # stays on the (metric, ts, value) frame contract
+        stat = _series_stat(
+            {"pieAverage": "average", "pieMaximum": "max",
+             "pieMinimum": "min"}[name]
+        )
+        return (
+            series()
+            .groupBy("metric")
+            .agg(stat.alias("value"), F.max("ts").alias("ts"))
+            .select("metric", "ts", "value")
+        )
     if name == "minMax":
         w = Window.partitionBy("metric")
         vmin, vmax = F.min("value").over(w), F.max("value").over(w)
@@ -2113,4 +2129,5 @@ FUNCTIONS = [
     "sinFunction", "sin", "randomWalkFunction", "randomWalk", "time",
     "verticalLine", "alpha", "color", "dashed", "drawAsInfinite",
     "lineWidth", "secondYAxis", "stacked", "areaBetween", "aliasQuery",
+    "roundFunction", "pieAverage", "pieMaximum", "pieMinimum",
 ]
