@@ -304,6 +304,63 @@ def test_stateful_slot_lww_1m_throughput(spark, tmp_path, skewed_points):
     assert elapsed < 120, f"state op took {elapsed:.0f}s for 1M points"
 
 
+def test_chained_recurrence_25k_metrics_breadth(spark, tmp_path):
+    """The slot-recurrence engine (chained_integral/chained_ewma) at
+    state BREADTH: 500k points across 25k metric groups, 20 slots each.
+    Every group arms an event-time timeout and flushes on the replay's
+    final no-data batch — 25k timeout firings — and per-metric state is
+    one float per pending slot (max-method ingest fold).  Emissions and
+    the running totals must match the closed form."""
+    import time
+
+    from whisper_spark.streaming.rollup import chained_integral
+
+    n_metrics, n_slots = 25_000, 20
+    # base off epoch 0: a row whose event time IS the initial watermark
+    # (0 ms) gets dropped by Spark's late filter on the very first batch
+    base = 3600
+    pts = spark.range(n_metrics * n_slots).select(
+        F.concat(F.lit("m"), (F.col("id") % n_metrics)).alias("metric"),
+        ((F.col("id") / n_metrics).cast("long") * 60 + base).alias("ts"),
+        ((F.col("id") / n_metrics).cast("long") % 5 + 1)
+        .cast("double").alias("value"),
+    )
+    src_dir = str(tmp_path / "rec_src")
+    # ONE file: a multi-file replay is multiple micro-batches, and rows
+    # time-scattered across files become genuinely late mid-replay (the
+    # watermark contract) — batching policy isn't what this smoke tests
+    pts.coalesce(1).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    t0 = time.time()
+    out = chained_integral(
+        stream, step_seconds=60, method="max", watermark_seconds=60
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rec_25k")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    elapsed = time.time() - t0
+
+    got = spark.table("rec_25k")
+    # watermark = base + 19*60 - 60: slots base + k*60, k <= 17 finalize
+    n_emit = 18
+    assert got.count() == n_metrics * n_emit
+    # closed form: integral at slot k = sum_{j<=k} ((j % 5) + 1)
+    vals = {r.ts: r.integral for r in got.filter("metric = 'm0'").collect()}
+    run, exp = 0.0, {}
+    for k in range(n_emit):
+        run += (k % 5) + 1
+        exp[base + k * 60] = run
+    assert vals == exp
+    assert elapsed < 240, f"recurrence op took {elapsed:.0f}s for 500k points"
+
+
 def test_simhash_candidates_10m_no_allpairs(spark):
     """10M fingerprints through the banded simhash candidate join:
     every planted 1-bit near-dup must surface, total candidates must
