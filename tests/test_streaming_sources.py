@@ -685,6 +685,78 @@ def test_stream_target_arg_validation_errors_are_typed(spark, tmp_path):
         )
 
 
+def test_chained_holt_linear_matches_batch_recurrence(spark):
+    """Stream/batch parity for the TWO-variable Holt recurrence: the
+    (level, trend) carry vector's availableNow replay must equal the
+    batch applyInPandas holt_linear over identically consolidated +
+    clipped slots — forecast = level + trend, bit-exact."""
+    from whisper_spark.functions.timeseries import holt_linear
+    from whisper_spark.queries import q_stream_holt_linear
+    from whisper_spark.queries import sec as sec_of
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.metric, r.ts): r.forecast
+        for r in q_stream_holt_linear(spark, sf).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    s = sec_of(ev, "ts")
+    hi = ev.agg(F.max(s)).first()[0]
+    pts = ev.select(
+        F.col("event_type").alias("metric"),
+        (s - s % 60).alias("ts"),
+        "value",
+    )
+    slots = (
+        pts.groupBy("metric", "ts").agg(F.max("value").alias("value"))
+        .filter(F.col("ts") + 60 <= hi - 600)
+    )
+    want = {
+        (r.metric, r.ts): r.forecast
+        for r in holt_linear(slots, ["metric"], alpha=0.4, gamma=0.3)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_render_stream_routes_integral_by_interval(spark, tmp_path):
+    """integralByInterval routes to the per-interval-reset recurrence:
+    within each 600s bucket the emitted values are non-decreasing for
+    positive data, and every bucket restarts below the prior total."""
+    from whisper_spark.queries import _ensure_nanos_conf, stream_sec
+    from whisper_spark.streaming.render import render_stream_once
+
+    sf = "/root/testdata/sf0.001"
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    out = render_stream_once(
+        spark, pts, "integralByInterval(*, '10min')", str(tmp_path / "ck")
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.metric, r.ts))
+    assert rows
+    prev = {}
+    resets = 0
+    for r in rows:
+        key = (r.metric, r.ts - r.ts % 600)
+        if key in prev:
+            assert r.value >= prev[key]  # positive data: monotone in-bucket
+        elif (r.metric, r.ts - r.ts % 600 - 600) in prev:
+            resets += 1  # a new bucket started
+        prev[key] = r.value
+    assert resets > 0
+
+
 def test_chained_integral_matches_pandas_watermark_model(spark):
     """chained_integral (applyInPandasWithState + event-time timeouts)
     vs an INDEPENDENT pandas model of the watermark contract: 60s max

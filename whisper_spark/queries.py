@@ -4007,6 +4007,136 @@ def q_stream_render_ewma(spark, sf_dir):
 
 
 @_q(
+    "stream_render_integral_by_interval",
+    """
+WITH raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+fin AS (SELECT metric, s, v FROM slot, mx WHERE s + 60 <= m - 600)
+SELECT metric, s AS ts,
+       list_reduce(list_prepend(0.0::DOUBLE,
+         list(v) OVER (PARTITION BY metric, s - s % 600 ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         (a, x) -> a + x) AS integral
+FROM fin
+""",
+    doc="STREAMING integralByInterval('10min') — the running sum that "
+    "RESETS at each interval boundary (graphite's per-hour/day "
+    "accumulator), on the slot-recurrence engine with a (running, "
+    "bucket) carry: a finalized slot entering a new 600s bucket "
+    "restarts the sum.  The oracle partitions its frame-order fold by "
+    "(metric, bucket) — same reset arithmetic as the batch route "
+    "(render.py integralByInterval) (streaming/rollup.py "
+    "chained_integral_by_interval)",
+)
+def q_stream_render_integral_by_interval(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_integral_by_interval
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_integral_by_interval(
+        pts, interval_seconds=600, step_seconds=60, method="max",
+        watermark_seconds=600,
+    )
+    name = "stream_ibi_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
+    "stream_holt_linear",
+    """
+WITH RECURSIVE raw AS (
+  SELECT event_type AS metric, epoch_us(ts) // 1000000 AS sec, value FROM events
+),
+mx AS (SELECT max(sec) AS m FROM raw),
+slot AS (
+  SELECT metric, sec // 60 * 60 AS s, max(value) AS v
+  FROM raw GROUP BY metric, sec // 60 * 60
+),
+fin AS (
+  SELECT metric, s, v,
+         row_number() OVER (PARTITION BY metric ORDER BY s) AS rn
+  FROM slot, mx WHERE s + 60 <= m - 600
+),
+r AS (
+  SELECT metric, s, rn, v AS l, 0.0::DOUBLE AS b FROM fin WHERE rn = 1
+  UNION ALL
+  SELECT f.metric, f.s, f.rn,
+         0.4 * f.v + 0.6 * (r.l + r.b),
+         0.3 * ((0.4 * f.v + 0.6 * (r.l + r.b)) - r.l) + 0.7 * r.b
+  FROM fin f JOIN r ON f.metric = r.metric AND f.rn = r.rn + 1
+)
+SELECT metric, s AS ts, l + b AS forecast FROM r
+""",
+    doc="STREAMING Holt double exponential smoothing — the TWO-variable "
+    "sequential recurrence (l_1=x_1, b_1=0; l_t = a*x + (1-a)*(l+b); "
+    "b_t = g*(l_t - l_prev) + (1-g)*b) on the slot-recurrence engine's "
+    "(level, trend) carry vector, emitting the one-step forecast "
+    "l + b per finalized slot.  alpha=0.4, gamma=0.3; every float op "
+    "in the recursive-CTE oracle is written in the recurrence's exact "
+    "order, so streaming replay, the batch applyInPandas holt_linear, "
+    "and the oracle are bit-identical (streaming/rollup.py "
+    "chained_holt_linear)",
+)
+def q_stream_holt_linear(spark, sf_dir):
+    import uuid
+
+    from .streaming.rollup import chained_holt_linear
+
+    _ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        F.col("event_type").alias("metric"),
+        stream_sec(schema, "ts").alias("ts"),
+        F.col("value"),
+    )
+    agg = chained_holt_linear(
+        pts, alpha=0.4, gamma=0.3, step_seconds=60, method="max",
+        watermark_seconds=600,
+    )
+    name = "stream_holt_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_q(
     "stream_render_composed",
     """
 WITH raw AS (
@@ -10959,8 +11089,7 @@ def q_mm_payload_dedup(spark, sf_dir):
 _DRIVER_WINDOW_PROMOTE = [
     "ws_ewma", "ws_holt_winters", "stream_slot_lww_state",
     "ws_render_target", "mm_decode_real_headers",
-    "doc_substring_dup_pairs", "stream_near_dedup",
-    "doc_curation_pipeline", "emb_srp_pairs", "ws_shard_assignment",
+    "doc_substring_dup_pairs",
     "stream_render_target", "ws_render_target_reduce",
     "doc_incremental_dedup", "emb_semdedup_survivors",
     "doc_bigram_lm_score", "emb_covariance",
@@ -10988,8 +11117,11 @@ _DRIVER_WINDOW_PROMOTE = [
     # and the counter-semantics nonNegativeDerivative port
     "mm_decode_gif_pixels", "mm_decode_bmp_pixels",
     "stream_render_integral", "stream_render_nonneg_derivative",
-    # round 6: the EMA recurrence streamed on the slot-recurrence engine
-    "stream_render_ewma",
+    # round 6: the EMA recurrence streamed on the slot-recurrence engine,
+    # then the vector-carry generalization (Holt level+trend, the
+    # per-interval-reset integral)
+    "stream_render_ewma", "stream_holt_linear",
+    "stream_render_integral_by_interval",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -11006,6 +11138,13 @@ _DRIVER_WINDOW_DEMOTE = [
     # documented in README.md
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_change", "q4_priority_exists", "q10_returned_items",
+    # round-6 late rotation: four round-3/4 flagships already
+    # driver-confirmed green in the r5 AND r6 windows rotate out to
+    # make room for the new recurrence-engine flagships while keeping
+    # q1 + the store-core rows (ws_retention_7d, ws_resize_15m)
+    # in-window; coverage contract unchanged (CI + full sweep)
+    "stream_near_dedup", "doc_curation_pipeline", "emb_srp_pairs",
+    "ws_shard_assignment",
     # round-6 demotions — commoditized per-row/count shapes whose
     # machinery is fully covered by in-window siblings (same coverage
     # contract: tests/test_demoted_window.py + the full sweep):

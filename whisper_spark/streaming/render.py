@@ -135,6 +135,7 @@ def _chained_stream_plan(
         chained_derivative,
         chained_ewma,
         chained_integral,
+        chained_integral_by_interval,
         chained_moving_average,
         chained_moving_window,
         chained_summarize,
@@ -203,6 +204,17 @@ def _chained_stream_plan(
             pts, step_seconds=step_seconds, method=method,
             watermark_seconds=watermark_seconds,
         ).select("metric", "ts", F.col("integral").alias("value"))
+    if name == "integralByInterval" and len(ast.args) == 2:
+        iv = ast.args[1]
+        interval = iv if isinstance(iv, int) else parse_duration(str(iv))
+        if interval <= 0:
+            raise TargetSyntaxError(
+                f"integralByInterval: interval must be positive, got {iv!r}"
+            )
+        return chained_integral_by_interval(
+            pts, interval_seconds=interval, step_seconds=step_seconds,
+            method=method, watermark_seconds=watermark_seconds,
+        ).select("metric", "ts", F.col("integral").alias("value"))
     if name == "exponentialMovingAverage" and len(ast.args) == 2:
         # graphite-web semantics (same as the batch route, render.py):
         # the arg is a WINDOW SIZE (points or duration), alpha = 2/(n+1);
@@ -259,7 +271,8 @@ _MW_FUNCS = {
 #: the cross-slot functions with chained multi-stateful ports
 _CHAINED_NAMES = frozenset(
     {"movingAverage", "derivative", "perSecond", "nonNegativeDerivative",
-     "integral", "exponentialMovingAverage", "summarize", "hitcount"}
+     "integral", "integralByInterval", "exponentialMovingAverage",
+     "summarize", "hitcount"}
     | set(_MW_FUNCS)
 )
 

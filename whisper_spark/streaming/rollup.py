@@ -390,7 +390,9 @@ _RECURRENCE_STATE = T.StructType(
         T.StructField(
             "vals", T.ArrayType(T.ArrayType(T.DoubleType())), True
         ),
-        T.StructField("carry", T.DoubleType(), True),
+        # the recurrence's carry VECTOR: one float for integral/EMA,
+        # (level, trend) for Holt, (running, bucket) for per-interval
+        T.StructField("carry", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -433,8 +435,11 @@ def _chained_slot_recurrence(
     null-skipping convention of the window ports — also what keeps the
     scalar folds arrival-order-deterministic).  Points later than an
     already-finalized slot are dropped (watermark contract).
-    ``combine(carry: float | None, v: float) -> float`` sees
-    ``carry=None`` on the series' first slot.
+    ``combine(carry: list[float] | None, v: float, s: int) ->
+    (list[float], float)`` sees ``carry=None`` on the series' first
+    slot and returns (the new carry vector, the value to emit); ``s``
+    is the slot start, for recurrences keyed on time (per-interval
+    resets).
     """
     if method not in ("max", "min", "sum", "average"):
         raise ValueError(
@@ -456,7 +461,7 @@ def _chained_slot_recurrence(
         if state.exists:
             slots0, vals0, carry = state.get
             pending = {int(s): list(v) for s, v in zip(slots0, vals0)}
-            carry = None if carry is None else float(carry)
+            carry = None if carry is None else [float(c) for c in carry]
         else:
             pending, carry = {}, None
         wm = state.getCurrentWatermarkMs() // 1000
@@ -494,9 +499,9 @@ def _chained_slot_recurrence(
                         v += x
                     if method == "average":
                         v = v / len(vs)
-                carry = combine(carry, v)
+                carry, emit = combine(carry, v, s)
                 rows_ts.append(s)
-                rows_v.append(carry)
+                rows_v.append(emit)
             out = pd.DataFrame(
                 {"metric": key[0], "ts": rows_ts, out_field: rows_v}
             )
@@ -513,7 +518,7 @@ def _chained_slot_recurrence(
             (
                 ordered,
                 [pending[s] for s in ordered],
-                None if carry is None else float(carry),
+                None if carry is None else [float(c) for c in carry],
             )
         )
         if out is not None:
@@ -552,10 +557,13 @@ def chained_integral(
     Output: (metric, ts, integral), ts = the slot's own start label
     (graphite integral keeps each point's timestamp).
     """
+    def comb(c, v, s):
+        t = (0.0 if c is None else c[0]) + v
+        return [t], t
+
     return _chained_slot_recurrence(
         points, step_seconds, method, watermark_seconds, ts_col,
-        lambda c, v: (0.0 if c is None else c) + v,
-        "integral",
+        comb, "integral",
     )
 
 
@@ -582,10 +590,86 @@ def chained_ewma(
     """
     a = float(alpha)
     b = 1.0 - a
+
+    def comb(c, v, s):
+        e = v if c is None else a * v + b * c[0]
+        return [e], e
+
     return _chained_slot_recurrence(
         points, step_seconds, method, watermark_seconds, ts_col,
-        lambda c, v: v if c is None else a * v + b * c,
-        "ewma",
+        comb, "ewma",
+    )
+
+
+def chained_integral_by_interval(
+    points: DataFrame,
+    interval_seconds: int,
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ``integralByInterval``: the running sum that RESETS at
+    each ``interval_seconds`` boundary (graphite's per-day/hour
+    accumulator), on the :func:`_chained_slot_recurrence` engine.  The
+    carry is (running total, current bucket): a finalized slot whose
+    bucket ``s - s % interval`` differs from the carried one restarts
+    the sum — same arithmetic as the batch route (render.py
+    integralByInterval: bucket-partitioned running window sum).
+
+    Output: (metric, ts, integral), ts = the slot's start label.
+    """
+    iv = int(interval_seconds)
+    if iv <= 0:
+        raise ValueError("integralByInterval needs a positive interval")
+
+    def comb(c, v, s):
+        bucket = float(s - s % iv)
+        t = v if c is None or c[1] != bucket else c[0] + v
+        return [t, bucket], t
+
+    return _chained_slot_recurrence(
+        points, step_seconds, method, watermark_seconds, ts_col,
+        comb, "integral",
+    )
+
+
+def chained_holt_linear(
+    points: DataFrame,
+    alpha: float = 0.5,
+    gamma: float = 0.5,
+    step_seconds: int = 60,
+    method: str = "max",
+    watermark_seconds: int = 600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming Holt double exponential smoothing — the TWO-variable
+    sequential recurrence (functions/timeseries.py holt_linear:
+    ``l_1 = x_1, b_1 = 0; l_t = a*x_t + (1-a)*(l+b);
+    b_t = g*(l_t - l_prev) + (1-g)*b_t-1``) on the
+    :func:`_chained_slot_recurrence` engine with a (level, trend)
+    carry vector.  Emits the one-step-ahead ``forecast = level +
+    trend`` per finalized slot; every float op is written in the exact
+    order the batch recurrence and the recursive-CTE oracle use, so
+    all three are bit-identical.
+
+    Output: (metric, ts, forecast), ts = the slot's start label.
+    """
+    a, na = float(alpha), 1.0 - float(alpha)
+    g, ng = float(gamma), 1.0 - float(gamma)
+
+    def comb(c, v, s):
+        if c is None:
+            lv, bv = v, 0.0
+        else:
+            prev = c[0]
+            lv = a * v + na * (c[0] + c[1])
+            bv = g * (lv - prev) + ng * c[1]
+        return [lv, bv], lv + bv
+
+    return _chained_slot_recurrence(
+        points, step_seconds, method, watermark_seconds, ts_col,
+        comb, "forecast",
     )
 
 
