@@ -1132,6 +1132,218 @@ def test_decode_pixels_dispatches_all_three_formats(spark):
     assert got[4].px_sum is None
 
 
+class _FlacBitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def unary(self, q):
+        self.bits += [0] * q + [1]
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _flac_crc8(data):
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _flac_crc16(data):
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = (
+                ((c << 1) ^ 0x8005) & 0xFFFF
+                if c & 0x8000 else (c << 1) & 0xFFFF
+            )
+    return c
+
+
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_frame(chans, bps, frame_no, porder=0):
+    """INDEPENDENTLY written fixed-predictor FLAC frame encoder (best
+    fixed order per channel, Rice method 0, optional partitioning) —
+    the verification direction for decode_flac_samples."""
+    import struct
+
+    n = len(chans[0])
+    w = _FlacBitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)                     # reserved + fixed-blocksize strategy
+    w.write(7, 4)                     # blocksize: 16-bit at header end
+    w.write(0, 4)                     # rate: from STREAMINFO
+    w.write(len(chans) - 1, 4)        # independent channels
+    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+    w.write(0, 1)
+    w.write(frame_no, 8)              # UTF-8 1-byte frame number (< 128)
+    w.write(n - 1, 16)
+    w.write(_flac_crc8(w.bytes()), 8)
+    for samples in chans:
+        best, border = None, 0
+        for order in range(0, min(5, n)):
+            res = [
+                samples[i] - sum(
+                    c * samples[i - 1 - j]
+                    for j, c in enumerate(_FLAC_FIXED[order])
+                )
+                for i in range(order, n)
+            ]
+            cost = sum(abs(r) for r in res)
+            if best is None or cost < best[0]:
+                best, border = (cost, res), order
+        order, res = border, best[1]
+        w.write(0, 1)
+        w.write(0b001000 | order, 6)  # FIXED subframe of that order
+        w.write(0, 1)                 # no wasted bits
+        for s in samples[:order]:
+            w.write(s & ((1 << bps) - 1), bps)
+        w.write(0, 2)                 # Rice method 0 (4-bit params)
+        w.write(porder, 4)
+        idx = 0
+        for part in range(1 << porder):
+            cnt = (n >> porder) - (order if part == 0 else 0)
+            chunk = res[idx:idx + cnt]
+            idx += cnt
+            zz = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in chunk]
+            best_p = min(
+                range(15),
+                key=lambda p: sum((z >> p) + 1 + p for z in zz),
+            )
+            w.write(best_p, 4)
+            for z in zz:
+                w.unary(z >> best_p)
+                if best_p:
+                    w.write(z & ((1 << best_p) - 1), best_p)
+    w.align()
+    frame = w.bytes()
+    return frame + struct.pack(">H", _flac_crc16(frame))
+
+
+def _flac(chans_frames, bps, rate=8000, channels=1, porder=0):
+    import struct
+
+    total = sum(len(f[0]) for f in chans_frames)
+    si = _FlacBitWriter()
+    si.write(16, 16)
+    si.write(65535, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    info = si.bytes() + b"\0" * 16
+    out = (
+        b"fLaC" + bytes([0x80]) + struct.pack(">I", len(info))[1:] + info
+    )
+    for i, chans in enumerate(chans_frames):
+        out += _flac_frame(chans, bps, i, porder=porder)
+    return out
+
+
+def test_flac_sample_decoder_against_independent_encoder():
+    """Round-trip decode_flac_samples against an independently written
+    fixed-predictor FLAC encoder: bit depths 8/12/16/24, 1-3 channels,
+    constant/ramp/noise signals (exercising fixed orders 0-4 and the
+    full Rice path), multi-frame streams."""
+    import random
+
+    from whisper_spark.operators.multimodal import decode_flac_samples
+
+    rng = random.Random(11)
+    for trial in range(15):
+        bps = rng.choice([8, 12, 16, 16, 24])
+        channels = rng.choice([1, 1, 2, 3])
+        style = rng.choice(["const", "ramp", "noise"])
+        lim = 1 << (bps - 1)
+        frames, flat = [], []
+        for _ in range(rng.randint(1, 3)):
+            n = rng.choice([16, 64, 192])
+            chans = []
+            for _c in range(channels):
+                if style == "const":
+                    chans.append([rng.randrange(-lim, lim)] * n)
+                elif style == "ramp":
+                    v0 = rng.randrange(-lim // 2, lim // 2)
+                    chans.append([
+                        max(-lim, min(lim - 1, v0 + i * rng.randint(-3, 3)))
+                        for i in range(n)
+                    ])
+                else:
+                    chans.append(
+                        [rng.randrange(-lim, lim) for _ in range(n)]
+                    )
+            frames.append(chans)
+            for i in range(n):
+                for ch in chans:
+                    flat.append(ch[i])
+        got = decode_flac_samples(_flac(frames, bps, channels=channels))
+        assert got == {
+            "sample_rate": 8000, "channels": channels, "bits": bps,
+            "n_samples": len(flat), "s_min": min(flat), "s_max": max(flat),
+            "s_sum": sum(flat),
+            "s_sq_sum": sum(x * x for x in flat),
+            "s_mean": sum(flat) / len(flat),
+        }, (trial, bps, channels, style)
+
+
+def test_flac_sample_decoder_partitions_and_rejects():
+    import random
+
+    from whisper_spark.operators.multimodal import decode_flac_samples
+
+    rng = random.Random(3)
+    sam = [rng.randrange(-500, 500) for _ in range(256)]
+    good = _flac([[sam]], 16, porder=2)  # partitioned Rice (4 parts)
+    got = decode_flac_samples(good)
+    assert got["s_sum"] == sum(sam) and got["n_samples"] == 256
+
+    assert decode_flac_samples(None) is None
+    assert decode_flac_samples(b"fLaC") is None       # truncated
+    assert decode_flac_samples(good[:-2]) is None     # missing CRC-16
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF                                   # CRC-16 mismatch
+    assert decode_flac_samples(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[46] ^= 0x40                                   # corrupt header
+    assert decode_flac_samples(bytes(bad)) is None
+
+
+def test_decode_samples_dispatches_wav_and_flac(spark):
+    from whisper_spark.operators.multimodal import decode_samples
+
+    flac = _flac([[[5, 6, 7, 8] * 8]], 16)
+    rows = [
+        (1, "audio", bytearray(flac), None),
+        (2, "audio", bytearray(b"not audio"), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_samples(df).collect()}
+    assert got[1].s_sum == (5 + 6 + 7 + 8) * 8 and got[1].bits == 16
+    assert got[2].s_sum is None
+
+
 def test_pca_project_forwards_custom_id_col(spark):
     """pca_project(id_col=...) must thread the id through the
     covariance fold's bucket key, which hard-requires it (round-6

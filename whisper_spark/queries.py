@@ -2864,6 +2864,106 @@ def q_mm_decode_wav_pcm(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_flac_pcm",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+s AS (
+  SELECT doc_id,
+         (doc_id % 4 + 1) * 50 AS n,
+         list_transform(generate_series(0, (doc_id % 4 + 1) * 50 - 1),
+                        k -> (doc_id * 7 + k * 3) % 4096 - 2048) AS samples
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_min(samples) AS INTEGER) AS s_min,
+       CAST(list_max(samples) AS INTEGER) AS s_max,
+       CAST(list_sum(samples) AS BIGINT) AS s_sum,
+       CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT) AS s_sq_sum,
+       CAST(list_sum(samples) AS DOUBLE) / n AS s_mean
+FROM s
+""",
+    doc="FULL FLAC decode end-to-end, stdlib only (the compressed-audio "
+    "leg): complete, VALID FLAC streams — STREAMINFO metadata block + "
+    "one frame with a correct CRC-8 header checksum, a 16-bit VERBATIM "
+    "subframe, and a correct CRC-16 frame checksum — are assembled as "
+    "pure JVM column expressions, with BOTH CRCs computed by nested "
+    "bit-level aggregate folds over the byte sequences.  The decoder "
+    "(operators/multimodal.py decode_flac_samples) re-walks the frame "
+    "at the bit level and VERIFIES both CRCs, so a drift anywhere — "
+    "header packing, UTF-8 frame number, subframe bit layout, "
+    "two's-complement handling, either checksum — fails the hash gate; "
+    "the Rice/fixed-predictor paths the synthesized payload doesn't "
+    "exercise are round-tripped against an independent encoder in unit "
+    "tests.  Sample k of doc d is (d*7 + k*3) %% 4096 - 2048, "
+    "regenerated arithmetically by the oracle",
+)
+def q_mm_decode_flac_pcm(spark, sf_dir):
+    from .operators.multimodal import decode_samples
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    # byte-level helpers: nested bit folds (CRC-8 poly 0x07, CRC-16
+    # poly 0x8005) over integer byte arrays, as single JVM expressions
+    n_sql = "CAST((doc_id % 4 + 1) * 50 AS INT)"
+    h7 = (
+        f"array(255L, 248L, 112L, 8L, 0L, "
+        f"CAST(({n_sql} - 1) div 256 AS BIGINT), "
+        f"CAST(({n_sql} - 1) % 256 AS BIGINT))"
+    )
+    crc8 = (
+        f"aggregate({h7}, 0L, (c, b) -> "
+        "aggregate(array(0, 0, 0, 0, 0, 0, 0, 0), c ^ b, "
+        "(a, z) -> CASE WHEN (a & 128) != 0 "
+        "THEN ((a * 2) % 256) ^ 7 ELSE (a * 2) % 256 END))"
+    )
+    u = (
+        f"transform(sequence(0, {n_sql} - 1), "
+        "k -> ((doc_id * 7 + k * 3) % 4096 - 2048 + 65536) % 65536)"
+    )
+    fbytes = (
+        f"concat({h7}, array({crc8}, 2L), "
+        f"flatten(transform({u}, "
+        "x -> array(CAST(x div 256 AS BIGINT), CAST(x % 256 AS BIGINT)))))"
+    )
+    crc16 = (
+        f"aggregate({fbytes}, 0L, (c, b) -> "
+        "aggregate(array(0, 0, 0, 0, 0, 0, 0, 0), c ^ (b * 256), "
+        "(a, z) -> CASE WHEN (a & 32768) != 0 "
+        "THEN ((a * 2) % 65536) ^ 32773 ELSE (a * 2) % 65536 END))"
+    )
+    # STREAMINFO packed tail: rate(20) | channels-1(3) | bps-1(5) |
+    # total(36) as one 64-bit big-endian value
+    si_v = (
+        f"lpad(hex(8000L * 17592186044416L + 15L * 68719476736L + {n_sql}), "
+        "16, '0')"
+    )
+    payload_hex = F.expr(
+        "concat("
+        f"{si_v}, repeat('00', 16), "
+        f"array_join(transform({fbytes}, b -> lpad(hex(b), 2, '0')), ''), "
+        f"lpad(hex({crc16}), 4, '0'))"
+    )
+    payload = F.concat(
+        F.lit(b"fLaC"),
+        F.lit(bytes.fromhex("80000022")),          # last block, 34 bytes
+        F.lit(bytes.fromhex("0010ffff000000000000")),  # blocksizes, sizes
+        F.unhex(payload_hex),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    dec = decode_samples(media)
+    return dec.select(
+        "media_id", "sample_rate", "channels", "bits", "n_samples",
+        "s_min", "s_max", "s_sum", "s_sq_sum", "s_mean",
+    )
+
+
+@_q(
     "mm_decode_gif_pixels",
     """
 WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
@@ -11092,7 +11192,7 @@ _DRIVER_WINDOW_PROMOTE = [
     "doc_substring_dup_pairs",
     "stream_render_target", "ws_render_target_reduce",
     "doc_incremental_dedup", "emb_semdedup_survivors",
-    "doc_bigram_lm_score", "emb_covariance",
+    "emb_covariance",
     # round-5 rotation: the round-4 flagships (seasonal/CUSUM
     # recurrences, the v2 curation pipeline, the PQ recall gate, the
     # streaming max rollup) enter the driver window
@@ -11122,6 +11222,8 @@ _DRIVER_WINDOW_PROMOTE = [
     # per-interval-reset integral)
     "stream_render_ewma", "stream_holt_linear",
     "stream_render_integral_by_interval",
+    # round 6: real FLAC decode (CRC-verified synthesized payloads)
+    "mm_decode_flac_pcm",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -11144,7 +11246,7 @@ _DRIVER_WINDOW_DEMOTE = [
     # q1 + the store-core rows (ws_retention_7d, ws_resize_15m)
     # in-window; coverage contract unchanged (CI + full sweep)
     "stream_near_dedup", "doc_curation_pipeline", "emb_srp_pairs",
-    "ws_shard_assignment",
+    "ws_shard_assignment", "doc_bigram_lm_score",
     # round-6 demotions — commoditized per-row/count shapes whose
     # machinery is fully covered by in-window siblings (same coverage
     # contract: tests/test_demoted_window.py + the full sweep):
