@@ -1262,6 +1262,157 @@ def _flac(chans_frames, bps, rate=8000, channels=1, porder=0):
     return out
 
 
+def _flac_frame_lpc(chans, bps, frame_no, coef, prec, shift):
+    """LPC-subframe encoder variant: residuals are derived from the
+    GIVEN quantized coefficients, so the round trip is exact for any
+    coefficient choice — which independently verifies the decoder's
+    LPC bit layout and integer predictor."""
+    import struct
+
+    n = len(chans[0])
+    order = len(coef)
+    w = _FlacBitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(len(chans) - 1, 4)
+    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+    w.write(0, 1)
+    w.write(frame_no, 8)
+    w.write(n - 1, 16)
+    w.write(_flac_crc8(w.bytes()), 8)
+    for samples in chans:
+        res = []
+        for i in range(order, n):
+            acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
+            res.append(samples[i] - (acc >> shift))
+        w.write(0, 1)
+        w.write(0b100000 | (order - 1), 6)  # LPC, order
+        w.write(0, 1)
+        for s in samples[:order]:
+            w.write(s & ((1 << bps) - 1), bps)
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in coef:
+            w.write(c & ((1 << prec) - 1), prec)
+        w.write(0, 2)
+        w.write(0, 4)  # one partition
+        zz = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in res]
+        best_p = min(
+            range(15), key=lambda p: sum((z >> p) + 1 + p for z in zz)
+        )
+        w.write(best_p, 4)
+        for z in zz:
+            w.unary(z >> best_p)
+            if best_p:
+                w.write(z & ((1 << best_p) - 1), best_p)
+    w.align()
+    frame = w.bytes()
+    return frame + struct.pack(">H", _flac_crc16(frame))
+
+
+def _flac_frame_stereo(left, right, bps, frame_no, mode):
+    """Stereo-decorrelated frame (mode 8 left/side, 9 right/side,
+    10 mid/side), coded channels as VERBATIM subframes — the side
+    channel at bps+1 bits per the spec."""
+    import struct
+
+    n = len(left)
+    side = [a - b for a, b in zip(left, right)]
+    if mode == 8:
+        coded = [(left, bps), (side, bps + 1)]
+    elif mode == 9:
+        coded = [(side, bps + 1), (right, bps)]
+    else:
+        mid = [(a + b) >> 1 for a, b in zip(left, right)]
+        coded = [(mid, bps), (side, bps + 1)]
+    w = _FlacBitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    w.write(mode, 4)
+    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+    w.write(0, 1)
+    w.write(frame_no, 8)
+    w.write(n - 1, 16)
+    w.write(_flac_crc8(w.bytes()), 8)
+    for samples, sbps in coded:
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        for s in samples:
+            w.write(s & ((1 << sbps) - 1), sbps)
+    w.align()
+    frame = w.bytes()
+    return frame + struct.pack(">H", _flac_crc16(frame))
+
+
+def test_flac_sample_decoder_lpc_and_stereo_decorrelation():
+    """LPC subframes (random quantized coefficients, orders 1-8,
+    shifts 0-14) and all three stereo decorrelation modes round-trip
+    exactly — the residual derivation makes any coefficient choice
+    self-consistent, so a decoder bit-layout or predictor error cannot
+    cancel out."""
+    import random
+    import struct
+
+    from whisper_spark.operators.multimodal import decode_flac_samples
+
+    rng = random.Random(21)
+
+    def stream(frame_bytes, bps, channels, total):
+        si = _FlacBitWriter()
+        si.write(16, 16)
+        si.write(65535, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(channels - 1, 3)
+        si.write(bps - 1, 5)
+        si.write(total, 36)
+        info = si.bytes() + b"\0" * 16
+        return (
+            b"fLaC" + bytes([0x80])
+            + struct.pack(">I", len(info))[1:] + info + frame_bytes
+        )
+
+    for trial in range(10):
+        bps = rng.choice([8, 16, 16, 24])
+        lim = 1 << (bps - 1)
+        n = rng.choice([32, 64, 128])
+        order = rng.randint(1, 8)
+        prec = rng.randint(4, 14)
+        shift = rng.randint(0, 14)
+        coef = [
+            rng.randrange(-(1 << (prec - 1)), 1 << (prec - 1))
+            for _ in range(order)
+        ]
+        sam = [rng.randrange(-lim // 2, lim // 2) for _ in range(n)]
+        flac = stream(
+            _flac_frame_lpc([sam], bps, 0, coef, prec, shift), bps, 1, n
+        )
+        got = decode_flac_samples(flac)
+        assert got and got["s_sum"] == sum(sam) and got["n_samples"] == n, (
+            trial, order, prec, shift
+        )
+
+    for mode in (8, 9, 10):
+        n = 96
+        left = [rng.randrange(-30000, 30000) for _ in range(n)]
+        right = [rng.randrange(-30000, 30000) for _ in range(n)]
+        flac = stream(_flac_frame_stereo(left, right, 16, 0, mode), 16, 2, n)
+        got = decode_flac_samples(flac)
+        flat = [v for pair in zip(left, right) for v in pair]
+        assert got == {
+            "sample_rate": 8000, "channels": 2, "bits": 16,
+            "n_samples": 2 * n, "s_min": min(flat), "s_max": max(flat),
+            "s_sum": sum(flat), "s_sq_sum": sum(x * x for x in flat),
+            "s_mean": sum(flat) / (2 * n),
+        }, mode
+
+
 def test_flac_sample_decoder_against_independent_encoder():
     """Round-trip decode_flac_samples against an independently written
     fixed-predictor FLAC encoder: bit depths 8/12/16/24, 1-3 channels,

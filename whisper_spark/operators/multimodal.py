@@ -673,19 +673,22 @@ decode_wav_samples = _make_wav_sample_decoder()
 
 
 def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
-    """Build the stdlib FLAC SAMPLE decoder — a real (subset) FLAC
-    frame decoder, no third-party libraries: metadata-block walk ->
+    """Build the stdlib FLAC SAMPLE decoder — a real FLAC frame
+    decoder, no third-party libraries: metadata-block walk ->
     STREAMINFO -> per-frame bit-level parse (sync, header with UTF-8
-    frame number and CRC-8 verify, CONSTANT / VERBATIM / FIXED
-    subframes with partitioned-Rice residuals incl. the escape code
-    and wasted-bits shift, CRC-16 frame verify).
+    frame number and CRC-8 verify, ALL FOUR subframe types — CONSTANT /
+    VERBATIM / FIXED / LPC (quantized coefficients, arithmetic-shift
+    integer predictor) — with partitioned-Rice residuals incl. the
+    escape code and wasted-bits shift, CRC-16 frame verify), at
+    8/12/16/20/24 bits, independent channels AND the three stereo
+    decorrelation assignments (left/side, right/side, mid/side; the
+    side channel at bps+1 bits).
 
-    Scope: independent channels (assignments 0-7) at 8/12/16/20/24
-    bits — what a ``flac --fast``-style fixed-predictor encoder emits.
-    LPC subframes and stereo decorrelation (left/right/mid-side) return
-    None (the remaining gated codec surface, with MP3/Ogg); so do CRC
-    failures and truncated streams — NULL stats, never task failures.
-    Closure-built so Spark tasks ship it by value.
+    Corrupt structure, CRC failures, truncated streams, and reserved
+    codes return None — NULL stats, never task failures.  The remaining
+    gated codec surface is MP3/Ogg/video (``decode_media``'s
+    ``decoder='raise'`` marker).  Closure-built so Spark tasks ship it
+    by value.
     """
     import struct
 
@@ -758,15 +761,7 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
         def s2c(v):  # two's complement of eff-bit value
             return v - (v << 1 & (1 << eff)) if v & sign else v
 
-        if stype == 0:  # CONSTANT
-            out = [s2c(br.read(eff))] * n
-        elif stype == 1:  # VERBATIM
-            out = [s2c(br.read(eff)) for _ in range(n)]
-        elif 8 <= stype <= 12:  # FIXED, order = stype & 7 (001xxx)
-            order = stype & 7
-            if order > 4 or order > n:
-                return None
-            warm = [s2c(br.read(eff)) for _ in range(order)]
+        def residuals(order: int) -> list | None:
             method = br.read(2)
             if method > 1:
                 return None
@@ -796,6 +791,20 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
                         r = br.read(param) if param else 0
                         u = (q << param) | r
                         res.append((u >> 1) ^ -(u & 1))  # unzigzag
+            return res
+
+        if stype == 0:  # CONSTANT
+            out = [s2c(br.read(eff))] * n
+        elif stype == 1:  # VERBATIM
+            out = [s2c(br.read(eff)) for _ in range(n)]
+        elif 8 <= stype <= 12:  # FIXED, order = stype & 7 (001xxx)
+            order = stype & 7
+            if order > n:
+                return None
+            warm = [s2c(br.read(eff)) for _ in range(order)]
+            res = residuals(order)
+            if res is None:
+                return None
             coef = FIXED_COEF[order]
             out = list(warm)
             for i in range(order, n):
@@ -803,8 +812,37 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
                 for j, c in enumerate(coef):
                     pred += c * out[i - 1 - j]
                 out.append(res[i - order] + pred)
+        elif stype >= 32:  # LPC (1xxxxx), order = low 5 bits + 1
+            order = (stype & 31) + 1
+            if order > n:
+                return None
+            warm = [s2c(br.read(eff)) for _ in range(order)]
+            prec = br.read(4)
+            if prec == 15:
+                return None  # invalid per spec
+            prec += 1
+            shift = br.read(5)
+            if shift & 0x10:
+                return None  # negative shift: reserved
+            psign = 1 << (prec - 1)
+            coef = []
+            for _ in range(order):
+                cv = br.read(prec)
+                coef.append(cv - (1 << prec) if cv & psign else cv)
+            res = residuals(order)
+            if res is None:
+                return None
+            out = list(warm)
+            for i in range(order, n):
+                acc = 0
+                for j in range(order):
+                    acc += coef[j] * out[i - 1 - j]
+                # arithmetic (floor) shift, negative-safe — the spec's
+                # integer predictor; Python >> on ints floors like C's
+                # arithmetic shift on two's complement
+                out.append(res[i - order] + (acc >> shift))
         else:
-            return None  # LPC (1xxxxx) / reserved: gated scope
+            return None  # reserved subframe types
         if wasted:
             out = [v << wasted for v in out]
         return out
@@ -880,21 +918,43 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
                 hdr_end = br.pos // 8
                 if br.read(8) != crc8(p[off:hdr_end]):
                     return None
-                if ch_code > 7:
-                    return None  # stereo decorrelation: gated scope
-                if ch_code + 1 != channels:
-                    return None
+                if ch_code > 10:
+                    return None  # reserved assignments
+                if ch_code <= 7:
+                    if ch_code + 1 != channels:
+                        return None
+                elif channels != 2:
+                    return None  # decorrelated assignments are stereo
                 fbps = {
                     0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24
                 }.get(ss_code)
                 if fbps is None:
                     return None
+                # the SIDE channel carries one extra bit: subframe 1 for
+                # left/side and mid/side, subframe 0 for right/side
+                side_idx = {8: 1, 9: 0, 10: 1}.get(ch_code, -1)
                 chans = []
-                for _ in range(channels):
-                    out = _subframe(br, fbps, n)
+                for ci in range(2 if ch_code > 7 else channels):
+                    out = _subframe(
+                        br, fbps + (1 if ci == side_idx else 0), n
+                    )
                     if out is None:
                         return None
                     chans.append(out)
+                if ch_code == 8:    # left/side: right = left - side
+                    left, side = chans
+                    chans = [left, [a - b for a, b in zip(left, side)]]
+                elif ch_code == 9:  # right/side: left = right + side
+                    side, right = chans
+                    chans = [[a + b for a, b in zip(right, side)], right]
+                elif ch_code == 10:  # mid/side (libFLAC reconstruction)
+                    mid, side = chans
+                    left, right = [], []
+                    for mv, sv in zip(mid, side):
+                        m2 = (mv << 1) | (sv & 1)
+                        left.append((m2 + sv) >> 1)
+                        right.append((m2 - sv) >> 1)
+                    chans = [left, right]
                 br.pos = (br.pos + 7) & ~7  # frame padding to byte edge
                 fend = br.pos // 8
                 if fend + 2 > len(p):
@@ -953,13 +1013,13 @@ def _make_sample_decoder() -> Callable[[bytes], dict | None]:
 def decode_samples(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Full audio sample decode as an Arrow-batched ``mapInPandas``
     stage: (media_id, payload) -> :data:`SAMPLES_SCHEMA` sample
-    statistics, with magic-byte dispatch over WAV PCM and the FLAC
-    fixed-predictor subset (real bit-level frame decode, CRC-verified).
-    Unrecognized/unsupported/truncated payloads yield NULL stats (the
-    row is kept so coverage is auditable).  Together with
-    :func:`decode_pixels` this closes the audio leg of the former
-    sample-decode integration point with the stdlib only; the remaining
-    gated codec surface is FLAC LPC/stereo-decorrelation and MP3/Ogg
+    statistics, with magic-byte dispatch over WAV PCM and FLAC (real
+    bit-level frame decode — all subframe types and channel
+    assignments, CRC-verified).  Unrecognized/unsupported/truncated
+    payloads yield NULL stats (the row is kept so coverage is
+    auditable).  Together with :func:`decode_pixels` this closes the
+    audio leg of the former sample-decode integration point with the
+    stdlib only; the remaining gated codec surface is MP3/Ogg/video
     (``decode_media``'s ``decoder='raise'`` marker)."""
     dec = _make_sample_decoder()
 
