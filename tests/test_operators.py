@@ -1480,6 +1480,31 @@ def test_flac_sample_decoder_partitions_and_rejects():
     bad[46] ^= 0x40                                   # corrupt header
     assert decode_flac_samples(bytes(bad)) is None
 
+    # round-6 review findings: corrupt shapes must yield None, never an
+    # escaping exception (the mapInPandas stage has no try/except)
+    import struct
+
+    short_info = (
+        b"fLaC"
+        + bytes([0x01]) + struct.pack(">I", 20)[1:] + b"\0" * 20  # pad
+        + bytes([0x80]) + struct.pack(">I", 34)[1:] + b"\0" * 12  # cut
+    )
+    assert decode_flac_samples(short_info) is None
+    # wasted-bits count >= bps (eff <= 0): header CRC valid, subframe
+    # bits corrupt — take the good stream and splice a poisoned
+    # subframe: flag=1 then 16 zero bits (unary 17) makes eff = -1
+    hdr_end = 42 + 8  # fLaC+streaminfo(38) ... frame header is 7+1 bytes
+    poisoned = bytearray(good[:hdr_end])
+    poisoned += bytes([0b00000011, 0x00, 0x00])  # pad0,type000001,wasted..
+    poisoned += b"\x80" + b"\x00" * 8
+    assert decode_flac_samples(bytes(poisoned)) is None
+    # truncated at a FRAME boundary: one valid 256-sample frame but
+    # STREAMINFO declares 512 total -> incomplete, None
+    full2 = _flac([[sam], [sam]], 16)
+    one_frame_len = len(_flac_frame([sam], 16, 0))
+    cut = full2[:42 + one_frame_len]
+    assert decode_flac_samples(cut) is None
+
 
 def test_decode_samples_dispatches_wav_and_flac(spark):
     from whisper_spark.operators.multimodal import decode_samples

@@ -756,6 +756,8 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
         if br.read(1):  # wasted-bits-per-sample flag: unary count - 1
             wasted = br.unary() + 1
         eff = bps - wasted
+        if eff < 1:
+            return None  # wasted >= bps: corrupt, not a shift error
         sign = 1 << (eff - 1)
 
         def s2c(v):  # two's complement of eff-bit value
@@ -858,7 +860,9 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
             hdr = p[off]
             (blen,) = struct.unpack(">I", b"\0" + p[off + 1:off + 4])
             body = p[off + 4:off + 4 + blen]
-            if hdr & 0x7F == 0 and blen >= 34:
+            if hdr & 0x7F == 0 and len(body) >= 34:
+                # len(body), not blen: a declared length overrunning the
+                # payload is a truncated upload, not a task failure
                 info = body
             off += 4 + blen
             if hdr & 0x80:
@@ -968,10 +972,16 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
                         samples.append(c[i])
                 got += n
                 off = fend + 2
-            except EOFError:
+            except Exception:
+                # bit-level garbage can surface anywhere in the frame
+                # walk (EOF, impossible field combinations, adversarial
+                # LPC feedback overflow) — the decoder contract is NULL
+                # stats for corrupt payloads, never a task failure
                 return None
         if not samples:
             return None
+        if total and got != total:
+            return None  # truncated at a frame boundary: incomplete
 
         import numpy as np
 
