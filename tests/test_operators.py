@@ -1520,6 +1520,334 @@ def test_decode_samples_dispatches_wav_and_flac(spark):
     assert got[2].s_sum is None
 
 
+def _jpeg_encoder_env():
+    """INDEPENDENTLY written baseline JPEG encoder (forward DCT via a
+    matmul-formulated orthonormal basis, quantize, zigzag, canonical
+    Huffman with CUSTOM fixed-length tables, byte stuffing, optional
+    restart intervals, 4:2:0 downsampling) plus the matching
+    expected-stats reconstruction — the verification direction for
+    decode_jpeg_pixels."""
+    import struct
+
+    import numpy as np
+
+    k = np.arange(8)
+    B = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    B[0, :] *= 1 / np.sqrt(2)
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+    DC_VALS = list(range(12))
+    AC_SYMS = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    AC_COUNTS = [0] * 16
+    AC_COUNTS[7] = len(AC_SYMS)
+
+    def canon(counts, vals):
+        code, k2, t = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                t[vals[k2]] = (ln, code)
+                code += 1
+                k2 += 1
+            code <<= 1
+        return t
+
+    DC_ENC, AC_ENC = canon(DC_COUNTS, DC_VALS), canon(AC_COUNTS, AC_SYMS)
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((v >> i) & 1)
+
+        def bytes_stuffed(self):
+            out = bytearray()
+            bits = self.bits + [1] * ((8 - len(self.bits) % 8) % 8)
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i:i + 8]:
+                    b = (b << 1) | bit
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def cat(v):
+        a, t = abs(v), 0
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    def emit_block(w, qblk, pred):
+        zz = [int(qblk.flat[ZZ[i]]) for i in range(64)]
+        diff = zz[0] - pred
+        t = cat(diff)
+        ln, code = DC_ENC[t]
+        w.put(code, ln)
+        if t:
+            w.put((diff if diff > 0 else diff + (1 << t) - 1)
+                  & ((1 << t) - 1), t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k2 in range(1, 64):
+            if k2 > last_nz:
+                break
+            v = zz[k2]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = AC_ENC[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s = cat(v)
+            ln, code = AC_ENC[(run << 4) | s]
+            w.put(code, ln)
+            w.put((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+            run = 0
+        if last_nz < 63:
+            ln, code = AC_ENC[0x00]
+            w.put(code, ln)
+        return zz[0]
+
+    def encode(planes_full, h, w, samp, qtabs, dri=0):
+        nc = len(planes_full)
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        qblocks = []
+        for i, (sh, sv) in enumerate(samp):
+            pl = planes_full[i]
+            if (sh, sv) != (hmax, vmax):
+                fy, fx = vmax // sv, hmax // sh
+                H, W = pl.shape
+                pH, pW = -(-H // fy) * fy, -(-W // fx) * fx
+                pp = np.empty((pH, pW))
+                pp[:H, :W] = pl
+                pp[H:, :W] = pl[H - 1:H, :]
+                pp[:, W:] = pp[:, W - 1:W]
+                pl = pp.reshape(pH // fy, fy, pW // fx, fx).mean(axis=(1, 3))
+            need_h, need_w = mcuy * sv * 8, mcux * sh * 8
+            H, W = pl.shape
+            big = np.empty((need_h, need_w))
+            big[:H, :W] = pl
+            if need_h > H:
+                big[H:, :W] = pl[H - 1:H, :]
+            if need_w > W:
+                big[:, W:] = big[:, W - 1:W]
+            q = np.array(qtabs[i]).reshape(8, 8)
+            bl = np.zeros((need_h // 8, need_w // 8, 8, 8), dtype=np.int64)
+            for by in range(need_h // 8):
+                for bx in range(need_w // 8):
+                    blk = big[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                    bl[by, bx] = np.round((B @ blk @ B.T) / q)
+            qblocks.append(bl)
+
+        def seg(marker, payload):
+            return (
+                b"\xff" + bytes([marker])
+                + struct.pack(">H", len(payload) + 2) + payload
+            )
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0x00])
+                   + bytes([qtabs[0][ZZ[i]] for i in range(64)]))
+        if nc == 3:
+            out += seg(0xDB, bytes([0x01])
+                       + bytes([qtabs[1][ZZ[i]] for i in range(64)]))
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        for i in range(nc):
+            sof += bytes([
+                i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1
+            ])
+        out += seg(0xC0, sof)
+        out += seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_VALS))
+        out += seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_SYMS))
+        if dri:
+            out += seg(0xDD, struct.pack(">H", dri))
+        sos = bytes([nc])
+        for i in range(nc):
+            sos += bytes([i + 1, 0x00])
+        out += seg(0xDA, sos + bytes([0, 63, 0]))
+        pred = [0] * nc
+        w_ = BW()
+        mcu_done = rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_done and mcu_done % dri == 0:
+                    out += w_.bytes_stuffed()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    w_ = BW()
+                    pred = [0] * nc
+                for i, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            pred[i] = emit_block(
+                                w_,
+                                qblocks[i][my * sv + by, mx * sh + bx],
+                                pred[i],
+                            )
+                mcu_done += 1
+        out += w_.bytes_stuffed() + b"\xff\xd9"
+        return bytes(out), qblocks
+
+    def expected_stats(qblocks, samp, qtabs, h, w, nc):
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        planes = []
+        for i, (sh, sv) in enumerate(samp):
+            q = np.array(qtabs[i]).reshape(8, 8)
+            bl = qblocks[i].astype(np.float64) * q
+            by, bx = bl.shape[:2]
+            px = np.empty((by * 8, bx * 8))
+            for yy in range(by):
+                for xx in range(bx):
+                    px[yy * 8:(yy + 1) * 8, xx * 8:(xx + 1) * 8] = (
+                        B.T @ bl[yy, xx] @ B
+                    )
+            px += 128.0
+            px = np.repeat(
+                np.repeat(px, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+            planes.append(px[:h, :w])
+        if nc == 1:
+            rgb = np.clip(np.round(planes[0]), 0, 255)
+            channels = 1
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.3441363 * (cb - 128.0) - 0.71413636 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+            channels = 3
+        arr = rgb.astype(np.int64)
+        tot = int(arr.sum())
+        return {
+            "width": w, "height": h, "channels": channels,
+            "n_pixels": h * w, "px_min": int(arr.min()),
+            "px_max": int(arr.max()), "px_sum": tot,
+            "px_mean": tot / (h * w * channels),
+        }
+
+    return encode, expected_stats
+
+
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def test_jpeg_pixel_decoder_against_independent_encoder():
+    """Baseline JPEG end-to-end vs an independently written encoder:
+    grayscale and YCbCr, 4:4:4 and 4:2:0, non-multiple-of-8 sizes, and
+    restart intervals.  The expected stats apply the identical
+    dequant -> IDCT -> round/clamp pipeline to the encoder's KNOWN
+    quantized coefficients (the IDCT itself is verified independently
+    below), so Huffman/marker/zigzag/predictor errors cannot hide."""
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_jpeg_pixels
+
+    encode, expected_stats = _jpeg_encoder_env()
+    rng = np.random.RandomState(9)
+    for trial in range(8):
+        color = trial % 2 == 1
+        h, w = int(rng.randint(8, 40)), int(rng.randint(8, 40))
+        if color:
+            samp = (
+                [(2, 2), (1, 1), (1, 1)]
+                if trial % 4 == 3 else [(1, 1)] * 3
+            )
+            planes = [
+                rng.randint(0, 256, (h, w)).astype(float) for _ in range(3)
+            ]
+            qtabs, nc = [_JPEG_QL, _JPEG_QC, _JPEG_QC], 3
+        else:
+            samp = [(1, 1)]
+            planes = [rng.randint(0, 256, (h, w)).astype(float)]
+            qtabs, nc = [_JPEG_QL], 1
+        dri = 2 if trial == 5 else 0
+        jpeg, qb = encode(planes, h, w, samp, qtabs, dri=dri)
+        got = decode_jpeg_pixels(jpeg)
+        assert got == expected_stats(qb, samp, qtabs, h, w, nc), (
+            trial, color, samp, dri, h, w
+        )
+
+
+def test_jpeg_idct_matches_independent_basis():
+    """The decoder's einsum IDCT vs an independently formulated
+    matmul basis on random coefficient blocks — float64 agreement to
+    1e-9 BEFORE any rounding, so the round-trip test above cannot be
+    self-confirming on the transform."""
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import _jpeg_idct_f64
+
+    rng = np.random.RandomState(4)
+    k = np.arange(8)
+    B = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    B[0, :] *= 1 / np.sqrt(2)
+    coef = rng.uniform(-2000, 2000, (5, 8, 8))
+    want = np.stack([B.T @ c @ B for c in coef])
+    assert np.allclose(_jpeg_idct_f64(coef), want, atol=1e-9)
+
+
+def test_jpeg_pixel_decoder_rejects():
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_jpeg_pixels
+
+    encode, _ = _jpeg_encoder_env()
+    rng = np.random.RandomState(1)
+    planes = [rng.randint(0, 256, (16, 16)).astype(float)]
+    good, _qb = encode(planes, 16, 16, [(1, 1)], [_JPEG_QL])
+    assert decode_jpeg_pixels(good) is not None
+    assert decode_jpeg_pixels(None) is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None  # empty
+    assert decode_jpeg_pixels(good[: len(good) // 2]) is None  # truncated
+    prog = bytearray(good)
+    i = bytes(prog).find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # progressive SOF: gated scope
+    assert decode_jpeg_pixels(bytes(prog)) is None
+
+
+def test_decode_pixels_dispatches_jpeg(spark):
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_pixels
+
+    encode, expected_stats = _jpeg_encoder_env()
+    rng = np.random.RandomState(2)
+    planes = [rng.randint(0, 256, (8, 8)).astype(float)]
+    jpeg, qb = encode(planes, 8, 8, [(1, 1)], [_JPEG_QL])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(jpeg), None)], multimodal.MEDIA_SCHEMA
+    )
+    r = decode_pixels(df).collect()[0]
+    exp = expected_stats(qb, [(1, 1)], [_JPEG_QL], 8, 8, 1)
+    assert (r.px_sum, r.n_pixels, r.channels) == (
+        exp["px_sum"], 64, 1
+    )
+
+
 def test_pca_project_forwards_custom_id_col(spark):
     """pca_project(id_col=...) must thread the id through the
     covariance fold's bucket key, which hard-requires it (round-6

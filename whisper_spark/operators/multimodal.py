@@ -534,12 +534,336 @@ def _make_bmp_pixel_decoder() -> Callable[[bytes], dict | None]:
 decode_bmp_pixels = _make_bmp_pixel_decoder()
 
 
+def _jpeg_idct_f64(coef):
+    """Reference 8x8 inverse DCT (JPEG normalization), float64: the
+    separable orthonormal DCT-III as two matrix products.  ``coef`` is
+    (..., 8, 8) dequantized coefficients in natural (row, col) order;
+    returns float64 samples BEFORE the +128 level shift.  Exposed so
+    tests can verify it against an independently formulated basis."""
+    import numpy as np
+
+    k = np.arange(8)
+    # orthonormal DCT basis: B[u, x] = C(u)/2 * cos((2x+1)u*pi/16)
+    b = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    b[0, :] *= 1.0 / np.sqrt(2.0)
+    return np.einsum("ux,...uv,vy->...xy", b, coef, b)
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: 0xFF00 byte unstuffing, restart
+    markers surfaced to the caller, any other marker = end of data."""
+
+    __slots__ = ("data", "pos", "bit", "marker")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.marker = None  # pending marker byte once hit
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.marker is not None or self.pos >= len(d):
+            raise EOFError
+        byte = d[self.pos]
+        if byte == 0xFF and self.bit == 0:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt != 0x00:
+                self.marker = nxt
+                raise EOFError
+        v = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if byte == 0xFF else 1  # skip the stuffed 00
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> bool:
+        """At a restart marker: consume it and realign.  True if one
+        was consumed."""
+        if self.bit:
+            # a partially-read 0xFF data byte carries a stuffed 0x00 —
+            # skip both, exactly as read_bit's byte advance does
+            cur = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.bit = 0
+            self.pos += 2 if cur == 0xFF else 1
+        d = self.data
+        if (
+            self.marker is not None
+            and 0xD0 <= self.marker <= 0xD7
+        ):
+            # reader stopped AT the 0xFF; step past marker
+            self.pos += 2
+            self.marker = None
+            return True
+        if (
+            self.pos + 1 < len(d) and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return True
+        return False
+
+
+def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
+    """Build the stdlib BASELINE JPEG pixel decoder — real entropy
+    decode, no third-party libraries: marker walk (DQT / SOF0 / DHT /
+    DRI / SOS), canonical Huffman tables from DHT, per-MCU DC-predictor
+    + AC run-length decode with byte unstuffing and restart-marker
+    resets, dequantize + dezigzag, vectorized float64 IDCT
+    (:func:`_jpeg_idct_f64`), chroma upsampling (sample replication),
+    and the JFIF YCbCr->RGB transform with round + clamp.
+
+    Scope: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+    any sampling factors.  Progressive (SOF2), arithmetic coding,
+    12-bit, and hierarchical streams return None — NULL stats, never
+    task failures (every structural surprise is caught).  Closure-built
+    so Spark tasks ship it by value."""
+    import struct
+
+    ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    def huff_table(counts, values):
+        """canonical Huffman: (length, code) -> value"""
+        table = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                table[(ln, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    def huff_decode(br, table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        raise EOFError  # not a valid code
+
+    def extend(v, t):
+        # JPEG EXTEND: t-bit magnitude to signed value
+        return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    def decode_jpeg(p: bytes) -> dict | None:
+        import numpy as np
+
+        try:
+            if p is None or len(p) < 4 or p[:2] != b"\xff\xd8":
+                return None
+            qt: dict = {}
+            dc_t: dict = {}
+            ac_t: dict = {}
+            sof = None
+            dri = 0
+            off = 2
+            while off + 4 <= len(p):
+                if p[off] != 0xFF:
+                    return None
+                m = p[off + 1]
+                if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+                    off += 2
+                    continue
+                if m == 0xD9:
+                    return None  # EOI before any scan
+                (seglen,) = struct.unpack(">H", p[off + 2:off + 4])
+                seg = p[off + 4:off + 2 + seglen]
+                if len(seg) != seglen - 2:
+                    return None
+                if m == 0xDB:  # DQT
+                    i = 0
+                    while i < len(seg):
+                        prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                        i += 1
+                        if prec == 0:
+                            tbl = list(seg[i:i + 64])
+                            i += 64
+                        else:
+                            tbl = [
+                                struct.unpack(">H", seg[i + 2 * j:i + 2 * j + 2])[0]
+                                for j in range(64)
+                            ]
+                            i += 128
+                        if len(tbl) != 64:
+                            return None
+                        qt[tid] = tbl
+                elif m == 0xC4:  # DHT
+                    i = 0
+                    while i < len(seg):
+                        cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                        counts = list(seg[i + 1:i + 17])
+                        n = sum(counts)
+                        values = list(seg[i + 17:i + 17 + n])
+                        if len(counts) != 16 or len(values) != n:
+                            return None
+                        (dc_t if cls == 0 else ac_t)[tid] = huff_table(
+                            counts, values
+                        )
+                        i += 17 + n
+                elif m == 0xC0:  # SOF0 baseline
+                    prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                    if prec != 8 or nc not in (1, 3) or not h or not w:
+                        return None
+                    comps = []
+                    for c in range(nc):
+                        cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                        comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                    sof = (h, w, comps)
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # non-baseline SOF: gated scope
+                elif m == 0xDD:  # DRI
+                    (dri,) = struct.unpack(">H", seg[:2])
+                elif m == 0xDA:  # SOS
+                    if sof is None:
+                        return None
+                    ns = seg[0]
+                    scan = []
+                    for c in range(ns):
+                        cs, tt = seg[1 + 2 * c:3 + 2 * c]
+                        scan.append((cs, tt >> 4, tt & 0x0F))
+                    break
+                off += 2 + seglen
+            else:
+                return None
+            h, w, comps = sof
+            if len(scan) != len(comps):
+                return None  # interleaved full scan only
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax < 1 or vmax < 1 or any(
+                c[1] < 1 or c[2] < 1 for c in comps
+            ):
+                return None
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # per component: coefficient array (blocks_y, blocks_x, 8, 8)
+            planes = []
+            for cid, ch, cv, tq in comps:
+                planes.append(
+                    np.zeros((mcuy * cv, mcux * ch, 8, 8), dtype=np.int32)
+                )
+            tabs = []
+            for cs, td, ta in scan:
+                idx = next(
+                    (i for i, c in enumerate(comps) if c[0] == cs), None
+                )
+                if idx is None or td not in dc_t or ta not in ac_t:
+                    return None
+                tabs.append((idx, dc_t[td], ac_t[ta]))
+            br = _JpegBits(p, off + 2 + seglen)
+            pred = [0] * len(comps)
+            mcu_done = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu_done and mcu_done % dri == 0:
+                        if not br.restart():
+                            return None
+                        pred = [0] * len(comps)
+                    for idx, dct, act in tabs:
+                        _, ch, cv, tq = comps[idx]
+                        if tq not in qt:
+                            return None
+                        q = qt[tq]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = np.zeros(64, dtype=np.int32)
+                                t = huff_decode(br, dct)
+                                if t > 11:
+                                    return None
+                                diff = extend(br.receive(t), t)
+                                pred[idx] += diff
+                                blk[0] = pred[idx] * q[0]
+                                k = 1
+                                while k < 64:
+                                    rs = huff_decode(br, act)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        return None
+                                    blk[ZIGZAG[k]] = (
+                                        extend(br.receive(s), s) * q[k]
+                                    )
+                                    k += 1
+                                planes[idx][
+                                    my * cv + by, mx * ch + bx
+                                ] = blk.reshape(8, 8)
+                    mcu_done += 1
+            # IDCT (vectorized per component), +128 shift, assemble
+            out_planes = []
+            for i, (cid, ch, cv, tq) in enumerate(comps):
+                px = _jpeg_idct_f64(planes[i].astype(np.float64)) + 128.0
+                by, bx = planes[i].shape[:2]
+                img = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+                # replicate to full-res sampling grid, crop to (h, w)
+                ry, rx = vmax // cv, hmax // ch
+                if vmax % cv or hmax % ch:
+                    return None
+                img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
+                out_planes.append(img[:h, :w])
+            if len(out_planes) == 1:
+                rgb = np.clip(np.round(out_planes[0]), 0, 255)
+                channels = 1
+            else:
+                y, cb, cr = out_planes
+                r = y + 1.402 * (cr - 128.0)
+                g = (
+                    y - 0.3441363 * (cb - 128.0)
+                    - 0.71413636 * (cr - 128.0)
+                )
+                b = y + 1.772 * (cb - 128.0)
+                rgb = np.clip(
+                    np.round(np.stack([r, g, b], axis=-1)), 0, 255
+                )
+                channels = 3
+            arr = rgb.astype(np.int64)
+            total = int(arr.sum())
+            n_px = h * w
+            return {
+                "width": int(w), "height": int(h), "channels": channels,
+                "n_pixels": n_px,
+                "px_min": int(arr.min()), "px_max": int(arr.max()),
+                "px_sum": total, "px_mean": total / (n_px * channels),
+            }
+        except Exception:
+            # marker garbage, truncated entropy data, invalid Huffman
+            # codes: NULL stats, never task failures
+            return None
+
+    return decode_jpeg
+
+
+#: stdlib baseline JPEG pixel decoder; same object for unit tests
+decode_jpeg_pixels = _make_jpeg_pixel_decoder()
+
+
 def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
-    """Magic-byte dispatch over the three stdlib image pixel decoders
-    (PNG scanline, GIF LZW, BMP 24-bit)."""
+    """Magic-byte dispatch over the four stdlib image pixel decoders
+    (PNG scanline, GIF LZW, BMP 24-bit, baseline JPEG)."""
     png = _make_png_pixel_decoder()
     gif = _make_gif_pixel_decoder()
     bmp = _make_bmp_pixel_decoder()
+    jpg = _make_jpeg_pixel_decoder()
 
     def dec(p: bytes) -> dict | None:
         if p is None or len(p) < 6:
@@ -550,6 +874,8 @@ def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
             return gif(p)
         if p[:2] == b"BM":
             return bmp(p)
+        if p[:3] == b"\xff\xd8\xff":
+            return jpg(p)
         return None
 
     return dec
@@ -558,13 +884,14 @@ def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
 def decode_pixels(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Full image pixel decode as an Arrow-batched ``mapInPandas`` stage:
     (media_id, payload) -> :data:`PIXELS_SCHEMA` pixel statistics, with
-    magic-byte dispatch over the three stdlib decoders — PNG scanlines
-    (zlib inflate + unfilter), GIF (full LZW), and BMP (24-bit
-    uncompressed).  Unrecognized/unsupported payloads yield NULL stats
-    (the row is kept so coverage is auditable).  This closes the image
-    leg of the former pixel-decode integration point with the stdlib
-    only; compressed audio/video sample decode still needs external
-    codecs (``decode_media``'s ``decoder='raise'`` marker)."""
+    magic-byte dispatch over the four stdlib decoders — PNG scanlines
+    (zlib inflate + unfilter), GIF (full LZW), BMP (24-bit
+    uncompressed), and baseline JPEG (real Huffman entropy decode +
+    IDCT).  Unrecognized/unsupported payloads yield NULL stats (the
+    row is kept so coverage is auditable).  This closes the image leg
+    of the former pixel-decode integration point with the stdlib only;
+    MP3/Ogg/video sample decode still needs external codecs
+    (``decode_media``'s ``decoder='raise'`` marker)."""
     dec = _make_pixel_decoder()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

@@ -2864,6 +2864,87 @@ def q_mm_decode_wav_pcm(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_jpeg_pixels",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+d AS (
+  SELECT doc_id,
+         128 + (doc_id % 15) * 8 AS dc1,
+         128 + (doc_id % 15) * 8 + 128 + (doc_id % 7) * 8 AS dc2
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(128 AS BIGINT) AS n_pixels,
+       CAST(dc1 // 8 + 128 AS INTEGER) AS px_min,
+       CAST(dc2 // 8 + 128 AS INTEGER) AS px_max,
+       CAST(64 * (dc1 // 8 + 128 + dc2 // 8 + 128) AS BIGINT) AS px_sum,
+       CAST(64 * (dc1 // 8 + 128 + dc2 // 8 + 128) AS DOUBLE) / 128
+         AS px_mean
+FROM d
+""",
+    doc="FULL baseline JPEG decode end-to-end, stdlib only: complete, "
+    "VALID JPEGs — DQT + SOF0 + custom canonical DHTs + SOS + "
+    "Huffman-coded entropy data — are assembled as JVM column "
+    "expressions.  The tables are chosen so every Huffman code is 4 "
+    "bits and the two 8x8 blocks' entropy data (DC category-8 "
+    "magnitude + EOB each, the second block DC-PREDICTED from the "
+    "first) is exactly 4 nibble-aligned bytes of byte arithmetic; the "
+    "decoder (operators/multimodal.py decode_jpeg_pixels) still runs "
+    "its full marker walk, canonical-Huffman construction, entropy "
+    "decode, dequantize, and IDCT over it.  DC values are multiples of "
+    "8 so the flat blocks' IDCT output (dc/8 + 128) is integral — no "
+    "rounding-mode coupling between engines.  The AC/run-length, "
+    "restart, 4:2:0, and YCbCr paths the synthesized payload doesn't "
+    "reach are verified against an independently written encoder in "
+    "unit tests; any drift in marker framing, table parsing, predictor "
+    "state, or the IDCT constant fails the hash gate",
+)
+def q_mm_decode_jpeg_pixels(spark, sf_dir):
+    from .operators.multimodal import decode_pixels
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def seg(m, payload):
+        import struct as _s
+
+        return (
+            b"\xff" + bytes([m]) + _s.pack(">H", len(payload) + 2) + payload
+        )
+
+    import struct
+
+    prefix = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))   # all-ones DQT
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+              + bytes(range(12)))                      # DC: 12 4-bit codes
+        + seg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 1] + [0] * 12)
+              + bytes([0x00]))                         # AC: EOB only
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    # entropy: [code4(cat8) | dc>>4, (dc&15)<<4 | code4(EOB)] per block;
+    # category-8 code = 8, EOB code = 0 -> 2 bytes per block, stuffing-
+    # free by construction (first byte 0x8X, second 0xY0)
+    entropy_hex = F.expr(
+        "concat("
+        "lpad(hex(128 + (128 + (doc_id % 15) * 8) div 16), 2, '0'), "
+        "lpad(hex(((128 + (doc_id % 15) * 8) % 16) * 16), 2, '0'), "
+        "lpad(hex(128 + (128 + (doc_id % 7) * 8) div 16), 2, '0'), "
+        "lpad(hex(((128 + (doc_id % 7) * 8) % 16) * 16), 2, '0'))"
+    )
+    payload = F.concat(
+        F.lit(prefix), F.unhex(entropy_hex), F.lit(b"\xff\xd9")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_pixels(media)
+
+
+@_q(
     "mm_decode_flac_pcm",
     """
 WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
@@ -11222,8 +11303,9 @@ _DRIVER_WINDOW_PROMOTE = [
     # per-interval-reset integral)
     "stream_render_ewma", "stream_holt_linear",
     "stream_render_integral_by_interval",
-    # round 6: real FLAC decode (CRC-verified synthesized payloads)
-    "mm_decode_flac_pcm",
+    # round 6: real FLAC decode (CRC-verified synthesized payloads);
+    # real baseline JPEG decode (custom-Huffman synthesized payloads)
+    "mm_decode_flac_pcm", "mm_decode_jpeg_pixels",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
