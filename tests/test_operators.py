@@ -1810,6 +1810,31 @@ def test_jpeg_idct_matches_independent_basis():
     assert np.allclose(_jpeg_idct_f64(coef), want, atol=1e-9)
 
 
+def test_jpeg_grayscale_sampling_factors_and_fill_bytes():
+    """Round-6 review findings: a one-component scan is NON-interleaved
+    per B.2.3 (one 8x8 unit per MCU, whatever the declared sampling
+    factors say), and 0xFF fill bytes before a marker are legal
+    padding — both used to make valid files return None."""
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_jpeg_pixels
+
+    encode, expected_stats = _jpeg_encoder_env()
+    rng = np.random.RandomState(6)
+    planes = [rng.randint(0, 256, (8, 24)).astype(float)]
+    jpeg, qb = encode(planes, 8, 24, [(1, 1)], [_JPEG_QL])
+    exp = expected_stats(qb, [(1, 1)], [_JPEG_QL], 8, 24, 1)
+    # declare H=V=2 sampling in SOF: entropy layout must stay raster
+    i = jpeg.find(b"\xff\xc0")
+    hacked = bytearray(jpeg)
+    assert hacked[i + 2 + 2 + 6 + 1] == 0x11
+    hacked[i + 2 + 2 + 6 + 1] = 0x22
+    assert decode_jpeg_pixels(bytes(hacked)) == exp
+    # a 0xFF fill byte after SOI is padding, not a marker
+    padded = jpeg[:2] + b"\xff" + jpeg[2:]
+    assert decode_jpeg_pixels(padded) == exp
+
+
 def test_jpeg_pixel_decoder_rejects():
     import numpy as np
 

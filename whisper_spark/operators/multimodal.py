@@ -586,7 +586,9 @@ class _JpegBits:
 
     def restart(self) -> bool:
         """At a restart marker: consume it and realign.  True if one
-        was consumed."""
+        was consumed.  (A marker hit mid-read raises EOFError out of
+        the whole decode — restart() is only reached at block
+        boundaries, where the marker bytes are still unread.)"""
         if self.bit:
             # a partially-read 0xFF data byte carries a stuffed 0x00 —
             # skip both, exactly as read_bit's byte advance does
@@ -594,14 +596,6 @@ class _JpegBits:
             self.bit = 0
             self.pos += 2 if cur == 0xFF else 1
         d = self.data
-        if (
-            self.marker is not None
-            and 0xD0 <= self.marker <= 0xD7
-        ):
-            # reader stopped AT the 0xFF; step past marker
-            self.pos += 2
-            self.marker = None
-            return True
         if (
             self.pos + 1 < len(d) and d[self.pos] == 0xFF
             and 0xD0 <= d[self.pos + 1] <= 0xD7
@@ -676,6 +670,9 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                 if p[off] != 0xFF:
                     return None
                 m = p[off + 1]
+                if m == 0xFF:
+                    off += 1  # fill byte (B.1.1.2): pad before a marker
+                    continue
                 if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
                     off += 2
                     continue
@@ -744,6 +741,11 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
             h, w, comps = sof
             if len(scan) != len(comps):
                 return None  # interleaved full scan only
+            if len(comps) == 1:
+                # a one-component scan is NON-interleaved per B.2.3:
+                # one 8x8 data unit per MCU in raster order, whatever
+                # the declared sampling factors say
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             if hmax < 1 or vmax < 1 or any(
@@ -765,7 +767,10 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                 )
                 if idx is None or td not in dc_t or ta not in ac_t:
                     return None
-                tabs.append((idx, dc_t[td], ac_t[ta]))
+                tq = comps[idx][3]
+                if tq not in qt:
+                    return None
+                tabs.append((idx, dc_t[td], ac_t[ta], qt[tq]))
             br = _JpegBits(p, off + 2 + seglen)
             pred = [0] * len(comps)
             mcu_done = 0
@@ -775,11 +780,8 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                         if not br.restart():
                             return None
                         pred = [0] * len(comps)
-                    for idx, dct, act in tabs:
-                        _, ch, cv, tq = comps[idx]
-                        if tq not in qt:
-                            return None
-                        q = qt[tq]
+                    for idx, dct, act, q in tabs:
+                        _, ch, cv, _tq = comps[idx]
                         for by in range(cv):
                             for bx in range(ch):
                                 blk = np.zeros(64, dtype=np.int32)

@@ -11269,7 +11269,7 @@ def q_mm_payload_dedup(spark, sf_dir):
 
 _DRIVER_WINDOW_PROMOTE = [
     "ws_ewma", "ws_holt_winters", "stream_slot_lww_state",
-    "ws_render_target", "mm_decode_real_headers",
+    "ws_render_target",
     "doc_substring_dup_pairs",
     "stream_render_target", "ws_render_target_reduce",
     "doc_incremental_dedup", "emb_semdedup_survivors",
@@ -11329,6 +11329,10 @@ _DRIVER_WINDOW_DEMOTE = [
     # in-window; coverage contract unchanged (CI + full sweep)
     "stream_near_dedup", "doc_curation_pipeline", "emb_srp_pairs",
     "ws_shard_assignment", "doc_bigram_lm_score",
+    # header-only decode superseded in-window by the five REAL decode
+    # flagships (PNG/GIF/BMP/FLAC/JPEG); keeps doc_exact_dup_groups
+    # (bench headline) inside the first 50
+    "mm_decode_real_headers",
     # round-6 demotions — commoditized per-row/count shapes whose
     # machinery is fully covered by in-window siblings (same coverage
     # contract: tests/test_demoted_window.py + the full sweep):
