@@ -2104,3 +2104,39 @@ def test_pii_scrub_matches_python_re(spark):
             counts["n_emails"], counts["n_ips"], counts["n_phones"]
         ), (did, t)
         assert g.redacted_text == red and g.redacted_len == len(red), did
+
+
+def test_exact_kth_smallest_matches_sorted(spark):
+    """Distributed range-refinement selection == driver-side sort, for
+    every k, across duplicates, negatives, and skewed clusters."""
+    import random
+
+    from whisper_spark.operators.quantile import exact_kth_smallest
+
+    rng = random.Random(7)
+    vals = (
+        [rng.uniform(-5, 5) for _ in range(200)]
+        + [1.25] * 37                       # heavy tie block
+        + [rng.gauss(1e6, 1e-3) for _ in range(20)]  # far skew cluster
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    ordered = sorted(vals)
+    for k in [1, 2, 100, 128, 129, 130, 200, len(vals) // 2, len(vals)]:
+        got = exact_kth_smallest(df, "score", k, buckets=16, max_rounds=6)
+        assert got == ordered[k - 1], (k, got, ordered[k - 1])
+
+
+def test_exact_kth_smallest_all_equal_and_errors(spark):
+    from whisper_spark.operators.quantile import exact_kth_smallest
+
+    df = spark.createDataFrame([(3.5,)] * 50, "score double")
+    assert exact_kth_smallest(df, "score", 25) == 3.5
+    with pytest.raises(ValueError):
+        exact_kth_smallest(df, "score", 0)
+    with pytest.raises(ValueError):
+        exact_kth_smallest(df, "score", 51)
+    # nulls are ignored, not counted toward ranks
+    dfn = spark.createDataFrame(
+        [(None,), (2.0,), (1.0,), (None,), (3.0,)], "score double"
+    )
+    assert exact_kth_smallest(dfn, "score", 2) == 2.0

@@ -389,3 +389,68 @@ def test_encode_token_ids_broadcasts_vocab(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def _unbounded_global_windows(plan: str) -> list[str]:
+    """Window nodes with no partition spec whose input is NOT bounded by
+    a limit.  Signature (verified empirically): a partition-less window
+    forces ``Exchange SinglePartition`` in its subtree, while a
+    limit-bounded one sits on TakeOrderedAndProject / GlobalLimit."""
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        i = 0
+        while i < len(ln) and ln[i] in " +-:*(":
+            i += 1
+        return i
+
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Window " not in ln:
+            continue
+        # exempt pure time folds: a window ordered ONLY by ts is a
+        # per-series sequential recurrence; it goes partition-less only
+        # when upstream aggregation collapsed the list to ONE series
+        # (metric became a literal Catalyst folds out of the partition
+        # spec), and one series' render range is bounded by
+        # time-range/step — it is not a series-rank scale risk
+        spec = ln.split("windowspecdefinition(", 1)[-1]
+        spec = spec.split("specifiedwindowframe", 1)[0]
+        order_cols = [c.strip() for c in spec.split(",") if c.strip()]
+        if order_cols and all(c.startswith("ts#") for c in order_cols):
+            continue
+        d = depth(ln)
+        for j in range(i + 1, len(lines)):
+            if depth(lines[j]) <= d:
+                break
+            t = lines[j]
+            if ("TakeOrderedAndProject" in t or "GlobalLimit" in t
+                    or "CollectLimit" in t or "LocalLimit" in t):
+                break  # bounded: the window ranks <= n survivors
+            if "Exchange SinglePartition" in t:
+                bad.append(ln.strip())
+                break
+    return bad
+
+
+RENDER_QUERIES = [
+    "ws_render_target", "ws_render_pie", "ws_render_target_ratio",
+    "ws_render_target_filter", "ws_render_target_topk",
+    "ws_render_target_window", "ws_render_target_tags",
+    "ws_render_target_reduce", "ws_render_target_group",
+    "ws_highest_avg_top2", "ws_sort_by_total_top3",
+    "ws_percentile_series_p50", "ws_remove_above_p90",
+]
+
+
+@pytest.mark.parametrize("name", RENDER_QUERIES)
+def test_render_queries_have_no_unbounded_global_window(spark, name):
+    """Round-7 scale guard (VERDICT r6 task 4): no render-family query
+    may rank/sort through a partition-less WindowExec over an unbounded
+    frame — top-N functions rank only orderBy().limit() survivors
+    (TakeOrderedAndProject), pairing ranks come from a
+    MAX_QUERY_SERIES-guarded broadcast table, and percentile bands are
+    TakeOrdered selections."""
+    plan = plan_of(spark, name)
+    assert not _unbounded_global_windows(plan), (
+        name, _unbounded_global_windows(plan))

@@ -1,0 +1,117 @@
+"""Distributed exact order statistics without a global sort.
+
+The reference engine has no quantile machinery (whisper stores points,
+not distributions); this exists for the LLM-pipeline capstones — a
+fluency gate at the corpus median must select the EXACT nearest-rank
+value (the DuckDB oracle hashes it) without funnelling the whole
+surviving corpus through a single-partition ``row_number`` window.
+
+``exact_kth_smallest`` is the classic distributed selection: each round
+buckets the remaining candidate value range into ``buckets``
+sub-intervals with one distributed ``groupBy`` pass, driver-collects the
+<=``buckets``-row histogram, and narrows to the sub-interval holding the
+residual rank.  Every pass is a map-side-combinable aggregate; the only
+driver traffic is the bounded histogram.  With 4096 buckets the range
+shrinks 2^12 per round, so a handful of rounds passes double precision
+and the terminal interval collapses to one representable value for any
+real data; ties (many rows sharing one value) terminate immediately via
+the single-distinct-value check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_TERMINAL_DISTINCT = 100_000
+
+
+def exact_kth_smallest(
+    df: DataFrame,
+    col: str,
+    k: int,
+    buckets: int = 4096,
+    max_rounds: int = 12,
+) -> float:
+    """Exact k-th smallest (1-based, with multiplicity) value of
+    ``df[col]`` (nulls ignored), computed by recursive range refinement
+    — no global sort, no partition-less window, driver traffic bounded
+    by ``buckets`` rows per round.
+
+    ``df`` is scanned once per round (2-4 rounds in practice); callers
+    on expensive upstream pipelines should ``persist()`` it first.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    vals = df.select(F.col(col).alias("_v")).filter(F.col("_v").isNotNull())
+    stats = vals.agg(
+        F.count("*").alias("n"), F.min("_v").alias("lo"), F.max("_v").alias("hi")
+    ).first()
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if k > n:
+        raise ValueError(f"k={k} exceeds non-null count {n}")
+    lo, hi = float(lo), float(hi)
+    r = k
+    for _ in range(max_rounds):
+        if lo == hi:
+            return lo
+        width = (hi - lo) / buckets
+        if width <= 0.0 or lo + width == lo:
+            # interval narrower than double resolution around lo
+            return lo
+        b = F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("long"),
+        )
+        hist = sorted(
+            (row["b"], row["c"])
+            for row in vals.filter(
+                (F.col("_v") >= F.lit(lo)) & (F.col("_v") <= F.lit(hi))
+            )
+            .groupBy(b.alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        cum = 0
+        for bucket_id, c in hist:
+            if cum + c >= r:
+                r -= cum
+                new_lo = lo + bucket_id * width
+                new_hi = hi if bucket_id == buckets - 1 else new_lo + width
+                lo, hi = new_lo, new_hi
+                break
+            cum += c
+        else:  # pragma: no cover - float-edge safety
+            raise AssertionError("rank fell outside the bucket histogram")
+        # closed-open sub-intervals except the last: re-filter next round
+        # uses [lo, hi]; rows exactly at hi of a non-final bucket belong
+        # to the NEXT bucket, so tighten with a strict bound via counts
+        distinct_probe = (
+            vals.filter((F.col("_v") >= F.lit(lo)) & (F.col("_v") <= F.lit(hi)))
+            .select("_v")
+            .distinct()
+            .limit(2)
+            .collect()
+        )
+        if len(distinct_probe) == 1:
+            return float(distinct_probe[0]["_v"])
+    # interval no longer narrowable by floats: collect the (tiny)
+    # surviving distinct values and finish driver-side
+    tail = (
+        vals.filter((F.col("_v") >= F.lit(lo)) & (F.col("_v") <= F.lit(hi)))
+        .groupBy("_v")
+        .agg(F.count("*").alias("c"))
+        .orderBy("_v")
+        .limit(_MAX_TERMINAL_DISTINCT + 1)
+        .collect()
+    )
+    if len(tail) > _MAX_TERMINAL_DISTINCT:  # pragma: no cover
+        raise AssertionError(
+            "terminal interval did not converge; raise max_rounds"
+        )
+    cum = 0
+    for row in tail:
+        cum += row["c"]
+        if cum >= r:
+            return float(row["_v"])
+    raise AssertionError("rank fell outside the terminal interval")

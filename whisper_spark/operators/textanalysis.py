@@ -330,23 +330,25 @@ def build_vocab(
     """Corpus vocabulary: the ``vocab_size`` most frequent whitespace
     tokens, ids assigned 1..N by (count desc, token asc) — fully
     deterministic; id 0 is reserved for OOV.  One count aggregation +
-    one bounded global rank (the vocab is top-N small by construction,
-    so the single-partition window ranks N rows, not the corpus)."""
-    from pyspark.sql import Window
-
+    one distributed top-N; the dense id assignment happens on the
+    driver over the <=vocab_size collected survivors (top-N bounded by
+    construction) and is broadcast back — no WindowExec anywhere."""
     counts = (
         docs.select(F.explode(word_tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("count"))
     )
     # orderBy+limit compiles to TakeOrderedAndProject — a distributed
-    # top-N, never a single-partition sort of the full vocabulary; the
-    # row_number window then ranks only the N survivors
-    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(vocab_size)
-    w = Window.orderBy(F.desc("count"), F.asc("token"))
-    return (
-        top.withColumn("token_id", F.row_number().over(w))
-        .select("token", "token_id", "count")
+    # top-N, never a single-partition sort of the full vocabulary
+    top = sorted(
+        counts.orderBy(F.desc("count"), F.asc("token"))
+        .limit(vocab_size)
+        .collect(),
+        key=lambda r: (-r["count"], r["token"]),
+    )
+    return docs.sparkSession.createDataFrame(
+        [(r["token"], i + 1, r["count"]) for i, r in enumerate(top)],
+        "token string, token_id int, count bigint",
     )
 
 

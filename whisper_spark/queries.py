@@ -6026,10 +6026,18 @@ def q_ws_highest_avg_top2(spark, sf_dir):
     ser = base.groupBy("metric").agg(
         (folds.fsum("avg_v") / F.count("avg_v")).alias("series_avg")
     )
-    rk = ser.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.desc("series_avg"), F.asc("metric"))),
-    ).filter(F.col("rnk") <= 2)
+    # distributed top-N first (TakeOrderedAndProject), THEN rank the <=2
+    # survivors — the row_number window never sees an unbounded frame
+    rk = (
+        ser.orderBy(F.desc("series_avg"), F.asc("metric"))
+        .limit(2)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("series_avg"), F.asc("metric"))
+            ),
+        )
+    )
     return base.join(F.broadcast(rk), "metric").select(
         "metric", "ts", F.col("avg_v").alias("value"), "series_avg", "rnk"
     )
@@ -6166,12 +6174,14 @@ def q_ws_sort_by_total_top3(spark, sf_dir):
 
     base = min1(spark, sf_dir)
     tot = base.groupBy("metric").agg(folds.fsum("avg_v").alias("total"))
+    # top-N via TakeOrderedAndProject, then rank only the 3 survivors
     return (
-        tot.withColumn(
+        tot.orderBy(F.desc("total"), F.asc("metric"))
+        .limit(3)
+        .withColumn(
             "rnk",
             F.row_number().over(Window.orderBy(F.desc("total"), F.asc("metric"))),
         )
-        .filter(F.col("rnk") <= 3)
     )
 
 
@@ -10735,8 +10745,6 @@ FROM fenc GROUP BY source
     "ordering, join keys)",
 )
 def q_doc_curation_pipeline_v2(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     from .operators.dedup import incremental_dedup
     from .operators.textanalysis import bigram_lm_score, build_vocab
 
@@ -10755,22 +10763,28 @@ def q_doc_curation_pipeline_v2(spark, sf_dir):
         newd.join(kept_ids, "doc_id")
         .join(lm, "doc_id")
         .select("doc_id", "source", "score")
+        .persist()
     )
-    wm = W.orderBy("score", "doc_id")
-    medr = klm.select(
-        "score",
-        F.row_number().over(wm).alias("rn"),
-        F.count("*").over(
-            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        ).alias("n"),
-    )
-    med = medr.filter(
-        F.col("rn")
-        == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.5).cast("long"))
-    ).select(F.col("score").alias("_m"))
-    fluent = klm.crossJoin(F.broadcast(med)).filter(
-        F.col("score") >= F.col("_m")
-    ).select("doc_id", "source")
+    # nearest-rank median WITHOUT a global row_number window: the score
+    # at rank ceil(n/2) under (score, doc_id) order IS the k-th smallest
+    # score with multiplicity (doc_id only breaks ties between equal
+    # scores), so distributed range-refinement selection finds it with
+    # map-side-combinable passes — no single-partition sort of the
+    # surviving corpus at 100x scale.  klm is persisted: the selection
+    # scans it a handful of times and the fluent filter reuses it.
+    n_kept = klm.count()
+    if n_kept == 0:
+        fluent = klm.select("doc_id", "source")
+    else:
+        import math as _math
+
+        from .operators.quantile import exact_kth_smallest
+
+        k = max(1, int(_math.ceil(n_kept * 0.5)))
+        m = exact_kth_smallest(klm, "score", k)
+        fluent = klm.filter(F.col("score") >= F.lit(m)).select(
+            "doc_id", "source"
+        )
     vocab = build_vocab(d, vocab_size=1000)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     fpos = (

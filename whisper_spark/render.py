@@ -43,6 +43,7 @@ tests/test_render_decimal_regression.py):
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -399,27 +400,29 @@ def _moving_avg(df: DataFrame, n: int, xff: float | None = None) -> DataFrame:
 
 
 def _top_by_avg(df: DataFrame, n: int) -> DataFrame:
+    # distributed top-N (TakeOrderedAndProject), NOT a partition-less
+    # row_number window: the per-series aggregate is one row per metric,
+    # but a global rank window would single-partition on a
+    # millions-of-series glob; orderBy().limit() keeps n per partition
+    # then merges
     ser = df.groupBy("metric").agg(
         (_fsum("value") / F.count("value")).alias("_avg")
     )
-    rk = ser.withColumn(
-        "_rk", F.row_number().over(Window.orderBy(F.desc("_avg"), F.asc("metric")))
-    ).filter(F.col("_rk") <= int(n))
-    return df.join(F.broadcast(rk.select("metric")), "metric").select(
-        "metric", "ts", "value"
-    )
+    keep = ser.orderBy(F.desc("_avg"), F.asc("metric")).limit(int(n))
+    return _keep_series(df, keep)
 
 
 def _sort_by_total(df: DataFrame, n: int | None) -> DataFrame:
+    if n is None:
+        # sortByTotal without a limit: DataFrames carry no row order and
+        # no caller consumes a rank column, so reordering the full list
+        # is the identity here (limit(sortByTotal(...)) composes through
+        # _SORT_ORDERS instead) — ranking millions of series through a
+        # global window for nothing is the scale bug this avoids
+        return df.select("metric", "ts", "value")
     tot = df.groupBy("metric").agg(_fsum("value").alias("_tot"))
-    rk = tot.withColumn(
-        "_rk", F.row_number().over(Window.orderBy(F.desc("_tot"), F.asc("metric")))
-    )
-    if n is not None:
-        rk = rk.filter(F.col("_rk") <= int(n))
-    return df.join(F.broadcast(rk.select("metric")), "metric").select(
-        "metric", "ts", "value"
-    )
+    keep = tot.orderBy(F.desc("_tot"), F.asc("metric")).limit(int(n))
+    return _keep_series(df, keep)
 
 
 def _alias_by_node(df: DataFrame, *nodes: int) -> DataFrame:
@@ -479,6 +482,34 @@ def _keep_series(df: DataFrame, keep: DataFrame) -> DataFrame:
     )
 
 
+def _name_ranks(df: DataFrame, what: str) -> DataFrame:
+    """Sorted-name 1-based ranks for positional series pairing
+    (asPercent multi-total, *SeriesLists).  Pairing needs a DENSE rank
+    over every name, which a partition-less row_number window would
+    single-partition at scale — instead the name list is
+    driver-collected under the MAX_QUERY_SERIES guard (pairing lists
+    are tens of series by the render contract; the same guarded-collect
+    shape aliasQuery/applyByNode already use) and broadcast back as a
+    literal (metric, _rk) table."""
+    names = sorted(
+        r["metric"]
+        for r in df.select("metric")
+        .distinct()
+        .limit(MAX_QUERY_SERIES + 1)
+        .collect()
+    )
+    if len(names) > MAX_QUERY_SERIES:
+        raise TargetSyntaxError(
+            f"{what}: over {MAX_QUERY_SERIES} series in a positional "
+            f"pairing list; narrow the glob or raise "
+            f"whisper_spark.render.MAX_QUERY_SERIES"
+        )
+    return df.sparkSession.createDataFrame(
+        [(nm, i + 1) for i, nm in enumerate(names)],
+        "metric string, _rk int",
+    )
+
+
 def _rank_series(df: DataFrame, n: int, func: str, ascending: bool) -> DataFrame:
     """Keep the n series ranked best by a per-series statistic
     (highest/lowest/highestAverage/... share this one shape)."""
@@ -487,10 +518,8 @@ def _rank_series(df: DataFrame, n: int, func: str, ascending: bool) -> DataFrame
         [F.asc("_s"), F.asc("metric")] if ascending
         else [F.desc("_s"), F.asc("metric")]
     )
-    keep = (
-        stat.withColumn("_rk", F.row_number().over(Window.orderBy(*order)))
-        .filter(F.col("_rk") <= int(n))
-    )
+    # TakeOrderedAndProject, not a global rank window (see _top_by_avg)
+    keep = stat.orderBy(*order).limit(int(n))
     return _keep_series(df, keep)
 
 
@@ -759,9 +788,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             )
             if multi_total:
                 def ranked(d, col):
-                    names = d.select("metric").distinct().withColumn(
-                        "_rk", F.row_number().over(Window.orderBy("metric"))
-                    )
+                    names = _name_ranks(d, "asPercent")
                     return d.join(F.broadcast(names), "metric").select(
                         *( ["metric"] if col == "_a" else [] ),
                         "_rk", "ts", F.col("value").alias(col),
@@ -891,13 +918,10 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             func = str(child.args[1]) if len(child.args) > 1 else "average"
             reverse = _boolish(child.args[2]) if len(child.args) > 2 else False
             return _rank_series(series(), n, func, not reverse)
-        w = Window.orderBy("metric")
+        # first-n-by-name via TakeOrderedAndProject, not a global rank
+        # window (see _top_by_avg)
         keep = (
-            series()
-            .select("metric")
-            .distinct()
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= n)
+            series().select("metric").distinct().orderBy("metric").limit(n)
         )
         return _keep_series(series(), keep)
     if name == "exponentialMovingAverage":
@@ -1063,12 +1087,9 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             if name.startswith("lowest")
             else [F.desc("_s"), F.asc("metric")]
         )
-        keep = (
-            ranked.withColumn("_rk", F.row_number().over(Window.orderBy(*order)))
-            .filter(F.col("_rk") <= n)
-            .select("metric")
-        )
-        return df.join(F.broadcast(keep), "metric").select("metric", "ts", "value")
+        # TakeOrderedAndProject, not a global rank window (see _top_by_avg)
+        keep = ranked.orderBy(*order).limit(n)
+        return _keep_series(df, keep)
     if name == "nPercentile":
         # per-series constant line at the nearest-rank percentile
         p = float(need(1, "n"))
@@ -1164,31 +1185,29 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         if p < 50.0:
             p = 100.0 - p
         df = series()
+        # the band bounds are two nearest-rank selections over the
+        # one-row-per-series average list; a partition-less rank window
+        # here would single-partition on a huge glob, so instead: one
+        # distributed count of the (persisted) aggregate, then each
+        # bound as a TakeOrderedAndProject — max of the first k ascending
+        # IS the value at rank k
         avgs = df.groupBy("metric").agg(
             (_fsum("value") / F.count("value")).alias("_avg")
-        )
-        w = Window.orderBy("_avg", "metric")
-        rk = avgs.select(
-            "metric", "_avg",
-            F.row_number().over(w).alias("_rn"),
-            F.count("*").over(
-                Window.rowsBetween(Window.unboundedPreceding,
-                                   Window.unboundedFollowing)
-            ).alias("_n"),
-        )
-        band = rk.groupBy().agg(
-            F.max(
-                F.when(F.col("_rn") == _graphite_pct_rank(100.0 - p, F.col("_n")),
-                       F.col("_avg"))
-            ).alias("_lo"),
-            F.max(
-                F.when(F.col("_rn") == _graphite_pct_rank(p, F.col("_n")),
-                       F.col("_avg"))
-            ).alias("_hi"),
-        )
-        keep = (
-            avgs.crossJoin(F.broadcast(band))
-            .filter(~((F.col("_avg") > F.col("_lo")) & (F.col("_avg") < F.col("_hi"))))
+        ).persist()
+        n_series = avgs.count()
+        if n_series == 0:
+            return _keep_series(df, avgs)
+
+        def _bound(pct: float) -> float:
+            k = min(max(int(math.floor(pct / 100.0 * (n_series + 1))), 1),
+                    n_series)
+            return avgs.orderBy("_avg", "metric").limit(k).agg(
+                F.max("_avg")
+            ).first()[0]
+
+        lo, hi = _bound(100.0 - p), _bound(p)
+        keep = avgs.filter(
+            ~((F.col("_avg") > F.lit(lo)) & (F.col("_avg") < F.lit(hi)))
         )
         return _keep_series(df, keep)
     if name == "removeBetweenPercentile":
@@ -1332,9 +1351,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
                   "sum": "sum"}[name[:3]]
 
         def ranked(df, col):
-            names = df.select("metric").distinct().withColumn(
-                "_rk", F.row_number().over(Window.orderBy("metric"))
-            )
+            names = _name_ranks(df, name)
             return df.join(F.broadcast(names), "metric").select(
                 F.col("metric").alias(col + "m"), "_rk", "ts",
                 F.col("value").alias(col),
