@@ -1,0 +1,813 @@
+"""MPEG-1 audio (Layer I / II / III) sample decode — stdlib + numpy only.
+
+Closes the MP3 leg of the sample-decode integration point
+(``multimodal.decode_media``'s historical ``decoder='raise'`` marker;
+the reference engine — graphite-project/whisper — has no media surface
+at all, this belongs to the beyond-reference training-data-pipeline
+scope).  What is REAL here, implemented from the public ISO 11172-3
+structure with no codec library:
+
+* frame walking: sync parse, MPEG-1 header fields, bitrate/samplerate
+  tables, padding, frame lengths, ID3v2 skip (syncsafe), ID3v1 trailer
+  skip, CRC slot handling;
+* **Layer I**: full bitstream decode — 4-bit allocations (intensity
+  bound for joint stereo), 6-bit scalefactors, 12 granules of MSB-
+  inverted two's-complement codes, exact requantization
+  ``s''' = 2^nb/(2^nb-1) * (s'' + 2^(1-nb))`` and the 2^(1-i/3)
+  scalefactor table;
+* **Layer II**: full bitstream decode — the four allocation tables
+  (27/30/8/12-subband), scfsi-coded scalefactor sharing, grouped
+  (3/5/9-step triplet) and ungrouped codes, class requantization
+  ``s''' = C*(s''+D)`` with C = 2^nb/steps and
+  D = (2^(nb-1) - (steps-1)/2)/2^(nb-1) (derived, not tabled);
+* **Layer III**: side-info parse (both granules, both block layouts),
+  bit-reservoir accounting, scalefactor decode (scalefac_compress
+  slen pairs + scfsi band sharing), the analytic IMDCT bank (36-point
+  long / 3x12-point short with the sine windows, all four block
+  types), alias-reduction butterflies (the eight published ci
+  coefficients), overlap-add, frequency inversion — run end to end on
+  every decodable granule;
+* the ISO polyphase synthesis structure: 1024-entry V fifo, the 64x32
+  ``cos((16+i)(2k+1)pi/64)`` matrixing, the V->U interleave, 512-tap
+  window, 16-fold accumulation, per channel.
+
+Two DOCUMENTED gates (returning None -> NULL stats, never crashes):
+
+1. **Layer III nonzero spectra.**  Granules whose part2_3_length
+   extends past the scalefactor bits (or with big_values > 0) need the
+   ISO Annex-B Huffman code tables and scalefactor-band partitions —
+   published numeric table data this repo refuses to transcribe from
+   memory (a mistyped entry would be silently wrong: the container has
+   no reference decoder or conformance streams to check against).
+   All-zero-spectrum granules (digital silence — what the oracle
+   synthesizes) decode exactly through the full IMDCT/synthesis path.
+2. **The 512-tap prototype window** (ISO Tables 3-B.3/3-C.1) is the
+   same class of irreducible numeric data.  The shipped window pair is
+   DESIGNED for the identical structure by deterministic alternating
+   least squares (tools/gen_mp3_window.py, ~-78 dB reconstruction
+   error, the same near-PR regime as the ISO pair — the MPEG-1
+   matrixing kernel uses (16+i) where TDAC would need (16+i+0.5), so
+   exact PR is impossible for ANY window).  Round trips against this
+   repo's own analysis encoder are near-exact and tested; decoding a
+   stream from a REAL ISO-windowed encoder is structurally correct but
+   not bit-conformant until the ISO table is supplied via
+   ``set_iso_windows()``.
+
+Free-format (bitrate index 0), MPEG-2/2.5 headers, and corrupt
+structure return None.  Everything is closure-built so Spark tasks
+ship the decoder by value (same convention as the PNG/JPEG/FLAC
+decoders in operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import Callable
+
+import numpy as np
+
+# ----------------------------------------------------------------- #
+# substitute prototype window pair — frozen output of
+# tools/gen_mp3_window.py (deterministic; see module docstring)
+# ----------------------------------------------------------------- #
+
+ANALYSIS_WINDOW_B64 = (
+    "Czqn2IeS3D4ArLiArhQZPwAAJmM/JR8/AMQy81D+Iz+ABelOlrAmPwBQxykEKTY/2KN+2oia"
+    "MD8Avtrn3IQrP5A2DCcvAC0/APy0HBpbKj8AL7dLe5I0PwBmvOQ12TM/AMhb3jCLOz+AdMJ8"
+    "inw0PwDgJyx/qjM/AB3OeY7YMT8AJhIgWcowPwBbNbVDAjU/APDR6YKdMT8AWD7QFWsoPwDC"
+    "vUfYVCg/AHynR+/sND8AWEHi+lEDvwB0lOfHGSg/AEf+vVVQMT8AFAv5cKAzPwD2Qu8LwSI/"
+    "ALQzY9gbEb8A+yaBCVIpPwAAYq/QxxQ/AIso8coXEz8A4PBE0RL9PgDgUVMwehg/APDNaZVA"
+    "9j4A2LIEXLDsPoAZXmoVsRk/AE4fAUBW3D5g7VgjjpkEvwBV5rFCpha/wCzOAcKbJD8AwFe9"
+    "ffDevgDKA1p5Mg4/KCNG3MOkDr8AiMSW1XsLPwDeSI56Fhm/ACS3+P838z4At67yMqUpPwDw"
+    "S1BEBPq+AAAAAAAAjbwAmGo0C9UGvwASiljmRSW/QC9g8JXsJj8AMdUR6SJAvzDkR8KgNCg/"
+    "gDJuYKMNE7/gQL7Lvv8TvwDMO2A+gwU/gMVVpdiwIr8AEfgH+ggLvwA+HFxD+gW/AClqOV6a"
+    "CT8gZTQewPP/PgAYkSmgyw4/gNP5YkuaDb8A6AH6wS33vsAb7a3Arxg/gGamwtKOID8AH7Ay"
+    "M5wPP4AfjpysjRI/AO0cQOwo9r6A44VmPks1PwA6Cc9A5NE+ANEbSkPoJj/A7jOZuJEuPzwM"
+    "YI3+Pjo/AIYgPflUB7+AkkSwucc6vwCzAzuXiCA/MOoWP1pnGD8AOxGHLk0nPwCuhNXVsCA/"
+    "ADT5UqVqFb+gtNA8hgYQvwCgmJPJguS+AN6nkM1bMD8w1MEM4w0RPyBe/74T6Sk/OFkG+/T1"
+    "Hj8AQAucpdYjv6zpBt/u3DG/qPkKfs1NKL+AnBl/OUslPwCUE6EyXhG/BTMbfVM9Ir8A0kmi"
+    "IeQHPwC7lFCCAhC/AJx5hsB8IL8ARAnqsdD5PgCaU2TfCxA/kEN4J393ID+A7dLFjwYIP0AK"
+    "zg8PLRM/ADi2XMyvEL8AHjmESZPxPgD5+YmzsBE/AKAUdfJ40r7A9fB2ejIrPwCIrmBFrRY/"
+    "AMC/6b1GEr8AbSebZXMVPwBlvrh1ViS/AKUGr85WKz8AAAAAAIDGvIDWIPtZnjC/wGUiWlw3"
+    "KD8AeHIoTKUWP4C+0q6VKzA/QEKXgZNSE79Ak76RSpEhP0BoOAWsSys/AIDHEduUuL7YROki"
+    "zG48P4DrLIGPaQ0/YAn24e2SI78AqLMz4prbPsBNFoCLKhI/AF4jEiKoIj8AIKR4Yi/JvgAp"
+    "S+5KFA0/ACAeoD9w974APAQtqa8Ev+ChBT9biyQ/gLSTOPo0Cr9A2i+S7NsQvwBXSMNz/AU/"
+    "gDng1cl+QD/AqH+jD4wwP8AzVqovVEA/SFrGvjlYRz9Ayp0DRh85P4BAimiG1FE/gM4rLUcP"
+    "Uj9Q5CkpTTRPP8BqLamQt1Y/MAp62mNZWD+g6dHNsNJVP8EOt081QFw/mNTTCDZ8Yj8QDmpv"
+    "7L9hP62iO7pXFmQ/GBsN2OBeZT9i1hLRfxpoP+6ontvBjmg/UgcU9ToLbT/O80Py4V1rP1tb"
+    "P4g5J3E/eGfXe/d6cj/aO5WhA1x0P/jFSvc5lXU/UKyFss56dz+YA0k0a994Pybsn5J6jXo/"
+    "mJ1Fv7aCfD8hPJ83YiN+P5oQPpkLM4A/DGBXi1uZgT8XnH6PtkeCPxofqQ11VYM/WtPeAaRW"
+    "hD9gvbtjBnqFP/nit6BWioU/yFURDSNShz9+OFtXMgqIP9TwkxCXS4g/ruvQ7ULKiD9grC5s"
+    "qrWJPwAAAAAAAIe8ksoo1RIVij8d3ZiZE0eKP2JC9Io4iIo/rz3kMmWJij9EI2JPMdKJPzwO"
+    "r3I7+Ig/sq/z6M23hz84cWLv0OyGP1n5Ng/YQoU/+qc4xdlagz92z/iSQVaBP0wJ9TEtUH0/"
+    "uu2ZV+SQdz9A1GH1n6BwP4w1f+SoVGA/AOAn8QMP6b6g6T8hr6pjv5grR+hCAnW/dzmKOK7I"
+    "gL9k2fY7dzCHv80UbgncNY6/ymmFisrbkr8MY7Aw6jCXv2MGb5zFj5u/rdLBMik3oL/W2LEn"
+    "pe6iv4aQQv9f06W/1l4bdHDBqL9IqI2bzgysv45c4F3WZK+/9hAlPRJ2sb/9+BkcbFSzvyNU"
+    "0P5fWrW/sc9vuZ88t7+mtaBrbZq5v2QJRPr4y7u/tBStRfQGvr9HraFoszXAv1WvfL+hgcG/"
+    "pFTOjy62wr9ZQn5LvRLEv9wdwnWDZMW/jW/59DTVxr9/9UV7qjjIv2iOvVtwr8m/YHwVSY8m"
+    "y78jjj3Hp6XMv+i4nTKHKc6/imJ1vKqwz7+BISI8kp/Qv3C82+ZkZNG/SWN1RMkq0r8NNWgZ"
+    "jPHSv+Wx1ZA8ttO/ZZVBe6F61L9y8HsCFD7Vv8z3rPg0/dW/eGW+dFS91r8Ejxq4g3TXvxEo"
+    "cV8TKti/eqH1yETX2L/wUy0rMIrZv7by7UmAMNq/AAAAAAAgorzSbWDFTGHbv3IQ8hVRANy/"
+    "B3Y2YPOB3L/V1igM8/7cv2mcuuIufN2/wYdo/tfs3b+wgClhuFPev3PdBPAbr96/tbKXXl3+"
+    "3r9bwXWRBEbfv3M17A+kf9+/uHWzaMey37+TGxqMktnfv5o62aLD8t+/NlgeiOr/37+I8clG"
+    "MQLgP9Y30Ui7+98/fXhUy93p3z9Qc9cQBcffP4klti6foN8/u+H6zi1q3z/igr5fIyrfPwBP"
+    "Ulwy3d4/gvjUSf6E3j+AzxM45yXeP2OSMwzgv90/FeWh/S1N3T+T3mzdz9LcP7iOszR8Stw/"
+    "y2iheGa92z+vWl6a3yvbP2R7CNRpido/JQ30D83n2T9HUTChJD7ZP3R6xVy9lNg/WBu6IEnh"
+    "1z+V4puu5yvXPzPXmxBybNY/ZoY74Oiy1T+6sGf1menUPxCkygMiL9Q/c2R5+Kdp0z/v5WE3"
+    "CqPSP+I5+/9i2tE/28BPD+EX0T804Lf8Z1DQP3ih6JgPFM8/3F/EN8yUzT8Y6hi1BxPMPy6s"
+    "anjPmso/BppTKlMhyT/ohU9FxbLHPzgxA3fWScY/9oAtkrXzxD9C9ajcIZbDP8VczrD2RcI/"
+    "KGaL4XMEwT9z+LiCJpy/P9U9CjEvOL0/og1J5S8Buz/GPav6kKe4P0xif+Ctq7Y/Ws6iQSWh"
+    "tD8AAAAAAMChvA9TT9rj7LA/H+Gl+HN5rj9Ol3vdoSSrP4E9W4PLDag/b9fhX8n9pD/XaS7D"
+    "4FiiPzwR3aF52J8/uS1MHYvPmj9DhJMhckiWP5omU+ZBZZI/6RccGpczjT8tpm40Y9qFP6yV"
+    "9UixKn8/WHS5mGH/cz/gBKdmkPFhPwBERnW2IwM/YKhJDS0wYr9QzsypZu1vvwEgw3B5Jna/"
+    "wML3mr6BfL8q7PnIE9mAv6GuUHiyAYO/2tlEPZ5whL8H1zAN1e+Fvy+eu1x784a/5XYaCqA3"
+    "h7+mUD3Yc8SIv7A0wDnnmYi/+HIlfTM7ib8Qpxhu2gOJv51+lk3Myoi/njZWa67JiL/IMgUf"
+    "E/+Hv+Jf60yKYYi/2BhRQKnjhr8snQWN1j+Gv7Gf3AshQYW/Uh/z//SXhL8Cs3bG3XWDvz3M"
+    "cE8OLIK/HD1r17tDgr++2+xoEhuBv/j/JzPxyn+/lKEGPsKgfr+6ZUhETw59v2BWvwcXGXu/"
+    "gD6fsnH7eL/MY9YabsB3v9ET80RWsnS/OLxQcpoMdL9Y5FNx0Ztxv2mA86jgonC/Eq8EqyQI"
+    "bb9t+kBs9vprv0ijzGGkc2m/qDgs2tW8Z7/UT43q6eRjvzbMT4Kk7mO/wOoYWzdYYL9g3QA6"
+    "C/havwDyJdjzpFi/QCAH5XU9V78AXnlvPqBUvwAAAAAAcMQ8gOr0G56ITr9AN8fcb65Iv4B8"
+    "OzDa8Eu/IGO19/fgPr+YTbMOBPY7v+A3J6KUfiy/QLEp1epwQL+AteSwTwQ6vzAND+fSHzK/"
+    "AAanHiK7Jb/whvlpfKEtv9jpUnOwWSy/yCu2oXraAz9AZUUkiN8jvwB84/X08e8+ADhKuk1T"
+    "BT+AAYzfkJ8cPwAQbC5LRO4+wMdqRTgZFb8AaoH7r4QBv+CLkpJEDxi/AFmQvzMFKD8AEC/s"
+    "c0i4PqDT/N67XT2/gNT6VwTuEr8Ay8t9tyscvwCIf/W2SC4/ANBokv91GD8A35gwSA8sv/DN"
+    "MKrc7Ts/ABP4X3dkHr+AGQYW8ss5vwC0A7d7rSk/ALPuzTZ/Dr8AJMFygBoevwD2qzf7fzu/"
+    "kAHUIMyLKz8AyC2JwgbnvkhgVIPZkji/gHuneGquNr9o4v7saF4wvxglv5txoSM/AKb5D9WL"
+    "7z4AEGPYQ1P1PoBro8G3j7Q+ABT3jXauEr8AqJX+9OoNP4CckjPeOwS/QP7J8zJbML8A2rWi"
+    "J5cUP/CUhksOxCi/KCnstP7SGb+Awy6gzOgAP8CK13jfmSu/gBoh1htqKb8AqJZrRvUNv4B4"
+    "orXDyCq/0NN0gp85Ij8AK55oHOo2vwAss5UVEEA/wECTdOBCKL8AVBRS+P0WPwAGUMMcriK/"
+    "AAAAAAC8rLyANqDFItYwPwBsB4DLn/A+QJoiofZXIb9AWcAd0GQ0PwDqbpBU0Am/wNo+gQSr"
+    "Br8AdboBDCsvvwBguHKLcdk+wIDLaG7UEb8QjvuvYoIFP4D+ni+j6BK/8Bax31hEKr8YTZPa"
+    "ByoavwBR1K1ybxM/gD1AxW61Gj8Aw9teyioRPwAvjPnhswI/ALBph4+H0z5Ad67E3Mr7PoBZ"
+    "Sofcchk/wLkjtzVOET+AdmHQ6GHnPgCm5HJnuAQ/gIyY8bRDLD9QEhWtm5IzP4BDhxs9AP8+"
+    "AI5yM5yDHL8AFXN0/asmvwAaI4Be6wK/zB8hATJ5Rb8AZw3K9nQTPwDrbl9baB8/AAmauCOm"
+    "HD9gQuj50fYVv8Bf4oGBdDW/gFoqUyj8Kz/wthfYcng0v5i85P10xyK/QO6OQb3tMD/Ak6JD"
+    "agogP6COHTlZTDM/sNA5g1zaPL8AHLwFZsQBvwCl7FR8RBK/AMBuXGa1nj4AaAEIq2AWvwCI"
+    "iC0CM/W+AKRjgkQMD79gRsK5GJkkPwAD9eQe5Bq/YNpy2BBOFb/geZ6I0Bkcv7CGpa0E6zO/"
+    "QGMxv6ukI78A7DUzYCkDPwCD8zdqSiW/gF6/+P7//b5A7dhmuvo3vwD4xKM0Yi2/AOZG1BxY"
+    "RL+AYziMeEAvv4CcXJX6Pj+/AJj54m1cG78AAAAAAIjRvEBqANVyu0C/gM4V4sRiJ78AP0YK"
+    "wNQpv4Al75CxUTG/gDJpHVLbKL9gkLT8rlwov+DppRCC1S6/YLi6c497L79Q0I3cq+41vwC0"
+    "3rDDtR+/oLlOZ6mCFb/4AwpupagSv3i17OGxNx2/ADQuZxqlHL9AtRFrGOQovw=="
+)
+SYNTH_WINDOW_B64 = (
+    "6UV7EcmQ6D4AEIpZdwH1PgDcyHZCIP0+ABiHeffgAD8AEXX6pSICPwBEfQRqwAs/AHirA5G/"
+    "CT8A0DIHhVQBPwB0ICMbUwQ/QMVN1cKGAT8Az9/oyH4MPwDiS4od5QA/AADaEYV5/D6A1PGB"
+    "i/QBPwBwb71svfQ+AKA7nqzV1T4AAAAAAABwvADQhezCUeW+4OzkHgDM+r6AjPLkLucDvwAX"
+    "a0BXAQe/AIvy0Q/MAr8AH82c2JIUvwDYlis7vgy/AA2QQXx/D7+I4uXEeJ4RvwDOxzweGhW/"
+    "AJlUPuSqGr+A+Kl8IOIRvwC1dISxohW/AADVzrYJEb8AGKi7t98PvwDoSf4A0Qu/AF5hs9E/"
+    "Eb+AYwQK4GAYvwBzOV4U3hq/wOn+v+waI79gJ8CwDbskvwAtR8LyaCm/z0cof1PiKb9IEKSX"
+    "6skuvy4YF1NlyCy/ZWsAz4c4Lb/KaCvfBgc0vz7LAdkSjTO/Jlw7arMkNb/aZt/MQrI0vyBt"
+    "A3D5XTa/QE1XDRFJNr9wAeBcWvg4v+O8o2IQwjq/LUeP4l/VNr+IfOnlcLg7v5CybGL1eTm/"
+    "pkoiESo2NL+EjAsBK4o2v9CbzTgHfTe/GEsUYNnbOL+AM9s4nbI0v3KaZJ/anDO/GwC8VPHn"
+    "Mr+weudX/A4xvwC/XYfiTiy/wL/VlU6jKb+Amr8MoUApP4D/xmhjyyo/qM+vGpyQMD/gd72Q"
+    "5SgyP1y07C+1VjM/7Deu8vrdMD/YbfJl5To1P5Uv6DMdRjU/fCVL/2LrND+0cvDbZUcyP/ad"
+    "+CERrTA/WU2tDIoQLz/ytmAPm8wXPzmpjY8jlCc/IGjvIX46Hz/6v30ncigUP3CoLeOMvrK8"
+    "rS07vF3GGL95K+ySQZgfv8sqXFOiKSa/HrxpB61OLr8hSAVakXYxv7ecO03Pojm/GhUAHiaf"
+    "O78rpG29rmxAv55MitD+8EG/KAR5WY1ORL95SIBIONdCv2x7CfY/G0S/ttLnNki5RL9Q1Z3t"
+    "eBZEv4Bga+TfuUO/UNxToXZCQr84fT+fYMRFv6CvBW2Uzkm/9Ni5Zq2wTL8RwAmzd7dQv3HB"
+    "o3NPrFK/WE2yBoNJVb8fCqt/G6VWv5IQzX/8p1i/Om/MgU6wWr/gTv6p4E1cv0CcoBTaQ16/"
+    "+NLC6JERYL/mYgHW06Ngv7gpXDt9wGG/9UY0m6zmYb+8HgwvgZ9iv/tlA6vPtGO/fvqUoHeJ"
+    "Y79HWPEHFcRjvwspocAl5GO/56b1Evu5ZL/XGm3SdzNkv/WRVp5wHGS/y0uWuQJDZL+RsIaH"
+    "EF1jv59KXlengGO/2ObQ49MlY7/Mldgmz0xivxq29uruQmG/RRLoF3x0YL/g7Vercapev3J+"
+    "HuMRVlw/yE9nX5VmXj9GMvjgsVtgP5hROTkY7mA/0G5ZdeUTYT/2YKqZ3/hgP8L5JY+tEGE/"
+    "1L4dwqL+YD/kFmJYDqtfP36rSx9Z2F0/QKXdH5t/Wz/jQOXGdWtXP/ZJSc4qoFQ/Dx5qhf9V"
+    "UD/sDMmbUGxGPwB6+ipiODw/DCC5SaZmrTweo0GmVKM1v4Xhj3WMOES/TRiKWdc0UL++o7An"
+    "YkdXvyG3VvXntFy/EiJDL4XkYb8h+J9Mxydlv6phd8SsdWi/RoHCJmRYa7/q/+Ru8sxuv0Zc"
+    "CQ7QkXC/Ytqra4LIcb8/4n6Azu9yv3G0ClMm2HO/dP4dGqOadL9aDB/OYTp1v85QZGnycne/"
+    "DGnC273Deb/bbk/s10N8vzi6PFKBlX6/S+B4ppd8gL/BH8BN4qeBvwCe3sNb74K/rksFB3IZ"
+    "hL/hMkqTQEaFv7+bwQUxiIa/RZwh06CSh7+Sk4SCdbyIvwKBYGuB2Im/rgHi7Cuzir+5gTWX"
+    "3qaLv3XHPHD3h4y/jyuEPcdZjb/DXF1rp/KNv4bJsbC9t46/BrcH0Ssvj7/Gh9szr7GPv8Sf"
+    "nlbn9Y+/ojy07WMwkL/8znzgVz+Qv1pCtzIxU5C/TxpvYR1KkL9pqxneYFOQvxvgi1XfNpC/"
+    "GbF5I/4WkL9s8sQ2N8qPv+r2GGjQWI+/83PsZ3nOjj/ouiTLYS2PP4YBOri6XY8/qHQ9CQI3"
+    "jz8TGTLRJM2OPwXxGqsdM44/d+mtS6QfjT+lGQZJN/yLP2Ql1vWtcIo/ayTMuzi0iD/SJ6T4"
+    "8oiGP8LfCj1tQIQ/ieH72L7HgT+RUuLuHq19P9oHxR5pCXc/VI57y8WycD+A2TgdMHeqPPJF"
+    "UxCFLzo/LgPQOgp+WL9V9mMBUIltv2fZkIKEi3e/vMyoPQI8gL+kdRketRaFv+4uT15jEoq/"
+    "JiRYol/2jr/OS8wlOQ+Sv97cWW/frZS/V0XYdApbl79QaQ1HWwaav3LWP66zv5y/4lkMRKp5"
+    "n79YiGGiNR+hvx3iRxOjeqK/pECxcfS5o7/8D2RQr/+kvxIFmFS6Taa/rckvvFGip7/1xuVo"
+    "FfuovzjPQExyVaq/RIYy0qKwq79r4l2cnRCtvxhG3RdJYa6/ZtuNwtO4r79Z0PbkOoCwvzaS"
+    "RTVQJLG/W7VEfqzCsb+yrdCUbF2yv9hSoiPD8rK/4JLS6faAs78MQHknPgC0v4kmvWothbS/"
+    "GBpfFcv5tL+9sDtkFmO1v+7CDSrOybW/deHuAm4ktr/PzV5b4Xe2vzHyIhkHwra/wdgAE2z7"
+    "tr8ryKAkCS23v166ay/KVLe/oCeAaWhyt79EUql6lYW3vza6Lpisire/XqUJJqOIt78eVmuT"
+    "BXq3PzJlRIi/hLc/6Ic+RfiDtz9W/WCWrXe3Pwu+ydw6ZLc/hPq8bqFEtz+00G63OBi3PwhQ"
+    "ZDWc4rY/Lh4qBi2jtj8/P8+M1Fa2P7Lc/pcwBLY/fNOQr8KmtT+fkke7OUS1P2Qd+lA+0bQ/"
+    "lBGjt15UtD+EJFc+t9mzP5CYV/riEaQ8HxRDb5i+sj9dZrnVyiWyP00FWupKkrE/9IihZlXx"
+    "sD8XHBB7ak+wP2xF9RNqSK8/Aju6rZ/6rT++6CqJM5+sP+COeilTS6s/l8WzwdztqT9aU260"
+    "9ZWoP+tKjF2rO6c/kANomabtpT9cOAls5ZykPwyJjI04WKM/uYPHEzYfoj+MeiFBSsigP46/"
+    "BzY4254/HH5jK/kpnD94hDaN5nyZP1gMXueM0pY/8vXPZB45lD+hvm7orKORP+WDg4VwPI4/"
+    "v2X4DzJMiT99EjG+bZSEP5rt3ouB3n8/bDbrwdb5dj+sHuRbSSJsPwaKXch00lc/r873aRFi"
+    "O7/UuyLN/oBiv2u5T1Mztm+//I4neaSPdr9qE8GanHJ8v0soxtEXBoG/ygDVA8+Jg7+GisyR"
+    "IreFvxwFXM04voe/hEjC+8mDib8Be/ftwQSLvwbIvrLSM4y/8Du9N2sPjb/8+NNw67eNv5qB"
+    "lmkTFY6/NK7/8D8ujr+/dNh46guOv5lMNu56pI0/ORgtm2EHjj/tVlTD04COPzhuioO10Y4/"
+    "mnvlRFwAjz8A7mIL0TCPPy5aNc9vUY8/NDoTITE+jz+VZD2HvgqPPzo0S4sH7o4/B7aQD4Km"
+    "jj8yjx1BQCKOPxCzwtuc4o0/QC2mFUQkjT++8U0hlKuMPyFYF6FV34s/oMx2OwhnvDzsqwcg"
+    "VUuKP9v83tLvTYk/0IRsSGF0iD9hXRqOUHqHP4pa3K0aeoY/MzJIgKpPhT8zGvln5FGEP6b5"
+    "oBpPLIM/uVlug3vtgT+ww1OhytyAPzXPflSaXH8/4+tobODffD/XmyDUQXx6PwjeB9P7Tng/"
+    "bgp94AwZdj/8Tn0FVfRzP54qjGNLmHM/8HjW8MzRcj/wOGQuIOxxP8aCobmG4XA/SKgPLMWD"
+    "bz8wrvtFdsdsPwhMj0fo2Wk/gP5kKAJ7Zj+FfMyQNgFkP2w9v1Skg2A/kNw/l1W9Wz9csxQt"
+    "6HxVP0QzZX3aXE4/Xz6T0HHCQz9+k6XEb+0wPwCfGo6s7CC/+iEGaVG/Nr+NN5jtErtEv/xP"
+    "cItm2E+/+kiS8YBeU793BPGN9rFVv0DZZ/1i1Vi/lkzr5oMjXL+fop7GZKpevxLm9Fw5Dl+/"
+    "hGnewoyaX786XZz2N1Vgv60Q2HDTAGC/2CBEyGNqX7+EhiSMgxFev7Jh4d9Ndly/hDw5fRE3"
+    "Wj+KzdkWHttcP1Vb2+kpKl4/CJIQ9/8mYD+w9u5KPo1gP/obOmdoc2E//DHwWbIrYj9MTa7q"
+    "PlxiP7Ct8gB2fmI/f52ZAQ76Yj9DPLOPCgxjPxOUsochBmM/unbKT0aKYz81L6h7w3xiP694"
+    "8Puer2I/MI3cmlKuYT9AIvV6zeahvFSluJorIWE/7L6Ii2fhXz+8HhT9HPpeP6MgQ2NqRF0/"
+    "mYJ0psU9XD+dWMhlq1xaP3jBQsgtVFg/NVRhVFS8Vj9JjOv07pBUP1Rm7ubLF1M/0w3mRZxn"
+    "UT/ExPwFCY5OP64VHTwGbks/+FMdRYxIRj+goGZ36nBEP3A9j0WiPkA/uMypC9zIQD8onFj1"
+    "hRdCP9DDoive6kE/Yg5jv33xQT/mgreBDtZBP0BqSda4rj0/QJA9Ip5LPz/gOfMZ6mE9PwA7"
+    "kBZWBzw/KgSXTrOKNT+XEAM1AEwqPxg0zWfHwy8/wcsQj1ytID8TXmBo7m0GP+qNkolphQI/"
+    "AApl81XZ8T7/MVsIsOTYvkLTIWnkrSW/cGWAC/twJr8P5hcLFXApv3L7rY0tEyy/qmmaOGFO"
+    "ML9mjaXlclYpv5Xqzpl2My6/VF+z43yVLb8AiK42F14yv3vLf8lkJjK/C6ub0lQRML+gXiVX"
+    "d/otv/Ak6T0vviu/wJ+uiR20JL8ItekKgSUjPwA35f2SjCc/IPHdUzf+LD+oPWOugr0sP0Ai"
+    "YJ5hmC4/WI4A+JnoMj8YLJxHa4Q1P9ZbqBNC4TA/eFzHxD38ND+FY5sr5dwyP7ayQSLQRzg/"
+    "Hxh42sA9Nj/ubixUixw7P4D6cQyvnzY/XvjYNXYdNT+AdDzurZQ2PzAhRWfljMW8u0Zw12id"
+    "Nj9CT4y2TbI3P2hwWZjfri8/g+jg6WMIOT98qhJ3QTwtP2ELL+apgi8/ViBQe+J4KT+sTF0c"
+    "I6IqP2GAXU433Ck/kKZn/7PgHD8ER7ojdcAiPxYJxjDAchg/8K012++hGT+AC+WRmMQTP4Dt"
+    "PQqyfRA/AApKdDQdAD+AZxMebhoVPwC4aHaUwA8/AJoD601lDD+AITuzJ/IJP4DmE5nAMAQ/"
+    "ALywMHfgED/MppqShQ0UP8A1+nCX4ww/IPctRh+bDT/IPbnxM9/9PqhHG0AtXPk+AOC2OoUF"
+    "wT7IacE+kO3uPshx90bOvO2+42fRBP7DAj8A0NWxLaPBPlDRRvD1MAK/uthEtxKxwj4Jk3E3"
+    "WXnwvs0jaEe3p8m+PNAZq5FQ9r6dNTlyFdHxviPTGrzVRAO/BDkP4rPHAL/gzqpQnnoLvwCe"
+    "T/WqMfW+aPehy6jf8b4gAJzeQyz0vgBBrKls/fe+gD9Ws8Wx9b4ALxdYt6D/vg=="
+)
+
+_ISO_WINDOWS: tuple[np.ndarray, np.ndarray] | None = None
+
+
+def set_iso_windows(analysis: "np.ndarray | None", synth: np.ndarray) -> None:
+    """Swap in the ISO 11172-3 Table 3-C.1 (analysis C) / 3-B.3
+    (synthesis D) coefficients for bit-conformant real-file decode.
+    ``analysis`` may be None when only decoding."""
+    global _ISO_WINDOWS
+    a = (
+        np.asarray(analysis, dtype=np.float64)
+        if analysis is not None
+        else _default_windows()[0]
+    )
+    d = np.asarray(synth, dtype=np.float64)
+    if a.shape != (512,) or d.shape != (512,):
+        raise ValueError("windows must be 512-tap")
+    _ISO_WINDOWS = (a, d)
+
+
+def _default_windows() -> tuple[np.ndarray, np.ndarray]:
+    c = np.frombuffer(base64.b64decode(ANALYSIS_WINDOW_B64), dtype="<f8")
+    d = np.frombuffer(base64.b64decode(SYNTH_WINDOW_B64), dtype="<f8")
+    return c.copy(), d.copy()
+
+
+def _active_windows() -> tuple[np.ndarray, np.ndarray]:
+    return _ISO_WINDOWS if _ISO_WINDOWS is not None else _default_windows()
+
+
+# ----------------------------------------------------------------- #
+# decoder factory
+# ----------------------------------------------------------------- #
+
+
+def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
+    """Build the MPEG-1 audio sample decoder (see module docstring).
+    Returns stats dicts in multimodal.SAMPLES_SCHEMA shape."""
+    synth_window = _active_windows()[1]
+
+    BITRATES = {
+        1: (None, 32, 64, 96, 128, 160, 192, 224,
+            256, 288, 320, 352, 384, 416, 448),
+        2: (None, 32, 48, 56, 64, 80, 96, 112,
+            128, 160, 192, 224, 256, 320, 384),
+        3: (None, 32, 40, 48, 56, 64, 80, 96,
+            112, 128, 160, 192, 224, 256, 320),
+    }
+    RATES = (44100, 48000, 32000)
+    # Layer I/II multiplier table: SF[i] = 2 * 2^(-i/3), indices 0..62
+    SCALEFACTORS = tuple(2.0 * 2.0 ** (-i / 3.0) for i in range(63))
+
+    # Layer II quantization-step rows (ISO Table 3-B.2 columns) and the
+    # four allocation tables.  The C/D requant constants are DERIVED
+    # from the step count (see _l2_requant), not transcribed.
+    ROW_A0 = (0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047,
+              4095, 8191, 16383, 32767, 65535)
+    ROW_A1 = (0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023,
+              2047, 4095, 8191, 65535)
+    ROW_A2 = (0, 3, 5, 7, 9, 15, 31, 65535)
+    ROW_A3 = (0, 3, 5, 65535)
+    ROW_C = (0, 3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+             4095, 8191, 16383, 32767)
+    TABLE_A = tuple(
+        ROW_A0 if sb < 3 else ROW_A1 if sb < 11 else
+        ROW_A2 if sb < 23 else ROW_A3
+        for sb in range(27)
+    )
+    TABLE_B = tuple(
+        ROW_A0 if sb < 3 else ROW_A1 if sb < 11 else
+        ROW_A2 if sb < 23 else ROW_A3
+        for sb in range(30)
+    )
+    TABLE_C = tuple(ROW_C for _ in range(8))
+    TABLE_D = tuple(ROW_C for _ in range(12))
+    GROUP_BITS = {3: 5, 5: 7, 9: 10}  # triplet-coded classes
+
+    # Layer III scalefac_compress -> (slen1, slen2)
+    SLEN = ((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
+            (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3),
+            (4, 2), (4, 3))
+    # alias-reduction butterflies: ci published in ISO 2.4.3.4.10.1
+    CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+    CS = tuple(1.0 / (1.0 + c * c) ** 0.5 for c in CI)
+    CA = tuple(c / (1.0 + c * c) ** 0.5 for c in CI)
+
+    N_SYN = np.array(
+        [[np.cos((16 + i) * (2 * k + 1) * np.pi / 64) for k in range(32)]
+         for i in range(64)]
+    )
+    # IMDCT kernels (analytic): long 36<-18, short 12<-6
+    IMDCT36 = np.array(
+        [[np.cos(np.pi / 72 * (2 * i + 1 + 18) * (2 * k + 1))
+          for k in range(18)] for i in range(36)]
+    )
+    IMDCT12 = np.array(
+        [[np.cos(np.pi / 24 * (2 * i + 1 + 6) * (2 * k + 1))
+          for k in range(6)] for i in range(12)]
+    )
+    WIN_LONG = np.sin(np.pi / 36 * (np.arange(36) + 0.5))
+    WIN_SHORT = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+    WIN_START = np.concatenate([
+        np.sin(np.pi / 36 * (np.arange(18) + 0.5)),
+        np.ones(6),
+        np.sin(np.pi / 12 * (np.arange(18, 24) - 18 + 0.5 + 6)),
+        np.zeros(6),
+    ])
+    WIN_STOP = np.concatenate([
+        np.zeros(6),
+        np.sin(np.pi / 12 * (np.arange(6) + 0.5)),
+        np.ones(6),
+        np.sin(np.pi / 36 * (np.arange(18, 36) + 0.5)),
+    ])
+
+    class _Bits:
+        __slots__ = ("data", "pos")
+
+        def __init__(self, data: bytes, pos: int = 0):
+            self.data = data
+            self.pos = pos  # bit position
+
+        def read(self, n: int) -> int:
+            v = 0
+            d, p = self.data, self.pos
+            if p + n > len(d) * 8:
+                raise EOFError
+            for _ in range(n):
+                v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+                p += 1
+            self.pos = p
+            return v
+
+    def parse_header(p: bytes, off: int) -> "dict | None":
+        if off + 4 > len(p):
+            return None
+        b0, b1, b2, b3 = p[off:off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None
+        if (b1 >> 3) & 3 != 3:
+            return None  # MPEG-2/2.5: out of scope (documented)
+        layer = {3: 1, 2: 2, 1: 3}.get((b1 >> 1) & 3)
+        if layer is None:
+            return None
+        crc = not (b1 & 1)  # protection_bit 0 -> CRC-16 present
+        bidx, ridx = b2 >> 4, (b2 >> 2) & 3
+        if bidx in (0, 15) or ridx == 3:
+            return None  # free-format / reserved: gated
+        bitrate = BITRATES[layer][bidx] * 1000
+        rate = RATES[ridx]
+        pad = (b2 >> 1) & 1
+        mode, mode_ext = b3 >> 6, (b3 >> 4) & 3
+        if layer == 1:
+            flen = (12 * bitrate // rate + pad) * 4
+        else:
+            flen = 144 * bitrate // rate + pad
+        return {
+            "layer": layer, "crc": crc, "bitrate": bitrate, "rate": rate,
+            "mode": mode, "mode_ext": mode_ext, "frame_len": flen,
+            "nch": 1 if mode == 3 else 2,
+        }
+
+    def requant(code: int, nb: int) -> float:
+        """Layer I / power-of-two Layer II classes: MSB-inverted two's
+        complement then s''' = 2^nb/(2^nb-1) * (s'' + 2^(1-nb))."""
+        u = code ^ (1 << (nb - 1))
+        if u >= 1 << (nb - 1):
+            u -= 1 << nb
+        frac = u / float(1 << (nb - 1))
+        return (float(1 << nb) / ((1 << nb) - 1)) * (frac + 2.0 ** (1 - nb))
+
+    def l2_requant(code: int, steps: int) -> float:
+        """Layer II class requantization s''' = C*(s''+D), constants
+        derived: C = 2^nb/steps, D = (2^(nb-1)-(steps-1)/2)/2^(nb-1)."""
+        nb = steps.bit_length()
+        u = code ^ (1 << (nb - 1))
+        if u >= 1 << (nb - 1):
+            u -= 1 << nb
+        frac = u / float(1 << (nb - 1))
+        c = float(1 << nb) / steps
+        d = (float(1 << (nb - 1)) - (steps - 1) // 2) / float(1 << (nb - 1))
+        return c * (frac + d)
+
+    # ------------------------------------------------------------- #
+    # Layer I
+    # ------------------------------------------------------------- #
+
+    def layer1_subbands(bits: _Bits, hdr: dict) -> np.ndarray:
+        nch = hdr["nch"]
+        bound = (hdr["mode_ext"] + 1) * 4 if hdr["mode"] == 1 else 32
+        alloc = [[0] * 32 for _ in range(nch)]
+        for sb in range(bound):
+            for ch in range(nch):
+                a = bits.read(4)
+                if a == 15:
+                    raise ValueError("forbidden allocation")
+                alloc[ch][sb] = a
+        for sb in range(bound, 32):
+            a = bits.read(4)
+            if a == 15:
+                raise ValueError("forbidden allocation")
+            for ch in range(nch):
+                alloc[ch][sb] = a
+        scf = [[0] * 32 for _ in range(nch)]
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    s = bits.read(6)
+                    if s == 63:
+                        raise ValueError("reserved scalefactor")
+                    scf[ch][sb] = s
+        out = np.zeros((12, nch, 32))
+        for s in range(12):
+            for sb in range(32):
+                if sb < bound:
+                    for ch in range(nch):
+                        if alloc[ch][sb]:
+                            nb = alloc[ch][sb] + 1
+                            code = bits.read(nb)
+                            out[s, ch, sb] = (
+                                requant(code, nb) * SCALEFACTORS[scf[ch][sb]]
+                            )
+                else:
+                    if alloc[0][sb]:
+                        nb = alloc[0][sb] + 1
+                        code = bits.read(nb)
+                        v = requant(code, nb)
+                        for ch in range(nch):
+                            out[s, ch, sb] = v * SCALEFACTORS[scf[ch][sb]]
+        return out
+
+    # ------------------------------------------------------------- #
+    # Layer II
+    # ------------------------------------------------------------- #
+
+    def l2_table(hdr: dict):
+        """Allocation-table select per (rate, bitrate/channel).  The
+        MAPPING follows the public dist10 structure; like every numeric
+        ISO table here it is best-effort-transcribed and exercised by
+        this repo's own encoder round-trips."""
+        bpc = hdr["bitrate"] // hdr["nch"]
+        if bpc <= 48000:
+            return TABLE_D if hdr["rate"] == 32000 else TABLE_C
+        if bpc <= 80000 or hdr["rate"] == 48000:
+            return TABLE_A
+        return TABLE_B
+
+    def layer2_subbands(bits: _Bits, hdr: dict) -> np.ndarray:
+        nch = hdr["nch"]
+        table = l2_table(hdr)
+        sblimit = len(table)
+        bound = min((hdr["mode_ext"] + 1) * 4, sblimit) \
+            if hdr["mode"] == 1 else sblimit
+        alloc = [[0] * sblimit for _ in range(nch)]
+        for sb in range(bound):
+            nbal = (len(table[sb]) - 1).bit_length()
+            for ch in range(nch):
+                alloc[ch][sb] = bits.read(nbal)
+        for sb in range(bound, sblimit):
+            nbal = (len(table[sb]) - 1).bit_length()
+            a = bits.read(nbal)
+            for ch in range(nch):
+                alloc[ch][sb] = a
+        scfsi = [[0] * sblimit for _ in range(nch)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    scfsi[ch][sb] = bits.read(2)
+        scf = [[(0, 0, 0)] * sblimit for _ in range(nch)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if not alloc[ch][sb]:
+                    continue
+                si = scfsi[ch][sb]
+                if si == 0:
+                    f = (bits.read(6), bits.read(6), bits.read(6))
+                elif si == 1:
+                    a, b = bits.read(6), bits.read(6)
+                    f = (a, a, b)
+                elif si == 2:
+                    a = bits.read(6)
+                    f = (a, a, a)
+                else:
+                    a, b = bits.read(6), bits.read(6)
+                    f = (a, b, b)
+                if any(x == 63 for x in f):
+                    raise ValueError("reserved scalefactor")
+                scf[ch][sb] = f
+        out = np.zeros((36, nch, 32))
+
+        def read_triplet(steps: int) -> "tuple[float, float, float]":
+            if steps in GROUP_BITS:
+                c = bits.read(GROUP_BITS[steps])
+                if c >= steps ** 3:
+                    raise ValueError("grouped code out of range")
+                s0 = l2_requant(c % steps, steps)
+                c //= steps
+                s1 = l2_requant(c % steps, steps)
+                s2 = l2_requant(c // steps, steps)
+                return s0, s1, s2
+            nb = steps.bit_length()
+            return tuple(l2_requant(bits.read(nb), steps) for _ in range(3))
+
+        for gr in range(12):
+            part = gr >> 2
+            for sb in range(sblimit):
+                if sb < bound:
+                    for ch in range(nch):
+                        if alloc[ch][sb]:
+                            steps = table[sb][alloc[ch][sb]]
+                            tri = read_triplet(steps)
+                            f = SCALEFACTORS[scf[ch][sb][part]]
+                            for j in range(3):
+                                out[3 * gr + j, ch, sb] = tri[j] * f
+                else:
+                    if alloc[0][sb]:
+                        steps = table[sb][alloc[0][sb]]
+                        tri = read_triplet(steps)
+                        for ch in range(nch):
+                            f = SCALEFACTORS[scf[ch][sb][part]]
+                            for j in range(3):
+                                out[3 * gr + j, ch, sb] = tri[j] * f
+        return out
+
+    # ------------------------------------------------------------- #
+    # Layer III (zero-spectrum subset; see module docstring gate 1)
+    # ------------------------------------------------------------- #
+
+    def l3_side_info(bits: _Bits, nch: int):
+        info = {"main_data_begin": bits.read(9)}
+        bits.read(5 if nch == 1 else 3)  # private bits
+        scfsi = [[bits.read(1) for _ in range(4)] for _ in range(nch)]
+        info["scfsi"] = scfsi
+        grs = []
+        for _gr in range(2):
+            chs = []
+            for _ch in range(nch):
+                g = {
+                    "part2_3_length": bits.read(12),
+                    "big_values": bits.read(9),
+                    "global_gain": bits.read(8),
+                    "scalefac_compress": bits.read(4),
+                }
+                wsf = bits.read(1)
+                g["window_switching"] = wsf
+                if wsf:
+                    g["block_type"] = bits.read(2)
+                    g["mixed_block"] = bits.read(1)
+                    g["table_select"] = (bits.read(5), bits.read(5))
+                    g["subblock_gain"] = (
+                        bits.read(3), bits.read(3), bits.read(3))
+                    if g["block_type"] == 0:
+                        raise ValueError("reserved block_type")
+                else:
+                    g["block_type"] = 0
+                    g["mixed_block"] = 0
+                    g["table_select"] = (
+                        bits.read(5), bits.read(5), bits.read(5))
+                    g["region0_count"] = bits.read(4)
+                    g["region1_count"] = bits.read(3)
+                g["preflag"] = bits.read(1)
+                g["scalefac_scale"] = bits.read(1)
+                g["count1table_select"] = bits.read(1)
+                chs.append(g)
+            grs.append(chs)
+        info["granules"] = grs
+        return info
+
+    def l3_scalefac_bits(g: dict, gr: int, scfsi_ch, read) -> int:
+        """Read (and discard — spectrum is zero) the scalefactors,
+        returning the number of bits consumed."""
+        slen1, slen2 = SLEN[g["scalefac_compress"]]
+        used = 0
+        if g["window_switching"] and g["block_type"] == 2:
+            if g["mixed_block"]:
+                plan = [(8, slen1), (9, slen1), (18, slen2)]
+            else:
+                plan = [(18, slen1), (18, slen2)]
+            for count, slen in plan:
+                for _ in range(count):
+                    read(slen)
+                    used += slen
+            return used
+        # long blocks: bands 0-10 slen1, 11-20 slen2, scfsi groups
+        # (0-5, 6-10, 11-15, 16-20) shared into granule 1 when set
+        groups = [(range(0, 6), slen1), (range(6, 11), slen1),
+                  (range(11, 16), slen2), (range(16, 21), slen2)]
+        for gi, (band_range, slen) in enumerate(groups):
+            if gr == 1 and scfsi_ch[gi]:
+                continue  # reused from granule 0: no bits in granule 1
+            for _ in band_range:
+                read(slen)
+                used += slen
+        return used
+
+    def l3_granule_subbands(g: dict, xr: np.ndarray, prev: np.ndarray):
+        """Zero-or-decoded spectrum xr (576) -> 18 polyphase groups via
+        alias reduction, IMDCT, overlap-add, frequency inversion.
+        ``prev`` is the per-subband 18-sample overlap store (32, 18)."""
+        bt = g["block_type"] if g["window_switching"] else 0
+        bands = xr.reshape(32, 18)
+        # alias reduction (skip for pure short blocks)
+        if bt != 2 or g["mixed_block"]:
+            limit = 1 if (bt == 2 and g["mixed_block"]) else 31
+            for sb in range(limit):
+                for i in range(8):
+                    a = bands[sb, 17 - i]
+                    b = bands[sb + 1, i]
+                    bands[sb, 17 - i] = a * CS[i] - b * CA[i]
+                    bands[sb + 1, i] = b * CS[i] + a * CA[i]
+        out = np.zeros((18, 32))
+        for sb in range(32):
+            sb_bt = bt
+            if g["mixed_block"] and sb < 2:
+                sb_bt = 0
+            X = bands[sb]
+            if sb_bt == 2:
+                z = np.zeros(36)
+                for w in range(3):
+                    xw = IMDCT12 @ X[w::3]
+                    z[6 + 12 * w:18 + 12 * w] += xw * WIN_SHORT
+                y = z
+            else:
+                y = IMDCT36 @ X
+                if sb_bt == 0:
+                    y = y * WIN_LONG
+                elif sb_bt == 1:
+                    y = y * WIN_START
+                else:
+                    y = y * WIN_STOP
+            out[:, sb] = y[:18] + prev[sb]
+            prev[sb] = y[18:]
+            if sb & 1:  # frequency inversion: odd subband, odd sample
+                out[1::2, sb] = -out[1::2, sb]
+        return out
+
+    # ------------------------------------------------------------- #
+    # polyphase synthesis (ISO structure, substitute window)
+    # ------------------------------------------------------------- #
+
+    class _Synth:
+        __slots__ = ("V",)
+
+        def __init__(self):
+            self.V = np.zeros(1024)
+
+        def run(self, groups: np.ndarray) -> np.ndarray:
+            """groups: (G, 32) subband samples -> (G*32,) PCM floats."""
+            V = self.V
+            out = np.empty(groups.shape[0] * 32)
+            U = np.empty(512)
+            for t in range(groups.shape[0]):
+                V[64:] = V[:-64]
+                V[:64] = N_SYN @ groups[t]
+                for i in range(8):
+                    U[64 * i:64 * i + 32] = V[128 * i:128 * i + 32]
+                    U[64 * i + 32:64 * i + 64] = V[128 * i + 96:128 * i + 128]
+                out[t * 32:(t + 1) * 32] = (
+                    (U * synth_window).reshape(16, 32).sum(0)
+                )
+            self.V = V
+            return out
+
+    # ------------------------------------------------------------- #
+    # stream walk
+    # ------------------------------------------------------------- #
+
+    def decode_frames(p: bytes):
+        """Walk the stream; return (rate, nch, [per-frame (G, nch, 32)
+        subband group arrays]).  Raises ValueError/EOFError on corrupt
+        or gated structure."""
+        off = 0
+        if p[:3] == b"ID3" and len(p) >= 10:
+            sz = 0
+            for b in p[6:10]:
+                if b & 0x80:
+                    raise ValueError("bad syncsafe size")
+                sz = (sz << 7) | b
+            off = 10 + sz
+        frames = []
+        rate = nch = None
+        reservoir = b""
+        l3_prev = None
+        while off < len(p):
+            if p[off:off + 3] == b"TAG" and len(p) - off == 128:
+                break  # ID3v1 trailer
+            hdr = parse_header(p, off)
+            if hdr is None:
+                raise ValueError("bad frame header")
+            if rate is None:
+                rate, nch = hdr["rate"], hdr["nch"]
+            elif rate != hdr["rate"] or nch != hdr["nch"]:
+                raise ValueError("stream parameter change")
+            frame = p[off:off + hdr["frame_len"]]
+            if len(frame) < hdr["frame_len"]:
+                raise ValueError("truncated frame")
+            body = frame[4:]
+            if hdr["crc"]:
+                if len(body) < 2:
+                    raise ValueError("truncated CRC")
+                body = body[2:]  # CRC slot skipped (not verified)
+            if hdr["layer"] == 1:
+                frames.append(layer1_subbands(_Bits(body), hdr))
+            elif hdr["layer"] == 2:
+                frames.append(layer2_subbands(_Bits(body), hdr))
+            else:
+                bits = _Bits(body)
+                info = l3_side_info(bits, hdr["nch"])
+                side_bytes = 17 if hdr["nch"] == 1 else 32
+                if bits.pos != side_bytes * 8:
+                    raise ValueError("side info misparse")
+                main = body[side_bytes:]
+                mdb = info["main_data_begin"]
+                if mdb > len(reservoir):
+                    raise ValueError("bit reservoir underrun")
+                data = (reservoir[len(reservoir) - mdb:] if mdb else b"") \
+                    + main
+                mbits = _Bits(data)
+                if l3_prev is None:
+                    l3_prev = np.zeros((hdr["nch"], 32, 18))
+                groups = np.zeros((36, hdr["nch"], 32))
+                for gr in range(2):
+                    for ch in range(hdr["nch"]):
+                        g = info["granules"][gr][ch]
+                        start = mbits.pos
+                        used = l3_scalefac_bits(
+                            g, gr, info["scfsi"][ch], mbits.read)
+                        if g["big_values"] or \
+                                g["part2_3_length"] != used:
+                            # nonzero spectrum: Huffman tables gated
+                            raise ValueError("nonzero L3 spectrum gated")
+                        mbits.pos = start + g["part2_3_length"]
+                        xr = np.zeros(576)
+                        sb_groups = l3_granule_subbands(
+                            g, xr, l3_prev[ch])
+                        groups[18 * gr:18 * gr + 18, ch, :] = sb_groups
+                frames.append(groups)
+                reservoir = (reservoir + main)[-511:]
+            off += hdr["frame_len"]
+        if not frames:
+            raise ValueError("no frames")
+        return rate, nch, frames
+
+    def decode_mp3(p: bytes) -> "dict | None":
+        if p is None or len(p) < 4:
+            return None
+        looks = p[:3] == b"ID3" or (
+            p[0] == 0xFF and (p[1] & 0xE0) == 0xE0)
+        if not looks:
+            return None
+        try:
+            rate, nch, frames = decode_frames(bytes(p))
+        except (ValueError, EOFError, IndexError):
+            return None
+        synths = [_Synth() for _ in range(nch)]
+        chans = [
+            np.concatenate([s.run(f[:, ch, :]) for f in frames])
+            for ch, s in enumerate(synths)
+        ]
+        pcm = np.empty(len(chans[0]) * nch)
+        for ch in range(nch):
+            pcm[ch::nch] = chans[ch]
+        # int16 presentation (every float-output codec's convention
+        # here): round-half-even, clipped
+        s16 = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype(np.int64)
+        total = int(s16.sum())
+        return {
+            "sample_rate": int(rate), "channels": int(nch), "bits": 16,
+            "n_samples": int(s16.size),
+            "s_min": int(s16.min()), "s_max": int(s16.max()),
+            "s_sum": total, "s_sq_sum": int((s16 * s16).sum()),
+            "s_mean": total / s16.size,
+        }
+
+    decode_mp3._decode_frames = decode_frames  # test hook: pre-synthesis
+    decode_mp3._synth_class = _Synth
+    decode_mp3._requant = requant
+    decode_mp3._l2_requant = l2_requant
+    decode_mp3._l2_table = l2_table
+    decode_mp3._scalefactors = SCALEFACTORS
+    return decode_mp3
+
+
+#: module-level instance for unit tests (Spark tasks closure-build)
+decode_mp3_samples = _make_mp3_sample_decoder()

@@ -1333,9 +1333,12 @@ decode_flac_samples = _make_flac_sample_decoder()
 
 def _make_sample_decoder() -> Callable[[bytes], dict | None]:
     """Magic-byte dispatch over the audio sample decoders (WAV PCM,
-    FLAC fixed-predictor subset)."""
+    FLAC, MPEG-1 audio — see operators/mp3.py for the MP3 scope)."""
+    from .mp3 import _make_mp3_sample_decoder
+
     wav = _make_wav_sample_decoder()
     flac = _make_flac_sample_decoder()
+    mp3 = _make_mp3_sample_decoder()
 
     def dec(p: bytes) -> dict | None:
         if p is None or len(p) < 4:
@@ -1344,6 +1347,8 @@ def _make_sample_decoder() -> Callable[[bytes], dict | None]:
             return wav(p)
         if p[:4] == b"fLaC":
             return flac(p)
+        if p[:3] == b"ID3" or (p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
+            return mp3(p)
         return None
 
     return dec
@@ -1352,14 +1357,17 @@ def _make_sample_decoder() -> Callable[[bytes], dict | None]:
 def decode_samples(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Full audio sample decode as an Arrow-batched ``mapInPandas``
     stage: (media_id, payload) -> :data:`SAMPLES_SCHEMA` sample
-    statistics, with magic-byte dispatch over WAV PCM and FLAC (real
+    statistics, with magic-byte dispatch over WAV PCM, FLAC (real
     bit-level frame decode — all subframe types and channel
-    assignments, CRC-verified).  Unrecognized/unsupported/truncated
-    payloads yield NULL stats (the row is kept so coverage is
-    auditable).  Together with :func:`decode_pixels` this closes the
-    audio leg of the former sample-decode integration point with the
-    stdlib only; the remaining gated codec surface is MP3/Ogg/video
-    (``decode_media``'s ``decoder='raise'`` marker)."""
+    assignments, CRC-verified), and MPEG-1 audio Layers I/II/III
+    (full Layer I/II bitstream decode + polyphase synthesis; Layer
+    III zero-spectrum subset — operators/mp3.py documents the two
+    gates).  Unrecognized/unsupported/truncated payloads yield NULL
+    stats (the row is kept so coverage is auditable).  Together with
+    :func:`decode_pixels` this closes the audio leg of the former
+    sample-decode integration point with the stdlib only; the
+    remaining gated codec surface is Ogg/video plus the two mp3.py
+    gates (``decode_media``'s ``decoder='raise'`` marker)."""
     dec = _make_sample_decoder()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

@@ -3045,6 +3045,80 @@ def q_mm_decode_flac_pcm(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_mp3_samples",
+    """
+SELECT doc_id AS media_id,
+       CAST(32000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits,
+       CAST((CASE WHEN doc_id % 2 = 0 THEN 384 ELSE 1152 END)
+            * (doc_id % 3 + 2) AS BIGINT) AS n_samples,
+       CAST(0 AS INTEGER) AS s_min,
+       CAST(0 AS INTEGER) AS s_max,
+       CAST(0 AS BIGINT) AS s_sum,
+       CAST(0 AS BIGINT) AS s_sq_sum,
+       CAST(0.0 AS DOUBLE) AS s_mean
+FROM documents WHERE doc_id < 120
+""",
+    doc="REAL MPEG-1 audio sample decode end-to-end, stdlib+numpy only "
+    "(operators/mp3.py): even docs get multi-frame LAYER I streams — "
+    "valid 32 kbps/32 kHz mono frames whose 4-bit allocations sit at a "
+    "doc-dependent subband window, with doc-dependent 6-bit "
+    "scalefactors and 12 granules of 3-bit codes pinned to the exact-"
+    "zero level (code 2^(nb-1)-1 requantizes to 0.0 EXACTLY under the "
+    "ISO formula, so the full synthesis filterbank emits digital "
+    "silence and every stat is integral) — odd docs get LAYER III "
+    "zero-spectrum frames (all-zero side info: part2_3_length 0, long "
+    "blocks) that run the genuine side-info/scalefactor/IMDCT/overlap-"
+    "add/polyphase path on a zero spectrum.  A decoder that misparses "
+    "the header, allocation layout, scalefactor packing, code widths, "
+    "side-info bit layout, or frame walk desyncs into nonzero garbage "
+    "or NULLs and fails the hash gate; n_samples additionally pins the "
+    "384/1152-samples-per-frame accounting across doc-varying frame "
+    "counts.  The nonzero-PCM decode paths (Layer I/II requantization "
+    "magnitudes, the polyphase fifo vs its direct form, full encoder "
+    "round trips) are exercised bit-exactly in tests/test_mp3_decoder"
+    ".py; operators/mp3.py documents the two remaining gates (L3 "
+    "nonzero-spectrum Huffman tables, the ISO window numerics)",
+)
+def q_mm_decode_mp3_samples(spark, sf_dir):
+    from .operators.multimodal import decode_samples
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    # Layer I frame (48 bytes): header + 16 alloc bytes (4 subbands at
+    # nb=3 starting at subband 2*(doc_id%14)) + 3 scalefactor bytes
+    # (6-bit indices s_i = (doc_id*7 + 13*i) % 63) + 18 bytes of the
+    # repeating 3-bit exact-zero code '011' + 7 ancillary zero bytes
+    s = [f"((doc_id * 7 + {13 * i}) % 63)" for i in range(4)]
+    l1_hex = (
+        "concat('ffff18c0', "
+        "repeat('00', CAST(doc_id % 14 AS INT)), '2222', "
+        "repeat('00', CAST(14 - doc_id % 14 AS INT)), "
+        f"lpad(hex({s[0]} * 4 + {s[1]} div 16), 2, '0'), "
+        f"lpad(hex(({s[1]} % 16) * 16 + {s[2]} div 4), 2, '0'), "
+        f"lpad(hex(({s[2]} % 4) * 64 + {s[3]}), 2, '0'), "
+        "repeat('6db6db', 6), repeat('00', 7))"
+    )
+    # Layer III frame (216 bytes at 48 kbps / 32 kHz): header + 17
+    # zero side-info bytes (main_data_begin 0, part2_3_length 0 ->
+    # zero spectrum) + zero main/ancillary bytes
+    l3_hex = "concat('fffb38c0', repeat('00', 212))"
+    payload = F.expr(
+        f"unhex(repeat(CASE WHEN doc_id % 2 = 0 THEN {l1_hex} "
+        f"ELSE {l3_hex} END, CAST(doc_id % 3 + 2 AS INT)))"
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    dec = decode_samples(media)
+    return dec.select(
+        "media_id", "sample_rate", "channels", "bits", "n_samples",
+        "s_min", "s_max", "s_sum", "s_sq_sum", "s_mean",
+    )
+
+
+@_q(
     "mm_decode_gif_pixels",
     """
 WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
