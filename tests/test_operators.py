@@ -1850,8 +1850,354 @@ def test_jpeg_pixel_decoder_rejects():
     assert decode_jpeg_pixels(good[: len(good) // 2]) is None  # truncated
     prog = bytearray(good)
     i = bytes(prog).find(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # progressive SOF: gated scope
+    prog[i + 1] = 0xC2  # SOF2 + a baseline-shaped full-band DC scan:
+    # invalid progressive structure (DC scans carry only Ss=Se=0)
     assert decode_jpeg_pixels(bytes(prog)) is None
+
+
+def _jpeg_prog_encoder_env():
+    """INDEPENDENTLY written PROGRESSIVE JPEG encoder (ISO G.1.2:
+    spectral-selection band scans, successive-approximation point
+    transforms — arithmetic shift for DC, magnitude shift toward zero
+    for AC — cross-block EOB-run accumulation, ZRL, and the refinement
+    scans' deferred correction-bit buffer), reusing only the forward
+    DCT/quantize step of the baseline env to produce the quantized
+    coefficients.  Verification direction for decode_jpeg_pixels'
+    progressive path: after ALL scans a progressive decode recovers
+    the quantized coefficients exactly, so pixel stats must equal the
+    baseline encoding of the same blocks."""
+    import struct
+
+    import numpy as np
+
+    encode_base, expected_stats = _jpeg_encoder_env()
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+    DC_VALS = list(range(12))
+    # progressive AC alphabet: EOBn (r<<4, r 0..14), ZRL, (r<<4)|s
+    AC_SYMS = [r << 4 for r in range(16)] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    AC_COUNTS = [0] * 16
+    AC_COUNTS[7] = len(AC_SYMS)  # all codes 8 bits (176 <= 256)
+
+    def canon(counts, vals):
+        code, k2, t = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                t[vals[k2]] = (ln, code)
+                code += 1
+                k2 += 1
+            code <<= 1
+        return t
+
+    DC_ENC, AC_ENC = canon(DC_COUNTS, DC_VALS), canon(AC_COUNTS, AC_SYMS)
+
+    def cat(v):
+        a, t = abs(v), 0
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    class SW:
+        """Scan writer: bit buffer + EOB-run + correction-bit deferral
+        + restart-interval flushing."""
+
+        def __init__(self, dri=0):
+            self.bits = []
+            self.out = bytearray()
+            self.eobrun = 0
+            self.pending = []  # correction bits deferred with the run
+            self.dri = dri
+            self.units = 0
+            self.rst = 0
+
+        def put(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((v >> i) & 1)
+
+        def sym(self, enc, s):
+            ln, code = enc[s]
+            self.put(code, ln)
+
+        def mag(self, v, s):
+            self.put((v if v > 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+
+        def emit_eobrun(self):
+            if self.eobrun:
+                n = self.eobrun.bit_length() - 1
+                self.sym(AC_ENC, n << 4)
+                if n:
+                    self.put(self.eobrun - (1 << n), n)
+                self.eobrun = 0
+            for b in self.pending:
+                self.put(b, 1)
+            self.pending = []
+
+        def flush_bits(self):
+            bits = self.bits + [1] * ((8 - len(self.bits) % 8) % 8)
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i:i + 8]:
+                    b = (b << 1) | bit
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+            self.bits = []
+
+        def unit_done(self):
+            """Returns True when the caller must reset its predictors
+            (a restart marker was just written)."""
+            self.units += 1
+            if self.dri and self.units % self.dri == 0:
+                self.emit_eobrun()
+                self.flush_bits()
+                self.out += bytes([0xFF, 0xD0 + (self.rst % 8)])
+                self.rst += 1
+                return True
+            return False
+
+        def finish(self):
+            self.emit_eobrun()
+            self.flush_bits()
+            return bytes(self.out)
+
+    def dc_first_scan(qblocks, order, al, dri):
+        w = SW(dri)
+        pred = {i: 0 for i, _by, _bx in order}
+        for i, by, bx in order:
+            v = int(qblocks[i][by, bx].flat[0]) >> al
+            diff = v - pred[i]
+            pred[i] = v
+            t = cat(diff)
+            w.sym(DC_ENC, t)
+            if t:
+                w.mag(diff, t)
+            if w.unit_done():
+                pred = {k: 0 for k in pred}
+        return w.finish()
+
+    def dc_refine_scan(qblocks, order, al, dri):
+        w = SW(dri)
+        for i, by, bx in order:
+            w.put((int(qblocks[i][by, bx].flat[0]) >> al) & 1, 1)
+            w.unit_done()
+        return w.finish()
+
+    def ac_first_scan(blocks, ss, se, al, dri):
+        w = SW(dri)
+        for blk in blocks:
+            zz = [int(blk.flat[ZZ[k]]) for k in range(ss, se + 1)]
+            pt = [v >> al if v >= 0 else -((-v) >> al) for v in zz]
+            r = 0
+            any_emit = False
+            for v in pt:
+                if v == 0:
+                    r += 1
+                    continue
+                w.emit_eobrun()
+                while r > 15:
+                    w.sym(AC_ENC, 0xF0)
+                    r -= 16
+                s = cat(v)
+                w.sym(AC_ENC, (r << 4) | s)
+                w.mag(v, s)
+                r = 0
+                any_emit = True
+            if r > 0 or not any_emit:
+                w.eobrun += 1
+                if w.eobrun == 0x7FFF:
+                    w.emit_eobrun()
+            if w.unit_done():
+                pass  # eobrun flushed inside unit_done
+        return w.finish()
+
+    def ac_refine_scan(blocks, ss, se, al, dri):
+        w = SW(dri)
+        for blk in blocks:
+            zz = [int(blk.flat[ZZ[k]]) for k in range(ss, se + 1)]
+            absv = [abs(v) >> al for v in zz]
+            eob = 0
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            br: list = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    w.emit_eobrun()
+                    w.sym(AC_ENC, 0xF0)
+                    r -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                w.emit_eobrun()
+                w.sym(AC_ENC, (r << 4) | 1)
+                w.put(1 if zz[i] >= 0 else 0, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                w.eobrun += 1
+                w.pending.extend(br)
+                if w.eobrun == 0x7FFF:
+                    w.emit_eobrun()
+            w.unit_done()
+        return w.finish()
+
+    def encode_progressive(planes_full, h, w, samp, qtabs, bands,
+                           dc_al=1, ac_al=1, dri=0):
+        """Full progressive stream: DC first at dc_al + DC refinements
+        down to 0, then per-component AC band scans at ac_al with
+        refinements down to 0.  ``bands`` is a list of (ss, se)."""
+        nc = len(planes_full)
+        _base_stream, qblocks = encode_base(planes_full, h, w, samp, qtabs)
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+        def seg(marker, payload):
+            return (
+                b"\xff" + bytes([marker])
+                + struct.pack(">H", len(payload) + 2) + payload
+            )
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0x00])
+                   + bytes([qtabs[0][ZZ[i]] for i in range(64)]))
+        if nc == 3:
+            out += seg(0xDB, bytes([0x01])
+                       + bytes([qtabs[1][ZZ[i]] for i in range(64)]))
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        for i in range(nc):
+            sof += bytes([
+                i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1
+            ])
+        out += seg(0xC2, sof)
+        out += seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_VALS))
+        out += seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_SYMS))
+        if dri:
+            out += seg(0xDD, struct.pack(">H", dri))
+
+        # interleaved MCU order for the DC scans
+        order = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for i, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            order.append((i, my * sv + by, mx * sh + bx))
+
+        def sos(comp_specs, ss, se, ah, al):
+            body = bytes([len(comp_specs)])
+            for cid, td, ta in comp_specs:
+                body += bytes([cid, (td << 4) | ta])
+            return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+        all_comps = [(i + 1, 0, 0) for i in range(nc)]
+        out += sos(all_comps, 0, 0, 0, dc_al)
+        out += dc_first_scan(qblocks, order, dc_al, dri)
+        for al in range(dc_al - 1, -1, -1):
+            out += sos(all_comps, 0, 0, al + 1, al)
+            out += dc_refine_scan(qblocks, order, al, dri)
+        # AC scans: per component, true (non-MCU-padded) block grid
+        for i, (sh, sv) in enumerate(samp):
+            cw = -(-(-(-(w * sh) // hmax)) // 8)
+            chh = -(-(-(-(h * sv) // vmax)) // 8)
+            blocks = [
+                qblocks[i][by, bx]
+                for by in range(chh) for bx in range(cw)
+            ]
+            for ss, se in bands:
+                out += sos([(i + 1, 0, 0)], ss, se, 0, ac_al)
+                out += ac_first_scan(blocks, ss, se, ac_al, dri)
+            for al in range(ac_al - 1, -1, -1):
+                for ss, se in bands:
+                    out += sos([(i + 1, 0, 0)], ss, se, al + 1, al)
+                    out += ac_refine_scan(blocks, ss, se, al, dri)
+        out += b"\xff\xd9"
+        return bytes(out), qblocks
+
+    return encode_progressive, expected_stats
+
+
+def test_jpeg_progressive_decoder_against_independent_encoder():
+    """Progressive JPEG end-to-end vs the independent G.1.2 encoder:
+    grayscale and 4:2:0 color, successive approximation on DC and AC,
+    split spectral bands, restart intervals, and an EOB-run-heavy
+    smooth image.  Progressive decode is lossless w.r.t. the quantized
+    coefficients, so stats must EQUAL the expected reconstruction (and
+    the baseline encoding of the same planes)."""
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_jpeg_pixels
+
+    encode_prog, expected_stats = _jpeg_prog_encoder_env()
+    encode_base, _ = _jpeg_encoder_env()
+    rng = np.random.RandomState(11)
+    cases = [
+        # (h, w, samp, qtabs, bands, dc_al, ac_al, dri, smooth)
+        (24, 17, [(1, 1)], [_JPEG_QL], [(1, 5), (6, 63)], 1, 1, 0, False),
+        (16, 16, [(1, 1)], [_JPEG_QL], [(1, 63)], 2, 2, 0, False),
+        (29, 35, [(2, 2), (1, 1), (1, 1)], [_JPEG_QL, _JPEG_QC, _JPEG_QC],
+         [(1, 5), (6, 63)], 1, 1, 0, False),
+        (24, 24, [(1, 1)], [_JPEG_QL], [(1, 63)], 1, 1, 2, False),
+        (40, 40, [(1, 1)], [_JPEG_QL], [(1, 2), (3, 63)], 1, 1, 0, True),
+    ]
+    for h, w, samp, qtabs, bands, dc_al, ac_al, dri, smooth in cases:
+        nc = len(samp)
+        if smooth:
+            # near-flat image: quantization zeroes most AC -> long
+            # EOB runs spanning blocks in first AND refinement scans
+            base = np.full((h, w), 130.0)
+            base += rng.randint(-2, 3, (h, w))
+            planes = [base]
+        else:
+            planes = [
+                rng.randint(0, 256, (h, w)).astype(float)
+                for _ in range(nc)
+            ]
+        prog, qb = encode_prog(planes, h, w, samp, qtabs, bands,
+                               dc_al=dc_al, ac_al=ac_al, dri=dri)
+        got = decode_jpeg_pixels(prog)
+        exp = expected_stats(qb, samp, qtabs, h, w, nc)
+        assert got == exp, (h, w, samp, bands, dc_al, ac_al, dri)
+        # cross-check: baseline encoding of the same planes decodes to
+        # the same stats (identical quantized coefficients)
+        base_stream, _qb2 = encode_base(planes, h, w, samp, qtabs)
+        assert decode_jpeg_pixels(base_stream) == exp
+
+
+def test_jpeg_progressive_rejects():
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_jpeg_pixels
+
+    encode_prog, _ = _jpeg_prog_encoder_env()
+    rng = np.random.RandomState(5)
+    planes = [rng.randint(0, 256, (16, 16)).astype(float)]
+    good, _qb = encode_prog(planes, 16, 16, [(1, 1)], [_JPEG_QL],
+                            [(1, 63)])
+    assert decode_jpeg_pixels(good) is not None
+    assert decode_jpeg_pixels(good[:-40]) is None      # truncated scans
+    bad = bytearray(good)
+    i = bytes(bad).find(b"\xff\xda")
+    assert decode_jpeg_pixels(bytes(bad[:i]) + b"\xff\xc9\x00\x02"
+                              + bytes(bad[i:])) is None  # arithmetic SOF gated
 
 
 def test_decode_pixels_dispatches_jpeg(spark):

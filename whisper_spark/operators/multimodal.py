@@ -606,19 +606,25 @@ class _JpegBits:
 
 
 def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
-    """Build the stdlib BASELINE JPEG pixel decoder — real entropy
-    decode, no third-party libraries: marker walk (DQT / SOF0 / DHT /
-    DRI / SOS), canonical Huffman tables from DHT, per-MCU DC-predictor
-    + AC run-length decode with byte unstuffing and restart-marker
+    """Build the stdlib JPEG pixel decoder — real entropy decode, no
+    third-party libraries: marker walk (DQT / SOF0 / SOF2 / DHT / DRI
+    / SOS), canonical Huffman tables from DHT, per-MCU DC-predictor +
+    AC run-length decode with byte unstuffing and restart-marker
     resets, dequantize + dezigzag, vectorized float64 IDCT
     (:func:`_jpeg_idct_f64`), chroma upsampling (sample replication),
     and the JFIF YCbCr->RGB transform with round + clamp.
 
-    Scope: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-    any sampling factors.  Progressive (SOF2), arithmetic coding,
-    12-bit, and hierarchical streams return None — NULL stats, never
-    task failures (every structural surprise is caught).  Closure-built
-    so Spark tasks ship it by value."""
+    Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+    multi-scan walk with spectral selection and successive
+    approximation: interleaved/non-interleaved DC first + DC
+    refinement bits, per-component AC band scans with EOB-run
+    accounting, and the G.1.2.3 AC refinement algorithm with
+    correction bits; progressive decode recovers the quantized
+    coefficients EXACTLY, so the pixel pipeline is shared with
+    baseline), 8-bit, 1 or 3 components, any sampling factors.
+    Arithmetic coding, 12-bit, and hierarchical streams return None —
+    NULL stats, never task failures (every structural surprise is
+    caught).  Closure-built so Spark tasks ship it by value."""
     import struct
 
     ZIGZAG = [
@@ -654,6 +660,260 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
         # JPEG EXTEND: t-bit magnitude to signed value
         return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
+    def _jpeg_entropy_end(p, pos):
+        """First offset >= pos holding a non-RST, non-stuffed marker
+        (the end of a scan's entropy segment)."""
+        i, n = pos, len(p)
+        while i + 1 < n:
+            if p[i] == 0xFF:
+                b = p[i + 1]
+                if b == 0x00 or 0xD0 <= b <= 0xD7:
+                    i += 2
+                    continue
+                return i
+            i += 1
+        return n
+
+    def ac_first(br, act, blk, ss, se, al, eobrun):
+        """Progressive AC first scan (Ah=0) for one block: run-length
+        + EOB-run decode into the zigzag coefficient vector (values
+        point-transformed by << Al).  Returns the new EOB run, or None
+        on corrupt structure."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = huff_decode(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1  # run includes this block
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun
+            k += r
+            if k > se:
+                return None
+            blk[k] = extend(br.receive(s), s) << al
+            k += 1
+        return 0
+
+    def ac_refine(br, act, blk, ss, se, al, eobrun):
+        """Progressive AC refinement (Ah>0, G.1.2.3): newly-nonzero
+        coefficients arrive as +-1<<Al runs, every already-nonzero
+        coefficient in the band consumes a correction bit."""
+        p1 = 1 << al
+        m1 = -p1
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = huff_decode(br, act)
+                r, s = rs >> 4, rs & 0x0F
+                sval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # r == 15 (ZRL): skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        return None
+                    sval = p1 if br.read_bit() else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            if sval:
+                                blk[k] = sval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def decode_progressive(p, h, w, comps, qt, scans):
+        """Run every progressive scan against zigzag-order coefficient
+        accumulators, then dequantize + dezigzag.  Progressive decode
+        is lossless w.r.t. the quantized coefficients, so the caller
+        reuses the baseline pixel pipeline."""
+        import numpy as np
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if hmax < 1 or vmax < 1 or any(
+            c[1] < 1 or c[2] < 1 for c in comps
+        ):
+            return None
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        coefs = [
+            np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
+            for c in comps
+        ]
+        # true (non-MCU-padded) block grids for non-interleaved scans
+        # (B.2.3): ceil(ceil(dim * factor / max_factor) / 8)
+        cdims = []
+        for cid, ch, cv, tq in comps:
+            cw = -(-(w * ch) // hmax)
+            chh = -(-(h * cv) // vmax)
+            cdims.append((-(-cw // 8), -(-chh // 8)))
+        for scan, ss, se, ah, al, data_off, dri, dct_s, act_s in scans:
+            idxs = []
+            for cs, td, ta in scan:
+                idx = next(
+                    (i for i, c in enumerate(comps) if c[0] == cs), None
+                )
+                if idx is None or comps[idx][3] not in qt:
+                    return None
+                idxs.append((idx, td, ta))
+            br = _JpegBits(p, data_off)
+            eobrun = 0
+            if ss == 0:
+                if se != 0:
+                    return None  # DC scans carry only coefficient 0
+                first = ah == 0
+                tab_by_idx = {}
+                for idx, td, ta in idxs:
+                    if first:
+                        if td not in dct_s:
+                            return None
+                        tab_by_idx[idx] = dct_s[td]
+                    else:
+                        tab_by_idx[idx] = None  # raw bits, no table
+                if len(idxs) == 1:
+                    # non-interleaved: raster over component blocks
+                    idx = idxs[0][0]
+                    cw, chh = cdims[idx]
+                    mcu_units = [
+                        [(idx, by, bx)]
+                        for by in range(chh) for bx in range(cw)
+                    ]
+                else:
+                    mcu_units = []
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            mcu = []
+                            for idx, _td, _ta in idxs:
+                                _, ch_, cv_, _q = comps[idx]
+                                for by in range(cv_):
+                                    for bx in range(ch_):
+                                        mcu.append(
+                                            (idx, my * cv_ + by,
+                                             mx * ch_ + bx)
+                                        )
+                            mcu_units.append(mcu)
+                pred = {idx: 0 for idx, _td, _ta in idxs}
+                done = 0
+                for mcu in mcu_units:
+                    if dri and done and done % dri == 0:
+                        if not br.restart():
+                            return None
+                        pred = {k: 0 for k in pred}
+                    for idx, by, bx in mcu:
+                        c = coefs[idx]
+                        if first:
+                            t = huff_decode(br, tab_by_idx[idx])
+                            if t > 11:
+                                return None
+                            pred[idx] += extend(br.receive(t), t)
+                            c[by, bx, 0] = pred[idx] << al
+                        else:
+                            if br.read_bit():
+                                c[by, bx, 0] |= 1 << al
+                    done += 1
+            else:
+                if len(idxs) != 1 or se > 63 or ss > se:
+                    return None  # AC scans are single-component
+                idx, td, ta = idxs[0]
+                if ta not in act_s:
+                    return None
+                act = act_s[ta]
+                cw, chh = cdims[idx]
+                carr = coefs[idx]
+                done = 0
+                for by in range(chh):
+                    for bx in range(cw):
+                        if dri and done and done % dri == 0:
+                            if not br.restart():
+                                return None
+                            eobrun = 0
+                        blk = carr[by, bx]
+                        if ah == 0:
+                            eobrun = ac_first(
+                                br, act, blk, ss, se, al, eobrun)
+                        else:
+                            eobrun = ac_refine(
+                                br, act, blk, ss, se, al, eobrun)
+                        if eobrun is None:
+                            return None
+                        done += 1
+        planes = []
+        zz = np.array(ZIGZAG)
+        for i, (cid, ch, cv, tq) in enumerate(comps):
+            q = np.array(qt[tq], dtype=np.int32)
+            by, bx = coefs[i].shape[:2]
+            nat = np.zeros((by, bx, 64), dtype=np.int32)
+            nat[..., zz] = coefs[i] * q
+            planes.append(nat.reshape(by, bx, 8, 8))
+        return planes, hmax, vmax
+
+    def finish(planes, comps, hmax, vmax, h, w):
+        """Shared pixel pipeline: IDCT, +128 shift, upsample, color
+        transform, stats.  Both the baseline and progressive paths end
+        here (progressive recovers the same quantized coefficients)."""
+        import numpy as np
+
+        out_planes = []
+        for i, (cid, ch, cv, tq) in enumerate(comps):
+            px = _jpeg_idct_f64(planes[i].astype(np.float64)) + 128.0
+            by, bx = planes[i].shape[:2]
+            img = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            # replicate to full-res sampling grid, crop to (h, w)
+            ry, rx = vmax // cv, hmax // ch
+            if vmax % cv or hmax % ch:
+                return None
+            img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
+            out_planes.append(img[:h, :w])
+        if len(out_planes) == 1:
+            rgb = np.clip(np.round(out_planes[0]), 0, 255)
+            channels = 1
+        else:
+            y, cb, cr = out_planes
+            r = y + 1.402 * (cr - 128.0)
+            g = (
+                y - 0.3441363 * (cb - 128.0)
+                - 0.71413636 * (cr - 128.0)
+            )
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.clip(
+                np.round(np.stack([r, g, b], axis=-1)), 0, 255
+            )
+            channels = 3
+        arr = rgb.astype(np.int64)
+        total = int(arr.sum())
+        n_px = h * w
+        return {
+            "width": int(w), "height": int(h), "channels": channels,
+            "n_pixels": n_px,
+            "px_min": int(arr.min()), "px_max": int(arr.max()),
+            "px_sum": total, "px_mean": total / (n_px * channels),
+        }
+
     def decode_jpeg(p: bytes) -> dict | None:
         import numpy as np
 
@@ -665,6 +925,8 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
             ac_t: dict = {}
             sof = None
             dri = 0
+            progressive = False
+            prog_scans: list = []
             off = 2
             while off + 4 <= len(p):
                 if p[off] != 0xFF:
@@ -677,6 +939,8 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                     off += 2
                     continue
                 if m == 0xD9:
+                    if progressive and prog_scans:
+                        break  # EOI closes the multi-scan stream
                     return None  # EOI before any scan
                 (seglen,) = struct.unpack(">H", p[off + 2:off + 4])
                 seg = p[off + 4:off + 2 + seglen]
@@ -712,7 +976,7 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                             counts, values
                         )
                         i += 17 + n
-                elif m == 0xC0:  # SOF0 baseline
+                elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progr.
                     prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                     if prec != 8 or nc not in (1, 3) or not h or not w:
                         return None
@@ -721,9 +985,10 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                         cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                         comps.append((cid, hv >> 4, hv & 0x0F, tq))
                     sof = (h, w, comps)
-                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                    progressive = m == 0xC2
+                elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                    return None  # non-baseline SOF: gated scope
+                    return None  # arithmetic/12-bit/hierarchical: gated
                 elif m == 0xDD:  # DRI
                     (dri,) = struct.unpack(">H", seg[:2])
                 elif m == 0xDA:  # SOS
@@ -734,11 +999,30 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                     for c in range(ns):
                         cs, tt = seg[1 + 2 * c:3 + 2 * c]
                         scan.append((cs, tt >> 4, tt & 0x0F))
+                    if progressive:
+                        ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+                        # snapshot the table state: DHTs may be
+                        # redefined between scans
+                        prog_scans.append(
+                            (scan, ss, se, ahl >> 4, ahl & 0x0F,
+                             off + 2 + seglen, dri,
+                             dict(dc_t), dict(ac_t))
+                        )
+                        # entropy data runs to the next non-RST marker
+                        off = _jpeg_entropy_end(p, off + 2 + seglen)
+                        continue
                     break
                 off += 2 + seglen
             else:
-                return None
+                if not (progressive and prog_scans):
+                    return None
             h, w, comps = sof
+            if progressive:
+                res = decode_progressive(p, h, w, comps, qt, prog_scans)
+                if res is None:
+                    return None
+                planes, hmax, vmax = res
+                return finish(planes, comps, hmax, vmax, h, w)
             if len(scan) != len(comps):
                 return None  # interleaved full scan only
             if len(comps) == 1:
@@ -811,42 +1095,7 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                                     my * cv + by, mx * ch + bx
                                 ] = blk.reshape(8, 8)
                     mcu_done += 1
-            # IDCT (vectorized per component), +128 shift, assemble
-            out_planes = []
-            for i, (cid, ch, cv, tq) in enumerate(comps):
-                px = _jpeg_idct_f64(planes[i].astype(np.float64)) + 128.0
-                by, bx = planes[i].shape[:2]
-                img = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-                # replicate to full-res sampling grid, crop to (h, w)
-                ry, rx = vmax // cv, hmax // ch
-                if vmax % cv or hmax % ch:
-                    return None
-                img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
-                out_planes.append(img[:h, :w])
-            if len(out_planes) == 1:
-                rgb = np.clip(np.round(out_planes[0]), 0, 255)
-                channels = 1
-            else:
-                y, cb, cr = out_planes
-                r = y + 1.402 * (cr - 128.0)
-                g = (
-                    y - 0.3441363 * (cb - 128.0)
-                    - 0.71413636 * (cr - 128.0)
-                )
-                b = y + 1.772 * (cb - 128.0)
-                rgb = np.clip(
-                    np.round(np.stack([r, g, b], axis=-1)), 0, 255
-                )
-                channels = 3
-            arr = rgb.astype(np.int64)
-            total = int(arr.sum())
-            n_px = h * w
-            return {
-                "width": int(w), "height": int(h), "channels": channels,
-                "n_pixels": n_px,
-                "px_min": int(arr.min()), "px_max": int(arr.max()),
-                "px_sum": total, "px_mean": total / (n_px * channels),
-            }
+            return finish(planes, comps, hmax, vmax, h, w)
         except Exception:
             # marker garbage, truncated entropy data, invalid Huffman
             # codes: NULL stats, never task failures

@@ -3127,6 +3127,95 @@ def q_mm_decode_mp3_samples(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_jpeg_progressive",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+d AS (
+  SELECT doc_id,
+         160 + 2 * (doc_id % 15) AS v1,
+         192 + 2 * (doc_id % 15) + 2 * (doc_id % 7) AS v2
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(128 AS BIGINT) AS n_pixels,
+       CAST(v1 AS INTEGER) AS px_min,
+       CAST(v2 AS INTEGER) AS px_max,
+       CAST(64 * (v1 + v2) AS BIGINT) AS px_sum,
+       CAST(64 * (v1 + v2) AS DOUBLE) / 128 AS px_mean
+FROM d
+""",
+    doc="FULL PROGRESSIVE JPEG decode end-to-end, stdlib only: valid "
+    "SOF2 streams with FOUR scans — DC first at successive-"
+    "approximation Al=1 (the shifted DCs are pinned to Huffman "
+    "category 8 so the entropy stays nibble arithmetic), a DC "
+    "refinement scan delivering the dropped low bit (both DCs are "
+    "ODD, so the bits are 1s and the padded byte is a stuffed 0xFF "
+    "0x00 — pinning byte unstuffing inside a refinement scan), an AC "
+    "first scan (per-block EOB0), and an AC refinement scan whose "
+    "single EOB1 code + extension bit spans BOTH blocks (pinning "
+    "cross-block EOB-run accounting) — assembled as JVM column "
+    "expressions.  The decoder runs the real multi-scan walk, "
+    "per-scan table snapshots, coefficient accumulation, and the "
+    "shared IDCT pipeline; reconstructed DC = 257+16a and 513+16(a+b) "
+    "make the flat-block output (dc-1)/8+128 integral after round "
+    "(frac is always exactly 0.125).  The successive-approximation "
+    "paths with nonzero AC history (correction bits, ZRL-in-refine, "
+    "sign runs) are exercised against the independent G.1.2 encoder "
+    "in tests/test_operators.py",
+)
+def q_mm_decode_jpeg_progressive(spark, sf_dir):
+    from .operators.multimodal import decode_pixels
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def seg(m, payload):
+        import struct as _s
+
+        return (
+            b"\xff" + bytes([m]) + _s.pack(">H", len(payload) + 2) + payload
+        )
+
+    import struct
+
+    prefix = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))   # all-ones DQT
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+              + bytes(range(12)))                      # DC: 12 4-bit codes
+        + seg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 2] + [0] * 12)
+              + bytes([0x00, 0x10]))                   # AC: EOB0, EOB1
+    )
+    sos_dc1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))   # Ah=0 Al=1
+    sos_dcr = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))   # Ah=1 Al=0
+    sos_ac1 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))  # Ah=0 Al=1
+    sos_acr = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))  # Ah=1 Al=0
+    # DC-first entropy: shifted DCs d1 = 128+8a (cat 8) and shifted
+    # diff f2 = 128+8b, nibble-aligned exactly like the baseline oracle
+    dc_hex = F.expr(
+        "concat("
+        "lpad(hex(128 + (128 + (doc_id % 15) * 8) div 16), 2, '0'), "
+        "lpad(hex(((128 + (doc_id % 15) * 8) % 16) * 16 + 8), 2, '0'), "
+        "lpad(hex(128 + (doc_id % 7) * 8), 2, '0'))"
+    )
+    payload = F.concat(
+        F.lit(prefix),
+        F.lit(sos_dc1), F.unhex(dc_hex),
+        # refinement bits '11' + 1-padding = 0xFF, byte-stuffed
+        F.lit(sos_dcr), F.lit(b"\xff\x00"),
+        F.lit(sos_ac1), F.lit(b"\x00"),        # EOB0, EOB0
+        F.lit(sos_acr), F.lit(b"\x17"),        # EOB1 + ext bit 0 -> run 2
+        F.lit(b"\xff\xd9"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_pixels(media)
+
+
+@_q(
     "mm_decode_throughput",
     """
 WITH m AS (SELECT doc_id FROM documents),
