@@ -1137,12 +1137,13 @@ def decode_pixels(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     (media_id, payload) -> :data:`PIXELS_SCHEMA` pixel statistics, with
     magic-byte dispatch over the four stdlib decoders — PNG scanlines
     (zlib inflate + unfilter), GIF (full LZW), BMP (24-bit
-    uncompressed), and baseline JPEG (real Huffman entropy decode +
-    IDCT).  Unrecognized/unsupported payloads yield NULL stats (the
-    row is kept so coverage is auditable).  This closes the image leg
-    of the former pixel-decode integration point with the stdlib only;
-    MP3/Ogg/video sample decode still needs external codecs
-    (``decode_media``'s ``decoder='raise'`` marker)."""
+    uncompressed), and JPEG (real Huffman entropy decode + IDCT,
+    baseline AND progressive).  Unrecognized/unsupported payloads
+    yield NULL stats (the row is kept so coverage is auditable).  This
+    closes the image leg of the former pixel-decode integration point
+    with the stdlib only; Ogg/video sample decode still needs external
+    codecs (``decode_media``'s ``decoder='raise'`` marker; MPEG-1
+    audio is real — see operators/mp3.py and its two scoped gates)."""
     dec = _make_pixel_decoder()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -1264,9 +1265,9 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
 
     Corrupt structure, CRC failures, truncated streams, and reserved
     codes return None — NULL stats, never task failures.  The remaining
-    gated codec surface is MP3/Ogg/video (``decode_media``'s
-    ``decoder='raise'`` marker).  Closure-built so Spark tasks ship it
-    by value.
+    gated codec surface is Ogg/video plus the two operators/mp3.py
+    gates (``decode_media``'s ``decoder='raise'`` marker).
+    Closure-built so Spark tasks ship it by value.
     """
     import struct
 
@@ -1678,10 +1679,12 @@ def decode_media(
     with the DECODED_SCHEMA metadata fields."""
     if decoder == "raise":
         raise NotImplementedError(
-            "full audio/video SAMPLE decoding requires codec libraries not "
+            "Ogg/video SAMPLE decoding requires codec libraries not "
             "present in this environment; use decoder='auto' (header "
-            "parsing), 'fake', a callable — or decode_pixels for real "
-            "stdlib PNG pixel decode"
+            "parsing), 'fake', a callable — or decode_pixels (real "
+            "stdlib PNG/GIF/BMP/JPEG incl. progressive) and "
+            "decode_samples (real WAV/FLAC/MPEG-1 audio; see "
+            "operators/mp3.py for MP3's two scoped gates)"
         )
     if decoder in ("auto", "fake"):
         # closures only (shipped by value — see _make_header_parser)

@@ -11575,16 +11575,16 @@ def q_mm_payload_dedup(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PROMOTE = [
-    "ws_ewma", "ws_holt_winters", "stream_slot_lww_state",
+    "ws_ewma", "ws_holt_winters",
     "ws_render_target",
     "doc_substring_dup_pairs",
     "stream_render_target", "ws_render_target_reduce",
-    "doc_incremental_dedup", "emb_semdedup_survivors",
+    "doc_incremental_dedup",
     "emb_covariance",
-    # round-5 rotation: the round-4 flagships (seasonal/CUSUM
-    # recurrences, the v2 curation pipeline, the PQ recall gate, the
-    # streaming max rollup) enter the driver window
-    "ws_seasonal_decompose", "ws_cusum_alarms",
+    # round-5 rotation: the round-4 flagships (the v2 curation
+    # pipeline, the PQ recall gate, the streaming max rollup) entered
+    # the driver window; their round-7 demotions (slot-LWW state,
+    # seasonal/CUSUM, SemDeDup) moved to the DEMOTE list below
     "doc_curation_pipeline_v2", "emb_pq_recall", "stream_rollup_1m_max",
     # round-6 rotation: the round-5 flagships enter the driver window —
     # the composed chained streaming render path, the carbon-aggregator
@@ -11613,6 +11613,12 @@ _DRIVER_WINDOW_PROMOTE = [
     # round 6: real FLAC decode (CRC-verified synthesized payloads);
     # real baseline JPEG decode (custom-Huffman synthesized payloads)
     "mm_decode_flac_pcm", "mm_decode_jpeg_pixels",
+    # round-7 flagships: MPEG-1 audio sample decode (Layer I exact-
+    # zero frames + Layer III silence), progressive JPEG (four-scan
+    # successive approximation), the decode-throughput gate, and the
+    # round-6 post-freeze pie-mode reducers
+    "mm_decode_mp3_samples", "mm_decode_jpeg_progressive",
+    "mm_decode_throughput", "ws_render_pie",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -11651,6 +11657,16 @@ _DRIVER_WINDOW_DEMOTE = [
     "doc_token_stats", "emb_kmeans2",
     # per-row hash split assignment — commoditized, covered by CI
     "doc_split_assign",
+    # round-7 rotation: four flagships driver-confirmed green in BOTH
+    # the r5 and r6 windows rotate out for the round-7 promotions;
+    # the slot-LWW state shape is superseded in-window by the full
+    # slot-recurrence family, the seasonal/CUSUM recurrences by the
+    # streamed EMA/Holt/integral ports, and semantic dedup stays
+    # represented by doc_incremental_dedup + the PQ/IVF recall gates
+    # (coverage contract unchanged: tests/test_demoted_window.py + the
+    # full sweep)
+    "stream_slot_lww_state", "ws_seasonal_decompose", "ws_cusum_alarms",
+    "emb_semdedup_survivors",
 ]
 
 
