@@ -629,3 +629,85 @@ def test_decode_samples_dispatches_mp3(spark):
     rows = {r["media_id"]: r for r in decode_samples(df).collect()}
     assert rows[1]["n_samples"] == 2304 and rows[1]["s_sq_sum"] == 0
     assert rows[2]["n_samples"] is None
+
+
+def l3_frame_sideinfo(gr_fields, ridx=2, bidx=3):
+    """Layer III mono frame with explicit per-granule side-info fields
+    (both granules identical): gr_fields = dict of block layout."""
+    w = BitW()
+    w.w(0, 9)   # main_data_begin
+    w.w(0, 5)   # private
+    w.w(0, 4)   # scfsi
+    for _gr in range(2):
+        w.w(0, 12)  # part2_3_length
+        w.w(0, 9)   # big_values
+        w.w(0, 8)   # global_gain
+        w.w(0, 4)   # scalefac_compress
+        wsf = gr_fields.get("wsf", 0)
+        w.w(wsf, 1)
+        if wsf:
+            w.w(gr_fields["block_type"], 2)
+            w.w(gr_fields.get("mixed", 0), 1)
+            w.w(0, 10)  # table_select x2
+            w.w(0, 9)   # subblock_gain x3
+        else:
+            w.w(0, 15)  # table_select x3
+            w.w(0, 7)   # region counts
+        w.w(0, 3)   # preflag, scalefac_scale, count1table_select
+    side = w.bytes()
+    assert len(side) == 17
+    rate = RATES[ridx]
+    flen = 144 * (None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                  160, 192, 224, 256, 320)[bidx] * 1000 // rate
+    frame = header(3, bidx, ridx, 3) + side + b"\x00" * (flen - 4 - 17)
+    return frame
+
+
+def test_layer3_short_and_mixed_blocks_silence():
+    """Round-7 review regression: block_type-2 granules used a
+    12-sample stride for the short-window overlap (out-of-range
+    broadcast -> None).  Short and mixed silence frames must decode
+    through the real 3x12 IMDCT path to exact zeros."""
+    for fields in ({"wsf": 1, "block_type": 2},
+                   {"wsf": 1, "block_type": 2, "mixed": 1},
+                   {"wsf": 1, "block_type": 1},
+                   {"wsf": 1, "block_type": 3}):
+        got = decode_mp3_samples(l3_frame_sideinfo(fields) * 2)
+        assert got is not None, fields
+        assert got["n_samples"] == 2304 and got["s_sq_sum"] == 0, fields
+
+
+def test_mixed_layer_stream_rejected():
+    """Round-7 review regression: a stream switching layer mid-way
+    (same rate/channels) is an illegal parameter change -> None."""
+    l1 = l1_frame([[0] * 32], [[0] * 32],
+                  [[[0] * 32] for _ in range(12)], bidx=1, ridx=2)
+    l3 = l3_silence_frame()
+    assert decode_mp3_samples(l1) is not None
+    assert decode_mp3_samples(l3) is not None
+    assert decode_mp3_samples(l1 + l3) is None
+    assert decode_mp3_samples(l3 + l1) is None
+
+
+def test_set_iso_windows_affects_module_decoder():
+    """Round-7 review regression: the module-level decode_mp3_samples
+    must pick up set_iso_windows() (the frozen closure used to ignore
+    it).  An all-zero synthesis window forces silent PCM from frames
+    whose codes are NOT at the zero level; clearing restores the
+    designed window."""
+    from whisper_spark.operators import mp3 as M
+
+    alloc = [[2] * 32]
+    scf = [[10] * 32]
+    codes = [[[1] * 32] for _ in range(12)]  # nonzero requant level
+    frame = l1_frame(alloc, scf, codes, bidx=14, ridx=2)
+    loud = decode_mp3_samples(frame)
+    assert loud is not None and loud["s_sq_sum"] > 0
+    try:
+        M.set_iso_windows(None, np.zeros(512))
+        silent = decode_mp3_samples(frame)
+        assert silent is not None and silent["s_sq_sum"] == 0
+    finally:
+        M.clear_iso_windows()
+    again = decode_mp3_samples(frame)
+    assert again == loud

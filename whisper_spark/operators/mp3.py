@@ -229,13 +229,18 @@ SYNTH_WINDOW_B64 = (
 )
 
 _ISO_WINDOWS: tuple[np.ndarray, np.ndarray] | None = None
+_WINDOW_EPOCH = 0  # bumped on every (un)swap; rebuilds the facade
 
 
 def set_iso_windows(analysis: "np.ndarray | None", synth: np.ndarray) -> None:
     """Swap in the ISO 11172-3 Table 3-C.1 (analysis C) / 3-B.3
     (synthesis D) coefficients for bit-conformant real-file decode.
-    ``analysis`` may be None when only decoding."""
-    global _ISO_WINDOWS
+    ``analysis`` may be None when only decoding.  Affects the
+    module-level :data:`decode_mp3_samples` immediately (it rebuilds
+    on the next call) and every decoder FACTORY invocation after this
+    call — Spark stages built afterwards (``decode_samples``) capture
+    the swapped window by value and ship it to executors."""
+    global _ISO_WINDOWS, _WINDOW_EPOCH
     a = (
         np.asarray(analysis, dtype=np.float64)
         if analysis is not None
@@ -245,6 +250,14 @@ def set_iso_windows(analysis: "np.ndarray | None", synth: np.ndarray) -> None:
     if a.shape != (512,) or d.shape != (512,):
         raise ValueError("windows must be 512-tap")
     _ISO_WINDOWS = (a, d)
+    _WINDOW_EPOCH += 1
+
+
+def clear_iso_windows() -> None:
+    """Revert to the designed substitute window pair."""
+    global _ISO_WINDOWS, _WINDOW_EPOCH
+    _ISO_WINDOWS = None
+    _WINDOW_EPOCH += 1
 
 
 def _default_windows() -> tuple[np.ndarray, np.ndarray]:
@@ -644,9 +657,11 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             X = bands[sb]
             if sb_bt == 2:
                 z = np.zeros(36)
+                # the three 12-sample short windows overlap at 6-sample
+                # offsets starting at 6: [6:18], [12:24], [18:30]
                 for w in range(3):
                     xw = IMDCT12 @ X[w::3]
-                    z[6 + 12 * w:18 + 12 * w] += xw * WIN_SHORT
+                    z[6 + 6 * w:18 + 6 * w] += xw * WIN_SHORT
                 y = z
             else:
                 y = IMDCT36 @ X
@@ -706,7 +721,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                 sz = (sz << 7) | b
             off = 10 + sz
         frames = []
-        rate = nch = None
+        rate = nch = layer = None
         reservoir = b""
         l3_prev = None
         while off < len(p):
@@ -716,8 +731,9 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             if hdr is None:
                 raise ValueError("bad frame header")
             if rate is None:
-                rate, nch = hdr["rate"], hdr["nch"]
-            elif rate != hdr["rate"] or nch != hdr["nch"]:
+                rate, nch, layer = hdr["rate"], hdr["nch"], hdr["layer"]
+            elif (rate != hdr["rate"] or nch != hdr["nch"]
+                  or layer != hdr["layer"]):
                 raise ValueError("stream parameter change")
             frame = p[off:off + hdr["frame_len"]]
             if len(frame) < hdr["frame_len"]:
@@ -809,5 +825,31 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
     return decode_mp3
 
 
-#: module-level instance for unit tests (Spark tasks closure-build)
-decode_mp3_samples = _make_mp3_sample_decoder()
+class _Mp3DecoderFacade:
+    """Callable module-level decoder that rebuilds itself whenever
+    :func:`set_iso_windows` / :func:`clear_iso_windows` changes the
+    window state (a plain ``_make_mp3_sample_decoder()`` instance
+    captures the window at build time, so a frozen instance would
+    silently ignore the swap — a round-7 review finding).  Attribute
+    access (the test hooks) delegates to the current build."""
+
+    def __init__(self):
+        self._fn = None
+        self._epoch = -1
+
+    def _inner(self):
+        if self._fn is None or self._epoch != _WINDOW_EPOCH:
+            self._fn = _make_mp3_sample_decoder()
+            self._epoch = _WINDOW_EPOCH
+        return self._fn
+
+    def __call__(self, p):
+        return self._inner()(p)
+
+    def __getattr__(self, name):
+        return getattr(self._inner(), name)
+
+
+#: module-level instance for unit tests (Spark tasks closure-build via
+#: the factory, capturing the window state at stage-build time)
+decode_mp3_samples = _Mp3DecoderFacade()

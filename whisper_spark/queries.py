@@ -2863,6 +2863,34 @@ def q_mm_decode_wav_pcm(spark, sf_dir):
     )
 
 
+def _jpeg_seg(m: int, payload: bytes) -> bytes:
+    import struct
+
+    return (
+        b"\xff" + bytes([m]) + struct.pack(">H", len(payload) + 2) + payload
+    )
+
+
+def _jpeg_oracle_prefix(sof_marker: int, width: int, ac_vals: bytes) -> bytes:
+    """Shared synthesized-JPEG prefix for the mm_decode_* oracles: SOI
+    + all-ones DQT + 8-high grayscale SOF + the 4-bit-pinned DC DHT
+    (12 codes) + a 4-bit AC DHT holding ``ac_vals`` (EOB-family codes).
+    One copy so the three JPEG oracles cannot drift apart."""
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + _jpeg_seg(sof_marker,
+                    struct.pack(">BHHB", 8, 8, width, 1)
+                    + bytes([1, 0x11, 0]))
+        + _jpeg_seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+                    + bytes(range(12)))
+        + _jpeg_seg(0xC4, bytes([0x10])
+                    + bytes([0, 0, 0, len(ac_vals)] + [0] * 12) + ac_vals)
+    )
+
+
 @_q(
     "mm_decode_jpeg_pixels",
     """
@@ -2906,24 +2934,9 @@ def q_mm_decode_jpeg_pixels(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
 
-    def seg(m, payload):
-        import struct as _s
-
-        return (
-            b"\xff" + bytes([m]) + _s.pack(">H", len(payload) + 2) + payload
-        )
-
-    import struct
-
     prefix = (
-        b"\xff\xd8"
-        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))   # all-ones DQT
-        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
-        + seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
-              + bytes(range(12)))                      # DC: 12 4-bit codes
-        + seg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 1] + [0] * 12)
-              + bytes([0x00]))                         # AC: EOB only
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        _jpeg_oracle_prefix(0xC0, 16, b"\x00")        # AC: EOB only
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     )
     # entropy: [code4(cat8) | dc>>4, (dc&15)<<4 | code4(EOB)] per block;
     # category-8 code = 8, EOB code = 0 -> 2 bytes per block, stuffing-
@@ -3170,24 +3183,8 @@ def q_mm_decode_jpeg_progressive(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
 
-    def seg(m, payload):
-        import struct as _s
-
-        return (
-            b"\xff" + bytes([m]) + _s.pack(">H", len(payload) + 2) + payload
-        )
-
-    import struct
-
-    prefix = (
-        b"\xff\xd8"
-        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))   # all-ones DQT
-        + seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
-        + seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
-              + bytes(range(12)))                      # DC: 12 4-bit codes
-        + seg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 2] + [0] * 12)
-              + bytes([0x00, 0x10]))                   # AC: EOB0, EOB1
-    )
+    prefix = _jpeg_oracle_prefix(0xC2, 16, b"\x00\x10")  # AC: EOB0, EOB1
+    seg = _jpeg_seg
     sos_dc1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))   # Ah=0 Al=1
     sos_dcr = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))   # Ah=1 Al=0
     sos_ac1 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))  # Ah=0 Al=1
@@ -3277,24 +3274,9 @@ def q_mm_decode_throughput(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def seg(m, payload):
-        import struct as _s
-
-        return (
-            b"\xff" + bytes([m]) + _s.pack(">H", len(payload) + 2) + payload
-        )
-
-    import struct
-
     prefix = (
-        b"\xff\xd8"
-        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))   # all-ones DQT
-        + seg(0xC0, struct.pack(">BHHB", 8, 8, 512, 1) + bytes([1, 0x11, 0]))
-        + seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
-              + bytes(range(12)))                      # DC: 12 4-bit codes
-        + seg(0xC4, bytes([0x10]) + bytes([0, 0, 0, 1] + [0] * 12)
-              + bytes([0x00]))                         # AC: EOB only
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        _jpeg_oracle_prefix(0xC0, 512, b"\x00")       # AC: EOB only
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     )
     # entropy: block 1 = cat-8 DC (2 bytes, nibble-aligned as in
     # mm_decode_jpeg_pixels), blocks 2..64 = cat-0 diff + EOB = 0x00
