@@ -711,3 +711,523 @@ def test_set_iso_windows_affects_module_decoder():
         M.clear_iso_windows()
     again = decode_mp3_samples(frame)
     assert again == loud
+
+
+# ------------------------------------------------------------------ #
+# Layer III nonzero spectra: self-consistent tables + independent
+# encoder + independent reference pipeline (the Annex-B table VALUES
+# are injectable data; the MACHINERY under test is the decoder's)
+# ------------------------------------------------------------------ #
+
+
+def _l3_test_tables():
+    # big-value tables: complete 8-bit code over all 256 (x, y) pairs;
+    # table 2 adds 3 linbits (x/y == 15 escapes extend by 0..7)
+    t1 = {(8, (x << 4) | y): (x, y) for x in range(16) for y in range(16)}
+    huff = {1: (t1, 0), 2: (dict(t1), 3)}
+    c1 = {(4, i): ((i >> 3) & 1, (i >> 2) & 1, (i >> 1) & 1, i & 1)
+          for i in range(16)}
+    bl = [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 80, 96, 114,
+          136, 162, 194, 232, 278, 332, 394, 576]
+    bs = [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 102, 128, 158, 192]
+    pretab = [0] * 11 + [1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+    return {
+        "huffman": huff,
+        "count1": {0: c1, 1: c1},
+        "sfb_long": {32000: bl},
+        "sfb_short": {32000: bs},
+        "pretab": pretab,
+    }
+
+
+_BL = _l3_test_tables()["sfb_long"][32000]
+_BS = _l3_test_tables()["sfb_short"][32000]
+_PRETAB = _l3_test_tables()["pretab"]
+
+
+def _g(**kw):
+    g = {
+        "bt": 0, "mixed": 0, "wsf": 0, "global_gain": 210,
+        "scalefac_compress": 13, "scalefac_scale": 0, "preflag": 0,
+        "subblock_gain": (0, 0, 0), "table_select": (1, 1, 1),
+        "region0_count": 7, "region1_count": 7,
+        "count1table_select": 0,
+        "spectrum": [0] * 576, "big_values": 0,
+        "scf_l": [0] * 22, "scf_s": [[0] * 3 for _ in range(13)],
+        "cut_bits": 0,  # shrink part2_3_length (overshoot tests)
+    }
+    g.update(kw)
+    return g
+
+
+def _l3_granule_bits(g, gr, scfsi_ch, gr0_scf):
+    """Independent main-data bit writer for one granule: stored
+    scalefactors + region-selected Huffman pairs + count1 quads."""
+    w = BitW()
+    from whisper_spark.operators.mp3 import _make_mp3_sample_decoder  # noqa
+    SLEN = ((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
+            (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3),
+            (4, 2), (4, 3))
+    slen1, slen2 = SLEN[g["scalefac_compress"]]
+    if g["wsf"] and g["bt"] == 2:
+        if g["mixed"]:
+            for sfb in range(8):
+                w.w(g["scf_l"][sfb], slen1)
+            for sfb in range(3, 6):
+                for win in range(3):
+                    w.w(g["scf_s"][sfb][win], slen1)
+            for sfb in range(6, 12):
+                for win in range(3):
+                    w.w(g["scf_s"][sfb][win], slen2)
+        else:
+            for sfb in range(6):
+                for win in range(3):
+                    w.w(g["scf_s"][sfb][win], slen1)
+            for sfb in range(6, 12):
+                for win in range(3):
+                    w.w(g["scf_s"][sfb][win], slen2)
+    else:
+        groups = [(range(0, 6), slen1), (range(6, 11), slen1),
+                  (range(11, 16), slen2), (range(16, 21), slen2)]
+        for gi, (band_range, slen) in enumerate(groups):
+            if gr == 1 and scfsi_ch[gi]:
+                continue
+            for sfb in band_range:
+                w.w(g["scf_l"][sfb], slen)
+    # huffman pairs
+    tabs = _l3_test_tables()
+    sp = g["spectrum"]
+    if g["wsf"]:
+        r0_end, r1_end = 36, 576
+    else:
+        r0 = min(g["region0_count"] + 1, 22)
+        r1 = min(g["region0_count"] + 1 + g["region1_count"] + 1, 22)
+        r0_end, r1_end = _BL[r0], _BL[r1]
+    for pos in range(0, g["big_values"] * 2, 2):
+        region = 0 if pos < r0_end else (1 if pos < r1_end else 2)
+        tid = g["table_select"][region]
+        if tid == 0:
+            assert sp[pos] == 0 and sp[pos + 1] == 0
+            continue
+        codes, linbits = tabs["huffman"][tid]
+        inv = {v: k for k, v in codes.items()}
+        a, b = sp[pos], sp[pos + 1]
+        ca = min(abs(a), 15)
+        cb = min(abs(b), 15)
+        ln, code = inv[(ca, cb)]
+        w.w(code, ln)
+        for v, c in ((a, ca), (b, cb)):
+            if c == 15 and linbits:
+                assert 0 <= abs(v) - 15 < (1 << linbits)
+                w.w(abs(v) - 15, linbits)
+            if v:
+                w.w(1 if v < 0 else 0, 1)
+    # count1 quads: cover every remaining nonzero (|v| == 1)
+    idx = g["big_values"] * 2
+    last_nz = max((i for i in range(idx, 576) if sp[i]), default=idx - 1)
+    c1 = tabs["count1"][g["count1table_select"]]
+    inv1 = {v: k for k, v in c1.items()}
+    while idx <= last_nz:
+        quad = tuple(abs(sp[idx + j]) for j in range(4))
+        assert all(q <= 1 for q in quad)
+        ln, code = inv1[quad]
+        w.w(code, ln)
+        for j in range(4):
+            if sp[idx + j]:
+                w.w(1 if sp[idx + j] < 0 else 0, 1)
+        idx += 4
+    return w.bits
+
+
+def _l3_encode_frames(frame_specs, mode=3, mode_ext=0, bidx=14,
+                      spill=0, scfsi=None):
+    """Independent Layer III frame assembler.  frame_specs: list of
+    [granule0_chs, granule1_chs] (each a list of _g dicts per channel).
+    ``spill`` > 0 exercises the bit reservoir: the first ``spill``
+    bytes of every non-first frame's main data ride in the previous
+    frame's tail, addressed via main_data_begin."""
+    nch = 1 if mode == 3 else 2
+    scfsi = scfsi or [[0] * 4 for _ in range(nch)]
+    n = len(frame_specs)
+    raw = []
+    lens = []
+    for spec in frame_specs:
+        w = BitW()
+        ln = []
+        for gr in range(2):
+            for ch in range(nch):
+                g = spec[gr][ch]
+                sc = scfsi[ch] if gr == 1 else [0] * 4
+                bits = _l3_granule_bits(g, gr, sc, spec[0][ch]["scf_l"])
+                if g["cut_bits"]:
+                    bits = bits[:len(bits) - g["cut_bits"]]
+                ln.append(len(bits))
+                w.bits.extend(bits)
+        raw.append(w.bytes())
+        lens.append(ln)
+    rate = RATES[2]
+    flen = 144 * (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                  192, 224, 256, 320)[bidx] * 1000 // rate
+    side_len = 17 if nch == 1 else 32
+    cap = flen - 4 - side_len
+    # the reservoir is the unused TAIL of a frame's main region: pad
+    # between a frame's own data and the next frame's spilled bytes so
+    # reservoir[-main_data_begin:] addresses them
+    regions = []
+    for i in range(n):
+        own = raw[i][spill if i > 0 else 0:]
+        nxt = raw[i + 1][:spill] if spill and i + 1 < n else b""
+        pad = cap - len(own) - len(nxt)
+        assert pad >= 0, "frame overflow"
+        regions.append(own + b"\x00" * pad + nxt)
+    out = b""
+    for i, spec in enumerate(frame_specs):
+        w = BitW()
+        w.w(spill if i > 0 else 0, 9)  # main_data_begin
+        w.w(0, 5 if nch == 1 else 3)
+        for ch in range(nch):
+            for b in scfsi[ch]:
+                w.w(b, 1)
+        for gr in range(2):
+            for ch in range(nch):
+                g = spec[gr][ch]
+                w.w(lens[i][gr * nch + ch], 12)
+                w.w(g["big_values"], 9)
+                w.w(g["global_gain"], 8)
+                w.w(g["scalefac_compress"], 4)
+                w.w(g["wsf"], 1)
+                if g["wsf"]:
+                    w.w(g["bt"], 2)
+                    w.w(g["mixed"], 1)
+                    w.w(g["table_select"][0], 5)
+                    w.w(g["table_select"][1], 5)
+                    for sb in g["subblock_gain"]:
+                        w.w(sb, 3)
+                else:
+                    for t in g["table_select"]:
+                        w.w(t, 5)
+                    w.w(g["region0_count"], 4)
+                    w.w(g["region1_count"], 3)
+                w.w(g["preflag"], 1)
+                w.w(g["scalefac_scale"], 1)
+                w.w(g["count1table_select"], 1)
+        side = w.bytes()
+        assert len(side) == side_len
+        body = regions[i]
+        assert len(body) <= cap, "frame overflow"
+        out += header(3, bidx, 2, mode, mode_ext) + side + body \
+            + b"\x00" * (cap - len(body))
+    return out
+
+
+def _ref_xr(g):
+    """Independent requantization (gain ladder + preflag + short-block
+    reorder from huffman order to line-interleaved order)."""
+    sp = g["spectrum"]
+    xr = np.zeros(576)
+    gg = g["global_gain"]
+    mult = 0.5 * (g["scalefac_scale"] + 1)
+    short = g["wsf"] and g["bt"] == 2
+    nlong = 576 if not short else (36 if g["mixed"] else 0)
+    sfb = 0
+    for i in range(nlong):
+        while sfb < 22 and i >= _BL[sfb + 1]:
+            sfb += 1
+        v = sp[i]
+        if v:
+            sc = g["scf_l"][sfb] + (_PRETAB[sfb] if g["preflag"] else 0)
+            xr[i] = ((1 if v > 0 else -1) * abs(v) ** (4.0 / 3.0)
+                     * 2.0 ** (0.25 * (gg - 210) - mult * sc))
+    if short:
+        s0 = next(s for s in range(13) if _BS[s] * 3 == nlong)
+        src = nlong
+        for s in range(s0, 13):
+            width = _BS[s + 1] - _BS[s]
+            for win in range(3):
+                gain = 2.0 ** (
+                    0.25 * (gg - 210 - 8 * g["subblock_gain"][win])
+                    - mult * g["scf_s"][min(s, 12)][win])
+                for i in range(width):
+                    v = sp[src]
+                    src += 1
+                    if v:
+                        xr[3 * (_BS[s] + i) + win] = (
+                            (1 if v > 0 else -1)
+                            * abs(v) ** (4.0 / 3.0) * gain)
+    return xr
+
+
+_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+
+
+def _ref_granule_groups(g, xr, prev):
+    """Independent alias butterflies, direct-form IMDCT (36 and 3x12),
+    block windows, overlap-add, frequency inversion."""
+    bt = g["bt"] if g["wsf"] else 0
+    bands = xr.reshape(32, 18).copy()
+    cs = [1 / np.sqrt(1 + c * c) for c in _CI]
+    ca = [c / np.sqrt(1 + c * c) for c in _CI]
+    if bt != 2 or g["mixed"]:
+        limit = 1 if (bt == 2 and g["mixed"]) else 31
+        for sb in range(limit):
+            for i in range(8):
+                a = bands[sb, 17 - i]
+                b = bands[sb + 1, i]
+                bands[sb, 17 - i] = a * cs[i] - b * ca[i]
+                bands[sb + 1, i] = b * cs[i] + a * ca[i]
+    out = np.zeros((18, 32))
+    i36 = np.arange(36)
+    for sb in range(32):
+        sbt = 0 if (g["mixed"] and sb < 2) else bt
+        X = bands[sb]
+        if sbt == 2:
+            z = np.zeros(36)
+            for w in range(3):
+                xw = np.array([
+                    sum(X[3 * k + w]
+                        * np.cos(np.pi / 24 * (2 * i + 1 + 6) * (2 * k + 1))
+                        for k in range(6))
+                    for i in range(12)
+                ])
+                z[6 + 6 * w:18 + 6 * w] += (
+                    xw * np.sin(np.pi / 12 * (np.arange(12) + 0.5)))
+            y = z
+        else:
+            y = np.array([
+                sum(X[k]
+                    * np.cos(np.pi / 72 * (2 * i + 1 + 18) * (2 * k + 1))
+                    for k in range(18))
+                for i in range(36)
+            ])
+            if sbt == 0:
+                y = y * np.sin(np.pi / 36 * (i36 + 0.5))
+            elif sbt == 1:
+                w_ = np.concatenate([
+                    np.sin(np.pi / 36 * (np.arange(18) + 0.5)),
+                    np.ones(6),
+                    np.sin(np.pi / 12 * (np.arange(6) + 6.5)),
+                    np.zeros(6)])
+                y = y * w_
+            else:
+                w_ = np.concatenate([
+                    np.zeros(6),
+                    np.sin(np.pi / 12 * (np.arange(6) + 0.5)),
+                    np.ones(6),
+                    np.sin(np.pi / 36 * (np.arange(18, 36) + 0.5))])
+                y = y * w_
+        out[:, sb] = y[:18] + prev[sb]
+        prev[sb] = y[18:]
+        if sb & 1:
+            out[1::2, sb] = -out[1::2, sb]
+    return out
+
+
+def _ref_frames(frame_specs, nch=1, ms=False):
+    prev = np.zeros((nch, 32, 18))
+    outs = []
+    for spec in frame_specs:
+        groups = np.zeros((36, nch, 32))
+        for gr in range(2):
+            xrs = [_ref_xr(spec[gr][ch]) for ch in range(nch)]
+            if ms and any(x.any() for x in xrs):
+                m, s_ = xrs
+                xrs = [(m + s_) / np.sqrt(2.0), (m - s_) / np.sqrt(2.0)]
+            for ch in range(nch):
+                groups[18 * gr:18 * gr + 18, ch, :] = _ref_granule_groups(
+                    spec[gr][ch], xrs[ch], prev[ch])
+        outs.append(groups)
+    return outs
+
+
+def _with_l3_tables(fn):
+    from whisper_spark.operators import mp3 as M
+
+    def run():
+        M.set_l3_tables(**_l3_test_tables())
+        try:
+            fn()
+        finally:
+            M.clear_l3_tables()
+    return run
+
+
+def _rand_long_granule(rng, with_linbits=True, count1_quads=6,
+                       preflag=0, scale=0, gg=210, scf_hi=4):
+    g = _g(global_gain=gg, scalefac_scale=scale, preflag=preflag,
+           table_select=(1, 2 if with_linbits else 1, 1),
+           region0_count=7, region1_count=7)
+    sp = g["spectrum"]
+    bv = 40  # 80 big-value lines: region0 (<36, t1) + region1 (t2)
+    for i in range(36):
+        sp[i] = int(rng.integers(-15, 16))
+    for i in range(36, 80):
+        sp[i] = int(rng.integers(-22, 23)) if with_linbits \
+            else int(rng.integers(-15, 16))
+    for q in range(count1_quads):
+        for j in range(4):
+            sp[80 + 4 * q + j] = int(rng.integers(-1, 2))
+    g["big_values"] = bv
+    g["scf_l"] = [int(rng.integers(0, scf_hi)) for _ in range(22)]
+    return g
+
+
+def test_l3_nonzero_long_blocks_round_trip():
+    @_with_l3_tables
+    def run():
+        rng = np.random.default_rng(31)
+        specs = [
+            [[_rand_long_granule(rng)], [_rand_long_granule(
+                rng, preflag=1, scale=1, gg=214)]],
+            [[_rand_long_granule(rng, with_linbits=False)],
+             [_rand_long_granule(rng, count1_quads=0)]],
+        ]
+        stream = _l3_encode_frames(specs)
+        rate, nch, frames = decode_mp3_samples._decode_frames(stream)
+        assert (rate, nch, len(frames)) == (32000, 1, 2)
+        want = _ref_frames(specs)
+        for got, ref in zip(frames, want):
+            assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
+        assert any(f.any() for f in frames)  # genuinely nonzero audio
+    run()
+
+
+def test_l3_short_mixed_blocks_round_trip():
+    @_with_l3_tables
+    def run():
+        rng = np.random.default_rng(33)
+        short = _g(wsf=1, bt=2, mixed=0, table_select=(1, 1),
+                   subblock_gain=(0, 1, 2), global_gain=212)
+        for i in range(60):
+            short["spectrum"][i] = int(rng.integers(-15, 16))
+        short["big_values"] = 30
+        short["scf_s"] = [[int(rng.integers(0, 4)) for _ in range(3)]
+                          for _ in range(13)]
+        mixed = _g(wsf=1, bt=2, mixed=1, table_select=(1, 1),
+                   subblock_gain=(1, 0, 0))
+        for i in range(70):
+            mixed["spectrum"][i] = int(rng.integers(-15, 16))
+        mixed["big_values"] = 35
+        mixed["scf_l"] = [int(rng.integers(0, 4))] * 8 + [0] * 14
+        mixed["scf_s"] = [[int(rng.integers(0, 4)) for _ in range(3)]
+                          for _ in range(13)]
+        start = _g(wsf=1, bt=1, table_select=(1, 1))
+        for i in range(40):
+            start["spectrum"][i] = int(rng.integers(-15, 16))
+        start["big_values"] = 20
+        stop = _g(wsf=1, bt=3, table_select=(1, 1))
+        for i in range(40):
+            stop["spectrum"][i] = int(rng.integers(-15, 16))
+        stop["big_values"] = 20
+        specs = [[[start], [short]], [[mixed], [stop]]]
+        stream = _l3_encode_frames(specs)
+        rate, nch, frames = decode_mp3_samples._decode_frames(stream)
+        want = _ref_frames(specs)
+        for got, ref in zip(frames, want):
+            assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
+    run()
+
+
+def test_l3_ms_stereo_round_trip():
+    @_with_l3_tables
+    def run():
+        rng = np.random.default_rng(35)
+        specs = [[
+            [_rand_long_granule(rng), _rand_long_granule(rng)],
+            [_rand_long_granule(rng), _rand_long_granule(rng)],
+        ]]
+        stream = _l3_encode_frames(specs, mode=1, mode_ext=2)
+        rate, nch, frames = decode_mp3_samples._decode_frames(stream)
+        assert nch == 2
+        want = _ref_frames(specs, nch=2, ms=True)
+        assert np.allclose(frames[0], want[0], rtol=1e-9, atol=1e-9)
+        # plain stereo (mode 0): no matrix
+        stream2 = _l3_encode_frames(specs, mode=0)
+        _r, _n, frames2 = decode_mp3_samples._decode_frames(stream2)
+        want2 = _ref_frames(specs, nch=2, ms=False)
+        assert np.allclose(frames2[0], want2[0], rtol=1e-9, atol=1e-9)
+    run()
+
+
+def test_l3_scfsi_reuse():
+    @_with_l3_tables
+    def run():
+        rng = np.random.default_rng(37)
+        g0 = _rand_long_granule(rng)
+        g1 = _rand_long_granule(rng)
+        scfsi = [[1, 0, 1, 0]]
+        # reused groups (bands 0-5, 11-15) must carry granule 0's
+        # values; the encoder does not transmit them
+        for sfb in list(range(0, 6)) + list(range(11, 16)):
+            g1["scf_l"][sfb] = g0["scf_l"][sfb]
+        specs = [[[g0], [g1]]]
+        stream = _l3_encode_frames(specs, scfsi=scfsi)
+        _r, _n, frames = decode_mp3_samples._decode_frames(stream)
+        want = _ref_frames(specs)
+        assert np.allclose(frames[0], want[0], rtol=1e-9, atol=1e-9)
+    run()
+
+
+def test_l3_bit_reservoir_spill():
+    @_with_l3_tables
+    def run():
+        rng = np.random.default_rng(39)
+        specs = [
+            [[_rand_long_granule(rng)], [_rand_long_granule(rng)]],
+            [[_rand_long_granule(rng)], [_rand_long_granule(rng)]],
+            [[_rand_long_granule(rng)], [_rand_long_granule(rng)]],
+        ]
+        plain = _l3_encode_frames([list(map(list, f)) for f in specs])
+        spilled = _l3_encode_frames(
+            [list(map(list, f)) for f in specs], spill=40)
+        _r, _n, f_plain = decode_mp3_samples._decode_frames(plain)
+        _r, _n, f_spill = decode_mp3_samples._decode_frames(spilled)
+        for a, b in zip(f_plain, f_spill):
+            assert np.array_equal(a, b)  # reservoir is bit-transparent
+        want = _ref_frames(specs)
+        for got, ref in zip(f_spill, want):
+            assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
+    run()
+
+
+def test_l3_count1_overshoot_discarded():
+    @_with_l3_tables
+    def run():
+        rng = np.random.default_rng(41)
+        g = _rand_long_granule(rng, count1_quads=5)
+        g["cut_bits"] = 3  # slices into the last quad's code/signs
+        expect = _g(**{**g, "spectrum": list(g["spectrum"])})
+        # the overrun quad is discarded: its 4 lines decode to zero
+        last_q = 80 + 4 * 4
+        for j in range(4):
+            expect["spectrum"][last_q + j] = 0
+        specs = [[[g], [_g()]]]
+        stream = _l3_encode_frames(specs)
+        _r, _n, frames = decode_mp3_samples._decode_frames(stream)
+        want = _ref_frames([[[expect], [_g()]]])
+        assert np.allclose(frames[0], want[0], rtol=1e-9, atol=1e-9)
+    run()
+
+
+def test_l3_nonzero_gates():
+    from whisper_spark.operators import mp3 as M
+
+    rng = np.random.default_rng(43)
+    specs = [[[_rand_long_granule(rng)], [_g()]]]
+    stream = _l3_encode_frames([list(map(list, f)) for f in specs])
+    # without tables: nonzero spectra stay gated (silence still works)
+    assert decode_mp3_samples(stream) is None
+    M.set_l3_tables(**_l3_test_tables())
+    try:
+        got = decode_mp3_samples(stream)
+        assert got is not None and got["s_sq_sum"] > 0
+        # intensity stereo (mode_ext bit 0) with nonzero spectra: gated
+        st = [[
+            [_rand_long_granule(rng), _rand_long_granule(rng)],
+            [_g(), _g()],
+        ]]
+        iis = _l3_encode_frames(st, mode=1, mode_ext=1)
+        assert decode_mp3_samples(iis) is None
+        ok = _l3_encode_frames(st, mode=1, mode_ext=2)
+        assert decode_mp3_samples(ok) is not None
+    finally:
+        M.clear_l3_tables()

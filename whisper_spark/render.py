@@ -376,6 +376,14 @@ def _moving_median_expr(n: int):
 
 
 def _sw(n: int | None = None):
+    """Per-series sliding row frame.  When the input is a COMBINED
+    series (post-sumSeries/asPercent the metric key is a literal and
+    Catalyst folds the partition away), this window runs on one
+    partition — deliberately accepted: a render timeline is bounded by
+    time-range/step (graphite's maxDataPoints contract), so the frame
+    is render-bounded like the capped series ranks, NOT
+    corpus-proportional.  Per-metric inputs keep the metric partition
+    and parallelize across series as usual."""
     w = Window.partitionBy("metric").orderBy("ts")
     return w.rowsBetween(-(n - 1), 0) if n else w
 
