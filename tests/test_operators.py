@@ -519,6 +519,8 @@ def test_substring_dedup_window_pairs_and_keep_rule(spark):
 
 def test_parse_media_header_audio_formats():
     """Round-4 formats: FLAC STREAMINFO, MP3 (bare + ID3v2-tagged), Ogg."""
+    import struct
+
     from whisper_spark.operators.multimodal import parse_media_header as p
 
     # FLAC: 44100 Hz, 441000 total samples -> 10 s
@@ -547,6 +549,39 @@ def test_parse_media_header_audio_formats():
     ogg = b"OggS" + b"\x00" * 20
     assert p(ogg) == {"mime": "application/ogg", "width": None,
                       "height": None, "duration_ms": None}
+
+    # Ogg/Vorbis: ident packet on page 0, duration from the LAST
+    # page's granule position (PCM samples / rate)
+    def ogg_page(payload, granule, seq, htype=0):
+        lace = bytes([255] * (len(payload) // 255) + [len(payload) % 255])
+        return (b"OggS" + bytes([0, htype])
+                + struct.pack("<q", granule)
+                + struct.pack("<II", 1, seq) + b"\x00" * 4
+                + bytes([len(lace)]) + lace + payload)
+
+    vorbis_id = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+                 + struct.pack("<I", 44100) + b"\x00" * 12)
+    stream = (ogg_page(vorbis_id, 0, 0, 2)
+              + ogg_page(b"\xffaudio-ish", 44100 * 3, 1, 4))
+    got = p(stream)
+    assert got["mime"] == "audio/ogg" and got["duration_ms"] == 3000
+
+    # Ogg/Opus: 48 kHz granule clock minus pre-skip
+    opus_id = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+               + struct.pack("<I", 48000) + b"\x00" * 3)
+    stream = (ogg_page(opus_id, 0, 0, 2)
+              + ogg_page(b"opus-data", 48000 + 312, 1, 4))
+    got = p(stream)
+    assert got["mime"] == "audio/ogg" and got["duration_ms"] == 1000
+
+    # Ogg/Theora: picture dimensions from the ident header
+    theora_id = (b"\x80theora" + bytes([3, 2, 1])
+                 + struct.pack(">HH", 40, 30)
+                 + (640).to_bytes(3, "big") + (480).to_bytes(3, "big")
+                 + b"\x00" * 10)
+    got = p(ogg_page(theora_id, 0, 0, 2))
+    assert got["mime"] == "video/ogg" and (got["width"], got["height"]) \
+        == (640, 480) and got["duration_ms"] is None
 
     # free-format / bad bitrate index -> recognized, no duration
     bad = bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 100
@@ -2486,3 +2521,109 @@ def test_exact_kth_smallest_all_equal_and_errors(spark):
         [(None,), (2.0,), (1.0,), (None,), (3.0,)], "score double"
     )
     assert exact_kth_smallest(dfn, "score", 2) == 2.0
+
+
+def _avi_mjpeg(frames, fps_rate=25, fps_scale=1, handler=b"MJPG",
+               compression=b"MJPG", total=None):
+    """INDEPENDENT AVI/MJPEG container writer: RIFF/LIST layout with
+    avih + vids strh/strf and word-aligned 00dc frame chunks — the
+    verification direction for decode_mjpeg_frames."""
+    import struct
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I", 1000000 // max(fps_rate, 1), 0, 0, 0,
+        total if total is not None else len(frames), 0, 1, 0, 64, 48,
+    ) + b"\x00" * 16
+    strh = (b"vids" + handler + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            fps_scale, fps_rate, 0,
+                                            len(frames), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, 64, 48))
+    strf = struct.pack("<IiiHH4sIiiII", 40, 64, 48, 1, 24, compression,
+                       0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_mjpeg_video_decoder_against_independent_container():
+    """AVI/MJPEG end-to-end: an independently written RIFF container
+    around independently encoded JPEG frames must aggregate to exactly
+    the per-frame expected stats (every frame runs the full JPEG
+    pipeline); fps comes from the strh rate/scale fraction."""
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_mjpeg_frames
+
+    encode, expected_stats = _jpeg_encoder_env()
+    rng = np.random.RandomState(7)
+    frames, exps = [], []
+    for i in range(5):
+        planes = [rng.randint(0, 256, (24, 16)).astype(float)]
+        jp, qb = encode(planes, 24, 16, [(1, 1)], [_JPEG_QL])
+        frames.append(jp)
+        exps.append(expected_stats(qb, [(1, 1)], [_JPEG_QL], 24, 16, 1))
+    avi = _avi_mjpeg(frames, fps_rate=30000, fps_scale=1001)
+    got = decode_mjpeg_frames(avi)
+    assert got is not None
+    assert (got["width"], got["height"], got["channels"]) == (16, 24, 1)
+    assert got["n_frames"] == 5
+    assert got["fps"] == 30000 / 1001
+    assert got["n_pixels"] == sum(e["n_pixels"] for e in exps)
+    assert got["px_sum"] == sum(e["px_sum"] for e in exps)
+    assert got["px_min"] == min(e["px_min"] for e in exps)
+    assert got["px_max"] == max(e["px_max"] for e in exps)
+    assert got["px_mean"] == got["px_sum"] / got["n_pixels"]
+
+
+def test_mjpeg_video_decoder_rejects():
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_mjpeg_frames
+
+    encode, _ = _jpeg_encoder_env()
+    rng = np.random.RandomState(8)
+    jp, _qb = encode([rng.randint(0, 256, (16, 16)).astype(float)],
+                     16, 16, [(1, 1)], [_JPEG_QL])
+    jp2, _qb2 = encode([rng.randint(0, 256, (24, 24)).astype(float)],
+                       24, 24, [(1, 1)], [_JPEG_QL])
+    good = _avi_mjpeg([jp, jp])
+    assert decode_mjpeg_frames(good) is not None
+    assert decode_mjpeg_frames(None) is None
+    assert decode_mjpeg_frames(good[:-10]) is None          # truncated
+    assert decode_mjpeg_frames(
+        _avi_mjpeg([jp], handler=b"H264", compression=b"H264")) is None
+    assert decode_mjpeg_frames(_avi_mjpeg([])) is None      # no frames
+    assert decode_mjpeg_frames(_avi_mjpeg([jp, jp2])) is None  # geometry
+    assert decode_mjpeg_frames(
+        _avi_mjpeg([jp[:40]])) is None                      # bad frame
+    not_avi = b"RIFF" + (4).to_bytes(4, "little") + b"WAVE"
+    assert decode_mjpeg_frames(not_avi) is None
+
+
+def test_decode_video_frames_stage(spark):
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_video_frames
+
+    encode, _ = _jpeg_encoder_env()
+    rng = np.random.RandomState(9)
+    jp, _qb = encode([rng.randint(0, 256, (8, 8)).astype(float)],
+                     8, 8, [(1, 1)], [_JPEG_QL])
+    df = spark.createDataFrame(
+        [(1, bytearray(_avi_mjpeg([jp, jp, jp]))),
+         (2, bytearray(b"not a video"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_video_frames(df).collect()}
+    assert rows[1]["n_frames"] == 3 and rows[1]["n_pixels"] == 192
+    assert rows[2]["n_frames"] is None

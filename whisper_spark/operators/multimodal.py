@@ -168,12 +168,46 @@ def _make_header_parser() -> Callable[[bytes], dict | None]:
                 # tagged but the audio frame is beyond this payload
                 return {"mime": "audio/mpeg", "width": None, "height": None,
                         "duration_ms": None}
-        # Ogg container (Vorbis/Opus/Theora): magic only — duration needs
-        # the last page's granule position, i.e. a tail scan the
-        # header-parse contract doesn't cover
+        # Ogg container: parse the first page's identification packet
+        # (Vorbis / Opus / Theora) for rate and dimensions, and the
+        # LAST page's granule position for duration (Vorbis granules
+        # are PCM samples; Opus granules tick at 48 kHz minus the
+        # pre-skip; Theora granules need the keyframe-shift split, so
+        # its duration stays None)
         if n >= 4 and p[:4] == b"OggS":
-            return {"mime": "application/ogg", "width": None, "height": None,
-                    "duration_ms": None}
+            nseg = p[26] if n >= 27 else 0
+            o = 27 + nseg
+            mime, rate, preskip = "application/ogg", None, 0
+            w = h = None
+            kind = None
+            if p[o:o + 7] == b"\x01vorbis" and o + 16 <= n:
+                kind, mime = "vorbis", "audio/ogg"
+                (rate,) = struct.unpack("<I", p[o + 12:o + 16])
+            elif p[o:o + 8] == b"OpusHead" and o + 12 <= n:
+                kind, mime = "opus", "audio/ogg"
+                (preskip,) = struct.unpack("<H", p[o + 10:o + 12])
+                rate = 48000  # the Opus granule clock, always
+            elif p[o:o + 7] == b"\x80theora" and o + 20 <= n:
+                mime = "video/ogg"
+                w = int.from_bytes(p[o + 14:o + 17], "big")
+                h = int.from_bytes(p[o + 17:o + 20], "big")
+            dur = None
+            if kind is not None and rate:
+                i = n
+                while True:
+                    i = p.rfind(b"OggS", 0, i)
+                    if i < 0:
+                        break
+                    if i + 14 <= n and p[i + 4] == 0:
+                        gp = struct.unpack("<q", p[i + 6:i + 14])[0]
+                        if gp >= 0:
+                            if kind == "opus":
+                                gp = max(gp - preskip, 0)
+                            dur = gp * 1000 // rate
+                            break
+                    # false sync inside payload bytes: keep scanning
+            return {"mime": mime, "width": w, "height": h,
+                    "duration_ms": dur}
         # WAV: RIFF/WAVE chunk list — 'fmt ' gives byte rate, 'data' gives
         # payload size; duration = data_bytes / byte_rate (integer ms)
         if n >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
@@ -1167,6 +1201,169 @@ def decode_pixels(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.mapInPandas(run, schema=PIXELS_SCHEMA)
 
 
+#: output contract for :func:`decode_video_frames`
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def _make_mjpeg_frame_decoder() -> Callable[[bytes], dict | None]:
+    """Build the stdlib AVI/MJPEG VIDEO frame decoder — a real video
+    decode path, no third-party libraries: recursive RIFF LIST walk
+    (hdrl: ``avih`` totals, ``strh``/``strf`` stream headers with the
+    MJPG handler/compression check and the rate/scale frame-rate
+    fraction; movi: word-aligned ``NNdc``/``NNdb`` frame chunks), then
+    EVERY frame payload through the full stdlib JPEG decoder (baseline
+    and progressive, operators/multimodal._make_jpeg_pixel_decoder)
+    with cross-frame geometry consistency enforced and the pixel
+    statistics aggregated across frames.
+
+    Motion-JPEG is the one mainstream video codec whose frames are a
+    format this container can genuinely decode; inter-frame codecs
+    (H.26x, VP9, AV1...) remain gated on external libraries
+    (``decode_media``'s ``decoder='raise'`` marker).  Corrupt
+    structure, truncated chunks, non-MJPG streams, or any undecodable
+    frame return None — NULL stats, never task failures.
+    Closure-built so Spark tasks ship it by value."""
+    import struct
+
+    jpeg = _make_jpeg_pixel_decoder()
+
+    def decode_avi(p: bytes) -> dict | None:
+        try:
+            if (
+                p is None or len(p) < 12
+                or p[:4] != b"RIFF" or p[8:12] != b"AVI "
+            ):
+                return None
+            (riff_len,) = struct.unpack("<I", p[4:8])
+            end = min(len(p), 8 + riff_len)
+            state = {"fps": None, "mjpg": False, "cur_vids": False}
+            frame_spans: list = []
+
+            def walk(lo: int, hi: int) -> None:
+                off = lo
+                while off + 8 <= hi:
+                    tag = p[off:off + 4]
+                    (clen,) = struct.unpack("<I", p[off + 4:off + 8])
+                    body_lo, body_hi = off + 8, off + 8 + clen
+                    if body_hi > hi:
+                        raise ValueError("chunk overruns its parent")
+                    if tag == b"LIST":
+                        walk(body_lo + 4, body_hi)
+                    elif tag == b"strh":
+                        state["cur_vids"] = p[body_lo:body_lo + 4] \
+                            == b"vids"
+                        if state["cur_vids"] and clen >= 28:
+                            if p[body_lo + 4:body_lo + 8] in (
+                                b"MJPG", b"mjpg"
+                            ):
+                                state["mjpg"] = True
+                            scale, rate = struct.unpack(
+                                "<II", p[body_lo + 20:body_lo + 28]
+                            )
+                            if scale:
+                                state["fps"] = rate / scale
+                    elif tag == b"strf":
+                        if state["cur_vids"] and clen >= 20:
+                            if p[body_lo + 16:body_lo + 20] in (
+                                b"MJPG", b"mjpg"
+                            ):
+                                state["mjpg"] = True
+                    elif (
+                        len(tag) == 4 and tag[:2].isdigit()
+                        and tag[2:] in (b"dc", b"db")
+                    ):
+                        frame_spans.append((body_lo, body_hi))
+                    off = body_hi + (clen & 1)  # word-aligned
+
+            walk(12, end)
+            if not state["mjpg"] or not frame_spans:
+                return None
+            w = h = ch = None
+            n_px = px_sum = 0
+            px_min, px_max = None, None
+            for lo, hi in frame_spans:
+                st = jpeg(p[lo:hi])
+                if st is None:
+                    return None
+                if w is None:
+                    w, h, ch = st["width"], st["height"], st["channels"]
+                elif (w, h, ch) != (
+                    st["width"], st["height"], st["channels"]
+                ):
+                    return None  # geometry change mid-stream
+                n_px += st["n_pixels"]
+                px_sum += st["px_sum"]
+                px_min = st["px_min"] if px_min is None \
+                    else min(px_min, st["px_min"])
+                px_max = st["px_max"] if px_max is None \
+                    else max(px_max, st["px_max"])
+            return {
+                "width": w, "height": h, "channels": ch,
+                "fps": state["fps"], "n_frames": len(frame_spans),
+                "n_pixels": n_px, "px_min": px_min, "px_max": px_max,
+                "px_sum": px_sum,
+                "px_mean": px_sum / (n_px * ch) if n_px else None,
+            }
+        except Exception:
+            return None
+
+    return decode_avi
+
+
+#: stdlib AVI/MJPEG frame decoder; same object for unit tests
+decode_mjpeg_frames = _make_mjpeg_frame_decoder()
+
+
+def decode_video_frames(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Full VIDEO frame decode as an Arrow-batched ``mapInPandas``
+    stage: (media_id, payload) -> :data:`FRAMES_SCHEMA` per-stream
+    frame statistics via the AVI/MJPEG decoder (every frame through
+    the real stdlib JPEG pipeline).  Unrecognized/unsupported payloads
+    yield NULL stats."""
+    dec = _make_mjpeg_frame_decoder()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame({"media_id": pdf[id_col]})
+            stats = [dec(p) for p in pdf["payload"]]
+            for col, dtype in (
+                ("width", "Int32"), ("height", "Int32"),
+                ("channels", "Int32"),
+            ):
+                out[col] = pd.array(
+                    [s[col] if s else None for s in stats], dtype=dtype
+                )
+            out["fps"] = [s["fps"] if s else None for s in stats]
+            for col, dtype in (
+                ("n_frames", "Int32"), ("n_pixels", "Int64"),
+                ("px_min", "Int32"), ("px_max", "Int32"),
+                ("px_sum", "Int64"),
+            ):
+                out[col] = pd.array(
+                    [s[col] if s else None for s in stats], dtype=dtype
+                )
+            out["px_mean"] = [s["px_mean"] if s else None for s in stats]
+            yield out
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 #: output contract for :func:`decode_samples`
 SAMPLES_SCHEMA = T.StructType(
     [
@@ -1679,12 +1876,14 @@ def decode_media(
     with the DECODED_SCHEMA metadata fields."""
     if decoder == "raise":
         raise NotImplementedError(
-            "Ogg/video SAMPLE decoding requires codec libraries not "
+            "Ogg-payload (Vorbis/Opus) and inter-frame video (H.26x, "
+            "VP9, ...) SAMPLE decoding requires codec libraries not "
             "present in this environment; use decoder='auto' (header "
-            "parsing), 'fake', a callable — or decode_pixels (real "
-            "stdlib PNG/GIF/BMP/JPEG incl. progressive) and "
+            "parsing incl. Ogg ident/duration) — or decode_pixels "
+            "(real stdlib PNG/GIF/BMP/JPEG incl. progressive), "
             "decode_samples (real WAV/FLAC/MPEG-1 audio; see "
-            "operators/mp3.py for MP3's two scoped gates)"
+            "operators/mp3.py for MP3's scoped gates), and "
+            "decode_video_frames (real AVI/MJPEG)"
         )
     if decoder in ("auto", "fake"):
         # closures only (shipped by value — see _make_header_parser)

@@ -3213,6 +3213,120 @@ def q_mm_decode_jpeg_progressive(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_mjpeg_frames",
+    """
+WITH m AS (
+  SELECT doc_id, doc_id % 3 + 2 AS nfr FROM documents WHERE doc_id < 120
+),
+f AS (
+  SELECT doc_id, nfr, unnest(generate_series(0, nfr - 1)) AS fr FROM m
+),
+v AS (
+  SELECT doc_id, nfr,
+         144 + (doc_id + fr) % 15 AS v1,
+         160 + (doc_id + fr) % 15 + (doc_id + fr) % 7 AS v2
+  FROM f
+)
+SELECT doc_id AS media_id,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(25.0 AS DOUBLE) AS fps,
+       CAST(nfr AS INTEGER) AS n_frames,
+       CAST(128 * nfr AS BIGINT) AS n_pixels,
+       CAST(min(v1) AS INTEGER) AS px_min,
+       CAST(max(v2) AS INTEGER) AS px_max,
+       CAST(sum(64 * (v1 + v2)) AS BIGINT) AS px_sum,
+       CAST(sum(64 * (v1 + v2)) AS DOUBLE) / (128 * nfr) AS px_mean
+FROM v GROUP BY doc_id, nfr
+""",
+    doc="REAL VIDEO frame decode end-to-end, stdlib only: valid "
+    "AVI/MJPEG containers — RIFF with an hdrl LIST (avih, vids "
+    "strh/strf declaring the MJPG handler and a 25/1 rate/scale "
+    "fraction) and a movi LIST of word-aligned 00dc chunks, each "
+    "holding a complete baseline JPEG whose DC entropy varies per "
+    "(doc, frame) — are assembled as JVM column expressions and "
+    "decoded by operators/multimodal.decode_video_frames: the RIFF "
+    "walk plus EVERY frame through the full stdlib JPEG pipeline, "
+    "with geometry consistency enforced and stats aggregated across "
+    "frames.  The oracle recomputes the per-frame flat-block values "
+    "(144+(d+f)%15 and 160+(d+f)%15+(d+f)%7) and their cross-frame "
+    "min/max/sum arithmetically, so a wrong LIST recursion, chunk "
+    "alignment, frame-rate fraction, per-frame decode, or aggregation "
+    "fails the hash gate.  Closes the video leg of the decode surface "
+    "for the one mainstream codec whose frames are stdlib-decodable "
+    "(inter-frame codecs stay gated; tests/test_operators.py verifies "
+    "against an independently written AVI writer)",
+)
+def q_mm_decode_mjpeg_frames(spark, sf_dir):
+    import struct
+
+    from .operators.multimodal import decode_video_frames
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<10I", 40000, 0, 0, 0, 0, 0, 1, 0, 16, 8) \
+        + b"\x00" * 16
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 0, 0, 0, 0)
+            + struct.pack("<4H", 0, 0, 16, 8))
+    strf = struct.pack("<IiiHH4sIiiII", 40, 16, 8, 1, 24, b"MJPG",
+                       0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    jpeg_prefix = (
+        _jpeg_oracle_prefix(0xC0, 16, b"\x00")
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    frame_len = len(jpeg_prefix) + 4 + 2  # entropy + EOI
+    pad = frame_len & 1
+    chunk_len = 8 + frame_len + pad
+    # movi LIST with nfr frame chunks; RIFF/LIST lengths depend only
+    # on nfr (2..4), so the variable-length headers are a CASE over
+    # three python-precomputed constants
+    def head_for(nfr):
+        movi_body_len = 4 + nfr * chunk_len
+        riff_len = 4 + len(hdrl) + 8 + movi_body_len
+        return (
+            b"RIFF" + struct.pack("<I", riff_len) + b"AVI " + hdrl
+            + b"LIST" + struct.pack("<I", movi_body_len) + b"movi"
+        )
+
+    head = F.when(F.col("doc_id") % 3 == 0, F.lit(head_for(2))) \
+        .when(F.col("doc_id") % 3 == 1, F.lit(head_for(3))) \
+        .otherwise(F.lit(head_for(4)))
+    chunk_hdr_hex = (b"00dc" + struct.pack("<I", frame_len)).hex()
+    pad_hex = "00" if pad else ""
+    # per-frame entropy (the baseline 2-block nibble layout): block 1
+    # DC = D1 = 128+((d+f)%15)*8, block 2 DC-diff = D2 = 128+((d+f)%7)*8
+    d1 = "(128 + ((doc_id + f) % 15) * 8)"
+    d2 = "(128 + ((doc_id + f) % 7) * 8)"
+    frames_hex = F.expr(
+        "array_join(transform(sequence(0, CAST(doc_id % 3 + 1 AS INT)), "
+        "f -> concat("
+        f"'{chunk_hdr_hex}', '{jpeg_prefix.hex()}', "
+        f"lpad(hex(128 + {d1} div 16), 2, '0'), "
+        f"lpad(hex(({d1} % 16) * 16), 2, '0'), "
+        f"lpad(hex(128 + {d2} div 16), 2, '0'), "
+        f"lpad(hex(({d2} % 16) * 16), 2, '0'), "
+        f"'ffd9{pad_hex}'"
+        ")), '')"
+    )
+    payload = F.concat(head, F.unhex(frames_hex))
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_video_frames(media)
+
+
+@_q(
     "mm_decode_throughput",
     """
 WITH m AS (SELECT doc_id FROM documents),
@@ -11562,7 +11676,6 @@ _DRIVER_WINDOW_PROMOTE = [
     "doc_substring_dup_pairs",
     "stream_render_target", "ws_render_target_reduce",
     "doc_incremental_dedup",
-    "emb_covariance",
     # round-5 rotation: the round-4 flagships (the v2 curation
     # pipeline, the PQ recall gate, the streaming max rollup) entered
     # the driver window; their round-7 demotions (slot-LWW state,
@@ -11601,6 +11714,9 @@ _DRIVER_WINDOW_PROMOTE = [
     # round-6 post-freeze pie-mode reducers
     "mm_decode_mp3_samples", "mm_decode_jpeg_progressive",
     "mm_decode_throughput", "ws_render_pie",
+    # round-7 second wave: real VIDEO frame decode (AVI/MJPEG, every
+    # frame through the stdlib JPEG pipeline)
+    "mm_decode_mjpeg_frames",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -11649,6 +11765,10 @@ _DRIVER_WINDOW_DEMOTE = [
     # full sweep)
     "stream_slot_lww_state", "ws_seasonal_decompose", "ws_cusum_alarms",
     "emb_semdedup_survivors",
+    # second-wave demotion pairing the mjpeg promotion (confirmed in
+    # the r5 AND r6 windows; covariance/PCA machinery stays sweep- and
+    # CI-checked)
+    "emb_covariance",
 ]
 
 
