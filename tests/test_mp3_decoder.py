@@ -1220,14 +1220,84 @@ def test_l3_nonzero_gates():
     try:
         got = decode_mp3_samples(stream)
         assert got is not None and got["s_sq_sum"] > 0
-        # intensity stereo (mode_ext bit 0) with nonzero spectra: gated
+        # short-block intensity stays gated (per-window zero parts)
+        sh = _g(wsf=1, bt=2, table_select=(1, 1))
+        for i in range(12):
+            sh["spectrum"][i] = 3
+        sh["big_values"] = 6
         st = [[
-            [_rand_long_granule(rng), _rand_long_granule(rng)],
+            [sh, {**sh, "spectrum": list(sh["spectrum"])}],
             [_g(), _g()],
         ]]
-        iis = _l3_encode_frames(st, mode=1, mode_ext=1)
+        iis = _l3_encode_frames(
+            [list(map(list, f)) for f in st], mode=1, mode_ext=1)
         assert decode_mp3_samples(iis) is None
-        ok = _l3_encode_frames(st, mode=1, mode_ext=2)
+        ok = _l3_encode_frames(
+            [list(map(list, f)) for f in st], mode=1, mode_ext=2)
         assert decode_mp3_samples(ok) is not None
+    finally:
+        M.clear_l3_tables()
+
+
+def test_l3_intensity_stereo_round_trip():
+    """Long-block intensity stereo: bands at/above the right channel's
+    coded region are positioned by is_pos = right-granule scalefactor
+    (ratio tan(pos*pi/12)); is_pos 7 falls back to m/s when enabled;
+    bands below the bound stay plain or m/s per mode_ext."""
+    from whisper_spark.operators import mp3 as M
+
+    M.set_l3_tables(**_l3_test_tables())
+    try:
+        rng = np.random.default_rng(47)
+        for mode_ext in (1, 3):
+            left = _rand_long_granule(rng, count1_quads=0)
+            right = _g(table_select=(1, 1, 1), region0_count=7,
+                       region1_count=7)
+            # right channel codes only the first 24 lines (bound = 24,
+            # a long-band boundary in the test tables)
+            for i in range(24):
+                right["spectrum"][i] = int(rng.integers(-15, 16))
+            right["big_values"] = 12
+            right["scf_l"] = [int(rng.integers(0, 7)) for _ in range(22)]
+            right["scf_l"][8] = 7   # is_pos 7: m/s-or-pass band
+            specs = [[[left, right], [_g(), _g()]]]
+            stream = _l3_encode_frames(
+                [list(map(list, f)) for f in specs],
+                mode=1, mode_ext=mode_ext)
+            _r, nch, frames = decode_mp3_samples._decode_frames(stream)
+            assert nch == 2
+            # independent model
+            xl, xr_ = _ref_xr(left), _ref_xr(right)
+            bound = 24
+            ms_on = bool(mode_ext & 2)
+            ol, orr = xl.copy(), xr_.copy()
+            for sfb in range(22):
+                lo, hi = _BL[sfb], _BL[sfb + 1]
+                sl = slice(lo, hi)
+                if lo >= bound:
+                    pos = right["scf_l"][sfb]
+                    if pos == 7:
+                        if ms_on:
+                            m, s_ = xl[sl].copy(), xr_[sl].copy()
+                            ol[sl] = (m + s_) / np.sqrt(2.0)
+                            orr[sl] = (m - s_) / np.sqrt(2.0)
+                        continue
+                    ratio = np.tan(pos * np.pi / 12.0)
+                    ol[sl] = xl[sl] * (ratio / (1.0 + ratio))
+                    orr[sl] = xl[sl] * (1.0 / (1.0 + ratio))
+                elif ms_on:
+                    m, s_ = xl[sl].copy(), xr_[sl].copy()
+                    ol[sl] = (m + s_) / np.sqrt(2.0)
+                    orr[sl] = (m - s_) / np.sqrt(2.0)
+            prev = np.zeros((2, 32, 18))
+            want = np.zeros((36, 2, 32))
+            want[0:18, 0, :] = _ref_granule_groups(left, ol, prev[0])
+            want[0:18, 1, :] = _ref_granule_groups(right, orr, prev[1])
+            want[18:36, 0, :] = _ref_granule_groups(_g(), np.zeros(576),
+                                                    prev[0])
+            want[18:36, 1, :] = _ref_granule_groups(_g(), np.zeros(576),
+                                                    prev[1])
+            assert np.allclose(frames[0], want, rtol=1e-9, atol=1e-9), \
+                mode_ext
     finally:
         M.clear_l3_tables()

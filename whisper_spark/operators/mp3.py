@@ -48,8 +48,11 @@ Two DOCUMENTED gates (returning None -> NULL stats, never crashes):
    with self-consistent tables (tests/test_mp3_decoder.py).
    All-zero-spectrum granules (digital silence — what the oracle
    synthesizes) decode exactly through the full IMDCT/synthesis path
-   with NO tables.  Intensity stereo (mode_ext bit 0, nonzero
-   spectra) stays gated on its is_pos ratio zones.
+   with NO tables.  Long-block intensity stereo is real (is_pos from
+   the right-granule scalefactors, tan(pos*pi/12) ratios, is_pos-7
+   m/s fallback, the coded-region bound from the right channel's
+   huffman end); only SHORT-block intensity (per-window zero parts)
+   stays gated.
 2. **The 512-tap prototype window** (ISO Tables 3-B.3/3-C.1) is the
    same class of irreducible numeric data.  The shipped window pair is
    DESIGNED for the identical structure by deterministic alternating
@@ -721,8 +724,9 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
     def l3_huffman_spectrum(mbits: _Bits, g: dict, limit_bit: int,
                             bl) -> "np.ndarray":
         """big_values pairs (region-selected tables, linbits escapes,
-        sign bits) + count1 quads up to part2_3_length -> integer
-        spectrum (576)."""
+        sign bits) + count1 quads up to part2_3_length -> (integer
+        spectrum (576), end line) — the end line (first line past the
+        coded region) is the intensity-stereo zero-part boundary."""
         is_ = np.zeros(576, dtype=np.int64)
         nbig = g["big_values"] * 2
         if nbig > 576:
@@ -757,7 +761,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
         if tid not in c1:
             if mbits.pos < limit_bit:
                 raise ValueError(f"L3 count1 table {tid} not provided")
-            return is_
+            return is_, nbig
         codes = c1[tid]
         maxlen = max(ln for ln, _c in codes)
         idx = nbig
@@ -772,7 +776,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                 break  # overshoot quad: discarded per the spec
             is_[idx:idx + 4] = vals
             idx += 4
-        return is_
+        return is_, idx
 
     def l3_requantize(g: dict, is_, scf_l, scf_s, bl, bs, rate):
         """Integer spectrum -> float xr with the successive gain
@@ -965,6 +969,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                     bs = l3_tables["sfb_short"].get(hdr["rate"])
                 for gr in range(2):
                     xrs = []
+                    metas = []
                     gs = info["granules"][gr]
                     for ch in range(hdr["nch"]):
                         g = gs[ch]
@@ -980,6 +985,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                         limit = start + g["part2_3_length"]
                         if g["big_values"] == 0 and mbits.pos == limit:
                             xr = np.zeros(576)  # silence: table-free
+                            hend = 0
                         else:
                             if l3_tables is None or bl is None \
                                     or bs is None:
@@ -987,31 +993,66 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                                 # tables (set_l3_tables): gated
                                 raise ValueError(
                                     "nonzero L3 spectrum gated")
-                            is_ = l3_huffman_spectrum(
+                            is_, hend = l3_huffman_spectrum(
                                 mbits, g, limit, bl)
                             xr = l3_requantize(
                                 g, is_, scf_l, scf_s, bl, bs,
                                 hdr["rate"])
                         mbits.pos = limit
                         xrs.append(xr)
+                        metas.append((scf_l, hend))
                     if hdr["mode"] == 1 and hdr["nch"] == 2 and any(
                         x.any() for x in xrs
                     ):
-                        if hdr["mode_ext"] & 1:
-                            # intensity stereo needs the is_pos ratio
-                            # zones: gated (m/s and plain are real)
-                            raise ValueError("intensity stereo gated")
-                        if hdr["mode_ext"] & 2:
-                            ga, gb = gs[0], gs[1]
+                        ms_on = bool(hdr["mode_ext"] & 2)
+                        is_on = bool(hdr["mode_ext"] & 1)
+                        ga, gb = gs[0], gs[1]
+                        if ms_on or is_on:
                             if (ga["block_type"] != gb["block_type"]
                                     or ga["mixed_block"]
                                     != gb["mixed_block"]
                                     or ga["window_switching"]
                                     != gb["window_switching"]):
                                 raise ValueError(
-                                    "m/s channels disagree on blocks")
+                                    "joint channels disagree on blocks")
+                        r2 = 2.0 ** 0.5
+                        if is_on:
+                            # intensity: LONG blocks only (the short-
+                            # block per-window zero parts stay gated);
+                            # bands at/above the right channel's coded
+                            # region get positioned by is_pos =
+                            # right-granule scalefactor, tan ratios
+                            if ga["window_switching"]:
+                                raise ValueError(
+                                    "short-block intensity gated")
+                            bound = metas[1][1]
+                            scf_r = metas[1][0]
+                            left, right = xrs
+                            out_l, out_r = left.copy(), right.copy()
+                            for sfb in range(22):
+                                lo_b, hi_b = bl[sfb], bl[sfb + 1]
+                                sl = slice(lo_b, hi_b)
+                                if lo_b >= bound:
+                                    pos = scf_r[sfb]
+                                    if pos == 7:
+                                        if ms_on:
+                                            m = left[sl]
+                                            s_ = right[sl]
+                                            out_l[sl] = (m + s_) / r2
+                                            out_r[sl] = (m - s_) / r2
+                                        continue
+                                    ratio = np.tan(pos * np.pi / 12.0)
+                                    out_l[sl] = left[sl] * (
+                                        ratio / (1.0 + ratio))
+                                    out_r[sl] = left[sl] * (
+                                        1.0 / (1.0 + ratio))
+                                elif ms_on:
+                                    m, s_ = left[sl], right[sl]
+                                    out_l[sl] = (m + s_) / r2
+                                    out_r[sl] = (m - s_) / r2
+                            xrs = [out_l, out_r]
+                        elif ms_on:
                             m, s_ = xrs
-                            r2 = 2.0 ** 0.5
                             xrs = [(m + s_) / r2, (m - s_) / r2]
                     for ch in range(hdr["nch"]):
                         sb_groups = l3_granule_subbands(
