@@ -1014,6 +1014,12 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                     prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                     if prec != 8 or nc not in (1, 3) or not h or not w:
                         return None
+                    if h * w > 1 << 26:
+                        # declared-dimension allocation bomb: the
+                        # coefficient arrays size by SOF dims, not by
+                        # payload bytes — cap at 64M pixels so a
+                        # crafted header cannot OOM an executor
+                        return None
                     comps = []
                     for c in range(nc):
                         cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
