@@ -1301,3 +1301,59 @@ def test_l3_intensity_stereo_round_trip():
                 mode_ext
     finally:
         M.clear_l3_tables()
+
+
+def _mpeg_crc16(hdr_tail, body, nbits):
+    """Independent mirror of the ISO CRC-16 (poly 0x8005, init 0xFFFF,
+    MSB-first over header tail + protected bits)."""
+    c = 0xFFFF
+    bits = []
+    for byte in hdr_tail:
+        bits.extend((byte >> k) & 1 for k in range(7, -1, -1))
+    for i in range(nbits):
+        bits.append((body[i >> 3] >> (7 - (i & 7))) & 1)
+    for bit in bits:
+        hi = (c >> 15) & 1
+        c = (c << 1) & 0xFFFF
+        if hi ^ bit:
+            c ^= 0x8005
+    return c
+
+
+def test_crc_protected_frames():
+    """protection_bit 0: the decoder must VERIFY the CRC over the
+    layer's protected region (Layer I: allocations; Layer III: side
+    info) — a valid CRC decodes identically to the unprotected frame,
+    a corrupted CRC or a corrupted protected bit rejects."""
+    # Layer I, mono: protected region = 32 x 4 allocation bits
+    alloc = [[2] * 32]
+    scf = [[5] * 32]
+    codes = [[[3] * 32] for _ in range(12)]
+    plain = l1_frame(alloc, scf, codes, bidx=14, ridx=2)
+    body = plain[4:]
+    want = decode_mp3_samples(plain)
+    crc = _mpeg_crc16(plain[2:4], body, 32 * 4)
+    hdr_prot = bytes([plain[0], plain[1] & ~0x01])  # protection on
+    protected = hdr_prot + plain[2:4] + crc.to_bytes(2, "big") + body
+    # pad to the protected frame length contract: same frame size
+    protected = protected[:len(plain)]
+    got = decode_mp3_samples(protected)
+    assert got is not None and got["n_samples"] == want["n_samples"]
+    assert got["s_sum"] == want["s_sum"]
+    bad = bytearray(protected)
+    bad[4] ^= 0xFF  # CRC bytes wrong
+    assert decode_mp3_samples(bytes(bad)) is None
+    bad2 = bytearray(protected)
+    bad2[6] ^= 0x10  # a protected allocation bit flips
+    assert decode_mp3_samples(bytes(bad2)) is None
+
+    # Layer III silence: protected region = 17 side-info bytes
+    l3 = l3_silence_frame()
+    crc3 = _mpeg_crc16(l3[2:4], l3[4:], 17 * 8)
+    prot3 = (bytes([l3[0], l3[1] & ~0x01]) + l3[2:4]
+             + crc3.to_bytes(2, "big") + l3[4:])[:len(l3)]
+    got3 = decode_mp3_samples(prot3)
+    assert got3 is not None and got3["n_samples"] == 1152
+    bad3 = bytearray(prot3)
+    bad3[5] ^= 0x01
+    assert decode_mp3_samples(bytes(bad3)) is None

@@ -9,7 +9,9 @@ structure with no codec library:
 
 * frame walking: sync parse, MPEG-1 header fields, bitrate/samplerate
   tables, padding, frame lengths, ID3v2 skip (syncsafe), ID3v1 trailer
-  skip, CRC slot handling;
+  skip, and protection-bit CRC-16 VERIFICATION over each layer's
+  protected region (Layer I: allocations; Layer II: allocations +
+  scfsi; Layer III: side info);
 * **Layer I**: full bitstream decode — 4-bit allocations (intensity
   bound for joint stereo), 6-bit scalefactors, 12 granules of MSB-
   inverted two's-complement codes, exact requantization
@@ -417,6 +419,26 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
         np.sin(np.pi / 36 * (np.arange(18, 36) + 0.5)),
     ])
 
+    def mpeg_crc16(hdr_tail: bytes, body: bytes, nbits: int) -> int:
+        """ISO 11172-3 CRC-16 (poly 0x8005, init 0xFFFF, MSB-first)
+        over the last two header bytes plus the first ``nbits``
+        protected bits of the frame body."""
+        c = 0xFFFF
+
+        def feed(bit: int) -> None:
+            nonlocal c
+            hi = (c >> 15) & 1
+            c = (c << 1) & 0xFFFF
+            if hi ^ bit:
+                c ^= 0x8005
+
+        for byte in hdr_tail:
+            for k in range(7, -1, -1):
+                feed((byte >> k) & 1)
+        for i in range(nbits):
+            feed((body[i >> 3] >> (7 - (i & 7))) & 1)
+        return c
+
     class _Bits:
         __slots__ = ("data", "pos")
 
@@ -489,7 +511,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
     # Layer I
     # ------------------------------------------------------------- #
 
-    def layer1_subbands(bits: _Bits, hdr: dict) -> np.ndarray:
+    def layer1_subbands(bits: _Bits, hdr: dict, crc=None) -> np.ndarray:
         nch = hdr["nch"]
         bound = (hdr["mode_ext"] + 1) * 4 if hdr["mode"] == 1 else 32
         alloc = [[0] * 32 for _ in range(nch)]
@@ -505,6 +527,11 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                 raise ValueError("forbidden allocation")
             for ch in range(nch):
                 alloc[ch][sb] = a
+        if crc is not None:
+            # Layer I protects the allocation bits (2.4.3.1)
+            want, hdr_tail = crc
+            if mpeg_crc16(hdr_tail, bits.data, bits.pos) != want:
+                raise ValueError("CRC mismatch")
         scf = [[0] * 32 for _ in range(nch)]
         for sb in range(32):
             for ch in range(nch):
@@ -549,7 +576,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             return TABLE_A
         return TABLE_B
 
-    def layer2_subbands(bits: _Bits, hdr: dict) -> np.ndarray:
+    def layer2_subbands(bits: _Bits, hdr: dict, crc=None) -> np.ndarray:
         nch = hdr["nch"]
         table = l2_table(hdr)
         sblimit = len(table)
@@ -570,6 +597,11 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             for ch in range(nch):
                 if alloc[ch][sb]:
                     scfsi[ch][sb] = bits.read(2)
+        if crc is not None:
+            # Layer II protects allocation + scfsi bits (2.4.3.1)
+            want, hdr_tail = crc
+            if mpeg_crc16(hdr_tail, bits.data, bits.pos) != want:
+                raise ValueError("CRC mismatch")
         scf = [[(0, 0, 0)] * sblimit for _ in range(nch)]
         for sb in range(sblimit):
             for ch in range(nch):
@@ -938,20 +970,27 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             if len(frame) < hdr["frame_len"]:
                 raise ValueError("truncated frame")
             body = frame[4:]
+            crc = None
             if hdr["crc"]:
                 if len(body) < 2:
                     raise ValueError("truncated CRC")
-                body = body[2:]  # CRC slot skipped (not verified)
+                crc = (int.from_bytes(body[:2], "big"), frame[2:4])
+                body = body[2:]
             if hdr["layer"] == 1:
-                frames.append(layer1_subbands(_Bits(body), hdr))
+                frames.append(layer1_subbands(_Bits(body), hdr, crc))
             elif hdr["layer"] == 2:
-                frames.append(layer2_subbands(_Bits(body), hdr))
+                frames.append(layer2_subbands(_Bits(body), hdr, crc))
             else:
                 bits = _Bits(body)
                 info = l3_side_info(bits, hdr["nch"])
                 side_bytes = 17 if hdr["nch"] == 1 else 32
                 if bits.pos != side_bytes * 8:
                     raise ValueError("side info misparse")
+                if crc is not None:
+                    # Layer III protects the side information
+                    want, hdr_tail = crc
+                    if mpeg_crc16(hdr_tail, body, side_bytes * 8) != want:
+                        raise ValueError("CRC mismatch")
                 main = body[side_bytes:]
                 mdb = info["main_data_begin"]
                 if mdb > len(reservoir):
