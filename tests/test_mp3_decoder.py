@@ -1251,6 +1251,13 @@ def test_l3_intensity_stereo_round_trip():
         rng = np.random.default_rng(47)
         for mode_ext in (1, 3):
             left = _rand_long_granule(rng, count1_quads=0)
+            # put energy into sfb21 (lines >= 394) so the band-21
+            # is_pos convention is actually observable: extend the
+            # big-value region with zero pairs up to line 400
+            left["big_values"] = 201
+            left["spectrum"][399] = 6
+            left["spectrum"][401] = -4
+            left["scf_l"][21] = 0  # band 21 has no transmitted scf
             right = _g(table_select=(1, 1, 1), region0_count=7,
                        region1_count=7)
             # right channel codes only the first 24 lines (bound = 24,
@@ -1275,7 +1282,9 @@ def test_l3_intensity_stereo_round_trip():
                 lo, hi = _BL[sfb], _BL[sfb + 1]
                 sl = slice(lo, hi)
                 if lo >= bound:
-                    pos = right["scf_l"][sfb]
+                    # band 21 reuses band 20's is_pos (no transmitted
+                    # scalefactor) — the reference-decoder convention
+                    pos = right["scf_l"][min(sfb, 20)]
                     if pos == 7:
                         if ms_on:
                             m, s_ = xl[sl].copy(), xr_[sl].copy()
@@ -1357,3 +1366,33 @@ def test_crc_protected_frames():
     bad3 = bytearray(prot3)
     bad3[5] ^= 0x01
     assert decode_mp3_samples(bytes(bad3)) is None
+
+
+def test_l3_intensity_illegal_is_pos_rejected():
+    """is_pos is 0..7 by spec; a slen1=4 scalefactor of 9 inside the
+    intensity region must reject the stream (round-7 review: pos=9
+    makes 1+tan(pos*pi/12) ~ -2e-16 and amplifies by ~1e15)."""
+    from whisper_spark.operators import mp3 as M
+
+    M.set_l3_tables(**_l3_test_tables())
+    try:
+        rng = np.random.default_rng(53)
+        left = _rand_long_granule(rng, count1_quads=0)
+        right = _g(scalefac_compress=14,  # slen (4, 2): 4-bit low bands
+                   table_select=(1, 1, 1))
+        right["spectrum"][0] = 3
+        right["spectrum"][1] = -2
+        right["big_values"] = 2  # coded region ends at line 4
+        right["scf_l"] = [0] * 22
+        right["scf_l"][5] = 9    # intensity band, illegal position
+        specs = [[[left, right], [_g(), _g()]]]
+        stream = _l3_encode_frames(
+            [list(map(list, f)) for f in specs], mode=1, mode_ext=1)
+        assert decode_mp3_samples(stream) is None
+        right["scf_l"][5] = 6    # legal position: decodes
+        specs = [[[left, right], [_g(), _g()]]]
+        stream = _l3_encode_frames(
+            [list(map(list, f)) for f in specs], mode=1, mode_ext=1)
+        assert decode_mp3_samples(stream) is not None
+    finally:
+        M.clear_l3_tables()

@@ -566,6 +566,13 @@ def test_parse_media_header_audio_formats():
     got = p(stream)
     assert got["mime"] == "audio/ogg" and got["duration_ms"] == 3000
 
+    # false sync: payload bytes containing 'OggS\x00' + a plausible
+    # granule must NOT hijack the duration (forward page walk)
+    fake = b"OggS\x00" + struct.pack("<q", 999999999) + b"\x00" * 10
+    stream = (ogg_page(vorbis_id, 0, 0, 2)
+              + ogg_page(fake + b"tail", 44100 * 2, 1, 4))
+    assert p(stream)["duration_ms"] == 2000
+
     # Ogg/Opus: 48 kHz granule clock minus pre-skip
     opus_id = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
                + struct.pack("<I", 48000) + b"\x00" * 3)

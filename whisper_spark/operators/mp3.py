@@ -770,7 +770,12 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             r1 = min(g["region0_count"] + 1 + g["region1_count"] + 1, 22)
             r0_end, r1_end = bl[r0], bl[r1]
         huff = l3_tables["huffman"]
+        maxlens = {tid: max(ln for ln, _c in t[0])
+                   for tid, t in huff.items()}
         for pos in range(0, nbig, 2):
+            if mbits.pos > limit_bit:
+                # big_values data crossing part2_3_length: corrupt
+                raise ValueError("big_values overrun part2_3_length")
             region = 0 if pos < r0_end else (1 if pos < r1_end else 2)
             tid = g["table_select"][region] if region < len(
                 g["table_select"]) else 0
@@ -779,8 +784,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             if tid not in huff:
                 raise ValueError(f"L3 Huffman table {tid} not provided")
             codes, linbits = huff[tid]
-            maxlen = max(ln for ln, _c in codes)
-            x, y = l3_huff_lookup(mbits, codes, maxlen)
+            x, y = l3_huff_lookup(mbits, codes, maxlens[tid])
             for j, v in enumerate((x, y)):
                 if v == 15 and linbits:
                     v += mbits.read(linbits)
@@ -810,7 +814,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             idx += 4
         return is_, idx
 
-    def l3_requantize(g: dict, is_, scf_l, scf_s, bl, bs, rate):
+    def l3_requantize(g: dict, is_, scf_l, scf_s, bl, bs):
         """Integer spectrum -> float xr with the successive gain
         ladder: 2^((global_gain-210-8*subblock_gain)/4) times
         2^(-mult*(scalefac + preflag*pretab)), mult = (scale+1)/2;
@@ -1035,8 +1039,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                             is_, hend = l3_huffman_spectrum(
                                 mbits, g, limit, bl)
                             xr = l3_requantize(
-                                g, is_, scf_l, scf_s, bl, bs,
-                                hdr["rate"])
+                                g, is_, scf_l, scf_s, bl, bs)
                         mbits.pos = limit
                         xrs.append(xr)
                         metas.append((scf_l, hend))
@@ -1072,7 +1075,13 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                                 lo_b, hi_b = bl[sfb], bl[sfb + 1]
                                 sl = slice(lo_b, hi_b)
                                 if lo_b >= bound:
-                                    pos = scf_r[sfb]
+                                    # band 21 transmits no scalefactor:
+                                    # its is_pos is band 20's (the
+                                    # reference-decoder convention)
+                                    pos = scf_r[min(sfb, 20)]
+                                    if pos > 7:
+                                        raise ValueError(
+                                            "illegal is_pos")
                                     if pos == 7:
                                         if ms_on:
                                             m = left[sl]

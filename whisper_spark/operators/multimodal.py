@@ -193,19 +193,28 @@ def _make_header_parser() -> Callable[[bytes], dict | None]:
                 h = int.from_bytes(p[o + 17:o + 20], "big")
             dur = None
             if kind is not None and rate:
-                i = n
-                while True:
-                    i = p.rfind(b"OggS", 0, i)
-                    if i < 0:
+                # FORWARD page walk (each page's length comes from its
+                # lacing table), so payload bytes that merely contain
+                # 'OggS' can never fake a page header; the last
+                # complete page's granule position wins
+                i, last_gp = 0, None
+                while i + 27 <= n and p[i:i + 4] == b"OggS" \
+                        and p[i + 4] == 0:
+                    nseg_i = p[i + 26]
+                    lace_end = i + 27 + nseg_i
+                    if lace_end > n:
                         break
-                    if i + 14 <= n and p[i + 4] == 0:
-                        gp = struct.unpack("<q", p[i + 6:i + 14])[0]
-                        if gp >= 0:
-                            if kind == "opus":
-                                gp = max(gp - preskip, 0)
-                            dur = gp * 1000 // rate
-                            break
-                    # false sync inside payload bytes: keep scanning
+                    body = sum(p[i + 27:lace_end])
+                    if lace_end + body > n:
+                        break
+                    gp = struct.unpack("<q", p[i + 6:i + 14])[0]
+                    if gp >= 0:
+                        last_gp = gp
+                    i = lace_end + body
+                if last_gp is not None:
+                    if kind == "opus":
+                        last_gp = max(last_gp - preskip, 0)
+                    dur = last_gp * 1000 // rate
             return {"mime": mime, "width": w, "height": h,
                     "duration_ms": dur}
         # WAV: RIFF/WAVE chunk list — 'fmt ' gives byte rate, 'data' gives
@@ -1256,7 +1265,12 @@ def _make_mjpeg_frame_decoder() -> Callable[[bytes], dict | None]:
                 return None
             (riff_len,) = struct.unpack("<I", p[4:8])
             end = min(len(p), 8 + riff_len)
-            state = {"fps": None, "mjpg": False, "cur_vids": False}
+            # per-stream accounting: frame chunks carry their stream
+            # number ('NNdc'), so a second video stream must not be
+            # conflated with the MJPG one (round-7 review finding)
+            state = {"fps": None, "mjpg": False, "cur_vids": False,
+                     "stream_idx": -1, "video_stream": None,
+                     "multi_video": False}
             frame_spans: list = []
 
             def walk(lo: int, hi: int) -> None:
@@ -1270,9 +1284,18 @@ def _make_mjpeg_frame_decoder() -> Callable[[bytes], dict | None]:
                     if tag == b"LIST":
                         walk(body_lo + 4, body_hi)
                     elif tag == b"strh":
+                        state["stream_idx"] += 1
                         state["cur_vids"] = p[body_lo:body_lo + 4] \
                             == b"vids"
-                        if state["cur_vids"] and clen >= 28:
+                        if state["cur_vids"]:
+                            if state["video_stream"] is not None:
+                                state["multi_video"] = True
+                            else:
+                                state["video_stream"] = \
+                                    state["stream_idx"]
+                        if state["cur_vids"] and clen >= 28 and \
+                                state["video_stream"] \
+                                == state["stream_idx"]:
                             if p[body_lo + 4:body_lo + 8] in (
                                 b"MJPG", b"mjpg"
                             ):
@@ -1283,7 +1306,9 @@ def _make_mjpeg_frame_decoder() -> Callable[[bytes], dict | None]:
                             if scale:
                                 state["fps"] = rate / scale
                     elif tag == b"strf":
-                        if state["cur_vids"] and clen >= 20:
+                        if state["cur_vids"] and clen >= 20 and \
+                                state["video_stream"] \
+                                == state["stream_idx"]:
                             if p[body_lo + 16:body_lo + 20] in (
                                 b"MJPG", b"mjpg"
                             ):
@@ -1292,10 +1317,16 @@ def _make_mjpeg_frame_decoder() -> Callable[[bytes], dict | None]:
                         len(tag) == 4 and tag[:2].isdigit()
                         and tag[2:] in (b"dc", b"db")
                     ):
-                        frame_spans.append((body_lo, body_hi))
+                        frame_spans.append(
+                            (int(tag[:2]), body_lo, body_hi))
                     off = body_hi + (clen & 1)  # word-aligned
 
             walk(12, end)
+            if state["multi_video"]:
+                return None  # two video streams: reject, never blend
+            vs = state["video_stream"]
+            frame_spans = [(lo, hi) for sid, lo, hi in frame_spans
+                           if sid == vs]
             if not state["mjpg"] or not frame_spans:
                 return None
             w = h = ch = None
