@@ -594,6 +594,23 @@ def test_parse_media_header_audio_formats():
     bad = bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 100
     assert p(bad)["duration_ms"] is None
 
+    # multiplexed streams: pages from a DIFFERENT serial (e.g. the
+    # Theora track of a Theora+Vorbis mux, or a chained stream) must
+    # not donate their granule clock to the identified codec
+    def ogg_page_ser(payload, granule, serial, seq, htype=0):
+        lace = bytes([255] * (len(payload) // 255) + [len(payload) % 255])
+        return (b"OggS" + bytes([0, htype])
+                + struct.pack("<q", granule)
+                + struct.pack("<II", serial, seq) + b"\x00" * 4
+                + bytes([len(lace)]) + lace + payload)
+
+    stream = (ogg_page_ser(vorbis_id, 0, 1, 0, 2)
+              + ogg_page_ser(b"vorbis-data", 44100 * 2, 1, 1, 0)
+              # foreign serial LAST, huge granule (video clock)
+              + ogg_page_ser(b"theora-data", 10_000_000, 2, 7, 4))
+    got = p(stream)
+    assert got["mime"] == "audio/ogg" and got["duration_ms"] == 2000
+
 
 def test_srp_lsh_recalls_planted_neighbors(spark):
     """Charikar SRP-LSH: planted near-identical vectors (tiny angle)
@@ -2528,6 +2545,26 @@ def test_exact_kth_smallest_all_equal_and_errors(spark):
         [(None,), (2.0,), (1.0,), (None,), (3.0,)], "score double"
     )
     assert exact_kth_smallest(dfn, "score", 2) == 2.0
+
+
+def test_exact_kth_smallest_bucket_edge_values(spark):
+    """Values sitting exactly ON bucket edges (and one ulp either
+    side): the narrowed bounds are the selected bucket's own data
+    min/max, so the refiltered population is exactly the counted one —
+    the float-edge drift class the round-7 advisor flagged."""
+    import math as m
+
+    from whisper_spark.operators.quantile import exact_kth_smallest
+
+    vals = []
+    for edge in range(0, 17):            # lo=0, hi=16, buckets=16
+        e = float(edge)
+        vals += [e, m.nextafter(e, -m.inf), m.nextafter(e, m.inf)]
+    df = spark.createDataFrame([(v,) for v in vals], "score double")
+    ordered = sorted(vals)
+    for k in [1, 2, 3, 24, 25, 26, len(vals) - 1, len(vals)]:
+        got = exact_kth_smallest(df, "score", k, buckets=16, max_rounds=8)
+        assert got == ordered[k - 1], (k, got, ordered[k - 1])
 
 
 def _avi_mjpeg(frames, fps_rate=25, fps_scale=1, handler=b"MJPG",

@@ -196,7 +196,14 @@ def _make_header_parser() -> Callable[[bytes], dict | None]:
                 # FORWARD page walk (each page's length comes from its
                 # lacing table), so payload bytes that merely contain
                 # 'OggS' can never fake a page header; the last
-                # complete page's granule position wins
+                # complete page's granule position wins.  Only pages
+                # carrying the IDENTIFIED stream's serial number count —
+                # in a multiplexed (Theora+Vorbis) or chained file the
+                # final page often belongs to another logical stream
+                # whose granule clock ticks at a different rate, and
+                # attributing its granulepos to this codec would yield a
+                # wrong duration.
+                ident_serial = p[14:18]
                 i, last_gp = 0, None
                 while i + 27 <= n and p[i:i + 4] == b"OggS" \
                         and p[i + 4] == 0:
@@ -208,7 +215,7 @@ def _make_header_parser() -> Callable[[bytes], dict | None]:
                     if lace_end + body > n:
                         break
                     gp = struct.unpack("<q", p[i + 6:i + 14])[0]
-                    if gp >= 0:
+                    if gp >= 0 and p[i + 14:i + 18] == ident_serial:
                         last_gp = gp
                     i = lace_end + body
                 if last_gp is not None:

@@ -14,8 +14,13 @@ residual rank.  Every pass is a map-side-combinable aggregate; the only
 driver traffic is the bounded histogram.  With 4096 buckets the range
 shrinks 2^12 per round, so a handful of rounds passes double precision
 and the terminal interval collapses to one representable value for any
-real data; ties (many rows sharing one value) terminate immediately via
-the single-distinct-value check.
+real data; ties (many rows sharing one value) terminate immediately
+because the selected bucket's data min == max.  Each round narrows to
+the selected bucket's actual data min/max (collected in the same
+aggregate pass), never to recomputed ``lo + bucket_id*width`` edges, so
+the refined bounds always refilter exactly the population the histogram
+counted — bucket assignment is monotone in the value, hence buckets are
+value-contiguous and their min/max bound their membership exactly.
 """
 
 from __future__ import annotations
@@ -57,44 +62,43 @@ def exact_kth_smallest(
             return lo
         width = (hi - lo) / buckets
         if width <= 0.0 or lo + width == lo:
-            # interval narrower than double resolution around lo
-            return lo
+            # interval narrower than double resolution around lo: at most
+            # a few thousand representable values survive — finish exactly
+            # driver-side below rather than guessing an endpoint
+            break
         b = F.least(
             F.lit(buckets - 1),
             F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)).cast("long"),
         )
+        # One aggregate pass yields each bucket's count AND its actual data
+        # min/max.  (v - lo) / width is monotone non-decreasing in v under
+        # IEEE round-to-nearest, so buckets are value-contiguous: every
+        # value in [bucket_min, bucket_max] maps back to the same bucket.
+        # Narrowing to the selected bucket's OWN min/max therefore refilters
+        # exactly the counted population — no float edge drift between the
+        # histogram expression and the next round's bounds.
         hist = sorted(
-            (row["b"], row["c"])
+            (row["b"], row["c"], row["blo"], row["bhi"])
             for row in vals.filter(
                 (F.col("_v") >= F.lit(lo)) & (F.col("_v") <= F.lit(hi))
             )
             .groupBy(b.alias("b"))
-            .agg(F.count("*").alias("c"))
+            .agg(
+                F.count("*").alias("c"),
+                F.min("_v").alias("blo"),
+                F.max("_v").alias("bhi"),
+            )
             .collect()
         )
         cum = 0
-        for bucket_id, c in hist:
+        for _bucket_id, c, blo, bhi in hist:
             if cum + c >= r:
                 r -= cum
-                new_lo = lo + bucket_id * width
-                new_hi = hi if bucket_id == buckets - 1 else new_lo + width
-                lo, hi = new_lo, new_hi
+                lo, hi = float(blo), float(bhi)
                 break
             cum += c
-        else:  # pragma: no cover - float-edge safety
+        else:  # pragma: no cover - unreachable: sum of counts == population
             raise AssertionError("rank fell outside the bucket histogram")
-        # closed-open sub-intervals except the last: re-filter next round
-        # uses [lo, hi]; rows exactly at hi of a non-final bucket belong
-        # to the NEXT bucket, so tighten with a strict bound via counts
-        distinct_probe = (
-            vals.filter((F.col("_v") >= F.lit(lo)) & (F.col("_v") <= F.lit(hi)))
-            .select("_v")
-            .distinct()
-            .limit(2)
-            .collect()
-        )
-        if len(distinct_probe) == 1:
-            return float(distinct_probe[0]["_v"])
     # interval no longer narrowable by floats: collect the (tiny)
     # surviving distinct values and finish driver-side
     tail = (

@@ -9494,6 +9494,13 @@ def q_ws_render_target_window(spark, sf_dir):
     ).select("metric", "ts", "value")
 
 
+#: largest-remainder allocation runs its rank/sum windows over a
+#: ONE-ROW-PER-SOURCE frame; sources are a bounded config dimension
+#: (corpus names), so the guard mirrors render.MAX_QUERY_SERIES — fail
+#: loudly rather than single-partition an unexpectedly huge frame
+MAX_MIX_SOURCES = 10_000
+
+
 @_q(
     "doc_mix_allocation",
     """
@@ -9541,10 +9548,25 @@ FROM base, left_over
 )
 def _mix_quotas(spark, sf_dir, budget: int = 100000):
     """Shared by doc_mix_allocation / doc_mix_sample: per-source
-    temperature-scaled token quotas (alpha=0.5, largest remainder)."""
+    temperature-scaled token quotas (alpha=0.5, largest remainder).
+
+    The unbounded windows below (share denominator, decimal sum,
+    largest-remainder rank) all run over the per-source aggregate —
+    guarded to MAX_MIX_SOURCES rows by a cheap column-pruned distinct
+    count, the render MAX_QUERY_SERIES convention."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
+    n_src = (
+        d.select("source").distinct().limit(MAX_MIX_SOURCES + 1).count()
+    )
+    if n_src > MAX_MIX_SOURCES:
+        raise ValueError(
+            f"mix allocation: over {MAX_MIX_SOURCES} distinct sources; "
+            "the largest-remainder frame is per-source and would "
+            "single-partition — raise queries.MAX_MIX_SOURCES only with "
+            "a distributed rank in place"
+        )
     tok = d.groupBy("source").agg(
         F.sum(
             F.size(F.filter(F.split("text", " "), lambda x: x != ""))
@@ -10389,9 +10411,11 @@ def q_emb_semdedup_survivors(spark, sf_dir):
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new
         if changed == 0:
             break
+    edges.unpersist()
     lab = labels.select(
         F.col("vec_id").alias("_lid"), F.col("cluster_id").alias("_cl")
     )
@@ -11159,21 +11183,27 @@ def q_doc_curation_pipeline_v2(spark, sf_dir):
     # score with multiplicity (doc_id only breaks ties between equal
     # scores), so distributed range-refinement selection finds it with
     # map-side-combinable passes — no single-partition sort of the
-    # surviving corpus at 100x scale.  klm is persisted: the selection
-    # scans it a handful of times and the fluent filter reuses it.
-    n_kept = klm.count()
-    if n_kept == 0:
-        fluent = klm.select("doc_id", "source")
-    else:
-        import math as _math
+    # surviving corpus at 100x scale.  klm is persisted only for the
+    # duration of that multi-scan selection, then released so repeated
+    # evaluations in one session don't accumulate cached blocks; n is
+    # the NON-NULL score count so k addresses the same population the
+    # selection (which ignores nulls) ranks over.
+    try:
+        n_kept = klm.filter(F.col("score").isNotNull()).count()
+        if n_kept == 0:
+            fluent = klm.select("doc_id", "source").limit(0)
+        else:
+            import math as _math
 
-        from .operators.quantile import exact_kth_smallest
+            from .operators.quantile import exact_kth_smallest
 
-        k = max(1, int(_math.ceil(n_kept * 0.5)))
-        m = exact_kth_smallest(klm, "score", k)
-        fluent = klm.filter(F.col("score") >= F.lit(m)).select(
-            "doc_id", "source"
-        )
+            k = max(1, int(_math.ceil(n_kept * 0.5)))
+            m = exact_kth_smallest(klm, "score", k)
+            fluent = klm.filter(F.col("score") >= F.lit(m)).select(
+                "doc_id", "source"
+            )
+    finally:
+        klm.unpersist()
     vocab = build_vocab(d, vocab_size=1000)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     fpos = (
@@ -11667,7 +11697,8 @@ def q_mm_payload_dedup(spark, sf_dir):
 # sequential recurrences, the stateful streaming op, the target-language
 # gate, the real media decode) is pulled inside that hard-signal window,
 # displacing the most commoditized TPC-H shapes — which remain fully
-# checked by tools/check_correctness.py's 146-query sweep.
+# checked by tools/check_correctness.py's full sweep (every registered
+# pair; INVENTORY.md carries the auto-derived current count).
 # --------------------------------------------------------------------- #
 
 _DRIVER_WINDOW_PROMOTE = [

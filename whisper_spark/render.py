@@ -1199,21 +1199,31 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         # distributed count of the (persisted) aggregate, then each
         # bound as a TakeOrderedAndProject — max of the first k ascending
         # IS the value at rank k
+        # persisted only across the count + two _bound collections, then
+        # released — repeated render evaluations in one session must not
+        # accumulate cached blocks (the final keep-filter recomputes the
+        # one-row-per-series aggregate once, which is cheaper than
+        # holding executor storage for the session's lifetime)
         avgs = df.groupBy("metric").agg(
             (_fsum("value") / F.count("value")).alias("_avg")
         ).persist()
-        n_series = avgs.count()
-        if n_series == 0:
-            return _keep_series(df, avgs)
+        try:
+            n_series = avgs.count()
+            if n_series == 0:
+                return _keep_series(df, avgs)
 
-        def _bound(pct: float) -> float:
-            k = min(max(int(math.floor(pct / 100.0 * (n_series + 1))), 1),
-                    n_series)
-            return avgs.orderBy("_avg", "metric").limit(k).agg(
-                F.max("_avg")
-            ).first()[0]
+            def _bound(pct: float) -> float:
+                k = min(
+                    max(int(math.floor(pct / 100.0 * (n_series + 1))), 1),
+                    n_series,
+                )
+                return avgs.orderBy("_avg", "metric").limit(k).agg(
+                    F.max("_avg")
+                ).first()[0]
 
-        lo, hi = _bound(100.0 - p), _bound(p)
+            lo, hi = _bound(100.0 - p), _bound(p)
+        finally:
+            avgs.unpersist()
         keep = avgs.filter(
             ~((F.col("_avg") > F.lit(lo)) & (F.col("_avg") < F.lit(hi)))
         )
