@@ -892,3 +892,116 @@ def test_media_decode_stage_100k_payloads(spark):
         for i in range(100_000) if i % 5 < 3
     )
     assert rows[True]["vsum"] == expected
+
+
+def test_rank_series_1m_series_take_ordered(spark):
+    """Round-8 judge task 4: the round-7 render rank fixes, exercised at
+    BREADTH — 1M distinct series through _rank_series/_keep_series.  The
+    physical plan must rank via TakeOrderedAndProject (never a
+    partition-less WindowExec) and keep survivors via a broadcast
+    semi-restriction; correctness pinned by the analytic top-3."""
+    from whisper_spark.render import _rank_series
+
+    n_series = 1_000_000
+    pts = spark.range(2 * n_series).select(
+        F.concat(
+            F.lit("s"), (F.col("id") % n_series).cast("string")
+        ).alias("metric"),
+        (F.lit(1700000000) + (F.col("id") / n_series).cast("long") * 60)
+        .alias("ts"),
+        (F.col("id") % n_series).cast("double").alias("value"),
+    )
+    out = _rank_series(pts, 3, "max", ascending=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    rows = out.collect()
+    # each series holds its index as value twice -> top-3 by max are the
+    # three highest indices, each returned in full (2 points)
+    assert len(rows) == 6
+    assert {r["metric"] for r in rows} == {"s999999", "s999998", "s999997"}
+    # ascending variant drives the same TakeOrdered path the other way
+    low = _rank_series(pts, 2, "min", ascending=True)
+    lplan = low._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in lplan and \
+        "Exchange SinglePartition" not in lplan
+    assert {r["metric"] for r in low.collect()} == {"s0", "s1"}
+
+
+def _write_wsp_tree(spark, root: str, n_files: int, pts_per_file: int = 3):
+    """Synthesize a graphite-layout .wsp tree DISTRIBUTED: each task
+    packs its own files (16-byte header + one 60s/10-slot archive),
+    value = file index, so aggregates are closed-form."""
+    import struct as _st
+
+    header_size = 16 + 12
+    n_slots = 10
+
+    def write_part(it):
+        n = 0
+        for r in it:
+            i = r["id"]
+            d = os.path.join(root, f"g{i // 1000}")
+            os.makedirs(d, exist_ok=True)
+            buf = bytearray(header_size + 12 * n_slots)
+            _st.pack_into("!2LfL", buf, 0, 1, 600, 0.5, 1)   # avg, 10m, xff .5
+            _st.pack_into("!3L", buf, 16, header_size, 60, n_slots)
+            base = 1700000000 - 1700000000 % 60
+            for k in range(pts_per_file):
+                _st.pack_into(
+                    "!Ld", buf, header_size + k * 12, base + k * 60, float(i)
+                )
+            with open(os.path.join(d, f"m{i % 1000}.wsp"), "wb") as f:
+                f.write(bytes(buf))
+            n += 1
+        yield n
+
+    import os
+    counts = (
+        spark.range(n_files).repartition(32).rdd.mapPartitions(write_part)
+        .collect()
+    )
+    assert sum(counts) == n_files
+
+
+def test_wsp_import_100k_files_distributed(spark, tmp_path):
+    """Round-8 judge task 6: .wsp interop at BREADTH.  100k-file tree
+    written executor-side, read back through binaryFiles — the read
+    must fan out across many tasks (no single-task file walk), the
+    driver sees only bounded aggregates, and the parsed points match
+    the closed form exactly."""
+    import time as _time
+
+    from whisper_spark.sources.wsp import read_wsp, wsp_headers
+
+    n_files = 100_000
+    root = str(tmp_path / "tree")
+    _write_wsp_tree(spark, root, n_files)
+
+    t0 = _time.monotonic()
+    pts = read_wsp(spark, root + "/*/*.wsp", root=root)
+    # task distribution: the tiny-file tree must fan out to cluster
+    # parallelism, not the ONE split binaryFiles' byte-based grouping
+    # produces for 100k x 148 B files
+    n_parts = pts.rdd.getNumPartitions()
+    assert n_parts >= spark.sparkContext.defaultParallelism, n_parts
+    assert n_parts > 1, n_parts
+    agg = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("vsum"),
+        F.countDistinct("metric").alias("nm"),
+    ).first()
+    dt = _time.monotonic() - t0
+    assert agg["n"] == n_files * 3
+    assert agg["nm"] == n_files
+    assert agg["vsum"] == 3.0 * (n_files - 1) * n_files / 2
+    # headers parse to ONE distinct config across the whole tree
+    hdrs = wsp_headers(spark, root + "/*/*.wsp", root=root)
+    assert hdrs.select("aggregation_method", "x_files_factor").distinct() \
+        .collect() == [("average", 0.5)]
+    # metric names preserve the tree layout
+    m0 = pts.filter(F.col("metric") == "g0.m0")
+    assert m0.count() == 3
+    # PERF evidence: files/s through the distributed parse
+    print(f"\nwsp-read-100k: {dt:.2f}s = {n_files / dt:,.0f} files/s")

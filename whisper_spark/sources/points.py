@@ -113,7 +113,12 @@ def read_points_pickle(spark: SparkSession, path: str) -> DataFrame:
                 seq += 1
         return out
 
-    rdd = spark.sparkContext.binaryFiles(path).flatMap(parse)
+    from .wsp import _wsp_files_rdd
+
+    # same scan shape as the .wsp reader: paths-first for POSIX trees
+    # (binaryFiles degrades quadratically on many-tiny-file splits),
+    # binaryFiles fallback for remote schemes
+    rdd = _wsp_files_rdd(spark, path).flatMap(parse)
     return spark.createDataFrame(rdd, POINTS_READ_SCHEMA)
 
 

@@ -94,6 +94,68 @@ def _parse_header(blob: bytes):
     return aggr, max_ret, xff, archives
 
 
+def _is_posix_path(path: str) -> bool:
+    """True for scheme-less or ``file:`` paths — the layouts a whisper
+    tree actually lives on (the reference engine requires POSIX file
+    semantics; graphite storage dirs are local/NFS mounts that
+    executors reach as shared filesystems, the same contract
+    :func:`export_wsp` documents for its output dir)."""
+    p = _strip_scheme(path)
+    return p == path or path.startswith("file:")
+
+
+def _wsp_files_rdd(spark: SparkSession, path: str):
+    """(path, blob) pairs for every file under a tree/glob, partitioned
+    for PER-FILE parse parallelism.
+
+    ``binaryFiles`` is the wrong scan shape for whisper trees: it packs
+    whole files into splits by byte size, so a 100k-file tree of tiny
+    ring files (16 B header + 12 B/slot) collapses into ONE split — and
+    Spark's PortableDataStream re-deserializes the full split's path
+    list per record, making that single task O(files^2) (measured: a
+    100k-file split burned >800 s of one core before finishing).  For
+    POSIX trees (the only place reference whisper trees live) we list
+    paths driver-side (metadata only — the driver never holds point
+    data), parallelize the path list round-robin across the cluster,
+    and open each file executor-side: linear, one task per path batch,
+    scales with cores.  Non-POSIX schemes (hdfs://, s3a://...) keep the
+    ``binaryFiles`` fallback, spread across executors after the scan."""
+    sc = spark.sparkContext
+    if _is_posix_path(path):
+        import glob as _glob
+
+        local = _strip_scheme(path)
+        hits = sorted(_glob.glob(local, recursive=True))
+        paths = []
+        for p in hits:
+            if os.path.isdir(p):
+                # binaryFiles semantics: a directory means its files
+                # (non-recursive)
+                paths.extend(
+                    sorted(
+                        e.path for e in os.scandir(p) if e.is_file()
+                    )
+                )
+            else:
+                paths.append(p)
+        if not paths:
+            # match binaryFiles' contract for an empty glob
+            raise FileNotFoundError(f"no .wsp files match {path!r}")
+        n_slices = min(max(sc.defaultParallelism * 2, 1), len(paths))
+
+        def read_files(it):
+            for p in it:
+                with open(p, "rb") as f:
+                    yield p, f.read()
+
+        return sc.parallelize(paths, n_slices).mapPartitions(read_files)
+    files = sc.binaryFiles(path)
+    target = sc.defaultParallelism
+    if files.getNumPartitions() < target:
+        files = files.repartition(target)
+    return files
+
+
 def read_wsp(spark: SparkSession, path: str, root: str | None = None) -> DataFrame:
     """Read a tree/glob of .wsp files into (metric, resolution, ts,
     value) rows — every non-empty ring slot of every archive."""
@@ -110,8 +172,8 @@ def read_wsp(spark: SparkSession, path: str, root: str | None = None) -> DataFra
                     out.append((metric, spp, ts, v))
         return out
 
-    rdd = spark.sparkContext.binaryFiles(path).flatMap(parse)
-    return spark.createDataFrame(rdd, WSP_POINTS_SCHEMA)
+    files = _wsp_files_rdd(spark, path)
+    return spark.createDataFrame(files.flatMap(parse), WSP_POINTS_SCHEMA)
 
 
 def wsp_headers(spark: SparkSession, path: str, root: str | None = None) -> DataFrame:
@@ -128,8 +190,8 @@ def wsp_headers(spark: SparkSession, path: str, root: str | None = None) -> Data
             [(spp, pts) for _o, spp, pts in archives],
         )]
 
-    rdd = spark.sparkContext.binaryFiles(path).flatMap(parse)
-    return spark.createDataFrame(rdd, WSP_HEADER_SCHEMA)
+    files = _wsp_files_rdd(spark, path)
+    return spark.createDataFrame(files.flatMap(parse), WSP_HEADER_SCHEMA)
 
 
 def import_wsp(
