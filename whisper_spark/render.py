@@ -49,6 +49,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions import folds
 from .functions import timeseries as TS
@@ -1199,11 +1200,14 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
         # distributed count of the (persisted) aggregate, then each
         # bound as a TakeOrderedAndProject — max of the first k ascending
         # IS the value at rank k
-        # persisted only across the count + two _bound collections, then
-        # released — repeated render evaluations in one session must not
-        # accumulate cached blocks (the final keep-filter recomputes the
-        # one-row-per-series aggregate once, which is cheaper than
-        # holding executor storage for the session's lifetime)
+        # persisted only across the count + two _bound collections + the
+        # kept-metric collect, then released — repeated render
+        # evaluations in one session must not accumulate cached blocks.
+        # The kept metrics are collected driver-side WHILE persisted:
+        # _keep_series broadcasts the keep frame anyway (same driver
+        # materialization), and collecting before unpersist avoids
+        # recomputing the one-row-per-series aggregate from the full
+        # input at final evaluation
         avgs = df.groupBy("metric").agg(
             (_fsum("value") / F.count("value")).alias("_avg")
         ).persist()
@@ -1222,10 +1226,16 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
                 ).first()[0]
 
             lo, hi = _bound(100.0 - p), _bound(p)
+            kept = [
+                (r["metric"],)
+                for r in avgs.filter(
+                    ~((F.col("_avg") > F.lit(lo)) & (F.col("_avg") < F.lit(hi)))
+                ).select("metric").collect()
+            ]
         finally:
             avgs.unpersist()
-        keep = avgs.filter(
-            ~((F.col("_avg") > F.lit(lo)) & (F.col("_avg") < F.lit(hi)))
+        keep = df.sparkSession.createDataFrame(
+            kept, T.StructType([T.StructField("metric", T.StringType())])
         )
         return _keep_series(df, keep)
     if name == "removeBetweenPercentile":
