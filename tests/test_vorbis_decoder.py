@@ -1,0 +1,1165 @@
+"""Ogg Vorbis decoder verification (operators/vorbis.py).
+
+Verification direction mirrors the FLAC/MP3/JPEG suites: everything
+here is written INDEPENDENTLY from the public Vorbis I specification
+(Xiph.Org) — a separate LSB-first bit-writer, a separate Ogg page
+writer with its own bitwise CRC, a full setup-header packer
+(codebooks, floor type 1, residues, mappings, modes), an audio-packet
+encoder, and an independent synthesis reference (direct cosine-matrix
+IMDCT, spec-formula windows, absolute-timeline overlap-add instead of
+the decoder's tail-passing) — then checked against the decoder:
+
+* Ogg framing: page walk, CRC verify, continued packets spanning
+  pages, serial filtering, granule trim, corruption gates;
+* canonical codeword assignment: the test's marker algorithm (the
+  spec's lowest-value rule) against the decoder's buddy allocator,
+  exhaustively on hand cases and on randomized valid length sets;
+* float32_unpack, ilog, IMDCT-vs-direct-cosine-matrix;
+* floor1 amplitude reconstruction (neighbor prediction, step2 flags,
+  render_line) against an independent implementation;
+* full PCM round trips: zero-floor silence (both blocksizes, window
+  transitions, granule accounting), nonzero floors through residue
+  types 0/1/2, stereo square-polar coupling, long/short transitions —
+  expected PCM computed by the test's own timeline synthesis;
+* gates: floor type 0 streams, truncated/corrupt input, non-Vorbis
+  Ogg, reserved types.
+
+The reference engine (graphite-project/whisper) has no media surface;
+this suite covers the beyond-reference training-data-pipeline scope
+(SAMPLES_SCHEMA contract from operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from whisper_spark.operators.vorbis import (
+    BitReader,
+    Codebook,
+    _assign_codewords,
+    decode_vorbis_samples,
+    decode_vorbis_stream,
+    float32_unpack,
+    ilog,
+    imdct,
+    ogg_packets,
+)
+
+# ------------------------------------------------------------------ #
+# independent bit-writer (Vorbis packs LSB-first within bytes)
+# ------------------------------------------------------------------ #
+
+
+class BitW:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value: int, n: int):
+        for i in range(n):  # LSB first
+            self.bits.append((value >> i) & 1)
+
+    def wbits_msb(self, code: int, n: int):
+        """Write a codeword root-first (MSB-first bit order)."""
+        for i in range(n - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b |= bits[i + j] << j
+            out.append(b)
+        return bytes(out)
+
+
+# ------------------------------------------------------------------ #
+# independent Ogg layer: bitwise CRC + page writer
+# ------------------------------------------------------------------ #
+
+
+def crc32_ogg(data: bytes) -> int:
+    """Bitwise CRC-32, poly 0x04C11DB7, MSB-first, init/xorout 0."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 \
+                else (crc << 1)
+            crc &= 0xFFFFFFFF
+    return crc
+
+
+def ogg_page(packets, serial, seq, granule, htype, open_end=False):
+    """One Ogg page holding ``packets`` (each completed on this page
+    unless ``open_end`` marks the last as continued on the next)."""
+    lacing = []
+    body = b""
+    for pi, p in enumerate(packets):
+        body += p
+        q, r = divmod(len(p), 255)
+        lacing.extend([255] * q)
+        if not (open_end and pi == len(packets) - 1):
+            lacing.append(r)
+        elif r:
+            raise ValueError("open-ended packet must be a 255 multiple")
+    hdr = (
+        b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+        + struct.pack("<I", serial) + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00" + bytes([len(lacing)]) + bytes(lacing)
+    )
+    page = bytearray(hdr + body)
+    page[22:26] = struct.pack("<I", crc32_ogg(bytes(page)))
+    return bytes(page)
+
+
+def ogg_wrap(header_pkts, audio_pkts, granules, serial=0x1234,
+             audio_per_page=1):
+    """Standard layout: ident on page 0, comment+setup on page 1,
+    audio packets on subsequent pages; ``granules[i]`` is the granule
+    of the page holding audio packet group i (last page gets 0x04)."""
+    pages = [ogg_page([header_pkts[0]], serial, 0, 0, 0x02),
+             ogg_page(header_pkts[1:], serial, 1, 0, 0x00)]
+    groups = [audio_pkts[i:i + audio_per_page]
+              for i in range(0, len(audio_pkts), audio_per_page)]
+    for gi, grp in enumerate(groups):
+        htype = 0x04 if gi == len(groups) - 1 else 0x00
+        pages.append(ogg_page(grp, serial, 2 + gi, granules[gi], htype))
+    return b"".join(pages)
+
+
+# ------------------------------------------------------------------ #
+# independent canonical codeword assignment (spec lowest-value rule,
+# marker algorithm: one free subtree per depth, take the deepest)
+# ------------------------------------------------------------------ #
+
+
+def canonical_codes(lengths):
+    """{entry: (code, len)} with codes in MSB-first bit order."""
+    out = {}
+    marker = [0] * 33  # left-justified 32-bit code of the free subtree
+    have = [False] * 33
+    first = True
+    for entry, ln in enumerate(lengths):
+        if ln is None:
+            continue
+        if first:
+            out[entry] = (0, ln)
+            for d in range(1, ln + 1):
+                marker[d] = 1 << (32 - d)
+                have[d] = True
+            first = False
+            continue
+        z = 0
+        for d in range(ln, 0, -1):
+            if have[d]:
+                z = d
+                break
+        assert z, "overpopulated codebook in test fixture"
+        res = marker[z]
+        have[z] = False
+        for d in range(z + 1, ln + 1):
+            marker[d] = res + (1 << (32 - d))
+            have[d] = True
+        out[entry] = (res >> (32 - ln), ln)
+    return out
+
+
+# ------------------------------------------------------------------ #
+# setup-header packers
+# ------------------------------------------------------------------ #
+
+
+def float32_pack(mant: int, exp: int, sign: int = 0) -> int:
+    """Inverse of the decoder's float32_unpack: value =
+    (-1)^sign * mant * 2^(exp-788)."""
+    return (sign << 31) | (exp << 21) | mant
+
+
+def pack_codebook(bw, dims, lengths, lookup=0, value_bits=0,
+                  vmin_packed=0, vdelta_packed=0, sequence_p=0,
+                  mults=(), ordered=False, sparse=False):
+    bw.w(0x564342, 24)
+    bw.w(dims, 16)
+    bw.w(len(lengths), 24)
+    bw.w(1 if ordered else 0, 1)
+    if ordered:
+        # lengths must be non-decreasing with no Nones
+        bw.w(lengths[0] - 1, 5)
+        cur = 0
+        cur_len = lengths[0]
+        while cur < len(lengths):
+            num = sum(1 for x in lengths[cur:] if x == cur_len)
+            bw.w(num, ilog(len(lengths) - cur))
+            cur += num
+            cur_len += 1
+    else:
+        bw.w(1 if sparse else 0, 1)
+        for ln in lengths:
+            if sparse:
+                if ln is None:
+                    bw.w(0, 1)
+                else:
+                    bw.w(1, 1)
+                    bw.w(ln - 1, 5)
+            else:
+                bw.w(ln - 1, 5)
+    bw.w(lookup, 4)
+    if lookup in (1, 2):
+        bw.w(vmin_packed, 32)
+        bw.w(vdelta_packed, 32)
+        bw.w(value_bits - 1, 4)
+        bw.w(sequence_p, 1)
+        for m in mults:
+            bw.w(m, value_bits)
+
+
+def pack_ident(channels, rate, bs0, bs1):
+    bw = BitW()
+    bw.w(1, 8)
+    for c in b"vorbis":
+        bw.w(c, 8)
+    bw.w(0, 32)
+    bw.w(channels, 8)
+    bw.w(rate, 32)
+    for _ in range(3):
+        bw.w(0, 32)
+    bw.w(bs0.bit_length() - 1, 4)
+    bw.w(bs1.bit_length() - 1, 4)
+    bw.w(1, 1)
+    return bw.bytes()
+
+
+def comment_pkt(vendor=b"test"):
+    bw = BitW()
+    bw.w(3, 8)
+    for c in b"vorbis":
+        bw.w(c, 8)
+    bw.w(len(vendor), 32)
+    for c in vendor:
+        bw.w(c, 8)
+    bw.w(0, 32)  # no user comments
+    bw.w(1, 1)
+    return bw.bytes()
+
+
+def pack_floor1(bw, partition_classes, class_dims, class_subclasses,
+                class_masterbooks, subclass_books, multiplier,
+                rangebits, x_tail):
+    bw.w(1, 16)
+    bw.w(len(partition_classes), 5)
+    for c in partition_classes:
+        bw.w(c, 4)
+    nclasses = (max(partition_classes) + 1) if partition_classes else 0
+    for ci in range(nclasses):
+        bw.w(class_dims[ci] - 1, 3)
+        bw.w(class_subclasses[ci], 2)
+        if class_subclasses[ci]:
+            bw.w(class_masterbooks[ci], 8)
+        for b in subclass_books[ci]:
+            bw.w(b + 1, 8)  # -1 (unused) packs as 0
+    bw.w(multiplier - 1, 2)
+    bw.w(rangebits, 4)
+    for x in x_tail:
+        bw.w(x, rangebits)
+
+
+def pack_residue(bw, rtype, begin, end, psize, nclass, classbook,
+                 cascades, books):
+    bw.w(rtype, 16)
+    bw.w(begin, 24)
+    bw.w(end, 24)
+    bw.w(psize - 1, 24)
+    bw.w(nclass - 1, 6)
+    bw.w(classbook, 8)
+    for c in cascades:
+        bw.w(c & 7, 3)
+        high = c >> 3
+        bw.w(1 if high else 0, 1)
+        if high:
+            bw.w(high, 5)
+    for ci, c in enumerate(cascades):
+        for stage in range(8):
+            if c & (1 << stage):
+                bw.w(books[ci][stage], 8)
+
+
+def pack_mapping(bw, channels, coupling=(), mux=None, submaps=1,
+                 submap_floor=(0,), submap_residue=(0,)):
+    bw.w(0, 16)
+    if submaps > 1:
+        bw.w(1, 1)
+        bw.w(submaps - 1, 4)
+    else:
+        bw.w(0, 1)
+    if coupling:
+        bw.w(1, 1)
+        bw.w(len(coupling) - 1, 8)
+        cb = ilog(channels - 1)
+        for mag, ang in coupling:
+            bw.w(mag, cb)
+            bw.w(ang, cb)
+    else:
+        bw.w(0, 1)
+    bw.w(0, 2)
+    if submaps > 1:
+        for m in mux:
+            bw.w(m, 4)
+    for s in range(submaps):
+        bw.w(0, 8)
+        bw.w(submap_floor[s], 8)
+        bw.w(submap_residue[s], 8)
+
+
+def pack_setup(codebooks, floors, residues, mappings, modes):
+    """Each element is a callable(bw) that packs one config."""
+    bw = BitW()
+    bw.w(5, 8)
+    for c in b"vorbis":
+        bw.w(c, 8)
+    bw.w(len(codebooks) - 1, 8)
+    for cb in codebooks:
+        cb(bw)
+    bw.w(0, 6)  # one time transform
+    bw.w(0, 16)
+    bw.w(len(floors) - 1, 6)
+    for fl in floors:
+        fl(bw)
+    bw.w(len(residues) - 1, 6)
+    for rs in residues:
+        rs(bw)
+    bw.w(len(mappings) - 1, 6)
+    for mp in mappings:
+        mp(bw)
+    bw.w(len(modes) - 1, 6)
+    for blockflag, mapping in modes:
+        bw.w(blockflag, 1)
+        bw.w(0, 16)
+        bw.w(0, 16)
+        bw.w(mapping, 8)
+    bw.w(1, 1)
+    return bw.bytes()
+
+
+# ------------------------------------------------------------------ #
+# the shared test stream design
+#
+# Design A (mono): bs0=64, bs1=256; book 0 = 1-entry classbook
+# (dims 2), book 1 = VQ book dims 4, 16 entries, 4-bit codes, lookup
+# type 2 with vmin=-4, vdelta=1, mult[e*4+d] = (e*7+3*d) % 8 so
+# entry e's vector component d is ((e*7+3*d) % 8) - 4; one floor1
+# (no partitions, multiplier 1, rangebits 7 -> X=[0,128]); one
+# residue (parameterized type) begin 0 end 128 psize 16, single
+# classification via the classbook; modes: 0=short, 1=long.
+# ------------------------------------------------------------------ #
+
+BS0, BS1 = 64, 256
+VQ_DIMS = 4
+VQ_ENTRIES = 16
+
+
+def vq_vector(entry):
+    return np.array([((entry * 7 + 3 * d) % 8) - 4.0
+                     for d in range(VQ_DIMS)])
+
+
+def design_a_setup(rtype=1, psize=16):
+    classbook = lambda bw: pack_codebook(bw, dims=2, lengths=[1])  # noqa: E731
+    mults = [(e * 7 + 3 * d) % 8
+             for e in range(VQ_ENTRIES) for d in range(VQ_DIMS)]
+    vq = lambda bw: pack_codebook(  # noqa: E731
+        bw, dims=VQ_DIMS, lengths=[4] * VQ_ENTRIES, lookup=2,
+        value_bits=3,
+        vmin_packed=float32_pack(1, 790, sign=1),   # -4.0
+        vdelta_packed=float32_pack(1, 788),          # 1.0
+        mults=mults,
+    )
+    floor = lambda bw: pack_floor1(  # noqa: E731
+        bw, [], [], [], [], [], multiplier=1, rangebits=7, x_tail=[])
+    residue = lambda bw: pack_residue(  # noqa: E731
+        bw, rtype, 0, 128, psize, 1, 0, [0b1], [[1] + [None] * 7])
+    mapping = lambda bw: pack_mapping(bw, channels=1)  # noqa: E731
+    return pack_setup([classbook, vq], [floor], [residue], [mapping],
+                      [(0, 0), (1, 0)])
+
+
+def encode_residue_t01(bw, entries_per_part, n2, psize, rtype,
+                       do_decode):
+    """Encode residue type 0/1 data for channels; entries_per_part is
+    a list per channel of per-partition lists of VQ entry ids (None
+    channel entries for do_decode=False channels are skipped)."""
+    partitions = min(128, n2) // psize
+    classwords = 2  # classbook dims
+    pi = 0
+    while pi < partitions:
+        for ch, dd in enumerate(do_decode):
+            if dd:
+                bw.wbits_msb(0, 1)  # the single classword codeword
+        for _k in range(classwords):
+            if pi >= partitions:
+                break
+            for ch, dd in enumerate(do_decode):
+                if not dd:
+                    continue
+                for e in entries_per_part[ch][pi]:
+                    bw.wbits_msb(e, 4)
+            pi += 1
+
+
+def audio_packet_a(mode_idx, prevw=0, nextw=0, floor_y=None,
+                   entries=None, rtype=1, psize=16):
+    """Design-A mono audio packet.  floor_y None -> zero floor
+    (silence); else (y0, y1) with the residue VQ entry ids in
+    ``entries`` (one per 4-coeff group over min(128, n2) coeffs)."""
+    bw = BitW()
+    bw.w(0, 1)
+    bw.w(mode_idx, 1)
+    long_block = mode_idx == 1
+    n2 = (BS1 if long_block else BS0) // 2
+    if long_block:
+        bw.w(prevw, 1)
+        bw.w(nextw, 1)
+    if floor_y is None:
+        bw.w(0, 1)
+        # residue still walks its partition loop but reads nothing
+        # for do_decode=[False]
+        return bw.bytes()
+    bw.w(1, 1)
+    bw.w(floor_y[0], 8)
+    bw.w(floor_y[1], 8)
+    groups = min(128, n2) // VQ_DIMS
+    per_part = [entries[i * (psize // VQ_DIMS):(i + 1)
+                         * (psize // VQ_DIMS)]
+                for i in range(min(128, n2) // psize)]
+    assert sum(len(p) for p in per_part) == groups
+    encode_residue_t01(bw, [per_part], n2, psize, rtype, [True])
+    return bw.bytes()
+
+
+# ------------------------------------------------------------------ #
+# independent synthesis reference (timeline overlap-add)
+# ------------------------------------------------------------------ #
+
+
+def ref_window_params(n, n0, prev_long, next_long, long_block):
+    if long_block and not prev_long:
+        left_start, left_n = n // 4 - n0 // 4, n0 // 2
+    else:
+        left_start, left_n = 0, n // 2
+    if long_block and not next_long:
+        right_start, right_n = n // 2 + n // 4 - n0 // 4, n0 // 2
+    else:
+        right_start, right_n = n // 2, n // 2
+    return left_start, left_n, right_start, right_n
+
+
+def ref_window(n, n0, prev_long, next_long, long_block):
+    left_start, left_n, right_start, right_n = ref_window_params(
+        n, n0, prev_long, next_long, long_block)
+    w = np.zeros(n)
+    i = np.arange(left_n) + 0.5
+    rise = np.sin(0.5 * np.pi
+                  * np.sin(0.5 * np.pi * i / left_n) ** 2)
+    w[left_start:left_start + left_n] = rise
+    w[left_start + left_n:right_start] = 1.0
+    i = np.arange(right_n) + 0.5
+    fall = np.sin(0.5 * np.pi
+                  * np.sin(0.5 * np.pi * i / right_n) ** 2)[::-1]
+    w[right_start:right_start + right_n] = fall
+    return w
+
+
+def ref_imdct(X):
+    M = len(X)
+    n = np.arange(2 * M)[:, None]
+    k = np.arange(M)[None, :]
+    return (np.asarray(X)[None, :]
+            * np.cos(np.pi / M * (n + 0.5 + M / 2) * (k + 0.5))
+            ).sum(axis=1)
+
+
+def ref_synthesize(block_specs, channels=1):
+    """block_specs: list of (n, prev_long, next_long, long_block,
+    spectra) with spectra an (channels, n//2) array or None for
+    silence.  Returns the expected emitted PCM (samples, channels),
+    before any granule trim — computed on an absolute timeline, not
+    by the decoder's tail-passing."""
+    placed = []
+    pos = 0
+    prev_right_start = None
+    for n, pl, nl, lb, spectra in block_specs:
+        ls, _ln, rs, rn = ref_window_params(n, BS0, pl, nl, lb)
+        w = ref_window(n, BS0, pl, nl, lb)
+        blk = np.zeros((n, channels))
+        if spectra is not None:
+            for ch in range(channels):
+                blk[:, ch] = ref_imdct(spectra[ch]) * w
+        if prev_right_start is not None:
+            pos += prev_right_start - ls
+        placed.append((pos, n, ls, rs, blk))
+        prev_right_start = rs
+    total = placed[-1][0] + placed[-1][1]
+    buf = np.zeros((total, channels))
+    for pos, n, _ls, _rs, blk in placed:
+        buf[pos:pos + n] += blk
+    # output spans the FIRST block's center to the LAST block's
+    # center (per-boundary (n_prev+n_cur)/4 accounting)
+    start = placed[0][0] + placed[0][1] // 2
+    end = placed[-1][0] + placed[-1][1] // 2
+    return buf[start:end]
+
+
+def emitted_samples(block_sizes):
+    """Per spec: boundary i contributes (n_{i-1}+n_i)/4 samples."""
+    return sum((a + b) // 4
+               for a, b in zip(block_sizes, block_sizes[1:]))
+
+
+# ------------------------------------------------------------------ #
+# unit tests: primitives
+# ------------------------------------------------------------------ #
+
+
+def test_ilog_and_float32_unpack():
+    assert [ilog(x) for x in (0, 1, 2, 3, 4, 7)] == [0, 1, 2, 2, 3, 3]
+    assert float32_unpack(float32_pack(1, 788)) == 1.0
+    assert float32_unpack(float32_pack(1, 790, sign=1)) == -4.0
+    assert float32_unpack(float32_pack(3, 787)) == 1.5
+    assert float32_unpack(float32_pack(0, 788)) == 0.0
+
+
+def test_codeword_assignment_matches_independent_marker():
+    cases = [
+        [1, 1],
+        [1, 2, 2],
+        [2, 2, 2, 2],
+        [1, 3, 3, 3, 3],
+        [2, 4, 4, 4, 4, 2, 3, 3],
+        [None, 3, None, 1, 2, 3],
+        [4] * 16,
+        [1, 2, 3, 4, 5, 6, 7, 8, 8],
+    ]
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        # random valid (possibly incomplete) length sets built by
+        # splitting leaves of a random binary tree
+        lens = [1, 1]
+        for _s in range(int(rng.integers(0, 12))):
+            i = int(rng.integers(0, len(lens)))
+            if lens[i] < 8:
+                lens[i:i + 1] = [lens[i] + 1, lens[i] + 1]
+        drop = rng.random(len(lens)) < 0.15
+        sample = [None if d and sum(not dd for dd in drop) > 1 else v
+                  for v, d in zip(lens, drop)]
+        cases.append(sample)
+    for lengths in cases:
+        mine = canonical_codes(lengths)
+        theirs = _assign_codewords(lengths)
+        inv = {(ln, code): e for e, (code, ln) in mine.items()}
+        assert inv == theirs, lengths
+
+
+def test_codebook_decode_scalar_walks_msb_first():
+    lengths = [1, 3, 3, 2]
+    codes = _assign_codewords(lengths)
+    cb = Codebook(0, 4, codes, None)
+    bw = BitW()
+    for entry in (0, 3, 1, 2, 0):
+        code, ln = canonical_codes(lengths)[entry]
+        bw.wbits_msb(code, ln)
+    br = BitReader(bw.bytes())
+    assert [cb.decode_scalar(br) for _ in range(5)] == [0, 3, 1, 2, 0]
+
+
+def test_imdct_matches_direct_cosine_matrix():
+    rng = np.random.default_rng(3)
+    for M in (16, 32, 128):
+        X = rng.standard_normal(M)
+        got = imdct(X)
+        want = ref_imdct(X)
+        assert np.allclose(got, want, atol=1e-9)
+
+
+def test_ogg_page_walk_and_crc():
+    pkts = [b"alpha", b"b" * 255, b"gamma" * 100]
+    # packet 1 is a 255 multiple: its final lacing 0 ends it; packet 2
+    # spans two pages via a continued page
+    p0 = ogg_page([pkts[0], pkts[1]], 7, 0, 0, 0x02)
+    first, rest = pkts[2][:255], pkts[2][255:]
+    p1 = ogg_page([first], 7, 1, -1, 0x00, open_end=True)
+    p2 = ogg_page([rest], 7, 2, 42, 0x05)
+    # continuation flag on the closing page
+    p2 = bytearray(p2)
+    p2[5] |= 0x01
+    p2[22:26] = b"\x00\x00\x00\x00"
+    p2[22:26] = struct.pack("<I", crc32_ogg(bytes(p2)))
+    data = p0 + p1 + bytes(p2)
+    got = list(ogg_packets(data))
+    assert [p for p, _g in got] == pkts
+    assert got[-1][1] == 42
+    # CRC corruption stops the walk at the bad page
+    bad = bytearray(data)
+    bad[len(p0) + len(p1) + 40] ^= 0xFF
+    assert [p for p, _g in ogg_packets(bytes(bad))] == pkts[:2]
+    # foreign-serial pages are skipped
+    foreign = ogg_page([b"zzz"], 9, 0, 0, 0x02)
+    got2 = [p for p, _g in ogg_packets(p0 + foreign + p1 + bytes(p2))]
+    assert got2 == pkts
+
+
+# ------------------------------------------------------------------ #
+# floor1 amplitude reconstruction (independent reference)
+# ------------------------------------------------------------------ #
+
+
+def _ref_floor1_amplitudes(x_list, y, rng_val):
+    """Independent spec implementation of floor1 step 2."""
+    def render_point(x0, y0, x1, y1, x):
+        dy = y1 - y0
+        off = abs(dy) * (x - x0) // (x1 - x0)
+        return y0 - off if dy < 0 else y0 + off
+
+    count = len(x_list)
+    final = [0] * count
+    flag = [False] * count
+    final[0], final[1] = y[0], y[1]
+    flag[0] = flag[1] = True
+    for i in range(2, count):
+        lows = [j for j in range(i) if x_list[j] < x_list[i]]
+        highs = [j for j in range(i) if x_list[j] > x_list[i]]
+        lo = max(lows, key=lambda j: x_list[j])
+        hi = min(highs, key=lambda j: x_list[j])
+        pred = render_point(x_list[lo], final[lo],
+                            x_list[hi], final[hi], x_list[i])
+        val = y[i]
+        if val:
+            highroom = rng_val - pred
+            lowroom = pred
+            room = 2 * min(highroom, lowroom)
+            if val >= room:
+                if highroom > lowroom:
+                    final[i] = val - lowroom + pred
+                else:
+                    final[i] = pred - val + highroom - 1
+            else:
+                final[i] = (pred - ((val + 1) >> 1) if val & 1
+                            else pred + (val >> 1))
+            flag[i] = flag[lo] = flag[hi] = True
+        else:
+            final[i] = pred
+        final[i] = max(0, min(rng_val - 1, final[i]))
+    return [(x_list[i], final[i]) for i in range(count) if flag[i]]
+
+
+def test_floor1_amplitudes_against_independent_reference():
+    from whisper_spark.operators.vorbis import Floor1
+
+    # config: 1 partition of class 0, class dims 3, no subclass books
+    bw = BitW()
+    pack_floor1(bw, [0], [3], [0], [None], [[-1]], multiplier=2,
+                rangebits=6, x_tail=[16, 32, 48])
+    br = BitReader(bw.bytes())
+    assert br.read(16) == 1
+    fl = Floor1(br, n_books=0)
+    assert fl.x_list == [0, 64, 16, 32, 48]
+    rng_val = 128  # multiplier 2
+    for y in ([30, 50, 0, 0, 0], [30, 50, 7, 0, 12],
+              [100, 10, 99, 1, 127], [0, 127, 3, 4, 5]):
+        got = fl._amplitudes(list(y), rng_val)
+        want = _ref_floor1_amplitudes(fl.x_list, y, rng_val)
+        assert got == want, y
+
+
+# ------------------------------------------------------------------ #
+# full-stream round trips
+# ------------------------------------------------------------------ #
+
+
+def _silence_stream(n_packets, granule=None, modes=None):
+    """All-long (or per-``modes``) zero-floor silence stream."""
+    ident = pack_ident(1, 8000, BS0, BS1)
+    setup = design_a_setup()
+    if modes is None:
+        modes = [1] * n_packets
+    pkts = []
+    for i, m in enumerate(modes):
+        if m == 1:
+            pl = 1 if i > 0 and modes[i - 1] == 1 else 0
+            nl = 1 if i + 1 < len(modes) and modes[i + 1] == 1 else 0
+            pkts.append(audio_packet_a(1, prevw=pl, nextw=nl,
+                                       floor_y=None))
+        else:
+            pkts.append(audio_packet_a(0, floor_y=None))
+    sizes = [BS1 if m else BS0 for m in modes]
+    total = emitted_samples(sizes)
+    if granule is None:
+        granule = total
+    granules = [0] * (len(pkts) - 1) + [granule]
+    return ogg_wrap([ident, comment_pkt(), setup], pkts, granules), total
+
+
+def test_silence_long_blocks_exact_zero():
+    data, total = _silence_stream(4)
+    got = decode_vorbis_stream(data)
+    assert got is not None
+    channels, rate, pcm = got
+    assert (channels, rate) == (1, 8000)
+    assert pcm.shape == (total, 1)
+    assert total == 3 * BS1 // 2
+    assert np.all(pcm == 0.0)
+
+
+def test_silence_mixed_blocksizes_accounting():
+    modes = [1, 0, 0, 1, 1, 0]
+    data, total = _silence_stream(len(modes), modes=modes)
+    got = decode_vorbis_stream(data)
+    assert got is not None
+    _c, _r, pcm = got
+    sizes = [BS1 if m else BS0 for m in modes]
+    assert total == emitted_samples(sizes)
+    assert pcm.shape == (total, 1)
+    assert np.all(pcm == 0.0)
+
+
+def test_granule_trim():
+    total_g = 100
+    data, total = _silence_stream(4, granule=total_g)
+    got = decode_vorbis_stream(data)
+    assert got is not None
+    assert got[2].shape == (total_g, 1)
+    # a granule >= emitted samples is a no-op
+    data2, total2 = _silence_stream(3, granule=10_000)
+    assert decode_vorbis_stream(data2)[2].shape == (total2, 1)
+
+
+def test_nonzero_long_blocks_roundtrip_residue_type1():
+    _nonzero_roundtrip(rtype=1)
+
+
+def test_nonzero_long_blocks_roundtrip_residue_type0():
+    _nonzero_roundtrip(rtype=0)
+
+
+def _nonzero_roundtrip(rtype):
+    ident = pack_ident(1, 8000, BS0, BS1)
+    setup = design_a_setup(rtype=rtype)
+    rng = np.random.default_rng(11 + rtype)
+    n_blocks = 5
+    pkts = []
+    specs = []
+    for i in range(n_blocks):
+        pl = 1 if i > 0 else 0
+        nl = 1 if i + 1 < n_blocks else 0
+        entries = [int(e) for e in rng.integers(0, VQ_ENTRIES, 32)]
+        pkts.append(audio_packet_a(1, prevw=pl, nextw=nl,
+                                   floor_y=(255, 255), entries=entries,
+                                   rtype=rtype))
+        if rtype == 0:
+            # decoder applies entries with stride step=psize//dims
+            # within each partition; the packer writes them in read
+            # order, so expected coeffs interleave
+            spec = np.zeros(128)
+            psize, dims = 16, VQ_DIMS
+            step = psize // dims
+            for part in range(128 // psize):
+                for s in range(step):
+                    e = entries[part * step + s]
+                    spec[part * psize + s::][:dims * step:step] += \
+                        vq_vector(e)
+            spec_full = spec
+        else:
+            spec_full = np.concatenate(
+                [vq_vector(e) for e in entries])
+        # floor 255 * multiplier 1 -> inverse_db[255] == 1.0 exactly
+        specs.append((BS1, bool(pl), bool(nl), True,
+                      spec_full[None, :]))
+    sizes = [BS1] * n_blocks
+    total = emitted_samples(sizes)
+    granules = [0] * (n_blocks - 1) + [total]
+    data = ogg_wrap([ident, comment_pkt(), setup], pkts, granules)
+    got = decode_vorbis_stream(data)
+    assert got is not None
+    _c, _r, pcm = got
+    want = ref_synthesize(specs)
+    assert pcm.shape == want.shape
+    assert np.allclose(pcm, want, atol=1e-9)
+    assert np.abs(pcm).max() > 0.1  # genuinely nonzero audio
+
+
+def test_nonzero_window_transitions_roundtrip():
+    ident = pack_ident(1, 8000, BS0, BS1)
+    setup = design_a_setup()
+    rng = np.random.default_rng(23)
+    modes = [1, 1, 0, 0, 1, 0, 1, 1]
+    pkts = []
+    specs = []
+    for i, m in enumerate(modes):
+        long_block = m == 1
+        n2 = (BS1 if long_block else BS0) // 2
+        ncoef = min(128, n2)
+        entries = [int(e)
+                   for e in rng.integers(0, VQ_ENTRIES, ncoef // 4)]
+        pl = 1 if long_block and i > 0 and modes[i - 1] == 1 else 0
+        nl = (1 if long_block and i + 1 < len(modes)
+              and modes[i + 1] == 1 else 0)
+        pkts.append(audio_packet_a(m, prevw=pl, nextw=nl,
+                                   floor_y=(255, 255),
+                                   entries=entries))
+        spec = np.zeros(n2)
+        spec[:ncoef] = np.concatenate([vq_vector(e) for e in entries])
+        specs.append((BS1 if long_block else BS0, bool(pl), bool(nl),
+                      long_block, spec[None, :]))
+    sizes = [BS1 if m else BS0 for m in modes]
+    total = emitted_samples(sizes)
+    granules = [0] * (len(pkts) - 1) + [total]
+    data = ogg_wrap([ident, comment_pkt(), setup], pkts, granules)
+    got = decode_vorbis_stream(data)
+    assert got is not None
+    pcm = got[2]
+    want = ref_synthesize(specs)
+    assert pcm.shape == want.shape
+    assert np.allclose(pcm, want, atol=1e-9)
+
+
+def test_nonzero_floor_value_scales_by_inverse_db_table():
+    """A non-fixed-point floor value (200): the curve is the inverse-dB
+    ramp at index 200 — recomputed here from the documented closed form
+    (machinery check; the table itself is injectable via
+    set_vorbis_tables)."""
+    ident = pack_ident(1, 8000, BS0, BS1)
+    setup = design_a_setup()
+    entries = [5] * 32
+    pkts = [audio_packet_a(1, prevw=0, nextw=1, floor_y=(200, 200),
+                           entries=entries),
+            audio_packet_a(1, prevw=1, nextw=0, floor_y=(200, 200),
+                           entries=entries)]
+    total = emitted_samples([BS1, BS1])
+    data = ogg_wrap([ident, comment_pkt(), setup], pkts, [0, total])
+    got = decode_vorbis_stream(data)
+    assert got is not None
+    amp = np.float32(10.0 ** (-(255.0 - 200.0) * 7.0 / 256.0))
+    spec = np.concatenate([vq_vector(5)] * 32) * float(amp)
+    specs = [(BS1, False, True, True, spec[None, :]),
+             (BS1, True, False, True, spec[None, :])]
+    want = ref_synthesize(specs)
+    assert np.allclose(got[2], want, atol=1e-9)
+    assert np.abs(got[2]).max() > 0.0
+
+
+# ------------------------------------------------------------------ #
+# stereo: residue type 2 + square-polar coupling
+# ------------------------------------------------------------------ #
+
+
+def design_stereo_setup(coupling=True):
+    classbook = lambda bw: pack_codebook(bw, dims=2, lengths=[1])  # noqa: E731
+    mults = [(e * 7 + 3 * d) % 8
+             for e in range(VQ_ENTRIES) for d in range(VQ_DIMS)]
+    vq = lambda bw: pack_codebook(  # noqa: E731
+        bw, dims=VQ_DIMS, lengths=[4] * VQ_ENTRIES, lookup=2,
+        value_bits=3,
+        vmin_packed=float32_pack(1, 790, sign=1),
+        vdelta_packed=float32_pack(1, 788),
+        mults=mults,
+    )
+    floor = lambda bw: pack_floor1(  # noqa: E731
+        bw, [], [], [], [], [], multiplier=1, rangebits=7, x_tail=[])
+    residue = lambda bw: pack_residue(  # noqa: E731
+        bw, 2, 0, 256, 16, 1, 0, [0b1], [[1] + [None] * 7])
+    mapping = lambda bw: pack_mapping(  # noqa: E731
+        bw, channels=2, coupling=[(0, 1)] if coupling else ())
+    return pack_setup([classbook, vq], [floor], [residue], [mapping],
+                      [(1, 0)])
+
+
+def ref_inverse_couple(M, A):
+    newM, newA = M.copy(), A.copy()
+    for i in range(len(M)):
+        m, a = M[i], A[i]
+        if m > 0:
+            if a > 0:
+                newM[i], newA[i] = m, m - a
+            else:
+                newA[i], newM[i] = m, m + a
+        else:
+            if a > 0:
+                newM[i], newA[i] = m, m + a
+            else:
+                newA[i], newM[i] = m, m - a
+    return newM, newA
+
+
+def test_stereo_type2_coupling_roundtrip():
+    ident = pack_ident(2, 16000, BS0, BS1)
+    setup = design_stereo_setup()
+    rng = np.random.default_rng(31)
+    n_blocks = 4
+    pkts = []
+    specs = []
+    for i in range(n_blocks):
+        pl = 1 if i > 0 else 0
+        nl = 1 if i + 1 < n_blocks else 0
+        n2 = BS1 // 2
+        # residue type 2: one flat vector of 2*n2 coeffs, 4-coeff VQ
+        # groups; end=256 covers the whole flat vector
+        entries = [int(e)
+                   for e in rng.integers(0, VQ_ENTRIES, 2 * n2 // 4)]
+        bw = BitW()
+        bw.w(0, 1)
+        # single mode -> mode_bits = ilog(0) = 0: no mode field
+        bw.w(pl, 1)
+        bw.w(nl, 1)
+        for _ch in range(2):
+            bw.w(1, 1)
+            bw.w(255, 8)
+            bw.w(255, 8)
+        # type-2 payload: one virtual channel of size 2*n2
+        flat_parts = 2 * n2 // 16
+        classwords = 2
+        pi = 0
+        idx = 0
+        while pi < flat_parts:
+            bw.wbits_msb(0, 1)
+            for _k in range(classwords):
+                if pi >= flat_parts:
+                    break
+                for _g in range(16 // VQ_DIMS):
+                    bw.wbits_msb(entries[idx], 4)
+                    idx += 1
+                pi += 1
+        pkts.append(bw.bytes())
+        flat = np.concatenate([vq_vector(e) for e in entries])
+        M, A = flat[0::2].copy(), flat[1::2].copy()
+        m2, a2 = ref_inverse_couple(M, A)
+        specs.append((BS1, bool(pl), bool(nl), True,
+                      np.stack([m2, a2])))
+    total = emitted_samples([BS1] * n_blocks)
+    granules = [0] * (n_blocks - 1) + [total]
+    data = ogg_wrap([ident, comment_pkt(), setup], pkts, granules)
+    got = decode_vorbis_stream(data)
+    assert got is not None
+    channels, rate, pcm = got
+    assert (channels, rate) == (2, 16000)
+    want = ref_synthesize(specs, channels=2)
+    assert pcm.shape == want.shape
+    assert np.allclose(pcm, want, atol=1e-9)
+    assert np.abs(pcm).max() > 0.1
+
+
+def test_coupled_zero_angle_channel_still_decodes():
+    """A zero floor on the angle channel with a nonzero magnitude
+    floor: coupling forces the angle residue to decode (eff), and
+    inverse coupling reconstructs both channels."""
+    ident = pack_ident(2, 16000, BS0, BS1)
+    setup = design_stereo_setup()
+    n2 = BS1 // 2
+    rng = np.random.default_rng(41)
+    pkts = []
+    specs = []
+    n_blocks = 3
+    for i in range(n_blocks):
+        pl = 1 if i > 0 else 0
+        nl = 1 if i + 1 < n_blocks else 0
+        entries = [int(e)
+                   for e in rng.integers(0, VQ_ENTRIES, 2 * n2 // 4)]
+        bw = BitW()
+        bw.w(0, 1)
+        bw.w(pl, 1)
+        bw.w(nl, 1)
+        bw.w(1, 1)      # ch0 floor present
+        bw.w(255, 8)
+        bw.w(255, 8)
+        bw.w(0, 1)      # ch1 floor ABSENT -> coupled decode anyway
+        flat_parts = 2 * n2 // 16
+        pi = 0
+        idx = 0
+        while pi < flat_parts:
+            bw.wbits_msb(0, 1)
+            for _k in range(2):
+                if pi >= flat_parts:
+                    break
+                for _g in range(4):
+                    bw.wbits_msb(entries[idx], 4)
+                    idx += 1
+                pi += 1
+        pkts.append(bw.bytes())
+        flat = np.concatenate([vq_vector(e) for e in entries])
+        M, A = flat[0::2].copy(), flat[1::2].copy()
+        m2, a2 = ref_inverse_couple(M, A)
+        # ch1's floor is ABSENT: spec 4.3.6 — "if the channel is
+        # unused... its spectrum is zero" after coupling the residue
+        # is still computed but the final floor multiply uses the
+        # zero floor -> channel 1 output is zero
+        specs.append((BS1, bool(pl), bool(nl), True,
+                      np.stack([m2, np.zeros(n2)])))
+    total = emitted_samples([BS1] * n_blocks)
+    granules = [0] * (n_blocks - 1) + [total]
+    data = ogg_wrap([ident, comment_pkt(), setup], pkts, granules)
+    got = decode_vorbis_stream(data)
+    assert got is not None
+    pcm = got[2]
+    want = ref_synthesize(specs, channels=2)
+    assert pcm.shape == want.shape
+    assert np.allclose(pcm, want, atol=1e-9)
+    assert np.abs(pcm[:, 0]).max() > 0.1
+    assert np.all(pcm[:, 1] == 0.0)
+
+
+# ------------------------------------------------------------------ #
+# gates / corruption
+# ------------------------------------------------------------------ #
+
+
+def test_gates_return_none():
+    # not Ogg at all
+    assert decode_vorbis_stream(b"RIFF" + b"\x00" * 64) is None
+    # fewer than 3 packets
+    ident = pack_ident(1, 8000, BS0, BS1)
+    only = ogg_page([ident], 5, 0, 0, 0x02)
+    assert decode_vorbis_stream(only) is None
+    # valid headers but no audio packets
+    data, _t = _silence_stream(2)
+    # chop after the header pages: rebuild with zero audio packets
+    setup = design_a_setup()
+    hdr_only = (ogg_page([ident], 5, 0, 0, 0x02)
+                + ogg_page([comment_pkt(), setup], 5, 1, 0, 0x04))
+    assert decode_vorbis_stream(hdr_only) is None
+    # corrupt setup (truncated): None, not an exception
+    bad_setup = setup[: len(setup) // 2]
+    bad = (ogg_page([ident], 5, 0, 0, 0x02)
+           + ogg_page([comment_pkt(), bad_setup], 5, 1, 0, 0x00)
+           + ogg_page([audio_packet_a(1)], 5, 2, 128, 0x04))
+    assert decode_vorbis_stream(bad) is None
+    # opus ident is not vorbis
+    opus = ogg_page([b"OpusHead" + b"\x00" * 10], 5, 0, 0, 0x02)
+    assert decode_vorbis_stream(opus) is None
+
+
+def test_floor0_stream_gated():
+    """A stream whose floor is type 0 (obsolete LSP) parses the setup
+    but returns None at the first audio packet."""
+    classbook = lambda bw: pack_codebook(bw, dims=2, lengths=[1])  # noqa: E731
+
+    def floor0(bw):
+        bw.w(0, 16)     # floor type 0
+        bw.w(4, 8)      # order
+        bw.w(8000, 16)  # rate
+        bw.w(64, 16)    # bark_map_size
+        bw.w(6, 6)      # amplitude bits
+        bw.w(3, 8)      # amplitude offset
+        bw.w(0, 4)      # number_of_books - 1
+        bw.w(0, 8)      # book 0
+
+    residue = lambda bw: pack_residue(  # noqa: E731
+        bw, 1, 0, 128, 16, 1, 0, [0b0], [[None] * 8])
+    mapping = lambda bw: pack_mapping(bw, channels=1)  # noqa: E731
+    setup = pack_setup([classbook], [floor0], [residue], [mapping],
+                       [(1, 0)])
+    ident = pack_ident(1, 8000, BS0, BS1)
+    bw = BitW()
+    bw.w(0, 1)  # audio packet, single mode -> no mode bits
+    bw.w(1, 1)
+    bw.w(1, 1)
+    pkt = bw.bytes()
+    data = ogg_wrap([ident, comment_pkt(), setup], [pkt], [128])
+    assert decode_vorbis_stream(data) is None
+
+
+def test_reserved_types_rejected():
+    ident = pack_ident(1, 8000, BS0, BS1)
+    classbook = lambda bw: pack_codebook(bw, dims=2, lengths=[1])  # noqa: E731
+
+    def floor_bad(bw):
+        bw.w(2, 16)  # reserved floor type
+
+    residue = lambda bw: pack_residue(  # noqa: E731
+        bw, 1, 0, 128, 16, 1, 0, [0b0], [[None] * 8])
+    mapping = lambda bw: pack_mapping(bw, channels=1)  # noqa: E731
+    setup = pack_setup([classbook], [floor_bad], [residue], [mapping],
+                       [(1, 0)])
+    data = ogg_wrap([ident, comment_pkt(), setup],
+                    [audio_packet_a(1)], [128])
+    assert decode_vorbis_stream(data) is None
+
+
+def test_truncated_audio_packet_is_skipped_not_fatal():
+    """A final packet cut mid-floor: the spec's end-of-packet rule for
+    audio packets means the block is dropped; prior blocks survive."""
+    ident = pack_ident(1, 8000, BS0, BS1)
+    setup = design_a_setup()
+    good = [audio_packet_a(1, prevw=0, nextw=1, floor_y=None),
+            audio_packet_a(1, prevw=1, nextw=1, floor_y=None),
+            audio_packet_a(1, prevw=1, nextw=1, floor_y=None)]
+    total = emitted_samples([BS1] * 3)
+    pages = [ogg_page([ident], 3, 0, 0, 0x02),
+             ogg_page([comment_pkt(), setup], 3, 1, 0, 0x00),
+             ogg_page(good, 3, 2, total, 0x00),
+             ogg_page([b"\x00"], 3, 3, total, 0x04)]
+    got = decode_vorbis_stream(b"".join(pages))
+    assert got is not None
+    assert got[2].shape == (total, 1)
+    assert np.all(got[2] == 0.0)
+
+
+# ------------------------------------------------------------------ #
+# SAMPLES_SCHEMA stats decoder
+# ------------------------------------------------------------------ #
+
+
+def test_decode_vorbis_samples_stats_silence():
+    data, total = _silence_stream(5)
+    st = decode_vorbis_samples(data)
+    assert st == {
+        "sample_rate": 8000, "channels": 1, "bits": 16,
+        "n_samples": total, "s_min": 0, "s_max": 0, "s_sum": 0,
+        "s_sq_sum": 0, "s_mean": 0.0,
+    }
+    assert decode_vorbis_samples(b"\x00\x01") is None
+    assert decode_vorbis_samples(None) is None
+
+
+def test_decode_vorbis_samples_stats_nonzero():
+    ident = pack_ident(1, 8000, BS0, BS1)
+    setup = design_a_setup()
+    entries = [3] * 32
+    pkts = [audio_packet_a(1, prevw=0, nextw=1, floor_y=(255, 255),
+                           entries=entries),
+            audio_packet_a(1, prevw=1, nextw=0, floor_y=(255, 255),
+                           entries=entries)]
+    total = emitted_samples([BS1, BS1])
+    data = ogg_wrap([ident, comment_pkt(), setup], pkts, [0, total])
+    st = decode_vorbis_samples(data)
+    assert st is not None and st["n_samples"] == total
+    spec = np.concatenate([vq_vector(3)] * 32)
+    specs = [(BS1, False, True, True, spec[None, :]),
+             (BS1, True, False, True, spec[None, :])]
+    want = ref_synthesize(specs)[:, 0]
+    s16 = np.clip(np.rint(want * 32767.0), -32768, 32767).astype(
+        np.int64)
+    assert st["s_min"] == int(s16.min())
+    assert st["s_max"] == int(s16.max())
+    assert st["s_sum"] == int(s16.sum())
+    assert st["s_sq_sum"] == int((s16 * s16).sum())
+
+
+# ------------------------------------------------------------------ #
+# Spark dispatch (after wiring into decode_samples)
+# ------------------------------------------------------------------ #
+
+
+def test_decode_samples_dispatches_ogg(spark):
+    from whisper_spark.operators.multimodal import decode_samples
+
+    data, total = _silence_stream(4)
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"OggS???not-a-page"))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in decode_samples(df).collect()}
+    assert rows[1]["sample_rate"] == 8000
+    assert rows[1]["n_samples"] == total
+    assert rows[1]["s_sum"] == 0 and rows[1]["s_sq_sum"] == 0
+    assert rows[2]["sample_rate"] is None  # corrupt Ogg -> NULL stats

@@ -1197,9 +1197,10 @@ def decode_pixels(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     baseline AND progressive).  Unrecognized/unsupported payloads
     yield NULL stats (the row is kept so coverage is auditable).  This
     closes the image leg of the former pixel-decode integration point
-    with the stdlib only; Ogg/video sample decode still needs external
-    codecs (``decode_media``'s ``decoder='raise'`` marker; MPEG-1
-    audio is real — see operators/mp3.py and its two scoped gates)."""
+    with the stdlib only; Opus/inter-frame-video sample decode still
+    needs external codecs (``decode_media``'s ``decoder='raise'``
+    marker; MPEG-1 audio is real — see operators/mp3.py and its two
+    scoped gates — and Ogg Vorbis is real, see operators/vorbis.py)."""
     dec = _make_pixel_decoder()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -1506,9 +1507,9 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
 
     Corrupt structure, CRC failures, truncated streams, and reserved
     codes return None — NULL stats, never task failures.  The remaining
-    gated codec surface is Ogg/video plus the two operators/mp3.py
-    gates (``decode_media``'s ``decoder='raise'`` marker).
-    Closure-built so Spark tasks ship it by value.
+    gated codec surface is Opus/inter-frame video plus the two
+    operators/mp3.py gates (``decode_media``'s ``decoder='raise'``
+    marker).  Closure-built so Spark tasks ship it by value.
     """
     import struct
 
@@ -1824,12 +1825,17 @@ decode_flac_samples = _make_flac_sample_decoder()
 
 def _make_sample_decoder() -> Callable[[bytes], dict | None]:
     """Magic-byte dispatch over the audio sample decoders (WAV PCM,
-    FLAC, MPEG-1 audio — see operators/mp3.py for the MP3 scope)."""
+    FLAC, MPEG-1 audio — see operators/mp3.py for the MP3 scope —
+    and Ogg Vorbis — see operators/vorbis.py; Ogg streams whose first
+    packet is not a Vorbis ident, e.g. Opus/Theora, yield NULL
+    stats)."""
     from .mp3 import _make_mp3_sample_decoder
+    from .vorbis import _make_vorbis_sample_decoder
 
     wav = _make_wav_sample_decoder()
     flac = _make_flac_sample_decoder()
     mp3 = _make_mp3_sample_decoder()
+    vorbis = _make_vorbis_sample_decoder()
 
     def dec(p: bytes) -> dict | None:
         if p is None or len(p) < 4:
@@ -1838,6 +1844,8 @@ def _make_sample_decoder() -> Callable[[bytes], dict | None]:
             return wav(p)
         if p[:4] == b"fLaC":
             return flac(p)
+        if p[:4] == b"OggS":
+            return vorbis(p)
         if p[:3] == b"ID3" or (p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
             return mp3(p)
         return None
@@ -1850,15 +1858,19 @@ def decode_samples(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     stage: (media_id, payload) -> :data:`SAMPLES_SCHEMA` sample
     statistics, with magic-byte dispatch over WAV PCM, FLAC (real
     bit-level frame decode — all subframe types and channel
-    assignments, CRC-verified), and MPEG-1 audio Layers I/II/III
+    assignments, CRC-verified), MPEG-1 audio Layers I/II/III
     (full Layer I/II bitstream decode + polyphase synthesis; Layer
     III zero-spectrum subset — operators/mp3.py documents the two
-    gates).  Unrecognized/unsupported/truncated payloads yield NULL
+    gates), and Ogg Vorbis (full setup/floor1/residue/coupling/IMDCT
+    decode — operators/vorbis.py; round-tripped against an
+    independent packer in tests/test_vorbis_decoder.py).
+    Unrecognized/unsupported/truncated payloads yield NULL
     stats (the row is kept so coverage is auditable).  Together with
     :func:`decode_pixels` this closes the audio leg of the former
     sample-decode integration point with the stdlib only; the
-    remaining gated codec surface is Ogg/video plus the two mp3.py
-    gates (``decode_media``'s ``decoder='raise'`` marker)."""
+    remaining gated codec surface is Opus/inter-frame video plus the
+    two mp3.py gates (``decode_media``'s ``decoder='raise'``
+    marker)."""
     dec = _make_sample_decoder()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -1920,13 +1932,14 @@ def decode_media(
     with the DECODED_SCHEMA metadata fields."""
     if decoder == "raise":
         raise NotImplementedError(
-            "Ogg-payload (Vorbis/Opus) and inter-frame video (H.26x, "
-            "VP9, ...) SAMPLE decoding requires codec libraries not "
-            "present in this environment; use decoder='auto' (header "
-            "parsing incl. Ogg ident/duration) — or decode_pixels "
-            "(real stdlib PNG/GIF/BMP/JPEG incl. progressive), "
-            "decode_samples (real WAV/FLAC/MPEG-1 audio; see "
-            "operators/mp3.py for MP3's scoped gates), and "
+            "Opus-payload and inter-frame video (H.26x, VP9, ...) "
+            "SAMPLE decoding requires codec libraries not present in "
+            "this environment; use decoder='auto' (header parsing "
+            "incl. Ogg ident/duration) — or decode_pixels (real "
+            "stdlib PNG/GIF/BMP/JPEG incl. progressive), "
+            "decode_samples (real WAV/FLAC/MPEG-1/Ogg-Vorbis audio; "
+            "see operators/mp3.py for MP3's scoped gates, "
+            "operators/vorbis.py for the full Vorbis decode), and "
             "decode_video_frames (real AVI/MJPEG)"
         )
     if decoder in ("auto", "fake"):

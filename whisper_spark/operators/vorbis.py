@@ -43,9 +43,13 @@ endpoint values and the published step constant.  The shipped default
 is that closed form evaluated in float32; a bit-conformance deployment
 can inject the printed table via :func:`set_vorbis_tables`.  Every
 oracle stream is synthesized so the table cancels (zero floors ->
-digital silence through the full window/overlap path), and the
-round-trip suite covers the nonzero path against an independent
-encoder using the same closed form.
+digital silence through the full window/overlap path); the round-trip
+suite additionally pins the nonzero-floor path both at the table's
+exact fixed point (floor value 255 -> amplitude 1.0, identical in the
+closed form and the printed table, so those round trips are
+table-independent) and at a non-fixed-point floor value whose
+expected amplitude the test recomputes from the same closed form
+(machinery-exact; the value itself is injectable).
 
 Gates (returning ``None`` -> NULL stats, never crashes): floor type 0
 (the obsolete LSP floor no mainstream encoder emits) and non-audio /
@@ -939,21 +943,30 @@ def _decode(data: bytes):
             if spectrum is not None and np.any(spectrum):
                 block[:, ch] = imdct(spectrum) * w
             # silent channels stay zero without paying the transform
-        # ---- overlap-add / emit ----
+        # ---- overlap-add / emit (center-to-center lapping) ----
+        # Vorbis returns (n_prev + n_cur)/4 samples per block
+        # boundary, spanning the previous block's CENTER to the
+        # current block's center; tails therefore run from each
+        # block's center (a long block flagged next-short carries
+        # (n - n0)/4 fully-windowed samples AFTER right_start's
+        # fall region begins relative accounting — starting tails at
+        # right_start would drop them at the first boundary).
+        center = n // 2
         if prev_right is None:
-            prev_right = (block[right_start:], n - right_start)
+            prev_right = (block[center:], n)
             continue
-        tail, _tail_len = prev_right
-        # previous tail aligns at this block's left_start
-        overlap = len(tail)
-        seg_len = right_start - left_start
-        seg = block[left_start:right_start].copy()
-        add = min(overlap, seg_len)
-        seg[:add] += tail[:add]
-        # (window shapes guarantee overlap == the left slope region;
-        # any tail beyond it is zero by the window's zero pad)
+        tail, prev_n = prev_right
+        emit = (prev_n + n) // 4
+        seg = np.zeros((emit, channels), dtype=np.float64)
+        m = min(emit, len(tail))
+        seg[:m] = tail[:m]
+        # current block spans [off, off + n) relative to the previous
+        # center; with consistent window flags its rise overlaps the
+        # tail's fall exactly and everything before it is window-zero
+        off = emit - center
+        seg[max(off, 0):emit] += block[max(-off, 0):center]
         out_chunks.append(seg)
-        prev_right = (block[right_start:], n - right_start)
+        prev_right = (block[center:], n)
     if not out_chunks:
         return None
     pcm = np.concatenate(out_chunks, axis=0)
