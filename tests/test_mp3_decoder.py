@@ -1220,7 +1220,8 @@ def test_l3_nonzero_gates():
     try:
         got = decode_mp3_samples(stream)
         assert got is not None and got["s_sq_sum"] > 0
-        # short-block intensity stays gated (per-window zero parts)
+        # short-block intensity decodes too (round-10: per-window
+        # zero parts are real; value checks in the round-trip suites)
         sh = _g(wsf=1, bt=2, table_select=(1, 1))
         for i in range(12):
             sh["spectrum"][i] = 3
@@ -1231,7 +1232,7 @@ def test_l3_nonzero_gates():
         ]]
         iis = _l3_encode_frames(
             [list(map(list, f)) for f in st], mode=1, mode_ext=1)
-        assert decode_mp3_samples(iis) is None
+        assert decode_mp3_samples(iis) is not None
         ok = _l3_encode_frames(
             [list(map(list, f)) for f in st], mode=1, mode_ext=2)
         assert decode_mp3_samples(ok) is not None
@@ -1310,6 +1311,226 @@ def test_l3_intensity_stereo_round_trip():
                 mode_ext
     finally:
         M.clear_l3_tables()
+
+
+def _short_src(s, win, i, mixed):
+    """Huffman-order index of short-band line (sfb s, window win,
+    line i): sfb-major, window-major within the sfb, after any mixed
+    long region."""
+    nlong = 36 if mixed else 0
+    s0 = 3 if mixed else 0
+    off = nlong + sum(3 * (_BS[t + 1] - _BS[t]) for t in range(s0, s))
+    return off + win * (_BS[s + 1] - _BS[s]) + i
+
+
+def _ref_is_short(left_g, right_g, mode_ext):
+    """Independent intensity model for SHORT/mixed blocks: per-window
+    zero-part bounds by top-down value scan of the reordered right
+    channel, is_pos from the right granule's short scalefactors (band
+    12 reuses band 11's), is_pos-7 m/s fallback, mixed blocks
+    extending into the long bands only when every short window of the
+    right channel is silent."""
+    xl, xr_ = _ref_xr(left_g), _ref_xr(right_g)
+    ms_on = bool(mode_ext & 2)
+    ol, orr = xl.copy(), xr_.copy()
+    mixed = bool(left_g["mixed"])
+    s_min = 3 if mixed else 0
+    r2 = np.sqrt(2.0)
+
+    def ms(sl):
+        if ms_on:
+            m, s_ = xl[sl].copy(), xr_[sl].copy()
+            ol[sl] = (m + s_) / r2
+            orr[sl] = (m - s_) / r2
+
+    def couple(sl, pos):
+        if pos == 7:
+            ms(sl)
+            return
+        ratio = np.tan(pos * np.pi / 12.0)
+        ol[sl] = xl[sl] * (ratio / (1.0 + ratio))
+        orr[sl] = xl[sl] * (1.0 / (1.0 + ratio))
+
+    bounds = []
+    for w in range(3):
+        b = s_min
+        for s in range(12, s_min - 1, -1):
+            sl = slice(3 * _BS[s] + w, 3 * _BS[s + 1] + w, 3)
+            if np.any(xr_[sl]):
+                b = s + 1
+                break
+        bounds.append(b)
+    for w in range(3):
+        for s in range(s_min, 13):
+            sl = slice(3 * _BS[s] + w, 3 * _BS[s + 1] + w, 3)
+            if s >= bounds[w]:
+                couple(sl, right_g["scf_s"][min(s, 11)][w])
+            else:
+                ms(sl)
+    if mixed:
+        if all(b == s_min for b in bounds):
+            bound_l = 0
+            for sfb in range(7, -1, -1):
+                if np.any(xr_[_BL[sfb]:_BL[sfb + 1]]):
+                    bound_l = sfb + 1
+                    break
+            for sfb in range(8):
+                sl = slice(_BL[sfb], _BL[sfb + 1])
+                if sfb >= bound_l:
+                    couple(sl, right_g["scf_l"][sfb])
+                else:
+                    ms(sl)
+        else:
+            ms(slice(0, 36))
+    return ol, orr
+
+
+def _decode_one_stereo_frame(specs, mode_ext):
+    stream = _l3_encode_frames(
+        [list(map(list, f)) for f in specs], mode=1, mode_ext=mode_ext)
+    _r, nch, frames = decode_mp3_samples._decode_frames(stream)
+    assert nch == 2
+    return frames
+
+
+def _expect_frame(g0_chs, ol, orr):
+    prev = np.zeros((2, 32, 18))
+    want = np.zeros((36, 2, 32))
+    want[0:18, 0, :] = _ref_granule_groups(g0_chs[0], ol, prev[0])
+    want[0:18, 1, :] = _ref_granule_groups(g0_chs[1], orr, prev[1])
+    want[18:36, 0, :] = _ref_granule_groups(_g(), np.zeros(576), prev[0])
+    want[18:36, 1, :] = _ref_granule_groups(_g(), np.zeros(576), prev[1])
+    return want
+
+
+@_with_l3_tables
+def test_l3_short_block_intensity_round_trip():
+    """SHORT-block intensity stereo (round-10, closing mp3.py's former
+    short-block gate): window-DEPENDENT zero parts — the right channel
+    codes sfbs 0-3 in every window but sfb 4 only in window 1, so the
+    per-window bounds differ (4, 5, 4) — per-window is_pos from the
+    right granule's short scalefactors incl. an is_pos-7 m/s band and
+    the band-12-reuses-band-11 convention, with subblock gains in
+    play on both channels."""
+    rng = np.random.default_rng(53)
+    for mode_ext in (1, 3):
+        left = _g(wsf=1, bt=2, table_select=(1, 1),
+                  subblock_gain=(0, 1, 0), global_gain=214)
+        # energy everywhere, incl. sfb 12 (pins the band-12 is_pos)
+        left["spectrum"] = [int(v) if v else 1 for v in
+                            rng.integers(-9, 10, 576)]
+        left["big_values"] = 288
+        left["scf_s"] = [[int(rng.integers(0, 4)) for _ in range(3)]
+                         for _ in range(13)]
+        left["scf_s"][12] = [0, 0, 0]  # untransmitted
+        right = _g(wsf=1, bt=2, table_select=(1, 1),
+                   subblock_gain=(1, 0, 0))
+        for s in range(4):
+            for w in range(3):
+                for i in range(_BS[s + 1] - _BS[s]):
+                    right["spectrum"][_short_src(s, w, i, 0)] = int(
+                        rng.integers(1, 9)) * (-1 if (s + w + i) % 2
+                                               else 1)
+        right["spectrum"][_short_src(4, 1, 2, 0)] = 5
+        last = _short_src(4, 1, _BS[5] - _BS[4] - 1, 0)
+        right["big_values"] = (last + 2) // 2
+        right["scf_s"] = [[int(rng.integers(0, 7)) for _ in range(3)]
+                          for _ in range(13)]
+        right["scf_s"][6][0] = 7   # m/s-fallback band, window 0
+        right["scf_s"][12] = [0, 0, 0]
+        specs = [[[left, right], [_g(), _g()]]]
+        frames = _decode_one_stereo_frame(specs, mode_ext)
+        ol, orr = _ref_is_short(left, right, mode_ext)
+        want = _expect_frame([left, right], ol, orr)
+        assert np.allclose(frames[0], want, rtol=1e-9, atol=1e-9), \
+            mode_ext
+
+
+@_with_l3_tables
+def test_l3_mixed_block_intensity_round_trip():
+    """MIXED-block intensity: (a) the right channel silent in the
+    whole short region -> the zero part extends into the long bands
+    (long-band is_pos from the right scf_l, bands below the long
+    bound m/s); (b) one nonzero short sample -> the long region stays
+    plain/m-s and only the short windows couple."""
+    rng = np.random.default_rng(59)
+    for mode_ext in (1, 3):
+        for short_leak in (False, True):
+            left = _g(wsf=1, bt=2, mixed=1, table_select=(1, 1),
+                      global_gain=212)
+            left["spectrum"] = [int(v) if v else -1 for v in
+                                rng.integers(-9, 10, 576)]
+            left["big_values"] = 288
+            left["scf_l"] = [int(rng.integers(0, 5))
+                             for _ in range(22)]
+            left["scf_s"] = [[int(rng.integers(0, 4))
+                              for _ in range(3)] for _ in range(13)]
+            left["scf_s"][12] = [0, 0, 0]
+            right = _g(wsf=1, bt=2, mixed=1, table_select=(1, 1))
+            # long region: sfbs 0..2 coded (lines 0..11)
+            for i in range(12):
+                right["spectrum"][i] = int(rng.integers(1, 9)) * (
+                    -1 if i % 3 else 1)
+            right["big_values"] = 6
+            if short_leak:
+                # one |v|==1 line in short sfb 5, window 2, via a
+                # count1 quad (positions after big_values stay quads)
+                pos = _short_src(5, 2, 1, 1)
+                pos -= pos % 4 - 1  # keep inside one aligned quad
+                right["spectrum"][pos] = 1
+            right["scf_l"] = [int(rng.integers(0, 7))
+                              for _ in range(22)]
+            right["scf_l"][5] = 7  # long-band m/s fallback
+            right["scf_s"] = [[int(rng.integers(0, 7))
+                               for _ in range(3)] for _ in range(13)]
+            right["scf_s"][12] = [0, 0, 0]
+            specs = [[[left, right], [_g(), _g()]]]
+            frames = _decode_one_stereo_frame(specs, mode_ext)
+            ol, orr = _ref_is_short(left, right, mode_ext)
+            want = _expect_frame([left, right], ol, orr)
+            assert np.allclose(frames[0], want, rtol=1e-9,
+                               atol=1e-9), (mode_ext, short_leak)
+
+
+@_with_l3_tables
+def test_l3_start_stop_window_intensity_round_trip():
+    """block_type 1/3 (start/stop windows) are LONG layouts: intensity
+    uses the long-band rule with the bound at the right channel's
+    huffman end (these were swept into the short-block gate before
+    round 10)."""
+    rng = np.random.default_rng(61)
+    for bt in (1, 3):
+        left = _g(wsf=1, bt=bt, table_select=(1, 1))
+        left["spectrum"] = [int(v) if v else 2 for v in
+                            rng.integers(-9, 10, 576)]
+        left["big_values"] = 288
+        left["scf_l"] = [int(rng.integers(0, 5)) for _ in range(22)]
+        left["scf_l"][21] = 0   # band 21 has no transmitted scf
+        right = _g(wsf=1, bt=bt, table_select=(1, 1))
+        for i in range(24):
+            right["spectrum"][i] = int(rng.integers(1, 9))
+        right["big_values"] = 12
+        right["scf_l"] = [int(rng.integers(0, 7)) for _ in range(22)]
+        right["scf_l"][21] = 0  # band 21 has no transmitted scf
+        specs = [[[left, right], [_g(), _g()]]]
+        frames = _decode_one_stereo_frame(specs, mode_ext=3)
+        # long model, bound = 24 (the right channel's huffman end)
+        xl, xr_ = _ref_xr(left), _ref_xr(right)
+        ol, orr = xl.copy(), xr_.copy()
+        for sfb in range(22):
+            lo, hi = _BL[sfb], _BL[sfb + 1]
+            sl = slice(lo, hi)
+            pos = right["scf_l"][min(sfb, 20)]
+            if lo >= 24 and pos != 7:
+                ratio = np.tan(pos * np.pi / 12.0)
+                ol[sl] = xl[sl] * (ratio / (1.0 + ratio))
+                orr[sl] = xl[sl] * (1.0 / (1.0 + ratio))
+            else:
+                m, s_ = xl[sl].copy(), xr_[sl].copy()
+                ol[sl] = (m + s_) / np.sqrt(2.0)
+                orr[sl] = (m - s_) / np.sqrt(2.0)
+        want = _expect_frame([left, right], ol, orr)
+        assert np.allclose(frames[0], want, rtol=1e-9, atol=1e-9), bt
 
 
 def _mpeg_crc16(hdr_tail, body, nbits):

@@ -2547,6 +2547,23 @@ def test_exact_kth_smallest_all_equal_and_errors(spark):
     assert exact_kth_smallest(dfn, "score", 2) == 2.0
 
 
+def test_exact_kth_smallest_rejects_non_finite(spark):
+    """NaN/±inf inputs must fail fast with a clear error on the first
+    pass — not degrade into a bucket-0 collapse or an opaque terminal-
+    collect convergence failure (review finding, round 9)."""
+    from whisper_spark.operators.quantile import exact_kth_smallest
+
+    for poison in (float("nan"), float("inf"), float("-inf")):
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (poison,), (4.0,)], "score double"
+        )
+        with pytest.raises(ValueError, match="non-finite"):
+            exact_kth_smallest(df, "score", 2)
+    # integer columns (no NaN possible) still work through the cast
+    dfi = spark.createDataFrame([(i,) for i in range(10)], "score long")
+    assert exact_kth_smallest(dfi, "score", 4) == 3.0
+
+
 def test_exact_kth_smallest_bucket_edge_values(spark):
     """Values sitting exactly ON bucket edges (and one ulp either
     side): the narrowed bounds are the selected bucket's own data

@@ -293,6 +293,78 @@ def test_metric_name_strips_any_uri_scheme():
     assert _metric_name("/data/tree/x/y.wsp", None) == "y"
 
 
+def test_is_posix_path_respects_default_fs(spark):
+    """Scheme-less paths must NOT mean driver-local on a cluster whose
+    fs.defaultFS is HDFS — read_wsp('/data/tree/*.wsp') there would
+    silently glob the driver's disk (wrong/missing data, not an
+    error).  POSIX fast path: explicit file: URIs, or scheme-less
+    paths when the Hadoop default filesystem is local (review
+    finding, round 9)."""
+    from whisper_spark.sources.wsp import _is_posix_path
+
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    orig = conf.get("fs.defaultFS", "file:///")
+    try:
+        conf.set("fs.defaultFS", "file:///")
+        assert _is_posix_path("/data/tree/*.wsp", spark)
+        assert _is_posix_path("file:/data/tree/*.wsp", spark)
+        assert not _is_posix_path("hdfs://nn:8020/tree/*.wsp", spark)
+        conf.set("fs.defaultFS", "hdfs://nn:8020")
+        # the scheme-less path now resolves to HDFS -> binaryFiles
+        assert not _is_posix_path("/data/tree/*.wsp", spark)
+        # explicit file: URI stays local regardless of defaultFS
+        assert _is_posix_path("file:/data/tree/*.wsp", spark)
+        assert not _is_posix_path("s3a://bucket/tree", spark)
+    finally:
+        conf.set("fs.defaultFS", orig)
+
+
+def test_glob_contract_matches_binary_files(spark, tmp_path):
+    """binaryFiles-parity for the POSIX listing fast path (review
+    finding, round 9): an existing-but-empty dir is an EMPTY scan,
+    a no-match pattern is an error, hidden/underscore names are
+    filtered, and {a,b} alternation expands."""
+    import struct as _struct
+
+    from whisper_spark.sources.wsp import (
+        _expand_alternation,
+        read_wsp,
+        wsp_headers,
+    )
+
+    assert _expand_alternation("/t/{a,b}/*.wsp") == [
+        "/t/a/*.wsp", "/t/b/*.wsp"]
+    assert _expand_alternation("/t/{a,{b,c}x}/f") == [
+        "/t/a/f", "/t/bx/f", "/t/cx/f"]
+    assert _expand_alternation("/t/plain") == ["/t/plain"]
+    assert _expand_alternation("/t/{unbalanced") == ["/t/{unbalanced"]
+
+    # empty existing dir -> empty DataFrame, not an error
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert read_wsp(spark, str(empty)).count() == 0
+
+    # nothing matches -> error (binaryFiles raises on missing input)
+    with pytest.raises(FileNotFoundError, match="matches no files"):
+        read_wsp(spark, str(tmp_path / "nope" / "*.wsp")).count()
+
+    # hidden/underscore files are filtered, both under a dir match
+    # and a glob match; {a,b} alternation selects subtrees
+    root = tmp_path / "tree"
+    for sub in ("a", "b", "c"):
+        (root / sub).mkdir(parents=True)
+    for rel in ("a/m1.wsp", "b/m2.wsp", "c/m3.wsp", "a/.hidden.wsp",
+                "a/_SUCCESS", "b/_tmp.wsp"):
+        refwhisper.create(str(root / rel), ARCHIVES)
+    hdrs = wsp_headers(spark, str(root / "{a,b}" / "*.wsp"),
+                       root=str(root))
+    assert sorted(r["metric"] for r in hdrs.collect()) == [
+        "a.m1", "b.m2"]
+    # a directory path lists only its visible files
+    hdrs2 = wsp_headers(spark, str(root / "a"), root=str(root))
+    assert [r["metric"] for r in hdrs2.collect()] == ["a.m1"]
+
+
 def test_import_wsp_tree_two_policies_round_trip(spark, tmp_path):
     """A heterogeneous tree (two storage-schemas policies) migrates in
     one import_wsp_tree call: files auto-group by header config, each

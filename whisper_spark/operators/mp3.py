@@ -50,11 +50,18 @@ Two DOCUMENTED gates (returning None -> NULL stats, never crashes):
    with self-consistent tables (tests/test_mp3_decoder.py).
    All-zero-spectrum granules (digital silence — what the oracle
    synthesizes) decode exactly through the full IMDCT/synthesis path
-   with NO tables.  Long-block intensity stereo is real (is_pos from
-   the right-granule scalefactors, tan(pos*pi/12) ratios, is_pos-7
-   m/s fallback, the coded-region bound from the right channel's
-   huffman end); only SHORT-block intensity (per-window zero parts)
-   stays gated.
+   with NO tables.  Intensity stereo is real for EVERY block layout:
+   long blocks (is_pos from the right-granule scalefactors,
+   tan(pos*pi/12) ratios, is_pos-7 m/s fallback, the coded-region
+   bound from the right channel's huffman end), start/stop windows
+   (long layout, same bound), and SHORT/mixed blocks — per-window
+   zero-part detection by top-down scan of the right channel's
+   reordered spectrum, per-window is_pos from the short scalefactors
+   (band 12 reusing band 11's, the same reference-decoder convention
+   as long band 21), with mixed blocks extending intensity into the
+   long bands only when every short window of the right channel is
+   silent (round-tripped against the independent frame assembler in
+   tests/test_mp3_decoder.py).
 2. **The 512-tap prototype window** (ISO Tables 3-B.3/3-C.1) is the
    same class of irreducible numeric data.  The shipped window pair is
    DESIGNED for the identical structure by deterministic alternating
@@ -1042,7 +1049,7 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                                 g, is_, scf_l, scf_s, bl, bs)
                         mbits.pos = limit
                         xrs.append(xr)
-                        metas.append((scf_l, hend))
+                        metas.append((scf_l, hend, scf_s))
                     if hdr["mode"] == 1 and hdr["nch"] == 2 and any(
                         x.any() for x in xrs
                     ):
@@ -1059,45 +1066,116 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                                     "joint channels disagree on blocks")
                         r2 = 2.0 ** 0.5
                         if is_on:
-                            # intensity: LONG blocks only (the short-
-                            # block per-window zero parts stay gated);
-                            # bands at/above the right channel's coded
-                            # region get positioned by is_pos =
-                            # right-granule scalefactor, tan ratios
-                            if ga["window_switching"]:
-                                raise ValueError(
-                                    "short-block intensity gated")
-                            bound = metas[1][1]
-                            scf_r = metas[1][0]
+                            # intensity stereo: zero-part bands get
+                            # positioned by is_pos = right-granule
+                            # scalefactor, tan(pos*pi/12) ratios.
+                            # Long layouts (incl. start/stop windows)
+                            # bound at the right channel's huffman
+                            # end; SHORT blocks detect the zero part
+                            # PER WINDOW by scanning the reordered
+                            # right spectrum top-down (the ISO
+                            # decoder's value scan), mixed blocks
+                            # additionally extend into the long
+                            # region only when every short window of
+                            # the right channel is silent
                             left, right = xrs
                             out_l, out_r = left.copy(), right.copy()
-                            for sfb in range(22):
-                                lo_b, hi_b = bl[sfb], bl[sfb + 1]
-                                sl = slice(lo_b, hi_b)
-                                if lo_b >= bound:
-                                    # band 21 transmits no scalefactor:
-                                    # its is_pos is band 20's (the
-                                    # reference-decoder convention)
-                                    pos = scf_r[min(sfb, 20)]
-                                    if pos > 7:
-                                        raise ValueError(
-                                            "illegal is_pos")
-                                    if pos == 7:
-                                        if ms_on:
-                                            m = left[sl]
-                                            s_ = right[sl]
-                                            out_l[sl] = (m + s_) / r2
-                                            out_r[sl] = (m - s_) / r2
-                                        continue
-                                    ratio = np.tan(pos * np.pi / 12.0)
-                                    out_l[sl] = left[sl] * (
-                                        ratio / (1.0 + ratio))
-                                    out_r[sl] = left[sl] * (
-                                        1.0 / (1.0 + ratio))
-                                elif ms_on:
+
+                            def _couple(sl, pos):
+                                if pos > 7:
+                                    raise ValueError("illegal is_pos")
+                                if pos == 7:
+                                    _ms(sl)
+                                    return
+                                ratio = np.tan(pos * np.pi / 12.0)
+                                out_l[sl] = left[sl] * (
+                                    ratio / (1.0 + ratio))
+                                out_r[sl] = left[sl] * (
+                                    1.0 / (1.0 + ratio))
+
+                            def _ms(sl):
+                                if ms_on:
                                     m, s_ = left[sl], right[sl]
                                     out_l[sl] = (m + s_) / r2
                                     out_r[sl] = (m - s_) / r2
+
+                            scf_r = metas[1][0]
+                            if ga["block_type"] != 2 \
+                                    or not ga["window_switching"]:
+                                bound = metas[1][1]
+                                for sfb in range(22):
+                                    lo_b, hi_b = bl[sfb], bl[sfb + 1]
+                                    sl = slice(lo_b, hi_b)
+                                    if lo_b >= bound:
+                                        # band 21 transmits no
+                                        # scalefactor: its is_pos is
+                                        # band 20's (the reference-
+                                        # decoder convention)
+                                        _couple(sl, scf_r[min(sfb, 20)])
+                                    else:
+                                        _ms(sl)
+                            else:
+                                scf_r_s = metas[1][2]
+                                mixed = ga["mixed_block"]
+                                s_min = next(
+                                    (s for s in range(13)
+                                     if bs[s] * 3 == (36 if mixed
+                                                      else 0)), None)
+                                if s_min is None:
+                                    raise ValueError(
+                                        "mixed split not on a short "
+                                        "band boundary")
+                                win_bounds = []
+                                for w in range(3):
+                                    b = s_min
+                                    for s in range(12, s_min - 1, -1):
+                                        sl = slice(3 * bs[s] + w,
+                                                   3 * bs[s + 1] + w, 3)
+                                        if np.any(right[sl]):
+                                            b = s + 1
+                                            break
+                                    win_bounds.append(b)
+                                for w in range(3):
+                                    for s in range(s_min, 13):
+                                        sl = slice(3 * bs[s] + w,
+                                                   3 * bs[s + 1] + w, 3)
+                                        if s >= win_bounds[w]:
+                                            # band 12 transmits no
+                                            # scalefactor: reuse band
+                                            # 11's is_pos (the long
+                                            # path's min(sfb, 20)
+                                            # convention)
+                                            _couple(
+                                                sl,
+                                                scf_r_s[min(s, 11)][w])
+                                        else:
+                                            _ms(sl)
+                                if mixed:
+                                    n_long = next(
+                                        s for s in range(23)
+                                        if bl[s] >= 36)
+                                    if all(b == s_min
+                                           for b in win_bounds):
+                                        # right's short region is
+                                        # silent: the zero part
+                                        # reaches into the long bands
+                                        bound_l = 0
+                                        for sfb in range(
+                                                n_long - 1, -1, -1):
+                                            if np.any(right[
+                                                    bl[sfb]:bl[sfb + 1]
+                                            ]):
+                                                bound_l = sfb + 1
+                                                break
+                                        for sfb in range(n_long):
+                                            sl = slice(bl[sfb],
+                                                       bl[sfb + 1])
+                                            if sfb >= bound_l:
+                                                _couple(sl, scf_r[sfb])
+                                            else:
+                                                _ms(sl)
+                                    else:
+                                        _ms(slice(0, 36))
                             xrs = [out_l, out_r]
                         elif ms_on:
                             m, s_ = xrs

@@ -49,10 +49,28 @@ def exact_kth_smallest(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     vals = df.select(F.col(col).alias("_v")).filter(F.col("_v").isNotNull())
+    # fail fast on non-finite values: a NaN poisons the bucket
+    # expression (floor(NaN) -> NULL group) and ±inf collapses the
+    # range width to inf/0, degrading into an opaque bucket-0
+    # collapse or a terminal-collect convergence error many rounds
+    # later — surface the real cause on the FIRST pass instead
+    # (review finding, round 9)
+    _d = F.col("_v").cast("double")
+    bad = F.when(
+        F.isnan(_d) | (_d == F.lit(float("inf")))
+        | (_d == F.lit(float("-inf"))), 1
+    ).otherwise(0)
     stats = vals.agg(
-        F.count("*").alias("n"), F.min("_v").alias("lo"), F.max("_v").alias("hi")
+        F.count("*").alias("n"), F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"), F.sum(bad).alias("bad"),
     ).first()
     n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if stats["bad"]:
+        raise ValueError(
+            f"column {col!r} holds {stats['bad']} non-finite "
+            f"(NaN/±inf) values; exact_kth_smallest requires finite "
+            f"input — filter or impute them first"
+        )
     if k > n:
         raise ValueError(f"k={k} exceeds non-null count {n}")
     lo, hi = float(lo), float(hi)

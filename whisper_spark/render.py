@@ -49,7 +49,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .functions import folds
 from .functions import timeseries as TS
@@ -1226,6 +1225,12 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
                 ).first()[0]
 
             lo, hi = _bound(100.0 - p), _bound(p)
+            # unguarded by MAX_QUERY_SERIES deliberately: that guard
+            # protects POSITIONAL pairing lists; here the keep list is
+            # driver-materialized EITHER WAY because _keep_series
+            # broadcasts the one-column keep frame, so this collect
+            # adds no new driver-memory class — it's bounded by the
+            # same glob-sized series count the broadcast already is
             kept = [
                 (r["metric"],)
                 for r in avgs.filter(
@@ -1234,9 +1239,7 @@ def _evaluate(node, source: DataFrame, text: str, step: int | None = None) -> Da
             ]
         finally:
             avgs.unpersist()
-        keep = df.sparkSession.createDataFrame(
-            kept, T.StructType([T.StructField("metric", T.StringType())])
-        )
+        keep = df.sparkSession.createDataFrame(kept, "metric string")
         return _keep_series(df, keep)
     if name == "removeBetweenPercentile":
         # keep series with at least one point outside the per-timestamp

@@ -94,14 +94,74 @@ def _parse_header(blob: bytes):
     return aggr, max_ret, xff, archives
 
 
-def _is_posix_path(path: str) -> bool:
-    """True for scheme-less or ``file:`` paths — the layouts a whisper
-    tree actually lives on (the reference engine requires POSIX file
-    semantics; graphite storage dirs are local/NFS mounts that
-    executors reach as shared filesystems, the same contract
-    :func:`export_wsp` documents for its output dir)."""
-    p = _strip_scheme(path)
-    return p == path or path.startswith("file:")
+def _is_posix_path(path: str, spark: SparkSession | None = None) -> bool:
+    """True when ``path`` denotes the LOCAL filesystem: an explicit
+    ``file:`` URI, or a scheme-less path on a session whose Hadoop
+    ``fs.defaultFS`` is local.  A scheme-less path on a cluster whose
+    default filesystem is ``hdfs://`` (or s3a, ...) resolves to THAT
+    filesystem — treating it as driver-local would silently glob the
+    driver's disk and return wrong/missing data instead of an error,
+    so those take the ``binaryFiles`` path.  (The reference engine
+    requires POSIX file semantics — graphite storage dirs are
+    local/NFS mounts executors reach as shared filesystems, the same
+    contract :func:`export_wsp` documents for its output dir — which
+    is why the local fast path exists at all.)"""
+    if path.startswith("file:"):
+        return True
+    if _strip_scheme(path) != path:
+        return False  # explicit non-file scheme (hdfs://, s3a://, ...)
+    if spark is None:
+        return True
+    try:
+        default_fs = spark.sparkContext._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///")
+    except Exception:  # non-JVM session stub in unit tests
+        return True
+    return default_fs.startswith("file:")
+
+
+def _expand_alternation(pattern: str) -> list[str]:
+    """Expand Hadoop-glob ``{a,b}`` alternation (which Python's glob
+    lacks) into the cross product of plain glob patterns."""
+    i = pattern.find("{")
+    if i < 0:
+        return [pattern]
+    depth = 0
+    for j in range(i, len(pattern)):
+        if pattern[j] == "{":
+            depth += 1
+        elif pattern[j] == "}":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        return [pattern]  # unbalanced: treat literally, like Hadoop
+    body = pattern[i + 1:j]
+    parts, buf, depth = [], "", 0
+    for ch in body:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    parts.append(buf)
+    out = []
+    for part in parts:
+        for rest in _expand_alternation(pattern[:i] + part
+                                        + pattern[j + 1:]):
+            out.append(rest)
+    return out
+
+
+def _visible(p: str) -> bool:
+    """FileInputFormat's hidden-file filter: names starting with
+    ``.`` or ``_`` are excluded from listings (binaryFiles parity)."""
+    base = os.path.basename(p.rstrip("/"))
+    return not base.startswith((".", "_"))
 
 
 def _wsp_files_rdd(spark: SparkSession, path: str):
@@ -121,26 +181,42 @@ def _wsp_files_rdd(spark: SparkSession, path: str):
     scales with cores.  Non-POSIX schemes (hdfs://, s3a://...) keep the
     ``binaryFiles`` fallback, spread across executors after the scan."""
     sc = spark.sparkContext
-    if _is_posix_path(path):
+    if _is_posix_path(path, spark):
         import glob as _glob
 
         local = _strip_scheme(path)
-        hits = sorted(_glob.glob(local, recursive=True))
+        hits = sorted(
+            h
+            for pat in _expand_alternation(local)
+            for h in _glob.glob(pat, recursive=True)
+        )
         paths = []
+        matched_dir = False
         for p in hits:
             if os.path.isdir(p):
-                # binaryFiles semantics: a directory means its files
-                # (non-recursive)
+                # binaryFiles semantics: a directory means its
+                # visible files (non-recursive)
+                matched_dir = True
                 paths.extend(
                     sorted(
-                        e.path for e in os.scandir(p) if e.is_file()
+                        e.path for e in os.scandir(p)
+                        if e.is_file() and _visible(e.path)
                     )
                 )
-            else:
+            elif _visible(p):
                 paths.append(p)
         if not paths:
-            # match binaryFiles' contract for an empty glob
-            raise FileNotFoundError(f"no .wsp files match {path!r}")
+            if matched_dir:
+                # binaryFiles contract: an existing-but-empty dir is
+                # an EMPTY scan, not an error
+                return sc.parallelize([], 1)
+            # ...while a pattern matching nothing at all is one
+            # (reader-agnostic text: this lists any binary tree,
+            # not just .wsp files)
+            raise FileNotFoundError(
+                f"input path does not exist or matches no files: "
+                f"{path!r}"
+            )
         n_slices = min(max(sc.defaultParallelism * 2, 1), len(paths))
 
         def read_files(it):
