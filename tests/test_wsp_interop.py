@@ -479,3 +479,116 @@ def test_import_wsp_tree_then_federated_read(spark, tmp_path):
     for i in range(1, 10):
         slot = (NOW - 300 * i) // 300 * 300
         assert got[("servers.web1.cpu", slot)] == pytest.approx(500.0 + i)
+
+
+def test_shard_patterns_units(tmp_path):
+    """Driver-side glob decomposition: the shard sub-patterns' glob
+    results union to the original pattern's, one shard per first-level
+    wildcard entry; non-decomposable shapes fall back to one shard."""
+    from whisper_spark.sources.wsp import _shard_patterns, _split_shardable
+
+    root = tmp_path / "t"
+    for sub in ("a", "b", "_work", ".snap"):
+        (root / sub).mkdir(parents=True)
+    (root / "top.wsp").touch()
+
+    assert _split_shardable("/x/literal/path") is None
+    assert _split_shardable(str(root / "*" / "*.wsp")) == (
+        str(root), "*", "*.wsp")
+
+    # plain wildcard: one shard per matching subdir, dot-dirs skipped
+    pats = _shard_patterns(str(root / "*" / "*.wsp"))
+    assert sorted(pats) == sorted([
+        str(root / "a" / "*.wsp"),
+        str(root / "b" / "*.wsp"),
+        str(root / "_work" / "*.wsp"),  # _ dirs ARE globbed (glob parity)
+    ])
+
+    # ** : zero-dir expansion plus one recursive shard per subdir
+    pats = _shard_patterns(str(root / "**" / "*.wsp"))
+    assert str(root / "*.wsp") in pats  # zero-expansion
+    assert str(root / "a" / "**" / "*.wsp") in pats
+    assert str(root / "_work" / "**" / "*.wsp") in pats  # glob descends _
+    assert all(".snap" not in p for p in pats)
+
+    # fallbacks: literal path, missing/no-match root, double-**
+    assert _shard_patterns("/x/literal") == ["/x/literal"]
+    assert _shard_patterns(str(tmp_path / "gone" / "*.wsp")) == [
+        str(tmp_path / "gone" / "*.wsp")]
+    # wildcard first component of an absolute path roots at / and
+    # matches nothing -> empty shard list (contract error downstream)
+    assert _shard_patterns("/no-such-entry-*/x") == []
+    dbl = str(root / "**" / "**" / "*.wsp")
+    assert _shard_patterns(dbl) == [dbl]
+
+    # terminal wildcard (no rest): entries themselves are the shards
+    pats = _shard_patterns(str(root / "*"))
+    assert str(root / "a") in pats and str(root / "top.wsp") in pats
+
+
+def test_distributed_listing_matches_driver(spark, tmp_path):
+    """Executor-side sharded listing is row-identical to the driver
+    glob on every pattern shape, honors the empty-scan and no-match
+    contracts, and dedups the bare-** dir+file double match."""
+    from whisper_spark.sources.wsp import read_wsp
+
+    root = tmp_path / "fleet"
+    for sub in ("a", "b", "c", "_stage"):
+        (root / sub).mkdir(parents=True)
+    for rel in ("a/m1", "a/m2", "b/m3", "c/m4", "_stage/m5"):
+        fp = str(root / rel) + ".wsp"
+        refwhisper.create(fp, ARCHIVES)
+        refwhisper.update_many(
+            fp, [(NOW - 60 * i, float(i)) for i in range(1, 6)], now=NOW)
+    refwhisper.create(str(root / "top.wsp"), ARCHIVES)
+    refwhisper.update_many(
+        str(root / "top.wsp"), [(NOW - 60, 9.0)], now=NOW)
+
+    patterns = [
+        str(root / "*" / "*.wsp"),       # tree glob
+        str(root / "**" / "*.wsp"),      # recursive
+        str(root / "**"),                # bare ** (dir+file dedup case)
+        str(root / "{a,b}" / "*.wsp"),   # alternation
+        str(root),                       # plain dir
+        str(root / "a" / "m1.wsp"),      # literal file
+    ]
+    for pat in patterns:
+        drv = read_wsp(spark, pat, root=str(root), listing="driver")
+        dst = read_wsp(spark, pat, root=str(root), listing="distributed")
+        rows_d = sorted(map(tuple, drv.collect()))
+        rows_x = sorted(map(tuple, dst.collect()))
+        assert rows_x == rows_d, pat
+        # dedup regression: one row per (metric, resolution, ts)
+        keys = [(m, res, ts) for (m, res, ts, _v) in rows_d]
+        assert len(keys) == len(set(keys)), pat
+
+    # contracts, distributed mode
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert read_wsp(spark, str(empty), listing="distributed").count() == 0
+    with pytest.raises(FileNotFoundError, match="matches no files"):
+        read_wsp(spark, str(tmp_path / "nope" / "*.wsp"),
+                 listing="distributed").count()
+    with pytest.raises(ValueError, match="driver|distributed"):
+        read_wsp(spark, str(root), listing="bogus").count()
+
+
+def test_listing_auto_threshold(spark, tmp_path):
+    """Auto mode goes distributed at >=64 first-level shards and the
+    result is still row-identical to a forced driver listing."""
+    from whisper_spark.sources import wsp as W
+
+    root = tmp_path / "wide"
+    for i in range(70):
+        d = root / f"s{i:03d}"
+        d.mkdir(parents=True)
+        fp = str(d / "m.wsp")
+        refwhisper.create(fp, ARCHIVES)
+        refwhisper.update_many(fp, [(NOW - 60, float(i))], now=NOW)
+    pat = str(root / "*" / "*.wsp")
+    assert len(W._shard_patterns(pat)) >= W._MIN_SHARDS_FOR_DISTRIBUTED
+    auto = read_wsp(spark, pat, root=str(root))         # auto -> sharded
+    drv = read_wsp(spark, pat, root=str(root), listing="driver")
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, drv.collect()))
+    assert auto.count() == 70

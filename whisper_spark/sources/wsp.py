@@ -164,7 +164,99 @@ def _visible(p: str) -> bool:
     return not base.startswith((".", "_"))
 
 
-def _wsp_files_rdd(spark: SparkSession, path: str):
+def _glob_tagged(pattern: str):
+    """Evaluate ONE plain glob pattern (alternation already expanded)
+    into tagged hits: ``("D", dir)`` for every directory the pattern
+    matches, ``("F", file)`` for every visible file it denotes — a
+    matched directory contributing its visible files non-recursively
+    (binaryFiles semantics).  Pure function of the filesystem, safe to
+    run driver- OR executor-side; both listing modes share it so their
+    semantics cannot drift."""
+    import glob as _glob
+
+    for h in sorted(_glob.glob(pattern, recursive=True)):
+        if os.path.isdir(h):
+            yield ("D", h)
+            for e in sorted(os.scandir(h), key=lambda e: e.name):
+                if e.is_file() and _visible(e.path):
+                    yield ("F", e.path)
+        elif _visible(h):
+            yield ("F", h)
+
+
+def _split_shardable(pattern: str):
+    """Split a plain glob pattern at its FIRST wildcard path component:
+    ``(literal_root, wild_component, rest)`` — or ``None`` when the
+    pattern is a literal path (nothing to shard on)."""
+    import glob as _glob
+
+    comps = pattern.split(os.sep)
+    for i, c in enumerate(comps):
+        if _glob.has_magic(c):
+            root = os.sep.join(comps[:i])
+            if not root and pattern.startswith(os.sep):
+                root = os.sep  # wildcard in the first component of an
+                # absolute path: the literal root is / itself
+            return (root, c, os.sep.join(comps[i + 1:]))
+    return None
+
+
+def _shard_patterns(pattern: str) -> list[str]:
+    """Decompose one glob pattern into sub-patterns whose glob results
+    union to the original's, one per entry of the first wildcard
+    level — the unit of DISTRIBUTED listing.  The driver runs a single
+    ``scandir`` of the literal root (one directory, metadata only);
+    each sub-pattern is then evaluated executor-side.  Falls back to
+    ``[pattern]`` (one shard, still executor-evaluated) when the
+    pattern is literal, its root does not exist, or decomposition
+    could double-count (overlapping ``**`` zero-expansions)."""
+    import fnmatch
+
+    split = _split_shardable(pattern)
+    if split is None:
+        return [pattern]
+    root, wild, rest = split
+    rootp = root or "."
+    if not os.path.isdir(rootp):
+        return [pattern]  # matches nothing; normal eval keeps the contract
+    if wild == "**":
+        if "**" in rest.split(os.sep):
+            # a second ** would make the zero-dir expansions of the
+            # shards overlap each other; keep it one shard
+            return [pattern]
+        # zero-directory expansion of ** ...
+        out = [os.path.join(root, rest) if rest else root + os.sep]
+        # ... plus one shard per subdirectory (glob's ** never descends
+        # into dot-dirs; underscore dirs ARE descended — glob parity)
+        for e in sorted(os.scandir(rootp), key=lambda e: e.name):
+            if e.is_dir(follow_symlinks=True) and not e.name.startswith("."):
+                sub = os.path.join(root, e.name, "**")
+                out.append(os.path.join(sub, rest) if rest else sub)
+        return out
+    out = []
+    hidden_ok = wild.startswith(".")
+    for e in sorted(os.scandir(rootp), key=lambda e: e.name):
+        if e.name.startswith(".") and not hidden_ok:
+            continue  # glob wildcards never match dotfiles
+        if not fnmatch.fnmatchcase(e.name, wild):
+            continue
+        if rest:
+            if e.is_dir(follow_symlinks=True):
+                out.append(os.path.join(root, e.name, rest))
+        else:
+            out.append(os.path.join(root, e.name))
+    return out
+
+
+#: auto mode switches to distributed listing when the tree decomposes
+#: into at least this many shard directories — below it, one driver
+#: glob is faster than a Spark job (measured: 100k files list+read in
+#: 2.95 s driver-side; the distributed path exists for the 10M-file
+#: fleet where a single-threaded glob becomes a driver stall).
+_MIN_SHARDS_FOR_DISTRIBUTED = 64
+
+
+def _wsp_files_rdd(spark: SparkSession, path: str, listing: str | None = None):
     """(path, blob) pairs for every file under a tree/glob, partitioned
     for PER-FILE parse parallelism.
 
@@ -174,37 +266,78 @@ def _wsp_files_rdd(spark: SparkSession, path: str):
     Spark's PortableDataStream re-deserializes the full split's path
     list per record, making that single task O(files^2) (measured: a
     100k-file split burned >800 s of one core before finishing).  For
-    POSIX trees (the only place reference whisper trees live) we list
-    paths driver-side (metadata only — the driver never holds point
-    data), parallelize the path list round-robin across the cluster,
-    and open each file executor-side: linear, one task per path batch,
-    scales with cores.  Non-POSIX schemes (hdfs://, s3a://...) keep the
-    ``binaryFiles`` fallback, spread across executors after the scan."""
-    sc = spark.sparkContext
-    if _is_posix_path(path, spark):
-        import glob as _glob
+    POSIX trees (the only place reference whisper trees live — the
+    executors reach the same shared filesystem, the contract
+    :func:`export_wsp` documents) there are two scan shapes:
 
+    * **driver listing** — list paths driver-side (metadata only),
+      parallelize the path list, open files executor-side.  Linear and
+      fast to ~100k files (2.95 s measured), but the single-threaded
+      glob becomes a driver stall at a 10M-file fleet.
+    * **distributed listing** — the driver does ONE ``scandir`` of the
+      glob's literal root to split the pattern into per-subdirectory
+      shard patterns, then executors expand each shard and read its
+      files.  No path list ever materializes on the driver; listing
+      scales with executors.  Costs one extra (metadata-only) listing
+      pass for the empty-vs-missing contract check, so it only wins on
+      big trees.
+
+    ``listing`` selects: ``"driver"``, ``"distributed"``, or ``None``
+    (auto: distributed when the tree decomposes into
+    ``>= _MIN_SHARDS_FOR_DISTRIBUTED`` shards).  Both modes evaluate
+    patterns through :func:`_glob_tagged`, so semantics are identical;
+    file paths are deduped in both (a bare ``tree/**`` matches a
+    directory AND its files, which would otherwise read those files
+    twice).  Non-POSIX schemes (hdfs://, s3a://...) keep the
+    ``binaryFiles`` fallback — Hadoop's listing is already distributed
+    namenode work — spread across executors after the scan."""
+    if listing not in (None, "driver", "distributed"):
+        raise ValueError(f"listing must be driver|distributed|None: {listing!r}")
+    sc = spark.sparkContext
+
+    def read_files(it):
+        for p in it:
+            with open(p, "rb") as f:
+                yield p, f.read()
+
+    if _is_posix_path(path, spark):
         local = _strip_scheme(path)
-        hits = sorted(
-            h
-            for pat in _expand_alternation(local)
-            for h in _glob.glob(pat, recursive=True)
-        )
-        paths = []
-        matched_dir = False
-        for p in hits:
-            if os.path.isdir(p):
-                # binaryFiles semantics: a directory means its
-                # visible files (non-recursive)
-                matched_dir = True
-                paths.extend(
-                    sorted(
-                        e.path for e in os.scandir(p)
-                        if e.is_file() and _visible(e.path)
-                    )
+        pats = _expand_alternation(local)
+        shards = None
+        if listing != "driver":
+            shards = [s for pat in pats for s in _shard_patterns(pat)]
+            if listing is None and len(shards) < _MIN_SHARDS_FOR_DISTRIBUTED:
+                shards = None
+        if shards is not None:
+            n_shard_parts = min(max(len(shards), 1),
+                                max(sc.defaultParallelism * 4, 1))
+            tagged = sc.parallelize(shards, n_shard_parts).flatMap(_glob_tagged)
+            # contract probe: runs the listing once more than strictly
+            # needed, but metadata-only and distributed — the price of
+            # keeping the eager empty-vs-missing error without pulling
+            # the path list to the driver
+            if not tagged.take(1):
+                raise FileNotFoundError(
+                    f"input path does not exist or matches no files: "
+                    f"{path!r}"
                 )
-            elif _visible(p):
-                paths.append(p)
+            n_slices = max(sc.defaultParallelism * 2, 1)
+            paths = (
+                tagged.filter(lambda t: t[0] == "F")
+                .map(lambda t: t[1])
+                .distinct(n_slices)  # dedup doubles as the re-spread
+            )
+            return paths.mapPartitions(read_files)
+        paths, matched_dir, seen = [], False, set()
+        for pat in pats:
+            for tag, p in _glob_tagged(pat):
+                if tag == "D":
+                    # binaryFiles semantics: a directory means its
+                    # visible files (non-recursive)
+                    matched_dir = True
+                elif p not in seen:
+                    seen.add(p)
+                    paths.append(p)
         if not paths:
             if matched_dir:
                 # binaryFiles contract: an existing-but-empty dir is
@@ -218,12 +351,6 @@ def _wsp_files_rdd(spark: SparkSession, path: str):
                 f"{path!r}"
             )
         n_slices = min(max(sc.defaultParallelism * 2, 1), len(paths))
-
-        def read_files(it):
-            for p in it:
-                with open(p, "rb") as f:
-                    yield p, f.read()
-
         return sc.parallelize(paths, n_slices).mapPartitions(read_files)
     files = sc.binaryFiles(path)
     target = sc.defaultParallelism
@@ -232,9 +359,16 @@ def _wsp_files_rdd(spark: SparkSession, path: str):
     return files
 
 
-def read_wsp(spark: SparkSession, path: str, root: str | None = None) -> DataFrame:
+def read_wsp(
+    spark: SparkSession,
+    path: str,
+    root: str | None = None,
+    listing: str | None = None,
+) -> DataFrame:
     """Read a tree/glob of .wsp files into (metric, resolution, ts,
-    value) rows — every non-empty ring slot of every archive."""
+    value) rows — every non-empty ring slot of every archive.
+    ``listing``: see :func:`_wsp_files_rdd` (driver | distributed |
+    auto)."""
 
     def parse(item):
         p, blob = item
@@ -248,11 +382,16 @@ def read_wsp(spark: SparkSession, path: str, root: str | None = None) -> DataFra
                     out.append((metric, spp, ts, v))
         return out
 
-    files = _wsp_files_rdd(spark, path)
+    files = _wsp_files_rdd(spark, path, listing)
     return spark.createDataFrame(files.flatMap(parse), WSP_POINTS_SCHEMA)
 
 
-def wsp_headers(spark: SparkSession, path: str, root: str | None = None) -> DataFrame:
+def wsp_headers(
+    spark: SparkSession,
+    path: str,
+    root: str | None = None,
+    listing: str | None = None,
+) -> DataFrame:
     """One row per file: the parsed header (info() surface)."""
 
     def parse(item):
@@ -266,7 +405,7 @@ def wsp_headers(spark: SparkSession, path: str, root: str | None = None) -> Data
             [(spp, pts) for _o, spp, pts in archives],
         )]
 
-    files = _wsp_files_rdd(spark, path)
+    files = _wsp_files_rdd(spark, path, listing)
     return spark.createDataFrame(files.flatMap(parse), WSP_HEADER_SCHEMA)
 
 
