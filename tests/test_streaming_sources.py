@@ -89,8 +89,10 @@ def test_read_points_csv_and_lines(spark, tmp_path):
     }
 
 
-def test_read_rrd_gated(spark):
-    with pytest.raises(NotImplementedError):
+def test_read_rrd_missing_file(spark):
+    # binary .rrd reads are pure-Python now (sources/rrd_binary.py) —
+    # a missing path is a listing error, not a binding gate
+    with pytest.raises(FileNotFoundError):
         read_rrd(spark, "/nonexistent.rrd")
 
 

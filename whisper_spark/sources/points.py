@@ -254,8 +254,10 @@ def rrd2store(
     x_files_factor: float | None = None,
 ):
     """The ``rrd2whisper`` migration (reference: bin/rrd2whisper.py:
-    59-163) against an ``rrdtool dump`` XML file — ungated, pure
-    Python: derive the archive list from the ``cf``-matching RRAs
+    59-163) against an RRD database file — ungated, pure Python.
+    Accepts EITHER an ``rrdtool dump`` XML file or a binary ``.rrd``
+    (sniffed by the ``RRD\\0`` magic; both parse to the same dict):
+    derive the archive list from the ``cf``-matching RRAs
     (precision = pdp_per_row * step, points = rows; xFilesFactor
     defaults to the first RRA's xff, as the reference does), create the
     store, and import every RRA's slots VERBATIM into the matching
@@ -267,8 +269,14 @@ def rrd2store(
 
     from ..store import WhisperStore
 
-    with open(xml_path) as f:
-        info = parse_rrd_dump(f.read())
+    with open(xml_path, "rb") as f:
+        blob = f.read()
+    if blob[:4] == b"RRD\0":
+        from .rrd_binary import parse_rrd_binary
+
+        info = parse_rrd_binary(blob)
+    else:
+        info = parse_rrd_dump(blob.decode())
     base = os.path.basename(xml_path).rsplit(".", 1)[0]
     if base.endswith(".rrd"):
         base = base[:-4]
@@ -294,34 +302,39 @@ def rrd2store(
     return store
 
 
-def read_rrd(spark: SparkSession, path: str) -> DataFrame:
-    """RRD import connector (reference: bin/rrd2whisper.py:59-163).
+def read_rrd(
+    spark: SparkSession, path: str, cf: str = "AVERAGE"
+) -> DataFrame:
+    """Read BINARY ``.rrd`` files — a single file, a tree, or a glob —
+    into (metric, resolution, ts, value) rows: every known slot of
+    every ``cf``-matching RRA, metrics named ``<basename>.<ds>``.
 
-    Binary ``.rrd`` files need the rrdtool bindings; with them installed
-    this maps each RRA to (metric=<basename>.<datasource>, ts, value)
-    rows.  WITHOUT the bindings the migration path is still closed:
-    feed ``rrdtool dump`` XML to :func:`read_rrd_xml` /
-    :func:`rrd2store` (pure Python, ungated).
-    """
-    try:
-        import rrdtool  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Binary .rrd import requires the 'rrdtool' python bindings, "
-            "which are not installed in this environment. Ungated "
-            "alternative: run `rrdtool dump db.rrd > db.xml` on the "
-            "source host and use read_rrd_xml()/rrd2store() — pure "
-            "Python, same migration semantics (reference: "
-            "bin/rrd2whisper.py:109-163)."
-        ) from e
-
+    Pure Python and DISTRIBUTED: no rrdtool binding needed (the
+    reference's own migration hard-exits without it,
+    bin/rrd2whisper.py:21); files are scanned with the same
+    fleet-scale shape as the ``.wsp`` reader
+    (:func:`whisper_spark.sources.wsp._wsp_files_rdd`: sharded
+    listing, parse executor-side) and decoded by
+    :func:`whisper_spark.sources.rrd_binary.parse_rrd_binary`, which
+    feeds the same :func:`rrd_dump_to_archive_rows` as the XML path so
+    both produce identical rows for the same database.  32-bit-ABI
+    files are rejected with a pointer at ``rrdtool dump`` +
+    :func:`read_rrd_xml`."""
     import os
 
-    info = rrdtool.info(path)
-    datasources = sorted(
-        {k.split("[")[1].split("]")[0] for k in info if k.startswith("ds[")}
+    from .rrd_binary import parse_rrd_binary
+    from .wsp import _wsp_files_rdd
+
+    def parse(item):
+        p, blob = item
+        base = os.path.basename(p)
+        if base.endswith(".rrd"):
+            base = base[:-4]
+        _archives, rows = rrd_dump_to_archive_rows(
+            base, parse_rrd_binary(blob), cf)
+        return rows
+
+    rdd = _wsp_files_rdd(spark, path).flatMap(parse)
+    return spark.createDataFrame(
+        rdd, "metric string, resolution long, ts long, value double"
     )
-    base = os.path.basename(path).rsplit(".", 1)[0]
-    (t_info, names, values) = rrdtool.fetch(path, "AVERAGE")
-    rows = rrd_fetch_to_rows(base, set(datasources), t_info, names, values)
-    return spark.createDataFrame(rows, POINTS_READ_SCHEMA)

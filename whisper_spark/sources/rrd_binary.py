@@ -1,0 +1,193 @@
+"""Pure-Python reader for BINARY ``.rrd`` files — the direct migration
+path from an RRDtool fleet with no C binding and no ``rrdtool dump``
+step on the source host.
+
+The reference's own migration tool requires the rrdtool python binding
+(reference bin/rrd2whisper.py:21 hard-exits without it); this module
+removes that dependency by parsing the on-disk format directly.  The
+layout is public and documented (rrdtool's ``rrd_format.h``): a
+``.rrd`` file is a sequence of fixed-size C structs followed by the
+ring buffers, with NO serialization layer — the structs are written
+with the host ABI's sizes, alignment, and byte order, which is exactly
+why rrd files are famously architecture-dependent and why the format
+starts with two self-describing probes:
+
+* ``cookie[4]`` = ``"RRD\\0"`` and ``version[5]`` (``"0001".."0005"``)
+* ``float_cookie`` = the double ``8.642135e130``: its byte pattern
+  reveals the writer's endianness, and its OFFSET (padding after the
+  9 header chars) reveals the alignment rules.
+
+Struct layout on an LP64 host (x86-64 / aarch64, the modern fleet —
+all offsets verified by round-trip tests against an independently
+coded writer):
+
+====================  ========================================  =====
+struct                fields                                    bytes
+====================  ========================================  =====
+stat_head_t           cookie[4] version[5] pad[7]
+                      float_cookie ds_cnt rra_cnt pdp_step
+                      par[10]                                     128
+ds_def_t (x ds_cnt)   ds_nam[20] dst[20] par[10]                  120
+rra_def_t (x rra_cnt) cf_nam[20] pad[4] row_cnt pdp_cnt
+                      par[10]                                     120
+live_head_t           last_up last_up_usec (ver>=3; ver 1/2:
+                      last_up only)                             16/8
+pdp_prep_t (x ds)     last_ds[30] pad[2] scratch[10]              112
+cdp_prep_t (x rra*ds) scratch[10]                                  80
+rra_ptr_t (x rra)     cur_row                                       8
+data                  per rra: row_cnt x ds_cnt doubles (ring)
+====================  ========================================  =====
+
+``unsigned long`` / ``unival`` are 8 bytes on LP64; every numeric field
+follows the file's byte order.  ``par[0]`` of an rra_def is the CF's
+xff (RRA_cdp_xff_val = 0 in rrd_format.h).  The ring pointer
+``cur_row`` indexes the most recently written row; oldest-to-newest
+order is ``(cur_row + 1 + i) % row_cnt``.  Unknown slots are stored as
+NaN.  Row timestamps follow rrd_fetch/rrd_dump: the NEWEST row's slot
+ends at ``last_up - last_up % (pdp_step * pdp_cnt)``.
+
+32-bit writers (ILP32: 4-byte longs, float_cookie at offset 12 on
+i386 or 16 on ARM EABI) are detected and rejected with a pointer at
+the XML path — their per-ABI alignment zoo isn't worth guessing at;
+``rrdtool dump`` on the source host is the documented escape hatch.
+
+The parse result is the SAME dict shape :func:`points.parse_rrd_dump`
+produces for XML dumps, so every downstream consumer
+(rrd_dump_to_archive_rows, rrd2store) is shared between the two paths.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+#: rrd_format.h FLOAT_COOKIE — equality-compared by rrdtool itself, so
+#: the stored bits equal this literal's bits exactly.
+FLOAT_COOKIE = 8.642135e130
+
+_STAT_REST = "3Q"          # ds_cnt, rra_cnt, pdp_step (after cookies)
+_DS_DEF = "20s20s80s"      # ds_nam, dst, par[10]
+_RRA_DEF = "20s4xQQ80s"    # cf_nam, pad, row_cnt, pdp_cnt, par[10]
+_PDP_PREP = "30s2x80s"     # last_ds, pad, scratch[10]
+_CDP_PREP_SIZE = 80        # unival scratch[10]
+_RRA_PTR = "Q"             # cur_row
+
+
+def _cstr(b: bytes) -> str:
+    return b.split(b"\0", 1)[0].decode("ascii", "replace")
+
+
+def _detect(blob: bytes) -> tuple[str, int]:
+    """(endian, header_size_of_cookie_block) for an LP64 writer, or a
+    clear error for anything else.  The float cookie sits at offset 16
+    on LP64 (9 header chars padded to the 8-aligned double); finding
+    it at 12 means an i386 writer, and an LP64 probe whose counts
+    decode implausibly large means a 4-byte-long writer that happens
+    to share the 16-byte offset (ARM EABI)."""
+    if blob[:4] != b"RRD\0":
+        raise ValueError("not an RRD file: bad magic cookie")
+    version = _cstr(blob[4:9])
+    if version not in ("0001", "0002", "0003", "0004", "0005"):
+        raise ValueError(f"unsupported RRD version {version!r}")
+    for endian in ("<", ">"):
+        try:
+            (fc,) = struct.unpack_from(endian + "d", blob, 16)
+        except struct.error:
+            raise ValueError("truncated RRD header") from None
+        if fc == FLOAT_COOKIE:
+            return endian, 16
+    for endian in ("<", ">"):
+        (fc,) = struct.unpack_from(endian + "d", blob, 12)
+        if fc == FLOAT_COOKIE:
+            raise NotImplementedError(
+                "32-bit (ILP32) .rrd file: this reader handles the LP64 "
+                "layout (x86-64/aarch64). Run `rrdtool dump db.rrd > "
+                "db.xml` on the source host and use read_rrd_xml()/"
+                "rrd2store() instead."
+            )
+    raise ValueError(
+        "RRD float cookie not found at any known offset — corrupt file "
+        "or an unsupported writer ABI"
+    )
+
+
+def parse_rrd_binary(blob: bytes) -> dict:
+    """Parse a binary ``.rrd`` file into the :func:`points.
+    parse_rrd_dump` dict shape: ``{step, lastupdate, ds: [names...],
+    rras: [{cf, pdp_per_row, xff, rows: [[v-or-None per ds, ...],
+    ...]}]}`` — rows oldest-first, rings unrotated, NaN slots as
+    ``None``."""
+    endian, fc_off = _detect(blob)
+    version = int(_cstr(blob[4:9]))
+    off = fc_off + 8
+    ds_cnt, rra_cnt, pdp_step = struct.unpack_from(
+        endian + _STAT_REST, blob, off)
+    off += struct.calcsize(_STAT_REST) + 80  # + stat par[10]
+    if not (0 < ds_cnt < 10**6 and 0 < rra_cnt < 10**6):
+        # an LP64 probe of a 4-byte-long file splices two counts into
+        # one u64; real files have small counts
+        raise NotImplementedError(
+            "implausible ds/rra counts — likely a 32-bit (ILP32) "
+            ".rrd writer; use `rrdtool dump` + read_rrd_xml()"
+        )
+
+    ds = []
+    sz = struct.calcsize(_DS_DEF)
+    for _ in range(ds_cnt):
+        nam, _dst, _par = struct.unpack_from(endian + _DS_DEF, blob, off)
+        ds.append(_cstr(nam))
+        off += sz
+
+    rras = []
+    sz = struct.calcsize(_RRA_DEF)
+    for _ in range(rra_cnt):
+        cf, row_cnt, pdp_cnt, par = struct.unpack_from(
+            endian + _RRA_DEF, blob, off)
+        (xff,) = struct.unpack_from(endian + "d", par, 0)
+        rras.append({
+            "cf": _cstr(cf),
+            "pdp_per_row": int(pdp_cnt),
+            "xff": float(xff),
+            "_row_cnt": int(row_cnt),
+        })
+        off += sz
+
+    if version >= 3:
+        last_up, _usec = struct.unpack_from(endian + "qq", blob, off)
+        off += 16
+    else:
+        (last_up,) = struct.unpack_from(endian + "q", blob, off)
+        off += 8
+
+    off += ds_cnt * struct.calcsize(_PDP_PREP)
+    off += rra_cnt * ds_cnt * _CDP_PREP_SIZE
+    cur_rows = []
+    for _ in range(rra_cnt):
+        (cr,) = struct.unpack_from(endian + _RRA_PTR, blob, off)
+        cur_rows.append(int(cr))
+        off += 8
+
+    for rra, cur in zip(rras, cur_rows):
+        n = rra.pop("_row_cnt")
+        flat = struct.unpack_from(endian + f"{n * ds_cnt}d", blob, off)
+        off += n * ds_cnt * 8
+        if not 0 <= cur < n:
+            raise ValueError(f"rra_ptr {cur} out of range for {n} rows")
+        rows = []
+        for i in range(n):  # oldest-first: the slot after cur wraps
+            ring = (cur + 1 + i) % n
+            rows.append([
+                None if math.isnan(v) else float(v)
+                for v in flat[ring * ds_cnt:(ring + 1) * ds_cnt]
+            ])
+        rra["rows"] = rows
+    if off != len(blob):
+        raise ValueError(
+            f"RRD size mismatch: parsed {off} of {len(blob)} bytes"
+        )
+    return {
+        "step": int(pdp_step),
+        "lastupdate": int(last_up),
+        "ds": ds,
+        "rras": rras,
+    }
