@@ -1003,5 +1003,16 @@ def test_wsp_import_100k_files_distributed(spark, tmp_path):
     # metric names preserve the tree layout
     m0 = pts.filter(F.col("metric") == "g0.m0")
     assert m0.count() == 3
-    # PERF evidence: files/s through the distributed parse
-    print(f"\nwsp-read-100k: {dt:.2f}s = {n_files / dt:,.0f} files/s")
+    # PERF evidence: files/s.  100k files is under the auto cap, so
+    # this measured the DRIVER listing (the right mode at this scale)
+    print(f"\nwsp-read-100k (auto=driver): "
+          f"{dt:.2f}s = {n_files / dt:,.0f} files/s")
+    # parity + timing of the sharded executor-side listing on the same
+    # tree — the mode auto switches to past _AUTO_DISTRIBUTED_FILE_CAP
+    t0 = _time.monotonic()
+    dst = read_wsp(spark, root + "/*/*.wsp", root=root,
+                   listing="distributed")
+    assert dst.count() == n_files * 3
+    dt2 = _time.monotonic() - t0
+    print(f"wsp-read-100k (forced distributed listing): "
+          f"{dt2:.2f}s = {n_files / dt2:,.0f} files/s")

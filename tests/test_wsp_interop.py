@@ -573,9 +573,10 @@ def test_distributed_listing_matches_driver(spark, tmp_path):
         read_wsp(spark, str(root), listing="bogus").count()
 
 
-def test_listing_auto_threshold(spark, tmp_path):
-    """Auto mode goes distributed at >=64 first-level shards and the
-    result is still row-identical to a forced driver listing."""
+def test_listing_auto_cap_switch(spark, tmp_path, monkeypatch):
+    """Auto mode lists driver-side until the file cap, then abandons
+    the partial listing and re-lists distributed — rows identical
+    either way."""
     from whisper_spark.sources import wsp as W
 
     root = tmp_path / "wide"
@@ -586,9 +587,17 @@ def test_listing_auto_threshold(spark, tmp_path):
         refwhisper.create(fp, ARCHIVES)
         refwhisper.update_many(fp, [(NOW - 60, float(i))], now=NOW)
     pat = str(root / "*" / "*.wsp")
-    assert len(W._shard_patterns(pat)) >= W._MIN_SHARDS_FOR_DISTRIBUTED
-    auto = read_wsp(spark, pat, root=str(root))         # auto -> sharded
-    drv = read_wsp(spark, pat, root=str(root), listing="driver")
-    assert sorted(map(tuple, auto.collect())) == \
-        sorted(map(tuple, drv.collect()))
-    assert auto.count() == 70
+    drv = sorted(map(tuple, read_wsp(
+        spark, pat, root=str(root), listing="driver").collect()))
+    assert len({m for (m, _r, _t, _v) in drv}) == 70
+    # under the cap: auto == driver
+    assert sorted(map(tuple,
+                      read_wsp(spark, pat, root=str(root)).collect())) == drv
+    # over the cap: auto switches to distributed mid-listing; the
+    # sharded re-list must reproduce the same rows
+    monkeypatch.setattr(W, "_AUTO_DISTRIBUTED_FILE_CAP", 10)
+    assert sorted(map(tuple,
+                      read_wsp(spark, pat, root=str(root)).collect())) == drv
+    # explicit driver mode ignores the cap
+    assert sorted(map(tuple, read_wsp(
+        spark, pat, root=str(root), listing="driver").collect())) == drv

@@ -169,15 +169,17 @@ def _glob_tagged(pattern: str):
     into tagged hits: ``("D", dir)`` for every directory the pattern
     matches, ``("F", file)`` for every visible file it denotes — a
     matched directory contributing its visible files non-recursively
-    (binaryFiles semantics).  Pure function of the filesystem, safe to
-    run driver- OR executor-side; both listing modes share it so their
-    semantics cannot drift."""
+    (binaryFiles semantics).  LAZY (``iglob``, no sorting: downstream
+    dedups and partitioning ignore order) so a capped driver listing
+    can bail out early on a huge tree.  Pure function of the
+    filesystem, safe to run driver- OR executor-side; both listing
+    modes share it so their semantics cannot drift."""
     import glob as _glob
 
-    for h in sorted(_glob.glob(pattern, recursive=True)):
+    for h in _glob.iglob(pattern, recursive=True):
         if os.path.isdir(h):
             yield ("D", h)
-            for e in sorted(os.scandir(h), key=lambda e: e.name):
+            for e in os.scandir(h):
                 if e.is_file() and _visible(e.path):
                     yield ("F", e.path)
         elif _visible(h):
@@ -248,12 +250,16 @@ def _shard_patterns(pattern: str) -> list[str]:
     return out
 
 
-#: auto mode switches to distributed listing when the tree decomposes
-#: into at least this many shard directories — below it, one driver
-#: glob is faster than a Spark job (measured: 100k files list+read in
-#: 2.95 s driver-side; the distributed path exists for the 10M-file
-#: fleet where a single-threaded glob becomes a driver stall).
-_MIN_SHARDS_FOR_DISTRIBUTED = 64
+#: auto mode lists driver-side until this many files, then abandons the
+#: partial listing and switches to distributed.  Shard/dir counts are a
+#: bad proxy for tree size (measured: a 100-shard/100k-file tree lists
+#: in 1.9 s driver-side vs 6 s distributed — job-scheduling overhead
+#: dominates small trees), so the switch is driven by the one number
+#: that matters, observed exactly via a lazy capped listing.  At the
+#: cap a driver glob costs single-digit seconds and ~tens of MB; past
+#: it, a 10M-file fleet would hold the driver single-threaded for
+#: minutes and pin ~1 GB of paths.
+_AUTO_DISTRIBUTED_FILE_CAP = 262_144
 
 
 def _wsp_files_rdd(spark: SparkSession, path: str, listing: str | None = None):
@@ -283,12 +289,14 @@ def _wsp_files_rdd(spark: SparkSession, path: str, listing: str | None = None):
       big trees.
 
     ``listing`` selects: ``"driver"``, ``"distributed"``, or ``None``
-    (auto: distributed when the tree decomposes into
-    ``>= _MIN_SHARDS_FOR_DISTRIBUTED`` shards).  Both modes evaluate
-    patterns through :func:`_glob_tagged`, so semantics are identical;
-    file paths are deduped in both (a bare ``tree/**`` matches a
-    directory AND its files, which would otherwise read those files
-    twice).  Non-POSIX schemes (hdfs://, s3a://...) keep the
+    (auto: list driver-side lazily, and on crossing
+    ``_AUTO_DISTRIBUTED_FILE_CAP`` files abandon the partial listing
+    and go distributed — the switch keys on the observed file count,
+    the one number that actually decides which mode wins).  Both modes
+    evaluate patterns through :func:`_glob_tagged`, so semantics are
+    identical; file paths are deduped in both (a bare ``tree/**``
+    matches a directory AND its files, which would otherwise read those
+    files twice).  Non-POSIX schemes (hdfs://, s3a://...) keep the
     ``binaryFiles`` fallback — Hadoop's listing is already distributed
     namenode work — spread across executors after the scan."""
     if listing not in (None, "driver", "distributed"):
@@ -303,12 +311,31 @@ def _wsp_files_rdd(spark: SparkSession, path: str, listing: str | None = None):
     if _is_posix_path(path, spark):
         local = _strip_scheme(path)
         pats = _expand_alternation(local)
-        shards = None
-        if listing != "driver":
+        distributed = listing == "distributed"
+        paths, matched_dir, seen = [], False, set()
+        if not distributed:
+            cap = (float("inf") if listing == "driver"
+                   else _AUTO_DISTRIBUTED_FILE_CAP)
+            for pat in pats:
+                for tag, p in _glob_tagged(pat):
+                    if tag == "D":
+                        # binaryFiles semantics: a directory means its
+                        # visible files (non-recursive)
+                        matched_dir = True
+                    elif p not in seen:
+                        seen.add(p)
+                        paths.append(p)
+                        if len(paths) > cap:
+                            # huge fleet: stop burning the single-
+                            # threaded driver, re-list sharded across
+                            # executors
+                            distributed = True
+                            paths, seen = [], set()
+                            break
+                if distributed:
+                    break
+        if distributed:
             shards = [s for pat in pats for s in _shard_patterns(pat)]
-            if listing is None and len(shards) < _MIN_SHARDS_FOR_DISTRIBUTED:
-                shards = None
-        if shards is not None:
             n_shard_parts = min(max(len(shards), 1),
                                 max(sc.defaultParallelism * 4, 1))
             tagged = sc.parallelize(shards, n_shard_parts).flatMap(_glob_tagged)
@@ -322,22 +349,12 @@ def _wsp_files_rdd(spark: SparkSession, path: str, listing: str | None = None):
                     f"{path!r}"
                 )
             n_slices = max(sc.defaultParallelism * 2, 1)
-            paths = (
+            paths_rdd = (
                 tagged.filter(lambda t: t[0] == "F")
                 .map(lambda t: t[1])
                 .distinct(n_slices)  # dedup doubles as the re-spread
             )
-            return paths.mapPartitions(read_files)
-        paths, matched_dir, seen = [], False, set()
-        for pat in pats:
-            for tag, p in _glob_tagged(pat):
-                if tag == "D":
-                    # binaryFiles semantics: a directory means its
-                    # visible files (non-recursive)
-                    matched_dir = True
-                elif p not in seen:
-                    seen.add(p)
-                    paths.append(p)
+            return paths_rdd.mapPartitions(read_files)
         if not paths:
             if matched_dir:
                 # binaryFiles contract: an existing-but-empty dir is
