@@ -11867,6 +11867,141 @@ def q_mm_payload_dedup(spark, sf_dir):
     )
 
 
+def _rrd_blob(i: int) -> bytes:
+    """Deterministic LP64 ``.rrd`` binary image #i for the round-trip
+    gate: CRT over ``i`` varies step (60/120/180), fine-RRA length
+    (8-12 rows), datasource count (1-2), ring offset (``i % rows`` —
+    every rotation exercised), byte order (even → LE, odd → BE) and
+    format version (``i%7==0`` → 0001's short live_head, else 0003).
+    A 3-row MAX RRA of junk values rides along so the cf filter is
+    load-bearing.  Cell values are exact eighths, so double sums are
+    order-independent and the DuckDB oracle can recompute every stat
+    arithmetically."""
+    import struct as _st
+
+    E = "<" if i % 2 == 0 else ">"
+    version = b"0001" if i % 7 == 0 else b"0003"
+    step = 60 * (1 + i % 3)
+    n = 8 + i % 5
+    n_ds = 1 + i % 2
+    last_up = 1700000000 + 37 * i
+    cur = i % n
+    out = bytearray()
+    out += b"RRD\0" + version + b"\0" + b"\0" * 7
+    out += _st.pack(E + "d", 8.642135e130)
+    out += _st.pack(E + "QQQ", n_ds, 2, step)
+    out += b"\0" * 80                       # stat par[10]
+    for s in range(n_ds):                   # ds_def_t
+        out += (f"ds{s}".encode().ljust(20, b"\0")
+                + b"GAUGE".ljust(20, b"\0") + b"\0" * 80)
+    for cf, rows, pdp in ((b"AVERAGE", n, 1), (b"MAX", 3, 4)):
+        out += cf.ljust(20, b"\0") + b"\0" * 4
+        out += _st.pack(E + "QQ", rows, pdp)
+        par = bytearray(80)
+        _st.pack_into(E + "d", par, 0, 0.5)
+        out += par
+    if version == b"0001":                  # live_head_t
+        out += _st.pack(E + "q", last_up)
+    else:
+        out += _st.pack(E + "qq", last_up, 0)
+    for _ in range(n_ds):                   # pdp_prep_t
+        out += b"U".ljust(30, b"\0") + b"\0\0" + b"\0" * 80
+    out += b"\0" * (80 * 2 * n_ds)          # cdp_prep_t
+    out += _st.pack(E + "QQ", cur, 2)       # rra_ptr_t x2
+    # fine ring: logical row r (oldest-first) lives at (cur+1+r) % n
+    ring = [[float("nan")] * n_ds for _ in range(n)]
+    for r in range(n):
+        for s in range(n_ds):
+            if (i + s + r) % 5 != 0:
+                ring[(cur + 1 + r) % n][s] = (
+                    (i * 31 + s * 17 + r * 7) % 1000) / 8.0
+    for row in ring:
+        out += _st.pack(E + f"{n_ds}d", *row)
+    for _ in range(3):                      # MAX ring (skipped by cf)
+        out += _st.pack(E + f"{n_ds}d", *([999.0] * n_ds))
+    return bytes(out)
+
+
+@_q(
+    "ws_rrd_roundtrip",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 23)) AS doc_id),
+dims AS (
+  SELECT doc_id,
+         60 * (1 + doc_id % 3) AS step,
+         8 + doc_id % 5 AS n_rows,
+         1 + doc_id % 2 AS n_ds,
+         1700000000 + 37 * doc_id AS last_up
+  FROM ids
+),
+rexp AS (
+  SELECT doc_id, step, n_rows, n_ds, last_up,
+         unnest(generate_series(0, n_rows - 1)) AS r
+  FROM dims
+),
+cells AS (
+  SELECT doc_id, step, n_rows, last_up, r,
+         unnest(generate_series(0, n_ds - 1)) AS s
+  FROM rexp
+),
+known AS (
+  SELECT doc_id,
+         (last_up - last_up % step) - (n_rows - 1 - r) * step AS ts,
+         s,
+         ((doc_id * 31 + s * 17 + r * 7) % 1000) / 8.0 AS v
+  FROM cells
+  WHERE (doc_id + s + r) % 5 <> 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_known,
+       sum(v) AS sum_v,
+       CAST(min(ts) AS BIGINT) AS min_ts,
+       CAST(max(ts) AS BIGINT) AS max_ts,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_ds_seen
+FROM known GROUP BY doc_id
+""",
+    doc="BINARY .rrd round-trip gate for the pure-Python direct reader "
+    "(sources/rrd_binary.py; the reference's rrd2whisper needs the C "
+    "binding, bin/rrd2whisper.py:21): 24 deterministic .rrd images — "
+    "step/rows/datasources/ring-rotation/byte-order/format-version all "
+    "varied by CRT over doc_id, rings rotated through every offset, a "
+    "decoy MAX RRA that the cf filter must skip — are parsed through "
+    "the same parse+map path read_rrd runs executor-side, and DuckDB "
+    "recomputes every per-file stat (known-slot count, exact-eighths "
+    "value sum, ts grid ends, datasource count) arithmetically from "
+    "the generator's closed form",
+)
+def q_ws_rrd_roundtrip(spark, sf_dir):
+    from .sources.points import rrd_dump_to_archive_rows
+    from .sources.rrd_binary import parse_rrd_binary
+
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                _a, rows = rrd_dump_to_archive_rows(
+                    f"d{i}", parse_rrd_binary(_rrd_blob(i)), "AVERAGE")
+                for (m, _res, ts, v) in rows:
+                    out.append((i, m, ts, v))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "metric", "ts", "value"])
+
+    parsed = ids.repartition(8).mapInPandas(
+        gen, "doc_id long, metric string, ts long, value double")
+    return parsed.groupBy("doc_id").agg(
+        F.count("*").alias("n_known"),
+        F.sum("value").alias("sum_v"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.countDistinct("metric").alias("n_ds_seen"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
 # FIRST 50 registered queries, so the newest flagship machinery (the
@@ -11927,6 +12062,10 @@ _DRIVER_WINDOW_PROMOTE = [
     # codebooks/floor1/residue/mode parse, window/overlap-add, granule
     # trim) on 42 distinct synthesized silence streams
     "mm_decode_vorbis_samples",
+    # round-10 second flagship: the pure-Python BINARY .rrd reader's
+    # round-trip gate (both byte orders, every ring rotation, version
+    # 0001 + 0003, decoy MAX RRA)
+    "ws_rrd_roundtrip",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
