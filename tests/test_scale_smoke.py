@@ -1016,3 +1016,58 @@ def test_wsp_import_100k_files_distributed(spark, tmp_path):
     dt2 = _time.monotonic() - t0
     print(f"wsp-read-100k (forced distributed listing): "
           f"{dt2:.2f}s = {n_files / dt2:,.0f} files/s")
+
+
+def test_rrd_fleet_read_distributed(spark, tmp_path):
+    """The binary .rrd connector at fleet breadth: 20k files written
+    executor-side across 100 shard dirs, read back through read_rrd's
+    distributed scan — parse fans out, the driver sees only bounded
+    aggregates, and the known-slot math matches the generator's closed
+    form (the ws_rrd_roundtrip oracle arithmetic, summed over i%24)."""
+    import os
+    import time as _time
+
+    from whisper_spark.queries import _rrd_blob
+    from whisper_spark.sources.points import read_rrd
+
+    n_files = 20_000
+    root = str(tmp_path / "rrds")
+
+    def write_part(it):
+        n = 0
+        for r in it:
+            i = r["id"]
+            d = os.path.join(root, f"g{i // 200}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"h{i}.rrd"), "wb") as f:
+                f.write(_rrd_blob(i % 24))
+            n += 1
+        yield n
+
+    assert sum(
+        spark.range(n_files).repartition(32).rdd
+        .mapPartitions(write_part).collect()
+    ) == n_files
+
+    t0 = _time.monotonic()
+    df = read_rrd(spark, root + "/*/*.rrd")
+    assert df.rdd.getNumPartitions() > 1
+    agg = df.agg(
+        F.count("*").alias("n"), F.sum("value").alias("vsum")
+    ).first()
+    dt = _time.monotonic() - t0
+
+    # closed form of the ws_rrd_roundtrip generator, per i in 0..23
+    def known(i):
+        n, n_ds = 8 + i % 5, 1 + i % 2
+        return [((i * 31 + s * 17 + r * 7) % 1000) / 8.0
+                for r in range(n) for s in range(n_ds)
+                if (i + s + r) % 5 != 0]
+
+    per_i = {i: known(i) for i in range(24)}
+    occ = lambda i: n_files // 24 + (1 if i < n_files % 24 else 0)  # noqa: E731
+    exp_n = sum(occ(i) * len(v) for i, v in per_i.items())
+    exp_sum = sum(occ(i) * sum(v) for i, v in per_i.items())
+    assert agg["n"] == exp_n
+    assert agg["vsum"] == exp_sum          # exact eighths: bit-exact
+    print(f"\nrrd-read-20k: {dt:.2f}s = {n_files / dt:,.0f} files/s")
