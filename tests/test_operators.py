@@ -1066,7 +1066,7 @@ def test_gif_pixel_decoder_against_independent_lzw_encoder():
         pal = [((7 * i) % 256, (11 * i) % 256, (13 * i) % 256)
                for i in range(palette_n)]
         rgb = [c for p in pixels for c in pal[p]]
-        assert got == {
+        assert _nopix(got) == {
             "width": w, "height": h, "channels": 3, "n_pixels": n,
             "px_min": min(rgb), "px_max": max(rgb), "px_sum": sum(rgb),
             "px_mean": sum(rgb) / (n * 3),
@@ -1113,6 +1113,12 @@ def test_gif_pixel_decoder_dict_overflow_and_rejects():
     assert decode_gif_pixels(bad) is None
 
 
+def _nopix(d):
+    """Decoder stats without the raster (the pixels key is covered by
+    its own tests; stat assertions stay byte-for-byte)."""
+    return {k: v for k, v in d.items() if k != "pixels"}
+
+
 def _bmp(w, h, rows_bgr, top_down=False):
     """24-bit BI_RGB BMP; rows_bgr is h rows of 3*w bytes (bottom-up
     storage order unless top_down)."""
@@ -1147,9 +1153,9 @@ def test_bmp_pixel_decoder_stats_padding_and_orientation():
             "px_min": min(flat), "px_max": max(flat),
             "px_sum": sum(flat), "px_mean": sum(flat) / (w * h * 3),
         }
-        assert decode_bmp_pixels(_bmp(w, h, rows)) == exp
+        assert _nopix(decode_bmp_pixels(_bmp(w, h, rows))) == exp
         # top-down (negative height): same orderless stats
-        assert decode_bmp_pixels(_bmp(w, h, rows, top_down=True)) == exp
+        assert _nopix(decode_bmp_pixels(_bmp(w, h, rows, top_down=True))) == exp
 
 
 def test_bmp_pixel_decoder_rejects():
@@ -1846,7 +1852,7 @@ def test_jpeg_pixel_decoder_against_independent_encoder():
         dri = 2 if trial == 5 else 0
         jpeg, qb = encode(planes, h, w, samp, qtabs, dri=dri)
         got = decode_jpeg_pixels(jpeg)
-        assert got == expected_stats(qb, samp, qtabs, h, w, nc), (
+        assert _nopix(got) == expected_stats(qb, samp, qtabs, h, w, nc), (
             trial, color, samp, dri, h, w
         )
 
@@ -1888,10 +1894,10 @@ def test_jpeg_grayscale_sampling_factors_and_fill_bytes():
     hacked = bytearray(jpeg)
     assert hacked[i + 2 + 2 + 6 + 1] == 0x11
     hacked[i + 2 + 2 + 6 + 1] = 0x22
-    assert decode_jpeg_pixels(bytes(hacked)) == exp
+    assert _nopix(decode_jpeg_pixels(bytes(hacked))) == exp
     # a 0xFF fill byte after SOI is padding, not a marker
     padded = jpeg[:2] + b"\xff" + jpeg[2:]
-    assert decode_jpeg_pixels(padded) == exp
+    assert _nopix(decode_jpeg_pixels(padded)) == exp
 
 
 def test_jpeg_pixel_decoder_rejects():
@@ -2234,11 +2240,11 @@ def test_jpeg_progressive_decoder_against_independent_encoder():
                                dc_al=dc_al, ac_al=ac_al, dri=dri)
         got = decode_jpeg_pixels(prog)
         exp = expected_stats(qb, samp, qtabs, h, w, nc)
-        assert got == exp, (h, w, samp, bands, dc_al, ac_al, dri)
+        assert _nopix(got) == exp, (h, w, samp, bands, dc_al, ac_al, dri)
         # cross-check: baseline encoding of the same planes decodes to
         # the same stats (identical quantized coefficients)
         base_stream, _qb2 = encode_base(planes, h, w, samp, qtabs)
-        assert decode_jpeg_pixels(base_stream) == exp
+        assert _nopix(decode_jpeg_pixels(base_stream)) == exp
 
 
 def test_jpeg_progressive_rejects():
@@ -2356,9 +2362,10 @@ def test_wav_sample_decoder_pcm8_and_rejects():
     assert decode_wav_samples(b"not audio at all") is None
     # data chunk declares 8 bytes but carries 4 (truncated upload)
     assert decode_wav_samples(wav(data=b"\0\0\0\0", declared=8)) is None
-    # IEEE float (fmt 3) and 24-bit unsupported -> None, not garbage
+    # IEEE float only at 32/64 bits -> a 16-bit float fmt is corrupt
     assert decode_wav_samples(wav(fmt=3, bits=16, data=b"\0\0")) is None
-    assert decode_wav_samples(wav(bits=24, data=b"\0" * 6)) is None
+    # 24-bit PCM is SUPPORTED (see test_wav_float_q15_and_pcm_widths)
+    assert decode_wav_samples(wav(bits=24, data=b"\0" * 6))["n_samples"] == 2
     # odd byte count at 16 bits
     assert decode_wav_samples(wav(bits=16, data=b"\0\0\0")) is None
     # stereo 16-bit with a non-multiple sample count
@@ -2688,3 +2695,244 @@ def test_decode_video_frames_stage(spark):
     rows = {r["media_id"]: r for r in decode_video_frames(df).collect()}
     assert rows[1]["n_frames"] == 3 and rows[1]["n_pixels"] == 192
     assert rows[2]["n_frames"] is None
+
+
+def test_decoder_pixels_key_raster():
+    """Every image decoder's `pixels` key is the true top-down raster:
+    PNG verbatim, BMP unflipped from bottom-up storage and BGR->RGB,
+    GIF palette-expanded — checked per pixel against the inputs."""
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+    )
+
+    # PNG: 3x2 RGB, distinct values per pixel
+    w, h = 3, 2
+    pngrows = [[(10 * y + x) for x in range(w * 3)] for y in range(h)]
+    got = decode_png_pixels(_png(w, h, pngrows, channels=3,
+                                 filters=[0] * h))
+    assert got["pixels"].shape == (h, w, 3)
+    assert got["pixels"].dtype == np.uint8
+    assert got["pixels"].reshape(h, w * 3).tolist() == pngrows
+    assert int(got["pixels"].sum()) == got["px_sum"]
+
+    # BMP: storage rows are BOTTOM-UP BGR; pixels must come back
+    # top-down RGB.  Row 0 (stored last) is the image's TOP row.
+    rows_bgr = [[1, 2, 3] * 2, [4, 5, 6] * 2]  # stored: bottom, top
+    got = decode_bmp_pixels(_bmp(2, 2, rows_bgr))
+    assert got["pixels"].shape == (2, 2, 3)
+    # top row = stored row 1 ([4,5,6] BGR) -> RGB [6,5,4]
+    assert got["pixels"][0].tolist() == [[6, 5, 4], [6, 5, 4]]
+    assert got["pixels"][1].tolist() == [[3, 2, 1], [3, 2, 1]]
+    # top-down storage: same raster
+    got_td = decode_bmp_pixels(_bmp(2, 2, list(reversed(rows_bgr)),
+                                    top_down=True))
+    assert (got_td["pixels"] == got["pixels"]).all()
+
+
+def test_resize_array_vs_independent_reference():
+    """resize_array (vectorized) against a per-pixel double-loop
+    reference coded independently from the kernel."""
+    import random
+
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import resize_array
+
+    def ref_nearest(px, ow, oh):
+        h, w, c = px.shape
+        out = np.empty((oh, ow, c), dtype=px.dtype)
+        for j in range(oh):
+            for i in range(ow):
+                out[j, i] = px[(j * h) // oh, (i * w) // ow]
+        return out
+
+    def ref_bilinear(px, ow, oh):
+        h, w, c = px.shape
+        out = np.empty((oh, ow, c), dtype=np.float64)
+        for j in range(oh):
+            sy = min(max((j + 0.5) * (h / oh) - 0.5, 0.0), h - 1.0)
+            y0 = int(np.floor(sy)); y1 = min(y0 + 1, h - 1); fy = sy - y0
+            for i in range(ow):
+                sx = min(max((i + 0.5) * (w / ow) - 0.5, 0.0), w - 1.0)
+                x0 = int(np.floor(sx)); x1 = min(x0 + 1, w - 1)
+                fx = sx - x0
+                for k in range(c):
+                    a = px[y0, x0, k] * (1 - fx) + px[y0, x1, k] * fx
+                    b = px[y1, x0, k] * (1 - fx) + px[y1, x1, k] * fx
+                    out[j, i, k] = a * (1 - fy) + b * fy
+        return out
+
+    rng = random.Random(11)
+    np_rng = np.random.RandomState(11)
+    for _ in range(12):
+        h, w = rng.randrange(1, 9), rng.randrange(1, 9)
+        c = rng.choice([1, 3])
+        oh, ow = rng.randrange(1, 13), rng.randrange(1, 13)
+        px = np_rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+        assert (resize_array(px, ow, oh, "nearest")
+                == ref_nearest(px, ow, oh)).all()
+        got = resize_array(px, ow, oh, "bilinear")
+        ref = ref_bilinear(px, ow, oh)
+        assert np.abs(got - ref).max() < 1e-9
+    # identity: same dims returns the source values exactly
+    px = np_rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    assert (resize_array(px, 5, 4, "nearest") == px).all()
+    assert np.abs(resize_array(px, 5, 4, "bilinear") - px).max() == 0.0
+    with pytest.raises(ValueError):
+        resize_array(px, 0, 4)
+    with pytest.raises(ValueError):
+        resize_array(px, 5, 4, "bicubic")
+
+
+def test_resize_pixels_operator(spark):
+    """resize_pixels end-to-end over BMP payloads: fixed-dims and
+    scale modes, NULL row for an undecodable payload, stats match a
+    local decode+resize of the same payloads."""
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        resize_array,
+        resize_pixels,
+    )
+
+    payloads = {
+        1: _bmp(4, 3, [[(10 * y + x) % 256 for x in range(12)]
+                       for y in range(3)]),
+        2: _bmp(2, 5, [[(7 * y + 3 * x) % 256 for x in range(6)]
+                       for y in range(5)]),
+        3: b"not an image",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r
+           for r in resize_pixels(df, out_w=6, out_h=4,
+                                  method="bilinear").collect()}
+    assert got[3]["px_sum"] is None and got[3]["width"] is None
+    for mid in (1, 2):
+        px = decode_bmp_pixels(payloads[mid])["pixels"]
+        r = resize_array(px, 6, 4, "bilinear")
+        assert got[mid]["width"] == 6 and got[mid]["height"] == 4
+        assert got[mid]["n_pixels"] == 24
+        assert got[mid]["px_sum"] == float(r.sum())
+        assert got[mid]["px_min"] == float(r.min())
+        assert got[mid]["px_max"] == float(r.max())
+    # scale mode: per-image output dims
+    got2 = {r["media_id"]: r
+            for r in resize_pixels(df, scale=2.0,
+                                   method="nearest").collect()}
+    assert (got2[1]["width"], got2[1]["height"]) == (8, 6)
+    assert (got2[2]["width"], got2[2]["height"]) == (4, 10)
+    px = decode_bmp_pixels(payloads[1])["pixels"]
+    assert got2[1]["px_sum"] == float(
+        resize_array(px, 8, 6, "nearest").astype(np.int64).sum())
+    with pytest.raises(ValueError, match="either"):
+        resize_pixels(df, out_w=4, out_h=4, scale=2.0)
+    with pytest.raises(ValueError, match="either"):
+        resize_pixels(df)
+
+
+def _wav_raw(fmt_tag, channels, rate, bits, data, extensible=False):
+    """Hand-assembled RIFF/WAVE container (independent of the decoder's
+    chunk walk)."""
+    import struct
+
+    block = channels * bits // 8
+    if extensible:
+        # cbSize=22, validBits, channelMask, SubFormat GUID (first u16
+        # = the real format code, rest = the fixed PCM GUID tail)
+        # validBits(u16) + channelMask(u32) + SubFormat GUID
+        ext = struct.pack("<HI", bits, 0) + struct.pack(
+            "<H", fmt_tag) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa" \
+            b"\x00\x38\x9b\x71"
+        fmt = struct.pack("<HHIIHHH", 0xFFFE, channels, rate,
+                          rate * block, block, bits, 22) + ext
+    else:
+        fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                          rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) % 2:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_g711_expansion_matches_audioop():
+    """All 256 mu-law and A-law codes expand to the stdlib audioop
+    tables exactly (independent oracle for the G.711 formulas)."""
+    import warnings
+
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_wav_samples
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    codes = bytes(range(256))
+    for tag, expand in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        ref = np.frombuffer(expand(codes, 2), dtype="<i2").astype(np.int64)
+        got = decode_wav_samples(_wav_raw(tag, 1, 8000, 8, codes))
+        assert got is not None and got["n_samples"] == 256
+        assert got["s_sum"] == int(ref.sum())
+        assert got["s_min"] == int(ref.min())
+        assert got["s_max"] == int(ref.max())
+        assert got["s_sq_sum"] == int((ref * ref).sum())
+
+
+def test_wav_float_q15_and_pcm_widths():
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_wav_samples
+
+    # float32 on exact 2^-15 multiples -> Q15 ints verbatim
+    vals = np.array([0.0, 1.0, -1.0, 0.5, -0.25, 3.0 / 32768.0],
+                    dtype="<f4")
+    got = decode_wav_samples(_wav_raw(3, 2, 48000, 32, vals.tobytes()))
+    q15 = [0, 32768, -32768, 16384, -8192, 3]
+    assert got["n_samples"] == 6 and got["bits"] == 32
+    assert got["s_sum"] == sum(q15)
+    assert (got["s_min"], got["s_max"]) == (min(q15), max(q15))
+    # float64 and rounding to nearest
+    v64 = np.array([0.50000762939453125, -0.25], dtype="<f8")
+    got = decode_wav_samples(_wav_raw(3, 1, 8000, 64, v64.tobytes()))
+    assert got["s_sum"] == int(np.rint(0.50000762939453125 * 32768)) \
+        + int(np.rint(-0.25 * 32768))
+    # non-finite floats are corrupt
+    bad = np.array([0.5, float("nan")], dtype="<f4")
+    assert decode_wav_samples(_wav_raw(3, 1, 8000, 32, bad.tobytes())) is None
+
+    # 24-bit PCM: sign extension across the full range
+    tri = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little")
+        for v in (0, 1, -1, 8388607, -8388608, -40000)
+    )
+    got = decode_wav_samples(_wav_raw(1, 1, 44100, 24, tri))
+    assert got["n_samples"] == 6
+    assert got["s_min"] == -8388608 and got["s_max"] == 8388607
+    assert got["s_sum"] == 0 + 1 - 1 + 8388607 - 8388608 - 40000
+
+    # 32-bit PCM
+    v32 = np.array([2**31 - 1, -2**31, 12345], dtype="<i4")
+    got = decode_wav_samples(_wav_raw(1, 1, 44100, 32, v32.tobytes()))
+    assert got["s_sum"] == int(v32.astype(np.int64).sum())
+
+    # EXTENSIBLE wrapper resolves to the inner code (PCM16 here)
+    v16 = np.array([100, -200, 300, -400], dtype="<i2")
+    got = decode_wav_samples(
+        _wav_raw(1, 2, 22050, 16, v16.tobytes(), extensible=True))
+    assert got is not None and got["s_sum"] == -200
+    # ...and to mu-law
+    got = decode_wav_samples(
+        _wav_raw(7, 1, 8000, 8, bytes([0xFF, 0x7F]), extensible=True))
+    assert got is not None and got["s_sum"] == 0  # both codes decode to 0
+
+    # unsupported tag still NULLs
+    assert decode_wav_samples(_wav_raw(2, 1, 8000, 4, b"\x00")) is None

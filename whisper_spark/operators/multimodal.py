@@ -389,6 +389,10 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
             "n_pixels": n_px, "px_min": int(px.min()), "px_max": int(px.max()),
             "px_sum": total,
             "px_mean": total / (n_px * channels),
+            # full decoded raster, top-down (h, w, channels) uint8 — the
+            # input contract of resize_pixels and friends; stats
+            # consumers ignore it (same in-memory buffer, no extra cost)
+            "pixels": px.reshape(h, w, channels),
         }
 
     return decode_png
@@ -526,6 +530,8 @@ def _make_gif_pixel_decoder() -> Callable[[bytes], dict | None]:
             "n_pixels": n_px,
             "px_min": int(rgb.min()), "px_max": int(rgb.max()),
             "px_sum": total, "px_mean": total / (n_px * 3),
+            # top-down RGB raster (palette-expanded), resize input
+            "pixels": rgb.reshape(h, w, 3),
         }
 
     return decode_gif
@@ -570,11 +576,16 @@ def _make_bmp_pixel_decoder() -> Callable[[bytes], dict | None]:
         rows = buf.reshape(h, stride)[:, : 3 * w]  # drop the row padding
         total = int(rows.sum(dtype=np.int64))
         n_px = w * h
+        pix = rows.reshape(h, w, 3)
+        if h_raw > 0:
+            pix = pix[::-1]          # bottom-up storage -> top-down raster
         return {
             "width": int(w), "height": h, "channels": 3,
             "n_pixels": n_px,
             "px_min": int(rows.min()), "px_max": int(rows.max()),
             "px_sum": total, "px_mean": total / (n_px * 3),
+            # top-down raster in RGB order (BMP stores BGR), resize input
+            "pixels": pix[:, :, ::-1],
         }
 
     return decode_bmp
@@ -962,6 +973,8 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
             "n_pixels": n_px,
             "px_min": int(arr.min()), "px_max": int(arr.max()),
             "px_sum": total, "px_mean": total / (n_px * channels),
+            # top-down raster (h, w, channels) uint8, resize input
+            "pixels": arr.astype(np.uint8).reshape(h, w, channels),
         }
 
     def decode_jpeg(p: bytes) -> dict | None:
@@ -1427,19 +1440,33 @@ SAMPLES_SCHEMA = T.StructType(
 
 
 def _make_wav_sample_decoder() -> Callable[[bytes], dict | None]:
-    """Build the stdlib WAV PCM SAMPLE decoder — full sample decode, no
+    """Build the stdlib WAV SAMPLE decoder — full sample decode, no
     third-party libraries: RIFF chunk walk (word-aligned; a chunk that
     declares more bytes than remain marks the file truncated) ->
-    ``fmt `` parse -> numpy ``frombuffer`` over the ``data`` payload.
+    ``fmt `` parse -> vectorized numpy expansion of the ``data``
+    payload.
 
-    Supports integer PCM (format tag 1) at 8 or 16 bits, any channel
-    count — the formats a training-data audio pipeline actually stores
-    raw.  Samples are reported in their NATIVE signedness (PCM8 is
-    unsigned 0..255 per the container spec; PCM16 is signed little-
-    endian), interleaved channels flattened into one stream (``n_samples``
-    counts every channel's samples).  Closure-built so Spark tasks ship
-    it by value (see _make_header_parser).
-    """
+    Format coverage (every one formula-defined, no external tables):
+
+    * integer PCM (tag 1) at 8 / 16 / 24 / 32 bits — 8-bit stays
+      UNSIGNED 0..255 per the container spec, wider widths are signed
+      little-endian (24-bit assembled from byte triples and
+      sign-extended);
+    * IEEE float (tag 3) at 32 / 64 bits — reported on the Q15 integer
+      grid (``rint(sample * 32768)``) so every container shares the
+      one integer stats contract of :data:`SAMPLES_SCHEMA`;
+    * G.711 A-law (tag 6) and mu-law (tag 7) at 8 bits — expanded to
+      their canonical 13/14-bit linear magnitudes on the int16 grid
+      with the standard segment/mantissa formulas (the reference
+      ``alaw2linear``/``ulaw2linear`` expansion; cross-checked against
+      the stdlib ``audioop`` tables in tests);
+    * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping any of the above —
+      the real format code is the first two bytes of the SubFormat
+      GUID.
+
+    Samples are interleaved channels flattened into one stream
+    (``n_samples`` counts every channel's samples).  Closure-built so
+    Spark tasks ship it by value (see _make_header_parser)."""
     import struct
 
     def decode_wav(p: bytes) -> dict | None:
@@ -1449,6 +1476,7 @@ def _make_wav_sample_decoder() -> Callable[[bytes], dict | None]:
         ):
             return None
         fmt = data = None
+        sub_fmt = None
         off = 12
         while off + 8 <= len(p):
             tag = p[off:off + 4]
@@ -1458,23 +1486,65 @@ def _make_wav_sample_decoder() -> Callable[[bytes], dict | None]:
                 return None  # truncated chunk: corrupt, NULL stats
             if tag == b"fmt " and clen >= 16:
                 fmt = struct.unpack("<HHIIHH", body[:16])
+                if fmt[0] == 0xFFFE:
+                    # EXTENSIBLE: cbSize(2) + validBits(2) + mask(4)
+                    # + SubFormat GUID, whose first u16 is the code
+                    if clen < 26:
+                        return None
+                    (sub_fmt,) = struct.unpack("<H", body[24:26])
             elif tag == b"data":
                 data = body
             off += 8 + clen + (clen & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             return None
         audio_format, channels, rate, _byte_rate, _block, bits = fmt
-        if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        if audio_format == 0xFFFE:
+            audio_format = sub_fmt
+        if channels < 1:
             return None
 
         import numpy as np
 
-        if bits == 16:
-            if len(data) % 2:
+        if audio_format == 1 and bits in (8, 16, 24, 32):
+            width = bits // 8
+            if len(data) % width:
                 return None
-            arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            if bits == 8:
+                arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            elif bits == 24:
+                b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+                arr = (
+                    b[:, 0].astype(np.int64)
+                    | (b[:, 1].astype(np.int64) << 8)
+                    | (b[:, 2].astype(np.int64) << 16)
+                )
+                arr -= (arr >> 23) << 24       # sign-extend bit 23
+            else:
+                arr = np.frombuffer(
+                    data, dtype=f"<i{width}").astype(np.int64)
+        elif audio_format == 3 and bits in (32, 64):
+            if len(data) % (bits // 8):
+                return None
+            f = np.frombuffer(data, dtype=f"<f{bits // 8}")
+            if not np.isfinite(f).all():
+                return None                    # NaN/inf payload: corrupt
+            arr = np.rint(f.astype(np.float64) * 32768.0).astype(np.int64)
+        elif audio_format in (6, 7) and bits == 8:
+            code = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            if audio_format == 7:              # mu-law (G.711)
+                u = ~code & 0xFF
+                t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+                arr = np.where(u & 0x80, 0x84 - t, t - 0x84)
+            else:                              # A-law (G.711)
+                a = code ^ 0x55
+                seg = (a & 0x70) >> 4
+                t = (a & 0x0F) << 4
+                t = np.where(seg == 0, t + 8, (t + 0x108)
+                             << np.maximum(seg - 1, 0))
+                arr = np.where(a & 0x80, t, -t)
         else:
-            arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            return None
+
         if arr.size == 0 or arr.size % channels:
             return None
         total = int(arr.sum())
@@ -1982,6 +2052,116 @@ def decode_media(
             yield out
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_array(px, out_w: int, out_h: int, method: str = "nearest"):
+    """Resize one decoded raster (uint8 ``(h, w, c)``, the ``pixels``
+    key every image decoder emits) to ``(out_h, out_w, c)``.
+
+    * ``nearest``: source index ``floor(i * in / out)`` — pure integer
+      arithmetic (the OpenCV INTER_NEAREST mapping), output uint8.
+    * ``bilinear``: pixel-center (align_corners=False) convention,
+      ``src = (i + 0.5) * in/out - 0.5`` clamped to the edge, separable
+      two-tap interpolation, output float64.  When ``in/out`` is a
+      power of two the weights are exact binary fractions, so sums are
+      bit-deterministic across engines (the mm_resize oracle exploits
+      this at 2x).
+
+    Fully vectorized (fancy-indexing gathers + broadcast weights) —
+    this is the per-record kernel of :func:`resize_pixels`, the
+    training-pipeline "normalize every image to the model's input
+    size" stage."""
+    import numpy as np
+
+    h, w, _c = px.shape
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad output size {out_w}x{out_h}")
+    if method == "nearest":
+        ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        return px[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+
+    def grid(out_n: int, in_n: int):
+        src = (np.arange(out_n) + 0.5) * (in_n / out_n) - 0.5
+        src = np.clip(src, 0.0, float(in_n - 1))
+        i0 = np.floor(src).astype(np.int64)
+        i1 = np.minimum(i0 + 1, in_n - 1)
+        return i0, i1, src - i0
+
+    y0, y1, fy = grid(out_h, h)
+    x0, x1, fx = grid(out_w, w)
+    p = px.astype(np.float64)
+    fx = fx[None, :, None]
+    top = p[y0][:, x0] * (1.0 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1.0 - fx) + p[y1][:, x1] * fx
+    fy = fy[:, None, None]
+    return top * (1.0 - fy) + bot * fy
+
+
+#: output contract for :func:`resize_pixels` — px stats are DOUBLE
+#: because bilinear output is fractional
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, channels int, n_pixels long, "
+    "px_min double, px_max double, px_sum double, px_mean double"
+)
+
+
+def resize_pixels(
+    df: DataFrame,
+    out_w: int | None = None,
+    out_h: int | None = None,
+    scale: float | None = None,
+    method: str = "nearest",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode + resize every image payload in one Arrow-batched
+    ``mapInPandas`` stage — the "every image to NxN" normalization a
+    multimodal training pipeline runs over its whole corpus.  Fixed
+    target (``out_w``/``out_h``) or per-image relative ``scale``
+    (output dims ``round(dim * scale)``, min 1).  Emits
+    :data:`RESIZED_SCHEMA` stats of the RESIZED raster (NULLs for
+    undecodable payloads, rows kept so coverage is auditable); the
+    raster itself stays executor-local — at 100 TB the whole point is
+    that full-size pixels never hit the shuffle or the driver."""
+    if (scale is None) == (out_w is None and out_h is None):
+        raise ValueError("pass either out_w+out_h or scale")
+    if scale is None and (out_w is None or out_h is None):
+        raise ValueError("out_w and out_h go together")
+    dec = _make_pixel_decoder()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf[id_col], pdf["payload"]):
+                d = dec(p)
+                if d is None:
+                    recs.append((int(mid),) + (None,) * 8)
+                    continue
+                if scale is not None:
+                    ow = max(1, int(round(d["width"] * scale)))
+                    oh = max(1, int(round(d["height"] * scale)))
+                else:
+                    ow, oh = int(out_w), int(out_h)
+                r = resize_array(d["pixels"], ow, oh, method).astype(
+                    np.float64)
+                tot = float(r.sum())
+                n = ow * oh
+                recs.append((
+                    int(mid), ow, oh, d["channels"], n,
+                    float(r.min()), float(r.max()), tot,
+                    tot / (n * d["channels"]),
+                ))
+            yield pd.DataFrame(recs, columns=[
+                "media_id", "width", "height", "channels", "n_pixels",
+                "px_min", "px_max", "px_sum", "px_mean",
+            ])
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def frame_sample(

@@ -3688,48 +3688,12 @@ def q_mm_decode_gif_pixels(spark, sf_dir):
     return decode_pixels(media)
 
 
-@_q(
-    "mm_decode_bmp_pixels",
-    """
-WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
-dims AS (
-  SELECT doc_id,
-         CAST(doc_id % 9 + 2 AS INTEGER) AS w,
-         CAST(doc_id % 6 + 2 AS INTEGER) AS h
-  FROM m
-),
-b AS (
-  SELECT doc_id, w, h,
-         flatten(list_transform(generate_series(0, h - 1),
-           y -> [ (doc_id + y) % 256,
-                  (doc_id + y + 85) % 256,
-                  (doc_id + y + 170) % 256 ])) AS bytes_
-  FROM dims
-)
-SELECT doc_id AS media_id, w AS width, h AS height,
-       CAST(3 AS INTEGER) AS channels,
-       CAST(w AS BIGINT) * h AS n_pixels,
-       CAST(list_min(bytes_) AS INTEGER) AS px_min,
-       CAST(list_max(bytes_) AS INTEGER) AS px_max,
-       CAST(w * list_sum(bytes_) AS BIGINT) AS px_sum,
-       CAST(w * list_sum(bytes_) AS DOUBLE) / (CAST(w AS BIGINT) * h * 3) AS px_mean
-FROM b
-""",
-    doc="FULL BMP pixel decode end-to-end, stdlib only: complete, VALID "
-    "24-bit BI_RGB bitmaps — BITMAPFILEHEADER + BITMAPINFOHEADER + "
-    "bottom-up pixel array with 4-byte row stride — are assembled as "
-    "pure JVM column expressions.  Row y of image doc_id repeats the "
-    "BGR triple ((doc_id+y) %% 256, +85, +170) across its w pixels with "
-    "real stride padding (w ranges 2-10, so pad is 0-3 bytes), and the "
-    "decoder (operators/multimodal.py decode_bmp_pixels) must strip "
-    "exactly that padding from its vectorized row view; the oracle "
-    "regenerates the per-row bytes arithmetically (each appears w "
-    "times).  Any drift in header offsets, stride math, or padding "
-    "handling fails the hash gate",
-)
-def q_mm_decode_bmp_pixels(spark, sf_dir):
-    from .operators.multimodal import decode_pixels
-
+def _bmp_media_df(spark, sf_dir):
+    """(media_id, payload) of the synthesized 24-bit BMPs the
+    mm_decode_bmp_pixels oracle documents (w = doc_id%9+2,
+    h = doc_id%6+2, stored row y repeats the BGR triple
+    ((doc_id+y)%256, +85, +170)) — shared by the decode and resize
+    gates."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
 
     def le32(c):
@@ -3772,11 +3736,269 @@ def q_mm_decode_bmp_pixels(spark, sf_dir):
         le32(F.lit(0)), le32(F.lit(0)),
         F.unhex(data_hex),
     )
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"), payload.alias("payload")
     )
-    return decode_pixels(media)
 
+
+@_q(
+    "mm_decode_bmp_pixels",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 2 AS INTEGER) AS w,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS h
+  FROM m
+),
+b AS (
+  SELECT doc_id, w, h,
+         flatten(list_transform(generate_series(0, h - 1),
+           y -> [ (doc_id + y) % 256,
+                  (doc_id + y + 85) % 256,
+                  (doc_id + y + 170) % 256 ])) AS bytes_
+  FROM dims
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(w AS BIGINT) * h AS n_pixels,
+       CAST(list_min(bytes_) AS INTEGER) AS px_min,
+       CAST(list_max(bytes_) AS INTEGER) AS px_max,
+       CAST(w * list_sum(bytes_) AS BIGINT) AS px_sum,
+       CAST(w * list_sum(bytes_) AS DOUBLE) / (CAST(w AS BIGINT) * h * 3) AS px_mean
+FROM b
+""",
+    doc="FULL BMP pixel decode end-to-end, stdlib only: complete, VALID "
+    "24-bit BI_RGB bitmaps — BITMAPFILEHEADER + BITMAPINFOHEADER + "
+    "bottom-up pixel array with 4-byte row stride — are assembled as "
+    "pure JVM column expressions.  Row y of image doc_id repeats the "
+    "BGR triple ((doc_id+y) %% 256, +85, +170) across its w pixels with "
+    "real stride padding (w ranges 2-10, so pad is 0-3 bytes), and the "
+    "decoder (operators/multimodal.py decode_bmp_pixels) must strip "
+    "exactly that padding from its vectorized row view; the oracle "
+    "regenerates the per-row bytes arithmetically (each appears w "
+    "times).  Any drift in header offsets, stride math, or padding "
+    "handling fails the hash gate",
+)
+def q_mm_decode_bmp_pixels(spark, sf_dir):
+    from .operators.multimodal import decode_pixels
+
+    return decode_pixels(_bmp_media_df(spark, sf_dir))
+
+
+
+@_q(
+    "mm_resize_nearest",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 2 AS INTEGER) AS w,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS h
+  FROM m
+),
+outr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS j FROM dims
+),
+src AS (SELECT doc_id, h - 1 - ((j * h) // 4) AS y FROM outr),
+tri AS (
+  SELECT doc_id,
+         [(doc_id + y) % 256, (doc_id + y + 85) % 256,
+          (doc_id + y + 170) % 256] AS t
+  FROM src
+)
+SELECT doc_id AS media_id,
+       CAST(6 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels, CAST(24 AS BIGINT) AS n_pixels,
+       CAST(min(list_min(t)) AS DOUBLE) AS px_min,
+       CAST(max(list_max(t)) AS DOUBLE) AS px_max,
+       CAST(6 * sum(list_sum(t)) AS DOUBLE) AS px_sum,
+       CAST(6 * sum(list_sum(t)) AS DOUBLE) / (24 * 3) AS px_mean
+FROM tri GROUP BY doc_id
+""",
+    doc="image RESIZE gate, nearest-neighbor: every synthesized BMP "
+    "(the mm_decode_bmp_pixels corpus) through decode + "
+    "resize_pixels(6x4) in one mapInPandas stage — the 'normalize "
+    "every image to the model input size' pipeline step.  The source "
+    "images are row-banded (columns uniform), so the oracle models "
+    "the vertical index map exactly: output row j samples logical "
+    "row (j*h)//4 = stored bottom-up row h-1-(j*h)//4, whose BGR "
+    "triple is closed-form (operators/multimodal.py resize_array; "
+    "OpenCV INTER_NEAREST index convention)",
+)
+def q_mm_resize_nearest(spark, sf_dir):
+    from .operators.multimodal import resize_pixels
+
+    return resize_pixels(
+        _bmp_media_df(spark, sf_dir), out_w=6, out_h=4, method="nearest")
+
+
+@_q(
+    "mm_resize_bilinear_2x",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 2 AS INTEGER) AS w,
+         CAST(doc_id % 6 + 2 AS INTEGER) AS h
+  FROM m
+),
+outr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 2 * h - 1)) AS j
+  FROM dims
+),
+g AS (
+  SELECT doc_id, w, h,
+         greatest(0.0, least((j + 0.5) / 2.0 - 0.5, h - 1.0)) AS sy
+  FROM outr
+),
+yy AS (
+  SELECT doc_id, w, h,
+         CAST(floor(sy) AS INTEGER) AS y0,
+         least(CAST(floor(sy) AS INTEGER) + 1, h - 1) AS y1,
+         sy - floor(sy) AS fy
+  FROM g
+),
+ch AS (SELECT doc_id, w, h, y0, y1, fy, unnest([0, 85, 170]) AS o FROM yy),
+v AS (
+  SELECT doc_id, w, h,
+         (1 - fy) * ((doc_id + (h - 1 - y0) + o) % 256)
+         + fy * ((doc_id + (h - 1 - y1) + o) % 256) AS val
+  FROM ch
+)
+SELECT doc_id AS media_id,
+       CAST(2 * w AS INTEGER) AS width, CAST(2 * h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(4 * w * h AS BIGINT) AS n_pixels,
+       CAST(min(val) AS DOUBLE) AS px_min,
+       CAST(max(val) AS DOUBLE) AS px_max,
+       CAST(2 * w * sum(val) AS DOUBLE) AS px_sum,
+       CAST(2 * w * sum(val) AS DOUBLE) / (4 * w * h * 3) AS px_mean
+FROM v GROUP BY doc_id, w, h
+""",
+    doc="image RESIZE gate, bilinear at scale=2 (per-image output "
+    "dims): pixel-center align_corners=False sampling, src = "
+    "(j+0.5)/2 - 0.5 edge-clamped, two-tap separable interpolation.  "
+    "At 2x the weights are exact quarters and the source bytes are "
+    "integers, so every interpolated value is an exact binary "
+    "fraction — sums are order-independent and DuckDB recomputes the "
+    "whole resized raster's stats bit-exactly from the generator's "
+    "closed form (operators/multimodal.py resize_array)",
+)
+def q_mm_resize_bilinear_2x(spark, sf_dir):
+    from .operators.multimodal import resize_pixels
+
+    return resize_pixels(
+        _bmp_media_df(spark, sf_dir), scale=2.0, method="bilinear")
+
+
+
+def _wav_format_payload(i: int) -> bytes:
+    """Deterministic WAV #i for the format-coverage gate: family
+    i%4 = mu-law / A-law / IEEE-float32 / 24-bit PCM, 48 samples,
+    mono 8 kHz.  Float samples are exact multiples of 2^-15 so the
+    decoder's Q15 report reproduces the generating integers; law
+    bytes and 24-bit words are closed-form in doc_id."""
+    import struct
+
+    fam, n = i % 4, 48
+    if fam in (0, 1):
+        data = bytes((i * 13 + k * 7) % 256 for k in range(n))
+        tag, bits = (7, 8) if fam == 0 else (6, 8)
+    elif fam == 2:
+        vals = [((i * 7 + k * 3) % 4096 - 2048) / 32768.0
+                for k in range(n)]
+        data = struct.pack(f"<{n}f", *vals)
+        tag, bits = 3, 32
+    else:
+        data = b"".join(
+            ((((i * 9973 + k * 131) % 16777216) - 8388608)
+             & 0xFFFFFF).to_bytes(3, "little")
+            for k in range(n)
+        )
+        tag, bits = 1, 24
+    block = bits // 8
+    fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000 * block, block, bits)
+    pad = b"\x00" if len(data) & 1 else b""
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data + pad)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+@_q(
+    "mm_decode_wav_formats",
+    """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 96),
+kk AS (
+  SELECT doc_id, doc_id % 4 AS fam,
+         unnest(generate_series(0, 47)) AS k
+  FROM ids
+),
+c AS (
+  SELECT doc_id, fam,
+         255 - (doc_id * 13 + k * 7) % 256 AS uu,
+         xor((doc_id * 13 + k * 7) % 256, 85) AS aa,
+         (doc_id * 7 + k * 3) % 4096 - 2048 AS q15,
+         ((doc_id * 9973 + k * 131) % 16777216) - 8388608 AS p24
+  FROM kk
+),
+vals AS (
+  SELECT doc_id, fam,
+    CASE fam
+      WHEN 0 THEN
+        CASE WHEN uu >= 128
+             THEN 132 - ((((uu % 16) * 8) + 132) << ((uu // 16) % 8))
+             ELSE ((((uu % 16) * 8) + 132) << ((uu // 16) % 8)) - 132
+        END
+      WHEN 1 THEN
+        CASE WHEN aa >= 128 THEN 1 ELSE -1 END *
+        CASE WHEN (aa // 16) % 8 = 0 THEN (aa % 16) * 16 + 8
+             ELSE ((aa % 16) * 16 + 264) << (((aa // 16) % 8) - 1)
+        END
+      WHEN 2 THEN q15
+      ELSE p24
+    END AS v
+  FROM c
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(CASE fam WHEN 2 THEN 32 WHEN 3 THEN 24 ELSE 8 END
+            AS INTEGER) AS bits,
+       CAST(48 AS BIGINT) AS n_samples,
+       CAST(min(v) AS INTEGER) AS s_min,
+       CAST(max(v) AS INTEGER) AS s_max,
+       CAST(sum(v) AS BIGINT) AS s_sum,
+       CAST(sum(v * v) AS BIGINT) AS s_sq_sum,
+       CAST(sum(v) AS DOUBLE) / 48 AS s_mean
+FROM vals GROUP BY doc_id, fam
+""",
+    doc="WAV format-coverage gate: G.711 mu-law and A-law (expanded "
+    "with the standard segment/mantissa formulas, cross-checked "
+    "against stdlib audioop in tests), IEEE float32 on the Q15 "
+    "integer grid, and 24-bit signed PCM — 96 synthesized containers "
+    "through decode_samples, with the oracle recomputing BOTH the "
+    "G.711 expansion and the sample closed forms arithmetically in "
+    "SQL (operators/multimodal.py _make_wav_sample_decoder)",
+)
+def q_mm_decode_wav_formats(spark, sf_dir):
+    from .operators.multimodal import decode_samples
+
+    ids = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 96).select(F.col("doc_id").alias("media_id"))
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_wav_format_payload(int(i))
+                            for i in pdf["media_id"]],
+            })
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    return decode_samples(media)
 
 @_q(
     "mm_feature_topk",
@@ -12066,6 +12288,10 @@ _DRIVER_WINDOW_PROMOTE = [
     # round-trip gate (both byte orders, every ring rotation, version
     # 0001 + 0003, decoy MAX RRA)
     "ws_rrd_roundtrip",
+    # round-10 third wave: image RESIZE (bilinear, exact-quarter 2x
+    # weights, per-image output dims) and WAV format coverage (G.711
+    # mu/A-law expansion, float32 on the Q15 grid, 24-bit PCM)
+    "mm_resize_bilinear_2x", "mm_decode_wav_formats",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
