@@ -2936,3 +2936,68 @@ def test_wav_float_q15_and_pcm_widths():
 
     # unsupported tag still NULLs
     assert decode_wav_samples(_wav_raw(2, 1, 8000, 4, b"\x00")) is None
+
+
+def test_image_ahash_and_neardup(spark):
+    """Average-hash over real rasters: bit layout pinned against a
+    per-cell reference, identical images collide at hamming 0, a
+    one-row change flips exactly that row's byte, near-dup pairs
+    verified end to end."""
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        image_ahash,
+        image_neardup_pairs,
+        resize_array,
+    )
+
+    def ref_hash(payload):
+        px = decode_bmp_pixels(payload)["pixels"]
+        g = resize_array(px, 8, 8, "bilinear").sum(axis=2)
+        m = g.mean()
+        h = 0
+        for j in range(8):
+            for i in range(8):
+                if g[j, i] > m:
+                    h |= 1 << (j * 8 + i)
+        return format(h, "016x")
+
+    # 8-row images: 8->8 bilinear resize is an exact passthrough, and
+    # swapping a hot row with a cold one keeps the MEAN fixed, so the
+    # hash differs in exactly those two rows' bytes (hamming 16) —
+    # stored BOTTOM-UP, but a pure row permutation either way
+    vals = [0, 0, 200, 0, 0, 250, 0, 0]          # hot logical rows 2, 5
+    swapped = list(vals)
+    swapped[2], swapped[4] = swapped[4], swapped[2]   # hot moves 2 -> 4
+    payloads = {
+        1: _bmp(2, 8, [[v] * 6 for v in reversed(vals)]),
+        2: _bmp(2, 8, [[v] * 6 for v in reversed(vals)]),   # exact dup
+        3: _bmp(2, 8, [[v] * 6 for v in reversed(swapped)]),
+        4: b"junk",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in image_ahash(df).collect()}
+    assert got[4]["ahash"] is None and got[4]["ahash_bits"] is None
+    for mid in (1, 2, 3):
+        assert got[mid]["ahash"] == ref_hash(payloads[mid]), mid
+        # hex and BIGINT views agree (two's complement)
+        assert got[mid]["ahash_bits"] & (2**64 - 1) == int(
+            got[mid]["ahash"], 16)
+    assert got[1]["ahash"] == got[2]["ahash"]
+    # hot rows 2 and 5 set -> hex bytes for rows 2, 5 are 0xFF
+    assert int(got[1]["ahash"], 16) == (0xFF << 16) | (0xFF << 40)
+    d13 = bin(int(got[1]["ahash"], 16) ^ int(got[3]["ahash"], 16)
+              ).count("1")
+    assert d13 == 16  # exactly the swapped rows differ
+
+    # differing rows 2 and 4 live in bands 1 and 2 of four 16-bit
+    # bands, so bands 0 and 3 still match -> candidate recall holds
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(
+                 df, max_hamming=16, collapse_identical=False).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs.get((1, 3)) == 16 and pairs.get((2, 3)) == 16

@@ -2164,6 +2164,90 @@ def resize_pixels(
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def image_ahash(
+    df: DataFrame, id_col: str = "media_id", grid: int = 8
+) -> DataFrame:
+    """Perceptual AVERAGE-HASH over the real decoded rasters — the
+    classic near-duplicate image fingerprint: decode, bilinear-resize
+    to ``grid x grid`` (:func:`resize_array`), channel-SUM luminance
+    (an integer-exact stand-in for the usual /3 gray mean, so the
+    fingerprint is bit-deterministic across engines), then bit
+    ``j*grid + i`` (row-major) is set when cell (j, i) exceeds the
+    raster mean.
+
+    Output: ``ahash`` as a zero-padded hex string (grid²/4 chars) and,
+    when the hash fits 64 bits, ``ahash_bits`` as the two's-complement
+    BIGINT that feeds :func:`image_neardup_pairs`' banded Hamming
+    machinery.  Undecodable payloads yield NULLs (rows kept)."""
+    if grid < 1:
+        raise ValueError("grid must be >= 1")
+    dec = _make_pixel_decoder()
+    n_bits = grid * grid
+    n_hex = max(1, (n_bits + 3) // 4)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hexes, bits64 = [], [], []
+            for mid, p in zip(pdf[id_col], pdf["payload"]):
+                ids.append(int(mid))
+                d = dec(p)
+                if d is None:
+                    hexes.append(None)
+                    bits64.append(None)
+                    continue
+                g = resize_array(
+                    d["pixels"], grid, grid, "bilinear").sum(axis=2)
+                mean = float(g.mean())
+                h = 0
+                for j, hot in enumerate((g > mean).ravel()):
+                    if hot:
+                        h |= 1 << j
+                hexes.append(format(h, f"0{n_hex}x"))
+                if n_bits <= 64:
+                    bits64.append(h - (1 << 64) if h >= (1 << 63) else h)
+                else:
+                    bits64.append(None)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "ahash": pd.array(hexes, dtype="string"),
+                "ahash_bits": pd.array(bits64, dtype="Int64"),
+            })
+
+    return df.mapInPandas(
+        run, schema="media_id long, ahash string, ahash_bits long")
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "media_id",
+    bands: int = 4,
+    collapse_identical: bool = True,
+) -> DataFrame:
+    """NEAR-DUPLICATE IMAGE pairs: ``(id_a, id_b, hamming)`` whose
+    average-hashes (:func:`image_ahash`, 64-bit) are within
+    ``max_hamming`` bits — re-encodes of the same picture, recrops,
+    slight recompressions.  Candidate generation and exact Hamming
+    verification reuse the Manku banding machinery
+    (:func:`whisper_spark.operators.dedup.simhash_hamming_pairs`):
+    equi-join on ``bands`` 16-bit hash bands, so the shuffle is
+    candidate-proportional — never an image-pairs scan.  Recall
+    guarantee: every pair whose differing bits touch at most
+    ``bands - 1`` bands is found (in particular any pair with
+    ``hamming < bands``)."""
+    from .dedup import simhash_hamming_pairs
+
+    fp = image_ahash(df, id_col).filter(
+        F.col("ahash_bits").isNotNull()
+    ).select(id_col, F.col("ahash_bits").alias("simhash"))
+    return simhash_hamming_pairs(
+        fp, max_hamming, id_col=id_col, bits=64, bands=bands,
+        collapse_identical=collapse_identical,
+    )
+
+
 def frame_sample(
     df: DataFrame, every_ms: int = 1000, id_col: str = "media_id"
 ) -> DataFrame:

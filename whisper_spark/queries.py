@@ -4000,6 +4000,126 @@ def q_mm_decode_wav_formats(spark, sf_dir):
     media = ids.mapInPandas(gen, "media_id long, payload binary")
     return decode_samples(media)
 
+
+
+@_q(
+    "mm_image_ahash",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS h FROM m
+),
+outr AS (SELECT doc_id, h, unnest(generate_series(0, 7)) AS j FROM dims),
+g AS (
+  SELECT doc_id, h, j,
+         greatest(0.0, least((j + 0.5) * h / 8.0 - 0.5, h - 1.0)) AS sy
+  FROM outr
+),
+yy AS (
+  SELECT doc_id, h, j,
+         CAST(floor(sy) AS INTEGER) AS y0,
+         least(CAST(floor(sy) AS INTEGER) + 1, h - 1) AS y1,
+         sy - floor(sy) AS fy
+  FROM g
+),
+lum AS (
+  SELECT doc_id, j,
+         (1 - fy) * ((doc_id + (h - 1 - y0)) % 256
+                     + (doc_id + (h - 1 - y0) + 85) % 256
+                     + (doc_id + (h - 1 - y0) + 170) % 256)
+         + fy * ((doc_id + (h - 1 - y1)) % 256
+                 + (doc_id + (h - 1 - y1) + 85) % 256
+                 + (doc_id + (h - 1 - y1) + 170) % 256) AS v
+  FROM yy
+),
+mn AS (SELECT doc_id, sum(v) / 8.0 AS mean FROM lum GROUP BY doc_id),
+bits AS (
+  SELECT l.doc_id, l.j, l.v > mn.mean AS b
+  FROM lum l JOIN mn ON l.doc_id = mn.doc_id
+)
+SELECT doc_id AS media_id,
+       string_agg(CASE WHEN b THEN 'ff' ELSE '00' END, ''
+                  ORDER BY j DESC) AS ahash
+FROM bits GROUP BY doc_id
+""",
+    doc="perceptual AVERAGE-HASH gate over REAL decoded rasters "
+    "(operators/multimodal.py image_ahash): decode + bilinear 8x8 + "
+    "channel-sum luminance + mean threshold, bit j*8+i row-major, hex "
+    "output.  The BMP corpus is row-banded, so every 16th-exact "
+    "bilinear weight, the raster mean, and each row's byte are "
+    "closed-form in doc_id — DuckDB rebuilds the full 64-bit hash "
+    "arithmetically (whole-byte rows: the 8 columns of a row share "
+    "one luminance)",
+)
+def q_mm_image_ahash(spark, sf_dir):
+    from .operators.multimodal import image_ahash
+
+    return image_ahash(_bmp_media_df(spark, sf_dir)).select(
+        "media_id", "ahash")
+
+
+@_q(
+    "mm_image_neardup",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS h FROM m
+),
+outr AS (SELECT doc_id, h, unnest(generate_series(0, 7)) AS j FROM dims),
+g AS (
+  SELECT doc_id, h, j,
+         greatest(0.0, least((j + 0.5) * h / 8.0 - 0.5, h - 1.0)) AS sy
+  FROM outr
+),
+yy AS (
+  SELECT doc_id, h, j,
+         CAST(floor(sy) AS INTEGER) AS y0,
+         least(CAST(floor(sy) AS INTEGER) + 1, h - 1) AS y1,
+         sy - floor(sy) AS fy
+  FROM g
+),
+lum AS (
+  SELECT doc_id, j,
+         (1 - fy) * ((doc_id + (h - 1 - y0)) % 256
+                     + (doc_id + (h - 1 - y0) + 85) % 256
+                     + (doc_id + (h - 1 - y0) + 170) % 256)
+         + fy * ((doc_id + (h - 1 - y1)) % 256
+                 + (doc_id + (h - 1 - y1) + 85) % 256
+                 + (doc_id + (h - 1 - y1) + 170) % 256) AS v
+  FROM yy
+),
+mn AS (SELECT doc_id, sum(v) / 8.0 AS mean FROM lum GROUP BY doc_id),
+bits AS (
+  SELECT l.doc_id, l.j, l.v > mn.mean AS b
+  FROM lum l JOIN mn ON l.doc_id = mn.doc_id
+),
+vecs AS (SELECT doc_id, list(b ORDER BY j) AS bv FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(8 * len(list_filter(generate_series(1, 8),
+                                i -> a.bv[i] <> b.bv[i])) AS BIGINT)
+         AS hamming
+FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+WHERE 8 * len(list_filter(generate_series(1, 8),
+                          i -> a.bv[i] <> b.bv[i])) <= 24
+""",
+    doc="NEAR-DUPLICATE IMAGE detection end-to-end: average-hash pairs "
+    "within hamming 24 via the banded Manku machinery "
+    "(operators/multimodal.py image_neardup_pairs -> "
+    "dedup.simhash_hamming_pairs, 4 x 16-bit bands, candidate-"
+    "proportional shuffles).  On this corpus differing bits come in "
+    "whole 8-bit rows, so hamming <= 24 means <= 3 differing rows "
+    "touching <= 3 of the 4 bands — at least one band always matches "
+    "and banding recall is EXACT, letting DuckDB enumerate all "
+    "within-radius pairs as the oracle (collapse_identical=False: the "
+    "oracle counts full cliques)",
+)
+def q_mm_image_neardup(spark, sf_dir):
+    from .operators.multimodal import image_neardup_pairs
+
+    return image_neardup_pairs(
+        _bmp_media_df(spark, sf_dir), max_hamming=24,
+        collapse_identical=False)
+
 @_q(
     "mm_feature_topk",
     "WITH "
@@ -12289,9 +12409,11 @@ _DRIVER_WINDOW_PROMOTE = [
     # 0001 + 0003, decoy MAX RRA)
     "ws_rrd_roundtrip",
     # round-10 third wave: image RESIZE (bilinear, exact-quarter 2x
-    # weights, per-image output dims) and WAV format coverage (G.711
-    # mu/A-law expansion, float32 on the Q15 grid, 24-bit PCM)
-    "mm_resize_bilinear_2x", "mm_decode_wav_formats",
+    # weights, per-image output dims), WAV format coverage (G.711
+    # mu/A-law expansion, float32 on the Q15 grid, 24-bit PCM), and
+    # perceptual image near-dup (average-hash + banded Hamming, exact
+    # recall on whole-row bit structure)
+    "mm_resize_bilinear_2x", "mm_decode_wav_formats", "mm_image_neardup",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
