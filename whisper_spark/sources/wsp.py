@@ -15,8 +15,10 @@ On-disk format (reference whisper.py:113-118, public):
   marks an empty ring slot (whisper.py:1026-1031 treats stale/zero
   intervals as gaps)
 
-Both directions are distributed: the reader is ``binaryFiles`` (one
-task per group of files, header+ring parsed executor-side), the writer
+Both directions are distributed: the reader lists POSIX trees via a
+capped driver glob that switches to sharded executor-side listing on
+huge fleets (see :func:`_wsp_files_rdd`; remote schemes use
+``binaryFiles``), parses header+ring executor-side, and the writer
 repartitions by metric so each task packs complete files.  Files are
 per-metric and small (16 + 12·archives + 12·Σpoints bytes), so the
 driver never materializes point data.
