@@ -802,13 +802,18 @@ def test_pca_project_recovers_dominant_axis(spark):
 # --------------------------------------------------------------------- #
 
 
-def _png(width, height, pixels, channels=1, filters=None, level=9):
+def _png(width, height, pixels, channels=1, filters=None, level=9,
+         ctype=None, plte=None):
     """Build a real PNG with python zlib: pixels is rows x (width*channels)
-    byte values; filters picks the per-row filter type actually ENCODED."""
+    byte values; filters picks the per-row filter type actually ENCODED.
+    ``ctype``/``plte`` override the color type for palette (3) and
+    alpha (4/6) variants — ``channels`` stays the filtered-stream
+    bytes-per-pixel."""
     import struct
     import zlib
 
-    ctype = 0 if channels == 1 else 2
+    if ctype is None:
+        ctype = 0 if channels == 1 else 2
     filters = filters or [0] * height
     bpp = channels
     raw = bytearray()
@@ -845,9 +850,12 @@ def _png(width, height, pixels, channels=1, filters=None, level=9):
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", bytes(plte))
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
+        + body
         + chunk(b"IDAT", zlib.compress(bytes(raw), level))
         + chunk(b"IEND", b"")
     )
@@ -1093,10 +1101,11 @@ def test_gif_pixel_decoder_dict_overflow_and_rejects():
     assert decode_gif_pixels(None) is None
     assert decode_gif_pixels(b"GIF89a") is None  # truncated LSD
     assert decode_gif_pixels(b"not a gif at all") is None
-    # interlaced: out of scope, NULL stats
+    # interlaced: SUPPORTED (deinterlace round trip in
+    # test_png_palette_alpha_types_and_gif_interlace)
     assert decode_gif_pixels(
         _gif(4, 4, [0] * 16, 2, 4, interlace=True)
-    ) is None
+    )["n_pixels"] == 16
     # truncated LZW stream: cut the payload mid-sub-block
     assert decode_gif_pixels(gif[: len(gif) // 2]) is None
     # a code beyond the dictionary: min_code 2 stream starting with an
@@ -3001,3 +3010,67 @@ def test_image_ahash_and_neardup(spark):
                  df, max_hamming=16, collapse_identical=False).collect()}
     assert pairs[(1, 2)] == 0
     assert pairs.get((1, 3)) == 16 and pairs.get((2, 3)) == 16
+
+
+def test_png_palette_alpha_types_and_gif_interlace():
+    """PNG color types 3 (PLTE-expanded), 4 (gray+alpha) and 6 (RGBA)
+    decode with every filter in play; interlaced GIFs deinterlace to
+    the logical raster (stored pass order built independently)."""
+    import random
+
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+    )
+
+    rng = random.Random(23)
+
+    # palette: indices through filters, expanded via PLTE
+    w, h, n_pal = 5, 4, 16
+    plte = [rng.randrange(256) for _ in range(3 * n_pal)]
+    idx_rows = [[rng.randrange(n_pal) for _ in range(w)] for _ in range(h)]
+    got = decode_png_pixels(_png(w, h, idx_rows, channels=1,
+                                 filters=[0, 1, 2, 4], ctype=3, plte=plte))
+    rgb = [plte[3 * v + c] for row in idx_rows for v in row
+           for c in range(3)]
+    assert got["channels"] == 3 and got["n_pixels"] == w * h
+    assert got["px_sum"] == sum(rgb)
+    assert got["pixels"].reshape(-1).tolist() == rgb
+    # palette rejects: missing PLTE, index beyond palette
+    assert decode_png_pixels(_png(w, h, idx_rows, 1, ctype=3)) is None
+    assert decode_png_pixels(_png(1, 1, [[n_pal]], 1, ctype=3,
+                                  plte=plte)) is None
+
+    # gray+alpha and RGBA: alpha participates in the stats
+    for ct, nch in ((4, 2), (6, 4)):
+        rows = [[rng.randrange(256) for _ in range(w * nch)]
+                for _ in range(h)]
+        got = decode_png_pixels(_png(w, h, rows, channels=nch,
+                                     filters=[4, 3, 2, 1], ctype=ct))
+        flat = [v for r in rows for v in r]
+        assert got["channels"] == nch
+        assert got["px_sum"] == sum(flat)
+        assert got["px_mean"] == sum(flat) / (w * h * nch)
+        assert got["pixels"].shape == (h, w, nch)
+
+    # GIF interlace: store rows in Appendix-E pass order; the decoder
+    # must hand back the logical top-down raster
+    w, h = 7, 13
+    logical = [[rng.randrange(4) for _ in range(w)] for _ in range(h)]
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    stored = [v for y in order for v in logical[y]]
+    got = decode_gif_pixels(_gif(w, h, stored, 2, 4, interlace=True))
+    pal = [((7 * i) % 256, (11 * i) % 256, (13 * i) % 256)
+           for i in range(4)]
+    exp = np.array([[pal[v] for v in row] for row in logical],
+                   dtype=np.uint8)
+    assert got is not None
+    assert (got["pixels"] == exp).all()
+    assert got["px_sum"] == int(exp.sum())
+    # non-interlaced remains bit-identical to the same logical image
+    flat_logical = [v for row in logical for v in row]
+    got2 = decode_gif_pixels(_gif(w, h, flat_logical, 2, 4))
+    assert (got2["pixels"] == exp).all()

@@ -276,7 +276,10 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
     unfilter (all five PNG filter types: None/Sub/Up/Average/Paeth).
 
     Supports 8-bit greyscale (color type 0) and truecolor (type 2),
-    non-interlaced — the formats a training-data thumbnail pipeline
+    non-interlaced; all five color types: gray / RGB / palette
+    (PLTE-expanded to RGB; tRNS alpha out of scope) / gray+alpha /
+    RGBA (alpha participates in the stats) — the formats a
+    training-data thumbnail pipeline
     actually stores.  Chunk CRCs are NOT verified (tolerant reader; the
     inflate checksum still catches payload corruption).  Closure-built
     so Spark tasks ship it by value (see _make_header_parser).
@@ -288,7 +291,7 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
         if p is None or len(p) < 8 or p[:8] != b"\x89PNG\r\n\x1a\n":
             return None
         w = h = depth = ctype = interlace = None
-        idat = []
+        idat, plte = [], None
         off = 8
         while off + 8 <= len(p):
             (clen,) = struct.unpack(">I", p[off:off + 4])
@@ -302,13 +305,20 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
                 interlace = body[12]
             elif ctag == b"IDAT":
                 idat.append(body)
+            elif ctag == b"PLTE":
+                plte = body
             elif ctag == b"IEND":
                 break
             off += 12 + clen  # len + tag + body + crc (crc not verified)
         if not (w and h and idat) or depth != 8 or interlace != 0:
             return None
-        channels = {0: 1, 2: 3}.get(ctype)
-        if channels is None:
+        # bytes per pixel in the FILTERED stream; palette (ctype 3)
+        # expands to RGB after unfiltering, alpha types keep their
+        # alpha channel in the stats (documented contract)
+        bpp_map = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+        channels = bpp_map.get(ctype)
+        if channels is None or (ctype == 3 and (
+                plte is None or len(plte) % 3 or not plte)):
             return None
         stride = w * channels
         expected = h * (stride + 1)
@@ -382,17 +392,26 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
                             out[i] = (int(row[i]) + pred) & 0xFF
                 px[r] = out
                 prev = out
+        if ctype == 3:
+            tab = np.frombuffer(plte, dtype=np.uint8)
+            if int(px.max(initial=0)) * 3 + 3 > tab.size:
+                return None  # index beyond the palette: corrupt
+            pix = tab.reshape(-1, 3)[px.reshape(-1)].reshape(h, w, 3)
+            channels = 3
+        else:
+            pix = px.reshape(h, w, channels)
         n_px = w * h
-        total = int(px.sum(dtype=np.int64))
+        total = int(pix.sum(dtype=np.int64))
         return {
             "width": w, "height": h, "channels": channels,
-            "n_pixels": n_px, "px_min": int(px.min()), "px_max": int(px.max()),
+            "n_pixels": n_px,
+            "px_min": int(pix.min()), "px_max": int(pix.max()),
             "px_sum": total,
             "px_mean": total / (n_px * channels),
             # full decoded raster, top-down (h, w, channels) uint8 — the
             # input contract of resize_pixels and friends; stats
             # consumers ignore it (same in-memory buffer, no extra cost)
-            "pixels": px.reshape(h, w, channels),
+            "pixels": pix,
         }
 
     return decode_png
@@ -409,7 +428,7 @@ def _make_gif_pixel_decoder() -> Callable[[bytes], dict | None]:
     LSB-first LZW (clear/end codes, dictionary growth to the 4096-entry
     cap with GIF's deferred-clear behavior) -> palette lookup to RGB.
 
-    Supports non-interlaced single-frame reads (the first frame of an
+    Supports single-frame reads incl. Appendix-E interlacing (the first frame of an
     animation — the shape a training-data thumbnail pipeline stores).
     Interlaced images and structurally corrupt streams (truncated
     sub-blocks, codes beyond the dictionary, indices beyond the palette)
@@ -440,8 +459,7 @@ def _make_gif_pixel_decoder() -> Callable[[bytes], dict | None]:
             return None  # trailer / unknown block before any image
         w, h, ipacked = struct.unpack("<HHB", p[off + 5:off + 10])
         off += 10
-        if ipacked & 0x40:
-            return None  # interlaced: out of scope
+        interlaced = bool(ipacked & 0x40)
         table = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -520,6 +538,15 @@ def _make_gif_pixel_decoder() -> Callable[[bytes], dict | None]:
         import numpy as np
 
         idx = np.frombuffer(bytes(out[:n_px]), dtype=np.uint8)
+        if interlaced:
+            # GIF89a appendix E: rows are stored in four passes
+            # (0,8,16.. / 4,12.. / 2,6,10.. / 1,3,5..); undo the pass
+            # order so the raster is top-down
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            deint = np.empty((h, w), dtype=np.uint8)
+            deint[order] = idx.reshape(h, w)
+            idx = deint.reshape(-1)
         tab = np.frombuffer(table, dtype=np.uint8)
         if int(idx.max(initial=0)) * 3 + 3 > tab.size:
             return None  # index beyond the palette
