@@ -802,22 +802,12 @@ def test_pca_project_recovers_dominant_axis(spark):
 # --------------------------------------------------------------------- #
 
 
-def _png(width, height, pixels, channels=1, filters=None, level=9,
-         ctype=None, plte=None):
-    """Build a real PNG with python zlib: pixels is rows x (width*channels)
-    byte values; filters picks the per-row filter type actually ENCODED.
-    ``ctype``/``plte`` override the color type for palette (3) and
-    alpha (4/6) variants — ``channels`` stays the filtered-stream
-    bytes-per-pixel."""
-    import struct
-    import zlib
-
-    if ctype is None:
-        ctype = 0 if channels == 1 else 2
-    filters = filters or [0] * height
+def _png_filter_stream(height, pixels, channels, filters):
+    """Encode rows with the chosen per-row PNG filters (shared by the
+    plain and Adam7 builders)."""
     bpp = channels
     raw = bytearray()
-    prev = bytes(width * channels)
+    prev = bytes(len(pixels[0])) if height else b""
     for r, ft in zip(range(height), filters):
         row = bytes(pixels[r])
         enc = bytearray(row)
@@ -842,6 +832,23 @@ def _png(width, height, pixels, channels=1, filters=None, level=9,
                 enc[i] = (row[i] - pred) & 0xFF
         raw += bytes([ft]) + bytes(enc)
         prev = row
+    return bytes(raw)
+
+
+def _png(width, height, pixels, channels=1, filters=None, level=9,
+         ctype=None, plte=None):
+    """Build a real PNG with python zlib: pixels is rows x (width*channels)
+    byte values; filters picks the per-row filter type actually ENCODED.
+    ``ctype``/``plte`` override the color type for palette (3) and
+    alpha (4/6) variants — ``channels`` stays the filtered-stream
+    bytes-per-pixel."""
+    import struct
+    import zlib
+
+    if ctype is None:
+        ctype = 0 if channels == 1 else 2
+    filters = filters or [0] * height
+    raw = _png_filter_stream(height, pixels, channels, filters)
 
     def chunk(tag, body):
         return (
@@ -3074,3 +3081,71 @@ def test_png_palette_alpha_types_and_gif_interlace():
     flat_logical = [v for row in logical for v in row]
     got2 = decode_gif_pixels(_gif(w, h, flat_logical, 2, 4))
     assert (got2["pixels"] == exp).all()
+
+
+def _png_adam7(w, h, rows, channels, rng, ctype=None, plte=None):
+    """Adam7 PNG built independently: extract each pass's sub-image
+    from the logical rows, filter it with random per-row filters, and
+    concatenate — interlace byte 1 in IHDR."""
+    import struct
+    import zlib
+
+    if ctype is None:
+        ctype = 0 if channels == 1 else 2
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = b""
+    for (x0, y0, dx, dy) in ADAM7:
+        sub = []
+        for y in range(y0, h, dy):
+            r = []
+            for x in range(x0, w, dx):
+                r.extend(rows[y][x * channels:(x + 1) * channels])
+            sub.append(r)
+        if not sub or not sub[0]:
+            continue
+        filters = [rng.choice([0, 1, 2, 3, 4]) for _ in sub]
+        raw += _png_filter_stream(len(sub), sub, channels, filters)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    body = chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", bytes(plte))
+    return (b"\x89PNG\r\n\x1a\n" + body
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlace_round_trip():
+    """Adam7 PNGs (every pass its own filtered sub-image) decode to the
+    logical raster across sizes that exercise empty and single-pixel
+    passes, for gray, RGB, RGBA and palette images."""
+    import random
+
+    from whisper_spark.operators.multimodal import decode_png_pixels
+
+    rng = random.Random(31)
+    for w, h in [(1, 1), (2, 2), (3, 5), (8, 8), (9, 10), (16, 3),
+                 (5, 17)]:
+        for channels, ctype in ((1, 0), (3, 2), (4, 6)):
+            rows = [[rng.randrange(256) for _ in range(w * channels)]
+                    for _ in range(h)]
+            got = decode_png_pixels(
+                _png_adam7(w, h, rows, channels, rng, ctype=ctype))
+            assert got is not None, (w, h, ctype)
+            assert got["width"] == w and got["height"] == h
+            assert got["pixels"].reshape(h, w * channels).tolist() \
+                == rows, (w, h, ctype)
+    # palette + Adam7 compose
+    plte = [rng.randrange(256) for _ in range(48)]
+    rows = [[rng.randrange(16) for _ in range(6)] for _ in range(7)]
+    got = decode_png_pixels(
+        _png_adam7(6, 7, rows, 1, rng, ctype=3, plte=plte))
+    exp = [plte[3 * v + c] for r in rows for v in r for c in range(3)]
+    assert got["pixels"].reshape(-1).tolist() == exp
+    # truncated pass stream: corrupt, NULL stats
+    full = _png_adam7(8, 8, [[0] * 8 for _ in range(8)], 1, rng)
+    assert decode_png_pixels(full[:-30]) is None

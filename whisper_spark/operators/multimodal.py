@@ -275,8 +275,9 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
     (the zlib Adler-32 guards pixel-stream integrity) -> per-scanline
     unfilter (all five PNG filter types: None/Sub/Up/Average/Paeth).
 
-    Supports 8-bit greyscale (color type 0) and truecolor (type 2),
-    non-interlaced; all five color types: gray / RGB / palette
+    Supports 8-bit depth, non-interlaced AND Adam7-interlaced (each
+    pass unfiltered as its own sub-image, scattered onto the pass
+    grid); all five color types: gray / RGB / palette
     (PLTE-expanded to RGB; tRNS alpha out of scope) / gray+alpha /
     RGBA (alpha participates in the stats) — the formats a
     training-data thumbnail pipeline
@@ -310,7 +311,7 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
             elif ctag == b"IEND":
                 break
             off += 12 + clen  # len + tag + body + crc (crc not verified)
-        if not (w and h and idat) or depth != 8 or interlace != 0:
+        if not (w and h and idat) or depth != 8 or interlace not in (0, 1):
             return None
         # bytes per pixel in the FILTERED stream; palette (ctype 3)
         # expands to RGB after unfiltering, alpha types keep their
@@ -321,7 +322,23 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
                 plte is None or len(plte) % 3 or not plte)):
             return None
         stride = w * channels
-        expected = h * (stride + 1)
+        bpp = channels  # bytes per pixel at depth 8
+        #: Adam7 pass grid (x0, y0, dx, dy) — PNG spec section 8.2
+        ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        if interlace == 0:
+            passes = [(0, 0, 1, 1, w, h)]
+        else:
+            # each pass is its own filtered sub-image; empty passes
+            # contribute NO bytes (not even filter bytes)
+            passes = [
+                (x0, y0, dx, dy,
+                 (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+                for (x0, y0, dx, dy) in ADAM7
+                if (w - x0 + dx - 1) // dx > 0
+                and (h - y0 + dy - 1) // dy > 0
+            ]
+        expected = sum(hp * (1 + wp * bpp) for (*_g, wp, hp) in passes)
         try:
             # bound the inflate by the size IHDR promises: a crafted
             # tiny-dimensions PNG with a multi-GB compressed IDAT must
@@ -335,26 +352,27 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
             return None
         if len(raw) != expected or not dec.eof:
             return None
-        bpp = channels  # bytes per pixel at depth 8
 
         import numpy as np
 
-        buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        fts = buf[:, 0]
-        if fts.max(initial=0) > 4:
-            return None
-        rows = buf[:, 1:]
-        if not fts.any():
-            # filter-None image: fully vectorized, no per-row pass
-            px = rows
-        else:
+        def unfilter(block: bytes, hh: int, ss: int):
+            """Undo the per-scanline filters of one (sub-)image of hh
+            rows with ss data bytes each; None on a bad filter type."""
+            buf = np.frombuffer(block, dtype=np.uint8).reshape(hh, ss + 1)
+            fts = buf[:, 0]
+            if fts.max(initial=0) > 4:
+                return None
+            rows = buf[:, 1:]
+            if not fts.any():
+                # filter-None image: fully vectorized, no per-row pass
+                return rows
             # vectorized where the filter allows (None is a no-op; Up is
             # a running column sum over consecutive Up rows; Sub is a
             # per-channel cumulative sum along x) — per-byte Python only
             # for Average/Paeth, whose predictor mixes both axes
-            px = np.empty_like(rows)
-            prev = np.zeros(stride, dtype=np.uint8)
-            for r in range(h):
+            out_px = np.empty_like(rows)
+            prev = np.zeros(ss, dtype=np.uint8)
+            for r in range(hh):
                 ft = fts[r]
                 row = rows[r]
                 if ft == 0:
@@ -371,13 +389,13 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
                     out = row.copy()
                     pv = prev
                     if ft == 3:
-                        for i in range(stride):
+                        for i in range(ss):
                             left = int(out[i - bpp]) if i >= bpp else 0
                             out[i] = (
                                 int(row[i]) + ((left + int(pv[i])) >> 1)
                             ) & 0xFF
                     else:
-                        for i in range(stride):
+                        for i in range(ss):
                             a = int(out[i - bpp]) if i >= bpp else 0
                             b = int(pv[i])
                             c = int(pv[i - bpp]) if i >= bpp else 0
@@ -390,8 +408,27 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
                                 else (b if pb <= pc else c)
                             )
                             out[i] = (int(row[i]) + pred) & 0xFF
-                px[r] = out
+                out_px[r] = out
                 prev = out
+            return out_px
+
+        if interlace == 0:
+            px = unfilter(raw, h, stride)
+            if px is None:
+                return None
+        else:
+            # Adam7: unfilter each pass independently, scatter its
+            # pixels onto the (dy, dx) grid anchored at (y0, x0)
+            full = np.zeros((h, w, bpp), dtype=np.uint8)
+            pos = 0
+            for (x0, y0, dx, dy, wp, hp) in passes:
+                size = hp * (1 + wp * bpp)
+                sub = unfilter(raw[pos:pos + size], hp, wp * bpp)
+                if sub is None:
+                    return None
+                full[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+                pos += size
+            px = full.reshape(h, stride)
         if ctype == 3:
             tab = np.frombuffer(plte, dtype=np.uint8)
             if int(px.max(initial=0)) * 3 + 3 > tab.size:
