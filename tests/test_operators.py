@@ -3149,3 +3149,68 @@ def test_png_adam7_interlace_round_trip():
     # truncated pass stream: corrupt, NULL stats
     full = _png_adam7(8, 8, [[0] * 8 for _ in range(8)], 1, rng)
     assert decode_png_pixels(full[:-30]) is None
+
+
+def test_bmp_8bit_palette_and_32bit():
+    """8-bit palettized BMPs (BGRA color table) and 32-bit BGRX BMPs
+    decode; pad bytes and the X byte stay out of the stats."""
+    import random
+    import struct
+
+    from whisper_spark.operators.multimodal import decode_bmp_pixels
+
+    rng = random.Random(29)
+
+    def bmp8(w, h, idx_rows, pal, clr_used=0, top_down=False):
+        stride = (w + 3) & ~3
+        table = b"".join(bytes([b, g, r, 0]) for (b, g, r) in pal)
+        data_off = 54 + len(table)
+        hdr = (b"BM" + struct.pack("<IHHI", data_off + stride * h, 0, 0,
+                                   data_off)
+               + struct.pack("<IiiHHIIiiII", 40, w,
+                             -h if top_down else h, 1, 8, 0, stride * h,
+                             2835, 2835, clr_used, 0))
+        body = b"".join(bytes(r) + bytes(stride - w) for r in idx_rows)
+        return hdr + table + body
+
+    def bmp32(w, h, rows_bgrx, top_down=False):
+        stride = 4 * w
+        hdr = (b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w,
+                             -h if top_down else h, 1, 32, 0, stride * h,
+                             2835, 2835, 0, 0))
+        return hdr + b"".join(bytes(r) for r in rows_bgrx)
+
+    # 8-bit: values come from the palette; pad bytes never counted
+    w, h = 5, 3
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(16)]
+    idx = [[rng.randrange(16) for _ in range(w)] for _ in range(h)]
+    got = decode_bmp_pixels(bmp8(w, h, idx, pal, clr_used=16))
+    flat = [c for r in idx for v in r for c in pal[v]]
+    assert got["channels"] == 3 and got["n_pixels"] == w * h
+    assert got["px_sum"] == sum(flat)
+    # pixels: top-down RGB (stored bottom-up, palette BGR)
+    exp_top = [[tuple(reversed(pal[v])) for v in row]
+               for row in reversed(idx)]
+    assert [[tuple(px) for px in row] for row in got["pixels"].tolist()] \
+        == exp_top
+    # index beyond a truncated color table: corrupt
+    idx_bad = [[15] * w for _ in range(h)]
+    assert decode_bmp_pixels(bmp8(w, h, idx_bad, pal[:8],
+                                  clr_used=8)) is None
+
+    # 32-bit: X byte present on disk, absent from stats
+    rows = [[rng.randrange(256) for _ in range(4 * w)] for _ in range(h)]
+    for r in rows:
+        for i in range(3, 4 * w, 4):
+            r[i] = 255  # pad byte: must not leak into stats
+    got = decode_bmp_pixels(bmp32(w, h, rows))
+    bgr = [r[i] for r in rows for i in range(4 * w) if i % 4 != 3]
+    assert got["px_sum"] == sum(bgr)
+    assert got["px_max"] == max(bgr)
+    assert got["n_pixels"] == w * h and got["channels"] == 3
+    # top-down 32-bit agrees with the flipped bottom-up image
+    got_td = decode_bmp_pixels(bmp32(w, h, list(reversed(rows)),
+                                     top_down=True))
+    assert (got_td["pixels"] == got["pixels"]).all()

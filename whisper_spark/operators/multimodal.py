@@ -607,12 +607,14 @@ decode_gif_pixels = _make_gif_pixel_decoder()
 
 def _make_bmp_pixel_decoder() -> Callable[[bytes], dict | None]:
     """Build the stdlib BMP PIXEL decoder: BITMAPFILEHEADER +
-    BITMAPINFOHEADER(-or-later) walk, 24-bit uncompressed (BI_RGB)
-    pixel array with 4-byte row stride, bottom-up or top-down (negative
-    height).  The whole pixel pass is one vectorized numpy view — no
-    per-byte Python.  Palettized/compressed/16-32-bit variants yield
-    None (NULL stats).  Closure-built so Spark tasks ship it by value
-    (see _make_header_parser).
+    BITMAPINFOHEADER(-or-later) walk, uncompressed (BI_RGB) pixel
+    arrays at 8 bits (palettized: BGRA-quad color table after the info
+    header), 24 bits, and 32 bits (BGRX, the pad byte excluded from
+    stats), 4-byte row stride, bottom-up or top-down (negative
+    height).  The whole pixel pass is vectorized numpy views + one
+    palette gather — no per-byte Python.  RLE/bitfields/1-4-16-bit
+    variants yield None (NULL stats).  Closure-built so Spark tasks
+    ship it by value (see _make_header_parser).
     """
     import struct
 
@@ -625,11 +627,12 @@ def _make_bmp_pixel_decoder() -> Callable[[bytes], dict | None]:
             return None  # BITMAPCOREHEADER: out of scope
         w, h_raw = struct.unpack("<ii", p[18:26])
         planes, bpp = struct.unpack("<HH", p[26:30])
-        (comp,) = struct.unpack("<I", p[30:34])
-        if w <= 0 or h_raw == 0 or planes != 1 or bpp != 24 or comp != 0:
+        comp, _isz, _xp, _yp, clr_used = struct.unpack("<IIiiI", p[30:50])
+        if (w <= 0 or h_raw == 0 or planes != 1
+                or bpp not in (8, 24, 32) or comp != 0):
             return None
         h = abs(h_raw)  # negative height = top-down; stats are orderless
-        stride = (3 * w + 3) & ~3
+        stride = (w * bpp // 8 + 3) & ~3
         need = stride * h
         if data_off + need > len(p) or data_off < 14 + hdr_size:
             return None
@@ -637,7 +640,25 @@ def _make_bmp_pixel_decoder() -> Callable[[bytes], dict | None]:
         import numpy as np
 
         buf = np.frombuffer(p, dtype=np.uint8, count=need, offset=data_off)
-        rows = buf.reshape(h, stride)[:, : 3 * w]  # drop the row padding
+        if bpp == 8:
+            n_pal = clr_used or 256
+            pal_off = 14 + hdr_size
+            if pal_off + 4 * n_pal > data_off:
+                return None  # color table overruns the pixel array
+            quads = np.frombuffer(
+                p, dtype=np.uint8, count=4 * n_pal, offset=pal_off
+            ).reshape(n_pal, 4)
+            idx = buf.reshape(h, stride)[:, :w]
+            if int(idx.max(initial=0)) >= n_pal:
+                return None  # index beyond the color table: corrupt
+            rows = quads[:, :3][idx.reshape(-1)].reshape(h, w * 3)
+        else:
+            bypp = bpp // 8
+            rows = buf.reshape(h, stride)[:, : bypp * w]
+            if bpp == 32:
+                # BGRX quads: drop the pad byte from stats and raster
+                rows = np.ascontiguousarray(
+                    rows.reshape(h, w, 4)[:, :, :3]).reshape(h, w * 3)
         total = int(rows.sum(dtype=np.int64))
         n_px = w * h
         pix = rows.reshape(h, w, 3)
