@@ -836,7 +836,7 @@ def _png_filter_stream(height, pixels, channels, filters):
 
 
 def _png(width, height, pixels, channels=1, filters=None, level=9,
-         ctype=None, plte=None):
+         ctype=None, plte=None, depth=8):
     """Build a real PNG with python zlib: pixels is rows x (width*channels)
     byte values; filters picks the per-row filter type actually ENCODED.
     ``ctype``/``plte`` override the color type for palette (3) and
@@ -856,7 +856,7 @@ def _png(width, height, pixels, channels=1, filters=None, level=9,
             + struct.pack(">I", zlib.crc32(tag + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
     body = chunk(b"IHDR", ihdr)
     if plte is not None:
         body += chunk(b"PLTE", bytes(plte))
@@ -3214,3 +3214,34 @@ def test_bmp_8bit_palette_and_32bit():
     got_td = decode_bmp_pixels(bmp32(w, h, list(reversed(rows)),
                                      top_down=True))
     assert (got_td["pixels"] == got["pixels"]).all()
+
+
+def test_png_16bit_depth():
+    """16-bit PNGs: byte-oriented filters at doubled distance, samples
+    reassembled big-endian, raster dtype uint16."""
+    import random
+
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_png_pixels
+
+    rng = random.Random(37)
+    for channels, ctype in ((1, 0), (3, 2), (4, 6)):
+        w, h = 4, 3
+        samples = [[rng.randrange(65536) for _ in range(w * channels)]
+                   for _ in range(h)]
+        rows = [[b for v in r for b in (v >> 8, v & 0xFF)]
+                for r in samples]
+        got = decode_png_pixels(_png(
+            w, h, rows, channels=channels * 2, filters=[1, 4, 2],
+            ctype=ctype, depth=16))
+        flat = [v for r in samples for v in r]
+        assert got is not None, ctype
+        assert got["channels"] == channels
+        assert got["pixels"].dtype == np.uint16
+        assert got["px_max"] == max(flat) and got["px_min"] == min(flat)
+        assert got["px_sum"] == sum(flat)
+        assert got["pixels"].reshape(h, w * channels).tolist() == samples
+    # 16-bit palette is not a legal PNG combination
+    assert decode_png_pixels(_png(2, 2, [[0] * 4, [1] * 4], 2, ctype=3,
+                                  plte=[0] * 12, depth=16)) is None

@@ -275,7 +275,9 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
     (the zlib Adler-32 guards pixel-stream integrity) -> per-scanline
     unfilter (all five PNG filter types: None/Sub/Up/Average/Paeth).
 
-    Supports 8-bit depth, non-interlaced AND Adam7-interlaced (each
+    Supports 8- and 16-bit depths (16-bit rasters come back uint16;
+    the byte-oriented filters just double their distance),
+    non-interlaced AND Adam7-interlaced (each
     pass unfiltered as its own sub-image, scattered onto the pass
     grid); all five color types: gray / RGB / palette
     (PLTE-expanded to RGB; tRNS alpha out of scope) / gray+alpha /
@@ -311,18 +313,22 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
             elif ctag == b"IEND":
                 break
             off += 12 + clen  # len + tag + body + crc (crc not verified)
-        if not (w and h and idat) or depth != 8 or interlace not in (0, 1):
+        if (not (w and h and idat) or depth not in (8, 16)
+                or interlace not in (0, 1)):
             return None
         # bytes per pixel in the FILTERED stream; palette (ctype 3)
         # expands to RGB after unfiltering, alpha types keep their
         # alpha channel in the stats (documented contract)
-        bpp_map = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-        channels = bpp_map.get(ctype)
+        ch_map = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+        channels = ch_map.get(ctype)
         if channels is None or (ctype == 3 and (
-                plte is None or len(plte) % 3 or not plte)):
+                plte is None or len(plte) % 3 or not plte
+                or depth != 8)):  # spec: palette depth is 1/2/4/8
             return None
-        stride = w * channels
-        bpp = channels  # bytes per pixel at depth 8
+        # PNG filters are BYTE-oriented at every depth: bpp is the
+        # filter distance in bytes (2x at 16-bit samples)
+        bpp = channels * (depth // 8)
+        stride = w * bpp
         #: Adam7 pass grid (x0, y0, dx, dy) — PNG spec section 8.2
         ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
@@ -435,6 +441,10 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
                 return None  # index beyond the palette: corrupt
             pix = tab.reshape(-1, 3)[px.reshape(-1)].reshape(h, w, 3)
             channels = 3
+        elif depth == 16:
+            # big-endian sample pairs -> uint16 raster
+            b2 = px.reshape(h, w, channels, 2).astype(np.uint16)
+            pix = (b2[..., 0] << 8) | b2[..., 1]
         else:
             pix = px.reshape(h, w, channels)
         n_px = w * h
@@ -445,9 +455,10 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
             "px_min": int(pix.min()), "px_max": int(pix.max()),
             "px_sum": total,
             "px_mean": total / (n_px * channels),
-            # full decoded raster, top-down (h, w, channels) uint8 — the
-            # input contract of resize_pixels and friends; stats
-            # consumers ignore it (same in-memory buffer, no extra cost)
+            # full decoded raster, top-down (h, w, channels), uint8
+            # (uint16 at depth 16) — the input contract of
+            # resize_pixels and friends; stats consumers ignore it
+            # (same in-memory buffer, no extra cost)
             "pixels": pix,
         }
 
