@@ -3245,3 +3245,210 @@ def test_png_16bit_depth():
     # 16-bit palette is not a legal PNG combination
     assert decode_png_pixels(_png(2, 2, [[0] * 4, [1] * 4], 2, ctype=3,
                                   plte=[0] * 12, depth=16)) is None
+
+
+def _tiff_lzw_encode(data):
+    """Independent TIFF6 section-13 LZW compressor: greedy string
+    matching, MSB-first packing, Clear first, EARLY width change
+    (NextCode == 511/1023/2047), table reset at NextCode 4094."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    omega = b""
+    for byte in data:
+        k = bytes([byte])
+        if omega + k in table:
+            omega += k
+            continue
+        emit(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        if next_code in (511, 1023, 2047):
+            width += 1
+        omega = k
+        if next_code == 4094:
+            emit(table[omega], width)
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+            omega = b""
+    if omega:
+        emit(table[omega], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data, rng):
+    """Independent PackBits compressor with rng-chosen literal/run
+    splits (any split is legal; the decoder must take them all)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and run < 127
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 2 and rng.random() < 0.8:
+            out += bytes([256 - (run - 1), data[i]])
+            i += run
+        else:
+            lit = rng.randint(1, min(16, len(data) - i))
+            out += bytes([lit - 1]) + data[i:i + lit]
+            i += lit
+        if rng.random() < 0.1:
+            out.append(128)  # no-op marker: must be skipped
+    return bytes(out)
+
+
+def _tiff(w, h, pixel_bytes, spp, comp, rng, endian="<", photo=None,
+          rows_per_strip=None):
+    """Independent TIFF builder: header + one IFD, strip layout with
+    per-strip compression."""
+    import struct
+
+    e = endian
+    rps = rows_per_strip or h
+    photo = (2 if spp == 3 else 1) if photo is None else photo
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = min(rps, h - y0)
+        seg = pixel_bytes[y0 * w * spp:(y0 + rows) * w * spp]
+        if comp == 1:
+            strips.append(bytes(seg))
+        elif comp == 5:
+            strips.append(_tiff_lzw_encode(seg))
+        else:
+            strips.append(_packbits_encode(seg, rng))
+
+    entries = []  # (tag, type, count, packed-value-or-None, payload)
+
+    def ent(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    ent(256, 4, [w]); ent(257, 4, [h])
+    ent(258, 3, [8] * spp)
+    ent(259, 3, [comp]); ent(262, 3, [photo])
+    ent(277, 3, [spp]); ent(278, 4, [rps]); ent(284, 3, [1])
+    # offsets/counts filled after layout
+    n_ent = len(entries) + 2
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_ent + 4
+    # external value areas (bits-per-sample when spp=3, strip arrays)
+    ext = bytearray()
+    tsz = {3: 2, 4: 4}
+    fmtc = {3: "H", 4: "I"}
+
+    def pack_vals(typ, vals):
+        nonlocal ext
+        total = tsz[typ] * len(vals)
+        raw = b"".join(struct.pack(e + fmtc[typ], v) for v in vals)
+        if total <= 4:
+            return raw.ljust(4, b"\0"), None
+        off = data_off + len(ext)
+        ext.extend(raw)
+        return struct.pack(e + "I", off), None
+
+    # two passes: first place BitsPerSample etc, then strips
+    packed = []
+    for (tag, typ, vals) in entries:
+        packed.append((tag, typ, len(vals), pack_vals(typ, vals)[0]))
+    # strip arrays
+    offs, cnts = [], []
+    arr_bytes = 0
+    if len(strips) > 1:
+        arr_bytes = 2 * 4 * len(strips)
+    strip_base = data_off + len(ext) + arr_bytes
+    p = strip_base
+    for sdat in strips:
+        offs.append(p); cnts.append(len(sdat)); p += len(sdat)
+    if len(strips) == 1:
+        packed.append((273, 4, 1, struct.pack(e + "I", offs[0])))
+        packed.append((279, 4, 1, struct.pack(e + "I", cnts[0])))
+    else:
+        o_off = data_off + len(ext)
+        c_off = o_off + 4 * len(strips)
+        ext.extend(b"".join(struct.pack(e + "I", v) for v in offs))
+        ext.extend(b"".join(struct.pack(e + "I", v) for v in cnts))
+        packed.append((273, 4, len(strips), struct.pack(e + "I", o_off)))
+        packed.append((279, 4, len(strips), struct.pack(e + "I", c_off)))
+    packed.sort()
+    hdr = (b"II*\0" if e == "<" else b"MM\0*") + struct.pack(e + "I", 8)
+    ifd = struct.pack(e + "H", len(packed))
+    for (tag, typ, cnt, val4) in packed:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt) + val4
+    ifd += struct.pack(e + "I", 0)  # next IFD
+    return hdr + ifd + bytes(ext) + b"".join(strips)
+
+
+def test_tiff_pixel_decoder_round_trips():
+    """TIFF uncompressed / PackBits / LZW (early-change) round trips
+    against independent compressors, both byte orders, gray and RGB,
+    multi-strip layouts, WhiteIsZero inversion, LZW streams long
+    enough to cross the 9->10->11-bit width changes."""
+    import random
+
+    from whisper_spark.operators.multimodal import decode_tiff_pixels
+
+    rng = random.Random(41)
+    for trial in range(10):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 40)
+        spp = rng.choice([1, 3])
+        comp = rng.choice([1, 5, 32773])
+        endian = rng.choice(["<", ">"])
+        rps = rng.choice([h, max(1, h // 3), 1])
+        style = rng.choice(["random", "runs"])
+        n = w * h * spp
+        if style == "random":
+            data = bytes(rng.randrange(256) for _ in range(n))
+        else:
+            data = bytearray()
+            while len(data) < n:
+                data += bytes([rng.randrange(256)]) * rng.randint(1, 50)
+            data = bytes(data[:n])
+        t = _tiff(w, h, data, spp, comp, rng, endian,
+                  rows_per_strip=rps)
+        got = decode_tiff_pixels(t)
+        assert got is not None, (trial, w, h, spp, comp, endian, rps)
+        assert (got["width"], got["height"], got["channels"]) \
+            == (w, h, spp)
+        assert got["pixels"].reshape(-1).tolist() == list(data), \
+            (trial, comp, endian, rps)
+        assert got["px_sum"] == sum(data)
+
+    # LZW width changes AND the NextCode-4094 table reset: one strip
+    # with ~10k emitted codes crosses 511/1023/2047 and forces the
+    # encoder's mid-stream Clear
+    w, h = 128, 128
+    data = bytes(rng.randrange(256) for _ in range(w * h))
+    t = _tiff(w, h, data, 1, 5, rng)
+    got = decode_tiff_pixels(t)
+    assert got["pixels"].reshape(-1).tolist() == list(data)
+
+    # WhiteIsZero: stats over the inverted raster
+    data = bytes([10, 250, 0, 255])
+    t = _tiff(2, 2, data, 1, 1, rng, photo=0)
+    got = decode_tiff_pixels(t)
+    assert got["px_sum"] == sum(255 - v for v in data)
+    assert got["pixels"].reshape(-1).tolist() == [245, 5, 255, 0]
+
+    # rejects: tiles/planar-2/16-bit/unknown compression/truncated strip
+    base = _tiff(3, 3, bytes(27), 3, 1, rng)
+    assert decode_tiff_pixels(b"II+\0" + base[4:]) is None
+    assert decode_tiff_pixels(base[:-5]) is None
+    t16 = _tiff(2, 2, bytes(4), 1, 1, rng)
+    t16 = t16.replace(b"\x08\x00\x00\x00", b"\x10\x00\x00\x00", 1)
+    assert decode_tiff_pixels(t16) is None

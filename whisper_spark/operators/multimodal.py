@@ -1273,13 +1273,208 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
 decode_jpeg_pixels = _make_jpeg_pixel_decoder()
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes | None:
+    """TIFF6 section-13 LZW: MSB-first code packing, ClearCode 256,
+    EOI 257, and the spec's EARLY code-width change (grow at next
+    code 511/1023/2047 — one code sooner than GIF).  ``max_out``
+    bounds expansion (strip byte counts are attacker-controlled)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 Clear
+        table.append(b"")  # 257 EOI
+
+    reset()
+    width = 9
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out before EOI: truncated
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:
+            reset()
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            return bytes(out)
+        if code < len(table) and code != 256:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # code beyond the table: corrupt
+        out += entry
+        if len(out) > max_out:
+            return None
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # EARLY CHANGE: the encoder widens when ITS next code hits
+        # 2^w - 1 (one sooner than GIF); the decoder's table is one
+        # entry BEHIND the encoder at read time, so it widens at
+        # 2^w - 2 (after assigning code 509/1021/2045)
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes | None:
+    """Apple PackBits (TIFF compression 32773): n in 0..127 copies
+    n+1 literals, n in -127..-1 repeats the next byte 1-n times,
+    -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos] - 256 if data[pos] > 127 else data[pos]
+        pos += 1
+        if n >= 0:
+            if pos + n + 1 > len(data):
+                return None
+            out += data[pos:pos + n + 1]
+            pos += n + 1
+        elif n != -128:
+            if pos >= len(data):
+                return None
+            out += bytes([data[pos]]) * (1 - n)
+            pos += 1
+        if len(out) > max_out:
+            return None
+    return bytes(out)
+
+
+def _make_tiff_pixel_decoder() -> Callable[[bytes], dict | None]:
+    """Build the stdlib TIFF PIXEL decoder: header + first-IFD walk
+    (both byte orders), baseline 8-bit grayscale and RGB, chunky
+    planar config, strip-based layout with compression 1 (none),
+    5 (LZW, early-change) or 32773 (PackBits).  Tiles, planar=2,
+    predictors, palettes and other bit depths yield None (NULL
+    stats).  Closure-built so Spark tasks ship it by value."""
+    import struct
+
+    def decode_tiff(p: bytes) -> dict | None:
+        try:
+            if p is None or len(p) < 8:
+                return None
+            if p[:4] == b"II*\x00":
+                e = "<"
+            elif p[:4] == b"MM\x00*":
+                e = ">"
+            else:
+                return None
+            (ifd_off,) = struct.unpack(e + "I", p[4:8])
+            if ifd_off + 2 > len(p):
+                return None
+            (n_ent,) = struct.unpack(e + "H", p[ifd_off:ifd_off + 2])
+            if ifd_off + 2 + 12 * n_ent > len(p):
+                return None
+            type_size = {1: 1, 3: 2, 4: 4}
+
+            tags: dict[int, list[int]] = {}
+            for i in range(n_ent):
+                off = ifd_off + 2 + 12 * i
+                tag, typ, cnt = struct.unpack(
+                    e + "HHI", p[off:off + 8])
+                sz = type_size.get(typ)
+                if sz is None:
+                    continue  # RATIONAL/ASCII tags: not needed
+                total = sz * cnt
+                if total <= 4:
+                    src = p[off + 8:off + 8 + total]
+                else:
+                    (voff,) = struct.unpack(e + "I", p[off + 8:off + 12])
+                    if voff + total > len(p):
+                        return None
+                    src = p[voff:voff + total]
+                fmt = {1: "B", 3: "H", 4: "I"}[typ]
+                tags[tag] = list(
+                    struct.unpack(e + fmt * cnt, src))
+
+            def one(tag, default=None):
+                v = tags.get(tag)
+                return v[0] if v else default
+
+            w, h = one(256), one(257)
+            comp = one(259, 1)
+            photo = one(262)
+            spp = one(277, 1)
+            bits = tags.get(258, [8] * spp)
+            planar = one(284, 1)
+            offsets = tags.get(273)
+            counts = tags.get(279)
+            rps = one(278, h)
+            if (not w or not h or photo not in (0, 1, 2)
+                    or planar != 1 or spp not in (1, 3)
+                    or any(b != 8 for b in bits) or len(bits) != spp
+                    or comp not in (1, 5, 32773)
+                    or not offsets or not counts
+                    or len(offsets) != len(counts)):
+                return None
+            if photo == 2 and spp != 3:
+                return None
+            n_strips = (h + rps - 1) // rps if rps else 0
+            if rps < 1 or len(offsets) != n_strips:
+                return None
+            raw = bytearray()
+            for si, (so, sc) in enumerate(zip(offsets, counts)):
+                if so + sc > len(p):
+                    return None
+                rows_here = min(rps, h - si * rps)
+                want = rows_here * w * spp
+                seg = p[so:so + sc]
+                if comp == 1:
+                    dec_seg = bytes(seg)
+                elif comp == 5:
+                    dec_seg = _tiff_lzw_decode(seg, want)
+                else:
+                    dec_seg = _packbits_decode(seg, want)
+                if dec_seg is None or len(dec_seg) != want:
+                    return None
+                raw += dec_seg
+
+            import numpy as np
+
+            arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+            pix = arr.reshape(h, w, spp)
+            if photo == 0:
+                # WhiteIsZero: invert so the raster is min-is-black
+                pix = 255 - pix
+            total = int(pix.sum(dtype=np.int64))
+            n_px = w * h
+            return {
+                "width": int(w), "height": int(h), "channels": int(spp),
+                "n_pixels": n_px,
+                "px_min": int(pix.min()), "px_max": int(pix.max()),
+                "px_sum": total, "px_mean": total / (n_px * spp),
+                # top-down raster, resize input
+                "pixels": pix,
+            }
+        except (struct.error, ValueError, OverflowError, MemoryError):
+            return None
+
+    return decode_tiff
+
+
+#: stdlib TIFF pixel decoder; same object for unit tests
+decode_tiff_pixels = _make_tiff_pixel_decoder()
+
+
 def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
-    """Magic-byte dispatch over the four stdlib image pixel decoders
-    (PNG scanline, GIF LZW, BMP 24-bit, baseline JPEG)."""
+    """Magic-byte dispatch over the five stdlib image pixel decoders
+    (PNG scanline, GIF LZW, BMP, TIFF, baseline/progressive JPEG)."""
     png = _make_png_pixel_decoder()
     gif = _make_gif_pixel_decoder()
     bmp = _make_bmp_pixel_decoder()
     jpg = _make_jpeg_pixel_decoder()
+    tif = _make_tiff_pixel_decoder()
 
     def dec(p: bytes) -> dict | None:
         if p is None or len(p) < 6:
@@ -1290,6 +1485,8 @@ def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
             return gif(p)
         if p[:2] == b"BM":
             return bmp(p)
+        if p[:4] in (b"II*\x00", b"MM\x00*"):
+            return tif(p)
         if p[:3] == b"\xff\xd8\xff":
             return jpg(p)
         return None

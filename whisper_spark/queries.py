@@ -3788,6 +3788,94 @@ def q_mm_decode_bmp_pixels(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_tiff_pixels",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 7 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 1 AS INTEGER) AS h
+  FROM m
+),
+cells AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+  FROM dims
+),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 11 + (i // w) * 7 + (i % w) * 3) % 256 AS b
+  FROM cells
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(w AS BIGINT) * h AS n_pixels,
+       CAST(min(b) AS INTEGER) AS px_min,
+       CAST(max(b) AS INTEGER) AS px_max,
+       CAST(sum(b) AS BIGINT) AS px_sum,
+       CAST(sum(b) AS DOUBLE) / (CAST(w AS BIGINT) * h) AS px_mean
+FROM v GROUP BY doc_id, w, h
+""",
+    doc="FULL TIFF pixel decode end-to-end, stdlib only: valid "
+    "little-endian baseline TIFFs — header, a 10-entry IFD (dims, "
+    "8-bit, uncompressed, BlackIsZero, chunky, single strip) and the "
+    "strip bytes ((doc_id*11 + y*7 + x*3) %% 256) — assembled as pure "
+    "JVM column expressions and decoded by "
+    "operators/multimodal.py decode_tiff_pixels (whose LZW early-"
+    "change and PackBits paths round-trip against independent "
+    "compressors in tests); the oracle regenerates every strip byte "
+    "arithmetically.  Any drift in IFD walk, type sizes, or strip "
+    "layout fails the hash gate",
+)
+def q_mm_decode_tiff_pixels(spark, sf_dir):
+    from .operators.multimodal import decode_pixels
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    w = (F.col("doc_id") % 7 + 1).cast("int")
+    h = (F.col("doc_id") % 5 + 1).cast("int")
+
+    def le(c, nbytes):
+        hx = F.lpad(F.hex(c.cast("bigint")), 2 * nbytes, "0")
+        parts = [F.substring(hx, 2 * i + 1, 2)
+                 for i in range(nbytes - 1, -1, -1)]
+        return F.unhex(F.concat(*parts))
+
+    def entry(tag, typ, cnt, val4):
+        return F.concat(le(F.lit(tag), 2), le(F.lit(typ), 2),
+                        le(F.lit(cnt), 4), val4)
+
+    def short_val(c):
+        return F.concat(le(c, 2), F.lit(b"\x00\x00"))
+
+    data_off = 8 + 2 + 12 * 10 + 4  # header + IFD(10 entries) + next=0
+    pix_hex = F.expr(
+        "array_join(transform(sequence(0, CAST(doc_id % 5 + 1 AS INT)"
+        " * CAST(doc_id % 7 + 1 AS INT) - 1), i -> lpad(hex("
+        "(doc_id * 11 + CAST(i / (doc_id % 7 + 1) AS INT) * 7"
+        " + (i % (doc_id % 7 + 1)) * 3) % 256), 2, '0')), '')"
+    )
+    payload = F.concat(
+        F.lit(b"II*\x00"), le(F.lit(8), 4),      # header, IFD @8
+        le(F.lit(10), 2),                         # entry count
+        entry(256, 4, 1, le(w, 4)),               # ImageWidth
+        entry(257, 4, 1, le(h, 4)),               # ImageLength
+        entry(258, 3, 1, short_val(F.lit(8))),    # BitsPerSample
+        entry(259, 3, 1, short_val(F.lit(1))),    # Compression: none
+        entry(262, 3, 1, short_val(F.lit(1))),    # BlackIsZero
+        entry(273, 4, 1, le(F.lit(data_off), 4)),  # StripOffsets
+        entry(277, 3, 1, short_val(F.lit(1))),    # SamplesPerPixel
+        entry(278, 4, 1, le(h, 4)),               # RowsPerStrip
+        entry(279, 4, 1, le(w * h, 4)),           # StripByteCounts
+        entry(284, 3, 1, short_val(F.lit(1))),    # PlanarConfig chunky
+        le(F.lit(0), 4),                          # next IFD
+        F.unhex(pix_hex),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return decode_pixels(media)
+
+
+
+@_q(
     "mm_resize_nearest",
     """
 WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
@@ -12414,6 +12502,10 @@ _DRIVER_WINDOW_PROMOTE = [
     # perceptual image near-dup (average-hash + banded Hamming, exact
     # recall on whole-row bit structure)
     "mm_resize_bilinear_2x", "mm_decode_wav_formats", "mm_image_neardup",
+    # round-10 fourth wave: TIFF pixel decode (IFD walk, strips, LZW
+    # early-change + PackBits round-tripped in tests; the driver gate
+    # runs the uncompressed leg on JVM-synthesized containers)
+    "mm_decode_tiff_pixels",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
