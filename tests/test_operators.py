@@ -3452,3 +3452,149 @@ def test_tiff_pixel_decoder_round_trips():
     t16 = _tiff(2, 2, bytes(4), 1, 1, rng)
     t16 = t16.replace(b"\x08\x00\x00\x00", b"\x10\x00\x00\x00", 1)
     assert decode_tiff_pixels(t16) is None
+
+
+def _f80(x):
+    """Independent 80-bit IEEE extended encode (test-side)."""
+    import math
+    import struct
+
+    if x == 0:
+        return b"\0" * 10
+    sign = 0x8000 if x < 0 else 0
+    x = abs(x)
+    m, e = math.frexp(x)          # x = m * 2^e, m in [0.5, 1)
+    mant = int(m * (1 << 64))     # explicit integer bit included
+    return struct.pack(">HQ", sign | (e - 1 + 16383), mant)
+
+
+def _aiff(channels, rate, bits, samples, ssnd_offset=0):
+    import struct
+
+    width = bits // 8
+    frames = len(samples) // channels
+    if bits == 24:
+        data = b"".join((v & 0xFFFFFF).to_bytes(3, "big")
+                        for v in samples)
+    else:
+        data = b"".join(
+            struct.pack(f">{'bhiq'[width.bit_length() - 1]}"
+                        if False else f">{ {1:'b',2:'h',4:'i'}[width] }",
+                        v) for v in samples)
+    comm = struct.pack(">HIH", channels, frames, bits) + _f80(rate)
+    ssnd = struct.pack(">II", ssnd_offset, 0) + b"\0" * ssnd_offset + data
+    out = b"FORM" + b"\0\0\0\0" + b"AIFF"
+    for tag, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        out += tag + struct.pack(">I", len(body)) + body
+        if len(body) % 2:
+            out += b"\0"
+    return out
+
+
+def test_aiff_and_au_decoders():
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import (
+        decode_aiff_samples,
+        decode_au_samples,
+        decode_samples,
+    )
+
+    rng = __import__("random").Random(43)
+
+    # AIFF: signed PCM at every width, float80 rates, SSND offset
+    for bits, lo, hi in ((8, -128, 127), (16, -32768, 32767),
+                         (24, -(1 << 23), (1 << 23) - 1),
+                         (32, -(1 << 25), (1 << 25) - 1)):
+        vals = [rng.randint(lo, hi) for _ in range(24)]
+        got = decode_aiff_samples(_aiff(2, 44100, bits, vals,
+                                        ssnd_offset=4))
+        assert got is not None, bits
+        assert got["sample_rate"] == 44100 and got["bits"] == bits
+        assert got["s_sum"] == sum(vals)
+        assert got["s_min"] == min(vals) and got["s_max"] == max(vals)
+        assert got["s_sq_sum"] == sum(v * v for v in vals)
+    assert decode_aiff_samples(_aiff(1, 8000, 16, [1, 2, 3]))[
+        "sample_rate"] == 8000
+    # full-scale 32-bit: the exact square sum exceeds int64 -> NULL
+    # (everything else stays exact); silent wraparound would be worse
+    big = decode_aiff_samples(_aiff(1, 8000, 32,
+                                    [(1 << 31) - 1] * 24))
+    assert big["s_sq_sum"] is None
+    assert big["s_sum"] == 24 * ((1 << 31) - 1)
+    assert decode_aiff_samples(b"FORM\0\0\0\0AIFC") is None  # AIFC: no
+    trunc = _aiff(1, 8000, 16, [1] * 10)[:-6]
+    assert decode_aiff_samples(trunc) is None
+
+    # AU: every encoding; mu/A-law re-checked against audioop through
+    # the AU path
+    def au(enc, data, channels=1, rate=8000):
+        return (b".snd" + struct.pack(">IIIII", 24, len(data), enc,
+                                      rate, channels) + data)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    codes = bytes(range(256))
+    for enc, expand in ((1, audioop.ulaw2lin), (27, audioop.alaw2lin)):
+        ref = np.frombuffer(expand(codes, 2), dtype="<i2").astype(np.int64)
+        got = decode_au_samples(au(enc, codes))
+        assert got["s_sum"] == int(ref.sum())
+        assert got["s_sq_sum"] == int((ref * ref).sum())
+    v = [3, -7, 100, -128]
+    assert decode_au_samples(au(2, struct.pack(">4b", *v)))["s_sum"] \
+        == sum(v)
+    v = [300, -40000, 12345, -1]
+    assert decode_au_samples(au(3, struct.pack(">4h", 300, -32000,
+                                               12345, -1)))["s_sum"] \
+        == 300 - 32000 + 12345 - 1
+    v24 = [(1 << 23) - 1, -(1 << 23), 77]
+    assert decode_au_samples(
+        au(4, b"".join((x & 0xFFFFFF).to_bytes(3, "big") for x in v24))
+    )["s_sum"] == sum(v24)
+    assert decode_au_samples(au(5, struct.pack(">2i", 2**30, -5)))[
+        "s_sum"] == 2**30 - 5
+    f = struct.pack(">2f", 0.5, -0.25)
+    assert decode_au_samples(au(6, f))["s_sum"] == 16384 - 8192
+    f = struct.pack(">2d", 1.0, 3.0 / 32768.0)
+    assert decode_au_samples(au(7, f))["s_sum"] == 32768 + 3
+    # unknown encoding / size 0xFFFFFFFF (read to EOF) / bad magic
+    assert decode_au_samples(au(9, b"\0\0")) is None
+    raw = (b".snd" + struct.pack(">IIIII", 24, 0xFFFFFFFF, 2, 8000, 1)
+           + struct.pack(">4b", 1, 2, 3, 4))
+    assert decode_au_samples(raw)["s_sum"] == 10
+    assert decode_au_samples(b"snd." + b"\0" * 24) is None
+
+    # dispatch: FORM -> aiff, .snd -> au
+    assert decode_samples is not None  # (module-level factory import)
+
+
+def test_pnm_pixel_decoder():
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_pnm_pixels
+
+    rng = __import__("random").Random(47)
+    # P6 with comments and odd whitespace; 8-bit
+    pix = [rng.randrange(256) for _ in range(5 * 3 * 3)]
+    hdr = b"P6 # a comment\n 5\t3 # another\n255\n"
+    got = decode_pnm_pixels(hdr + bytes(pix))
+    assert (got["width"], got["height"], got["channels"]) == (5, 3, 3)
+    assert got["px_sum"] == sum(pix)
+    assert got["pixels"].reshape(-1).tolist() == pix
+
+    # P5 16-bit (maxval 65535): big-endian pairs -> uint16 raster
+    vals = [rng.randrange(65536) for _ in range(8)]
+    data = b"".join(v.to_bytes(2, "big") for v in vals)
+    got = decode_pnm_pixels(b"P5\n4 2\n65535\n" + data)
+    assert got["pixels"].dtype == np.uint16
+    assert got["px_sum"] == sum(vals)
+    assert got["px_max"] == max(vals)
+
+    # maxval bound enforced; truncated raster; ASCII variant rejected
+    assert decode_pnm_pixels(b"P5\n2 1\n100\n" + bytes([5, 200])) is None
+    assert decode_pnm_pixels(b"P6\n5 3\n255\n" + bytes(10)) is None
+    assert decode_pnm_pixels(b"P3\n1 1\n255\n0 0 0") is None

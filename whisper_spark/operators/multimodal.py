@@ -1467,6 +1467,228 @@ def _make_tiff_pixel_decoder() -> Callable[[bytes], dict | None]:
 decode_tiff_pixels = _make_tiff_pixel_decoder()
 
 
+def _make_aiff_sample_decoder() -> Callable[[bytes], dict | None]:
+    """Build the stdlib AIFF SAMPLE decoder: IFF FORM/AIFF chunk walk
+    (word-aligned), COMM (channels, frames, sample size, sample rate
+    as an 80-bit IEEE extended float — parsed from its sign/15-bit
+    exponent/explicit-integer-bit 64-bit mantissa), SSND big-endian
+    SIGNED PCM at 8/16/24/32 bits.  Truncation or geometry mismatch
+    yields None."""
+    import struct
+
+    def f80(b: bytes) -> float | None:
+        if len(b) != 10:
+            return None
+        (se,) = struct.unpack(">H", b[:2])
+        (mant,) = struct.unpack(">Q", b[2:])
+        sign = -1.0 if se & 0x8000 else 1.0
+        exp = se & 0x7FFF
+        if exp == 0 and mant == 0:
+            return 0.0
+        if exp == 0x7FFF:
+            return None  # inf/nan rate: corrupt
+        return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+    def decode_aiff(p: bytes) -> dict | None:
+        if (p is None or len(p) < 12 or p[:4] != b"FORM"
+                or p[8:12] != b"AIFF"):
+            return None
+        comm = ssnd = None
+        off = 12
+        while off + 8 <= len(p):
+            tag = p[off:off + 4]
+            (clen,) = struct.unpack(">I", p[off + 4:off + 8])
+            body = p[off + 8:off + 8 + clen]
+            if len(body) != clen:
+                return None  # truncated chunk
+            if tag == b"COMM" and clen >= 18:
+                comm = body
+            elif tag == b"SSND" and clen >= 8:
+                ssnd = body
+            off += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if comm is None or ssnd is None:
+            return None
+        channels, frames = struct.unpack(">HI", comm[:6])
+        (bits,) = struct.unpack(">H", comm[6:8])
+        rate = f80(comm[8:18])
+        if (channels < 1 or bits not in (8, 16, 24, 32)
+                or rate is None or not 0 < rate < 2**31):
+            return None
+        s_off, _blk = struct.unpack(">II", ssnd[:8])
+        data = ssnd[8 + s_off:]
+        width = bits // 8
+        if len(data) < frames * channels * width:
+            return None
+        data = data[:frames * channels * width]
+
+        import numpy as np
+
+        if bits == 8:
+            arr = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            arr = (
+                (b[:, 0].astype(np.int64) << 16)
+                | (b[:, 1].astype(np.int64) << 8)
+                | b[:, 2].astype(np.int64)
+            )
+            arr -= (arr >> 23) << 24       # sign-extend bit 23
+        else:
+            arr = np.frombuffer(data, dtype=f">i{width}").astype(np.int64)
+        if arr.size == 0:
+            return None
+        total = int(arr.sum())
+        return {
+            "sample_rate": int(round(rate)), "channels": int(channels),
+            "bits": int(bits), "n_samples": int(arr.size),
+            "s_min": int(arr.min()), "s_max": int(arr.max()),
+            "s_sum": total, "s_sq_sum": _sq_sum_or_none(arr),
+            "s_mean": total / arr.size,
+        }
+
+    return decode_aiff
+
+
+#: stdlib AIFF sample decoder; same object for unit tests
+decode_aiff_samples = _make_aiff_sample_decoder()
+
+
+def _make_au_sample_decoder() -> Callable[[bytes], dict | None]:
+    """Build the Sun/NeXT ``.au`` SAMPLE decoder: 24-byte big-endian
+    header (magic '.snd', data offset/size, encoding, rate, channels),
+    encodings 1 (G.711 mu-law), 2 (signed PCM8), 3/4/5 (big-endian
+    PCM 16/24/32), 6/7 (IEEE float 32/64, reported on the Q15 grid
+    like the WAV path), 27 (G.711 A-law)."""
+    import struct
+
+    BITS = {1: 8, 2: 8, 3: 16, 4: 24, 5: 32, 6: 32, 7: 64, 27: 8}
+
+    def decode_au(p: bytes) -> dict | None:
+        if p is None or len(p) < 24 or p[:4] != b".snd":
+            return None
+        d_off, d_size, enc, rate, channels = struct.unpack(
+            ">IIIII", p[4:24])
+        bits = BITS.get(enc)
+        if bits is None or channels < 1 or d_off < 24 or rate < 1:
+            return None
+        end = len(p) if d_size == 0xFFFFFFFF else d_off + d_size
+        if d_off > len(p) or end > len(p):
+            return None
+        data = p[d_off:end]
+        width = bits // 8
+        if len(data) % width:
+            return None
+
+        import numpy as np
+
+        if enc == 1:
+            arr = _g711_ulaw_expand(np.frombuffer(data, dtype=np.uint8))
+        elif enc == 27:
+            arr = _g711_alaw_expand(np.frombuffer(data, dtype=np.uint8))
+        elif enc == 2:
+            arr = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+        elif enc == 4:
+            b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            arr = (
+                (b[:, 0].astype(np.int64) << 16)
+                | (b[:, 1].astype(np.int64) << 8)
+                | b[:, 2].astype(np.int64)
+            )
+            arr -= (arr >> 23) << 24
+        elif enc in (3, 5):
+            arr = np.frombuffer(data, dtype=f">i{width}").astype(np.int64)
+        else:  # 6 / 7: IEEE float, big-endian, Q15 integer report
+            f = np.frombuffer(data, dtype=f">f{width}")
+            if not np.isfinite(f).all():
+                return None
+            arr = np.rint(f.astype(np.float64) * 32768.0).astype(np.int64)
+        if arr.size == 0 or arr.size % channels:
+            return None
+        total = int(arr.sum())
+        return {
+            "sample_rate": int(rate), "channels": int(channels),
+            "bits": int(bits), "n_samples": int(arr.size),
+            "s_min": int(arr.min()), "s_max": int(arr.max()),
+            "s_sum": total, "s_sq_sum": _sq_sum_or_none(arr),
+            "s_mean": total / arr.size,
+        }
+
+    return decode_au
+
+
+#: Sun .au sample decoder; same object for unit tests
+decode_au_samples = _make_au_sample_decoder()
+
+
+def _make_pnm_pixel_decoder() -> Callable[[bytes], dict | None]:
+    """Build the netpbm BINARY decoder: P5 (gray) / P6 (RGB) with
+    whitespace/comment-tolerant headers, maxval < 256 (1 byte) or
+    256..65535 (2 bytes big-endian -> uint16 raster, like 16-bit
+    PNG).  ASCII variants (P1-P3) and PAM yield None."""
+
+    def decode_pnm(p: bytes) -> dict | None:
+        if p is None or len(p) < 2 or p[:1] != b"P" or p[1:2] not in b"56":
+            return None
+        spp = 1 if p[1:2] == b"5" else 3
+        pos = 2
+        vals = []
+        while len(vals) < 3 and pos < len(p):
+            c = p[pos:pos + 1]
+            if c in b" \t\r\n":
+                pos += 1
+            elif c == b"#":
+                while pos < len(p) and p[pos:pos + 1] != b"\n":
+                    pos += 1
+            elif c.isdigit():
+                j = pos
+                while j < len(p) and p[j:j + 1].isdigit():
+                    j += 1
+                vals.append(int(p[pos:j]))
+                pos = j
+            else:
+                return None
+        if len(vals) < 3 or pos >= len(p):
+            return None
+        # exactly ONE whitespace byte separates maxval from the raster
+        if p[pos:pos + 1] not in b" \t\r\n":
+            return None
+        pos += 1
+        w, h, maxval = vals
+        if w < 1 or h < 1 or not 0 < maxval < 65536:
+            return None
+
+        import numpy as np
+
+        wide = maxval > 255
+        need = w * h * spp * (2 if wide else 1)
+        if len(p) - pos < need:
+            return None
+        data = p[pos:pos + need]
+        if wide:
+            pix = np.frombuffer(data, dtype=">u2").astype(np.uint16)
+        else:
+            pix = np.frombuffer(data, dtype=np.uint8)
+        if int(pix.max(initial=0)) > maxval:
+            return None  # sample beyond maxval: corrupt
+        pix = pix.reshape(h, w, spp)
+        total = int(pix.sum(dtype=np.int64))
+        n_px = w * h
+        return {
+            "width": int(w), "height": int(h), "channels": int(spp),
+            "n_pixels": n_px,
+            "px_min": int(pix.min()), "px_max": int(pix.max()),
+            "px_sum": total, "px_mean": total / (n_px * spp),
+            # top-down raster, resize input
+            "pixels": pix,
+        }
+
+    return decode_pnm
+
+
+#: netpbm P5/P6 pixel decoder; same object for unit tests
+decode_pnm_pixels = _make_pnm_pixel_decoder()
+
+
 def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
     """Magic-byte dispatch over the five stdlib image pixel decoders
     (PNG scanline, GIF LZW, BMP, TIFF, baseline/progressive JPEG)."""
@@ -1475,6 +1697,7 @@ def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
     bmp = _make_bmp_pixel_decoder()
     jpg = _make_jpeg_pixel_decoder()
     tif = _make_tiff_pixel_decoder()
+    pnm = _make_pnm_pixel_decoder()
 
     def dec(p: bytes) -> dict | None:
         if p is None or len(p) < 6:
@@ -1487,6 +1710,8 @@ def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
             return bmp(p)
         if p[:4] in (b"II*\x00", b"MM\x00*"):
             return tif(p)
+        if p[:2] in (b"P5", b"P6"):
+            return pnm(p)
         if p[:3] == b"\xff\xd8\xff":
             return jpg(p)
         return None
@@ -1732,6 +1957,37 @@ SAMPLES_SCHEMA = T.StructType(
 )
 
 
+def _sq_sum_or_none(arr) -> int | None:
+    """Exact sum of squares when it fits the schema's int64, else None
+    (full-scale 32-bit samples overflow at just 5 samples — a silent
+    numpy wraparound here would hash-gate as garbage)."""
+    peak = max(abs(int(arr.min())), abs(int(arr.max())))
+    if peak and arr.size > (2**63 - 1) // (peak * peak):
+        return None
+    return int((arr * arr).sum())
+
+
+def _g711_ulaw_expand(code):
+    """G.711 mu-law byte codes -> linear int64 samples (the standard
+    segment/mantissa expansion; all 256 codes match stdlib audioop)."""
+    import numpy as np
+
+    u = ~code.astype(np.int64) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _g711_alaw_expand(code):
+    """G.711 A-law byte codes -> linear int64 samples."""
+    import numpy as np
+
+    a = code.astype(np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t)
+
+
 def _make_wav_sample_decoder() -> Callable[[bytes], dict | None]:
     """Build the stdlib WAV SAMPLE decoder — full sample decode, no
     third-party libraries: RIFF chunk walk (word-aligned; a chunk that
@@ -1823,18 +2079,9 @@ def _make_wav_sample_decoder() -> Callable[[bytes], dict | None]:
                 return None                    # NaN/inf payload: corrupt
             arr = np.rint(f.astype(np.float64) * 32768.0).astype(np.int64)
         elif audio_format in (6, 7) and bits == 8:
-            code = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-            if audio_format == 7:              # mu-law (G.711)
-                u = ~code & 0xFF
-                t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
-                arr = np.where(u & 0x80, 0x84 - t, t - 0x84)
-            else:                              # A-law (G.711)
-                a = code ^ 0x55
-                seg = (a & 0x70) >> 4
-                t = (a & 0x0F) << 4
-                t = np.where(seg == 0, t + 8, (t + 0x108)
-                             << np.maximum(seg - 1, 0))
-                arr = np.where(a & 0x80, t, -t)
+            code = np.frombuffer(data, dtype=np.uint8)
+            arr = (_g711_ulaw_expand(code) if audio_format == 7
+                   else _g711_alaw_expand(code))
         else:
             return None
 
@@ -1845,7 +2092,7 @@ def _make_wav_sample_decoder() -> Callable[[bytes], dict | None]:
             "sample_rate": int(rate), "channels": int(channels),
             "bits": int(bits), "n_samples": int(arr.size),
             "s_min": int(arr.min()), "s_max": int(arr.max()),
-            "s_sum": total, "s_sq_sum": int((arr * arr).sum()),
+            "s_sum": total, "s_sq_sum": _sq_sum_or_none(arr),
             "s_mean": total / arr.size,
         }
 
@@ -2187,8 +2434,8 @@ decode_flac_samples = _make_flac_sample_decoder()
 
 
 def _make_sample_decoder() -> Callable[[bytes], dict | None]:
-    """Magic-byte dispatch over the audio sample decoders (WAV PCM,
-    FLAC, MPEG-1 audio — see operators/mp3.py for the MP3 scope —
+    """Magic-byte dispatch over the audio sample decoders (WAV, AIFF,
+    Sun .au, FLAC, MPEG-1 audio — see operators/mp3.py for the MP3 scope —
     and Ogg Vorbis — see operators/vorbis.py; Ogg streams whose first
     packet is not a Vorbis ident, e.g. Opus/Theora, yield NULL
     stats)."""
@@ -2199,12 +2446,18 @@ def _make_sample_decoder() -> Callable[[bytes], dict | None]:
     flac = _make_flac_sample_decoder()
     mp3 = _make_mp3_sample_decoder()
     vorbis = _make_vorbis_sample_decoder()
+    aiff = _make_aiff_sample_decoder()
+    au = _make_au_sample_decoder()
 
     def dec(p: bytes) -> dict | None:
         if p is None or len(p) < 4:
             return None
         if p[:4] == b"RIFF":
             return wav(p)
+        if p[:4] == b"FORM":
+            return aiff(p)
+        if p[:4] == b".snd":
+            return au(p)
         if p[:4] == b"fLaC":
             return flac(p)
         if p[:4] == b"OggS":

@@ -3874,6 +3874,180 @@ def q_mm_decode_tiff_pixels(spark, sf_dir):
     return decode_pixels(media)
 
 
+@_q(
+    "mm_decode_pnm_pixels",
+    """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 6 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 4 + 1 AS INTEGER) AS h
+  FROM m
+),
+cells AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, w * h * 3 - 1)) AS i
+  FROM dims
+),
+v AS (SELECT doc_id, w, h, (doc_id * 17 + i * 5) % 251 AS b FROM cells)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(w AS BIGINT) * h AS n_pixels,
+       CAST(min(b) AS INTEGER) AS px_min,
+       CAST(max(b) AS INTEGER) AS px_max,
+       CAST(sum(b) AS BIGINT) AS px_sum,
+       CAST(sum(b) AS DOUBLE) / (CAST(w AS BIGINT) * h * 3) AS px_mean
+FROM v GROUP BY doc_id, w, h
+""",
+    doc="netpbm P6 pixel decode: binary PPMs — comment-bearing ASCII "
+    "header + raw RGB bytes ((doc_id*17 + i*5) %% 251, inside the "
+    "maxval-250 bound so the decoder's range check is load-bearing) — "
+    "assembled as JVM column expressions, decoded by "
+    "operators/multimodal.py decode_pnm_pixels, stats recomputed "
+    "arithmetically by DuckDB",
+)
+def q_mm_decode_pnm_pixels(spark, sf_dir):
+    from .operators.multimodal import decode_pixels
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    w = (F.col("doc_id") % 6 + 1).cast("int")
+    h = (F.col("doc_id") % 4 + 1).cast("int")
+    pix_hex = F.expr(
+        "array_join(transform(sequence(0, (CAST(doc_id %% 6 + 1 AS INT)"
+        " * CAST(doc_id %% 4 + 1 AS INT)) * 3 - 1, 1), i -> "
+        "lpad(hex((doc_id * 17 + i * 5) %% 251), 2, '0')), '')"
+        .replace("%%", "%")
+    )
+    payload = F.concat(
+        F.lit(b"P6 # spark-synthesized\n"),
+        F.encode(w.cast("string"), "UTF-8"), F.lit(b" "),
+        F.encode(h.cast("string"), "UTF-8"), F.lit(b"\n250\n"),
+        F.unhex(pix_hex),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return decode_pixels(media)
+
+
+def _audio_container_payload(i: int) -> bytes:
+    """Deterministic AIFF / Sun-au container #i: family i%5 = AIFF
+    PCM16 / AIFF PCM24 / AU mu-law / AU PCM16 / AU float32 (Q15-exact
+    values), 40 samples, with sample rate and channels varied by CRT
+    over i."""
+    import struct
+
+    fam, n = i % 5, 40
+    rate = 8000 * (1 + i % 3)
+    channels = 1 + i % 2
+    if fam in (0, 1):
+        bits = 16 if fam == 0 else 24
+        vals = [((i * 37 + k * 11) % 4001) - 2000 for k in range(n)]
+        if bits == 16:
+            data = struct.pack(f">{n}h", *vals)
+        else:
+            data = b"".join((v & 0xFFFFFF).to_bytes(3, "big")
+                            for v in vals)
+
+        def f80(x):
+            import math
+            m, e = math.frexp(float(x))
+            return struct.pack(">HQ", e - 1 + 16383, int(m * (1 << 64)))
+
+        comm = struct.pack(">HIH", channels, n // channels, bits)             + f80(rate)
+        ssnd = struct.pack(">II", 0, 0) + data
+        out = b"FORM" + b"\x00" * 4 + b"AIFF"
+        for tag, body in ((b"COMM", comm), (b"SSND", ssnd)):
+            out += tag + struct.pack(">I", len(body)) + body
+            if len(body) % 2:
+                out += b"\x00"
+        return out
+    if fam == 2:
+        data = bytes((i * 13 + k * 7) % 256 for k in range(n))
+        enc = 1
+    elif fam == 3:
+        data = struct.pack(
+            f">{n}h", *[((i * 37 + k * 11) % 4001) - 2000
+                        for k in range(n)])
+        enc = 3
+    else:
+        data = struct.pack(
+            f">{n}f", *[((i * 7 + k * 3) % 4096 - 2048) / 32768.0
+                        for k in range(n)])
+        enc = 6
+    return b".snd" + struct.pack(">IIIII", 24, len(data), enc, rate,
+                                 channels) + data
+
+
+@_q(
+    "mm_decode_audio_containers",
+    """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+kk AS (
+  SELECT doc_id, doc_id % 5 AS fam,
+         unnest(generate_series(0, 39)) AS k
+  FROM ids
+),
+c AS (
+  SELECT doc_id, fam,
+         ((doc_id * 37 + k * 11) % 4001) - 2000 AS pcm,
+         255 - (doc_id * 13 + k * 7) % 256 AS uu,
+         (doc_id * 7 + k * 3) % 4096 - 2048 AS q15
+  FROM kk
+),
+vals AS (
+  SELECT doc_id, fam,
+    CASE
+      WHEN fam IN (0, 1, 3) THEN pcm
+      WHEN fam = 2 THEN
+        CASE WHEN uu >= 128
+             THEN 132 - ((((uu % 16) * 8) + 132) << ((uu // 16) % 8))
+             ELSE ((((uu % 16) * 8) + 132) << ((uu // 16) % 8)) - 132
+        END
+      ELSE q15
+    END AS v
+  FROM c
+)
+SELECT doc_id AS media_id,
+       CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(CASE fam WHEN 1 THEN 24 WHEN 2 THEN 8
+                     WHEN 4 THEN 32 ELSE 16 END AS INTEGER) AS bits,
+       CAST(40 AS BIGINT) AS n_samples,
+       CAST(min(v) AS INTEGER) AS s_min,
+       CAST(max(v) AS INTEGER) AS s_max,
+       CAST(sum(v) AS BIGINT) AS s_sum,
+       CAST(sum(v * v) AS BIGINT) AS s_sq_sum,
+       CAST(sum(v) AS DOUBLE) / 40 AS s_mean
+FROM vals GROUP BY doc_id, fam
+""",
+    doc="AIFF + Sun-au container gate: big-endian signed PCM 16/24 "
+    "under IFF chunk walk with an 80-bit extended-float sample rate, "
+    "and .au mu-law / PCM16 / float32 (Q15 grid) — 100 synthesized "
+    "containers through decode_samples, every stat recomputed "
+    "arithmetically (the G.711 expansion unrolled in SQL) "
+    "(operators/multimodal.py decode_aiff_samples / decode_au_samples)",
+)
+def q_mm_decode_audio_containers(spark, sf_dir):
+    from .operators.multimodal import decode_samples
+
+    ids = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100).select(F.col("doc_id").alias("media_id"))
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [_audio_container_payload(int(i))
+                            for i in pdf["media_id"]],
+            })
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    return decode_samples(media)
+
+
+
 
 @_q(
     "mm_resize_nearest",
@@ -12504,8 +12678,11 @@ _DRIVER_WINDOW_PROMOTE = [
     "mm_resize_bilinear_2x", "mm_decode_wav_formats", "mm_image_neardup",
     # round-10 fourth wave: TIFF pixel decode (IFD walk, strips, LZW
     # early-change + PackBits round-tripped in tests; the driver gate
-    # runs the uncompressed leg on JVM-synthesized containers)
-    "mm_decode_tiff_pixels",
+    # runs the uncompressed leg on JVM-synthesized containers), netpbm
+    # P6, and the AIFF/Sun-au container gate (float80 rate, big-endian
+    # PCM, G.711 + Q15 float in SQL)
+    "mm_decode_tiff_pixels", "mm_decode_pnm_pixels",
+    "mm_decode_audio_containers",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
