@@ -271,3 +271,111 @@ def test_adversarial_structures_never_raise():
     assert decode_mp3_samples(b"\xff\xff\xe0\xc0" + b"\x00" * 10) is None
     # FLAC with a poisoned STREAMINFO length
     assert decode_flac_samples(b"fLaC" + b"\x80\xff\xff\xff") is None
+
+
+# ------------------------------------------------------------------ #
+# round-10 coverage: the image decoders (PNG/GIF/BMP/TIFF/PNM) and the
+# new audio containers (AIFF/au, plus WAV's G.711 leg) enter the same
+# mutation/truncation/splice harness, seeded by the independent
+# builders the exactness suites already verify
+# ------------------------------------------------------------------ #
+
+import random as _random
+
+from tests.test_operators import (  # noqa: E402
+    _aiff,
+    _bmp,
+    _gif,
+    _png,
+    _tiff,
+)
+from whisper_spark.operators.multimodal import (  # noqa: E402
+    decode_aiff_samples,
+    decode_au_samples,
+    decode_bmp_pixels,
+    decode_gif_pixels,
+    decode_png_pixels,
+    decode_pnm_pixels,
+    decode_tiff_pixels,
+)
+
+
+def _mk_seeds2():
+    rng = _random.Random(7)
+    png = _png(5, 4, [[rng.randrange(256) for _ in range(15)]
+                      for _ in range(4)], channels=3,
+               filters=[0, 1, 2, 4])
+    gif = _gif(6, 5, [rng.randrange(4) for _ in range(30)], 2, 4)
+    bmp = _bmp(5, 3, [[rng.randrange(256) for _ in range(15)]
+                      for _ in range(3)])
+    data = bytes(rng.randrange(256) for _ in range(5 * 4 * 3))
+    tiff_lzw = _tiff(5, 4, data, 3, 5, rng)
+    tiff_pb = _tiff(5, 4, data, 3, 32773, rng, endian=">",
+                    rows_per_strip=2)
+    pnm = b"P6\n5 4\n255\n" + data
+    aiff = _aiff(2, 44100, 16, [rng.randint(-1000, 1000)
+                                for _ in range(24)])
+    au = (b".snd" + struct.pack(">IIIII", 24, 32, 1, 8000, 1)
+          + bytes(range(32)))
+    wav_ulaw = None
+    from tests.test_operators import _wav_raw
+    wav_ulaw = _wav_raw(7, 1, 8000, 8, bytes(range(64)))
+    return {
+        "png": png, "gif": gif, "bmp": bmp, "tiff_lzw": tiff_lzw,
+        "tiff_pb": tiff_pb, "pnm": pnm, "aiff": aiff, "au": au,
+        "wav_ulaw": wav_ulaw,
+    }
+
+
+SEEDS2 = _mk_seeds2()
+DECODERS2 = {
+    "png": decode_png_pixels, "gif": decode_gif_pixels,
+    "bmp": decode_bmp_pixels, "tiff_lzw": decode_tiff_pixels,
+    "tiff_pb": decode_tiff_pixels, "pnm": decode_pnm_pixels,
+    "aiff": decode_aiff_samples, "au": decode_au_samples,
+    "wav_ulaw": decode_wav_samples,
+}
+
+
+def test_seeds2_are_valid():
+    for name, payload in SEEDS2.items():
+        assert DECODERS2[name](payload) is not None, name
+
+
+def _check2(name, payload):
+    out = DECODERS2[name](payload)
+    assert out is None or isinstance(out, dict)
+    hp = parse_media_header(payload)
+    assert hp is None or isinstance(hp, dict)
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(name=st.sampled_from(sorted(SEEDS2)), data=st.data())
+def test_byte_mutations_never_raise_2(name, data):
+    p = bytearray(SEEDS2[name])
+    n_mut = data.draw(st.integers(1, 8))
+    for _ in range(n_mut):
+        i = data.draw(st.integers(0, len(p) - 1))
+        p[i] = data.draw(st.integers(0, 255))
+    _check2(name, bytes(p))
+
+
+@settings(max_examples=90, deadline=None, derandomize=True)
+@given(name=st.sampled_from(sorted(SEEDS2)), cut=st.integers(0, 300))
+def test_truncations_never_raise_2(name, cut):
+    p = SEEDS2[name]
+    _check2(name, p[:max(0, len(p) - cut)])
+
+
+@settings(max_examples=90, deadline=None, derandomize=True)
+@given(
+    a=st.sampled_from(sorted(SEEDS2)),
+    b=st.sampled_from(sorted(SEEDS2)),
+    split=st.integers(1, 150),
+)
+def test_splices_never_raise_2(a, b, split):
+    pa, pb = SEEDS2[a], SEEDS2[b]
+    sa = min(split, len(pa) - 1)
+    frank = pa[:sa] + pb[min(split, len(pb) - 1):]
+    _check2(a, frank)
+    _check2(b, frank)

@@ -3526,6 +3526,14 @@ def test_aiff_and_au_decoders():
     assert big["s_sq_sum"] is None
     assert big["s_sum"] == 24 * ((1 << 31) - 1)
     assert decode_aiff_samples(b"FORM\0\0\0\0AIFC") is None  # AIFC: no
+    # fuzz regression: a huge 80-bit-float exponent must reject, not
+    # raise OverflowError out of 2.0**e
+    import struct as _st
+    bad_rate = _st.pack(">HQ", 0x7FFE, 1 << 63)
+    comm = _st.pack(">HIH", 1, 1, 16) + bad_rate
+    pay = (b"FORM\0\0\0\0AIFF" + b"COMM" + _st.pack(">I", len(comm))
+           + comm + b"SSND" + _st.pack(">I", 10) + _st.pack(">IIh", 0, 0, 5))
+    assert decode_aiff_samples(pay) is None
     trunc = _aiff(1, 8000, 16, [1] * 10)[:-6]
     assert decode_aiff_samples(trunc) is None
 

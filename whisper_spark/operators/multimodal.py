@@ -1487,7 +1487,12 @@ def _make_aiff_sample_decoder() -> Callable[[bytes], dict | None]:
             return 0.0
         if exp == 0x7FFF:
             return None  # inf/nan rate: corrupt
-        return sign * mant * 2.0 ** (exp - 16383 - 63)
+        e2 = exp - 16383 - 63
+        if not -200 <= e2 <= 200:
+            # no real sample rate lives out here, and 2.0**e2 would
+            # overflow Python's float for fuzz-sized exponents
+            return None
+        return sign * mant * 2.0 ** e2
 
     def decode_aiff(p: bytes) -> dict | None:
         if (p is None or len(p) < 12 or p[:4] != b"FORM"
