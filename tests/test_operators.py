@@ -3606,3 +3606,39 @@ def test_pnm_pixel_decoder():
     assert decode_pnm_pixels(b"P5\n2 1\n100\n" + bytes([5, 200])) is None
     assert decode_pnm_pixels(b"P6\n5 3\n255\n" + bytes(10)) is None
     assert decode_pnm_pixels(b"P3\n1 1\n255\n0 0 0") is None
+
+
+def test_png_palette_trns_alpha():
+    """A tRNS chunk turns palette decode into RGBA: listed entries get
+    their alpha, the rest are opaque 255; alpha joins the stats."""
+    import struct
+    import zlib
+
+    from whisper_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])  # 3 entries
+    trns = bytes([128, 0])                                # 2 alphas
+    idx = [[0, 1], [2, 0]]
+    raw = b"".join(b"\0" + bytes(r) for r in idx)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte) + chunk(b"tRNS", trns)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = decode_png_pixels(png)
+    assert got["channels"] == 4
+    exp = [[[10, 20, 30, 128], [40, 50, 60, 0]],
+           [[70, 80, 90, 255], [10, 20, 30, 128]]]
+    assert got["pixels"].tolist() == exp
+    flat = [v for r in exp for px in r for v in px]
+    assert got["px_sum"] == sum(flat)
+    assert got["px_mean"] == sum(flat) / (4 * 4)
+    # tRNS longer than the palette: corrupt
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte) + chunk(b"tRNS", bytes(4))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert decode_png_pixels(bad) is None

@@ -280,7 +280,7 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
     non-interlaced AND Adam7-interlaced (each
     pass unfiltered as its own sub-image, scattered onto the pass
     grid); all five color types: gray / RGB / palette
-    (PLTE-expanded to RGB; tRNS alpha out of scope) / gray+alpha /
+    (PLTE-expanded; a tRNS chunk adds palette alpha -> RGBA) / gray+alpha /
     RGBA (alpha participates in the stats) — the formats a
     training-data thumbnail pipeline
     actually stores.  Chunk CRCs are NOT verified (tolerant reader; the
@@ -294,7 +294,7 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
         if p is None or len(p) < 8 or p[:8] != b"\x89PNG\r\n\x1a\n":
             return None
         w = h = depth = ctype = interlace = None
-        idat, plte = [], None
+        idat, plte, trns = [], None, None
         off = 8
         while off + 8 <= len(p):
             (clen,) = struct.unpack(">I", p[off:off + 4])
@@ -310,6 +310,8 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
                 idat.append(body)
             elif ctag == b"PLTE":
                 plte = body
+            elif ctag == b"tRNS":
+                trns = body
             elif ctag == b"IEND":
                 break
             off += 12 + clen  # len + tag + body + crc (crc not verified)
@@ -439,8 +441,18 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
             tab = np.frombuffer(plte, dtype=np.uint8)
             if int(px.max(initial=0)) * 3 + 3 > tab.size:
                 return None  # index beyond the palette: corrupt
-            pix = tab.reshape(-1, 3)[px.reshape(-1)].reshape(h, w, 3)
-            channels = 3
+            rgb = tab.reshape(-1, 3)
+            if trns is not None:
+                # palette alpha: tRNS lists alphas for the FIRST
+                # len(trns) entries, the rest are opaque -> RGBA
+                if len(trns) > rgb.shape[0]:
+                    return None
+                alpha = np.full(rgb.shape[0], 255, dtype=np.uint8)
+                alpha[:len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+                rgb = np.concatenate([rgb, alpha[:, None]], axis=1)
+            nch = rgb.shape[1]
+            pix = rgb[px.reshape(-1)].reshape(h, w, nch)
+            channels = nch
         elif depth == 16:
             # big-endian sample pairs -> uint16 raster
             b2 = px.reshape(h, w, channels, 2).astype(np.uint16)
