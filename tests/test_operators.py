@@ -2924,6 +2924,17 @@ def test_wav_float_q15_and_pcm_widths():
     # non-finite floats are corrupt
     bad = np.array([0.5, float("nan")], dtype="<f4")
     assert decode_wav_samples(_wav_raw(3, 1, 8000, 32, bad.tobytes())) is None
+    # finite but absurd amplitude: Q15 would overflow int32 — must be
+    # rejected (NULL stats), NOT crash decode_samples' Int32 cast
+    huge = np.array([0.5, 1.0e20], dtype="<f4")
+    assert decode_wav_samples(
+        _wav_raw(3, 1, 8000, 32, huge.tobytes())) is None
+    edge = np.array([65535.0, -65535.0], dtype="<f8")  # max allowed
+    got = decode_wav_samples(_wav_raw(3, 1, 8000, 64, edge.tobytes()))
+    assert got is not None and got["s_max"] == 65535 * 32768
+    over = np.array([65537.0], dtype="<f8")
+    assert decode_wav_samples(
+        _wav_raw(3, 1, 8000, 64, over.tobytes())) is None
 
     # 24-bit PCM: sign extension across the full range
     tri = b"".join(
@@ -3314,7 +3325,7 @@ def _packbits_encode(data, rng):
 
 
 def _tiff(w, h, pixel_bytes, spp, comp, rng, endian="<", photo=None,
-          rows_per_strip=None):
+          rows_per_strip=None, predictor=None):
     """Independent TIFF builder: header + one IFD, strip layout with
     per-strip compression."""
     import struct
@@ -3342,6 +3353,8 @@ def _tiff(w, h, pixel_bytes, spp, comp, rng, endian="<", photo=None,
     ent(258, 3, [8] * spp)
     ent(259, 3, [comp]); ent(262, 3, [photo])
     ent(277, 3, [spp]); ent(278, 4, [rps]); ent(284, 3, [1])
+    if predictor is not None:
+        ent(317, 3, [predictor])
     # offsets/counts filled after layout
     n_ent = len(entries) + 2
     ifd_off = 8
@@ -3452,6 +3465,16 @@ def test_tiff_pixel_decoder_round_trips():
     t16 = _tiff(2, 2, bytes(4), 1, 1, rng)
     t16 = t16.replace(b"\x08\x00\x00\x00", b"\x10\x00\x00\x00", 1)
     assert decode_tiff_pixels(t16) is None
+
+    # Predictor tag (317): horizontal differencing (2) must yield
+    # None — decoding the raw LZW output as-is would be silently
+    # WRONG pixels; an explicit Predictor=1 is a no-op and decodes
+    data = bytes(range(16))
+    tp2 = _tiff(4, 4, data, 1, 5, rng, predictor=2)
+    assert decode_tiff_pixels(tp2) is None
+    tp1 = _tiff(4, 4, data, 1, 5, rng, predictor=1)
+    got = decode_tiff_pixels(tp1)
+    assert got is not None and got["px_sum"] == sum(data)
 
 
 def _f80(x):
@@ -3569,6 +3592,12 @@ def test_aiff_and_au_decoders():
     assert decode_au_samples(au(6, f))["s_sum"] == 16384 - 8192
     f = struct.pack(">2d", 1.0, 3.0 / 32768.0)
     assert decode_au_samples(au(7, f))["s_sum"] == 32768 + 3
+    # finite but absurd amplitude: Q15 overflows int32 -> NULL, not
+    # an executor-side crash in decode_samples' Int32 cast
+    assert decode_au_samples(au(6, struct.pack(">f", 1.0e20))) is None
+    assert decode_au_samples(au(7, struct.pack(">d", -65537.0))) is None
+    assert decode_au_samples(au(7, struct.pack(">d", 65535.0)))[
+        "s_max"] == 65535 * 32768
     # unknown encoding / size 0xFFFFFFFF (read to EOF) / bad magic
     assert decode_au_samples(au(9, b"\0\0")) is None
     raw = (b".snd" + struct.pack(">IIIII", 24, 0xFFFFFFFF, 2, 8000, 1)

@@ -211,9 +211,10 @@ def test_rejections():
     i386 += struct.pack("<d", FLOAT_COOKIE) + b"\0" * 100
     with pytest.raises(NotImplementedError, match="32-bit"):
         parse_rrd_binary(bytes(i386))
-    # truncated mid-data and trailing garbage
+    # truncated mid-data and trailing garbage — ONE exception type
+    # (ValueError) so fleet reads can catch bad files uniformly
     good = _db()
-    with pytest.raises(struct.error):
+    with pytest.raises(ValueError, match="truncated RRD data"):
         parse_rrd_binary(good[:-8])
     with pytest.raises(ValueError, match="size mismatch"):
         parse_rrd_binary(good + b"\0" * 8)

@@ -1427,6 +1427,7 @@ def _make_tiff_pixel_decoder() -> Callable[[bytes], dict | None]:
                     or planar != 1 or spp not in (1, 3)
                     or any(b != 8 for b in bits) or len(bits) != spp
                     or comp not in (1, 5, 32773)
+                    or one(317, 1) != 1
                     or not offsets or not counts
                     or len(offsets) != len(counts)):
                 return None
@@ -1618,6 +1619,8 @@ def _make_au_sample_decoder() -> Callable[[bytes], dict | None]:
             f = np.frombuffer(data, dtype=f">f{width}")
             if not np.isfinite(f).all():
                 return None
+            if f.size and float(np.abs(f).max()) > 65535.0:
+                return None   # Q15 would overflow int32 (mirrors AIFF f80 guard)
             arr = np.rint(f.astype(np.float64) * 32768.0).astype(np.int64)
         if arr.size == 0 or arr.size % channels:
             return None
@@ -1707,8 +1710,9 @@ decode_pnm_pixels = _make_pnm_pixel_decoder()
 
 
 def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
-    """Magic-byte dispatch over the five stdlib image pixel decoders
-    (PNG scanline, GIF LZW, BMP, TIFF, baseline/progressive JPEG)."""
+    """Magic-byte dispatch over the six stdlib image pixel decoders
+    (PNG scanline, GIF LZW, BMP 8/24/32-bit, TIFF strip-based,
+    netpbm P5/P6, baseline/progressive JPEG)."""
     png = _make_png_pixel_decoder()
     gif = _make_gif_pixel_decoder()
     bmp = _make_bmp_pixel_decoder()
@@ -1739,10 +1743,12 @@ def _make_pixel_decoder() -> Callable[[bytes], dict | None]:
 def decode_pixels(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Full image pixel decode as an Arrow-batched ``mapInPandas`` stage:
     (media_id, payload) -> :data:`PIXELS_SCHEMA` pixel statistics, with
-    magic-byte dispatch over the four stdlib decoders — PNG scanlines
-    (zlib inflate + unfilter), GIF (full LZW), BMP (24-bit
-    uncompressed), and JPEG (real Huffman entropy decode + IDCT,
-    baseline AND progressive).  Unrecognized/unsupported payloads
+    magic-byte dispatch over the six stdlib decoders — PNG scanlines
+    (zlib inflate + unfilter, all color types/depths incl. Adam7 and
+    palette+tRNS), GIF (full LZW), BMP (8/24/32-bit uncompressed),
+    TIFF (first-IFD, strips, none/LZW/PackBits), netpbm P5/P6, and
+    JPEG (real Huffman entropy decode + IDCT, baseline AND
+    progressive).  Unrecognized/unsupported payloads
     yield NULL stats (the row is kept so coverage is auditable).  This
     closes the image leg of the former pixel-decode integration point
     with the stdlib only; Opus/inter-frame-video sample decode still
@@ -2094,6 +2100,8 @@ def _make_wav_sample_decoder() -> Callable[[bytes], dict | None]:
             f = np.frombuffer(data, dtype=f"<f{bits // 8}")
             if not np.isfinite(f).all():
                 return None                    # NaN/inf payload: corrupt
+            if f.size and float(np.abs(f).max()) > 65535.0:
+                return None   # Q15 would overflow int32 (mirrors AIFF f80 guard)
             arr = np.rint(f.astype(np.float64) * 32768.0).astype(np.int64)
         elif audio_format in (6, 7) and bits == 8:
             code = np.frombuffer(data, dtype=np.uint8)

@@ -116,7 +116,16 @@ def parse_rrd_binary(blob: bytes) -> dict:
     parse_rrd_dump` dict shape: ``{step, lastupdate, ds: [names...],
     rras: [{cf, pdp_per_row, xff, rows: [[v-or-None per ds, ...],
     ...]}]}`` — rows oldest-first, rings unrotated, NaN slots as
-    ``None``."""
+    ``None``.  All truncation surfaces as ``ValueError`` so a fleet
+    read can catch ONE exception type per bad file instead of a raw
+    ``struct.error`` with no context."""
+    try:
+        return _parse_rrd_body(blob)
+    except struct.error as exc:
+        raise ValueError(f"truncated RRD data: {exc}") from None
+
+
+def _parse_rrd_body(blob: bytes) -> dict:
     endian, fc_off = _detect(blob)
     version = int(_cstr(blob[4:9]))
     off = fc_off + 8
