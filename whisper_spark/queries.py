@@ -12633,31 +12633,24 @@ _DRIVER_WINDOW_PROMOTE = [
     "stream_render_composed", "stream_carbon_aggregator",
     "emb_ivf_recall_trained", "stream_render_moving_avg",
     "stream_render_derivative",
-    # round-6 flagships: full stdlib PNG pixel decode and WAV PCM
-    # sample decode, both oracle-gated; real BPE merge training with
-    # the 5 rounds unrolled in the oracle; the streaming moving-window
-    # family's median port; the cross-engine PII redaction gate
-    "mm_decode_pixels", "mm_decode_wav_pcm", "doc_bpe_merges",
+    # round-6 flagships: real BPE merge training with the 5 rounds
+    # unrolled in the oracle; the streaming moving-window family's
+    # median port; the cross-engine PII redaction gate (the PNG/WAV
+    # decode legs rotated out in round 11 — see the demote list)
+    "doc_bpe_merges",
     "stream_render_moving_median", "doc_pii_redact",
-    # round-6 late additions: the GIF LZW and BMP legs of the image
-    # pixel decoder, each oracle-gated on synthesized valid payloads;
-    # the stateful streaming integral (event-time-timeout finalization)
-    # and the counter-semantics nonNegativeDerivative port
-    "mm_decode_gif_pixels", "mm_decode_bmp_pixels",
+    # round-6 late additions: the stateful streaming integral
+    # (event-time-timeout finalization) and the counter-semantics
+    # nonNegativeDerivative port
     "stream_render_integral", "stream_render_nonneg_derivative",
     # round 6: the EMA recurrence streamed on the slot-recurrence engine,
     # then the vector-carry generalization (Holt level+trend, the
     # per-interval-reset integral)
     "stream_render_ewma", "stream_holt_linear",
     "stream_render_integral_by_interval",
-    # round 6: real FLAC decode (CRC-verified synthesized payloads);
-    # real baseline JPEG decode (custom-Huffman synthesized payloads)
-    "mm_decode_flac_pcm", "mm_decode_jpeg_pixels",
-    # round-7 flagships: MPEG-1 audio sample decode (Layer I exact-
-    # zero frames + Layer III silence), progressive JPEG (four-scan
-    # successive approximation), the decode-throughput gate, and the
-    # round-6 post-freeze pie-mode reducers
-    "mm_decode_mp3_samples", "mm_decode_jpeg_progressive",
+    # round-7 flagships that stay: the decode-throughput gate (bench
+    # headline, whose harness warmup changed in round 11 — keep its
+    # oracle in-window) and the round-6 post-freeze pie-mode reducers
     "mm_decode_throughput", "ws_render_pie",
     # round-7 second wave: real VIDEO frame decode (AVI/MJPEG, every
     # frame through the stdlib JPEG pipeline)
@@ -12683,6 +12676,16 @@ _DRIVER_WINDOW_PROMOTE = [
     # PCM, G.711 + Q15 float in SQL)
     "mm_decode_tiff_pixels", "mm_decode_pnm_pixels",
     "mm_decode_audio_containers",
+    # round-11 rotation: eight NEVER-driver-checked queries enter the
+    # window (judge task 3, round 10), spanning the text-analysis
+    # (winnowing fingerprints, bloom membership, contamination),
+    # events (markov transitions, funnel), embeddings (IVF-PQ recall),
+    # whisper-series analytics (MAD anomaly) and stateful-streaming
+    # (sessionize) families — displacing eight mm_decode_* rows that
+    # were driver-confirmed green in FOUR consecutive windows (r7-r10)
+    "doc_winnowing_fp", "doc_bloom_membership", "ev_markov_transitions",
+    "emb_ivfpq_recall", "stream_sessionize", "doc_contamination",
+    "ws_anomaly_mad", "ev_funnel",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -12742,6 +12745,18 @@ _DRIVER_WINDOW_DEMOTE = [
     # stream_holt_linear); coverage contract unchanged
     # (tests/test_demoted_window.py + the full sweep)
     "ws_ewma", "ws_holt_winters",
+    # round-11 rotation pairing the eight never-checked promotions:
+    # the PNG/WAV/GIF/BMP/FLAC/JPEG-baseline/MP3/JPEG-progressive
+    # decode rows, each driver-confirmed green in the r7, r8, r9 AND
+    # r10 windows, rotate out; their decoders remain exercised
+    # in-window by mm_decode_throughput (JPEG+FLAC hot path),
+    # mm_decode_tiff_pixels / mm_decode_pnm_pixels /
+    # mm_decode_audio_containers / mm_decode_vorbis_samples, and by
+    # the full sweep + tests/test_demoted_window.py
+    "mm_decode_pixels", "mm_decode_wav_pcm", "mm_decode_gif_pixels",
+    "mm_decode_bmp_pixels", "mm_decode_flac_pcm",
+    "mm_decode_jpeg_pixels", "mm_decode_mp3_samples",
+    "mm_decode_jpeg_progressive",
 ]
 
 
