@@ -274,3 +274,36 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     for ts, r in got.items():
         if r.trend is not None:
             assert abs(r.value - (r.trend + r.seasonal + r.resid)) < 1e-9
+
+
+def test_graphite_11_index_coverage():
+    """Every function in the public graphite-web 1.1 index is either
+    dispatched by render.FUNCTIONS or explicitly documented-out with a
+    reason (tools/inventory.py carries the audit table; this test is
+    the enforcement so the table cannot go stale)."""
+    import importlib.util
+    import os
+
+    inv = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "inventory.py",
+    )
+    spec = importlib.util.spec_from_file_location("inv_audit", inv)
+    INV = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(INV)
+
+    from whisper_spark.render import FUNCTIONS
+
+    dispatched = set(FUNCTIONS)
+    missing = [
+        f for f in INV.GRAPHITE_11_INDEX
+        if f not in dispatched and f not in INV.GRAPHITE_DOCUMENTED_OUT
+    ]
+    assert missing == [], f"index functions neither dispatched nor documented-out: {missing}"
+    # documented-out entries must NOT be silently dispatched (stale doc)
+    stale = [f for f in INV.GRAPHITE_DOCUMENTED_OUT if f in dispatched]
+    assert stale == [], f"documented-out but dispatched: {stale}"
+    # every alias maps to an index name and is itself dispatched
+    for a, target in INV.GRAPHITE_ALIASES.items():
+        assert a in dispatched, a
+        assert target in INV.GRAPHITE_11_INDEX, (a, target)

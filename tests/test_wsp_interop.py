@@ -601,3 +601,50 @@ def test_listing_auto_cap_switch(spark, tmp_path, monkeypatch):
     # explicit driver mode ignores the cap
     assert sorted(map(tuple, read_wsp(
         spark, pat, root=str(root), listing="driver").collect())) == drv
+
+
+def test_fleet_migrate_bench_query_matches_oracle(spark):
+    """ws_wsp_fleet_migrate (the bench-flagged migration composite:
+    synthesize reference-format tree -> read_wsp import -> 5m rollup
+    with the xff gate -> per-metric fetch stats) matches its DuckDB
+    closed-form oracle bit-for-bit at sf0.001, and the synthesized
+    files are REAL whisper binaries the reference library reads."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    checker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "check_correctness.py",
+    )
+    spec = importlib.util.spec_from_file_location("cc_fleet", checker)
+    CC = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(CC)
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in CC.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    r = CC.run_one(spark, con, "ws_wsp_fleet_migrate", sf_dir, verbose=True)
+    con.close()
+    assert r["status"] == "OK", r
+
+    # the tree is genuine reference format: open one file with the
+    # actual reference library and check header + a point
+    from whisper_spark.queries import _WSP_FLEET_BASE, _wsp_fleet_root
+
+    root = _wsp_fleet_root(spark, 50)  # cached from the run above
+    info = refwhisper.info(os.path.join(root, "g0", "m7.wsp"))
+    assert info["aggregationMethod"] == "average"
+    assert info["archives"][0]["secondsPerPoint"] == 60
+    # now = BASE+900 keeps slot 0 inside the 960s retention AFTER the
+    # reference's exclusive from-quantization (fromInterval + step)
+    until = _WSP_FLEET_BASE + 15 * 60
+    (_s, _e, step), vals = refwhisper.fetch(
+        os.path.join(root, "g0", "m7.wsp"),
+        _WSP_FLEET_BASE - 120, until, now=until)
+    known = [v for v in vals if v is not None]
+    assert len(known) == 8 + 7 % 8  # file 7 holds 15 points
+    assert known[0] == ((7 * 7 + 0 * 13) % 997) / 4.0

@@ -12,6 +12,72 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from whisper_spark import queries as Q  # noqa: E402
 
+# ----------------------------------------------------------------- #
+# The PUBLIC graphite-web 1.1 render-function index (the functions
+# documented in graphite-web 1.1's docs/functions.rst, including the
+# pie-mode reducers).  The audit table below marks each as dispatched
+# by whisper_spark.render (enforced per-name by
+# tests/test_plan_properties.py and tests/test_render_functions.py)
+# or documented-out with the reason.
+# ----------------------------------------------------------------- #
+GRAPHITE_11_INDEX = [
+    "absolute", "add", "aggregate", "aggregateLine",
+    "aggregateSeriesLists",
+    "aggregateWithWildcards", "alias", "aliasByMetric", "aliasByNode",
+    "aliasByTags", "aliasQuery", "aliasSub", "alpha", "applyByNode",
+    "areaBetween", "asPercent", "averageAbove", "averageBelow",
+    "averageOutsidePercentile", "averageSeries",
+    "averageSeriesWithWildcards", "cactiStyle", "changed", "color",
+    "compressPeriodicGaps", "consolidateBy", "constantLine",
+    "countSeries", "cumulative", "currentAbove", "currentBelow",
+    "dashed", "delay", "derivative", "diffSeries", "diffSeriesLists",
+    "divideSeries", "divideSeriesLists", "drawAsInfinite", "events",
+    "exclude", "exp", "exponentialMovingAverage", "fallbackSeries",
+    "filterSeries", "grep", "group", "groupByNode", "groupByNodes",
+    "groupByTags", "highest", "highestAverage", "highestCurrent",
+    "highestMax", "hitcount", "holtWintersAberration",
+    "holtWintersConfidenceArea", "holtWintersConfidenceBands",
+    "holtWintersForecast", "identity", "integral", "integralByInterval",
+    "interpolate", "invert", "isNonNull", "keepLastValue",
+    "legendValue", "limit", "linearRegression", "lineWidth",
+    "logarithm", "logit", "lowest", "lowestAverage", "lowestCurrent",
+    "mapSeries", "maxSeries", "maximumAbove", "maximumBelow", "minMax",
+    "minSeries", "minimumAbove", "minimumBelow", "mostDeviant",
+    "movingAverage", "movingMax", "movingMedian", "movingMin",
+    "movingSum", "movingWindow", "multiplySeries",
+    "multiplySeriesLists", "multiplySeriesWithWildcards", "nPercentile",
+    "nonNegativeDerivative", "offset", "offsetToZero", "perSecond",
+    "percentileOfSeries", "pow", "powSeries", "randomWalkFunction",
+    "rangeOfSeries", "reduceSeries", "removeAbovePercentile",
+    "removeAboveValue", "removeBelowPercentile", "removeBelowValue",
+    "removeBetweenPercentile", "removeEmptySeries", "round", "scale",
+    "scaleToSeconds", "secondYAxis", "seriesByTag", "setXFilesFactor",
+    "sigmoid", "sinFunction", "smartSummarize", "sortBy",
+    "sortByMaxima", "sortByMinima", "sortByName", "sortByTotal",
+    "squareRoot", "stacked", "stddevSeries", "stdev", "substr",
+    "sumSeries", "sumSeriesLists", "sumSeriesWithWildcards",
+    "summarize", "threshold", "timeFunction", "timeShift", "timeSlice",
+    "timeStack", "transformNull", "unique", "useSeriesAbove",
+    "verticalLine", "weightedAverage", "xFilesFactor",
+    "pieAverage", "pieMaximum", "pieMinimum",
+]
+
+#: index entries deliberately not implemented, with the reason
+GRAPHITE_DOCUMENTED_OUT = {
+    "events": "reads the graphite-web Django app's Events database "
+    "table, not series data — a web-app feature with no "
+    "storage/compute-engine equivalent",
+}
+
+#: documented short aliases the repo also dispatches (docs list them
+#: under their long names)
+GRAPHITE_ALIASES = {
+    "sum": "sumSeries", "avg": "averageSeries", "log": "logarithm",
+    "time": "timeFunction", "sin": "sinFunction",
+    "randomWalk": "randomWalkFunction", "map": "mapSeries",
+    "reduce": "reduceSeries", "roundFunction": "round",
+}
+
 FAMILIES = [
     ("ws_", "Whisper store surface (create/update/rollup/fetch/merge/"
      "diff/fill/resize/render/sharding)"),
@@ -76,6 +142,64 @@ def main() -> None:
             short = " ".join((q.doc or doc).split(".")[0].split())[:180]
             out.append(f"- `{name}` — {short}")
         out.append("")
+
+    # render-function coverage vs the public graphite-web 1.1 index
+    from whisper_spark.render import FUNCTIONS  # noqa: E402
+
+    dispatched = set(FUNCTIONS)
+    n_disp = sum(
+        1 for f in GRAPHITE_11_INDEX
+        if f in dispatched and f not in GRAPHITE_DOCUMENTED_OUT
+    )
+    out.append(
+        f"## Render-function coverage vs graphite-web 1.1 "
+        f"({n_disp}/{len(GRAPHITE_11_INDEX)} dispatched, "
+        f"{len(GRAPHITE_DOCUMENTED_OUT)} documented-out)"
+    )
+    out.append("")
+    out.append(
+        "Audit of `whisper_spark.render.FUNCTIONS` against the public "
+        "graphite-web 1.1 function index (docs/functions.rst incl. "
+        "pie-mode reducers).  Every dispatched name is enforced to "
+        "reach a real evaluation branch by "
+        "`tests/test_plan_properties.py`; the index-coverage split "
+        "itself is enforced by `tests/test_render_functions.py`."
+    )
+    out.append("")
+    out.append("| graphite-web 1.1 function | status |")
+    out.append("|---|---|")
+    missing = []
+    for f in GRAPHITE_11_INDEX:
+        if f in GRAPHITE_DOCUMENTED_OUT:
+            out.append(f"| `{f}` | documented-out — "
+                       f"{GRAPHITE_DOCUMENTED_OUT[f]} |")
+        elif f in dispatched:
+            out.append(f"| `{f}` | dispatched |")
+        else:
+            missing.append(f)
+            out.append(f"| `{f}` | **MISSING** |")
+    alias_rows = sorted(
+        (a, t) for a, t in GRAPHITE_ALIASES.items() if a in dispatched
+    )
+    if alias_rows:
+        out.append("")
+        out.append(
+            "Documented short aliases also dispatched: "
+            + ", ".join(f"`{a}` (= `{t}`)" for a, t in alias_rows)
+            + "."
+        )
+    extras = sorted(
+        dispatched - set(GRAPHITE_11_INDEX) - set(GRAPHITE_ALIASES)
+    )
+    if extras:
+        out.append("")
+        out.append(
+            "Dispatched beyond the index (repo conveniences): "
+            + ", ".join(f"`{e}`" for e in extras) + "."
+        )
+    out.append("")
+    if missing:
+        print(f"WARNING: index functions not dispatched: {missing}")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "INVENTORY.md")
     with open(path, "w") as f:

@@ -119,17 +119,49 @@ def ogg_crc(data: bytes) -> int:
     return crc
 
 
+def _select_vorbis_serial(data: bytes) -> bytes | None:
+    """Stream mapping for grouped (multiplexed) Ogg: all logical
+    streams open with consecutive BOS pages before any data page, so
+    scan the initial BOS run and return the serial of the first one
+    whose body starts with a Vorbis ident packet (``\\x01vorbis``).
+    None = no Vorbis BOS found (pure Opus/Theora/Skeleton groups, or
+    garbage) — the caller falls back to first-page-serial behavior."""
+    n = len(data)
+    i = 0
+    while i + 27 <= n:
+        if data[i:i + 4] != b"OggS" or data[i + 4] != 0:
+            return None
+        if not (data[i + 5] & 0x02):
+            return None  # BOS run over: no Vorbis stream opened
+        nseg = data[i + 26]
+        lace_end = i + 27 + nseg
+        if lace_end > n:
+            return None
+        body = sum(data[i + 27:lace_end])
+        if lace_end + body > n:
+            return None
+        if data[lace_end:lace_end + 7] == b"\x01vorbis":
+            return data[i + 14:i + 18]
+        i = lace_end + body
+    return None
+
+
 def ogg_packets(data: bytes):
     """Yield ``(packet_bytes, granulepos_of_closing_page)`` for the
-    FIRST logical stream in ``data`` (the serial of the first page);
-    pages are CRC-verified and serial-filtered; the walk stops at the
-    first structural error (truncated page, CRC mismatch, sequence
+    Vorbis logical stream in ``data``: in a grouped (multiplexed)
+    file the BOS run is scanned for the Vorbis ident's serial
+    (:func:`_select_vorbis_serial`, the spec's stream-mapping step);
+    otherwise the first page's serial is used, so a chained file
+    decodes its FIRST logical stream and a foreign-first group falls
+    back to the old behavior (NULL stats downstream).  Pages are
+    CRC-verified and serial-filtered; the walk stops at the first
+    structural error (truncated page, CRC mismatch, sequence
     regression) so trailing garbage cannot fabricate packets."""
     import struct
 
     n = len(data)
     i = 0
-    serial = None
+    serial = _select_vorbis_serial(data)
     partial = b""
     while i + 27 <= n:
         if data[i:i + 4] != b"OggS" or data[i + 4] != 0:
