@@ -3671,3 +3671,162 @@ def test_png_palette_trns_alpha():
            + chunk(b"PLTE", plte) + chunk(b"tRNS", bytes(4))
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     assert decode_png_pixels(bad) is None
+
+
+def test_jpeg_long_huffman_codes_and_restart():
+    """Codes LONGER than 8 bits exercise the decoder's two-level
+    Huffman fallback (the 256-entry first-level LUT only resolves
+    lengths <= 8; 9-16-bit codes walk the (len, code) dict) — none of
+    the other fixtures' tables leave the first level.  Hand-built
+    canonical tables put every DC category at 9-16 bits and the AC
+    EOB/coefficient symbols at 10-12 bits; a restart-interval variant
+    pins the fallback across segment boundaries."""
+    import struct
+
+    import numpy as np
+
+    from whisper_spark.operators.multimodal import decode_jpeg_pixels
+
+    def canon(counts, vals):
+        code, k, t = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                t[vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return t
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    # DC: 12 categories spread over lengths 9..16
+    DC_COUNTS = [0] * 8 + [1, 1, 2, 2, 2, 2, 1, 1]
+    DC_VALS = list(range(12))
+    # AC: EOB at 10 bits, (run0,size4) at 11, ZRL at 12
+    AC_COUNTS = [0] * 16
+    AC_COUNTS[9], AC_COUNTS[10], AC_COUNTS[11] = 1, 1, 1
+    AC_VALS = [0x00, 0x04, 0xF0]
+    dc_enc, ac_enc = canon(DC_COUNTS, DC_VALS), canon(AC_COUNTS, AC_VALS)
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((v >> i) & 1)
+
+        def bytes_stuffed(self):
+            bits = self.bits + [1] * ((8 - len(self.bits) % 8) % 8)
+            out = bytearray()
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i:i + 8]:
+                    b = (b << 1) | bit
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def seg(marker, payload):
+        return (b"\xff" + bytes([marker])
+                + struct.pack(">H", len(payload) + 2) + payload)
+
+    def frame(dri):
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        out += seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1)
+                   + bytes([1, 0x11, 0]))
+        out += seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_VALS))
+        out += seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_VALS))
+        if dri:
+            out += seg(0xDD, struct.pack(">H", dri))
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        return out
+
+    def emit_dc(w, diff):
+        t = 0
+        a = abs(diff)
+        while a:
+            t += 1
+            a >>= 1
+        ln, code = dc_enc[t]
+        w.put(code, ln)
+        if t:
+            w.put((diff if diff > 0 else diff + (1 << t) - 1)
+                  & ((1 << t) - 1), t)
+
+    def expected(blocks):
+        k = np.arange(8)
+        b = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+        b[0, :] *= 1 / np.sqrt(2)
+        imgs = []
+        for coefzz in blocks:
+            nat = np.zeros(64)
+            nat[ZZ] = coefzz
+            px = b.T @ nat.reshape(8, 8) @ b + 128.0
+            imgs.append(np.clip(np.round(px), 0, 255).astype(np.int64))
+        return np.concatenate(imgs, axis=1)  # two blocks side by side
+
+    # --- no restarts: DC 160 then +8, one 11-bit AC coef in block 2
+    w = BW()
+    emit_dc(w, 160)
+    ln, code = ac_enc[0x00]
+    w.put(code, ln)                       # EOB block 1
+    emit_dc(w, 8)                         # pred 160 -> 168
+    ln, code = ac_enc[0x04]
+    w.put(code, ln)                       # (run 0, size 4)
+    w.put(9, 4)                           # AC coef +9 at zigzag k=1
+    ln, code = ac_enc[0x00]
+    w.put(code, ln)                       # EOB
+    p = bytes(frame(0)) + w.bytes_stuffed() + b"\xff\xd9"
+    got = decode_jpeg_pixels(p)
+    assert got is not None and (got["width"], got["height"]) == (16, 8)
+    b1 = [160] + [0] * 63
+    b2 = [168, 9] + [0] * 62
+    exp = expected([b1, b2])
+    assert got["pixels"].reshape(8, 16).tolist() == exp.tolist()
+    assert got["px_sum"] == int(exp.sum())
+
+    # --- restart interval 1: RST0 between the MCUs, predictor resets,
+    # the long-code dict survives the segment switch
+    w = BW()
+    emit_dc(w, 160)
+    ln, code = ac_enc[0x00]
+    w.put(code, ln)
+    seg1 = w.bytes_stuffed()
+    w = BW()
+    emit_dc(w, 168)                       # pred reset: full value again
+    ln, code = ac_enc[0x00]
+    w.put(code, ln)
+    seg2 = w.bytes_stuffed()
+    p = (bytes(frame(1)) + seg1 + b"\xff\xd0" + seg2 + b"\xff\xd9")
+    got = decode_jpeg_pixels(p)
+    assert got is not None
+    exp = expected([b1, [168] + [0] * 63])
+    assert got["pixels"].reshape(8, 16).tolist() == exp.tolist()
+
+    # ZRL at 12 bits: run of 16 zeros then a coefficient
+    w = BW()
+    emit_dc(w, 0)
+    ln, code = ac_enc[0xF0]
+    w.put(code, ln)                       # ZRL
+    ln, code = ac_enc[0x04]
+    w.put(code, ln)
+    w.put(12, 4)                          # +12 at zigzag k=17
+    ln, code = ac_enc[0x00]
+    w.put(code, ln)
+    emit_dc(w, 0)
+    ln, code = ac_enc[0x00]
+    w.put(code, ln)
+    p = bytes(frame(0)) + w.bytes_stuffed() + b"\xff\xd9"
+    got = decode_jpeg_pixels(p)
+    assert got is not None
+    bz = [0] * 64
+    bz[17] = 12
+    exp = expected([bz, [0] * 64])
+    assert got["pixels"].reshape(8, 16).tolist() == exp.tolist()
