@@ -393,29 +393,41 @@ def _make_png_pixel_decoder() -> Callable[[bytes], dict | None]:
                         np.cumsum(
                             out[p::bpp], dtype=np.uint8, out=out[p::bpp]
                         )
-                else:  # Average / Paeth: sequential in both axes
-                    out = row.copy()
-                    pv = prev
+                else:  # Average / Paeth: sequential in both axes —
+                    # run on Python lists (numpy scalar indexing costs
+                    # ~10x a list index; this is the libpng-default
+                    # Paeth hot path on real-world PNGs).  The first
+                    # bpp bytes have no left/up-left neighbor: Paeth's
+                    # predictor there is always the UP byte (a=c=0 =>
+                    # pb<=pc), Average's is up>>1 — both peeled out of
+                    # the main loop so it runs branch-free.
+                    rl = row.tolist()
+                    pl = prev.tolist()
+                    ol = [0] * ss
+                    lead = bpp if bpp < ss else ss
                     if ft == 3:
-                        for i in range(ss):
-                            left = int(out[i - bpp]) if i >= bpp else 0
-                            out[i] = (
-                                int(row[i]) + ((left + int(pv[i])) >> 1)
+                        for i in range(lead):
+                            ol[i] = (rl[i] + (pl[i] >> 1)) & 0xFF
+                        for i in range(lead, ss):
+                            ol[i] = (
+                                rl[i] + ((ol[i - bpp] + pl[i]) >> 1)
                             ) & 0xFF
                     else:
-                        for i in range(ss):
-                            a = int(out[i - bpp]) if i >= bpp else 0
-                            b = int(pv[i])
-                            c = int(pv[i - bpp]) if i >= bpp else 0
+                        for i in range(lead):
+                            ol[i] = (rl[i] + pl[i]) & 0xFF
+                        for i in range(lead, ss):
+                            a = ol[i - bpp]
+                            b = pl[i]
+                            c = pl[i - bpp]
                             pp = a + b - c
                             pa, pb, pc = (
                                 abs(pp - a), abs(pp - b), abs(pp - c)
                             )
-                            pred = (
+                            ol[i] = (rl[i] + (
                                 a if (pa <= pb and pa <= pc)
                                 else (b if pb <= pc else c)
-                            )
-                            out[i] = (int(row[i]) + pred) & 0xFF
+                            )) & 0xFF
+                    out = np.array(ol, dtype=np.uint8)
                 out_px[r] = out
                 prev = out
             return out_px
