@@ -2497,10 +2497,9 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
             self.pos = end
             return bits.astype(np.int64) @ w
 
-    FIXED_COEF = {
-        0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]
-    }
-
+    # FIXED-predictor coefficients per order — [1], [2,-1], [3,-3,1],
+    # [4,-6,4,-1] — are written out as specialized rolling-local
+    # recurrences in _subframe below
     def _subframe(br: "_Bits", bps: int, n: int) -> list | None:
         if br.read(1):
             return None  # padding bit must be 0
@@ -2527,25 +2526,62 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
             if n % nparts:
                 return None  # partitions must divide the blocksize
             res = []
+            app = res.append
+            # the rice loop runs with the reader state in LOCALS (one
+            # method call per residual was the decode's top cost for
+            # real fixed/LPC content); same unary byte-skip + one
+            # int.from_bytes per magnitude as _Bits itself
+            d = br.data
+            limit = br.nbits
+            pos = br.pos
             for part in range(nparts):
                 cnt = (n >> porder) - (order if part == 0 else 0)
                 if cnt < 0:
                     return None
+                br.pos = pos
                 param = br.read(pbits)
+                pos = br.pos
                 if param == escape:
                     # escape: residuals stored raw as SIGNED raw-bit ints
                     raw = br.read(5)
+                    pos = br.pos
                     for _ in range(cnt):
+                        br.pos = pos
                         v = br.read(raw) if raw else 0
+                        pos = br.pos
                         if raw and v & (1 << (raw - 1)):
                             v -= 1 << raw
-                        res.append(v)
+                        app(v)
                 else:
+                    mask = (1 << param) - 1
                     for _ in range(cnt):
-                        q = br.unary()
-                        r = br.read(param) if param else 0
+                        q = 0
+                        while True:
+                            if pos >= limit:
+                                raise EOFError
+                            rem = d[pos >> 3] & (0xFF >> (pos & 7))
+                            if rem == 0:
+                                step = 8 - (pos & 7)
+                                q += step
+                                pos += step
+                            else:
+                                lead = 7 - (rem.bit_length() - 1)
+                                q += lead - (pos & 7)
+                                pos = (pos & ~7) + lead + 1
+                                break
+                        if param:
+                            end = pos + param
+                            if end > limit:
+                                raise EOFError
+                            r = (int.from_bytes(
+                                d[pos >> 3:(end + 7) >> 3], "big")
+                                >> ((-end) & 7)) & mask
+                            pos = end
+                        else:
+                            r = 0
                         u = (q << param) | r
-                        res.append((u >> 1) ^ -(u & 1))  # unzigzag
+                        app((u >> 1) ^ -(u & 1))  # unzigzag
+            br.pos = pos
             return res
 
         if stype == 0:  # CONSTANT
@@ -2563,13 +2599,35 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
             res = residuals(order)
             if res is None:
                 return None
-            coef = FIXED_COEF[order]
+            # specialized recurrences on rolling locals (the generic
+            # coef loop cost ~3x for the common orders 1-2)
             out = list(warm)
-            for i in range(order, n):
-                pred = 0
-                for j, c in enumerate(coef):
-                    pred += c * out[i - 1 - j]
-                out.append(res[i - order] + pred)
+            app = out.append
+            if order == 0:
+                out = res
+            elif order == 1:
+                p1 = warm[0]
+                for r in res:
+                    p1 = r + p1
+                    app(p1)
+            elif order == 2:
+                p2, p1 = warm
+                for r in res:
+                    v = r + 2 * p1 - p2
+                    app(v)
+                    p2, p1 = p1, v
+            elif order == 3:
+                p3, p2, p1 = warm
+                for r in res:
+                    v = r + 3 * p1 - 3 * p2 + p3
+                    app(v)
+                    p3, p2, p1 = p2, p1, v
+            else:
+                p4, p3, p2, p1 = warm
+                for r in res:
+                    v = r + 4 * p1 - 6 * p2 + 4 * p3 - p4
+                    app(v)
+                    p4, p3, p2, p1 = p3, p2, p1, v
         elif stype >= 32:  # LPC (1xxxxx), order = low 5 bits + 1
             order = (stype & 31) + 1
             if order > n:
