@@ -447,22 +447,27 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
         return c
 
     class _Bits:
-        __slots__ = ("data", "pos")
+        """Absolute-bit-position reader: one ``int.from_bytes`` over
+        the covering byte span per field instead of a per-bit loop
+        (the per-field reader was the top cost of a Layer II decode —
+        same shape as the FLAC reader in operators/multimodal.py)."""
+
+        __slots__ = ("data", "pos", "nbits")
 
         def __init__(self, data: bytes, pos: int = 0):
             self.data = data
             self.pos = pos  # bit position
+            self.nbits = len(data) * 8
 
         def read(self, n: int) -> int:
-            v = 0
-            d, p = self.data, self.pos
-            if p + n > len(d) * 8:
+            p = self.pos
+            end = p + n
+            if end > self.nbits:
                 raise EOFError
-            for _ in range(n):
-                v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
-                p += 1
-            self.pos = p
-            return v
+            chunk = int.from_bytes(
+                self.data[p >> 3:(end + 7) >> 3], "big")
+            self.pos = end
+            return (chunk >> ((-end) & 7)) & ((1 << n) - 1)
 
     def parse_header(p: bytes, off: int) -> "dict | None":
         if off + 4 > len(p):
@@ -502,17 +507,26 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
         frac = u / float(1 << (nb - 1))
         return (float(1 << nb) / ((1 << nb) - 1)) * (frac + 2.0 ** (1 - nb))
 
+    _L2_CONST: dict = {}  # steps -> (half, full, C, D, 1/half), memoized
+
     def l2_requant(code: int, steps: int) -> float:
         """Layer II class requantization s''' = C*(s''+D), constants
-        derived: C = 2^nb/steps, D = (2^(nb-1)-(steps-1)/2)/2^(nb-1)."""
-        nb = steps.bit_length()
-        u = code ^ (1 << (nb - 1))
-        if u >= 1 << (nb - 1):
-            u -= 1 << nb
-        frac = u / float(1 << (nb - 1))
-        c = float(1 << nb) / steps
-        d = (float(1 << (nb - 1)) - (steps - 1) // 2) / float(1 << (nb - 1))
-        return c * (frac + d)
+        derived: C = 2^nb/steps, D = (2^(nb-1)-(steps-1)/2)/2^(nb-1)
+        (memoized per step class — this runs once per decoded sample)."""
+        t = _L2_CONST.get(steps)
+        if t is None:
+            nb = steps.bit_length()
+            half, full = 1 << (nb - 1), 1 << nb
+            t = _L2_CONST[steps] = (
+                half, full, float(full) / steps,
+                (float(half) - (steps - 1) // 2) / float(half),
+                1.0 / half,
+            )
+        half, full, c, d, inv = t
+        u = code ^ half
+        if u >= half:
+            u -= full
+        return c * (u * inv + d)
 
     # ------------------------------------------------------------- #
     # Layer I
@@ -642,7 +656,9 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                 s2 = l2_requant(c // steps, steps)
                 return s0, s1, s2
             nb = steps.bit_length()
-            return tuple(l2_requant(bits.read(nb), steps) for _ in range(3))
+            return (l2_requant(bits.read(nb), steps),
+                    l2_requant(bits.read(nb), steps),
+                    l2_requant(bits.read(nb), steps))
 
         for gr in range(12):
             part = gr >> 2
