@@ -565,12 +565,19 @@ def _make_gif_pixel_decoder() -> Callable[[bytes], dict | None]:
         out = bytearray()
         code_size = min_code + 1
         next_code = end + 1
-        dict_: dict[int, bytes] = {}
+        # flat 4096-slot table (a list index beats a dict probe in the
+        # per-code hot loop); slots < clear are the root single-byte
+        # strings, slots beyond next_code are stale from before the
+        # last clear and guarded by the next_code bound
+        strings: list = [bytes([i]) for i in range(clear)] + [b""] * (
+            4096 - clear
+        )
         prev = None
+        dlen = len(data)
         acc = nbits = pos = 0
         while len(out) < n_px:
             while nbits < code_size:
-                if pos >= len(data):
+                if pos >= dlen:
                     return None  # truncated LZW stream
                 acc |= data[pos] << nbits
                 pos += 1
@@ -578,25 +585,24 @@ def _make_gif_pixel_decoder() -> Callable[[bytes], dict | None]:
             code = acc & ((1 << code_size) - 1)
             acc >>= code_size
             nbits -= code_size
-            if code == clear:
+            if code < clear:
+                entry = strings[code]
+            elif code == clear:
                 code_size = min_code + 1
                 next_code = end + 1
-                dict_.clear()
                 prev = None
                 continue
-            if code == end:
+            elif code == end:
                 break
-            if code < clear:
-                entry = bytes([code])
-            elif code in dict_:
-                entry = dict_[code]
+            elif code < next_code:
+                entry = strings[code]
             elif code == next_code and prev is not None:
                 entry = prev + prev[:1]  # the kwkwk case
             else:
                 return None  # code beyond the dictionary: corrupt
             out += entry
             if prev is not None and next_code < 4096:
-                dict_[next_code] = prev + entry[:1]
+                strings[next_code] = prev + entry[:1]
                 next_code += 1
                 # GIF (unlike TIFF) grows the width AFTER the last code
                 # of the current width is assigned, and holds at 12 bits
@@ -1553,16 +1559,21 @@ def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes | None:
     reset()
     width = 9
     acc = nbits = pos = 0
+    dlen = len(data)
     prev: bytes | None = None
     while True:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= dlen:
                 return None  # ran out before EOI: truncated
             acc = (acc << 8) | data[pos]
             pos += 1
             nbits += 8
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        # mask consumed bits off — without this acc accumulates the
+        # whole strip as one ever-growing big int and every shift
+        # above turns O(strip bytes)
+        acc &= (1 << nbits) - 1
         if code == 256:
             reset()
             width = 9
