@@ -3830,3 +3830,26 @@ def test_jpeg_long_huffman_codes_and_restart():
     bz[17] = 12
     exp = expected([bz, [0] * 64])
     assert got["pixels"].reshape(8, 16).tolist() == exp.tolist()
+
+
+def test_tiff_lzw_large_strip_linear_time():
+    """64 KB single-strip LZW (256x256): pins the accumulator-masking
+    fix — the unmasked reader decoded this correctly but in QUADRATIC
+    time (1.4 s/image; masked: ~0.03 s).  Correctness assert plus a
+    generous wall bound so a reintroduced quadratic fails CI loudly
+    instead of silently slowing the suite."""
+    import random
+    import time
+
+    from whisper_spark.operators.multimodal import decode_tiff_pixels
+
+    rng = random.Random(9)
+    w = h = 256
+    data = bytes(rng.randrange(256) for _ in range(w * h))
+    t = _tiff(w, h, data, 1, 5, rng)
+    t0 = time.time()
+    got = decode_tiff_pixels(t)
+    dt = time.time() - t0
+    assert got is not None and got["px_sum"] == sum(data)
+    assert got["pixels"].reshape(-1).tolist() == list(data)
+    assert dt < 1.0, f"large-strip LZW decode took {dt:.2f}s — quadratic?"
