@@ -312,7 +312,7 @@ def _assign_codewords(lengths: list[int | None]) -> dict[tuple[int, int], int]:
 
 
 class Codebook:
-    __slots__ = ("dims", "entries", "codes", "vectors", "maxlen")
+    __slots__ = ("dims", "entries", "codes", "vectors", "maxlen", "lut")
 
     def __init__(self, dims, entries, codes, vectors):
         self.dims = dims
@@ -320,8 +320,34 @@ class Codebook:
         self.codes = codes
         self.vectors = vectors
         self.maxlen = max((ln for ln, _c in codes), default=0)
+        # first-level lookup over the next 8 STREAM bits (same shape
+        # as the JPEG decoder's DHT LUT): Vorbis reads codewords
+        # root-first but packs the stream LSB-first, so a codeword of
+        # length ln <= 8 occupies the low ln stream bits BIT-REVERSED;
+        # lut[v] packs (entry << 6 | ln), -1 = no short code matches.
+        # Longer codes (and reads near end-of-packet) fall back to the
+        # per-bit tree walk, which stays the source of truth.
+        lut = [-1] * 256
+        for (ln, code), entry in codes.items():
+            if ln <= 8:
+                rev = 0
+                for i in range(ln):
+                    rev |= ((code >> i) & 1) << (ln - 1 - i)
+                step = 1 << ln
+                for v in range(rev, 256, step):
+                    lut[v] = (entry << 6) | ln
+        self.lut = lut
 
     def decode_scalar(self, br: BitReader) -> int:
+        p = br.pos
+        if p + 8 <= br.nbits:
+            b = p >> 3
+            v = (int.from_bytes(br.data[b:b + 2], "little")
+                 >> (p & 7)) & 0xFF
+            e = self.lut[v]
+            if e >= 0:
+                br.pos = p + (e & 63)
+                return e >> 6
         code = 0
         for ln in range(1, self.maxlen + 1):
             code = (code << 1) | br.read1()
