@@ -1232,3 +1232,35 @@ def test_decode_samples_multiplexed_skeleton_plus_vorbis(spark):
     assert rows[1]["n_samples"] == total
     assert rows[1]["s_sum"] == 0 and rows[1]["s_sq_sum"] == 0
     assert rows[2]["sample_rate"] is None  # no Vorbis stream in group
+
+
+def test_bos_scan_crc_verified():
+    """The BOS stream-mapping scan CRC-verifies each page BEFORE
+    trusting its body (round-11 advisor): a corrupted byte in the
+    FIRST (Skeleton) BOS page's body must end the scan with None —
+    it must not keep walking lacing values read from a bad page and
+    potentially flip which serial is selected."""
+    from whisper_spark.operators.vorbis import _select_vorbis_serial
+
+    headers, pkts, granules, total = _silence_parts(4)
+    SKEL, VORB = 0x5151, 0x6262
+    fishead = b"fishead\x00" + b"\x00" * 24
+    pages = [
+        ogg_page([fishead], SKEL, 0, 0, 0x02),      # skeleton BOS
+        ogg_page([headers[0]], VORB, 0, 0, 0x02),   # vorbis BOS
+    ]
+    muxed = b"".join(pages)
+    assert _select_vorbis_serial(muxed) == struct.pack("<I", VORB)
+
+    # flip one byte inside the Skeleton BOS BODY (past the 27-byte
+    # header + 1 lacing byte), leaving its stored CRC stale
+    corrupt = bytearray(muxed)
+    corrupt[28 + 3] ^= 0xFF
+    assert _select_vorbis_serial(bytes(corrupt)) is None
+
+    # ...and a corrupted VORBIS BOS page is equally rejected (scan
+    # reaches it after the intact Skeleton page, then stops)
+    corrupt2 = bytearray(muxed)
+    first_len = len(pages[0])
+    corrupt2[first_len + 28 + 2] ^= 0x01
+    assert _select_vorbis_serial(bytes(corrupt2)) is None

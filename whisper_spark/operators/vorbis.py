@@ -125,7 +125,16 @@ def _select_vorbis_serial(data: bytes) -> bytes | None:
     scan the initial BOS run and return the serial of the first one
     whose body starts with a Vorbis ident packet (``\\x01vorbis``).
     None = no Vorbis BOS found (pure Opus/Theora/Skeleton groups, or
-    garbage) — the caller falls back to first-page-serial behavior."""
+    garbage) — the caller falls back to first-page-serial behavior.
+
+    Each BOS page is CRC-verified BEFORE its body is trusted, exactly
+    like the main page walk below: a corrupted BOS body byte could
+    otherwise flip which serial is selected (misreading the ident
+    magic) before any CRC check runs (round-11 advisor, low).  A CRC
+    mismatch ends the scan with None — the main walk would reject the
+    same page anyway."""
+    import struct
+
     n = len(data)
     i = 0
     while i + 27 <= n:
@@ -139,6 +148,11 @@ def _select_vorbis_serial(data: bytes) -> bytes | None:
             return None
         body = sum(data[i + 27:lace_end])
         if lace_end + body > n:
+            return None
+        (crc_stored,) = struct.unpack("<I", data[i + 22:i + 26])
+        page = bytearray(data[i:lace_end + body])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_crc(bytes(page)) != crc_stored:
             return None
         if data[lace_end:lace_end + 7] == b"\x01vorbis":
             return data[i + 14:i + 18]

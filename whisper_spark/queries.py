@@ -3572,6 +3572,13 @@ def _mm_tp_media(spark, sf_dir):
         _synth_flac_payload("600").alias("flac_payload"),
     ).persist()
     media.count()  # materialize so timed reps read from block cache
+    # cap the cache at the most recent key: a long-lived session
+    # sweeping several sf_dirs would otherwise accumulate ~9 MB of
+    # cached blocks per dir forever (round-11 advisor, low)
+    for old_key, old_df in list(_MM_TP_PAYLOADS.items()):
+        if old_key != key:
+            old_df.unpersist()
+            del _MM_TP_PAYLOADS[old_key]
     _MM_TP_PAYLOADS[key] = media
     return media
 
@@ -12671,16 +12678,42 @@ def _wsp_fleet_root(spark, n_files: int) -> str:
     a bench fixture only (format per reference whisper.py:calculate
     offsets/pack, parity-tested in tests/test_wsp_interop.py)."""
     import os
+    import struct
     import tempfile
-
-    root = os.path.join(
-        tempfile.gettempdir(), f"whisper_spark_wsp_fleet_{n_files}")
-    marker = os.path.join(root, "_SUCCESS")
-    if os.path.exists(marker):
-        return root
 
     header_size = 16 + 12
     n_slots = 16
+
+    # the dir name carries a fixture-format version (v2: the writer
+    # params below) and the marker is only honored after re-verifying
+    # one file's header bytes — a stale tree from an older fixture
+    # format, or a same-name dir pre-created by another user in the
+    # world-writable tempdir, must not be silently reused as bench
+    # input (round-11 advisor, low)
+    root = os.path.join(
+        tempfile.gettempdir(), f"whisper_spark_wsp_fleet_v2_{n_files}")
+    marker = os.path.join(root, "_SUCCESS")
+    if os.path.exists(marker):
+        probe = os.path.join(root, "g0", "m0.wsp")
+        try:
+            with open(probe, "rb") as f:
+                hdr = f.read(header_size)
+            ok = (
+                len(hdr) == header_size
+                and struct.unpack_from("!2LfL", hdr, 0)
+                == (1, 60 * n_slots, 0.5, 1)
+                and struct.unpack_from("!3L", hdr, 16)
+                == (header_size, 60, n_slots)
+            )
+        except OSError:
+            ok = False
+        if ok:
+            return root
+        raise RuntimeError(
+            f"fleet fixture at {root} has a _SUCCESS marker but file "
+            f"g0/m0.wsp fails header verification — stale or foreign "
+            f"tree; remove it and re-run"
+        )
 
     def write_part(it):
         import os as _os
@@ -12808,7 +12841,6 @@ def q_ws_wsp_fleet_migrate(spark, sf_dir):
 _DRIVER_WINDOW_PROMOTE = [
     "ws_render_target",
     "doc_substring_dup_pairs",
-    "stream_render_target", "ws_render_target_reduce",
     "doc_incremental_dedup",
     # round-5 rotation: the round-4 flagships (the v2 curation
     # pipeline, the PQ recall gate, the streaming max rollup) entered
@@ -12820,23 +12852,6 @@ _DRIVER_WINDOW_PROMOTE = [
     # rule engine, the trained-IVF recall gate, and the two chained
     # multi-stateful render ports (judge task 3, round 6)
     "stream_render_composed", "stream_carbon_aggregator",
-    "emb_ivf_recall_trained", "stream_render_moving_avg",
-    "stream_render_derivative",
-    # round-6 flagships: real BPE merge training with the 5 rounds
-    # unrolled in the oracle; the streaming moving-window family's
-    # median port; the cross-engine PII redaction gate (the PNG/WAV
-    # decode legs rotated out in round 11 — see the demote list)
-    "doc_bpe_merges",
-    "stream_render_moving_median", "doc_pii_redact",
-    # round-6 late additions: the stateful streaming integral
-    # (event-time-timeout finalization) and the counter-semantics
-    # nonNegativeDerivative port
-    "stream_render_integral", "stream_render_nonneg_derivative",
-    # round 6: the EMA recurrence streamed on the slot-recurrence engine,
-    # then the vector-carry generalization (Holt level+trend, the
-    # per-interval-reset integral)
-    "stream_render_ewma", "stream_holt_linear",
-    "stream_render_integral_by_interval",
     # round-7 flagships that stay: the decode-throughput gate (bench
     # headline, whose harness warmup changed in round 11 — keep its
     # oracle in-window) and the round-6 post-freeze pie-mode reducers
@@ -12875,6 +12890,24 @@ _DRIVER_WINDOW_PROMOTE = [
     "doc_winnowing_fp", "doc_bloom_membership", "ev_markov_transitions",
     "emb_ivfpq_recall", "stream_sessionize", "doc_contamination",
     "ws_anomaly_mad", "ev_funnel",
+    # round-12 rotation, part 1: eight more NEVER-driver-checked
+    # queries (judge task 2, round 11) spanning machinery with no
+    # prior driver row — graphite 1.1 tag-expression targets,
+    # materialized-rollup routing (plans/routing.py), streaming exact
+    # dedup + sliding windows, metadata-filtered ANN, the KMV distinct
+    # sketch, video frame sampling, and the closed-form OLS recurrence
+    "ws_render_target_tags", "ws_route_aggregate_1h_max",
+    "stream_dedup", "stream_sliding_5m_1m", "emb_filtered_topk",
+    "ev_distinct_users_kmv", "mm_frame_sample", "ws_linear_regression",
+    # round-12 rotation, part 2 (round-11 ADVICE, medium): the five
+    # decode gates whose hot paths were rewritten in round 11 (PNG
+    # filters, GIF LZW, FLAC rice/LPC, MP3, progressive JPEG) —
+    # demoted in r11's rotation the same round their decoders changed
+    # — return to the window; MP3 / progressive-JPEG / Vorbis paths
+    # are rewritten again THIS round (round-11 verdict tasks 3/6/7),
+    # so their gates stay driver-checked while the code is hot
+    "mm_decode_pixels", "mm_decode_gif_pixels", "mm_decode_flac_pcm",
+    "mm_decode_mp3_samples", "mm_decode_jpeg_progressive",
 ]
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -12935,17 +12968,36 @@ _DRIVER_WINDOW_DEMOTE = [
     # (tests/test_demoted_window.py + the full sweep)
     "ws_ewma", "ws_holt_winters",
     # round-11 rotation pairing the eight never-checked promotions:
-    # the PNG/WAV/GIF/BMP/FLAC/JPEG-baseline/MP3/JPEG-progressive
-    # decode rows, each driver-confirmed green in the r7, r8, r9 AND
-    # r10 windows, rotate out; their decoders remain exercised
-    # in-window by mm_decode_throughput (JPEG+FLAC hot path),
-    # mm_decode_tiff_pixels / mm_decode_pnm_pixels /
-    # mm_decode_audio_containers / mm_decode_vorbis_samples, and by
-    # the full sweep + tests/test_demoted_window.py
-    "mm_decode_pixels", "mm_decode_wav_pcm", "mm_decode_gif_pixels",
-    "mm_decode_bmp_pixels", "mm_decode_flac_pcm",
-    "mm_decode_jpeg_pixels", "mm_decode_mp3_samples",
-    "mm_decode_jpeg_progressive",
+    # the WAV/BMP/JPEG-baseline decode rows, each driver-confirmed
+    # green in the r7, r8, r9 AND r10 windows, rotate out; their
+    # decoders remain exercised in-window by mm_decode_throughput
+    # (JPEG+FLAC hot path), mm_decode_tiff_pixels /
+    # mm_decode_pnm_pixels / mm_decode_audio_containers /
+    # mm_decode_vorbis_samples, and by the full sweep +
+    # tests/test_demoted_window.py.  (The r11 demotion originally
+    # included the PNG/GIF/FLAC/MP3/JPEG-progressive rows too; the
+    # round-11 advisor flagged demoting gates the same round their
+    # decoders were rewritten, so those five returned to the window
+    # in round 12 — see the promote list.)
+    "mm_decode_wav_pcm", "mm_decode_bmp_pixels", "mm_decode_jpeg_pixels",
+    # round-12 rotation pairing the thirteen promotions: the chained
+    # streaming render ports (driver-confirmed green in EVERY window
+    # r6-r11 — six consecutive rounds), the r5-era render-target
+    # reducer, the BPE-merge/PII gates, and the trained-IVF recall
+    # gate rotate out.  The chained slot-recurrence machinery stays
+    # in-window via stream_render_composed (which exercises
+    # chained_moving_average end-to-end and is the bench gate), and
+    # streaming coverage widens via the promoted stream_dedup /
+    # stream_sliding_5m_1m; embedding-recall coverage stays via
+    # emb_pq_recall + emb_ivfpq_recall.  None of these files changed
+    # in round 12.  Coverage contract unchanged
+    # (tests/test_demoted_window.py + the full sweep).
+    "stream_render_target", "ws_render_target_reduce",
+    "stream_render_moving_avg", "stream_render_derivative",
+    "stream_render_moving_median", "stream_render_integral",
+    "stream_render_nonneg_derivative", "stream_render_ewma",
+    "stream_holt_linear", "stream_render_integral_by_interval",
+    "doc_bpe_merges", "doc_pii_redact", "emb_ivf_recall_trained",
 ]
 
 
