@@ -397,6 +397,8 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
     CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
     CS = tuple(1.0 / (1.0 + c * c) ** 0.5 for c in CI)
     CA = tuple(c / (1.0 + c * c) ** 0.5 for c in CI)
+    CS_V = np.array(CS)
+    CA_V = np.array(CA)
 
     N_SYN = np.array(
         [[np.cos((16 + i) * (2 * k + 1) * np.pi / 64) for k in range(32)]
@@ -776,13 +778,67 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
                 return v
         raise ValueError("invalid L3 Huffman code")
 
+    # Two-level decode tables built ONCE at factory time (the JPEG DHT
+    # / Vorbis codebook structure, round-11 PERF discipline): an 8-bit
+    # first-level LUT resolves every code of length <= 8 in one peek
+    # (real Annex-B tables put the frequent small pairs there), a
+    # (length, code) dict handles the tail, and the per-granule
+    # ``maxlens`` dict-comprehension the old reader rebuilt is hoisted
+    # here.  Entries whose canonical code exceeds 2^len (malformed
+    # injected tables) stay reachable only via the dict — exactly the
+    # codes the per-bit walk could resolve.  Tables whose max code
+    # length exceeds the 56-bit peek window fall back to the original
+    # per-bit reader (``None`` marker), keeping arbitrary injected
+    # tables functional.
+    _l3_big_dec: "dict | None" = None
+    _l3_c1_dec: "dict | None" = None
+    if l3_tables is not None:
+        _l3_big_dec = {}
+        for _tid, (_codes, _lb) in l3_tables["huffman"].items():
+            _maxlen = max(ln for ln, _c in _codes)
+            if _maxlen > 56 or _lb > 25:
+                _l3_big_dec[_tid] = None  # per-bit fallback
+                continue
+            _lut = [None] * 256
+            for (_ln, _code), _xy in _codes.items():
+                if _ln <= 8 and _code < (1 << _ln):
+                    _base = _code << (8 - _ln)
+                    for _i in range(_base, _base + (1 << (8 - _ln))):
+                        _lut[_i] = (_ln, _xy[0], _xy[1])
+            _l3_big_dec[_tid] = (_lut, _codes, _maxlen, _lb)
+        _l3_c1_dec = {}
+        for _tid, _codes in l3_tables["count1"].items():
+            _maxlen = max(ln for ln, _c in _codes)
+            if _maxlen > 56:
+                _l3_c1_dec[_tid] = None
+                continue
+            _lut = [None] * 256
+            for (_ln, _code), _q in _codes.items():
+                if _ln <= 8 and _code < (1 << _ln):
+                    _base = _code << (8 - _ln)
+                    for _i in range(_base, _base + (1 << (8 - _ln))):
+                        _lut[_i] = (_ln,) + tuple(_q)
+            _l3_c1_dec[_tid] = (_lut, _codes, _maxlen)
+
     def l3_huffman_spectrum(mbits: _Bits, g: dict, limit_bit: int,
                             bl) -> "np.ndarray":
         """big_values pairs (region-selected tables, linbits escapes,
         sign bits) + count1 quads up to part2_3_length -> (integer
         spectrum (576), end line) — the end line (first line past the
-        coded region) is the intensity-stereo zero-part boundary."""
-        is_ = np.zeros(576, dtype=np.int64)
+        coded region) is the intensity-stereo zero-part boundary.
+
+        Hot path: a bit cache (masked to its live width at every
+        refill — no stale-bit accumulation, the round-11 TIFF-LZW
+        lesson) refilled in 32-bit gulps
+        from the zero-padded buffer (the FLAC reader shape), the
+        first-level LUT above, and a plain list for the spectrum.
+        Reads past the real data are zero bits that can only ever
+        LOWER the final position check — any walk that consumed a
+        padded bit ends with ``pos > nbits`` and raises the same
+        EOFError the per-field reader raised mid-walk, so accepted
+        streams are bit-identical to the old reader and rejected
+        streams stay rejected."""
+        is_ = [0] * 576
         nbig = g["big_values"] * 2
         if nbig > 576:
             raise ValueError("big_values overrun")
@@ -793,49 +849,213 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
             r1 = min(g["region0_count"] + 1 + g["region1_count"] + 1, 22)
             r0_end, r1_end = bl[r0], bl[r1]
         huff = l3_tables["huffman"]
-        maxlens = {tid: max(ln for ln, _c in t[0])
-                   for tid, t in huff.items()}
-        for pos in range(0, nbig, 2):
-            if mbits.pos > limit_bit:
-                # big_values data crossing part2_3_length: corrupt
-                raise ValueError("big_values overrun part2_3_length")
-            region = 0 if pos < r0_end else (1 if pos < r1_end else 2)
-            tid = g["table_select"][region] if region < len(
-                g["table_select"]) else 0
+        ts = g["table_select"]
+        nts = len(ts)
+
+        # bit cache over the padded buffer: pos tracks the CONSUMED
+        # absolute bit position, cache holds the next <=64 unread bits
+        # in its low cbits bits (stale higher bits masked at refill)
+        data = mbits.data
+        nbits = mbits.nbits
+        buf = data + b"\x00" * 12
+        pos = mbits.pos
+        cbyte = (pos + 7) >> 3
+        cbits = cbyte * 8 - pos
+        cache = (int.from_bytes(buf[pos >> 3:cbyte], "big")
+                 & ((1 << cbits) - 1)) if cbits else 0
+        from_bytes = int.from_bytes
+
+        # big-values region segments: (end_pair, table_id), pairs in
+        # [start, end) decode with one table — same region selection
+        # as the per-pair branch, hoisted out of the loop
+        segs = []
+        for seg_end, seg_region in ((min(nbig, r0_end), 0),
+                                    (min(nbig, r1_end), 1),
+                                    (nbig, 2)):
+            segs.append((seg_end, ts[seg_region] if seg_region < nts
+                         else 0))
+        p = 0
+        for seg_end, tid in segs:
+            if p >= seg_end:
+                continue
             if tid == 0:
-                continue  # table 0: all zeros, no bits
+                # table 0: all zeros, no bits — one limit check for
+                # the segment (the old reader checked per pair with
+                # an unchanged pos)
+                if pos > limit_bit:
+                    raise ValueError("big_values overrun part2_3_length")
+                p = seg_end
+                continue
             if tid not in huff:
                 raise ValueError(f"L3 Huffman table {tid} not provided")
-            codes, linbits = huff[tid]
-            x, y = l3_huff_lookup(mbits, codes, maxlens[tid])
-            for j, v in enumerate((x, y)):
-                if v == 15 and linbits:
-                    v += mbits.read(linbits)
-                if v:
-                    if mbits.read(1):  # sign: 1 = negative
-                        v = -v
-                    is_[pos + j] = v
+            dec = _l3_big_dec[tid]
+            if dec is None:
+                # oversized injected table: per-bit fallback
+                mbits.pos = pos
+                codes, linbits = huff[tid]
+                maxlen = max(ln for ln, _c in codes)
+                while p < seg_end:
+                    if mbits.pos > limit_bit:
+                        raise ValueError(
+                            "big_values overrun part2_3_length")
+                    x, y = l3_huff_lookup(mbits, codes, maxlen)
+                    for j, v in enumerate((x, y)):
+                        if v == 15 and linbits:
+                            v += mbits.read(linbits)
+                        if v:
+                            if mbits.read(1):
+                                v = -v
+                            is_[p + j] = v
+                    p += 2
+                pos = mbits.pos
+                cbyte = (pos + 7) >> 3
+                cbits = cbyte * 8 - pos
+                cache = (from_bytes(buf[pos >> 3:cbyte], "big")
+                         & ((1 << cbits) - 1)) if cbits else 0
+                continue
+            lut, codes, maxlen, linbits = dec
+            # worst case bits per pair: code + 2*(linbits + sign)
+            need = maxlen + 2 * (linbits + 1)
+            while p < seg_end:
+                if pos > limit_bit:
+                    raise ValueError("big_values overrun part2_3_length")
+                while cbits < need:
+                    cbits += 32
+                    cache = ((cache << 32)
+                             | from_bytes(buf[cbyte:cbyte + 4], "big")) \
+                        & ((1 << cbits) - 1)
+                    cbyte += 4
+                e = lut[(cache >> (cbits - 8)) & 0xFF]
+                if e is not None:
+                    ln, x, y = e
+                    cbits -= ln
+                    pos += ln
+                else:
+                    peek = (cache >> (cbits - maxlen)) \
+                        & ((1 << maxlen) - 1)
+                    for ln in range(9, maxlen + 1):
+                        xy = codes.get((ln, peek >> (maxlen - ln)))
+                        if xy is not None:
+                            x, y = xy
+                            cbits -= ln
+                            pos += ln
+                            break
+                    else:
+                        raise ValueError("invalid L3 Huffman code")
+                if x:
+                    if x == 15 and linbits:
+                        x += (cache >> (cbits - linbits)) \
+                            & ((1 << linbits) - 1)
+                        cbits -= linbits
+                        pos += linbits
+                    if (cache >> (cbits - 1)) & 1:
+                        x = -x
+                    cbits -= 1
+                    pos += 1
+                    is_[p] = x
+                if y:
+                    if y == 15 and linbits:
+                        y += (cache >> (cbits - linbits)) \
+                            & ((1 << linbits) - 1)
+                        cbits -= linbits
+                        pos += linbits
+                    if (cache >> (cbits - 1)) & 1:
+                        y = -y
+                    cbits -= 1
+                    pos += 1
+                    is_[p + 1] = y
+                p += 2
         c1 = l3_tables["count1"]
         tid = g["count1table_select"]
         if tid not in c1:
-            if mbits.pos < limit_bit:
+            mbits.pos = pos
+            if pos > nbits:
+                raise EOFError
+            if pos < limit_bit:
                 raise ValueError(f"L3 count1 table {tid} not provided")
-            return is_, nbig
-        codes = c1[tid]
-        maxlen = max(ln for ln, _c in codes)
+            return np.asarray(is_, dtype=np.int64), nbig
+        dec1 = _l3_c1_dec[tid]
         idx = nbig
-        while mbits.pos < limit_bit and idx <= 572:
-            quad = l3_huff_lookup(mbits, codes, maxlen)
-            vals = []
-            for v in quad:
-                if v and mbits.read(1):
-                    v = -v
-                vals.append(v)
-            if mbits.pos > limit_bit:
+        if dec1 is None:
+            # oversized injected count1 table: per-bit fallback
+            mbits.pos = pos
+            codes = c1[tid]
+            maxlen = max(ln for ln, _c in codes)
+            while mbits.pos < limit_bit and idx <= 572:
+                quad = l3_huff_lookup(mbits, codes, maxlen)
+                vals = []
+                for v in quad:
+                    if v and mbits.read(1):
+                        v = -v
+                    vals.append(v)
+                if mbits.pos > limit_bit:
+                    break  # overshoot quad: discarded per the spec
+                is_[idx:idx + 4] = vals
+                idx += 4
+            return np.asarray(is_, dtype=np.int64), idx
+        lut, codes, maxlen = dec1
+        need = maxlen + 4
+        while pos < limit_bit and idx <= 572:
+            while cbits < need:
+                cbits += 32
+                cache = ((cache << 32)
+                         | from_bytes(buf[cbyte:cbyte + 4], "big")) \
+                    & ((1 << cbits) - 1)
+                cbyte += 4
+            e = lut[(cache >> (cbits - 8)) & 0xFF]
+            if e is not None:
+                ln, v0, v1, v2, v3 = e
+                cbits -= ln
+                pos += ln
+            else:
+                peek = (cache >> (cbits - maxlen)) & ((1 << maxlen) - 1)
+                for ln in range(9, maxlen + 1):
+                    q = codes.get((ln, peek >> (maxlen - ln)))
+                    if q is not None:
+                        v0, v1, v2, v3 = q
+                        cbits -= ln
+                        pos += ln
+                        break
+                else:
+                    raise ValueError("invalid L3 Huffman code")
+            if v0:
+                if (cache >> (cbits - 1)) & 1:
+                    v0 = -v0
+                cbits -= 1
+                pos += 1
+            if v1:
+                if (cache >> (cbits - 1)) & 1:
+                    v1 = -v1
+                cbits -= 1
+                pos += 1
+            if v2:
+                if (cache >> (cbits - 1)) & 1:
+                    v2 = -v2
+                cbits -= 1
+                pos += 1
+            if v3:
+                if (cache >> (cbits - 1)) & 1:
+                    v3 = -v3
+                cbits -= 1
+                pos += 1
+            if pos > limit_bit:
                 break  # overshoot quad: discarded per the spec
-            is_[idx:idx + 4] = vals
+            is_[idx] = v0
+            is_[idx + 1] = v1
+            is_[idx + 2] = v2
+            is_[idx + 3] = v3
             idx += 4
-        return is_, idx
+        mbits.pos = pos
+        if pos > nbits:
+            raise EOFError
+        return np.asarray(is_, dtype=np.int64), idx
+
+    # memoized requant primitives: both caches hit constantly (spectrum
+    # magnitudes repeat, gains repeat per band), and each entry is
+    # computed by the EXACT expression the per-line loop used, so the
+    # results are bit-identical to the unmemoized reader
+    _pow43: dict = {}
+    _gain2: dict = {}
 
     def l3_requantize(g: dict, is_, scf_l, scf_s, bl, bs):
         """Integer spectrum -> float xr with the successive gain
@@ -852,19 +1072,27 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
         long_lines = 576
         if short:
             long_lines = 36 if g["mixed_block"] else 0
-        # long region
+        il = is_.tolist() if hasattr(is_, "tolist") else list(is_)
+        pow43 = _pow43
+        gain2 = _gain2
+        # long region: iterate nonzero lines only, tracking the band
+        # cursor (lines ascend, so the cursor never rewinds)
         sfb = 0
         for i in range(long_lines):
-            while sfb < 22 and i >= bl[sfb + 1]:
-                sfb += 1
-            v = int(is_[i])
+            v = il[i]
             if v:
+                while sfb < 22 and i >= bl[sfb + 1]:
+                    sfb += 1
                 sc = scf_l[sfb] + (pretab[sfb] if pre else 0)
-                xr[i] = (
-                    (1 if v > 0 else -1)
-                    * abs(v) ** (4.0 / 3.0)
-                    * 2.0 ** (0.25 * (gg - 210) - mult * sc)
-                )
+                e = 0.25 * (gg - 210) - mult * sc
+                gain = gain2.get(e)
+                if gain is None:
+                    gain = gain2[e] = 2.0 ** e
+                a = v if v > 0 else -v
+                p = pow43.get(a)
+                if p is None:
+                    p = pow43[a] = a ** (4.0 / 3.0)
+                xr[i] = (p if v > 0 else -p) * gain
         if not short:
             return xr
         # short region: huffman order is sfb-major, window-major within
@@ -877,19 +1105,23 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
         sbg = g["subblock_gain"]
         for s in range(s0, 13):
             width = bs[s + 1] - bs[s]
+            base = 3 * bs[s]
             for win in range(3):
-                gain = 2.0 ** (
-                    0.25 * (gg - 210 - 8 * sbg[win])
-                    - mult * scf_s[min(s, 12)][win]
-                )
+                e = (0.25 * (gg - 210 - 8 * sbg[win])
+                     - mult * scf_s[min(s, 12)][win])
+                gain = gain2.get(e)
+                if gain is None:
+                    gain = gain2[e] = 2.0 ** e
                 for i in range(width):
-                    v = int(is_[src])
+                    v = il[src]
                     src += 1
                     if v:
-                        xr[3 * (bs[s] + i) + win] = (
-                            (1 if v > 0 else -1)
-                            * abs(v) ** (4.0 / 3.0) * gain
-                        )
+                        a = v if v > 0 else -v
+                        p = pow43.get(a)
+                        if p is None:
+                            p = pow43[a] = a ** (4.0 / 3.0)
+                        xr[base + 3 * i + win] = \
+                            (p if v > 0 else -p) * gain
         return xr
 
     def l3_granule_subbands(g: dict, xr: np.ndarray, prev: np.ndarray):
@@ -898,15 +1130,17 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
         ``prev`` is the per-subband 18-sample overlap store (32, 18)."""
         bt = g["block_type"] if g["window_switching"] else 0
         bands = xr.reshape(32, 18)
-        # alias reduction (skip for pure short blocks)
+        # alias reduction (skip for pure short blocks); the 8
+        # butterflies per band boundary run as elementwise numpy ops —
+        # same IEEE multiply/add sequence per lane as the scalar loop,
+        # so the result is bit-identical
         if bt != 2 or g["mixed_block"]:
             limit = 1 if (bt == 2 and g["mixed_block"]) else 31
             for sb in range(limit):
-                for i in range(8):
-                    a = bands[sb, 17 - i]
-                    b = bands[sb + 1, i]
-                    bands[sb, 17 - i] = a * CS[i] - b * CA[i]
-                    bands[sb + 1, i] = b * CS[i] + a * CA[i]
+                a = bands[sb, 17:9:-1].copy()
+                b = bands[sb + 1, :8].copy()
+                bands[sb, 17:9:-1] = a * CS_V - b * CA_V
+                bands[sb + 1, :8] = b * CS_V + a * CA_V
         out = np.zeros((18, 32))
         for sb in range(32):
             sb_bt = bt
