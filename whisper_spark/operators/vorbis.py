@@ -326,7 +326,8 @@ def _assign_codewords(lengths: list[int | None]) -> dict[tuple[int, int], int]:
 
 
 class Codebook:
-    __slots__ = ("dims", "entries", "codes", "vectors", "maxlen", "lut")
+    __slots__ = ("dims", "entries", "codes", "vectors", "maxlen", "lut",
+                 "lut2")
 
     def __init__(self, dims, entries, codes, vectors):
         self.dims = dims
@@ -339,29 +340,52 @@ class Codebook:
         # root-first but packs the stream LSB-first, so a codeword of
         # length ln <= 8 occupies the low ln stream bits BIT-REVERSED;
         # lut[v] packs (entry << 6 | ln), -1 = no short code matches.
-        # Longer codes (and reads near end-of-packet) fall back to the
-        # per-bit tree walk, which stays the source of truth.
+        # A SECOND level covers lengths 9..16 (round-11 verdict task
+        # 6): lut2[first 8 stream bits] -> 256-list over the NEXT 8
+        # stream bits, same packing.  Codes > 16 bits (and reads near
+        # end-of-packet) fall back to the per-bit tree walk, which
+        # stays the source of truth.
         lut = [-1] * 256
+        lut2: dict = {}
         for (ln, code), entry in codes.items():
+            if ln > 16:
+                continue
+            rev = 0
+            for i in range(ln):
+                rev |= ((code >> i) & 1) << (ln - 1 - i)
             if ln <= 8:
-                rev = 0
-                for i in range(ln):
-                    rev |= ((code >> i) & 1) << (ln - 1 - i)
                 step = 1 << ln
                 for v in range(rev, 256, step):
                     lut[v] = (entry << 6) | ln
+            else:
+                lo = rev & 0xFF
+                sub = lut2.get(lo)
+                if sub is None:
+                    sub = lut2[lo] = [-1] * 256
+                step = 1 << (ln - 8)
+                for v in range(rev >> 8, 256, step):
+                    sub[v] = (entry << 6) | ln
         self.lut = lut
+        self.lut2 = lut2
 
     def decode_scalar(self, br: BitReader) -> int:
         p = br.pos
-        if p + 8 <= br.nbits:
+        nbits = br.nbits
+        if p + 8 <= nbits:
             b = p >> 3
-            v = (int.from_bytes(br.data[b:b + 2], "little")
-                 >> (p & 7)) & 0xFF
-            e = self.lut[v]
+            v16 = (int.from_bytes(br.data[b:b + 3], "little")
+                   >> (p & 7)) & 0xFFFF
+            e = self.lut[v16 & 0xFF]
             if e >= 0:
                 br.pos = p + (e & 63)
                 return e >> 6
+            if p + 16 <= nbits:
+                sub = self.lut2.get(v16 & 0xFF)
+                if sub is not None:
+                    e = sub[v16 >> 8]
+                    if e >= 0:
+                        br.pos = p + (e & 63)
+                        return e >> 6
         code = 0
         for ln in range(1, self.maxlen + 1):
             code = (code << 1) | br.read1()
@@ -595,22 +619,24 @@ def _render_point(x0, y0, x1, y1, x):
 
 
 def _render_line(x0, y0, x1, y1, v, n2):
+    """Spec render_line (integer Bresenham walk) in closed form: after
+    k steps the walk has added ``base*k`` plus one extra ``±1`` for
+    each err overflow, and the overflow count at step k is exactly
+    ``(k*ady) // adx`` (0 <= ady < adx, err starts at 0) — so the
+    vectorized integer evaluation is value-identical to the loop."""
     dy = y1 - y0
     adx = x1 - x0
     base = dy // adx if dy >= 0 else -((-dy) // adx)  # truncate toward 0
     ady = abs(dy) - abs(base) * adx
-    sy = base - 1 if dy < 0 else base + 1
-    x, y, err = x0, y0, 0
-    if 0 <= x < n2:
-        v[x] = y
-    for x in range(x0 + 1, min(x1, n2)):
-        err += ady
-        if err >= adx:
-            err -= adx
-            y += sy
-        else:
-            y += base
-        v[x] = y
+    if 0 <= x0 < n2:
+        v[x0] = y0
+    lo = x0 + 1
+    hi = min(x1, n2)
+    if lo >= hi or lo < 0:
+        return
+    k = np.arange(1, hi - x0, dtype=np.int64)
+    ys = y0 + base * k + (1 if dy >= 0 else -1) * ((k * ady) // adx)
+    v[lo:hi] = ys
 
 
 # --------------------------------------------------------------------- #
@@ -619,7 +645,8 @@ def _render_line(x0, y0, x1, y1, v, n2):
 
 class Residue:
     __slots__ = ("rtype", "begin", "end", "partition_size",
-                 "classifications", "classbook", "books")
+                 "classifications", "classbook", "books", "pass_active",
+                 "_single_ok")
 
     def __init__(self, rtype: int, br: BitReader, n_books: int):
         self.rtype = rtype
@@ -647,6 +674,14 @@ class Residue:
                 else:
                     row.append(None)
             self.books.append(row)
+        # a pass where EVERY class has no book reads nothing and adds
+        # nothing — the walk can skip it outright (real setups rarely
+        # cascade past the first couple of passes)
+        self.pass_active = [
+            any(row[stage] is not None for row in self.books)
+            for stage in range(8)
+        ]
+        self._single_ok = None  # lazily: batched path usable?
 
     def decode(self, br: BitReader, books: list[Codebook],
                do_decode: list[bool], n2: int) -> "np.ndarray":
@@ -681,8 +716,33 @@ class Residue:
         if classwords <= 0:
             raise _BadStream("residue classbook with zero dimensions")
         ch = len(vecs)
+        if self._single_ok is None:
+            self._single_ok = all(
+                books[b].dims > 0 and books[b].vectors is not None
+                and psize % books[b].dims == 0
+                for row in self.books for b in row if b is not None
+            )
+        if self._single_ok and sum(1 for d in do_decode if d) == 1:
+            # single active vector (mono, one-channel submaps, and ALL
+            # type-2 coupled streams route here): the batched walk that
+            # defers the numpy adds to one fancy-indexed add per
+            # (pass, book).  Falls back to the general walk when any
+            # cascade book could not take the batched partition path —
+            # the general walk then reproduces the spill/error
+            # semantics for the partitions that actually use it.
+            j = do_decode.index(True)
+            self._decode_vectors_single(
+                br, books, vecs[j], partitions, begin, psize, fmt,
+                classbook, classwords)
+            return
         cls = [[0] * (partitions + classwords) for _ in range(ch)]
+        pass_active = self.pass_active
         for pas in range(8):
+            if pas and not pass_active[pas]:
+                # no class has a book in this pass: the whole walk
+                # would read and add nothing (pass 0 always runs — it
+                # consumes the classification words)
+                continue
             pi = 0
             while pi < partitions:
                 if pas == 0:
@@ -714,12 +774,190 @@ class Residue:
                             return
                     pi += 1
 
+    def _decode_vectors_single(self, br, books, vec, partitions, begin,
+                               psize, fmt, classbook, classwords):
+        """Single-active-channel residue walk with per-(pass, book)
+        batched adds.  Bit-exactness: the READ order is the spec walk
+        (ids are decoded inline, partition by partition); only the
+        float adds are deferred, and within one pass every partition's
+        target range is disjoint, so applying them in one vectorized
+        add per book is value-identical to the per-partition adds.
+        Flushing happens at every pass boundary — the same coefficient
+        CAN repeat across passes, and a single fancy-indexed add would
+        collapse those duplicates."""
+        ncls = self.classifications
+        books_tab = self.books
+        cls = [0] * (partitions + classwords)
+        pass_active = self.pass_active
+        from_bytes = int.from_bytes
+
+        def flush(pending):
+            for book_i, (offs, idl) in pending.items():
+                book = books[book_i]
+                dims = book.dims
+                ng = psize // dims
+                arr = book.vectors[idl]
+                off_a = np.asarray(offs, dtype=np.int64)
+                if fmt == 0:
+                    idx = (off_a[:, None, None]
+                           + np.arange(dims)[None, :, None] * ng
+                           + np.arange(ng)[None, None, :])
+                    vec[idx] += arr.reshape(len(offs), ng,
+                                            dims).transpose(0, 2, 1)
+                else:
+                    idx = off_a[:, None] + np.arange(psize)[None, :]
+                    vec[idx] += arr.reshape(len(offs), psize)
+
+        for pas in range(8):
+            if pas and not pass_active[pas]:
+                continue
+            pending: dict = {}
+            pi = 0
+            while pi < partitions:
+                if pas == 0:
+                    try:
+                        temp = classbook.decode_scalar(br)
+                    except _EndOfPacket:
+                        flush(pending)
+                        return  # spec: end-of-packet ends residue
+                    for k in range(classwords - 1, -1, -1):
+                        cls[pi + k] = temp % ncls
+                        temp //= ncls
+                for _k in range(classwords):
+                    if pi >= partitions:
+                        break
+                    book_i = books_tab[cls[pi]][pas]
+                    if book_i is None:
+                        pi += 1
+                        continue
+                    book = books[book_i]
+                    n_groups = psize // book.dims
+                    ids = []
+                    eof = None
+                    lut = book.lut
+                    lut2 = book.lut2
+                    data = br.data
+                    nbits = br.nbits
+                    p = br.pos
+                    append = ids.append
+                    for _ in range(n_groups):
+                        if p + 8 <= nbits:
+                            b = p >> 3
+                            v16 = (from_bytes(data[b:b + 3], "little")
+                                   >> (p & 7)) & 0xFFFF
+                            e = lut[v16 & 0xFF]
+                            if e >= 0:
+                                p += e & 63
+                                append(e >> 6)
+                                continue
+                            if p + 16 <= nbits:
+                                sub = lut2.get(v16 & 0xFF)
+                                if sub is not None:
+                                    e = sub[v16 >> 8]
+                                    if e >= 0:
+                                        p += e & 63
+                                        append(e >> 6)
+                                        continue
+                        br.pos = p
+                        try:
+                            append(book.decode_scalar(br))
+                        except _EndOfPacket as ex:
+                            eof = ex
+                            break
+                        p = br.pos
+                    if eof is None:
+                        br.pos = p
+                        ent = pending.get(book_i)
+                        if ent is None:
+                            ent = pending[book_i] = ([], [])
+                        ent[0].append(begin + pi * psize)
+                        ent[1].extend(ids)
+                        pi += 1
+                        continue
+                    # end-of-packet mid-partition: the spec keeps the
+                    # groups decoded so far — apply the batched full
+                    # partitions, then the partial one, and stop
+                    flush(pending)
+                    if ids:
+                        arr = books[book_i].vectors[ids]
+                        offset = begin + pi * psize
+                        if fmt == 0:
+                            view = vec[offset:offset + psize].reshape(
+                                book.dims, n_groups)
+                            view[:, :len(ids)] += arr.T
+                        else:
+                            vec[offset:offset + len(ids) * book.dims] \
+                                += arr.ravel()
+                    return
+            flush(pending)
+
     @staticmethod
     def _partition(br, book, vec, offset, psize, fmt):
         dims = book.dims
         if dims <= 0:
             raise _BadStream("residue VQ book with zero dimensions")
-        if fmt == 0:
+        vectors = book.vectors
+        if vectors is None:
+            raise _BadStream("scalar codebook used in VQ context")
+        if psize % dims == 0:
+            # batched hot path: decode the partition's entry ids first,
+            # then apply ONE fancy-indexed add — each coefficient still
+            # receives exactly one add per (partition, pass), in the
+            # same order, so the float results are bit-identical to the
+            # per-group loop.  End-of-packet mid-partition keeps the
+            # groups decoded so far (the old loop had already applied
+            # them) and re-raises.
+            n_groups = psize // dims
+            ids = []
+            eof = None
+            # inlined scalar decode (locals over method dispatch —
+            # the Layer-II/III reader discipline); the method call
+            # remains the fallback for LUT misses and end-of-data
+            lut = book.lut
+            lut2 = book.lut2
+            data = br.data
+            nbits = br.nbits
+            p = br.pos
+            from_bytes = int.from_bytes
+            append = ids.append
+            for _ in range(n_groups):
+                if p + 8 <= nbits:
+                    b = p >> 3
+                    v16 = (from_bytes(data[b:b + 3], "little")
+                           >> (p & 7)) & 0xFFFF
+                    e = lut[v16 & 0xFF]
+                    if e >= 0:
+                        p += e & 63
+                        append(e >> 6)
+                        continue
+                    if p + 16 <= nbits:
+                        sub = lut2.get(v16 & 0xFF)
+                        if sub is not None:
+                            e = sub[v16 >> 8]
+                            if e >= 0:
+                                p += e & 63
+                                append(e >> 6)
+                                continue
+                br.pos = p
+                try:
+                    append(book.decode_scalar(br))
+                except _EndOfPacket as ex:
+                    eof = ex
+                    break
+                p = br.pos
+            if eof is None:
+                br.pos = p
+            if ids:
+                arr = vectors[ids]
+                if fmt == 0:
+                    view = vec[offset:offset + psize].reshape(
+                        dims, n_groups)
+                    view[:, :len(ids)] += arr.T
+                else:
+                    vec[offset:offset + len(ids) * dims] += arr.ravel()
+            if eof is not None:
+                raise eof
+        elif fmt == 0:
             step = psize // dims
             for s in range(step):
                 e = book.decode_vector(br)
@@ -870,19 +1108,35 @@ def imdct(X: "np.ndarray") -> "np.ndarray":
     return out
 
 
+_SLOPE_CACHE: dict = {}
+_WINDOW_CACHE: dict = {}
+
+
 def _slope(k: int) -> "np.ndarray":
     """Vorbis window rise over k samples:
-    sin(pi/2 * sin^2(pi/2 * (i + 0.5)/k))."""
-    i = np.arange(k, dtype=np.float64)
-    s = np.sin(0.5 * np.pi * (i + 0.5) / k)
-    return np.sin(0.5 * np.pi * s * s)
+    sin(pi/2 * sin^2(pi/2 * (i + 0.5)/k)).  Memoized — a stream uses
+    at most a handful of distinct slope lengths, and the old per-packet
+    recompute was ~7% of a nonzero decode (PERF.md round-12).  Callers
+    treat the array as read-only."""
+    w = _SLOPE_CACHE.get(k)
+    if w is None:
+        i = np.arange(k, dtype=np.float64)
+        s = np.sin(0.5 * np.pi * (i + 0.5) / k)
+        w = _SLOPE_CACHE[k] = np.sin(0.5 * np.pi * s * s)
+    return w
 
 
 def _window(n: int, n0: int, prev_long: bool, next_long: bool,
             long_block: bool) -> tuple["np.ndarray", int, int]:
     """Assembled window for one block; returns (window, left_start,
     right_start) — left_start is where the rise begins, right_start
-    where the fall begins (= the emit boundary)."""
+    where the fall begins (= the emit boundary).  Memoized on the full
+    parameter tuple (four shapes per stream at most); the window is
+    only ever multiplied, never mutated."""
+    key = (n, n0, prev_long, next_long, long_block)
+    hit = _WINDOW_CACHE.get(key)
+    if hit is not None:
+        return hit
     w = np.zeros(n, dtype=np.float64)
     if long_block and not prev_long:
         left_start, left_n = n // 4 - n0 // 4, n0 // 2
@@ -895,6 +1149,7 @@ def _window(n: int, n0: int, prev_long: bool, next_long: bool,
     w[left_start:left_start + left_n] = _slope(left_n)
     w[left_start + left_n:right_start] = 1.0
     w[right_start:right_start + right_n] = _slope(right_n)[::-1]
+    _WINDOW_CACHE[key] = (w, left_start, right_start)
     return w, left_start, right_start
 
 
