@@ -953,73 +953,258 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
         """Progressive AC first scan (Ah=0) for one block: run-length
         + EOB-run decode into the zigzag coefficient vector (values
         point-transformed by << Al).  Returns the new EOB run, or None
-        on corrupt structure."""
+        on corrupt structure.  Same local-accumulator treatment as
+        :func:`ac_refine` — identical bit sequence and pad rules to
+        the method-call reader."""
         if eobrun > 0:
             return eobrun - 1
         k = ss
-        while k <= se:
-            rs = huff_decode(br, act)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:
-                    k += 16  # ZRL
-                    continue
-                eobrun = (1 << r) - 1  # run includes this block
-                if r:
-                    eobrun += br.receive(r)
-                return eobrun
-            k += r
-            if k > se:
-                return None
-            blk[k] = extend(br.receive(s), s) << al
-            k += 1
-        return 0
+        lut, longd = act
+        acc = br.acc
+        nacc = br.nacc
+        pad = br.pad
+        buf = br.buf
+        blen = br.buflen
+        bp = br.bytepos
+        try:
+            while k <= se:
+                while nacc < 16:
+                    if bp < blen:
+                        acc = (acc << 8) | buf[bp]
+                        bp += 1
+                    else:
+                        acc <<= 8
+                        pad += 8
+                    nacc += 8
+                e = lut[(acc >> (nacc - 8)) & 0xFF]
+                if e >= 0:
+                    ln = e & 15
+                    rs = e >> 4
+                else:
+                    code = (acc >> (nacc - 16)) & 0xFFFF
+                    for ln in range(9, 17):
+                        rs = longd.get((ln, code >> (16 - ln)))
+                        if rs is not None:
+                            break
+                    else:
+                        raise EOFError  # not a valid code
+                nacc -= ln
+                acc &= (1 << nacc) - 1
+                if nacc < pad:
+                    raise EOFError
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1  # run includes this block
+                    if r:
+                        while nacc < r:
+                            if bp < blen:
+                                acc = (acc << 8) | buf[bp]
+                                bp += 1
+                            else:
+                                acc <<= 8
+                                pad += 8
+                            nacc += 8
+                        nacc -= r
+                        eobrun += acc >> nacc
+                        acc &= (1 << nacc) - 1
+                        if nacc < pad:
+                            raise EOFError
+                    return eobrun
+                k += r
+                if k > se:
+                    return None
+                while nacc < s:
+                    if bp < blen:
+                        acc = (acc << 8) | buf[bp]
+                        bp += 1
+                    else:
+                        acc <<= 8
+                        pad += 8
+                    nacc += 8
+                nacc -= s
+                v = acc >> nacc
+                acc &= (1 << nacc) - 1
+                if nacc < pad:
+                    raise EOFError
+                blk[k] = (v if v >= (1 << (s - 1))
+                          else v - (1 << s) + 1) << al
+                k += 1
+            return 0
+        finally:
+            br.acc = acc
+            br.nacc = nacc
+            br.pad = pad
+            br.bytepos = bp
 
     def ac_refine(br, act, blk, ss, se, al, eobrun):
         """Progressive AC refinement (Ah>0, G.1.2.3): newly-nonzero
         coefficients arrive as +-1<<Al runs, every already-nonzero
-        coefficient in the band consumes a correction bit."""
+        coefficient in the band consumes a correction bit.
+
+        Round-12 treatment (the MP3/Vorbis reader discipline): the
+        whole scan-side walk — Huffman lookups via the two-level table
+        AND every correction/sign/EOB bit — runs on LOCAL copies of
+        the reader's accumulator state, synced back on exit.  The bit
+        sequence consumed is identical to the method-call version
+        (same refill and pad rules), so accepted streams decode
+        bit-identically and padding consumption raises the same
+        EOFError."""
         p1 = 1 << al
         m1 = -p1
         k = ss
-        if eobrun == 0:
-            while k <= se:
-                rs = huff_decode(br, act)
-                r, s = rs >> 4, rs & 0x0F
-                sval = 0
-                if s == 0:
-                    if r != 15:
-                        eobrun = 1 << r
-                        if r:
-                            eobrun += br.receive(r)
-                        break
-                    # r == 15 (ZRL): skip 16 zero-history positions
-                else:
-                    if s != 1:
-                        return None
-                    sval = p1 if br.read_bit() else m1
+        lut, longd = act
+        # local mirror of _JpegBits state (peek/skip/receive inlined)
+        acc = br.acc
+        nacc = br.nacc
+        pad = br.pad
+        buf = br.buf
+        blen = br.buflen
+        bp = br.bytepos
+        try:
+            if eobrun == 0:
                 while k <= se:
-                    c = int(blk[k])
-                    if c != 0:
-                        if br.read_bit() and (c & p1) == 0:
-                            blk[k] = c + (p1 if c >= 0 else m1)
+                    # --- inlined huff_decode (two-level DHT table) ---
+                    while nacc < 16:
+                        if bp < blen:
+                            acc = (acc << 8) | buf[bp]
+                            bp += 1
+                        else:
+                            acc <<= 8
+                            pad += 8
+                        nacc += 8
+                    e = lut[(acc >> (nacc - 8)) & 0xFF]
+                    if e >= 0:
+                        ln = e & 15
+                        rs = e >> 4
                     else:
-                        if r == 0:
-                            if sval:
-                                blk[k] = sval
-                            k += 1
+                        code = (acc >> (nacc - 16)) & 0xFFFF
+                        for ln in range(9, 17):
+                            rs = longd.get((ln, code >> (16 - ln)))
+                            if rs is not None:
+                                break
+                        else:
+                            raise EOFError  # not a valid code
+                    nacc -= ln
+                    acc &= (1 << nacc) - 1
+                    if nacc < pad:
+                        raise EOFError
+                    r, s = rs >> 4, rs & 0x0F
+                    sval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                while nacc < r:
+                                    if bp < blen:
+                                        acc = (acc << 8) | buf[bp]
+                                        bp += 1
+                                    else:
+                                        acc <<= 8
+                                        pad += 8
+                                    nacc += 8
+                                nacc -= r
+                                eobrun += acc >> nacc
+                                acc &= (1 << nacc) - 1
+                                if nacc < pad:
+                                    raise EOFError
                             break
-                        r -= 1
-                    k += 1
-        if eobrun > 0:
-            while k <= se:
-                c = int(blk[k])
-                if c != 0:
-                    if br.read_bit() and (c & p1) == 0:
-                        blk[k] = c + (p1 if c >= 0 else m1)
-                k += 1
-            eobrun -= 1
-        return eobrun
+                        # r == 15 (ZRL): skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            return None
+                        if not nacc:
+                            if bp < blen:
+                                acc = buf[bp]
+                                bp += 1
+                            else:
+                                pad += 8
+                            nacc = 8
+                        nacc -= 1
+                        sval = p1 if (acc >> nacc) & 1 else m1
+                        acc &= (1 << nacc) - 1
+                        if nacc < pad:
+                            raise EOFError
+                    while k <= se:
+                        c = blk[k]
+                        if c != 0:
+                            # a RUN of consecutive nonzero-history
+                            # coefficients consumes one correction bit
+                            # each, unconditionally — count it from the
+                            # block alone, pull the bits in one refill
+                            j = k + 1
+                            while j <= se and blk[j] != 0:
+                                j += 1
+                            nb = j - k
+                            while nacc < nb:
+                                if bp < blen:
+                                    acc = (acc << 8) | buf[bp]
+                                    bp += 1
+                                else:
+                                    acc <<= 8
+                                    pad += 8
+                                nacc += 8
+                            nacc -= nb
+                            bits = acc >> nacc
+                            acc &= (1 << nacc) - 1
+                            if nacc < pad:
+                                raise EOFError
+                            i = nb - 1
+                            while k < j:
+                                if (bits >> i) & 1:
+                                    c = blk[k]
+                                    if (c & p1) == 0:
+                                        blk[k] = c + (p1 if c >= 0
+                                                      else m1)
+                                i -= 1
+                                k += 1
+                        else:
+                            if r == 0:
+                                if sval:
+                                    blk[k] = sval
+                                k += 1
+                                break
+                            r -= 1
+                            k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        j = k + 1
+                        while j <= se and blk[j] != 0:
+                            j += 1
+                        nb = j - k
+                        while nacc < nb:
+                            if bp < blen:
+                                acc = (acc << 8) | buf[bp]
+                                bp += 1
+                            else:
+                                acc <<= 8
+                                pad += 8
+                            nacc += 8
+                        nacc -= nb
+                        bits = acc >> nacc
+                        acc &= (1 << nacc) - 1
+                        if nacc < pad:
+                            raise EOFError
+                        i = nb - 1
+                        while k < j:
+                            if (bits >> i) & 1:
+                                c = blk[k]
+                                if (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            i -= 1
+                            k += 1
+                    else:
+                        k += 1
+                eobrun -= 1
+            return eobrun
+        finally:
+            br.acc = acc
+            br.nacc = nacc
+            br.pad = pad
+            br.bytepos = bp
 
     def decode_progressive(p, h, w, comps, qt, scans):
         """Run every progressive scan against zigzag-order coefficient
@@ -1120,22 +1305,25 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                 act = act_s[ta]
                 cw, chh = cdims[idx]
                 carr = coefs[idx]
+                # scalar loops run on Python lists (numpy element
+                # access is ~10x a list index); the WHOLE plane
+                # converts in one C-level tolist per scan and writes
+                # back once — round-11 converted per block, which cost
+                # a numpy round-trip per (block, scan)
+                ncols = carr.shape[1]
+                blocks = carr.reshape(-1, 64).tolist()
                 done = 0
                 for by in range(chh):
+                    row = by * ncols
                     for bx in range(cw):
                         if dri and done and done % dri == 0:
                             if not br.restart():
                                 return None
                             eobrun = 0
-                        # scalar loops run on a Python list (numpy
-                        # element access is ~10x a list index); blocks
-                        # fully skipped by an EOB run are never
-                        # converted at all
                         if ah == 0 and eobrun > 0:
                             eobrun -= 1
                         else:
-                            blk_np = carr[by, bx]
-                            blk = blk_np.tolist()
+                            blk = blocks[row + bx]
                             if ah == 0:
                                 eobrun = ac_first(
                                     br, act, blk, ss, se, al, 0)
@@ -1144,8 +1332,9 @@ def _make_jpeg_pixel_decoder() -> Callable[[bytes], dict | None]:
                                     br, act, blk, ss, se, al, eobrun)
                             if eobrun is None:
                                 return None
-                            blk_np[:] = blk
                         done += 1
+                carr[:] = np.asarray(
+                    blocks, dtype=np.int32).reshape(carr.shape)
         planes = []
         zz = np.array(ZIGZAG)
         for i, (cid, ch, cv, tq) in enumerate(comps):
