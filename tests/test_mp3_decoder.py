@@ -1617,3 +1617,47 @@ def test_l3_intensity_illegal_is_pos_rejected():
         assert decode_mp3_samples(stream) is not None
     finally:
         M.clear_l3_tables()
+
+
+def test_l3_oversized_injected_table_falls_back():
+    """Injected Huffman tables with codewords past the 56-bit LUT
+    window must route through the original per-bit walk and still
+    decode exactly — the LUT build marks them None, not an error."""
+    from whisper_spark.operators.mp3 import (
+        _make_mp3_sample_decoder, clear_l3_tables, set_l3_tables)
+
+    tabs = _l3_test_tables()
+    # sparse giant-codeword table: pair (1, 0) at 60 bits (forces the
+    # per-bit fallback for the whole table), everything else 9 bits so
+    # no entry lands in the first-level window either
+    big = {(60, 1): (1, 0)}
+    code = 2
+    for x in range(16):
+        for y in range(16):
+            if (x, y) == (1, 0):
+                continue
+            big[(9, code)] = (x, y)
+            code += 1
+    tabs["huffman"] = {1: (big, 0), 2: (dict(big), 3)}
+    set_l3_tables(**tabs)
+    try:
+        dec = _make_mp3_sample_decoder()
+        sp = [0] * 576
+        sp[0], sp[1] = 1, 0     # encodes as the 60-bit codeword
+        sp[2], sp[3] = -2, 3
+        g = _g(spectrum=sp, big_values=2, table_select=(1, 1, 1),
+               scalefac_compress=0)
+        # the frame assembler encodes with whatever _l3_test_tables()
+        # returns — point it at the injected tables
+        frames = [[[g], [_g()]]]
+        orig = _l3_test_tables
+        try:
+            globals()["_l3_test_tables"] = lambda: tabs
+            payload = _l3_encode_frames(frames, mode=3, bidx=14)
+        finally:
+            globals()["_l3_test_tables"] = orig
+        got = dec(payload * 2)
+        assert got is not None and got["n_samples"] == 2 * 1152
+        assert got["s_sq_sum"] > 0  # the spectrum actually decoded
+    finally:
+        clear_l3_tables()

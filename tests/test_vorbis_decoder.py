@@ -1264,3 +1264,67 @@ def test_bos_scan_crc_verified():
     first_len = len(pages[0])
     corrupt2[first_len + 28 + 2] ^= 0x01
     assert _select_vorbis_serial(bytes(corrupt2)) is None
+
+
+def test_render_line_closed_form_matches_loop():
+    """The vectorized floor render_line must equal the spec's integer
+    err-accumulation walk for every slope shape (steep/shallow, up/
+    down, clipped by n2)."""
+    from whisper_spark.operators.vorbis import _render_line
+
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        x0 = int(rng.integers(0, 50))
+        x1 = x0 + int(rng.integers(1, 80))
+        y0 = int(rng.integers(0, 256))
+        y1 = int(rng.integers(0, 256))
+        n2 = int(rng.integers(1, 100))
+        got = np.zeros(n2, dtype=np.int64)
+        _render_line(x0, y0, x1, y1, got, n2)
+        # reference loop (the spec walk the old code ran)
+        want = np.zeros(n2, dtype=np.int64)
+        dy = y1 - y0
+        adx = x1 - x0
+        base = dy // adx if dy >= 0 else -((-dy) // adx)
+        ady = abs(dy) - abs(base) * adx
+        sy = base - 1 if dy < 0 else base + 1
+        y, err = y0, 0
+        if 0 <= x0 < n2:
+            want[x0] = y0
+        for x in range(x0 + 1, min(x1, n2)):
+            err += ady
+            if err >= adx:
+                err -= adx
+                y += sy
+            else:
+                y += base
+            want[x] = y
+        assert np.array_equal(got, want), (x0, y0, x1, y1, n2)
+
+
+def test_codebook_second_level_lut():
+    """Codewords of length 9..16 must resolve through the second-level
+    LUT identically to the per-bit tree walk (and >16-bit codes must
+    still fall back to the walk)."""
+    from whisper_spark.operators.vorbis import (
+        BitReader, Codebook, _assign_codewords)
+
+    lens = [3] * 4 + [10] * 40 + [14] * 100 + [18] * 3
+    codes = _assign_codewords(lens)
+    cb = Codebook(4, len(lens), codes, None)
+    cb_ref = Codebook(4, len(lens), codes, None)
+    cb_ref.lut = [-1] * 256   # force the per-bit walk
+    cb_ref.lut2 = {}
+    rng = np.random.default_rng(9)
+    by_entry = {e: (ln, c) for (ln, c), e in codes.items()}
+    entries = [int(e) for e in rng.integers(0, len(lens), 500)]
+    bw = BitW()
+    for e in entries:
+        ln, c = by_entry[e]
+        bw.wbits_msb(c, ln)
+    data = bw.bytes()
+    br1, br2 = BitReader(data), BitReader(data)
+    for e in entries:
+        assert cb.decode_scalar(br1) == e
+        assert cb_ref.decode_scalar(br2) == e
+        assert br1.pos == br2.pos
