@@ -2697,6 +2697,29 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
             self.pos = end
             return bits.astype(np.int64) @ w
 
+    # Per-param 16-bit rice LUTs (round-12, the JPEG/MP3/Vorbis table
+    # discipline): lut[peek16] packs ((value + 2^17) << 5 | code_len)
+    # for every rice code of length q+1+param <= 16; -1 = the '1' stop
+    # bit lies past the window (long zero run) -> per-bit fallback.
+    # Built lazily per param actually seen (numpy, ~1 ms), cached for
+    # the decoder's lifetime; params >= 14 (near-raw rice, rare) skip
+    # the table entirely.
+    _RICE_OFF = 1 << 17
+    _RICE_LUTS: dict = {}
+
+    def _rice_lut(k: int) -> list:
+        import numpy as np
+
+        lut = np.full(1 << 16, -1, dtype=np.int64)
+        for q in range(0, 16 - k):
+            lo = 1 << (15 - q)
+            vs = np.arange(lo, lo << 1, dtype=np.int64)
+            r = (vs >> (15 - q - k)) & ((1 << k) - 1)
+            u = (q << k) | r
+            val = (u >> 1) ^ -(u & 1)
+            lut[vs] = ((val + _RICE_OFF) << 5) | (q + 1 + k)
+        return lut.tolist()
+
     # FIXED-predictor coefficients per order — [1], [2,-1], [3,-3,1],
     # [4,-6,4,-1] — are written out as specialized rolling-local
     # recurrences in _subframe below
@@ -2754,7 +2777,28 @@ def _make_flac_sample_decoder() -> Callable[[bytes], dict | None]:
                         app(v)
                 else:
                     mask = (1 << param) - 1
+                    lut = None
+                    if param < 14:
+                        lut = _RICE_LUTS.get(param)
+                        if lut is None:
+                            lut = _RICE_LUTS[param] = _rice_lut(param)
+                    from_bytes = int.from_bytes
                     for _ in range(cnt):
+                        if lut is not None and pos + 16 <= limit:
+                            # 16-bit peek through the per-param table:
+                            # a hit consumes <= 16 bits, so it can
+                            # never cross ``limit`` — EOF semantics
+                            # live entirely on the fallback path
+                            b0 = pos >> 3
+                            e3 = (pos + 23) >> 3
+                            pk = (from_bytes(d[b0:e3], "big")
+                                  >> (((e3 - b0) << 3) - (pos & 7)
+                                      - 16)) & 0xFFFF
+                            e = lut[pk]
+                            if e >= 0:
+                                pos += e & 31
+                                app((e >> 5) - _RICE_OFF)
+                                continue
                         q = 0
                         while True:
                             if pos >= limit:
