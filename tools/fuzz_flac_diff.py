@@ -47,7 +47,6 @@ def main():
     sam = [int(v) for v in
            np.clip(np.cumsum(rng_np.randint(-80, 81, 256)),
                    -32768, 32767)]
-    lpc = (T._flac([[sam]], 16)[:42] and None)  # placeholder
     left = [int(v) for v in
             np.clip(np.cumsum(rng_np.randint(-60, 61, 256)),
                     -32768, 32767)]
