@@ -3853,3 +3853,37 @@ def test_tiff_lzw_large_strip_linear_time():
     assert got is not None and got["px_sum"] == sum(data)
     assert got["pixels"].reshape(-1).tolist() == list(data)
     assert dt < 1.0, f"large-strip LZW decode took {dt:.2f}s — quadratic?"
+
+
+def test_cdc_chunks_reassemble_and_share(spark):
+    """Content-defined chunking invariants: (1) chunks concatenate
+    back to the document; (2) a long run shared by two documents at
+    DIFFERENT offsets yields common interior chunks — the property
+    fixed-size blocking lacks; (3) a document shorter than the window
+    is one whole-document chunk."""
+    from whisper_spark.operators.dedup import cdc_chunks, cdc_shared_chunks
+
+    rng = __import__("random").Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    shared = "".join(rng.choice(alpha) for _ in range(400))
+    pre_a = "".join(rng.choice(alpha) for _ in range(53))
+    pre_b = "".join(rng.choice(alpha) for _ in range(211))
+    docs = spark.createDataFrame(
+        [(1, pre_a + shared), (2, pre_b + shared), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    assert "".join(by_doc[1]) == pre_a + shared
+    assert "".join(by_doc[2]) == pre_b + shared
+    assert by_doc[3] == ["tiny"]  # < window: single tail chunk
+    # interior chunks of the shared run coincide despite the offset
+    # difference (the first boundary inside `shared` resynchronizes
+    # both documents onto identical cut points)
+    common = set(by_doc[1]) & set(by_doc[2])
+    assert any(len(c) >= 16 and c in shared for c in common), common
+    sh = {r["chunk_md5"]: r for r in cdc_shared_chunks(docs).collect()}
+    assert sh, "no shared chunks found"
+    assert all(r["n_docs"] == 2 for r in sh.values())

@@ -845,3 +845,100 @@ def minhash_bands_fast_expr(
         f"IF(size(ws) >= 1, array({band_structs}), "
         "CAST(array() AS array<struct<band_id:int,band_sig:string>>))))))"
     )
+
+
+# --------------------------------------------------------------------- #
+# content-defined chunking (round 12)
+# --------------------------------------------------------------------- #
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    a rolling window hash lands on a boundary mask — the rsync / LBFS /
+    FastCDC dedup shape (a shared run of text produces the SAME chunks
+    in every document containing it, regardless of its offset, which
+    fixed-size blocks cannot do).
+
+    Boundary rule: position ``i`` (1-based, i >= window) ends a chunk
+    iff ``H(text[i-window+1 .. i]) % mask == 0`` where ``H`` is the
+    integer value of the first two hex digits of md5 of the window —
+    a designed substitute for the published Gear/Rabin tables (repo
+    policy: machinery over transcribed constants), identical in Spark
+    and DuckDB so oracle comparison is exact.  The document tail is
+    always a final chunk.  Average chunk length ~= ``mask`` with
+    geometric spread, exactly like Rabin CDC.
+
+    Everything is JVM column expressions (one md5 per position via a
+    HOF transform — no Python in the path); rows are independent, so
+    the stage is embarrassingly parallel at any corpus size.
+
+    Output: (id_col, chunk_idx, chunk) — one row per chunk, exploded.
+    """
+    if window < 1 or mask < 1:
+        raise ValueError("window and mask must be positive")
+    t = text_col
+    bounds = (
+        f"transform(filter(transform(sequence({window}, length({t})), "
+        f"i -> named_struct('i', i, 'h', "
+        f"cast(conv(substring(md5(substring({t}, i - {window - 1}, "
+        f"{window})), 1, 2), 16, 10) as int))), "
+        f"s -> s.h % {mask} = 0), s -> s.i)"
+    )
+    ends = (
+        f"CASE WHEN size(_b) = 0 OR element_at(_b, -1) <> length({t}) "
+        f"THEN concat(_b, array(length({t}))) ELSE _b END"
+    )
+    chunks = (
+        "transform(sequence(1, size(_e)), k -> substring("
+        f"{t}, CASE WHEN k = 1 THEN 1 ELSE element_at(_e, k - 1) + 1 END, "
+        "element_at(_e, k) - CASE WHEN k = 1 THEN 0 "
+        "ELSE element_at(_e, k - 1) END))"
+    )
+    return (
+        docs.filter(F.col(t).isNotNull() & (F.length(t) >= 1))
+        .withColumn("_b", F.expr(bounds))
+        .withColumn("_e", F.expr(ends))
+        .select(
+            id_col,
+            F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk"),
+        )
+    )
+
+
+def cdc_shared_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask: int = 64,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Chunk-level dedup over :func:`cdc_chunks`: the chunks appearing
+    in at least ``min_docs`` DISTINCT documents (the storage/transfer
+    savings a CDC system would dedupe), with occurrence counts.  One
+    hash-shuffle on the chunk value; identity is the md5 of the chunk
+    so the output stays narrow whatever the chunk sizes.
+
+    Output: (chunk_md5, chunk_len, n_docs, n_occ).
+    """
+    ch = cdc_chunks(docs, text_col, id_col, window, mask)
+    return (
+        ch.groupBy("chunk")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").alias("chunk_len"),
+            "n_docs",
+            "n_occ",
+        )
+    )

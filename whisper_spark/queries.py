@@ -11020,6 +11020,64 @@ def q_doc_substring_dup_pairs(spark, sf_dir):
 
 
 @_q(
+    "doc_cdc_chunk_dedup",
+    """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 1
+),
+b AS (
+  SELECT doc_id, text,
+         list_transform(
+           list_filter(
+             list_transform(generate_series(16, length(text)),
+               i -> struct_pack(i := i,
+                 h := ('0x' || substring(md5(substring(text, i - 15, 16)),
+                                         1, 2))::INT)),
+             s -> s.h % 64 = 0),
+           s -> s.i) AS bl
+  FROM d
+),
+e AS (
+  SELECT doc_id, text,
+         CASE WHEN len(bl) = 0 OR bl[-1] <> length(text)
+              THEN list_append(bl, length(text)) ELSE bl END AS el
+  FROM b
+),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(el)),
+           k -> substring(text,
+                CASE WHEN k = 1 THEN 1 ELSE el[k - 1] + 1 END,
+                el[k] - CASE WHEN k = 1 THEN 0 ELSE el[k - 1] END)))
+           AS chunk
+  FROM e
+)
+SELECT md5(chunk) AS chunk_md5,
+       CAST(length(chunk) AS INT) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occ
+FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+""",
+    doc="content-defined chunk dedup (the rsync/LBFS/FastCDC shape): "
+    "each document splits at positions where a 16-char rolling window "
+    "hash lands on a 1-in-64 boundary mask, so shared text yields the "
+    "SAME chunks at any offset; chunks in >= 2 distinct documents are "
+    "the dedupable storage a CDC system saves.  The window hash is the "
+    "first two md5 hex digits (designed substitute for Gear/Rabin "
+    "tables, identical in both engines); the whole path is JVM column "
+    "expressions — per-doc chunking is embarrassingly parallel and the "
+    "dedup is one hash shuffle on the chunk (operators/dedup.py "
+    "cdc_chunks / cdc_shared_chunks)",
+)
+def q_doc_cdc_chunk_dedup(spark, sf_dir):
+    from .operators.dedup import cdc_shared_chunks
+
+    d = load(spark, sf_dir, "documents")
+    return cdc_shared_chunks(d, window=16, mask=64, min_docs=2)
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
