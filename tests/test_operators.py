@@ -3887,3 +3887,44 @@ def test_cdc_chunks_reassemble_and_share(spark):
     sh = {r["chunk_md5"]: r for r in cdc_shared_chunks(docs).collect()}
     assert sh, "no shared chunks found"
     assert all(r["n_docs"] == 2 for r in sh.values())
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    """CDC boundary semantics pinned against an independent per-doc
+    Python reference (hashlib md5 over each 16-char window, 1-in-64
+    mask, tail chunk) on random texts across the length spectrum."""
+    import hashlib
+    import random as _random
+
+    from whisper_spark.operators.dedup import cdc_chunks
+
+    def ref_chunks(text, window=16, mask=64):
+        ends = [
+            i for i in range(window, len(text) + 1)
+            if int(hashlib.md5(
+                text[i - window:i].encode()).hexdigest()[:2], 16)
+            % mask == 0
+        ]
+        if not ends or ends[-1] != len(text):
+            ends.append(len(text))
+        out, start = [], 0
+        for e in ends:
+            out.append(text[start:e])
+            start = e
+        return out
+
+    rng = _random.Random(123)
+    alpha = "abcdefghij KLMNOP.,!?0123456789"
+    rows = [
+        (i, "".join(rng.choice(alpha)
+                    for _ in range(rng.choice([1, 7, 16, 17, 64, 300,
+                                               1000]))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    for i, text in rows:
+        assert by_doc[i] == ref_chunks(text), (i, len(text))
