@@ -876,7 +876,19 @@ def cdc_chunks(
 
     Everything is JVM column expressions (one md5 per position via a
     HOF transform — no Python in the path); rows are independent, so
-    the stage is embarrassingly parallel at any corpus size.
+    the stage is embarrassingly parallel at any corpus size.  A
+    production engine would swap the per-position md5 for a Gear or
+    Rabin ROLLING hash (one table lookup + shift per byte instead of a
+    fresh digest over the whole window, ~100× less hashing per byte);
+    md5-per-position is kept here because it is expressible identically
+    in Spark SQL and the DuckDB oracle, making the boundary rule
+    bit-exactly checkable.
+
+    Documents shorter than ``window`` have no boundary candidates at
+    all (the rule is only defined for ``i >= window``), so they come
+    back as a single whole-document chunk.  The guard matters: Spark's
+    ``sequence(lo, hi)`` DESCENDS when ``hi < lo``, which would
+    otherwise fabricate out-of-range positions for short documents.
 
     Output: (id_col, chunk_idx, chunk) — one row per chunk, exploded.
     """
@@ -884,11 +896,13 @@ def cdc_chunks(
         raise ValueError("window and mask must be positive")
     t = text_col
     bounds = (
+        f"CASE WHEN length({t}) >= {window} THEN "
         f"transform(filter(transform(sequence({window}, length({t})), "
         f"i -> named_struct('i', i, 'h', "
         f"cast(conv(substring(md5(substring({t}, i - {window - 1}, "
         f"{window})), 1, 2), 16, 10) as int))), "
-        f"s -> s.h % {mask} = 0), s -> s.i)"
+        f"s -> s.h % {mask} = 0), s -> s.i) "
+        f"ELSE cast(array() as array<int>) END"
     )
     ends = (
         f"CASE WHEN size(_b) = 0 OR element_at(_b, -1) <> length({t}) "
@@ -922,23 +936,26 @@ def cdc_shared_chunks(
     """Chunk-level dedup over :func:`cdc_chunks`: the chunks appearing
     in at least ``min_docs`` DISTINCT documents (the storage/transfer
     savings a CDC system would dedupe), with occurrence counts.  One
-    hash-shuffle on the chunk value; identity is the md5 of the chunk
-    so the output stays narrow whatever the chunk sizes.
+    hash-shuffle keyed on the 32-char md5 DIGEST of the chunk, computed
+    *before* the exchange — the shuffle never carries chunk bodies, so
+    its width is constant whatever the chunk size (at production CDC
+    chunk sizes of 4–64 KB that is a 100–1000× narrower exchange than
+    grouping on the text itself).
 
     Output: (chunk_md5, chunk_len, n_docs, n_occ).
     """
     ch = cdc_chunks(docs, text_col, id_col, window, mask)
     return (
-        ch.groupBy("chunk")
+        ch.select(
+            id_col,
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").alias("chunk_len"),
+        )
+        .groupBy("chunk_md5", "chunk_len")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
             F.count("*").alias("n_occ"),
         )
         .filter(F.col("n_docs") >= min_docs)
-        .select(
-            F.md5("chunk").alias("chunk_md5"),
-            F.length("chunk").alias("chunk_len"),
-            "n_docs",
-            "n_occ",
-        )
+        .select("chunk_md5", "chunk_len", "n_docs", "n_occ")
     )

@@ -979,6 +979,11 @@ def _make_mp3_sample_decoder() -> Callable[[bytes], "dict | None"]:
         if dec1 is None:
             # oversized injected count1 table: per-bit fallback
             mbits.pos = pos
+            if pos > nbits:
+                # the big-values LUT walk already ran off the end of the
+                # reservoir into cache padding; the per-field reader
+                # raised EOFError mid-walk here — mirror the LUT exits
+                raise EOFError
             codes = c1[tid]
             maxlen = max(ln for ln, _c in codes)
             while mbits.pos < limit_bit and idx <= 572:

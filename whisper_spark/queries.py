@@ -12888,85 +12888,71 @@ def q_ws_wsp_fleet_migrate(spark, sf_dir):
 
 # --------------------------------------------------------------------- #
 # registration order: the driver's correctness sweep checks only the
-# FIRST 50 registered queries, so the newest flagship machinery (the
-# sequential recurrences, the stateful streaming op, the target-language
-# gate, the real media decode) is pulled inside that hard-signal window,
-# displacing the most commoditized TPC-H shapes — which remain fully
-# checked by tools/check_correctness.py's full sweep (every registered
-# pair; INVENTORY.md carries the auto-derived current count).
+# FIRST 50 registered queries.  Round 13 is the ROTATION round (judge
+# task 1, round 12): 94 of 217 registered queries had never received a
+# driver-green row, so the window is now an EXPLICIT 50-name list —
+# ~11 permanent sentinels (the whisper-core store rows, the TPC-H
+# representative, one streaming rollup, the decode-throughput oracle)
+# plus 39 first-time promotions drawn from the never-driver-checked
+# backlog, taken as WHOLE FAMILIES (all 24 render-analog ws_* series
+# ops, all 5 remaining ws_render_target_* gates, all 8 never-checked
+# stream_* rows, the .wsp fleet migration, and the new CDC chunk
+# dedup).  Everything rotated OUT stays oracle-checked every CI run
+# via tests/test_demoted_window.py and the full
+# tools/check_correctness.py sweep (every registered pair;
+# INVENTORY.md carries the auto-derived current count).  Round 14
+# mirrors this rotation with the remaining ~55 never-checked ev_* /
+# emb_* / doc_* / mm_* / q_* rows.
 # --------------------------------------------------------------------- #
 
-_DRIVER_WINDOW_PROMOTE = [
-    "ws_render_target",
-    "doc_substring_dup_pairs",
-    "doc_incremental_dedup",
-    # round-5 rotation: the round-4 flagships (the v2 curation
-    # pipeline, the PQ recall gate, the streaming max rollup) entered
-    # the driver window; their round-7 demotions (slot-LWW state,
-    # seasonal/CUSUM, SemDeDup) moved to the DEMOTE list below
-    "doc_curation_pipeline_v2", "emb_pq_recall", "stream_rollup_1m_max",
-    # round-6 rotation: the round-5 flagships enter the driver window —
-    # the composed chained streaming render path, the carbon-aggregator
-    # rule engine, the trained-IVF recall gate, and the two chained
-    # multi-stateful render ports (judge task 3, round 6)
-    "stream_render_composed", "stream_carbon_aggregator",
-    # round-7 flagships that stay: the decode-throughput gate (bench
-    # headline, whose harness warmup changed in round 11 — keep its
-    # oracle in-window) and the round-6 post-freeze pie-mode reducers
-    "mm_decode_throughput", "ws_render_pie",
-    # round-7 second wave: real VIDEO frame decode (AVI/MJPEG, every
-    # frame through the stdlib JPEG pipeline)
-    "mm_decode_mjpeg_frames",
-    # round-10 flagship: full Ogg Vorbis sample decode (CRC page walk,
-    # codebooks/floor1/residue/mode parse, window/overlap-add, granule
-    # trim) on 42 distinct synthesized silence streams
-    "mm_decode_vorbis_samples",
-    # round-10 second flagship: the pure-Python BINARY .rrd reader's
-    # round-trip gate (both byte orders, every ring rotation, version
-    # 0001 + 0003, decoy MAX RRA)
-    "ws_rrd_roundtrip",
-    # round-10 third wave: image RESIZE (bilinear, exact-quarter 2x
-    # weights, per-image output dims), WAV format coverage (G.711
-    # mu/A-law expansion, float32 on the Q15 grid, 24-bit PCM), and
-    # perceptual image near-dup (average-hash + banded Hamming, exact
-    # recall on whole-row bit structure)
-    "mm_resize_bilinear_2x", "mm_decode_wav_formats", "mm_image_neardup",
-    # round-10 fourth wave: TIFF pixel decode (IFD walk, strips, LZW
-    # early-change + PackBits round-tripped in tests; the driver gate
-    # runs the uncompressed leg on JVM-synthesized containers), netpbm
-    # P6, and the AIFF/Sun-au container gate (float80 rate, big-endian
-    # PCM, G.711 + Q15 float in SQL)
-    "mm_decode_tiff_pixels", "mm_decode_pnm_pixels",
-    "mm_decode_audio_containers",
-    # round-11 rotation: eight NEVER-driver-checked queries enter the
-    # window (judge task 3, round 10), spanning the text-analysis
-    # (winnowing fingerprints, bloom membership, contamination),
-    # events (markov transitions, funnel), embeddings (IVF-PQ recall),
-    # whisper-series analytics (MAD anomaly) and stateful-streaming
-    # (sessionize) families — displacing eight mm_decode_* rows that
-    # were driver-confirmed green in FOUR consecutive windows (r7-r10)
-    "doc_winnowing_fp", "doc_bloom_membership", "ev_markov_transitions",
-    "emb_ivfpq_recall", "stream_sessionize", "doc_contamination",
-    "ws_anomaly_mad", "ev_funnel",
-    # round-12 rotation, part 1: eight more NEVER-driver-checked
-    # queries (judge task 2, round 11) spanning machinery with no
-    # prior driver row — graphite 1.1 tag-expression targets,
-    # materialized-rollup routing (plans/routing.py), streaming exact
-    # dedup + sliding windows, metadata-filtered ANN, the KMV distinct
-    # sketch, video frame sampling, and the closed-form OLS recurrence
-    "ws_render_target_tags", "ws_route_aggregate_1h_max",
-    "stream_dedup", "stream_sliding_5m_1m", "emb_filtered_topk",
-    "ev_distinct_users_kmv", "mm_frame_sample", "ws_linear_regression",
-    # round-12 rotation, part 2 (round-11 ADVICE, medium): the five
-    # decode gates whose hot paths were rewritten in round 11 (PNG
-    # filters, GIF LZW, FLAC rice/LPC, MP3, progressive JPEG) —
-    # demoted in r11's rotation the same round their decoders changed
-    # — return to the window; MP3 / progressive-JPEG / Vorbis paths
-    # are rewritten again THIS round (round-11 verdict tasks 3/6/7),
-    # so their gates stay driver-checked while the code is hot
-    "mm_decode_pixels", "mm_decode_gif_pixels", "mm_decode_flac_pcm",
-    "mm_decode_mp3_samples", "mm_decode_jpeg_progressive",
+_DRIVER_WINDOW_SENTINELS = [
+    # permanent canaries: the whisper-core write/rollup/fetch/merge/
+    # fill/diff surface (the reference's §2 heart), the TPC-H
+    # representative, the streaming-rollup representative, and the
+    # bench-headline decode oracle — these stay in EVERY window so a
+    # regression in the core engine is always a driver-visible event
+    "ws_lww_seconds", "ws_rollup_1m_avg", "ws_rollup_5m_methods",
+    "ws_fetch_dense_30m", "ws_archive_selection", "ws_merge_overwrite_1m",
+    "ws_fill_gaps_1m", "ws_diff_1m",
+    "q1_pricing_summary", "stream_rollup_1m_max", "mm_decode_throughput",
 ]
+
+_DRIVER_WINDOW_PROMOTE_R13 = [
+    # the full render-analog series-operator family (zero prior driver
+    # rows as a family): summarize/consolidate, moving stats,
+    # derivative/integral, combining, filtering/clamping, top-k ranks,
+    # interpolation, forecast, heatmap/seasonal reshaping, plus the
+    # storage-cost report and the xff sensitivity sweep (which also
+    # stands in for the demoted ws_rollup_1h_xff sentinel)
+    "ws_summarize_15m", "ws_moving_avg_5", "ws_derivative_1m",
+    "ws_keep_last_6h", "ws_integral_2h", "ws_sum_series",
+    "ws_as_percent", "ws_time_shift_1h", "ws_percentile_series_p50",
+    "ws_highest_avg_top2", "ws_sort_by_total_top3", "ws_stdev_moving_10",
+    "ws_hitcount_10m", "ws_remove_above_p90", "ws_scale_clamp",
+    "ws_series_combine", "ws_consolidate_800", "ws_interpolate_6h",
+    "ws_moving_avg_1h_range", "ws_holt_linear", "ws_storage_report",
+    "ws_xff_sensitivity", "ws_value_heatmap", "ws_seasonal_profile",
+    # the five remaining ws_render_target_* gates (target-language
+    # dispatch through ratio/filter/topk/window/group pipelines)
+    "ws_render_target_ratio", "ws_render_target_filter",
+    "ws_render_target_topk", "ws_render_target_window",
+    "ws_render_target_group",
+    # every never-checked streaming row: the streamed render ports
+    # (summarize/hitcount/percentile), the stream-stream attribution
+    # join, the KMV distinct sketch under watermarked windows, the
+    # xff-gated min rollup, and the two top-k rankers
+    "stream_render_summarize", "stream_render_hitcount",
+    "stream_render_percentile", "stream_attribution_join",
+    "stream_hourly_users_kmv", "stream_rollup_5m_min_xff",
+    "stream_top_metric_1m", "stream_top_metrics",
+    # bench-gated but never correctness-windowed; and this round's
+    # short-doc-guard + digest-keyed-shuffle CDC fix
+    "ws_wsp_fleet_migrate", "doc_cdc_chunk_dedup",
+]
+
+# the explicit driver window: exactly the first 50 registered names
+_DRIVER_WINDOW = _DRIVER_WINDOW_SENTINELS + _DRIVER_WINDOW_PROMOTE_R13
+
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
     "q2_min_cost_supplier", "q11_important_stock", "q20_part_promotion",
@@ -13056,19 +13042,48 @@ _DRIVER_WINDOW_DEMOTE = [
     "stream_render_nonneg_derivative", "stream_render_ewma",
     "stream_holt_linear", "stream_render_integral_by_interval",
     "doc_bpe_merges", "doc_pii_redact", "emb_ivf_recall_trained",
+    # round-13 rotation: the 40 rows rotated out to make room for the
+    # 39 first-time promotions — every one of them driver-confirmed
+    # green in the r12 window (most in several consecutive windows),
+    # so the expected information loss is minimal while the backlog
+    # of never-checked queries shrinks by 39.  Coverage contract
+    # unchanged: every name below is oracle-checked EVERY CI run by
+    # tests/test_demoted_window.py and by the full sweep.
+    "ws_rollup_1h_xff", "ws_fetch_drop_nulls_6h", "ws_render_target",
+    "doc_substring_dup_pairs", "doc_incremental_dedup",
+    "doc_curation_pipeline_v2", "emb_pq_recall",
+    "stream_render_composed", "stream_carbon_aggregator",
+    "ws_render_pie", "mm_decode_mjpeg_frames", "mm_decode_vorbis_samples",
+    "ws_rrd_roundtrip", "mm_resize_bilinear_2x", "mm_decode_wav_formats",
+    "mm_image_neardup", "mm_decode_tiff_pixels", "mm_decode_pnm_pixels",
+    "mm_decode_audio_containers", "doc_winnowing_fp",
+    "doc_bloom_membership", "ev_markov_transitions", "emb_ivfpq_recall",
+    "stream_sessionize", "doc_contamination", "ws_anomaly_mad",
+    "ev_funnel", "ws_render_target_tags", "ws_route_aggregate_1h_max",
+    "stream_dedup", "stream_sliding_5m_1m", "emb_filtered_topk",
+    "ev_distinct_users_kmv", "mm_frame_sample", "ws_linear_regression",
+    "mm_decode_pixels", "mm_decode_gif_pixels", "mm_decode_flac_pcm",
+    "mm_decode_mp3_samples", "mm_decode_jpeg_progressive",
 ]
 
 
 def _reorder_registry() -> None:
+    """Pin the driver's 50-query correctness window to the EXPLICIT
+    `_DRIVER_WINDOW` list: those names register first (in list order),
+    then everything else in natural registration order, with the
+    `_DRIVER_WINDOW_DEMOTE` history at the back.  The window being a
+    literal list (rather than a promote/demote splice over implicit
+    registration order) means a registry edit can never silently
+    change what the driver checks — tests/test_driver_window.py pins
+    the composition."""
     global QUERIES
-    moved = set(_DRIVER_WINDOW_PROMOTE) | set(_DRIVER_WINDOW_DEMOTE)
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    assert len(set(_DRIVER_WINDOW)) == 50, "duplicate window name"
+    overlap = set(_DRIVER_WINDOW) & set(_DRIVER_WINDOW_DEMOTE)
+    assert not overlap, f"window/demote overlap: {overlap}"
+    moved = set(_DRIVER_WINDOW) | set(_DRIVER_WINDOW_DEMOTE)
     rest = [n for n in QUERIES if n not in moved]
-    order = (
-        rest[: 50 - len(_DRIVER_WINDOW_PROMOTE)]
-        + _DRIVER_WINDOW_PROMOTE
-        + rest[50 - len(_DRIVER_WINDOW_PROMOTE):]
-        + _DRIVER_WINDOW_DEMOTE
-    )
+    order = list(_DRIVER_WINDOW) + rest + list(_DRIVER_WINDOW_DEMOTE)
     QUERIES = {n: QUERIES[n] for n in order}
 
 
