@@ -3962,3 +3962,78 @@ def test_cdc_shared_chunks_exchange_key_is_digest(spark):
     assert "hashpartitioning(chunk," not in plan, plan
     rows = {r["chunk_md5"]: r for r in out.collect()}
     assert rows and all(r["n_docs"] == 2 for r in rows.values())
+
+
+def test_gopher_rules_match_python_reference(spark):
+    """The Gopher quality ruleset pinned against an independent Python
+    reference on crafted documents that each trip exactly one rule,
+    plus a clean passing document."""
+    from whisper_spark.operators.textanalysis import (
+        GOPHER_REQUIRED_STOPS,
+        gopher_rules,
+    )
+
+    good = ("the quick brown fox of the valley and the hound that we "
+            "have seen move to the river with great speed today ") * 3
+    docs = [
+        (1, good),                                   # passes everything
+        (2, "the and of short"),                     # rule 1: < 50 words
+        (3, good + " " + "#tag " * 40),              # rule 3: symbols
+        (4, good + "\n" + "\n".join("- item %d of the set" % i
+                                    for i in range(40))),  # rule 4
+        (5, good + "\n" + "\n".join("trailing thought..."
+                                    for _ in range(30))),  # rule 5
+        (6, good + " " + "12345 " * 60),             # rule 6: alpha frac
+        (7, ("zebra quokka wombat lemur otter badger weasel marmot "
+             "gopher ferret stoat mink ") * 6),      # rule 7: no stops
+        (8, None),                                   # filtered upstream
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            df.filter("text is not null")).collect()
+    }
+
+    def ref(text):
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        nz = n if n else 1
+        lines = text.split("\n")
+        bullets = sum(
+            1 for x in lines
+            if x.lstrip().startswith(("-", "*", "•")))
+        ells = sum(1 for x in lines if x.rstrip().endswith("..."))
+        alpha = sum(1 for t in toks if any(c.isascii() and c.isalpha()
+                                           for c in t))
+        stops = len(set(toks) & set(GOPHER_REQUIRED_STOPS))
+        mwl = sum(len(t) for t in toks) / nz
+        # the length-delta trick counts non-overlapping '...' exactly
+        # like str.replace does
+        sym = (text.count("#")
+               + (len(text) - len(text.replace("...", ""))) / 3) / nz
+        return dict(
+            n_words=n, mean_word_len=mwl, symbol_ratio=sym,
+            bullet_line_frac=bullets / len(lines),
+            ellipsis_line_frac=ells / len(lines),
+            alpha_word_frac=alpha / nz, n_required_stops=stops,
+            pass_gopher=(50 <= n <= 100_000 and 3 <= mwl <= 10
+                         and sym <= 0.1 and bullets / len(lines) <= 0.9
+                         and ells / len(lines) <= 0.3
+                         and alpha / nz >= 0.8 and stops >= 2),
+        )
+
+    assert 8 not in out
+    expected_pass = {1: True, 2: False, 3: False, 4: False, 5: False,
+                     6: False, 7: False}
+    for i, text in docs:
+        if text is None:
+            continue
+        want = ref(text)
+        got = out[i]
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert got[k] == pytest.approx(v, abs=1e-12), (i, k)
+            else:
+                assert got[k] == v, (i, k, got[k], v)
+        assert got["pass_gopher"] == expected_pass[i], i

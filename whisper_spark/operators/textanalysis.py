@@ -607,3 +607,92 @@ def pii_scrub(
         F.md5(red).alias("redacted_sig"),
         red.alias("redacted_text"),
     )
+
+
+#: required-stopword set for the Gopher document filter (Rae et al.
+#: 2021, "Scaling Language Models: ... Gopher", App. A1.1): a document
+#: must contain at least 2 of these as whole tokens.
+GOPHER_REQUIRED_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality ruleset (Rae et al. 2021,
+    Appendix A1.1) as one declarative pass — the standard pre-training
+    corpus filter, complementing :func:`repetition_stats` (which covers
+    the paper's intra-document repetition rules):
+
+    1. word count in [min_words, max_words];
+    2. mean word length in [3, 10];
+    3. symbol-to-word ratio (``#`` and ``...``) <= 0.1;
+    4. < 90% of lines may NOT start with a bullet  -> i.e. at most 90%
+       bullet lines (paper: drop if > 90% bullet-started lines);
+    5. <= 30% of lines end with an ellipsis;
+    6. >= 80% of words contain at least one alphabetic character;
+    7. >= 2 distinct tokens from :data:`GOPHER_REQUIRED_STOPS`.
+
+    Everything is JVM column expressions over one pass of the text
+    (whole-stage codegen, per-row independent — embarrassingly
+    parallel, no shuffle), so the filter runs at parquet scan speed at
+    any corpus size and composes with partition-pruned reads.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_required_stops, pass_gopher) — the metric columns make each
+    rule's contribution auditable; ``pass_gopher`` is the conjunction.
+    """
+    t = F.col(text_col)
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    nz = F.when(n > 0, n).otherwise(F.lit(1))  # div guard, rule 1 fails anyway
+    mean_wl = F.length(F.concat_ws("", toks)) * F.lit(1.0) / nz
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    sym_ratio = (n_hash + n_ell) * F.lit(1.0) / nz
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("-")
+            | F.ltrim(x).startswith("*")
+            | F.ltrim(x).startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    )
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS]),
+        )
+    )
+    m = {
+        "n_words": n.cast("long"),
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
+        "bullet_line_frac": bullets * F.lit(1.0) / n_lines,
+        "ellipsis_line_frac": ellipsis_lines * F.lit(1.0) / n_lines,
+        "alpha_word_frac": alpha * F.lit(1.0) / nz,
+        "n_required_stops": stops.cast("long"),
+    }
+    passes = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_required_stops") >= 2)
+    )
+    return (
+        docs.select(F.col(id_col), *[c.alias(k) for k, c in m.items()])
+        .withColumn("pass_gopher", passes)
+    )

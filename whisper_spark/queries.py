@@ -11078,6 +11078,74 @@ def q_doc_cdc_chunk_dedup(spark, sf_dir):
 
 
 @_q(
+    "doc_gopher_rules",
+    """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM d
+),
+r AS (
+  SELECT doc_id,
+         len(toks) AS nw,
+         CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END AS nz,
+         length(array_to_string(toks, '')) AS tok_chars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         len(lines) AS n_lines,
+         len(list_filter(lines, x ->
+             starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
+             OR starts_with(ltrim(x), '•'))) AS bullets,
+         len(list_filter(lines, x -> ends_with(rtrim(x), '...')))
+             AS ell_lines,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+             AS alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) AS stops
+  FROM m
+),
+f AS (
+  SELECT doc_id,
+         CAST(nw AS BIGINT) AS n_words,
+         tok_chars * 1.0 / nz AS mean_word_len,
+         (n_hash + n_ell) * 1.0 / nz AS symbol_ratio,
+         bullets * 1.0 / n_lines AS bullet_line_frac,
+         ell_lines * 1.0 / n_lines AS ellipsis_line_frac,
+         alpha * 1.0 / nz AS alpha_word_frac,
+         CAST(stops AS BIGINT) AS n_required_stops
+  FROM r
+)
+SELECT *,
+       n_words >= 50 AND n_words <= 100000
+       AND mean_word_len >= 3 AND mean_word_len <= 10
+       AND symbol_ratio <= 0.1
+       AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3
+       AND alpha_word_frac >= 0.8
+       AND n_required_stops >= 2 AS pass_gopher
+FROM f
+""",
+    doc="the published Gopher document-quality ruleset (Rae et al. "
+    "2021 App. A1.1) as ONE declarative scan pass: word-count bounds, "
+    "mean word length, symbol-to-word ratio, bullet/ellipsis line "
+    "fractions, alphabetic-word fraction, required-stopword presence "
+    "— the standard pre-training corpus filter, complementing the "
+    "repetition rules in doc_repetition.  Per-row independent JVM "
+    "column expressions, no shuffle, parquet-scan speed at any corpus "
+    "size (operators/textanalysis.py gopher_rules)",
+)
+def q_doc_gopher_rules(spark, sf_dir):
+    from .operators.textanalysis import gopher_rules
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return gopher_rules(d)
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
