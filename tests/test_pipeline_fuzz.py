@@ -190,3 +190,58 @@ def test_render_functions_match_python_reference(spark, rows, bucket, n_pts):
             assert dv[(m, t)] == (None if i == 0 else v - pts[i - 1][1])
             run += v
             assert ig[(m, t)] == run
+
+
+# --------------------------------------------------------------------- #
+# gopher_rules: random texts vs a trivially-correct Python reference
+# --------------------------------------------------------------------- #
+
+_gopher_words = st.sampled_from(
+    ["the", "of", "and", "that", "have", "with", "zebra", "12345",
+     "#tag", "a", "run...", "-", "*", "•item", "x"]
+)
+_gopher_line = st.lists(_gopher_words, min_size=0, max_size=20).map(" ".join)
+_gopher_text = st.lists(_gopher_line, min_size=1, max_size=6).map("\n".join)
+
+
+def _py_gopher(text):
+    toks = [t for t in text.split(" ") if t]
+    n = len(toks)
+    nz = n if n else 1
+    lines = text.split("\n")
+    bullets = sum(1 for x in lines
+                  if x.lstrip().startswith(("-", "*", "•")))
+    ells = sum(1 for x in lines if x.rstrip().endswith("..."))
+    alpha = sum(1 for t in toks
+                if any(c.isascii() and c.isalpha() for c in t))
+    stops = len(set(toks)
+                & {"the", "be", "to", "of", "and", "that", "have", "with"})
+    mwl = sum(len(t) for t in toks) / nz
+    sym = (text.count("#")
+           + (len(text) - len(text.replace("...", ""))) / 3) / nz
+    return (n, mwl, sym, bullets / len(lines), ells / len(lines),
+            alpha / nz, stops,
+            50 <= n <= 100_000 and 3 <= mwl <= 10 and sym <= 0.1
+            and bullets / len(lines) <= 0.9 and ells / len(lines) <= 0.3
+            and alpha / nz >= 0.8 and stops >= 2)
+
+
+@given(st.lists(_gopher_text, min_size=1, max_size=10))
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_gopher_rules_random_docs(spark, texts):
+    from whisper_spark.operators.textanalysis import gopher_rules
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for i, text in enumerate(texts):
+        n, mwl, sym, bf, ef, af, stops, ok = _py_gopher(text)
+        r = got[i]
+        assert r["n_words"] == n and r["n_required_stops"] == stops, i
+        for col, want in [("mean_word_len", mwl), ("symbol_ratio", sym),
+                          ("bullet_line_frac", bf),
+                          ("ellipsis_line_frac", ef),
+                          ("alpha_word_frac", af)]:
+            assert math.isclose(r[col], want, abs_tol=1e-12), (i, col)
+        assert bool(r["pass_gopher"]) == ok, (i, text)
