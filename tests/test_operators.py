@@ -4037,3 +4037,70 @@ def test_gopher_rules_match_python_reference(spark):
             else:
                 assert got[k] == v, (i, k, got[k], v)
         assert got["pass_gopher"] == expected_pass[i], i
+
+
+def test_repetition_full_match_python_reference(spark):
+    """The full Gopher repetition metrics pinned against an independent
+    Python/Counter reference: duplicate-line fractions, top n-gram
+    char coverage (deterministic tie-break), duplicate n-gram char
+    coverage — on documents crafted to exercise every branch."""
+    from collections import Counter
+
+    from whisper_spark.operators.textanalysis import repetition_full
+
+    docs = [
+        (1, "alpha beta gamma\nalpha beta gamma\nunique line here\n"
+            "alpha beta gamma"),
+        (2, "one two one two one two one two one two"),
+        (3, "all words differ here entirely today friend"),
+        (4, "tiny"),
+        (5, ""),
+        (6, "a  b   a  b"),  # empty tokens from double spaces
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_full(df).collect()}
+
+    def ref(text):
+        out = {}
+        lines = text.split("\n")
+        lc = Counter(lines)
+        total, wchars = len(lines), sum(len(x) for x in lines)
+        dup = sum(c for c in lc.values() if c >= 2)
+        dup_w = sum(c * len(x) for x, c in lc.items() if c >= 2)
+        out["dup_line_frac"] = dup / total if total else None
+        out["dup_line_char_frac"] = (dup_w / wchars) if wchars else None
+        ws = text.split(" ")
+        L = len(text)
+        for n, kind in [(2, "top"), (3, "top"), (4, "top"),
+                        (5, "dup"), (10, "dup")]:
+            grams = (
+                [" ".join(ws[k:k + n]) for k in range(len(ws) - n + 1)]
+                if len(ws) >= n else []
+            )
+            key = f"{kind}{n}_char_frac"
+            if not grams:
+                out[key] = None
+                continue
+            c = Counter(grams)
+            if kind == "top":
+                g, cnt = max(c.items(),
+                             key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+                out[key] = (cnt * len(g) / L) if L else None
+            else:
+                dw = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+                out[key] = (dw / L) if L else None
+        return out
+
+    for i, text in docs:
+        want = ref(text)
+        for k, v in want.items():
+            g = got[i][k]
+            if v is None:
+                assert g is None, (i, k, g)
+            else:
+                assert g == pytest.approx(v, abs=1e-12), (i, k, g, v)
+    # sanity of the crafted cases: doc 1 has 3 of 4 lines duplicated,
+    # doc 2 is pure repetition, doc 3 has none
+    assert got[1]["dup_line_frac"] == pytest.approx(0.75)
+    assert got[2]["dup5_char_frac"] > 0.5
+    assert got[3]["dup5_char_frac"] == 0.0

@@ -696,3 +696,102 @@ def gopher_rules(
         docs.select(F.col(id_col), *[c.alias(k) for k, c in m.items()])
         .withColumn("pass_gopher", passes)
     )
+
+
+def repetition_full(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """The FULL Gopher repetition rule set (Rae et al. 2021, App. A1.1
+    "repetitious" filters), complementing :func:`repetition_stats`:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of lines
+      (and of line characters) belonging to a line that occurs more
+      than once in the document;
+    - ``top{n}_char_frac`` for n in ``top_ns``: characters covered by
+      the single most frequent word n-gram (count x gram length) over
+      the document's total characters;
+    - ``dup{n}_char_frac`` for n in ``dup_ns``: characters covered by
+      word n-grams occurring more than once (count x gram length,
+      the standard approximation that counts overlapping coverage
+      multiply) over total characters.
+
+    Shape, designed for corpus scale: ONE generate-and-explode pass
+    emits (id, n, gram) rows for every rule at once (lines ride along
+    as n = 0), then two hash aggregations — (id, n, gram) counts, then
+    per-(id, n) rule stats — and a conditional-aggregation pivot back
+    to one row per document.  Everything shuffles on narrow keys; no
+    Python, no window over the whole corpus, linear in total grams.
+
+    Deterministic top-gram tie-break: max by (count, gram length,
+    gram) — mirrored in the DuckDB oracle with an ORDER BY row_number.
+    """
+    t, i = text_col, id_col
+    parts = [
+        f"transform(split({t}, '\\n'), x -> named_struct('n', 0, 'g', x))"
+    ]
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        parts.append(
+            f"transform(flatten(transform(array(split({t}, ' ')), ws -> "
+            f"CASE WHEN size(ws) >= {n} THEN "
+            f"transform(sequence(1, size(ws) - {n - 1}), "
+            f"k -> array_join(slice(ws, k, {n}), ' ')) "
+            f"ELSE CAST(array() AS array<string>) END)), "
+            f"x -> named_struct('n', {n}, 'g', x))"
+        )
+    rows = docs.select(
+        F.col(i),
+        F.length(t).cast("long").alias("_doc_chars"),
+        F.explode(F.expr("concat(" + ", ".join(parts) + ")")).alias("e"),
+    ).select(
+        i, "_doc_chars",
+        F.col("e.n").alias("n"),
+        F.col("e.g").alias("g"),
+    )
+    counted = (
+        rows.groupBy(i, "n", "g")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("_doc_chars").alias("_doc_chars"),
+        )
+        .withColumn("len", F.length("g"))
+    )
+    per_n = (
+        counted.groupBy(i, "n")
+        .agg(
+            F.first("_doc_chars").alias("doc_chars"),
+            F.sum("cnt").alias("total"),
+            F.sum(F.col("cnt") * F.col("len")).alias("wchars"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("dup"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("len"))
+                  .otherwise(F.lit(0))).alias("dup_wchars"),
+            F.max(F.struct("cnt", "len", "g")).alias("top"),
+        )
+    )
+    frac = lambda num, den: F.when(den > 0, num * F.lit(1.0) / den)  # noqa: E731
+    aggs = [
+        F.max(F.when(F.col("n") == 0,
+                     frac(F.col("dup"), F.col("total"))))
+        .alias("dup_line_frac"),
+        F.max(F.when(F.col("n") == 0,
+                     frac(F.col("dup_wchars"), F.col("wchars"))))
+        .alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("n") == n,
+                         frac(F.col("top.cnt") * F.col("top.len"),
+                              F.col("doc_chars"))))
+            .alias(f"top{n}_char_frac")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(F.when(F.col("n") == n,
+                         frac(F.col("dup_wchars"), F.col("doc_chars"))))
+            .alias(f"dup{n}_char_frac")
+        )
+    return per_n.groupBy(i).agg(*aggs)

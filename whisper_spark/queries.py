@@ -11146,6 +11146,103 @@ def q_doc_gopher_rules(spark, sf_dir):
 
 
 @_q(
+    "doc_repetition_full",
+    """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id, length(text) AS dc, string_split(text, ' ') AS ws, text
+  FROM d
+),
+rows_ AS (
+  SELECT doc_id, dc, 0 AS n,
+         unnest(string_split(text, chr(10))) AS g
+  FROM w
+  UNION ALL
+  SELECT doc_id, dc, 2,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                k -> array_to_string(list_slice(ws, k, k + 1), ' ')))
+  FROM w
+  UNION ALL
+  SELECT doc_id, dc, 3,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                k -> array_to_string(list_slice(ws, k, k + 2), ' ')))
+  FROM w
+  UNION ALL
+  SELECT doc_id, dc, 4,
+         unnest(list_transform(generate_series(1, len(ws) - 3),
+                k -> array_to_string(list_slice(ws, k, k + 3), ' ')))
+  FROM w
+  UNION ALL
+  SELECT doc_id, dc, 5,
+         unnest(list_transform(generate_series(1, len(ws) - 4),
+                k -> array_to_string(list_slice(ws, k, k + 4), ' ')))
+  FROM w
+  UNION ALL
+  SELECT doc_id, dc, 10,
+         unnest(list_transform(generate_series(1, len(ws) - 9),
+                k -> array_to_string(list_slice(ws, k, k + 9), ' ')))
+  FROM w
+),
+counted AS (
+  SELECT doc_id, n, g, count(*) AS cnt, any_value(dc) AS dc,
+         length(g) AS len
+  FROM rows_ GROUP BY doc_id, n, g
+),
+per_n AS (
+  SELECT doc_id, n, any_value(dc) AS dc,
+         sum(cnt) AS total, sum(cnt * len) AS wchars,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup,
+         sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END) AS dup_w
+  FROM counted GROUP BY doc_id, n
+),
+ranked AS (
+  SELECT doc_id, n, cnt * len AS top_chars,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, len DESC, g DESC) AS rn
+  FROM counted
+),
+j AS (
+  SELECT p.*, r.top_chars
+  FROM per_n p JOIN ranked r
+    ON p.doc_id = r.doc_id AND p.n = r.n AND r.rn = 1
+)
+SELECT doc_id,
+  max(CASE WHEN n = 0 AND total > 0 THEN dup * 1.0 / total END)
+    AS dup_line_frac,
+  max(CASE WHEN n = 0 AND wchars > 0 THEN dup_w * 1.0 / wchars END)
+    AS dup_line_char_frac,
+  max(CASE WHEN n = 2 AND dc > 0 THEN top_chars * 1.0 / dc END)
+    AS top2_char_frac,
+  max(CASE WHEN n = 3 AND dc > 0 THEN top_chars * 1.0 / dc END)
+    AS top3_char_frac,
+  max(CASE WHEN n = 4 AND dc > 0 THEN top_chars * 1.0 / dc END)
+    AS top4_char_frac,
+  max(CASE WHEN n = 5 AND dc > 0 THEN dup_w * 1.0 / dc END)
+    AS dup5_char_frac,
+  max(CASE WHEN n = 10 AND dc > 0 THEN dup_w * 1.0 / dc END)
+    AS dup10_char_frac
+FROM j GROUP BY doc_id
+""",
+    doc="the FULL Gopher repetition rule set (Rae et al. 2021 App. "
+    "A1.1): duplicate-line and duplicate-line-character fractions, "
+    "most-frequent n-gram character coverage (n=2,3,4, deterministic "
+    "(count, len, gram) tie-break), duplicated n-gram character "
+    "coverage (n=5,10) — ONE generate-and-explode pass emitting "
+    "(doc, n, gram) rows for every rule at once (lines ride as n=0), "
+    "two narrow-key hash aggregations, conditional-aggregation pivot "
+    "back to one row per doc; linear in total grams at any corpus "
+    "size (operators/textanalysis.py repetition_full)",
+)
+def q_doc_repetition_full(spark, sf_dir):
+    from .operators.textanalysis import repetition_full
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return repetition_full(d)
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
