@@ -4104,3 +4104,60 @@ def test_repetition_full_match_python_reference(spark):
     assert got[1]["dup_line_frac"] == pytest.approx(0.75)
     assert got[2]["dup5_char_frac"] > 0.5
     assert got[3]["dup5_char_frac"] == 0.0
+
+
+def test_c4_filters_match_python_reference(spark):
+    """C4 line/document cleaning pinned against an independent Python
+    reference, with documents exercising each rule: terminal
+    punctuation, minimum words per line, javascript lines, lorem
+    ipsum, curly braces, and the minimum-retained-lines gate."""
+    import hashlib
+
+    from whisper_spark.operators.textanalysis import c4_filters
+
+    good_line = "This sentence is long enough and ends properly."
+    docs = [
+        (1, "\n".join([good_line] * 6)),            # kept, passes
+        (2, "\n".join([good_line] * 4)),            # < 5 kept lines
+        (3, "\n".join([good_line] * 6 + ["Enable JavaScript to view."])),
+        (4, "no terminal punctuation here\n" + "\n".join([good_line] * 5)),
+        (5, "Too short.\n" + "\n".join([good_line] * 5)),
+        (6, "\n".join([good_line] * 6) + "\nLorem Ipsum dolor sit."),
+        (7, "\n".join([good_line] * 6) + "\nfunction() { return 1; }"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_filters(df).collect()}
+
+    def ref(text):
+        lines = text.split("\n")
+        kept = [
+            x for x in lines
+            if x.rstrip()[-1:] in '.!?"'
+            and len([w for w in x.split(" ") if w]) >= 3
+            and "javascript" not in x.lower()
+        ]
+        clean = "\n".join(kept)
+        has_lorem = "lorem ipsum" in text.lower()
+        has_brace = "{" in text
+        return dict(
+            n_lines=len(lines), n_kept=len(kept),
+            kept_char_frac=(len(clean) / len(text)) if text else None,
+            has_lorem=has_lorem, has_brace=has_brace,
+            keep_doc=not has_lorem and not has_brace and len(kept) >= 5,
+            clean_len=len(clean),
+            clean_sig=hashlib.md5(clean.encode()).hexdigest(),
+            clean_text=clean,
+        )
+
+    for i, text in docs:
+        want = ref(text)
+        for k, v in want.items():
+            g = got[i][k]
+            if isinstance(v, float):
+                assert g == pytest.approx(v, abs=1e-12), (i, k)
+            else:
+                assert g == v, (i, k, g, v)
+    assert got[1]["keep_doc"] and not got[2]["keep_doc"]
+    assert got[3]["n_kept"] == 6          # javascript line dropped
+    assert not got[6]["keep_doc"] and not got[7]["keep_doc"]

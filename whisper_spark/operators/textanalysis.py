@@ -795,3 +795,59 @@ def repetition_full(
             .alias(f"dup{n}_char_frac")
         )
     return per_n.groupBy(i).agg(*aggs)
+
+
+def c4_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_kept_lines: int = 5,
+    min_line_words: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2 — the
+    TRANSFORMING filter, where :func:`gopher_rules` only scores):
+
+    line level — retain only lines that end in a terminal punctuation
+    mark (``. ! ? "``), contain at least ``min_line_words`` words, and
+    do not mention "javascript" (case-insensitive); document level —
+    drop documents containing "lorem ipsum" (case-insensitive) or a
+    curly brace, or retaining fewer than ``min_kept_lines`` lines.
+
+    Pure higher-order column expressions per row (no shuffle, no
+    Python): the line filter is one ``filter()`` over the split
+    array, so the pass runs at parquet-scan speed and composes with
+    partition pruning at any corpus size.  The cleaned text is
+    returned alongside an md5 signature so exact-transform checks
+    never ship long strings.
+
+    Output: (id, n_lines, n_kept, kept_char_frac, has_lorem,
+    has_brace, keep_doc, clean_len, clean_sig, clean_text).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: F.rtrim(x).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+           >= min_line_words)
+        & ~F.lower(x).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    n_kept = F.size(kept)
+    keep_doc = ~has_lorem & ~has_brace & (n_kept >= min_kept_lines)
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        F.when(F.length(t) > 0,
+               F.length(clean) * F.lit(1.0) / F.length(t))
+        .alias("kept_char_frac"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep_doc.alias("keep_doc"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_sig"),
+        clean.alias("clean_text"),
+    )

@@ -11243,6 +11243,83 @@ def q_doc_repetition_full(spark, sf_dir):
 
 
 @_q(
+    "doc_c4_filters",
+    """
+WITH d AS (
+  -- fixture transform (identical plain replaces in both engines):
+  -- the synthetic corpus is single-line and unpunctuated, so derive
+  -- multi-line punctuated docs — sentence breaks at ' the ', a
+  -- javascript mention at ' join ', a curly brace at ' batch ' —
+  -- so every C4 rule branch varies across the corpus
+  SELECT doc_id,
+         replace(replace(replace(text,
+           ' the ', '.' || chr(10) || 'the '),
+           ' join ', ' javascript '),
+           ' batch ', ' {batch ') AS text
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), x ->
+           regexp_matches(rtrim(x), '[.!?"]$')
+           AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM d
+),
+c AS (
+  SELECT doc_id, text, lines, kept,
+         -- coalesce: DuckDB's array_to_string([]) is NULL where
+         -- Spark's array_join([]) is the empty string
+         coalesce(array_to_string(kept, chr(10)), '') AS clean,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace
+  FROM m
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CASE WHEN length(text) > 0
+            THEN length(clean) * 1.0 / length(text) END AS kept_char_frac,
+       has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND len(kept) >= 2) AS keep_doc,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_sig,
+       clean AS clean_text
+FROM c
+""",
+    doc="the C4 cleaning heuristics (Raffel et al. 2020 §2.2) as a "
+    "TRANSFORMING pass: retain lines ending in terminal punctuation "
+    "with >= 3 words and no 'javascript' mention; drop documents with "
+    "'lorem ipsum', curly braces, or < 5 retained lines.  One "
+    "higher-order filter over the split-lines array per row — no "
+    "shuffle, parquet-scan speed, md5 signature pins the exact "
+    "transform (operators/textanalysis.py c4_filters).  The gate "
+    "first derives multi-line punctuated docs from the single-line "
+    "synthetic corpus with deterministic replaces (sentence breaks, "
+    "a javascript mention, a curly brace) so every rule branch "
+    "varies",
+)
+def q_doc_c4_filters(spark, sf_dir):
+    from .operators.textanalysis import c4_filters
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(
+                "replace(replace(replace(text,"
+                " ' the ', concat('.', chr(10), 'the ')),"
+                " ' join ', ' javascript '),"
+                " ' batch ', ' {batch ')"
+            ).alias("text"),
+        )
+    )
+    return c4_filters(d, min_kept_lines=2)
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
