@@ -454,3 +454,35 @@ def test_render_queries_have_no_unbounded_global_window(spark, name):
     plan = plan_of(spark, name)
     assert not _unbounded_global_windows(plan), (
         name, _unbounded_global_windows(plan))
+
+
+def test_gopher_rules_shuffle_free_pruned_scan(spark):
+    """The Gopher scorer is per-row: no exchange anywhere, and the
+    scan reads only (doc_id, text) with the null filter pushed."""
+    plan = plan_of(spark, "doc_gopher_rules")
+    assert "Exchange" not in plan
+    assert "IsNotNull(text)" in plan
+    assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_c4_filters_shuffle_free(spark):
+    """The C4 transforming filter is per-row higher-order expressions:
+    no exchange, pruned two-column scan."""
+    plan = plan_of(spark, "doc_c4_filters")
+    assert "Exchange" not in plan
+    assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_repetition_full_narrow_key_exchanges(spark):
+    """The full repetition metrics shuffle ONLY on narrow keys —
+    (doc_id, n, gram) then (doc_id, n) then doc_id — never on text or
+    gram arrays, and never via a window over the whole corpus."""
+    plan = plan_of(spark, "doc_repetition_full")
+    import re
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys, plan
+    for k in keys:
+        # last tuple element is the partition count; the rest are keys
+        cols = {c.strip().split("#")[0] for c in k.split(",")}
+        cols = {c for c in cols if c and not c.isdigit()}
+        assert cols <= {"doc_id", "n", "g"}, (cols, k)
