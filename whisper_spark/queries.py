@@ -11320,6 +11320,134 @@ def q_doc_c4_filters(spark, sf_dir):
 
 
 @_q(
+    "doc_curation_pipeline_v3",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+         replace(replace(replace(text,
+           ' the ', '.' || chr(10) || 'the '),
+           ' join ', ' javascript '),
+           ' batch ', ' {batch ') AS text
+  FROM documents WHERE text IS NOT NULL
+),
+c4 AS (
+  SELECT doc_id, source, text,
+         coalesce(array_to_string(
+           list_filter(string_split(text, chr(10)), x ->
+             regexp_matches(rtrim(x), '[.!?"]$')
+             AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+             AND NOT contains(lower(x), 'javascript')),
+           chr(10)), '') AS clean
+  FROM d
+),
+f AS (
+  SELECT doc_id, source, text, clean,
+         NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{')
+           AND len(list_filter(string_split(clean, chr(10)), x ->
+                 x <> '')) >= 2 AS kept_c4,
+         list_filter(string_split(clean, ' '), w -> w <> '') AS toks
+  FROM c4
+),
+q AS (
+  SELECT doc_id, source, text, clean, kept_c4,
+         kept_c4
+           AND len(toks) > 0
+           AND length(array_to_string(toks, '')) * 1.0 / len(toks)
+               BETWEEN 3 AND 10
+           AND len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / len(toks) >= 0.8 AS kept_quality
+  FROM f
+),
+k AS (
+  SELECT md5(clean) AS sig, min(doc_id) AS keeper
+  FROM q WHERE kept_quality GROUP BY md5(clean)
+),
+s AS (
+  SELECT q.*, (kept_quality AND q.doc_id = k.keeper) AS survivor
+  FROM q LEFT JOIN k ON md5(q.clean) = k.sig
+)
+SELECT source,
+       count(*) AS n_in,
+       CAST(sum(CASE WHEN kept_c4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_c4,
+       CAST(sum(CASE WHEN kept_quality THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(sum(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(sum(length(text) - length(clean)) AS BIGINT)
+         AS chars_removed
+FROM s GROUP BY source
+""",
+    doc="curation capstone v3 — the published-filter pipeline end to "
+    "end: C4 line cleaning (terminal punctuation, min words, "
+    "javascript/lorem/brace drops) -> Gopher-shape quality gating on "
+    "the CLEANED text (mean word length, alphabetic-word fraction; "
+    "the length-independent subset appropriate to the corpus) -> "
+    "exact dedup on md5(clean) keeping the smallest doc_id -> "
+    "per-source attrition summary with characters removed.  One "
+    "per-row expression chain, one narrow dedup aggregation keyed on "
+    "the 32-char digest, one summary groupBy — three narrow shuffles "
+    "total at any corpus size.  Composes operators/textanalysis "
+    "c4_filters + gopher-style metrics + the dedup-survivor pattern",
+)
+def q_doc_curation_pipeline_v3(spark, sf_dir):
+    from .operators.textanalysis import c4_filters
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source",
+            F.expr(
+                "replace(replace(replace(text,"
+                " ' the ', concat('.', chr(10), 'the ')),"
+                " ' join ', ' javascript '),"
+                " ' batch ', ' {batch ')"
+            ).alias("text"),
+        )
+    )
+    c4 = c4_filters(d, min_kept_lines=2).select(
+        "doc_id", F.col("keep_doc").alias("kept_c4"),
+        "clean_text", "clean_len", "clean_sig",
+    )
+    base = d.join(c4, "doc_id")
+    toks = F.filter(F.split(F.col("clean_text"), " "), lambda w: w != "")
+    n = F.size(toks)
+    # ANSI mode: guard the divisor (the n > 0 conjunct is not a
+    # short-circuit in SQL — every operand evaluates)
+    nz = F.when(n > 0, n).otherwise(F.lit(1))
+    mean_wl = F.length(F.concat_ws("", toks)) * F.lit(1.0) / nz
+    alpha = (
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        * F.lit(1.0) / nz
+    )
+    q = base.withColumn(
+        "kept_quality",
+        F.col("kept_c4") & (n > 0)
+        & (mean_wl >= 3) & (mean_wl <= 10) & (alpha >= 0.8),
+    )
+    keepers = (
+        q.filter("kept_quality")
+        .groupBy("clean_sig")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    s = q.join(keepers, "clean_sig", "left").withColumn(
+        "survivor",
+        F.col("kept_quality") & (F.col("doc_id") == F.col("keeper")),
+    )
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_in"),
+        flag("kept_c4").alias("n_c4"),
+        flag("kept_quality").alias("n_quality"),
+        flag("survivor").alias("n_survivors"),
+        F.sum(F.length("text") - F.col("clean_len")).cast("long")
+        .alias("chars_removed"),
+    )
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
