@@ -4161,3 +4161,49 @@ def test_c4_filters_match_python_reference(spark):
     assert got[1]["keep_doc"] and not got[2]["keep_doc"]
     assert got[3]["n_kept"] == 6          # javascript line dropped
     assert not got[6]["keep_doc"] and not got[7]["keep_doc"]
+
+
+def test_bm25_topk_match_python_reference(spark):
+    """BM25 scoring pinned against an independent Python reference
+    (identical expression tree, so doubles match to the bit), with the
+    deterministic (score DESC, doc_id ASC) top-k tie-break."""
+    from whisper_spark.operators.textanalysis import bm25_topk
+
+    docs = [
+        (1, "table scan join table table window"),
+        (2, "join join stream window table"),
+        (3, "stream stream stream"),
+        (4, "nothing relevant here at all"),
+        (5, "window"),
+        (6, ""),
+        (7, "table join stream window table join stream window"),
+    ]
+    terms = ["table", "join", "stream", "window"]
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bm25_topk(df, terms, k1=k1, b=b, k=4).collect()
+
+    toks = {i: [t for t in x.split(" ") if t] for i, x in docs}
+    N = len(docs)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = sum_dl * 1.0 / N
+    dfs = [sum(1 for v in toks.values() if t in v) for t in terms]
+
+    def score(i):
+        s = None
+        dl = len(toks[i])
+        for ti, t in enumerate(terms):
+            tf = toks[i].count(t)
+            idf = (N - dfs[ti] + 0.5) / (dfs[ti] + 0.5)
+            c = idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+            s = c if s is None else s + c
+        return s
+
+    ranked = sorted(toks, key=lambda i: (-score(i), i))[:4]
+    assert [r["doc_id"] for r in got] == ranked
+    for r in got:
+        assert r["score"] == score(r["doc_id"]), r
+    # the all-miss doc scores 0 and the empty doc scores 0: neither
+    # may outrank a matching doc
+    assert 4 not in {r["doc_id"] for r in got} or len(
+        [i for i in toks if score(i) > 0]) < 4

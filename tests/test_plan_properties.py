@@ -486,3 +486,15 @@ def test_repetition_full_narrow_key_exchanges(spark):
         cols = {c.strip().split("#")[0] for c in k.split(",")}
         cols = {c for c in cols if c and not c.isdigit()}
         assert cols <= {"doc_id", "n", "g"}, (cols, k)
+
+
+def test_bm25_topk_broadcast_stats_distributed_topk(spark):
+    """BM25: corpus stats broadcast back as a 1-row join (never a
+    shuffle of the corpus against itself), scoring stays per-row, and
+    the top-k is distributed TakeOrderedAndProject — no global Sort,
+    no SortMergeJoin."""
+    plan = plan_of(spark, "doc_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

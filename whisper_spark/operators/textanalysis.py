@@ -851,3 +851,86 @@ def c4_filters(
         F.md5(clean).alias("clean_sig"),
         clean.alias("clean_text"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 50,
+) -> DataFrame:
+    """BM25 retrieval scoring of a fixed query against the corpus —
+    the search shape behind decontamination lookups and curation
+    retrieval (Robertson/Sparck-Jones probabilistic weighting with the
+    Okapi tf saturation).
+
+    Determinism-first design (repo policy): the idf is the LOG-FREE
+    Robertson ratio ``(N - df + 0.5) / (df + 0.5)`` — monotone in the
+    standard ``ln`` idf, so rankings match, while avoiding libm's
+    engine-dependent last-ulp ``ln`` — and the per-term contributions
+    are added in FIXED query order, so Spark and a SQL oracle produce
+    bit-identical doubles.  A production deployment would swap the
+    ratio for ``ln(ratio)`` at the one marked expression.
+
+    Spark-first plan, no per-term shuffle: term frequencies are
+    per-row ``size(filter(tokens, = term))`` columns (the query is
+    fixed and short), corpus stats (N, avgdl, one df per term) are ONE
+    scalar aggregation broadcast back via a 1-row join, scoring is
+    per-row arithmetic, and the top-k is a distributed
+    TakeOrderedAndProject on (score DESC, id ASC) — no global sort,
+    no explode, linear in corpus size.
+
+    Output: (id, dl, tf_<i>..., score) — the top ``k`` rows.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = word_tokens(text_col)
+    dl = F.size(toks).cast("long")
+
+    def _tf(term: str) -> F.Column:
+        # closure, NOT a default-arg lambda: pyspark's filter() passes
+        # the element INDEX to a second lambda parameter, which would
+        # silently shadow the term
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = {
+        f"tf_{i}": _tf(t).cast("long")
+        for i, t in enumerate(query_terms)
+    }
+    base = docs.select(
+        F.col(id_col), dl.alias("dl"),
+        *[c.alias(name) for name, c in tf_cols.items()],
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("long").alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl") * F.lit(1.0) / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    score = None
+    for i in range(len(query_terms)):
+        # production: ln() of this ratio (marked libm swap point)
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        contrib = idf * (
+            F.col(f"tf_{i}") * F.lit(k1 + 1.0)
+            / (F.col(f"tf_{i}") + norm)
+        )
+        score = contrib if score is None else score + contrib
+    out = scored.select(
+        id_col, "dl",
+        *[f"tf_{i}" for i in range(len(query_terms))],
+        score.alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

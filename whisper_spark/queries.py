@@ -11448,6 +11448,69 @@ def q_doc_curation_pipeline_v3(spark, sf_dir):
 
 
 @_q(
+    "doc_bm25_topk",
+    """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS dl,
+         len(list_filter(string_split(text, ' '), x -> x = 'table'))
+           AS tf_0,
+         len(list_filter(string_split(text, ' '), x -> x = 'join'))
+           AS tf_1,
+         len(list_filter(string_split(text, ' '), x -> x = 'stream'))
+           AS tf_2,
+         len(list_filter(string_split(text, ' '), x -> x = 'window'))
+           AS tf_3
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+         CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+         CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2,
+         CAST(sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_3
+  FROM base
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(tf_0 AS BIGINT) AS tf_0, CAST(tf_1 AS BIGINT) AS tf_1,
+       CAST(tf_2 AS BIGINT) AS tf_2, CAST(tf_3 AS BIGINT) AS tf_3,
+       ((n_docs - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE))
+         * (tf_0 * 2.2::DOUBLE / (tf_0 + 1.2::DOUBLE * (0.25::DOUBLE
+            + 0.75::DOUBLE * dl / (sum_dl * 1.0::DOUBLE / n_docs))))
+       + ((n_docs - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE))
+         * (tf_1 * 2.2::DOUBLE / (tf_1 + 1.2::DOUBLE * (0.25::DOUBLE
+            + 0.75::DOUBLE * dl / (sum_dl * 1.0::DOUBLE / n_docs))))
+       + ((n_docs - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE))
+         * (tf_2 * 2.2::DOUBLE / (tf_2 + 1.2::DOUBLE * (0.25::DOUBLE
+            + 0.75::DOUBLE * dl / (sum_dl * 1.0::DOUBLE / n_docs))))
+       + ((n_docs - df_3 + 0.5::DOUBLE) / (df_3 + 0.5::DOUBLE))
+         * (tf_3 * 2.2::DOUBLE / (tf_3 + 1.2::DOUBLE * (0.25::DOUBLE
+            + 0.75::DOUBLE * dl / (sum_dl * 1.0::DOUBLE / n_docs))))
+       AS score
+FROM base, stats
+ORDER BY score DESC, doc_id LIMIT 50
+""",
+    doc="BM25 retrieval over the corpus for the fixed query (table, "
+    "join, stream, window) — Okapi tf saturation (k1=1.2, b=0.75) "
+    "with the LOG-FREE Robertson idf ratio (monotone in ln-idf; "
+    "avoids libm's engine-dependent ln, the one marked production "
+    "swap point) and FIXED-order contribution addition, so both "
+    "engines produce bit-identical doubles.  Plan: per-row tf columns "
+    "(no per-term shuffle), ONE scalar corpus-stats aggregation "
+    "broadcast back, per-row scoring, distributed "
+    "TakeOrderedAndProject top-50 on (score DESC, doc_id) "
+    "(operators/textanalysis.py bm25_topk)",
+)
+def q_doc_bm25_topk(spark, sf_dir):
+    from .operators.textanalysis import bm25_topk
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return bm25_topk(d, ["table", "join", "stream", "window"], k=50)
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
