@@ -4207,3 +4207,55 @@ def test_bm25_topk_match_python_reference(spark):
     # may outrank a matching doc
     assert 4 not in {r["doc_id"] for r in got} or len(
         [i for i in toks if score(i) > 0]) < 4
+
+
+def test_cdc_incremental_savings_match_python_reference(spark):
+    """rsync-style incremental savings pinned against a hashlib
+    reference: a new doc sharing a long run with the seen corpus gets
+    its shared interior chunks credited; a unique doc saves nothing;
+    intra-batch duplicates do NOT count (identity is the seen index
+    only)."""
+    import hashlib
+    import random as _random
+
+    from whisper_spark.operators.dedup import cdc_incremental_savings
+
+    rng = _random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    shared = "".join(rng.choice(alpha) for _ in range(500))
+    seen = [(100, "seenpad " + shared), (101, "other content here")]
+    new = [
+        (1, "x" * 37 + shared),            # shares interior chunks
+        (2, "".join(rng.choice(alpha) for _ in range(300))),  # unique
+        (3, "x" * 37 + shared),            # same as doc 1: still only
+                                           # credited against SEEN
+        (4, "tiny"),                       # sub-window: one chunk
+    ]
+    newdf = spark.createDataFrame(new, "doc_id long, text string")
+    seendf = spark.createDataFrame(seen, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in cdc_incremental_savings(newdf, seendf).collect()}
+
+    def chunks(text, window=16, mask=64):
+        ends = [i for i in range(window, len(text) + 1)
+                if int(hashlib.md5(text[i - window:i].encode())
+                       .hexdigest()[:2], 16) % mask == 0]
+        if not ends or ends[-1] != len(text):
+            ends.append(len(text))
+        out, s = [], 0
+        for e in ends:
+            out.append(text[s:e]); s = e
+        return out
+
+    seen_set = {c for _, t in seen for c in chunks(t)}
+    for i, t in new:
+        cs = chunks(t)
+        dup = [c for c in cs if c in seen_set]
+        r = got[i]
+        assert r["n_chunks"] == len(cs), i
+        assert r["total_bytes"] == sum(len(c) for c in cs), i
+        assert r["dup_chunks"] == len(dup), (i, dup, r)
+        assert r["dup_bytes"] == sum(len(c) for c in dup), i
+    assert got[1]["dup_bytes"] > 0 and got[2]["dup_bytes"] == 0
+    assert got[3]["dup_bytes"] == got[1]["dup_bytes"]
+    assert got[4]["n_chunks"] == 1

@@ -959,3 +959,54 @@ def cdc_shared_chunks(
         .filter(F.col("n_docs") >= min_docs)
         .select("chunk_md5", "chunk_len", "n_docs", "n_occ")
     )
+
+
+def cdc_incremental_savings(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask: int = 64,
+) -> DataFrame:
+    """Per-document CDC transfer savings of NEW documents against a
+    SEEN corpus — the rsync/backup computation: chunks of a new
+    document that already exist in the seen corpus (or earlier in the
+    new batch is NOT counted — identity is against the seen index
+    only, so results are per-doc independent and embarrassingly
+    parallel).
+
+    Both sides chunk with :func:`cdc_chunks`; membership is a LEFT
+    SEMI-style join keyed on the 32-char md5 digest, so the shuffle
+    carries digests + lengths, never chunk bodies, and the seen side
+    reduces to its DISTINCT digest index first (index-proportional,
+    like :func:`incremental_dedup`).  At production scale the distinct
+    digest index is the only state a backup system keeps.
+
+    Output: (id_col, n_chunks, total_bytes, dup_chunks, dup_bytes,
+    savings_frac) — ``savings_frac`` = dup_bytes / total_bytes.
+    """
+    newc = cdc_chunks(new_docs, text_col, id_col, window, mask).select(
+        id_col,
+        F.md5("chunk").alias("h"),
+        F.length("chunk").alias("len"),
+    )
+    index = (
+        cdc_chunks(seen_docs, text_col, id_col, window, mask)
+        .select(F.md5("chunk").alias("h"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    joined = newc.join(index, "h", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("len").cast("long").alias("total_bytes"),
+        F.sum(F.when(F.col("_seen").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("dup_chunks"),
+        F.sum(F.when(F.col("_seen").isNotNull(), F.col("len"))
+              .otherwise(0)).cast("long").alias("dup_bytes"),
+        (F.sum(F.when(F.col("_seen").isNotNull(), F.col("len"))
+               .otherwise(0))
+         * F.lit(1.0)
+         / F.sum("len")).alias("savings_frac"),
+    )

@@ -11511,6 +11511,81 @@ def q_doc_bm25_topk(spark, sf_dir):
 
 
 @_q(
+    "doc_cdc_incremental_savings",
+    """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 1
+),
+b AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) >= 16 THEN
+           list_transform(
+             list_filter(
+               list_transform(generate_series(16, length(text)),
+                 i -> struct_pack(i := i,
+                   h := ('0x' || substring(md5(substring(text, i - 15, 16)),
+                                           1, 2))::INT)),
+               s -> s.h % 64 = 0),
+             s -> s.i)
+         ELSE [] END AS bl
+  FROM d
+),
+e AS (
+  SELECT doc_id, text,
+         CASE WHEN len(bl) = 0 OR bl[-1] <> length(text)
+              THEN list_append(bl, length(text)) ELSE bl END AS el
+  FROM b
+),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(el)),
+           k -> substring(text,
+                CASE WHEN k = 1 THEN 1 ELSE el[k - 1] + 1 END,
+                el[k] - CASE WHEN k = 1 THEN 0 ELSE el[k - 1] END)))
+           AS chunk
+  FROM e
+),
+newc AS (
+  SELECT doc_id, md5(chunk) AS h, length(chunk) AS len
+  FROM c WHERE doc_id % 3 = 0
+),
+idx AS (
+  SELECT DISTINCT md5(chunk) AS h FROM c WHERE doc_id % 3 <> 0
+)
+SELECT newc.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(len) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN idx.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       CAST(sum(CASE WHEN idx.h IS NOT NULL THEN len ELSE 0 END) AS BIGINT)
+         AS dup_bytes,
+       sum(CASE WHEN idx.h IS NOT NULL THEN len ELSE 0 END) * 1.0
+         / sum(len) AS savings_frac
+FROM newc LEFT JOIN idx ON newc.h = idx.h
+GROUP BY newc.doc_id
+""",
+    doc="incremental CDC transfer savings (the rsync/backup "
+    "computation): chunks of NEW documents (doc_id % 3 = 0) that "
+    "already exist in the SEEN corpus's distinct chunk-digest index "
+    "(the only state a backup system keeps).  Both sides chunk "
+    "content-defined (16-char window, 1-in-64 mask, short-doc "
+    "guarded); membership is a left join keyed on the 32-char digest "
+    "— the shuffle never carries chunk bodies, and the index side is "
+    "distinct-first so cost is index-proportional "
+    "(operators/dedup.py cdc_incremental_savings)",
+)
+def q_doc_cdc_incremental_savings(spark, sf_dir):
+    from .operators.dedup import cdc_incremental_savings
+
+    d = load(spark, sf_dir, "documents")
+    return cdc_incremental_savings(
+        d.filter(F.col("doc_id") % 3 == 0),
+        d.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
