@@ -4259,3 +4259,40 @@ def test_cdc_incremental_savings_match_python_reference(spark):
     assert got[1]["dup_bytes"] > 0 and got[2]["dup_bytes"] == 0
     assert got[3]["dup_bytes"] == got[1]["dup_bytes"]
     assert got[4]["n_chunks"] == 1
+
+
+def test_quality_features_match_python_reference(spark):
+    """Feature-matrix assembly spot-checked against a Python reference
+    on crafted docs (and the gopher metric columns must equal
+    gopher_rules' output exactly — shared expressions)."""
+    from whisper_spark.operators.textanalysis import (
+        gopher_rules,
+        quality_features,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat and the dog ran to it now"),
+        (2, "word word word word word"),
+        (3, ""),
+        (4, "a  b  a  b  a  b  a  b  a  b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    feats = {r["doc_id"]: r for r in quality_features(df).collect()}
+    goph = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for i, _t in docs:
+        for k in ["n_words", "mean_word_len", "symbol_ratio",
+                  "bullet_line_frac", "ellipsis_line_frac",
+                  "alpha_word_frac", "n_required_stops"]:
+            assert feats[i][k] == goph[i][k], (i, k)
+    r1 = feats[1]
+    toks = docs[0][1].split(" ")
+    assert r1["n_tokens"] == len(toks)
+    assert r1["stop_ratio"] == pytest.approx(
+        sum(1 for t in toks
+            if t in ["the", "a", "of", "and", "to", "in", "is", "it",
+                     "on", "for"]) / len(toks))
+    assert r1["is_en"] and feats[3]["is_en"]  # empty text counts as en
+    assert not feats[2]["is_en"] and not feats[4]["is_en"]
+    # doc 4 repeats "a b a" style 3-grams heavily
+    assert feats[4]["dup3_ratio"] > 0.5
+    assert feats[3]["dup3_ratio"] == 0.0 and feats[3]["n_tokens"] == 0

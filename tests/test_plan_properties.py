@@ -498,3 +498,13 @@ def test_bm25_topk_broadcast_stats_distributed_topk(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_features_single_projection_no_exchange(spark):
+    """The feature matrix must be ONE per-row projection over the scan
+    — no exchange, no join (the anti-pattern is one shuffle per
+    feature family), with the scan pruned to (doc_id, text)."""
+    plan = plan_of(spark, "doc_quality_features")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "struct<doc_id:bigint,text:string>" in plan

@@ -615,6 +615,52 @@ def pii_scrub(
 GOPHER_REQUIRED_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def gopher_metric_cols(text_col: str = "text") -> dict:
+    """The Gopher quality METRICS as named per-row column expressions
+    — shared by :func:`gopher_rules` (which applies the paper's
+    thresholds) and :func:`quality_features` (which assembles the raw
+    metrics into a classifier feature matrix), so the two can never
+    drift.  Division guards: a zero token count divides by 1 (the
+    word-count rule fails such docs anyway)."""
+    t = F.col(text_col)
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    nz = F.when(n > 0, n).otherwise(F.lit(1))
+    mean_wl = F.length(F.concat_ws("", toks)) * F.lit(1.0) / nz
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    sym_ratio = (n_hash + n_ell) * F.lit(1.0) / nz
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("-")
+            | F.ltrim(x).startswith("*")
+            | F.ltrim(x).startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    )
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS]),
+        )
+    )
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
+        "bullet_line_frac": bullets * F.lit(1.0) / n_lines,
+        "ellipsis_line_frac": ellipsis_lines * F.lit(1.0) / n_lines,
+        "alpha_word_frac": alpha * F.lit(1.0) / nz,
+        "n_required_stops": stops.cast("long"),
+    }
+
+
 def gopher_rules(
     docs: DataFrame,
     text_col: str = "text",
@@ -646,43 +692,7 @@ def gopher_rules(
     n_required_stops, pass_gopher) — the metric columns make each
     rule's contribution auditable; ``pass_gopher`` is the conjunction.
     """
-    t = F.col(text_col)
-    toks = word_tokens(text_col)
-    n = F.size(toks)
-    nz = F.when(n > 0, n).otherwise(F.lit(1))  # div guard, rule 1 fails anyway
-    mean_wl = F.length(F.concat_ws("", toks)) * F.lit(1.0) / nz
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
-    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
-    sym_ratio = (n_hash + n_ell) * F.lit(1.0) / nz
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines)
-    bullets = F.size(
-        F.filter(
-            lines,
-            lambda x: F.ltrim(x).startswith("-")
-            | F.ltrim(x).startswith("*")
-            | F.ltrim(x).startswith("•"),
-        )
-    )
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
-    )
-    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    stops = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS]),
-        )
-    )
-    m = {
-        "n_words": n.cast("long"),
-        "mean_word_len": mean_wl,
-        "symbol_ratio": sym_ratio,
-        "bullet_line_frac": bullets * F.lit(1.0) / n_lines,
-        "ellipsis_line_frac": ellipsis_lines * F.lit(1.0) / n_lines,
-        "alpha_word_frac": alpha * F.lit(1.0) / nz,
-        "n_required_stops": stops.cast("long"),
-    }
+    m = gopher_metric_cols(text_col)
     passes = (
         (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
         & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
@@ -934,3 +944,55 @@ def bm25_topk(
         score.alias("score"),
     )
     return out.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def quality_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document quality FEATURE MATRIX — the frame a curation team
+    trains its quality classifier (fastText / logreg) on: the Gopher
+    metrics (:func:`gopher_metric_cols`, shared expressions so filter
+    and features can never drift), token-shape statistics, the simple
+    stopword ratio, the intra-document 3-gram duplication ratio, and a
+    naive English indicator.
+
+    Deliberately ONE projection: every feature is a per-row column
+    expression over the same text, so the plan is a single
+    exchange-free scan pass (enforced in tests/test_plan_properties.py)
+    — at corpus scale this matters, because the alternative (running
+    each scorer separately and joining on the id) pays one shuffle per
+    feature family for the same arithmetic.
+
+    Output: (id, <gopher metrics...>, n_tokens, avg_tok_len,
+    n_bpe_est, stop_ratio, dup3_ratio, is_en).
+    """
+    t = F.col(text_col)
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    nz = F.when(n > 0, n).otherwise(F.lit(1))
+    grams3 = _word_grams(text_col, 3)
+    ng = F.size(grams3)
+    ngz = F.when(ng > 0, ng).otherwise(F.lit(1))
+    stop_toks = F.filter(
+        F.split(t, " "), lambda x: x.isin(*STOPWORDS)
+    )
+    en_stops = F.filter(
+        F.split(F.lower(t), " "),
+        lambda x: x.isin("the", "and", "of", "to", "is", "in", "that", "it"),
+    )
+    feats = dict(gopher_metric_cols(text_col))
+    feats.update({
+        "n_tokens": n.cast("long"),
+        "avg_tok_len": F.length(F.regexp_replace(t, " ", ""))
+        * F.lit(1.0) / nz,
+        "n_bpe_est": F.ceil(F.length(t) / 4.0).cast("long"),
+        "stop_ratio": F.size(stop_toks) * F.lit(1.0) / nz,
+        "dup3_ratio": (ng - F.size(F.array_distinct(grams3)))
+        * F.lit(1.0) / ngz,
+        "is_en": (F.size(en_stops) > 0) | (F.length(t) == 0),
+    })
+    return docs.select(
+        F.col(id_col), *[c.alias(k) for k, c in feats.items()]
+    )

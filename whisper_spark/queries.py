@@ -11586,6 +11586,82 @@ def q_doc_cdc_incremental_savings(spark, sf_dir):
 
 
 @_q(
+    "doc_quality_features",
+    """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   >= 3
+              THEN list_transform(
+                     generate_series(1,
+                       len(list_filter(string_split(text, ' '),
+                           x -> x <> '')) - 2),
+                     k -> array_to_string(list_slice(
+                       list_filter(string_split(text, ' '), x -> x <> ''),
+                       k, k + 2), ' '))
+              ELSE [] END AS g3
+  FROM d
+),
+r AS (
+  SELECT doc_id, text, toks, lines, g3,
+         len(toks) AS nw,
+         CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END AS nz,
+         len(g3) AS ng,
+         CASE WHEN len(g3) > 0 THEN len(g3) ELSE 1 END AS ngz
+  FROM m
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       length(array_to_string(toks, '')) * 1.0 / nz AS mean_word_len,
+       (length(text) - length(replace(text, '#', ''))
+        + (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+         / nz AS symbol_ratio,
+       len(list_filter(lines, x ->
+           starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
+           OR starts_with(ltrim(x), '•'))) * 1.0 / len(lines)
+         AS bullet_line_frac,
+       len(list_filter(lines, x -> ends_with(rtrim(x), '...')))
+         * 1.0 / len(lines) AS ellipsis_line_frac,
+       len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         * 1.0 / nz AS alpha_word_frac,
+       CAST(len(list_intersect(list_distinct(toks),
+           ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+         AS n_required_stops,
+       CAST(nw AS BIGINT) AS n_tokens,
+       length(replace(text, ' ', '')) * 1.0 / nz AS avg_tok_len,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+       len(list_filter(string_split(text, ' '), x -> x IN
+           ('the','a','of','and','to','in','is','it','on','for')))
+         * 1.0 / nz AS stop_ratio,
+       (ng - len(list_distinct(g3))) * 1.0 / ngz AS dup3_ratio,
+       (len(list_filter(string_split(lower(text), ' '), x -> x IN
+            ('the','and','of','to','is','in','that','it'))) > 0
+        OR length(text) = 0) AS is_en
+FROM r
+""",
+    doc="per-document quality FEATURE MATRIX — the frame a curation "
+    "team trains its quality classifier on: the Gopher metrics "
+    "(shared column expressions with doc_gopher_rules, so filter and "
+    "features can never drift), token-shape stats, stopword ratio, "
+    "intra-doc 3-gram duplication, and a naive English indicator.  "
+    "Deliberately ONE exchange-free projection: every feature is a "
+    "per-row expression over the same scan, where separate scorers "
+    "joined on the id would pay one shuffle per feature family "
+    "(operators/textanalysis.py quality_features)",
+)
+def q_doc_quality_features(spark, sf_dir):
+    from .operators.textanalysis import quality_features
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return quality_features(d)
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
