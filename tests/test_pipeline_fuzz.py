@@ -245,3 +245,44 @@ def test_gopher_rules_random_docs(spark, texts):
                           ("alpha_word_frac", af)]:
             assert math.isclose(r[col], want, abs_tol=1e-12), (i, col)
         assert bool(r["pass_gopher"]) == ok, (i, text)
+
+
+# --------------------------------------------------------------------- #
+# c4_filters: random line-structured docs vs a Python reference
+# --------------------------------------------------------------------- #
+
+_c4_words = st.sampled_from(
+    ["the", "cat", "sat.", "ran!", "why?", 'said"', "javascript",
+     "Lorem", "ipsum", "{x}", "12345", "a"]
+)
+_c4_line = st.lists(_c4_words, min_size=0, max_size=8).map(" ".join)
+_c4_text = st.lists(_c4_line, min_size=1, max_size=10).map("\n".join)
+
+
+def _py_c4(text, min_kept=5, min_words=3):
+    lines = text.split("\n")
+    kept = [x for x in lines
+            if x.rstrip()[-1:] in '.!?"'
+            and len([w for w in x.split(" ") if w]) >= min_words
+            and "javascript" not in x.lower()]
+    clean = "\n".join(kept)
+    has_lorem = "lorem ipsum" in text.lower()
+    has_brace = "{" in text
+    return (len(lines), len(kept), len(clean),
+            not has_lorem and not has_brace and len(kept) >= min_kept)
+
+
+@given(st.lists(_c4_text, min_size=1, max_size=10))
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_c4_filters_random_docs(spark, texts):
+    from whisper_spark.operators.textanalysis import c4_filters
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in c4_filters(df).collect()}
+    for i, text in enumerate(texts):
+        nl, nk, cl, keep = _py_c4(text)
+        r = got[i]
+        assert (r["n_lines"], r["n_kept"], r["clean_len"],
+                bool(r["keep_doc"])) == (nl, nk, cl, keep), (i, text)
