@@ -11662,6 +11662,92 @@ def q_doc_quality_features(spark, sf_dir):
 
 
 @_q(
+    "ev_p50_sketch_error",
+    EVENTS_CTES
+    + """
+, b AS (
+  SELECT metric, seq, value,
+         ('0x' || substring(md5(metric || ':' || CAST(seq AS VARCHAR)),
+                            1, 4))::INT % 16 = 0 AS sampled
+  FROM raw
+),
+ex AS (
+  SELECT metric, value,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY value, seq) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM b
+),
+sk AS (
+  SELECT metric, value,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY value, seq) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM b WHERE sampled
+),
+e2 AS (
+  SELECT metric, CAST(n AS BIGINT) AS n, value AS exact_p50
+  FROM ex WHERE rn = (n + 1) // 2
+),
+s2 AS (
+  SELECT metric, CAST(n AS BIGINT) AS n_sampled, value AS sketch_p50
+  FROM sk WHERE rn = (n + 1) // 2
+)
+SELECT e2.metric, e2.n, s2.n_sampled, e2.exact_p50, s2.sketch_p50,
+       abs(e2.exact_p50 - s2.sketch_p50) AS abs_err
+FROM e2 JOIN s2 ON e2.metric = s2.metric
+""",
+    doc="deterministic quantile SKETCH with an error gate (the "
+    "quantile companion to the KMV distinct sketch): a 1-in-16 "
+    "hash-sample keyed on md5(metric:seq) — reproducible in any "
+    "engine, unlike rand() sampling — yields a per-metric sampled "
+    "median compared against the exact nearest-rank median "
+    "(k = (n+1)//2 under (value, seq) order).  Rank selection is a "
+    "per-key window (sorts partition by metric, spill-safe, scales "
+    "with key parallelism); at extreme per-key cardinality the "
+    "repo's exact_kth_smallest range-refinement selection is the "
+    "documented fallback (operators/quantile.py)",
+)
+def q_ev_p50_sketch_error(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = events_points(spark, sf_dir)
+    base = pts.select(
+        "metric", "seq", "value",
+        (
+            F.expr("cast(conv(substring(md5(concat(metric, ':', "
+                   "cast(seq as string))), 1, 4), 16, 10) as int)")
+            % 16 == 0
+        ).alias("sampled"),
+    )
+
+    def p50(df, n_name, v_name):
+        w = Window.partitionBy("metric").orderBy("value", "seq")
+        wc = Window.partitionBy("metric")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(wc)
+        )
+        return ranked.filter(
+            F.col("rn") == F.expr("(n + 1) div 2")
+        ).select(
+            "metric",
+            F.col("n").cast("long").alias(n_name),
+            F.col("value").alias(v_name),
+        )
+
+    ex = p50(base, "n", "exact_p50")
+    sk = p50(base.filter("sampled"), "n_sampled", "sketch_p50")
+    return (
+        ex.join(sk, "metric")
+        .select(
+            "metric", "n", "n_sampled", "exact_p50", "sketch_p50",
+            F.abs(F.col("exact_p50") - F.col("sketch_p50"))
+            .alias("abs_err"),
+        )
+    )
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
