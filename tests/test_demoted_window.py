@@ -52,3 +52,24 @@ def test_demoted_set_is_outside_window_and_registered():
 def test_demoted_query_matches_oracle(spark, duck, name):
     r = CC.run_one(spark, duck, name, SF_DIR, verbose=True)
     assert r["status"] in ("OK", "rows_only"), r
+
+
+# --------------------------------------------------------------------- #
+# round-13 extension: the queries that are neither in the driver's
+# 50-slot window nor in the demote history (the "rest" — mostly queries
+# awaiting their first driver rotation) get the SAME per-CI-run oracle
+# check, so every registered pair is oracle-verified on every pytest
+# run: window (driver + full sweep) + demoted (above) + rest (here).
+# This sweep's first run caught a real defect: doc_mix_allocation's
+# double->decimal tie rounding diverged between engines at sf0.001.
+# --------------------------------------------------------------------- #
+
+_REST = [
+    n for n in list(QUERIES)[50:] if n not in set(_DRIVER_WINDOW_DEMOTE)
+]
+
+
+@pytest.mark.parametrize("name", _REST)
+def test_rest_query_matches_oracle(spark, duck, name):
+    r = CC.run_one(spark, duck, name, SF_DIR, verbose=True)
+    assert r["status"] in ("OK", "rows_only"), r

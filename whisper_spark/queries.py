@@ -10350,16 +10350,15 @@ tot AS (SELECT sum(tokens) AS t FROM tok),
 sq AS (
   SELECT source, tokens,
          CAST(tokens AS DOUBLE) / t AS share,
-         CAST(CAST(sqrt(CAST(tokens AS DOUBLE) / t) AS DECIMAL(30,15))
-              AS DOUBLE) AS sq_share,
-         CAST(sqrt(CAST(tokens AS DOUBLE) / t) AS DECIMAL(30,15)) AS sq_dec
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / t) * 1e15) AS BIGINT)
+           AS q
   FROM tok, tot
 ),
-den AS (SELECT CAST(sum(sq_dec) AS DOUBLE) AS d FROM sq),
+den AS (SELECT CAST(sum(q) AS BIGINT) AS dq FROM sq),
 ideal AS (
   SELECT source, tokens, share,
-         sq_share / d AS mix_share,
-         sq_share / d * 100000 AS ideal_quota
+         CAST(q AS DOUBLE) / CAST(dq AS DOUBLE) AS mix_share,
+         CAST(q AS DOUBLE) / CAST(dq AS DOUBLE) * 100000 AS ideal_quota
   FROM sq, den
 ),
 base AS (
@@ -10378,9 +10377,11 @@ FROM base, left_over
     "allocation (alpha = 0.5, the multilingual-LM upsampling rule — "
     "quota_i ~ p_i^alpha boosts low-resource sources) with exact "
     "largest-remainder rounding to a 100k-token budget.  Float "
-    "determinism: the only order-sensitive reduction (sum of sqrt "
-    "shares) runs in DECIMAL(30,15), so both engines add exactly; "
-    "sqrt/divide are IEEE-deterministic pointwise ops",
+    "determinism: sqrt shares are quantized by FLOOR at 1e15 into "
+    "integers (floor has one answer in every engine, where a "
+    "double->decimal cast's tie rounding does not), the only "
+    "order-free reduction is then an exact integer sum, and every "
+    "remaining op is correctly-rounded IEEE",
 )
 def _mix_quotas(spark, sf_dir, budget: int = 100000):
     """Shared by doc_mix_allocation / doc_mix_sample: per-source
@@ -10412,12 +10413,17 @@ def _mix_quotas(spark, sf_dir, budget: int = 100000):
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     share = F.col("tokens").cast("double") / F.sum("tokens").over(w_all)
-    sq_dec = F.sqrt(share).cast("decimal(30,15)")
+    # sqrt shares quantized by FLOOR at 1e15 into a long: floor (unlike
+    # a double->decimal cast) has one rounding answer in every engine,
+    # so the only order-free reduction (sum of quantized shares) is an
+    # exact integer sum and every other op is correctly-rounded IEEE —
+    # caught by the sf0.001 CI sweep, where the old decimal cast hit a
+    # half-way tie that Spark and DuckDB rounded differently
+    q = F.floor(F.sqrt(share) * F.lit(1e15)).cast("long")
     base = tok.select(
         "source", "tokens", share.alias("share"),
         (
-            sq_dec.cast("double")
-            / F.sum(sq_dec).over(w_all).cast("double")
+            q.cast("double") / F.sum(q).over(w_all).cast("double")
         ).alias("mix_share"),
     ).withColumn("ideal_quota", F.col("mix_share") * budget)
     base = base.withColumn(
@@ -10447,16 +10453,17 @@ WITH tok AS (
 tot AS (SELECT sum(tokens) AS t FROM tok),
 sq AS (
   SELECT source, tokens,
-         CAST(CAST(sqrt(CAST(tokens AS DOUBLE) / t) AS DECIMAL(30,15))
-              AS DOUBLE) AS sq_share,
-         CAST(sqrt(CAST(tokens AS DOUBLE) / t) AS DECIMAL(30,15)) AS sq_dec
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / t) * 1e15) AS BIGINT)
+           AS q
   FROM tok, tot
 ),
-den AS (SELECT CAST(sum(sq_dec) AS DOUBLE) AS d FROM sq),
+den AS (SELECT CAST(sum(q) AS BIGINT) AS dq FROM sq),
 base AS (
   SELECT source,
-         CAST(floor(sq_share / d * 10000) AS BIGINT) AS floor_q,
-         sq_share / d * 10000 - floor(sq_share / d * 10000) AS rem
+         CAST(floor(CAST(q AS DOUBLE) / CAST(dq AS DOUBLE) * 10000)
+              AS BIGINT) AS floor_q,
+         CAST(q AS DOUBLE) / CAST(dq AS DOUBLE) * 10000
+           - floor(CAST(q AS DOUBLE) / CAST(dq AS DOUBLE) * 10000) AS rem
   FROM sq, den
 ),
 left_over AS (SELECT 10000 - sum(floor_q) AS lo FROM base),
