@@ -10,9 +10,12 @@ expressed as declarative DataFrame transformations designed for 100 TB:
   persisted partition-pruned index), int8 quantization, product
   quantization with ADC search and integer-exact Lloyd training, IVF-PQ
   residual composite
-* :mod:`textanalysis` — language-ID, quality scoring, token counting,
+* :mod:`textanalysis` — language-ID, quality scoring (incl. the
+  published Gopher ruleset and the C4 transforming line filter, plus a
+  one-projection classifier feature matrix), token counting,
   fingerprinting, fixed-stride chunking, benchmark decontamination,
-  repetition scoring
+  repetition scoring (incl. the full Gopher repetition metrics), BM25
+  retrieval top-k
 * :mod:`multimodal` — opaque binary columns with typed metadata and
   Arrow-batched decode/feature plumbing
 * :mod:`sessions` — batch sessionization (streaming variant in
