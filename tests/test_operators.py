@@ -4296,3 +4296,46 @@ def test_quality_features_match_python_reference(spark):
     # doc 4 repeats "a b a" style 3-grams heavily
     assert feats[4]["dup3_ratio"] > 0.5
     assert feats[3]["dup3_ratio"] == 0.0 and feats[3]["n_tokens"] == 0
+
+
+def test_quality_logit_select_reference_and_shape(spark):
+    """The linear quality scorer pinned against a Python reference
+    (same fixed-order arithmetic) and the per-group quartile rule."""
+    import math
+
+    from whisper_spark.operators.textanalysis import (
+        QUALITY_LOGIT_WEIGHTS,
+        quality_features,
+        quality_logit_select,
+    )
+
+    rows = []
+    for i in range(24):
+        src = "a" if i < 16 else "b"
+        good = "the quick brown fox and the lazy dog " * (1 + i % 4)
+        bad = "#### " * 10 + "12345 " * 10
+        rows.append((i, src, good if i % 3 else good + bad))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    feats = {r["doc_id"]: r for r in
+             quality_features(df, keep_cols=("source",)).collect()}
+    sel = quality_logit_select(df).collect()
+
+    def score(i):
+        s = None
+        for name, w in QUALITY_LOGIT_WEIGHTS:
+            c = feats[i][name] * w
+            s = c if s is None else s + c
+        return s
+
+    for r in sel:
+        assert r["score"] == score(r["doc_id"]), r
+    by_src = {}
+    for i, src, _t in rows:
+        by_src.setdefault(src, []).append(i)
+    got_by_src = {}
+    for r in sel:
+        got_by_src.setdefault(r["source"], []).append(r["doc_id"])
+    for src, ids in by_src.items():
+        k = math.ceil(len(ids) * 0.25)
+        want = sorted(ids, key=lambda i: (-score(i), i))[:k]
+        assert sorted(got_by_src[src]) == sorted(want), (src, want)

@@ -950,6 +950,7 @@ def quality_features(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Per-document quality FEATURE MATRIX — the frame a curation team
     trains its quality classifier (fastText / logreg) on: the Gopher
@@ -965,8 +966,10 @@ def quality_features(
     each scorer separately and joining on the id) pays one shuffle per
     feature family for the same arithmetic.
 
-    Output: (id, <gopher metrics...>, n_tokens, avg_tok_len,
-    n_bpe_est, stop_ratio, dup3_ratio, is_en).
+    Output: (id, <keep_cols...>, <gopher metrics...>, n_tokens,
+    avg_tok_len, n_bpe_est, stop_ratio, dup3_ratio, is_en) —
+    ``keep_cols`` passes through grouping columns (e.g. source) so
+    downstream selection never needs a join back to the corpus.
     """
     t = F.col(text_col)
     toks = word_tokens(text_col)
@@ -994,5 +997,68 @@ def quality_features(
         "is_en": (F.size(en_stops) > 0) | (F.length(t) == 0),
     })
     return docs.select(
-        F.col(id_col), *[c.alias(k) for k, c in feats.items()]
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        *[c.alias(k) for k, c in feats.items()]
     )
+
+
+#: demo weights for the linear quality scorer — a stand-in for trained
+#: classifier coefficients (the feature matrix is what you train on);
+#: fixed ORDER matters: contributions add left-to-right for
+#: cross-engine bit determinism.
+QUALITY_LOGIT_WEIGHTS: list[tuple[str, float]] = [
+    ("alpha_word_frac", 2.0),
+    ("stop_ratio", 1.5),
+    ("mean_word_len", 0.25),
+    ("symbol_ratio", -3.0),
+    ("dup3_ratio", -2.0),
+    ("ellipsis_line_frac", -1.0),
+]
+
+
+def quality_logit_select(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    weights: list[tuple[str, float]] | None = None,
+    top_frac: float = 0.25,
+) -> DataFrame:
+    """Apply a linear quality classifier over :func:`quality_features`
+    and keep each group's top fraction — the standard
+    classifier-filtered curation step (score with trained weights,
+    keep the best quartile PER SOURCE so no single source dominates).
+
+    The score is a FIXED-ORDER weighted sum of feature columns (bit
+    deterministic across engines; a deployment would wrap it in a
+    sigmoid, which is monotone, so selection is unchanged — the one
+    marked libm swap point).  Selection is a per-group window rank:
+    ``rank <= ceil(top_frac * n_group)`` under (score DESC, id ASC) —
+    partitioned by the group column, so it scales with group
+    parallelism and never sorts globally.
+
+    Output: (id, group, score, n_group, rnk) for the selected rows.
+    """
+    from pyspark.sql import Window
+
+    feats = quality_features(docs, text_col, id_col, keep_cols=(group_col,))
+    score = None
+    for name, w in weights if weights is not None else QUALITY_LOGIT_WEIGHTS:
+        c = F.col(name) * F.lit(w)
+        score = c if score is None else score + c
+    scored = feats.select(
+        id_col, group_col, score.alias("score")
+    )
+    wr = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    wc = Window.partitionBy(group_col)
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .withColumn("n_group", F.count("*").over(wc))
+    )
+    return ranked.filter(
+        F.col("rnk") <= F.ceil(F.col("n_group") * F.lit(top_frac))
+    ).select(id_col, group_col, "score",
+             F.col("n_group").cast("long").alias("n_group"),
+             F.col("rnk").cast("long").alias("rnk"))

@@ -11755,6 +11755,87 @@ def q_ev_p50_sketch_error(spark, sf_dir):
 
 
 @_q(
+    "doc_quality_logit_select",
+    """
+WITH d AS (
+  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   >= 3
+              THEN list_transform(
+                     generate_series(1,
+                       len(list_filter(string_split(text, ' '),
+                           x -> x <> '')) - 2),
+                     k -> array_to_string(list_slice(
+                       list_filter(string_split(text, ' '), x -> x <> ''),
+                       k, k + 2), ' '))
+              ELSE [] END AS g3
+  FROM d
+),
+r AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END AS nz,
+         CASE WHEN len(g3) > 0 THEN len(g3) ELSE 1 END AS ngz,
+         len(g3) AS ng, toks, lines, g3, text
+  FROM m
+),
+f AS (
+  SELECT doc_id, source,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           * 1.0 / nz AS alpha_word_frac,
+         len(list_filter(string_split(text, ' '), x -> x IN
+             ('the','a','of','and','to','in','is','it','on','for')))
+           * 1.0 / nz AS stop_ratio,
+         length(array_to_string(toks, '')) * 1.0 / nz AS mean_word_len,
+         (length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+           / nz AS symbol_ratio,
+         (ng - len(list_distinct(g3))) * 1.0 / ngz AS dup3_ratio,
+         len(list_filter(lines, x -> ends_with(rtrim(x), '...')))
+           * 1.0 / len(lines) AS ellipsis_line_frac
+  FROM r
+),
+s AS (
+  SELECT doc_id, source,
+         alpha_word_frac * 2.0::DOUBLE
+         + stop_ratio * 1.5::DOUBLE
+         + mean_word_len * 0.25::DOUBLE
+         + symbol_ratio * (-3.0::DOUBLE)
+         + dup3_ratio * (-2.0::DOUBLE)
+         + ellipsis_line_frac * (-1.0::DOUBLE) AS score
+  FROM f
+),
+rk AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_group
+  FROM s
+)
+SELECT doc_id, source, score,
+       CAST(n_group AS BIGINT) AS n_group, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= ceil(n_group * 0.25::DOUBLE)
+""",
+    doc="classifier-filtered curation: a linear quality score "
+    "(FIXED-order weighted sum over the quality_features columns — "
+    "bit-deterministic; a deployed sigmoid is monotone so selection "
+    "is unchanged) keeps each source's top quartile via a per-group "
+    "window rank under (score DESC, doc_id) — partitioned by source, "
+    "scales with group parallelism, never sorts globally "
+    "(operators/textanalysis.py quality_logit_select)",
+)
+def q_doc_quality_logit_select(spark, sf_dir):
+    from .operators.textanalysis import quality_logit_select
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return quality_logit_select(d)
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
