@@ -508,3 +508,11 @@ def test_quality_features_single_projection_no_exchange(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_quality_logit_select_per_group_window(spark):
+    """Classifier selection must rank within source partitions — a
+    hashpartitioning on source, never a single-partition global sort."""
+    plan = plan_of(spark, "doc_quality_logit_select")
+    assert "hashpartitioning(source" in plan
+    assert "Exchange SinglePartition" not in plan
