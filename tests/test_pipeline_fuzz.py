@@ -286,3 +286,50 @@ def test_c4_filters_random_docs(spark, texts):
         r = got[i]
         assert (r["n_lines"], r["n_kept"], r["clean_len"],
                 bool(r["keep_doc"])) == (nl, nk, cl, keep), (i, text)
+
+
+# --------------------------------------------------------------------- #
+# cdc_incremental_savings: random corpora vs a hashlib reference
+# --------------------------------------------------------------------- #
+
+_cdc_text = st.text(
+    alphabet="ab !", min_size=0, max_size=120
+)
+
+
+def _cdc_chunks_ref(text, window=16, mask=64):
+    import hashlib
+    ends = [i for i in range(window, len(text) + 1)
+            if int(hashlib.md5(text[i - window:i].encode())
+                   .hexdigest()[:2], 16) % mask == 0]
+    if not ends or ends[-1] != len(text):
+        ends.append(len(text))
+    out, s = [], 0
+    for e in ends:
+        out.append(text[s:e]); s = e
+    return out
+
+
+@given(st.lists(_cdc_text, min_size=1, max_size=6),
+       st.lists(_cdc_text, min_size=1, max_size=6))
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_cdc_incremental_savings_random(spark, new_texts, seen_texts):
+    from whisper_spark.operators.dedup import cdc_incremental_savings
+
+    new_rows = [(i, t) for i, t in enumerate(new_texts) if t]
+    seen_rows = [(100 + i, t) for i, t in enumerate(seen_texts) if t]
+    if not new_rows or not seen_rows:
+        return
+    got = {r["doc_id"]: r for r in cdc_incremental_savings(
+        spark.createDataFrame(new_rows, "doc_id long, text string"),
+        spark.createDataFrame(seen_rows, "doc_id long, text string"),
+    ).collect()}
+    seen_set = {c for _, t in seen_rows for c in _cdc_chunks_ref(t)}
+    for i, t in new_rows:
+        cs = _cdc_chunks_ref(t)
+        dup = [c for c in cs if c in seen_set]
+        r = got[i]
+        assert (r["n_chunks"], r["total_bytes"],
+                r["dup_chunks"], r["dup_bytes"]) == (
+            len(cs), sum(len(c) for c in cs),
+            len(dup), sum(len(c) for c in dup)), (i, t)
