@@ -11836,6 +11836,79 @@ def q_doc_quality_logit_select(spark, sf_dir):
 
 
 @_q(
+    "ws_downsample_minmax",
+    EVENTS_CTES
+    + """
+, b AS (
+  SELECT metric, ts // 1800 * 1800 AS bts, ts, avg_v FROM min1
+),
+mn AS (
+  SELECT metric, bts, ts, avg_v,
+         row_number() OVER (PARTITION BY metric, bts
+                            ORDER BY avg_v, ts) AS rn
+  FROM b
+),
+mx AS (
+  SELECT metric, bts, ts, avg_v,
+         row_number() OVER (PARTITION BY metric, bts
+                            ORDER BY avg_v DESC, ts) AS rn
+  FROM b
+)
+SELECT metric, bts, 'min' AS kind, ts, avg_v AS value
+FROM mn WHERE rn = 1
+UNION ALL
+SELECT metric, bts, 'max' AS kind, ts, avg_v AS value
+FROM mx WHERE rn = 1
+""",
+    doc="min-max DOWNSAMPLING for plotting: per 30-min bucket emit the "
+    "minimum and maximum points (with their true timestamps) — the "
+    "spike-preserving reduction dashboards use where consolidate's "
+    "averaging flattens extremes.  ONE shuffle: a single "
+    "groupBy(metric, bucket) computes both extremes via "
+    "min_by/max_by over (value, ts) struct orderings (deterministic "
+    "earliest-ts tie-break), then explodes the pair — the oracle "
+    "mirrors the tie-break with ranked windows",
+)
+def q_ws_downsample_minmax(spark, sf_dir):
+    base = min1(spark, sf_dir)
+    b = base.select(
+        "metric", (F.col("ts") - F.col("ts") % 1800).alias("bts"),
+        "ts", F.col("avg_v").alias("value"),
+    )
+    # min over (value, ts): earliest ts on value ties; max over
+    # (value, -ts): earliest ts on ties of the MAXIMUM value
+    agg = b.groupBy("metric", "bts").agg(
+        F.min_by(
+            F.struct("ts", "value"), F.struct("value", "ts")
+        ).alias("lo"),
+        F.max_by(
+            F.struct("ts", "value"),
+            F.struct(F.col("value"), (-F.col("ts")).alias("nts")),
+        ).alias("hi"),
+    )
+    return agg.select(
+        "metric", "bts",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("min").alias("kind"),
+                    F.col("lo.ts").alias("ts"),
+                    F.col("lo.value").alias("value"),
+                ),
+                F.struct(
+                    F.lit("max").alias("kind"),
+                    F.col("hi.ts").alias("ts"),
+                    F.col("hi.value").alias("value"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "metric", "bts", F.col("e.kind").alias("kind"),
+        F.col("e.ts").alias("ts"), F.col("e.value").alias("value"),
+    )
+
+
+@_q(
     "ws_render_target_reduce",
     EVENTS_CTES
     + """
