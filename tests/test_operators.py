@@ -4339,3 +4339,45 @@ def test_quality_logit_select_reference_and_shape(spark):
         k = math.ceil(len(ids) * 0.25)
         want = sorted(ids, key=lambda i: (-score(i), i))[:k]
         assert sorted(got_by_src[src]) == sorted(want), (src, want)
+
+
+def test_compaction_report_tracks_compact_and_vacuum(spark, tmp_path):
+    """The LSM bookkeeping view must (1) count live/shadowed/expired
+    rows exactly, (2) prove compact() lossless: after a compact at the
+    same `now`, shadowed drops to zero, expired live slots are
+    trimmed, and the live-value checksum of the SURVIVING slots is
+    unchanged."""
+    from whisper_spark.store import WhisperStore
+
+    NOW = 1_700_000_000
+    st = WhisperStore.create(spark, str(tmp_path / "db"), [(10, 720)])
+    # edge batch (will expire at NOW+1000), dense batch, overwrites
+    st.update_many(
+        [(NOW - 7000 + k * 10, float(k)) for k in range(10)],
+        now=NOW, metric="m",
+    )
+    st.update_many(
+        [(NOW - 1000 + k * 10, k + 0.25) for k in range(100)],
+        now=NOW, metric="m",
+    )
+    st.update_many(
+        [(NOW - 1000 + k * 10, k + 0.75) for k in range(0, 100, 3)],
+        now=NOW, metric="m",
+    )
+    rep = {r["metric"]: r for r in
+           st.compaction_report(now=NOW + 1000).collect()}["m"]
+    assert rep["n_rows"] == 144 and rep["n_live"] == 110
+    assert rep["n_shadowed"] == 34 and rep["n_expired_live"] == 10
+    live = {**{NOW - 7000 + k * 10: float(k) for k in range(10)},
+            **{NOW - 1000 + k * 10: k + 0.25 for k in range(100)},
+            **{NOW - 1000 + k * 10: k + 0.75 for k in range(0, 100, 3)}}
+    assert rep["live_value_sum"] == sum(
+        round(v * 4) / 4 for v in live.values())
+
+    st.compact(now=NOW + 1000)
+    rep2 = {r["metric"]: r for r in
+            st.compaction_report(now=NOW + 1000).collect()}["m"]
+    assert rep2["n_shadowed"] == 0 and rep2["n_expired_live"] == 0
+    assert rep2["n_rows"] == rep2["n_live"] == 100
+    surviving = {ts: v for ts, v in live.items() if ts > NOW + 1000 - 7200}
+    assert rep2["live_value_sum"] == sum(surviving.values())

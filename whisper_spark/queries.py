@@ -11908,6 +11908,124 @@ def q_ws_downsample_minmax(spark, sf_dir):
     )
 
 
+_COMPACT_FIXTURE_NOW = 1_700_000_000
+
+
+def _compact_report_store(spark):
+    """Marker-gated deterministic store fixture for the compaction
+    report gate (format v1): one 10s x 720-slot archive, 40 metrics,
+    three closed-form write batches — 10 near-retention-edge points,
+    100 dense points, then 34 overwrites of every third dense slot —
+    so the report sees live, shadowed AND expired rows.  Mirrors the
+    .wsp fleet fixture conventions: versioned dir name, marker honored
+    only after re-verifying the policy header."""
+    import tempfile
+
+    from .store import WhisperStore
+
+    import os
+
+    NOW = _COMPACT_FIXTURE_NOW
+    root = os.path.join(
+        tempfile.gettempdir(), "whisper_spark_compact_fixture_v1"
+    )
+    marker = os.path.join(root, "_FIXTURE_OK")
+    if os.path.exists(marker):
+        st = WhisperStore.open(spark, root)
+        info = st.info()
+        ok = [
+            (a["secondsPerPoint"], a["points"])
+            for a in info.get("archives", [])
+        ] == [(10, 720)]
+        if ok:
+            return st
+        raise RuntimeError(
+            f"compact fixture at {root} has a marker but its policy "
+            "header fails verification — stale or foreign tree; "
+            "remove it and re-run"
+        )
+    import shutil as _sh
+
+    _sh.rmtree(root, ignore_errors=True)
+    st = WhisperStore.create(spark, root, [(10, 720)])
+    M = 40
+
+    def batch(n_per, ts0, amul, kmul):
+        return spark.range(M * n_per).select(
+            F.concat(F.lit("m"), (F.col("id") % M)).alias("metric"),
+            (F.lit(ts0) + (F.col("id") / M).cast("long") * 10).alias("ts"),
+            (
+                ((F.col("id") % M) * amul
+                 + (F.col("id") / M).cast("long") * kmul) % 997 / 4.0
+            ).alias("value"),
+        )
+
+    st.update_many(batch(10, NOW - 7000, 11, 5), now=NOW)
+    st.update_many(batch(100, NOW - 1000, 31, 17), now=NOW)
+    st.update_many(
+        batch(100, NOW - 1000, 13, 7)
+        .filter(((F.col("ts") - (NOW - 1000)) / 10 % 3) == 0),
+        now=NOW,
+    )
+    with open(marker, "w") as f:
+        f.write("v1")
+    return st
+
+
+@_q(
+    "ws_compaction_report",
+    """
+WITH m AS (SELECT unnest(generate_series(0, 39)) AS j),
+b0 AS (
+  SELECT j, 1699993000 + k * 10 AS ts, (j * 11 + k * 5) % 997 / 4.0 AS v
+  FROM m, (SELECT unnest(generate_series(0, 9)) AS k)
+),
+b1 AS (
+  SELECT j, k, 1699999000 + k * 10 AS ts,
+         (j * 31 + k * 17) % 997 / 4.0 AS v
+  FROM m, (SELECT unnest(generate_series(0, 99)) AS k)
+),
+b2 AS (
+  SELECT j, ts, (j * 13 + k * 7) % 997 / 4.0 AS v
+  FROM b1 WHERE k % 3 = 0
+),
+live AS (
+  SELECT j, ts, v, 1 AS n FROM b0
+  UNION ALL
+  SELECT b1.j, b1.ts,
+         CASE WHEN b1.k % 3 = 0
+              THEN (b1.j * 13 + b1.k * 7) % 997 / 4.0 ELSE b1.v END,
+         CASE WHEN b1.k % 3 = 0 THEN 2 ELSE 1 END
+  FROM b1
+)
+SELECT CAST(10 AS INT) AS resolution,
+       CAST(ts // 40960 AS BIGINT) AS tb,
+       'm' || CAST(j AS VARCHAR) AS metric,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_shadowed,
+       CAST(sum(CASE WHEN ts <= 1700001000 - 7200 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_expired_live,
+       (sum(CAST(v AS DECIMAL(25,6)))::VARCHAR)::DOUBLE
+         AS live_value_sum
+FROM live GROUP BY 2, 3
+""",
+    doc="LSM compaction-debt report over a REAL store (marker-gated "
+    "deterministic fixture: 40 metrics, one 10s archive, three write "
+    "batches producing live + shadowed + retention-expired rows): per "
+    "(resolution, tb, metric) the physical row count, live slots "
+    "after last-write-wins, rows a compact() would drop, live slots "
+    "already past retention at the report time, and a decimal-exact "
+    "live-value checksum (unchanged by compact(), proving the rewrite "
+    "lossless).  One scan + two narrow aggregations on the partition "
+    "columns; the oracle regenerates the fixture's closed form "
+    "(store.py compaction_report)",
+)
+def q_ws_compaction_report(spark, sf_dir):
+    st = _compact_report_store(spark)
+    return st.compaction_report(now=_COMPACT_FIXTURE_NOW + 1000)
+
+
 @_q(
     "ws_render_target_reduce",
     EVENTS_CTES

@@ -1422,6 +1422,60 @@ class WhisperStore:
                         removed += 1
         return removed
 
+    def compaction_report(self, now: int | None = None) -> DataFrame:
+        """LSM bookkeeping per ``(resolution, tb, metric)`` — the
+        operational view that tells an operator when :meth:`compact`
+        (full rewrite) or :meth:`vacuum` (directory drop) is worth
+        running, the observability piece of the append-only LWW design:
+
+        - ``n_rows``: physical rows appended to the partition;
+        - ``n_live``: distinct slots after last-write-wins (what a
+          compact() rewrite would keep, expiry aside);
+        - ``n_shadowed``: rows a compact() would drop because a later
+          ``wseq`` overwrote the slot (``n_rows - n_live``);
+        - ``n_expired_live``: live slots already past their archive's
+          retention at ``now`` (what compact() would additionally trim
+          and what vacuum() eventually reclaims wholesale);
+        - ``live_value_sum``: deterministic decimal-exact sum of the
+          live slot values (a cheap content checksum: unchanged by
+          compact(), so before/after reports prove the rewrite lossless).
+
+        One scan + two narrow aggregations keyed on the partition
+        columns; no driver-side iteration, so the report costs the same
+        one pass at any store size and prunes to a single archive or
+        bucket via the usual partition filters if pre-filtered.
+        """
+        now = int(now) if now is not None else self._wallclock()
+        ret = F.lit(None).cast("long")
+        for a in self.archives:
+            ret = F.when(
+                F.col("resolution") == a.seconds_per_point,
+                F.lit(a.retention),
+            ).otherwise(ret)
+        slots = (
+            self._read_points()
+            .groupBy("resolution", "tb", "metric", "ts")
+            .agg(
+                F.count("*").alias("n"),
+                F.max_by("value", "wseq").alias("live_value"),
+            )
+        )
+        return (
+            slots.withColumn("_ret", ret)
+            .groupBy("resolution", "tb", "metric")
+            .agg(
+                F.sum("n").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_live"),
+                (F.sum("n") - F.count("*")).cast("long").alias("n_shadowed"),
+                F.sum(
+                    F.when(F.col("ts") <= F.lit(now) - F.col("_ret"), 1)
+                    .otherwise(0)
+                ).cast("long").alias("n_expired_live"),
+                F.sum(F.col("live_value").cast("decimal(25,6)"))
+                .cast("string").cast("double").alias("live_value_sum"),
+            )
+        )
+
 
 def fetch_federated(
     stores,
