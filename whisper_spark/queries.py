@@ -12026,6 +12026,117 @@ def q_ws_compaction_report(spark, sf_dir):
     return st.compaction_report(now=_COMPACT_FIXTURE_NOW + 1000)
 
 
+_FED_FIXTURE_NOW = 1_699_999_800  # aligned to both 60s and 300s grids
+
+
+def _federated_stores(spark):
+    """Marker-gated two-store fixture for the federated-fetch gate
+    (format v1): a 60s store holding the last hour (every 5th slot
+    missing) and a 300s store holding ~100 minutes at an offset value
+    range — so the merge exercises the coarse-only region, the
+    consolidation of fine slots onto the coarse grid, first-store-wins
+    over coarse overlap, and gap slots from BOTH sides."""
+    import os
+    import tempfile
+
+    from .store import WhisperStore
+
+    NOW0 = _FED_FIXTURE_NOW
+    root = os.path.join(
+        tempfile.gettempdir(), "whisper_spark_fed_fixture_v1"
+    )
+    marker = os.path.join(root, "_FIXTURE_OK")
+    if os.path.exists(marker):
+        fine = WhisperStore.open(spark, os.path.join(root, "fine"))
+        coarse = WhisperStore.open(spark, os.path.join(root, "coarse"))
+        ok = (
+            [(a["secondsPerPoint"], a["points"])
+             for a in fine.info().get("archives", [])] == [(60, 120)]
+            and [(a["secondsPerPoint"], a["points"])
+                 for a in coarse.info().get("archives", [])] == [(300, 24)]
+        )
+        if ok:
+            return fine, coarse
+        raise RuntimeError(
+            f"federated fixture at {root} has a marker but a policy "
+            "header fails verification — stale or foreign tree; "
+            "remove it and re-run"
+        )
+    import shutil as _sh
+
+    _sh.rmtree(root, ignore_errors=True)
+    fine = WhisperStore.create(
+        spark, os.path.join(root, "fine"), [(60, 120)], x_files_factor=0.0
+    )
+    coarse = WhisperStore.create(
+        spark, os.path.join(root, "coarse"), [(300, 24)],
+        x_files_factor=0.0,
+    )
+    fine.update_many(
+        [(NOW0 - 60 * i, (i * 13 % 40) / 4.0)
+         for i in range(1, 61) if i % 5],
+        now=NOW0, metric="m",
+    )
+    coarse.update_many(
+        [(NOW0 - 300 * j, (j * 7 % 40) / 4.0 + 100.0)
+         for j in range(1, 21) if j % 4],
+        now=NOW0, metric="m",
+    )
+    with open(marker, "w") as f:
+        f.write("v1")
+    return fine, coarse
+
+
+@_q(
+    "ws_federated_fetch",
+    """
+WITH grid AS (
+  SELECT unnest(generate_series(1699993800, 1699999800, 300)) AS ts
+),
+fine AS (
+  SELECT (1699999800 - 60 * i) // 300 * 300 AS bts,
+         (i * 13 % 40) / 4.0 AS v
+  FROM (SELECT unnest(generate_series(1, 60)) AS i) WHERE i % 5 <> 0
+),
+cons AS (
+  SELECT bts, avg(v) AS v FROM fine GROUP BY bts
+),
+coarse AS (
+  SELECT 1699999800 - 300 * j AS ts, (j * 7 % 40) / 4.0 + 100.0 AS v
+  FROM (SELECT unnest(generate_series(1, 20)) AS j) WHERE j % 4 <> 0
+)
+SELECT CAST(grid.ts AS BIGINT) AS ts,
+       coalesce(cons.v, coarse.v) AS value
+FROM grid
+LEFT JOIN cons ON cons.bts = grid.ts
+LEFT JOIN coarse ON coarse.ts = grid.ts
+""",
+    doc="the graphite CLUSTER_SERVERS read path gated end to end: "
+    "fetch_federated over a marker-gated two-store fixture (60s store "
+    "with every 5th slot missing + 300s store at an offset value "
+    "range).  The engine fetches each store at its own best archive, "
+    "consolidates the fine timeline onto the coarse 300s grid "
+    "(floor-bucket average — exact here: quarter values sum exactly "
+    "in any order), and merges first-store-wins with the coarse store "
+    "filling only the gaps; the oracle regenerates the fixture's "
+    "closed form and replays those documented semantics relationally "
+    "(store.py fetch_federated; differential-fuzzed against a Python "
+    "model in tests/test_store_fuzz.py)",
+)
+def q_ws_federated_fetch(spark, sf_dir):
+    from .store import fetch_federated
+
+    NOW0 = _FED_FIXTURE_NOW
+    fine, coarse = _federated_stores(spark)
+    res = fetch_federated(
+        [fine, coarse], "m",
+        from_time=NOW0 - 6000, until_time=NOW0, now=NOW0,
+    )
+    assert res is not None
+    ((_lo, _hi, _step), df) = res
+    return df.select(F.col("ts").cast("long").alias("ts"), "value")
+
+
 @_q(
     "ws_render_target_reduce",
     EVENTS_CTES
