@@ -413,3 +413,27 @@ def test_storage_aggregation_pattern_divergent_from_schemas(tmp_path, spark):
     s = WhisperStore.open(spark, str(root / "servers.web1.requests.count"))
     assert s.aggregation_method == "sum" and s.x_files_factor == 0.0
     assert reconcile_policies(spark, str(root), rules, apply=False) == []
+
+
+def test_cli_dump_logical_contents(store, capsys):
+    """whisper-dump analog: the header json plus one line per stored
+    row (resolution, metric, ts, value, wseq) — every written point
+    appears, LWW duplicates included (dump is the PHYSICAL view; the
+    reference's whisper-dump prints raw archive slots the same way)."""
+    # write an overwrite so dump shows BOTH physical rows for one slot
+    store.update_many([(NOW - 5, 99.5)], now=NOW, metric="m")
+    assert run_cli(["dump", store.path]) == 0
+    out = capsys.readouterr().out
+    head, _, body = out.partition("\n}\n")
+    info = json.loads(head + "\n}")
+    assert info["maxRetention"] == 3600
+    lines = [ln for ln in body.strip().splitlines() if ln]
+    # 39 originals + 1 overwrite + the 1m rollup rows from propagation
+    assert len(lines) >= 40
+    slot = [ln for ln in lines if f" m {NOW - 5} " in ln]
+    assert len(slot) == 2  # original + overwrite, distinct wseq
+    assert any("99.5" in ln for ln in slot)
+    wseqs = [ln.rsplit("wseq ", 1)[1].rstrip(")") for ln in slot]
+    assert len(set(wseqs)) == 2
+    # every line carries a known resolution prefix
+    assert all(ln.split(":", 1)[0] in ("1", "60") for ln in lines)
