@@ -2500,6 +2500,36 @@ def test_bpe_train_matches_pure_python_reference(spark):
         ), did
 
 
+def test_bpe_fused_vocab_matches_unfused(spark):
+    """Train/apply fusion pin (round-13 optimization): segmenting with
+    the vocab returned by bpe_train_merges(return_vocab=True) must be
+    bit-identical to the unfused path that re-folds the distinct
+    vocabulary through the whole merge chain — including on single-char
+    words, merge-created symbols, and repeat-run words."""
+    from whisper_spark.operators.textanalysis import (
+        bpe_token_counts,
+        bpe_train_merges,
+    )
+
+    docs = [
+        (1, "low lower lowest low low"),
+        (2, "newer newest new news low"),
+        (3, "aaaa aaa aa a baab"),
+        (4, "the the the them theme"),
+        (5, "x yz the lowest newest"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges, vocab = bpe_train_merges(df, n_merges=6, return_vocab=True)
+    assert merges == bpe_train_merges(df, n_merges=6)
+    fused = sorted(
+        tuple(r) for r in bpe_token_counts(df, merges, vocab=vocab).collect()
+    )
+    unfused = sorted(
+        tuple(r) for r in bpe_token_counts(df, merges).collect()
+    )
+    assert fused == unfused
+
+
 def test_pii_scrub_matches_python_re(spark):
     """pii_scrub vs Python `re` as an INDEPENDENT third regex engine:
     counts and the sequentially-redacted text must agree on adversarial

@@ -563,15 +563,21 @@ def pq_codebook(
     n_codes: int = 16,
     id_col: str = "vec_id",
     q_col: str = "q",
+    dim: int | None = None,
 ) -> DataFrame:
     """Seeded PQ codebook: subspace s's codes are the sub-vectors of the
     first ``n_codes`` corpus vectors (deterministic; swap in Lloyd-trained
     centroids — see the emb_kmeans2 query — without changing the search).
 
+    ``dim``: the vector dimensionality, when the caller already knows it
+    — skips the one-row discovery collect (a whole Spark job when these
+    stages chain, e.g. emb_pq_recall pays it twice otherwise).
+
     Returns a TINY DataFrame (n_sub * n_codes rows): (s, code, cq)."""
-    dim_df = corpus_q.select(F.size(q_col).alias("d")).limit(1)
-    sub_len_row = dim_df.collect()[0]
-    sub_len = sub_len_row["d"] // n_sub
+    if dim is None:
+        dim_df = corpus_q.select(F.size(q_col).alias("d")).limit(1)
+        dim = dim_df.collect()[0]["d"]
+    sub_len = dim // n_sub
     seeds = corpus_q.filter(F.col(id_col) < n_codes).select(
         F.col(id_col).alias("code"), q_col
     )
@@ -671,6 +677,7 @@ def pq_train_round(
     n_sub: int = 8,
     id_col: str = "vec_id",
     q_col: str = "q",
+    dim: int | None = None,
 ) -> DataFrame:
     """One Lloyd round over the PQ codebook: each (subspace, code)
     centroid moves to the element-wise floor-div mean of its assigned
@@ -679,8 +686,11 @@ def pq_train_round(
     (deterministically, in any engine).
 
     Returns the updated codebook (s, code, cq).  Iterate as needed; one
-    round already roughly doubles ADC recall on the test corpus."""
-    dim = corpus_q.select(F.size(q_col).alias("d")).limit(1).collect()[0]["d"]
+    round already roughly doubles ADC recall on the test corpus.
+    ``dim``: pass the known dimensionality to skip the discovery collect
+    (same contract as :func:`pq_codebook`)."""
+    if dim is None:
+        dim = corpus_q.select(F.size(q_col).alias("d")).limit(1).collect()[0]["d"]
     sub_len = dim // n_sub
     sub = (
         codes.join(corpus_q.select(id_col, q_col), id_col)

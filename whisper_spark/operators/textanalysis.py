@@ -424,10 +424,12 @@ def _bpe_merge_fold(col: F.Column, left: str, right: str) -> F.Column:
 
 
 def _bpe_word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
-    """(freq, seq) per distinct whitespace word — seq is the word's
+    """(w, freq, seq) per distinct whitespace word — seq is the word's
     character sequence joined by BPE_SEP.  Characters come from an
     explicit substring transform (NOT split(w, '')) so Spark and DuckDB
-    agree codepoint-for-codepoint."""
+    agree codepoint-for-codepoint.  ``w`` rides along so the trained
+    table doubles as the segmentation vocabulary (the train/apply fusion
+    in :func:`bpe_token_counts` joins occurrences back on it)."""
     return (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.explode(word_tokens(text_col)).alias("w"))
@@ -435,6 +437,7 @@ def _bpe_word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
         .select(
+            "w",
             "freq",
             F.array_join(
                 F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
@@ -444,24 +447,46 @@ def _bpe_word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+#: most recent trained-vocabulary frame still persisted for a pending
+#: train/apply-fused segmentation (see bpe_train_merges(return_vocab=
+#: True)): each new training run releases the previous one, so at most
+#: ONE small vocab table stays cached however many times a bench or
+#: sweep re-runs the query.  This is lifetime bookkeeping, not result
+#: caching — every run recomputes its vocabulary from the input docs.
+_BPE_VOCAB_LIVE: list[DataFrame] = []
+
+
 def bpe_train_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
-) -> list[tuple[str, str, int]]:
+    return_vocab: bool = False,
+):
     """Train ``n_merges`` BPE merges on the corpus; returns
-    [(left, right, pair_freq), ...] in learned order.
+    [(left, right, pair_freq), ...] in learned order — or, with
+    ``return_vocab=True``, ``(merges, vocab)`` where ``vocab`` is the
+    persisted (w, freq, seq) table with ALL learned merges applied: the
+    training by-product that :func:`bpe_token_counts` can segment with
+    directly (train/apply fusion — the apply-side re-fold of the whole
+    vocabulary through every merge disappears, because training already
+    folded each merge in as it was learned; leftmost-non-overlapping
+    single passes compose identically either way).
 
     Distributed shape per round: ONE pair-count aggregation over the
     distinct-word table (freq-weighted adjacent symbol pairs) and ONE
     top-1 collect — a single bounded row per round, the same
     driver-literal envelope as the trained-IVF centroids.  The word
     table is persisted and re-derived by one fold per round, so lineage
-    stays O(1) deep.  Ties break (count desc, left asc, right asc) —
-    fully deterministic.  At 100 TB the word table is the DISTINCT
-    vocabulary (Zipf-bounded, orders of magnitude under the corpus);
-    every per-round job is a groupBy over it, never a corpus rescan."""
+    stays O(1) deep.  Each round's fold is persisted LAZILY: the next
+    round's pair-count job materializes it, so training costs one Spark
+    job per round instead of the former two (the explicit
+    ``nxt.count()`` barrier was pure overhead — round-13 optimization).
+    Ties break (count desc, left asc, right asc) — fully deterministic.
+    At 100 TB the word table is the DISTINCT vocabulary (Zipf-bounded,
+    orders of magnitude under the corpus); every per-round job is a
+    groupBy over it, never a corpus rescan."""
     words = _bpe_word_freqs(docs, text_col).persist()
+    prev: DataFrame | None = None  # materialized predecessor of `words`
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -485,19 +510,39 @@ def bpe_train_merges(
                 .limit(1)
                 .collect()
             )
+            # the collect above materialized `words`; its predecessor's
+            # cached blocks are no longer reachable by any pending fold
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
             merges.append((left, right, c))
             nxt = words.select(
-                "freq", _bpe_merge_fold(F.col("seq"), left, right).alias("seq")
+                "w", "freq",
+                _bpe_merge_fold(F.col("seq"), left, right).alias("seq"),
             ).persist()
-            nxt.count()  # materialize before dropping the parent
-            words.unpersist()
-            words = nxt
-    finally:
+            prev, words = words, nxt
+    except BaseException:
         words.unpersist()
-    return merges
+        if prev is not None:
+            prev.unpersist()
+        raise
+    if not return_vocab:
+        if prev is not None:
+            prev.unpersist()
+        words.unpersist()
+        return merges
+    # materialize the final fold off its (still-cached) parent, then
+    # release the parent; bound the leak to one live vocab per session
+    words.count()
+    if prev is not None:
+        prev.unpersist()
+    while _BPE_VOCAB_LIVE:
+        _BPE_VOCAB_LIVE.pop().unpersist()
+    _BPE_VOCAB_LIVE.append(words)
+    return merges, words
 
 
 def bpe_train(
@@ -520,6 +565,7 @@ def bpe_token_counts(
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Segment every document with the learned merges and report
     (id, n_words, n_chars, n_bpe_tokens) — the compression-ratio
@@ -528,25 +574,42 @@ def bpe_token_counts(
     The merge chain is applied per DISTINCT word (Zipf: the distinct
     vocabulary is orders of magnitude under the occurrence count), then
     joined back to occurrences — so the fold cost is vocabulary-
-    proportional, and the join key is the word itself."""
+    proportional, and the join key is the word itself.
+
+    ``vocab``: the (w, ..., seq) table from ``bpe_train_merges(...,
+    return_vocab=True)`` — its ``seq`` already carries every learned
+    merge (training folds each merge in as it is learned, and leftmost-
+    non-overlapping passes compose), so passing it skips BOTH the
+    distinct-word shuffle and the apply-side re-fold of the vocabulary
+    through the whole merge chain.  The caller must pass the vocab
+    trained on the SAME docs/merges; results are bit-identical either
+    way (pinned by tests/test_operators.py)."""
     occ = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(word_tokens(text_col)).alias("w"))
         .filter(~F.col("w").contains(BPE_SEP))
     )
-    dseq = occ.select("w").distinct().select(
-        "w",
-        F.array_join(
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-            BPE_SEP,
-        ).alias("seq"),
-    )
-    col = F.col("seq")
-    for m in merges:
-        col = _bpe_merge_fold(col, m[0], m[1])
-    dtok = dseq.select(
-        "w", F.size(F.split(col, BPE_SEP)).cast("long").alias("n_sym")
-    )
+    if vocab is not None:
+        dtok = vocab.select(
+            "w",
+            F.size(F.split(F.col("seq"), BPE_SEP)).cast("long").alias("n_sym"),
+        )
+    else:
+        dseq = occ.select("w").distinct().select(
+            "w",
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ),
+                BPE_SEP,
+            ).alias("seq"),
+        )
+        col = F.col("seq")
+        for m in merges:
+            col = _bpe_merge_fold(col, m[0], m[1])
+        dtok = dseq.select(
+            "w", F.size(F.split(col, BPE_SEP)).cast("long").alias("n_sym")
+        )
     return (
         occ.join(dtok, "w")
         .groupBy(id_col)

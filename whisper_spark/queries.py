@@ -2099,7 +2099,10 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
     bench=True,
 )
 def q_doc_jaccard(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
+    # the shingle explode feeds three subtrees (both self-join sides +
+    # the per-doc sizes): persist within-run so the scan+explode runs
+    # once (round-13; released on the query's next call)
+    sh = _persist_slot("doc_ngram_jaccard_pairs.sh", _shingles(spark, sf_dir))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -3529,6 +3532,32 @@ def q_mm_decode_mjpeg_frames(spark, sf_dir):
 
 
 _MM_TP_PAYLOADS: dict = {}  # (applicationId, sf_dir) -> persisted DF
+
+
+#: per-slot registry of WITHIN-RUN persisted intermediates (round-13
+#: optimization): a query that self-joins a derived frame several times
+#: persists it so one run computes it once — but the query fn returns a
+#: lazy DataFrame, so there is no post-execution hook to unpersist.
+#: Registering the frame under a slot name bounds the leak: the NEXT
+#: call of the same query releases the previous run's frame.  This is
+#: lifetime bookkeeping, not result reuse — every run re-persists from
+#: the parquet inputs (contrast _MM_TP_PAYLOADS, which deliberately
+#: caches the synthesized bench FIXTURE across reps).
+_QUERY_PERSIST_LIVE: dict[str, object] = {}
+
+
+def _persist_slot(slot: str, df: DataFrame) -> DataFrame:
+    """persist() ``df`` and register it under ``slot``, unpersisting the
+    slot's previous occupant (see _QUERY_PERSIST_LIVE)."""
+    old = _QUERY_PERSIST_LIVE.get(slot)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    out = df.persist()
+    _QUERY_PERSIST_LIVE[slot] = out
+    return out
 
 
 def _mm_tp_media(spark, sf_dir):
@@ -6501,10 +6530,19 @@ def q_emb_pq_recall(spark, sf_dir):
         pq_train_round,
     )
 
-    qv = int_quantize(load(spark, sf_dir, "embeddings"))
+    # the quantized corpus feeds SEVEN subtrees of one DAG (codebook
+    # seeds, two encode passes, the train join, the ADC codes side, the
+    # re-rank corpus side, the exact scan) — without a persist each
+    # subtree re-scans the parquet and re-folds the quantization
+    # (Catalyst does not deduplicate common subtrees).  Persisted
+    # within-run, released on the query's next call (_persist_slot).
+    qv = _persist_slot("emb_pq_recall.qv", int_quantize(load(spark, sf_dir, "embeddings")))
+    # one dimensionality discovery for both stages (was one collect job
+    # in pq_codebook plus another in pq_train_round)
+    dim = qv.select(F.size("q").alias("d")).limit(1).collect()[0]["d"]
     queries_df = qv.filter(F.col("vec_id") < 8)
-    cb0 = pq_codebook(qv, n_sub=8, n_codes=16)
-    cb = pq_train_round(qv, pq_encode(qv, cb0), n_sub=8)
+    cb0 = pq_codebook(qv, n_sub=8, n_codes=16, dim=dim)
+    cb = pq_train_round(qv, pq_encode(qv, cb0), n_sub=8, dim=dim)
     codes = pq_encode(qv, cb)
     shortlist = pq_adc_topk(queries_df, codes, cb, k=50)
 
@@ -6671,8 +6709,13 @@ def q_emb_ivfpq_recall(spark, sf_dir):
         pq_encode,
     )
 
-    qv = int_quantize(load(spark, sf_dir, "embeddings"))
-    res = ivf_residual_assign(qv, n_coarse=4)
+    # same within-run persist shape as emb_pq_recall: qv feeds five
+    # subtrees and the residual assignment (itself a crossJoin + two
+    # joins) feeds three — persist both, released on the next call
+    qv = _persist_slot(
+        "emb_ivfpq_recall.qv", int_quantize(load(spark, sf_dir, "embeddings"))
+    )
+    res = _persist_slot("emb_ivfpq_recall.res", ivf_residual_assign(qv, n_coarse=4))
     cbres = pq_codebook(res, n_sub=8, n_codes=16, q_col="r")
     enc = pq_encode(res, cbres, q_col="r")
 
@@ -12652,7 +12695,13 @@ def q_doc_bpe_token_counts(spark, sf_dir):
     from .operators.textanalysis import bpe_token_counts, bpe_train_merges
 
     d = load(spark, sf_dir, "documents")
-    return bpe_token_counts(d, bpe_train_merges(d, n_merges=5))
+    # train/apply fusion (round-13 optimization): training's final word
+    # table already carries every merge folded in, so segmentation
+    # reuses it instead of re-folding the distinct vocabulary through
+    # the whole merge chain (same output bit-for-bit — the oracle and
+    # the fused-vs-unfused pin in tests/test_operators.py agree)
+    merges, vocab = bpe_train_merges(d, n_merges=5, return_vocab=True)
+    return bpe_token_counts(d, merges, vocab=vocab)
 
 
 @_q(
