@@ -8886,8 +8886,16 @@ FROM (SELECT count(*) AS n_exact FROM exact) e,
     "recall of the bucketing that replaces the quadratic scan at scale",
 )
 def q_doc_lsh_recall(spark, sf_dir):
-    exact = q_doc_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cand = q_doc_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    # both input subtrees (exact Jaccard truth, LSH candidates) feed two
+    # aggregates each — persist within-run so each computes once
+    exact = _persist_slot(
+        "doc_lsh_recall.exact",
+        q_doc_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+    cand = _persist_slot(
+        "doc_lsh_recall.cand",
+        q_doc_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct(),
+    )
     e = exact.agg(F.count("*").alias("n_exact"))
     c = cand.agg(F.count("*").alias("n_cand"))
     h = exact.join(cand, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_hit"))
@@ -9515,9 +9523,14 @@ FROM tri
     "at any graph scale",
 )
 def q_doc_dup_triangles(spark, sf_dir):
-    e = q_doc_minhash(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).distinct()
+    # the candidate edge list feeds all three sides of the triangle
+    # join — persist within-run so the LSH banding pipeline runs once
+    e = _persist_slot(
+        "doc_dup_triangles.e",
+        q_doc_minhash(spark, sf_dir).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).distinct(),
+    )
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -10294,17 +10307,29 @@ FROM (SELECT count(*) AS n_truth FROM truth) t,
     def q_doc_simhash_recall(spark, sf_dir):
         from .operators.dedup import simhash_hamming_pairs
 
-        fp = q_doc_simhash(spark, sf_dir).select("doc_id", "simhash")
+        # the fingerprint frame feeds the banded path AND both truth
+        # sides, and truth/ver each feed two aggregates — without the
+        # persists this query's DAG re-evaluated the simhash fold ~6x
+        # (82 Exchange nodes, the worst repeated-subtree plan in the
+        # registry's round-13 audit).  Within-run persists only.
+        fp = _persist_slot(
+            "doc_simhash_recall.fp",
+            q_doc_simhash(spark, sf_dir).select("doc_id", "simhash"),
+        )
         # collapse_identical=False: oracle pins the unguarded clique
-        ver = simhash_hamming_pairs(
-            fp, max_hamming=6, collapse_identical=False
-        ).select("id_a", "id_b")
+        ver = _persist_slot(
+            "doc_simhash_recall.ver",
+            simhash_hamming_pairs(
+                fp, max_hamming=6, collapse_identical=False
+            ).select("id_a", "id_b"),
+        )
         a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_a"))
         b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_b"))
-        truth = (
+        truth = _persist_slot(
+            "doc_simhash_recall.truth",
             a.join(b, F.col("id_a") < F.col("id_b"))
             .filter(F.expr("bit_count(_a ^ _b) <= 6"))
-            .select("id_a", "id_b")
+            .select("id_a", "id_b"),
         )
         t = truth.agg(F.count("*").alias("n_truth"))
         c = ver.agg(F.count("*").alias("n_cand"))
@@ -13515,15 +13540,22 @@ JOIN sz zb ON zb.doc_id = m.doc_b
     "exact-operand IEEE ops",
 )
 def q_doc_minhash_estimate_error(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
+    # sh feeds four subtrees (signatures, sizes, both intersection
+    # sides), the signature table both pair sides, and the candidate
+    # list (a whole LSH pipeline) two joins — persist each within-run
+    sh = _persist_slot("doc_minhash_estimate_error.sh", _shingles(spark, sf_dir))
     ks = spark.range(8).select(F.col("id").cast("int").alias("k"))
-    mh = (
+    mh = _persist_slot(
+        "doc_minhash_estimate_error.mh",
         sh.crossJoin(F.broadcast(ks))
         .select("doc_id", "k", _h60(F.concat_ws("#", "g", "k")).alias("hh"))
         .groupBy("doc_id", "k")
-        .agg(F.min("hh").alias("h"))
+        .agg(F.min("hh").alias("h")),
     )
-    cand = q_doc_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    cand = _persist_slot(
+        "doc_minhash_estimate_error.cand",
+        q_doc_minhash(spark, sf_dir).select("doc_a", "doc_b").distinct(),
+    )
     ma = mh.select(F.col("doc_id").alias("doc_a"), "k", F.col("h").alias("_ha"))
     mb = mh.select(F.col("doc_id").alias("doc_b"), "k", F.col("h").alias("_hb"))
     match = (
