@@ -13200,38 +13200,41 @@ def q_doc_curation_pipeline_v2(spark, sf_dir):
     lm = bigram_lm_score(d).select(
         "doc_id", F.col("avg_bigram_prob").alias("score")
     )
-    klm = (
+    # klm persists for the WHOLE query lifetime (round-13 fix): the old
+    # construction-scoped persist/unpersist pair released the cache
+    # before the returned plan ever executed, so the returned DataFrame
+    # — which references klm through `fluent` TWICE — recomputed the
+    # entire dedup+LM pipeline twice per run.  The _persist_slot
+    # registry keeps exactly one run's frame cached (released on the
+    # query's next call), so the selection scans AND the execution both
+    # read the materialized frame.
+    klm = _persist_slot(
+        "doc_curation_pipeline_v2.klm",
         newd.join(kept_ids, "doc_id")
         .join(lm, "doc_id")
-        .select("doc_id", "source", "score")
-        .persist()
+        .select("doc_id", "source", "score"),
     )
     # nearest-rank median WITHOUT a global row_number window: the score
     # at rank ceil(n/2) under (score, doc_id) order IS the k-th smallest
     # score with multiplicity (doc_id only breaks ties between equal
     # scores), so distributed range-refinement selection finds it with
     # map-side-combinable passes — no single-partition sort of the
-    # surviving corpus at 100x scale.  klm is persisted only for the
-    # duration of that multi-scan selection, then released so repeated
-    # evaluations in one session don't accumulate cached blocks; n is
-    # the NON-NULL score count so k addresses the same population the
-    # selection (which ignores nulls) ranks over.
-    try:
-        n_kept = klm.filter(F.col("score").isNotNull()).count()
-        if n_kept == 0:
-            fluent = klm.select("doc_id", "source").limit(0)
-        else:
-            import math as _math
+    # surviving corpus at 100x scale; n is the NON-NULL score count so
+    # k addresses the same population the selection (which ignores
+    # nulls) ranks over.
+    n_kept = klm.filter(F.col("score").isNotNull()).count()
+    if n_kept == 0:
+        fluent = klm.select("doc_id", "source").limit(0)
+    else:
+        import math as _math
 
-            from .operators.quantile import exact_kth_smallest
+        from .operators.quantile import exact_kth_smallest
 
-            k = max(1, int(_math.ceil(n_kept * 0.5)))
-            m = exact_kth_smallest(klm, "score", k)
-            fluent = klm.filter(F.col("score") >= F.lit(m)).select(
-                "doc_id", "source"
-            )
-    finally:
-        klm.unpersist()
+        k = max(1, int(_math.ceil(n_kept * 0.5)))
+        m = exact_kth_smallest(klm, "score", k)
+        fluent = klm.filter(F.col("score") >= F.lit(m)).select(
+            "doc_id", "source"
+        )
     vocab = build_vocab(d, vocab_size=1000)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     fpos = (
