@@ -9135,11 +9135,17 @@ def q_doc_source_ngram_jaccard(spark, sf_dir):
             )
         ).alias("p")
     )
-    counts = (
+    # the pair-count aggregate sits on top of the heavy subtree (gram
+    # explode + md5-60 + collect_set + pair explode) and feeds BOTH
+    # broadcast diagonals and the off-diagonal output — without a
+    # persist that subtree evaluates up to three times in one run
+    # (round-13; released on the query's next call)
+    counts = _persist_slot(
+        "doc_source_ngram_jaccard.counts",
         pairs.groupBy(
             F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b")
         )
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.count("*").alias("n_inter")),
     )
     diag = counts.filter(F.col("src_a") == F.col("src_b")).select(
         F.col("src_a").alias("s"), F.col("n_inter").alias("n")
