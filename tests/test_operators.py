@@ -3060,6 +3060,45 @@ def test_image_ahash_and_neardup(spark):
     assert pairs.get((1, 3)) == 16 and pairs.get((2, 3)) == 16
 
 
+def test_image_neardup_prebuilt_fingerprints_identical(spark):
+    """image_neardup_pairs(fingerprints=...) — the round-13 hook that
+    lets callers persist the ahash frame so the Python decode runs once
+    per plan instead of once per subtree — returns exactly the pairs of
+    the default build-it-internally path."""
+    from whisper_spark.operators.multimodal import (
+        image_ahash_fingerprints,
+        image_neardup_pairs,
+    )
+
+    vals = [0, 0, 200, 0, 0, 250, 0, 0]
+    swapped = list(vals)
+    swapped[2], swapped[4] = swapped[4], swapped[2]
+    payloads = {
+        1: _bmp(2, 8, [[v] * 6 for v in reversed(vals)]),
+        2: _bmp(2, 8, [[v] * 6 for v in reversed(vals)]),
+        3: _bmp(2, 8, [[v] * 6 for v in reversed(swapped)]),
+        4: b"junk",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    )
+    want = sorted(
+        map(tuple, image_neardup_pairs(
+            df, max_hamming=16, collapse_identical=False).collect())
+    )
+    fp = image_ahash_fingerprints(df).persist()
+    try:
+        got = sorted(
+            map(tuple, image_neardup_pairs(
+                df, max_hamming=16, collapse_identical=False,
+                fingerprints=fp).collect())
+        )
+    finally:
+        fp.unpersist()
+    assert got == want and len(got) == 3
+
+
 def test_png_palette_alpha_types_and_gif_interlace():
     """PNG color types 3 (PLTE-expanded), 4 (gray+alpha) and 6 (RGBA)
     decode with every filter in play; interlaced GIFs deinterlace to

@@ -3392,12 +3392,29 @@ def image_ahash(
         run, schema="media_id long, ahash string, ahash_bits long")
 
 
+def image_ahash_fingerprints(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """The ``(id, simhash)`` frame :func:`image_neardup_pairs` bands and
+    verifies: 64-bit average-hashes of the decodable payloads.  Exposed
+    so callers can persist it before the banding self-joins — the frame
+    is ~16 bytes/image while every re-evaluation is a full Python pixel
+    decode of the corpus (the banded plan references it from several
+    subtrees, and Catalyst does not deduplicate common subtrees)."""
+    return (
+        image_ahash(df, id_col)
+        .filter(F.col("ahash_bits").isNotNull())
+        .select(id_col, F.col("ahash_bits").alias("simhash"))
+    )
+
+
 def image_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 8,
     id_col: str = "media_id",
     bands: int = 4,
     collapse_identical: bool = True,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-DUPLICATE IMAGE pairs: ``(id_a, id_b, hamming)`` whose
     average-hashes (:func:`image_ahash`, 64-bit) are within
@@ -3409,12 +3426,19 @@ def image_neardup_pairs(
     candidate-proportional — never an image-pairs scan.  Recall
     guarantee: every pair whose differing bits touch at most
     ``bands - 1`` bands is found (in particular any pair with
-    ``hamming < bands``)."""
+    ``hamming < bands``).
+
+    ``fingerprints`` lets the caller pass a pre-built (typically
+    persisted) :func:`image_ahash_fingerprints` frame so the decode
+    runs once instead of once per plan subtree; when omitted the frame
+    is built from ``df`` as before."""
     from .dedup import simhash_hamming_pairs
 
-    fp = image_ahash(df, id_col).filter(
-        F.col("ahash_bits").isNotNull()
-    ).select(id_col, F.col("ahash_bits").alias("simhash"))
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else image_ahash_fingerprints(df, id_col)
+    )
     return simhash_hamming_pairs(
         fp, max_hamming, id_col=id_col, bits=64, bands=bands,
         collapse_identical=collapse_identical,

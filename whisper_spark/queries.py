@@ -2169,7 +2169,15 @@ def q_doc_minhash(spark, sf_dir):
             parts.append(F.min(F.when(F.col("k") == k, F.col("h"))).cast("string"))
         return F.md5(F.concat_ws(",", *parts))
 
-    sig = mh.groupBy("doc_id").agg(band(0, 4).alias("band0"), band(4, 8).alias("band1"))
+    # the two union branches below AND both self-join sides re-derive
+    # the per-doc signature frame — without the persist the shingle
+    # explode + 8-seed minhash pipeline ran 4x.  Persist sig (one row
+    # per doc), not the union: a cached union would still evaluate sig
+    # twice while building the cache (round-13; within-run only)
+    sig = _persist_slot(
+        "doc_minhash_lsh_pairs.sig",
+        mh.groupBy("doc_id").agg(band(0, 4).alias("band0"), band(4, 8).alias("band1")),
+    )
     bands = sig.select("doc_id", F.lit(0).alias("band_id"), F.col("band0").alias("sig")).unionByName(
         sig.select("doc_id", F.lit(1).alias("band_id"), F.col("band1").alias("sig"))
     )
@@ -2275,7 +2283,11 @@ WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 6
 def q_doc_simhash_pairs(spark, sf_dir):
     from .operators.dedup import simhash_hamming_pairs
 
-    fp = q_doc_simhash(spark, sf_dir)
+    # the fingerprint pipeline (tokenize -> 60 per-bit votes -> fold)
+    # feeds both banded self-join sides AND both verify sides — without
+    # the persist the plan re-ran it 4x (round-13; within-run only,
+    # released on the query's next call)
+    fp = _persist_slot("doc_simhash_pairs.fp", q_doc_simhash(spark, sf_dir))
     # collapse_identical=False: the oracle SQL pins the full banded
     # clique on this bounded 200-doc slice; the mega-bucket guard stays
     # ON for the standalone library entry points
@@ -4461,11 +4473,20 @@ WHERE 8 * len(list_filter(generate_series(1, 8),
     "oracle counts full cliques)",
 )
 def q_mm_image_neardup(spark, sf_dir):
-    from .operators.multimodal import image_neardup_pairs
+    from .operators.multimodal import image_ahash_fingerprints, image_neardup_pairs
 
+    # the ahash fingerprint is a Python pixel-decode mapInPandas stage,
+    # and the banded plan referenced it from TEN subtrees (the worst
+    # Python-node multiplicity in the round-13 audit) — persist the
+    # ~16-byte/image fingerprint frame so the corpus decodes once
+    # (within-run only, released on the query's next call)
+    fp = _persist_slot(
+        "mm_image_neardup.fp",
+        image_ahash_fingerprints(_bmp_media_df(spark, sf_dir)),
+    )
     return image_neardup_pairs(
         _bmp_media_df(spark, sf_dir), max_hamming=24,
-        collapse_identical=False)
+        collapse_identical=False, fingerprints=fp)
 
 @_q(
     "mm_feature_topk",
@@ -8339,7 +8360,12 @@ WHERE abs(d.avg_v - d.med) > 3 * m.mad
 def q_ws_anomaly_mad(spark, sf_dir):
     from pyspark.sql import Window
 
-    base = min1(spark, sf_dir)
+    # the per-minute rollup feeds the median rank, the deviation frame
+    # and (through dev below) the final join — 3 scan+rollup
+    # evaluations without the persist; dev likewise feeds both the MAD
+    # rank and the output join.  Both frames are minutes x metrics —
+    # tiny at any scale (round-13; within-run only)
+    base = _persist_slot("ws_anomaly_mad.base", min1(spark, sf_dir))
     w = Window.partitionBy("metric")
     rk = base.select(
         "metric", "ts", "avg_v",
@@ -8349,9 +8375,12 @@ def q_ws_anomaly_mad(spark, sf_dir):
     med = rk.filter(F.expr("rn = (n + 1) div 2")).select(
         "metric", F.col("avg_v").alias("med")
     )
-    dev = base.join(F.broadcast(med), "metric").select(
-        "metric", "ts", "avg_v", "med",
-        F.abs(F.col("avg_v") - F.col("med")).alias("ad"),
+    dev = _persist_slot(
+        "ws_anomaly_mad.dev",
+        base.join(F.broadcast(med), "metric").select(
+            "metric", "ts", "avg_v", "med",
+            F.abs(F.col("avg_v") - F.col("med")).alias("ad"),
+        ),
     )
     drk = dev.select(
         "metric", "ts", "avg_v", "med", "ad",
@@ -13674,9 +13703,16 @@ def q_emb_pq_distortion(spark, sf_dir):
         pq_train_round,
     )
 
-    qv = int_quantize(load(spark, sf_dir, "embeddings"))
-    cb0 = pq_codebook(qv, n_sub=8, n_codes=16)
-    cb = pq_train_round(qv, pq_encode(qv, cb0), n_sub=8)
+    # same shape as emb_pq_recall: the quantized corpus feeds five
+    # subtrees (codebook seeds, two encode passes, the train join, the
+    # distortion join) — persist within-run and discover the
+    # dimensionality once (round-13)
+    qv = _persist_slot(
+        "emb_pq_distortion.qv", int_quantize(load(spark, sf_dir, "embeddings"))
+    )
+    dim = qv.select(F.size("q").alias("d")).limit(1).collect()[0]["d"]
+    cb0 = pq_codebook(qv, n_sub=8, n_codes=16, dim=dim)
+    cb = pq_train_round(qv, pq_encode(qv, cb0), n_sub=8, dim=dim)
     codes = pq_encode(qv, cb)
     j = (
         codes.join(qv.select("vec_id", "q"), "vec_id")
