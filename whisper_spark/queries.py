@@ -6410,6 +6410,13 @@ def q_ev_funnel(spark, sf_dir):
     e = ev.select(
         "user_id", "event_type", sec(ev, "ts").alias("s")
     )
+    # NOT persisted (round-13, measured): caching v/c flips every stage
+    # join from BroadcastHashJoin to SortMergeJoin — the InMemoryRelation
+    # stats beat the broadcast threshold that the parquet-derived
+    # estimates stayed under — and the per-user stage frames are O(users)
+    # anyway, so a broadcast() hint to force it back would be a
+    # small-sf-only move.  The repeated event scans are each pushdown-
+    # pruned to one event_type, which is the cheap side of that trade.
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -11066,27 +11073,24 @@ JOIN n nb ON nb.vec_id = c.id_b
 def q_emb_srp_pairs(spark, sf_dir):
     from .operators.similarity import _dot, _sqnorm, srp_candidate_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    # the corpus fed TWELVE plan subtrees (both banded SRP sides inside
+    # srp_candidate_pairs + four verify joins, each re-projecting) —
+    # persist within-run, and fetch each side's norm from its already-
+    # joined embedding column instead of two extra norm joins (the same
+    # doubles: _sqnorm over the same values) (round-13)
+    emb = _persist_slot("emb_srp_pairs.emb", load(spark, sf_dir, "embeddings"))
     # collapse_identical=False: oracle pins the unguarded banded clique
     # (48-bit fps on this table collide rarely anyway)
     cand = srp_candidate_pairs(emb, bits=48, bands=4,
                                collapse_identical=False)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    na = emb.select(
-        F.col("vec_id").alias("id_a"), _sqnorm("embedding").alias("na")
-    )
-    nb = emb.select(
-        F.col("vec_id").alias("id_b"), _sqnorm("embedding").alias("nb")
-    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .join(na, "id_a")
-        .join(nb, "id_b")
         .select(
             "id_a", "id_b",
-            (_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")))
+            (_dot("ea", "eb") / F.sqrt(_sqnorm("ea") * _sqnorm("eb")))
             .alias("cosine"),
         )
     )
@@ -12579,7 +12583,14 @@ LEFT JOIN nr r ON n.doc_id = r.doc_id
 def q_doc_incremental_dedup(spark, sf_dir):
     from .operators.dedup import incremental_dedup
 
-    d = load(spark, sf_dir, "documents")
+    # incremental_dedup references the new batch 3x (band explode,
+    # exact-hash side, output id list) and the seen corpus 2x (hash
+    # index, band index) — five documents scans per run without the
+    # persist; the modulo split can't prune parquet anyway, so one
+    # cached scan serves both sides (round-13; within-run only)
+    d = _persist_slot(
+        "doc_incremental_dedup.d", load(spark, sf_dir, "documents")
+    )
     return incremental_dedup(
         d.filter(F.col("doc_id") % 3 == 0),
         d.filter(F.col("doc_id") % 3 != 0),
