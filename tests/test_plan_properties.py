@@ -231,6 +231,35 @@ def test_filtered_topk_pushes_lang(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_persist_slots_do_not_contaminate_other_scans(spark):
+    """_persist_slot must never cache a bare base-table scan: Spark's
+    cache manager substitutes a persisted plan into ANY later query
+    whose analyzed plan contains the same canonicalized subtree, so a
+    cached raw ``load(...)`` silently strips parquet pushdown from
+    every other query reading that table while the slot is live
+    (regression: doc_incremental_dedup's cached documents scan cost
+    emb_filtered_topk its lang pushdown)."""
+    try:
+        # build (not execute) the two persisting queries whose base
+        # tables other queries also scan — persist() registers the plan
+        # with the cache manager immediately, execution not required
+        Q.QUERIES["doc_incremental_dedup"].fn(spark, SF)
+        Q.QUERIES["emb_srp_pairs"].fn(spark, SF)
+        # documents scan elsewhere keeps its parquet pushdown
+        plan = plan_of(spark, "emb_filtered_topk")
+        assert "EqualTo(lang,en)" in plan
+        # embeddings scan elsewhere is not substituted by a cache read
+        plan = plan_of(spark, "emb_cosine_topk")
+        assert "InMemoryTableScan" not in plan
+    finally:
+        for df in Q._QUERY_PERSIST_LIVE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        Q._QUERY_PERSIST_LIVE.clear()
+
+
 def test_asof_join_single_shuffle_no_join(spark):
     """The as-of match is forward-fill over ONE user-keyed shuffle — a
     plan with any join node would be the unbounded range-join shape the

@@ -3560,7 +3560,17 @@ _QUERY_PERSIST_LIVE: dict[str, object] = {}
 
 def _persist_slot(slot: str, df: DataFrame) -> DataFrame:
     """persist() ``df`` and register it under ``slot``, unpersisting the
-    slot's previous occupant (see _QUERY_PERSIST_LIVE)."""
+    slot's previous occupant (see _QUERY_PERSIST_LIVE).
+
+    RULE: never pass a bare base-table ``load(...)`` scan.  Spark's
+    cache manager matches on canonicalized plan subtrees, so a cached
+    bare scan is silently substituted (as an InMemoryRelation, with no
+    parquet pushdown and cache-derived stats) into EVERY later query
+    that reads the same table while the slot is live — cross-query plan
+    contamination.  Persist a frame whose plan is unique to the calling
+    query (a derived projection, or at minimum a query-specific
+    filter); ``tests/test_plan_properties.py::
+    test_persist_slots_do_not_contaminate_other_scans`` pins this."""
     old = _QUERY_PERSIST_LIVE.get(slot)
     if old is not None:
         try:
@@ -11071,18 +11081,29 @@ JOIN n nb ON nb.vec_id = c.id_b
     "simhash pipeline)",
 )
 def q_emb_srp_pairs(spark, sf_dir):
-    from .operators.similarity import _dot, _sqnorm, srp_candidate_pairs
+    from .operators.dedup import simhash_candidates
+    from .operators.similarity import _dot, _sqnorm, srp_fingerprints
 
     # the corpus fed TWELVE plan subtrees (both banded SRP sides inside
-    # srp_candidate_pairs + four verify joins, each re-projecting) —
-    # persist within-run, and fetch each side's norm from its already-
-    # joined embedding column instead of two extra norm joins (the same
-    # doubles: _sqnorm over the same values) (round-13)
-    emb = _persist_slot("emb_srp_pairs.emb", load(spark, sf_dir, "embeddings"))
+    # srp_candidate_pairs + four verify joins, each re-projecting), and
+    # the cosine denominator carried two extra norm joins.  Persist the
+    # shared SRP FINGERPRINT frame — not the raw corpus scan: Spark's
+    # cache manager substitutes a persisted plan into ANY later query
+    # whose analyzed plan contains the same subtree, so caching a bare
+    # base-table scan leaks into unrelated embeddings queries
+    # (cross-query plan contamination).  The 48-bit fingerprint
+    # projection is unique to this query AND is the subtree both banded
+    # sides actually repeat; norms come from the already-joined
+    # embedding columns (same _sqnorm doubles, bit-identical)
+    # (round-13; within-run only — see _persist_slot)
+    emb = load(spark, sf_dir, "embeddings")
+    fp = _persist_slot(
+        "emb_srp_pairs.fp", srp_fingerprints(emb, bits=48)
+    )
     # collapse_identical=False: oracle pins the unguarded banded clique
     # (48-bit fps on this table collide rarely anyway)
-    cand = srp_candidate_pairs(emb, bits=48, bands=4,
-                               collapse_identical=False)
+    cand = simhash_candidates(fp, id_col="vec_id", bits=48, bands=4,
+                              collapse_identical=False)
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
@@ -12585,15 +12606,24 @@ def q_doc_incremental_dedup(spark, sf_dir):
 
     # incremental_dedup references the new batch 3x (band explode,
     # exact-hash side, output id list) and the seen corpus 2x (hash
-    # index, band index) — five documents scans per run without the
-    # persist; the modulo split can't prune parquet anyway, so one
-    # cached scan serves both sides (round-13; within-run only)
-    d = _persist_slot(
-        "doc_incremental_dedup.d", load(spark, sf_dir, "documents")
-    )
+    # index, band index) — five documents scans per run without a
+    # persist; the modulo split can't prune parquet anyway.  Persist
+    # each modulo SIDE, not the raw scan: Spark's cache manager
+    # substitutes a persisted plan into ANY later query whose analyzed
+    # plan contains the same subtree, so caching a bare base-table scan
+    # leaks into every other documents query in the session (it cost
+    # emb_filtered_topk its parquet lang pushdown until the next call
+    # here released the slot).  The %3-filter plans are unique to this
+    # query and the split still collapses five scans to two
+    # (round-13; within-run only — see _persist_slot).
+    d = load(spark, sf_dir, "documents")
     return incremental_dedup(
-        d.filter(F.col("doc_id") % 3 == 0),
-        d.filter(F.col("doc_id") % 3 != 0),
+        _persist_slot(
+            "doc_incremental_dedup.new", d.filter(F.col("doc_id") % 3 == 0)
+        ),
+        _persist_slot(
+            "doc_incremental_dedup.seen", d.filter(F.col("doc_id") % 3 != 0)
+        ),
     )
 
 
