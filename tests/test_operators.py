@@ -4450,3 +4450,27 @@ def test_compaction_report_tracks_compact_and_vacuum(spark, tmp_path):
     assert rep2["n_rows"] == rep2["n_live"] == 100
     surviving = {ts: v for ts, v in live.items() if ts > NOW + 1000 - 7200}
     assert rep2["live_value_sum"] == sum(surviving.values())
+
+
+def test_bigram_lm_weighted_query_matches_operator(spark):
+    """Weighted-restructure pin (round-13 optimization): the registered
+    doc_bigram_lm_score query pre-aggregates per-doc bigram counts and
+    sums m*p instead of exploding the corpus three times; its output
+    must stay bit-identical to the unrestructured operator — including
+    n_bigrams (sum of m == occurrence count) and the decimal-summed
+    avg_bigram_prob (m*p in decimal(38,8) == adding p per occurrence)."""
+    from whisper_spark import queries as Q
+
+    restructured = sorted(
+        tuple(r)
+        for r in Q.QUERIES["doc_bigram_lm_score"]
+        .fn(spark, sf_dir(SF))
+        .collect()
+    )
+    operator = sorted(
+        tuple(r)
+        for r in textanalysis.bigram_lm_score(
+            spark.read.parquet(f"{sf_dir(SF)}/documents.parquet")
+        ).collect()
+    )
+    assert restructured == operator

@@ -245,11 +245,21 @@ def test_persist_slots_do_not_contaminate_other_scans(spark):
         # with the cache manager immediately, execution not required
         Q.QUERIES["doc_incremental_dedup"].fn(spark, SF)
         Q.QUERIES["emb_srp_pairs"].fn(spark, SF)
+        # round-13 fourth-pass slots: documents- and events-derived
+        # frames (distinct/aggregate projections, never bare scans)
+        Q.QUERIES["doc_bigram_lm_score"].fn(spark, SF)
+        Q.QUERIES["ev_type_cooccurrence"].fn(spark, SF)
+        Q.QUERIES["ev_retention_cohorts"].fn(spark, SF)
         # documents scan elsewhere keeps its parquet pushdown
         plan = plan_of(spark, "emb_filtered_topk")
         assert "EqualTo(lang,en)" in plan
         # embeddings scan elsewhere is not substituted by a cache read
         plan = plan_of(spark, "emb_cosine_topk")
+        assert "InMemoryTableScan" not in plan
+        # events scans elsewhere keep their event_type pushdown and are
+        # not substituted while the ev_* slots are live
+        plan = plan_of(spark, "ev_funnel")
+        assert "event_type" in plan and "PushedFilters" in plan
         assert "InMemoryTableScan" not in plan
     finally:
         for df in Q._QUERY_PERSIST_LIVE.values():

@@ -282,7 +282,12 @@ def bigram_lm_score(
     Scale: two count aggregations + two joins keyed on bigram/unigram
     (shuffle ~ corpus token count, the same cost class as TF-IDF);
     ``V`` is one bounded driver probe (same precedent as the session
-    now-pin) unless passed explicitly.
+    now-pin) unless passed explicitly.  A note for 100 TB callers: the
+    exploded bigram frame feeds three subtrees and Catalyst will NOT
+    exchange-reuse them (join-key null filters make the canonical
+    plans differ), so persist your own pre-aggregated per-doc bigram
+    counts first — see q_doc_bigram_lm_score for the weighted-sum
+    restructure that keeps results bit-identical.
 
     Returns (id, n_bigrams, avg_bigram_prob); docs with < 2 tokens are
     absent (no bigram evidence).

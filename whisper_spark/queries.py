@@ -8792,7 +8792,15 @@ def q_doc_bloom_membership(spark, sf_dir):
     toks = F.explode(
         F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     ).alias("t")
-    tok = d.filter(F.col("doc_id") % 20 != 0).select("source", toks).distinct()
+    # tok (the seen side's distinct (source, token)) feeds BOTH the
+    # bloom-word build and the truth side of the verification join —
+    # without a persist each run scans + explodes + distincts the
+    # %20-side twice.  The modulo-filtered distinct plan is unique to
+    # this query (round-13; within-run only — see _persist_slot).
+    tok = _persist_slot(
+        "doc_bloom_membership.tok",
+        d.filter(F.col("doc_id") % 20 != 0).select("source", toks).distinct(),
+    )
     bits = tok.select(
         "source", "t",
         (h60(F.col("t")) % 252).alias("b1"),
@@ -9082,10 +9090,22 @@ FROM grid g JOIN cs ON cs.cohort = g.cohort_wk
 )
 def q_ev_retention_cohorts(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id", (sec(ev, "ts") / 604800).cast("long").alias("wk")
-    ).distinct()
-    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    # e (distinct user-weeks) feeds the cohort aggregate AND the grid
+    # join side; f (first week per user) feeds the cohort sizes AND the
+    # grid join — without persists each run scans events and re-runs
+    # the distinct shuffle 3x.  Both plans are unique to this query
+    # (week-granularity distinct; round-13, within-run only — see
+    # _persist_slot).
+    e = _persist_slot(
+        "ev_retention_cohorts.e",
+        ev.select(
+            "user_id", (sec(ev, "ts") / 604800).cast("long").alias("wk")
+        ).distinct(),
+    )
+    f = _persist_slot(
+        "ev_retention_cohorts.f",
+        e.groupBy("user_id").agg(F.min("wk").alias("cohort")),
+    )
     cs = f.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
     grid = (
         e.join(f, "user_id")
@@ -9672,7 +9692,16 @@ def q_doc_ngram_novelty(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     # let-binding form — binds the split once per row, not per gram
     grams = word_ngrams_expr("text", 3)
-    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    # g (per-doc distinct gram explode) feeds the first-doc aggregate
+    # AND the join-back side — without a persist each run re-scans the
+    # corpus and re-explodes the grams twice.  The (doc_id, raw-gram)
+    # distinct plan is unique to this query (doc_source_ngram_jaccard
+    # explodes by SOURCE and hashes; round-13, within-run only — see
+    # _persist_slot).
+    g = _persist_slot(
+        "doc_ngram_novelty.g",
+        d.select("doc_id", F.explode(grams).alias("gram")).distinct(),
+    )
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         g.join(firsts, "gram")
@@ -9713,11 +9742,18 @@ GROUP BY a.event_type, b.event_type
 )
 def q_ev_type_cooccurrence(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    ut = ev.select(
-        "user_id",
-        (sec(ev, "ts") / 3600).cast("long").alias("hr"),
-        "event_type",
-    ).distinct()
+    # ut (distinct user-hour-type) is BOTH sides of the self-join —
+    # without a persist each run scans events and pays the distinct
+    # shuffle twice.  The hour-granularity distinct plan is unique to
+    # this query (round-13; within-run only — see _persist_slot).
+    ut = _persist_slot(
+        "ev_type_cooccurrence.ut",
+        ev.select(
+            "user_id",
+            (sec(ev, "ts") / 3600).cast("long").alias("hr"),
+            "event_type",
+        ).distinct(),
+    )
     a = ut.alias("a")
     b = ut.alias("b")
     return (
@@ -12664,9 +12700,70 @@ FROM scored GROUP BY doc_id
     "bigram_lm_score)",
 )
 def q_doc_bigram_lm_score(spark, sf_dir):
-    from .operators.textanalysis import bigram_lm_score
+    # Weighted restructure of operators/textanalysis.bigram_lm_score
+    # (round-13): the operator's exploded bigram frame feeds THREE
+    # subtrees (c2 count, c1 count, score join side) and Catalyst will
+    # not exchange-reuse them (each join side gains different IsNotNull
+    # key filters, so the canonical exchanges differ — verified on the
+    # executed plan), so the operator shape tokenizes + explodes the
+    # corpus 3x per run.  The operator itself cannot persist a shared
+    # frame: doc_curation_pipeline_v2 embeds the identical
+    # bigram_lm_score(documents) subtrees, and a live cached frame
+    # would be cache-substituted into that query's plan (the
+    # _persist_slot no-shared-plan rule).  This query-layer restructure
+    # pre-aggregates per-doc bigram counts d3 = (doc_id, w1, w2, m) —
+    # a grouping unique to this query, so the persist cannot leak —
+    # and derives everything from it:
+    #   c2(w1,w2) = sum(m)           [== the operator's count(*)]
+    #   c1(w1)    = sum(c2)          [== count over big, exactly]
+    #   sum_p     = sum(m * p)       [== adding p once per occurrence]
+    # m is cast to decimal(12,0) so m*p is decimal(38,8) — exact, no
+    # precision-cap rescale — and the decimal sum prints the same
+    # scale-8 string the operator's sum(p) does.  Corpus tokenization
+    # drops from 3 evaluations to 1 (the d3 materialization); oracle
+    # bit-exact at sf0.001 + sf0.01 (the tests pin query == operator).
+    from .functions.hashing import word_tokens
 
-    return bigram_lm_score(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
+    tdf = d.select("doc_id", word_tokens("text").alias("t"))
+    vocab_size = tdf.select(F.explode("t").alias("w")).distinct().count()
+    big = (
+        tdf.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    d3 = _persist_slot(
+        "doc_bigram_lm_score.d3",
+        big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m")),
+    )
+    c2 = _persist_slot(
+        "doc_bigram_lm_score.c2",
+        d3.groupBy("w1", "w2").agg(F.sum("m").alias("_c2")),
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    p = (
+        (F.col("_c2") + 1) * 1.0 / (F.col("_c1") + F.lit(int(vocab_size)))
+    ).cast("decimal(25,8)")
+    scored = (
+        d3.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .select("doc_id", "m", p.alias("_p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        (
+            F.sum(F.col("m").cast("decimal(12,0)") * F.col("_p"))
+            .cast("string").cast("double") / F.sum("m")
+        ).alias("avg_bigram_prob"),
+    )
 
 
 def _bpe_rounds_sql(n: int) -> str:
@@ -13035,11 +13132,19 @@ def q_doc_corpus_card(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    t = d.select(
-        "doc_id", "source", "lang",
-        F.size(toks).cast("long").alias("n_tok"),
-        F.length("text").cast("long").alias("nch"),
-        F.md5("text").alias("h"),
+    # t (tokenize + md5 + length per doc) feeds three subtrees — the
+    # dup-hash aggregate, the per-group totals, and the median window —
+    # so without a persist each run re-scans and re-tokenizes the
+    # corpus 3x.  The projection (6 narrow columns, no text) is unique
+    # to this query (round-13; within-run only — see _persist_slot).
+    t = _persist_slot(
+        "doc_corpus_card.t",
+        d.select(
+            "doc_id", "source", "lang",
+            F.size(toks).cast("long").alias("n_tok"),
+            F.length("text").cast("long").alias("nch"),
+            F.md5("text").alias("h"),
+        ),
     )
     dh = t.groupBy("h").count().filter(F.col("count") > 1).select("h")
     t2 = t.join(F.broadcast(dh.withColumn("_d", F.lit(1))), "h", "left")
