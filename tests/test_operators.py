@@ -4474,3 +4474,59 @@ def test_bigram_lm_weighted_query_matches_operator(spark):
         ).collect()
     )
     assert restructured == operator
+
+
+def test_minhash_bands_empty_and_short_texts_yield_no_bands(spark):
+    """Both band expressions guard the single-pass aggregate/least fold
+    with IF(size(ws) >= 1, ...): the fold's identity (2^60 resp. M)
+    must stay UNREACHABLE, or an empty/short text would get a
+    real-looking signature and band, creating spurious LSH collisions
+    (ADVICE r13 — this pins the guard so a refactor fails loudly)."""
+    rows = [(1, ""), (2, "abc"), (3, None), (4, "abcd"), (5, "abcde")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for bander in (dedup.minhash_bands_expr, dedup.minhash_bands_fast_expr):
+        out = docs.select(
+            "doc_id", F.size(bander("text", 8, 4, 5)).alias("n")
+        ).collect()
+        got = {r.doc_id: r.n for r in out}
+        # shorter than the 5-char shingle (or NULL): zero bands;
+        # exactly one shingle: the full 4 bands
+        assert got[1] == 0 and got[2] == 0 and got[4] == 0, got
+        assert got[3] in (0, -1), got  # NULL text -> empty/NULL, never bands
+        assert got[5] == 4, got
+
+
+def test_incremental_dedup_index_path_matches_default(spark):
+    """incremental_dedup(new_index=, seen_index=) — the round-14
+    index-proportional persist shape — must flag exactly what the
+    default text-derived path flags (the index computes the identical
+    md5/band expressions, just once per side)."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    seen = spark.createDataFrame(
+        [(1, base), (2, "completely different seen text here " * 4)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy of seen 1
+            (11, base + "tail!"),            # near copy of seen 1
+            (12, "fresh never seen content " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    default = sorted(
+        tuple(r) for r in dedup.incremental_dedup(new, seen).collect()
+    )
+    indexed = sorted(
+        tuple(r)
+        for r in dedup.incremental_dedup(
+            new,
+            seen,
+            new_index=dedup.incremental_index(new),
+            seen_index=dedup.incremental_index(seen, id_col=None),
+        ).collect()
+    )
+    assert default == indexed and len(default) == 3
+    # mismatched index frames fail loudly, never silently wrong
+    with pytest.raises(ValueError, match="incremental_index"):
+        dedup.incremental_dedup(new, seen, new_index=new.select("doc_id"))

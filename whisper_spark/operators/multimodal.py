@@ -3434,6 +3434,15 @@ def image_neardup_pairs(
     is built from ``df`` as before."""
     from .dedup import simhash_hamming_pairs
 
+    if fingerprints is not None:
+        missing = {id_col, "simhash"} - set(fingerprints.columns)
+        if missing:
+            raise ValueError(
+                "fingerprints= must be an image_ahash_fingerprints frame "
+                f"(columns ({id_col!r}, 'simhash')); missing "
+                f"{sorted(missing)} — a mismatched frame would yield "
+                "silently wrong pairs (ADVICE r13)"
+            )
     fp = (
         fingerprints
         if fingerprints is not None

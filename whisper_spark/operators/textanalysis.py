@@ -595,6 +595,14 @@ def bpe_token_counts(
         .filter(~F.col("w").contains(BPE_SEP))
     )
     if vocab is not None:
+        missing = {"w", "seq"} - set(vocab.columns)
+        if missing:
+            raise ValueError(
+                "vocab= must be the (w, ..., seq) table from "
+                "bpe_train_merges(return_vocab=True); missing columns "
+                f"{sorted(missing)} — a mismatched frame would silently "
+                "drop words absent from it (ADVICE r13)"
+            )
         dtok = vocab.select(
             "w",
             F.size(F.split(F.col("seq"), BPE_SEP)).cast("long").alias("n_sym"),
