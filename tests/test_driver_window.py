@@ -16,7 +16,7 @@ import os
 from whisper_spark.queries import (
     _DRIVER_WINDOW,
     _DRIVER_WINDOW_DEMOTE,
-    _DRIVER_WINDOW_PROMOTE_R13,
+    _DRIVER_WINDOW_PROMOTE_R14,
     _DRIVER_WINDOW_SENTINELS,
     QUERIES,
 )
@@ -30,7 +30,7 @@ def test_first_50_registered_are_exactly_the_window():
 
 def test_window_is_sentinels_plus_promotions_no_overlap():
     assert _DRIVER_WINDOW == (
-        _DRIVER_WINDOW_SENTINELS + _DRIVER_WINDOW_PROMOTE_R13
+        _DRIVER_WINDOW_SENTINELS + _DRIVER_WINDOW_PROMOTE_R14
     )
     assert len(set(_DRIVER_WINDOW)) == 50
     assert not set(_DRIVER_WINDOW) & set(_DRIVER_WINDOW_DEMOTE)
@@ -56,16 +56,16 @@ def test_promotions_are_first_time_driver_rows():
     for f in artifacts:
         with open(f) as fh:
             seen.update(json.load(fh).keys())
-    # only consider rounds up to r12 — the rotation's baseline
+    # only consider rounds up to r13 — the rotation's baseline
     prior = {
         f for f in artifacts
-        if int(f.rsplit("_r", 1)[1].split(".")[0]) <= 12
+        if int(f.rsplit("_r", 1)[1].split(".")[0]) <= 13
     }
     seen = set()
     for f in prior:
         with open(f) as fh:
             seen.update(json.load(fh).keys())
-    stale = [n for n in _DRIVER_WINDOW_PROMOTE_R13 if n in seen]
+    stale = [n for n in _DRIVER_WINDOW_PROMOTE_R14 if n in seen]
     assert not stale, f"promotions with prior driver rows: {stale}"
     missing_history = [
         n for n in _DRIVER_WINDOW_SENTINELS if n not in seen

@@ -451,6 +451,43 @@ def test_render_stream_end_to_end(spark, tmp_path):
     assert (NOW + 7200) - (NOW + 7200) % 60 not in rows
 
 
+def test_render_stream_state_partitions_knob(spark, tmp_path):
+    """state_partitions= pins the stateful-operator partition count for
+    ONE query (set around .start(), restored after — Spark clones the
+    session synchronously inside start, so the scoping is race-free) and
+    must not change any value: same finalized rows as the default."""
+    from whisper_spark.streaming.render import render_stream_once
+
+    indir = tmp_path / "rsp_in"
+    indir.mkdir()
+    lines = []
+    for m, base in (("ev.a.m1", 10.0), ("ev.b.m1", 20.0)):
+        lines += [f"{m} {base} {NOW}", f"{m} {base + 1} {NOW + 30}"]
+    lines += ["ev.a.m1 0.0 " + str(NOW + 7200)]
+    (indir / "a.txt").write_text("\n".join(lines) + "\n")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    for i, sp in enumerate((None, 2)):
+        stream = spark.readStream.format("text").load(str(indir))
+        pts = parse_line_protocol(stream)
+        out = render_stream_once(
+            spark,
+            pts,
+            "scale(sumSeries(ev.*.m1), 2)",
+            str(tmp_path / f"rsp_out{i}"),
+            state_partitions=sp,
+            step_seconds=60,
+            method="max",
+            xff=0.0,
+            watermark_seconds=600,
+        )
+        outs.append(sorted(tuple(r) for r in out.collect()))
+        # the override never leaks into the session
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
 def test_render_stream_rejects_cross_slot_functions(spark):
     from whisper_spark.render import TargetSyntaxError
     from whisper_spark.streaming.render import validate_stream_target

@@ -14426,8 +14426,37 @@ _DRIVER_WINDOW_PROMOTE_R13 = [
     "ws_wsp_fleet_migrate", "doc_cdc_chunk_dedup",
 ]
 
+_DRIVER_WINDOW_PROMOTE_R14 = [
+    # round-14 rotation: 39 more first-time promotions from the
+    # never-driver-checked backlog (67 names before this round, 28
+    # after).  First, every never-checked query this round's
+    # optimization touched — the persist-slot rework and the
+    # full-outer-join restructures land in the driver window the same
+    # round they changed:
+    "doc_lsh_recall", "doc_simhash_recall", "doc_minhash_estimate_error",
+    "doc_dup_triangles", "emb_pq_distortion", "ev_retention_cohorts",
+    "ev_type_cooccurrence", "doc_source_ngram_jaccard", "doc_ngram_novelty",
+    "doc_corpus_card", "doc_bpe_token_counts", "doc_dedup_survivors",
+    "ev_asof_view_purchase",
+    # then whole never-checked families: the embedding quality gates,
+    "emb_ivf_recall", "emb_quantized_recall", "emb_quantize_int8",
+    "emb_matryoshka_recall", "emb_knn_label_accuracy", "emb_ivf_bucket_stats",
+    # the events analytics family,
+    "ev_daily_cube", "ev_props_json", "ev_value_histogram", "ev_gap_stats",
+    "ev_attribution_latency", "ev_user_activity_percentiles",
+    "ev_p50_sketch_error", "ev_rolling_active_users",
+    # the multimodal pipeline rows,
+    "mm_decode_media", "mm_resize_nearest", "mm_image_ahash",
+    "mm_feature_topk", "mm_shard_manifest", "mm_payload_dedup",
+    "mm_decode_audio_headers",
+    # the remaining ws_* maintenance/reporting rows and one TPC-H-table
+    # aggregate shape
+    "ws_seasonal_alerts", "ws_downsample_minmax", "ws_compaction_report",
+    "ws_federated_fetch", "q_acctbal_quartiles",
+]
+
 # the explicit driver window: exactly the first 50 registered names
-_DRIVER_WINDOW = _DRIVER_WINDOW_SENTINELS + _DRIVER_WINDOW_PROMOTE_R13
+_DRIVER_WINDOW = _DRIVER_WINDOW_SENTINELS + _DRIVER_WINDOW_PROMOTE_R14
 
 _DRIVER_WINDOW_DEMOTE = [
     "q17_small_qty_revenue", "q22_global_sales_opportunity",
@@ -14540,6 +14569,28 @@ _DRIVER_WINDOW_DEMOTE = [
     "ev_distinct_users_kmv", "mm_frame_sample", "ws_linear_regression",
     "mm_decode_pixels", "mm_decode_gif_pixels", "mm_decode_flac_pcm",
     "mm_decode_mp3_samples", "mm_decode_jpeg_progressive",
+    # round-14 rotation: the 39 round-13 promotions rotate out, every
+    # one driver-confirmed green in the r13 window (CORRECTNESS_r13:
+    # 50/50 rows+schema+hash, zero err), making room for 39 more
+    # first-time promotions.  Coverage contract unchanged: every name
+    # below stays oracle-checked EVERY CI run by
+    # tests/test_demoted_window.py and by the full sweep.
+    "ws_summarize_15m", "ws_moving_avg_5", "ws_derivative_1m",
+    "ws_keep_last_6h", "ws_integral_2h", "ws_sum_series",
+    "ws_as_percent", "ws_time_shift_1h", "ws_percentile_series_p50",
+    "ws_highest_avg_top2", "ws_sort_by_total_top3", "ws_stdev_moving_10",
+    "ws_hitcount_10m", "ws_remove_above_p90", "ws_scale_clamp",
+    "ws_series_combine", "ws_consolidate_800", "ws_interpolate_6h",
+    "ws_moving_avg_1h_range", "ws_holt_linear", "ws_storage_report",
+    "ws_xff_sensitivity", "ws_value_heatmap", "ws_seasonal_profile",
+    "ws_render_target_ratio", "ws_render_target_filter",
+    "ws_render_target_topk", "ws_render_target_window",
+    "ws_render_target_group",
+    "stream_render_summarize", "stream_render_hitcount",
+    "stream_render_percentile", "stream_attribution_join",
+    "stream_hourly_users_kmv", "stream_rollup_5m_min_xff",
+    "stream_top_metric_1m", "stream_top_metrics",
+    "ws_wsp_fleet_migrate", "doc_cdc_chunk_dedup",
 ]
 
 
